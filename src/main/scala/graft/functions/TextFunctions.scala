@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for training-data pipelines: token
+  * counting, quality scoring, language ID, fingerprinting. All are
+  * compositions of built-in (codegen'd) functions so they fuse into
+  * the scan — no UDFs, no driver round-trips; every one of these
+  * runs as a narrow map at 100 TB.
+  */
+object TextFunctions {
+
+  /** BPE-ish word tokens: maximal runs of letters/digits, lowercased. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0)))
+
+  private val stopwords = Map(
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "une"),
+    "es" -> Seq("el", "los", "las", "y", "que", "una"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo", "zai"))
+
+  def stopwordCount(text: Column, lang: String = "en"): Column = {
+    val pat = stopwords(lang).mkString("\\b(", "|", ")\\b")
+    size(regexp_extract_all(lower(text), lit(pat), lit(0)))
+  }
+
+  /** Composite quality score in [0,1]: favors mid-length docs with
+    * low punctuation density and a healthy stopword ratio — the
+    * usual cheap pre-filter before expensive model-based scoring.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / 100.0, lit(1.0))
+    val punctRatio = punctCount(text).cast("double") / greatest(length(text), lit(1)).cast("double")
+    val stopRatio = stopwordCount(text).cast("double") / greatest(nTok, lit(1.0))
+    round(lenScore * 0.5 + (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.25 +
+      least(stopRatio * 5.0, lit(1.0)) * 0.25, 4)
+  }
+
+  /** Stopword-profile language ID: score each candidate language by
+    * its stopword hits, pick the max (ties broken by fixed language
+    * order). The classic cheap n-gram/stopword heuristic.
+    */
+  def langId(text: Column): Column = {
+    val ordered = Seq("en", "de", "fr", "es", "zh")
+    val scores = ordered.map(l => stopwordCount(text, l))
+    val best = greatest(scores.head, scores.tail: _*)
+    // when-chain ordered so the FIRST language reaching the max wins
+    ordered.zip(scores).reverse.foldLeft(lit(ordered.last): Column) {
+      case (acc, (l, s)) => when(s === best, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Polynomial rolling hash of the whole text, mod 2^31-1 — a
+    * Rabin-Karp document fingerprint. Sequential fold over the
+    * characters, so any engine that folds left-to-right reproduces
+    * it exactly (the DuckDB oracle does).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (acc, c) => pmod(acc * 31L + ascii(c).cast("long"), lit(2147483647L)))
+}

