@@ -52,7 +52,7 @@ object TextFunctions {
   def langId(text: Column): Column = {
     val ordered = Seq("en", "de", "fr", "es", "zh")
     val scores = ordered.map(l => stopwordCount(text, l))
-    val best = greatest(scores.head, scores.tail: _*)
+    val best = greatest(scores: _*)
     // when-chain ordered so the FIRST language reaching the max wins
     ordered.zip(scores).reverse.foldLeft(lit(ordered.last): Column) {
       case (acc, (l, s)) => when(s === best, lit(l)).otherwise(acc)
@@ -60,13 +60,14 @@ object TextFunctions {
   }
 
   /** Polynomial rolling hash of the whole text, mod 2^31-1 — a
-    * Rabin-Karp document fingerprint. Sequential fold over the
-    * characters, so any engine that folds left-to-right reproduces
-    * it exactly (the DuckDB oracle does).
+    * Rabin-Karp document fingerprint. Sequential fold over exactly
+    * the characters (Spark's split(text, "") keeps a trailing empty
+    * element — filtered so the fold is the documented pure char fold
+    * any left-to-right engine reproduces).
     */
   def fingerprint(text: Column): Column =
     aggregate(
-      split(text, ""),
+      filter(split(text, ""), c => c =!= ""),
       lit(0L),
       (acc, c) => pmod(acc * 31L + ascii(c).cast("long"), lit(2147483647L)))
 }

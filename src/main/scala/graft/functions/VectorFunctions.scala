@@ -30,7 +30,7 @@ object VectorFunctions {
     val signed = zip_with(
       v,
       transform(sequence(lit(0), size(v) - 1),
-        i => when(pmod(xxhash64(i, lit(plane)), 2) === 0, 1.0).otherwise(-1.0)),
+        i => when(pmod(xxhash64(i, lit(plane)), lit(2)) === 0, 1.0).otherwise(-1.0)),
       (x, s) => x * s)
     val s = aggregate(signed, lit(0.0), (acc, x) => acc + x)
     when(s >= 0, 1L).otherwise(0L)

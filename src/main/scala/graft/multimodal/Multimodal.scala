@@ -33,8 +33,8 @@ object Multimodal {
       col(idCol).cast("long").as("media_id"),
       lit("image/fake").as("media_type"),
       encode(col(textCol), "UTF-8").as("payload"),
-      (pmod(xxhash64(col(idCol)), 1024) + 1).cast("int").as("meta_width"),
-      (pmod(xxhash64(col(idCol), lit(1)), 1024) + 1).cast("int").as("meta_height"))
+      (pmod(xxhash64(col(idCol)), lit(1024)) + 1).cast("int").as("meta_width"),
+      (pmod(xxhash64(col(idCol), lit(1)), lit(1024)) + 1).cast("int").as("meta_height"))
 
   /** ===== STUB ===== deterministic stand-in for a real decoder:
     * "features" are byte-derived statistics. Real impl would decode

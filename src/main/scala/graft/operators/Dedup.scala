@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
   * n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine. Designed
   * shuffle-first: every variant keys its one shuffle on a
   * high-cardinality column (content hash, shingle, LSH bucket) so
-  * there are no hot keys at 100 TB; nothing collects to the driver.
+  * there are no hot keys at 100 TB; nothing collects to the driver;
+  * nothing is pinned in executor memory (no .cache() — identical
+  * subplans are shared by Catalyst's ReuseExchange instead).
   */
 object Dedup {
 
@@ -34,18 +36,41 @@ object Dedup {
       .select(col(idCol), expr(s"substring(`$textCol`, pos, $n)").as("shingle"))
       .distinct()
 
-  /** n-gram Jaccard near-duplicate pairs above `threshold`.
+  /** [[shingles]] with stop-shingles removed: any shingle whose
+    * document frequency exceeds `dfCap` is dropped BEFORE any join.
     *
-    * Exact form: inverted index on shingle → per-pair intersection
-    * count → |A∩B| / (|A|+|B|-|A∩B|). The shingle join is the only
-    * shuffle and its key (the shingle) has corpus-scale cardinality.
-    * At 100 TB you don't run this on all pairs — you run
-    * [[minHashLsh]] to get candidates and this as the verify step on
-    * the (tiny) candidate set; the math is identical.
+    * This is the anti-hot-key guard for 100 TB: shingle document
+    * frequency is Zipfian ("the ", " and" appear in ~every doc), so
+    * an uncapped inverted-index self-join is a disguised cartesian
+    * product on those keys. Capping df bounds the per-shingle join
+    * fan-out at dfCap², making the shuffle-key distribution flat —
+    * the standard trick in near-dup pipelines. Jaccard downstream is
+    * computed over this capped shingle universe (set sizes counted
+    * AFTER the cap), which is the semantics the oracle mirrors.
+    */
+  def cappedShingles(df: DataFrame, textCol: String, idCol: String,
+      n: Int, dfCap: Long): DataFrame = {
+    val sh = shingles(df, textCol, idCol, n)
+    val w = Window.partitionBy(col("shingle"))
+    sh.withColumn("_df", count(lit(1)).over(w))
+      .filter(col("_df") <= dfCap)
+      .drop("_df")
+  }
+
+  /** n-gram Jaccard near-duplicate pairs above `threshold`, over the
+    * df-capped shingle universe (see [[cappedShingles]] — the cap is
+    * mandatory; there is no uncapped all-pairs form).
+    *
+    * Inverted index on shingle → per-pair intersection count →
+    * |A∩B| / (|A|+|B|-|A∩B|). The shingle join is the only shuffle
+    * and with the cap its key has corpus-scale cardinality and
+    * bounded fan-out. At 100 TB, prefer [[minHashLsh]] for candidate
+    * generation and [[jaccardVerify]] to score only those pairs; the
+    * math here is identical.
     */
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
-      n: Int, threshold: Double): DataFrame = {
-    val sh = shingles(df, textCol, idCol, n).cache()
+      n: Int, threshold: Double, dfCap: Long): DataFrame = {
+    val sh = cappedShingles(df, textCol, idCol, n, dfCap)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))
@@ -59,6 +84,28 @@ object Dedup {
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact Jaccard for an explicit candidate-pair set only — the
+    * verify step of the two-phase 100 TB path: [[minHashLsh]]
+    * proposes pairs (corpus-scale bucketed shuffle), this scores
+    * them (a join against per-doc shingle sets, proportional to the
+    * candidate count, never to N²).
+    *
+    * `candidates` must have columns (id_a, id_b).
+    */
+  def jaccardVerify(candidates: DataFrame, df: DataFrame, textCol: String,
+      idCol: String, n: Int): DataFrame = {
+    val sets = shingles(df, textCol, idCol, n)
+      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sh_set"))
+    candidates.select("id_a", "id_b")
+      .join(sets.select(col(idCol).as("id_a"), col("sh_set").as("set_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("sh_set").as("set_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("set_a")) + size(col("set_b")) - col("inter")).cast("double"), 4))
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
@@ -94,15 +141,16 @@ object Dedup {
     * `bands` bands, bucket by (band, hash(band slice)), emit pairs
     * sharing any bucket, with the signature-estimated Jaccard.
     * Shuffle key (band, bandHash) has corpus-scale cardinality —
-    * this is the 100 TB near-dup path.
+    * this is the 100 TB near-dup path. `bands` must divide `k` so no
+    * signature hash is silently dropped.
     */
   def minHashLsh(df: DataFrame, textCol: String, idCol: String,
       n: Int = 4, k: Int = 32, bands: Int = 8): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val rows = k / bands
     val sigs = minHashSignatures(df, textCol, idCol, n, k)
       .withColumn("sig", array((0 until k).map(i => col(s"h$i")): _*))
       .select(col(idCol), col("sig"))
-      .cache()
     val banded = sigs.select(
       col(idCol),
       explode(array((0 until bands).map { b =>
@@ -125,6 +173,16 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** Two-phase near-dup: [[minHashLsh]] candidates → [[jaccardVerify]]
+    * exact scores → threshold. The composition the docstrings
+    * advertise as the 100 TB shape, packaged.
+    */
+  def minHashNearDup(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 4, k: Int = 32, bands: Int = 8, threshold: Double): DataFrame =
+    jaccardVerify(minHashLsh(df, textCol, idCol, n, k, bands),
+        df, textCol, idCol, n)
+      .filter(col("jaccard") >= threshold)
+
   /** 64-bit SimHash over word tokens: per-bit signed vote weighted
     * by token frequency, packed into a long. Pure aggregation —
     * one shuffle, no joins.
@@ -139,19 +197,69 @@ object Dedup {
     toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
       .select(col(idCol),
         (0 until 64).map { j =>
-          when(col(s"b$j") > 0, lit(1L) << j).otherwise(0L)
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
         }.reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs: band the 64-bit fingerprint into
+    * `nBands` keys (16-bit slices for the default 4), pair documents
+    * sharing any band, keep pairs with hamming distance ≤
+    * `maxHamming`. Pigeonhole guarantee: any pair with hamming <
+    * nBands shares at least one intact band, so recall is exact for
+    * distances < nBands (and probabilistic above). Shuffle key
+    * (band, slice) has corpus-scale cardinality — same 100 TB shape
+    * as MinHash-LSH.
+    */
+  def simHashNearDup(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, nBands: Int = 4): DataFrame = {
+    require(64 % nBands == 0, s"nBands ($nBands) must divide 64")
+    val width = 64 / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val sh = simHash(df, textCol, idCol)
+    val banded = sh.select(
+      col(idCol), col("simhash"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * width).bitwiseAND(mask).as("key"))
+      }: _*)).as("bb"))
+      .select(col(idCol), col("simhash"), col("bb.band"), col("bb.key"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold` over a
     * (small) corpus: all-pairs form for correctness; the scale path
-    * buckets by [[graft.functions.VectorFunctions.lshBucket]] first.
+    * is [[embeddingNearDupLsh]].
     */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double): DataFrame = {
     import graft.functions.VectorFunctions._
     val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
     v.as("a").join(v.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        round(cosine(col("a.v"), col("b.v")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Bucketed embedding near-dup — the 100 TB path: hyperplane-LSH
+    * bucket every vector, pair only within buckets (join key =
+    * bucket id, corpus-scale cardinality), then exact-cosine filter.
+    * Recall is tunable by nPlanes (fewer planes → bigger buckets →
+    * higher recall, more compute); near-identical vectors land in
+    * the same bucket with probability (1 - θ/π)^nPlanes.
+    */
+  def embeddingNearDupLsh(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, nPlanes: Int = 8): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"),
+      lshBucket(asDouble(col(vecCol)), nPlanes).as("bucket"))
+    v.as("a").join(v.as("b"),
+        col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         round(cosine(col("a.v"), col("b.v")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)

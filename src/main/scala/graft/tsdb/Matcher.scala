@@ -15,10 +15,21 @@ import org.apache.spark.sql.functions._
   *     (set-match optimization, constraint.go:73-76)
   *   - `!~ re` → NOT(simplified =~ re)
   *
-  * Everything here stays a plain Catalyst predicate so equality /
-  * IN / null checks push down to the Parquet scan (row-group stats,
-  * dictionary and bloom pruning — the Spark-native analog of the
-  * reference's page/dictionary pruning in constraint.go).
+  * NULL semantics: Prometheus treats an absent label as the empty
+  * string (the reference matches null pages against "",
+  * search/constraint.go:410-417). SQL three-valued logic would
+  * instead silently DROP null rows from negated matchers, so every
+  * compiled predicate here is null-safe: a null label value behaves
+  * exactly like "".
+  *
+  * Pushdown: the hot paths stay parquet-pushable. `Eq(v≠"")` compiles
+  * to a plain `col = v` (null rows can't match a non-empty literal,
+  * so the null-safe form is equivalent) and set-matches without ""
+  * compile to a plain IN — both reach `PushedFilters`. Only the
+  * genuinely null-sensitive forms (negations, regexes matching "")
+  * pay for a `coalesce`, mirroring the reference where only
+  * equality/set constraints prune pages and regexes scan
+  * dictionaries.
   */
 sealed trait Matcher {
   def label: String
@@ -27,18 +38,27 @@ sealed trait Matcher {
 }
 
 object Matcher {
+  /** Label column with Prometheus' absent=="" convention. */
+  private def nn(label: String): Column = coalesce(col(label), lit(""))
+
   final case class Eq(label: String, value: String) extends Matcher {
-    def toPredicate: Option[Column] = Some(col(label) === value)
+    def toPredicate: Option[Column] =
+      if (value.isEmpty) Some(col(label).isNull || col(label) === "")
+      else Some(col(label) === value) // null ⇒ null ⇒ dropped == "" ≠ v. Pushes down.
   }
   final case class Neq(label: String, value: String) extends Matcher {
-    def toPredicate: Option[Column] = Some(col(label) =!= value)
+    // null-safe: foo!="bar" must keep rows where foo is absent.
+    def toPredicate: Option[Column] = Some(nn(label) =!= value)
   }
   final case class Re(label: String, pattern: String) extends Matcher {
     def toPredicate: Option[Column] = regexPredicate(label, pattern)
   }
   final case class Nre(label: String, pattern: String) extends Matcher {
+    // Negation sees nulls: `foo!~"bar"` must keep rows where foo is
+    // absent ("" doesn't match bar), so negate the always-null-safe
+    // form, not the pushdown-friendly one.
     def toPredicate: Option[Column] =
-      regexPredicate(label, pattern) match {
+      regexPredicate(label, pattern, nullSafe = true) match {
         case Some(p) => Some(!p)
         case None    => Some(lit(false)) // !~ ".*" matches nothing
       }
@@ -47,17 +67,29 @@ object Matcher {
   /** A regex that is just an alternation of literals ("a|b|c"). */
   private val literalAlternation = "^[A-Za-z0-9_ |-]*$".r
 
-  private[tsdb] def regexPredicate(label: String, pattern: String): Option[Column] =
+  /** Does the (anchored) pattern match the empty string? Decided at
+    * plan-build time so the null-safe coalesce is only paid when "" /
+    * absent labels can actually match.
+    */
+  private def matchesEmpty(pattern: String): Boolean =
+    try ("^(?:" + pattern + ")$").r.matches("") catch { case _: Exception => false }
+
+  private[tsdb] def regexPredicate(label: String, pattern: String,
+      nullSafe: Boolean = false): Option[Column] =
     pattern match {
       case ".*" => None
-      case ".+" => Some(col(label) =!= "")
+      case ".+" => Some(nn(label) =!= "")
       case p if literalAlternation.matches(p) =>
         val set = p.split('|').toSeq
-        if (set.size == 1) Some(col(label) === set.head)
-        else Some(col(label).isin(set: _*))
+        // plain IN pushes down; coalesce only when "" can match or a
+        // negation needs nulls to evaluate (not just be dropped)
+        val c = if (nullSafe || set.contains("")) nn(label) else col(label)
+        if (set.size == 1) Some(c === set.head)
+        else Some(c.isin(set: _*))
       case p =>
-        // Prometheus regexes are fully anchored.
-        Some(col(label).rlike("^(?:" + p + ")$"))
+        // Prometheus regexes are fully anchored; null behaves as "".
+        val c = if (nullSafe || matchesEmpty(p)) nn(label) else col(label)
+        Some(c.rlike("^(?:" + p + ")$"))
     }
 
   /** AND of all matchers; None when every matcher matches all rows. */

@@ -30,7 +30,8 @@ object PromOps {
 
   /** Per-series increase over the full selected range, counter-style:
     * sum of positive deltas between consecutive samples (PromQL
-    * `increase` without extrapolation).
+    * `increase` without extrapolation — documented, and mirrored
+    * exactly by the DuckDB oracle).
     */
   def increase(df: DataFrame, seriesCols: Seq[String], tsCol: String,
       valueCol: String): DataFrame = {
@@ -42,6 +43,18 @@ object PromOps {
           .otherwise(col(valueCol))) // counter reset
       .groupBy(seriesCols.map(col): _*)
       .agg(sum("_delta").as("increase"), count(lit(1)).as("samples"))
+  }
+
+  /** Per-series rate: counter increase divided by the range width in
+    * seconds (PromQL `rate` = increase / range, no extrapolation —
+    * the division the reference's PromQL consumers apply on top of
+    * Select, queryable/parquet_queryable.go:283).
+    */
+  def rate(df: DataFrame, seriesCols: Seq[String], tsCol: String,
+      valueCol: String, rangeSeconds: Double): DataFrame = {
+    require(rangeSeconds > 0, "rangeSeconds must be positive")
+    increase(df, seriesCols, tsCol, valueCol)
+      .withColumn("rate", col("increase") / rangeSeconds)
   }
 
   /** Downsample to fixed windows: per-series per-bucket aggregates

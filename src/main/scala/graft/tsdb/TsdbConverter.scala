@@ -76,14 +76,21 @@ object TsdbConverter {
   }
 
   /** Merge N converted shards that may overlap in series/time:
-    * last-writer-wins per (series labels, ts) — the reference's
-    * chunk-merge dedup (convert/merge.go) as one distributed
-    * aggregation.
+    * last-writer-wins per (series labels, ts), where "last" = the
+    * highest shard ordinal — the deterministic winner the reference's
+    * k-way merge picks (convert/merge.go:25 NewMergeChunkSeriesSet +
+    * Prometheus vertical merge keeps one chosen sample per
+    * timestamp). One distributed aggregation: `max_by(value,
+    * shard_idx)`, no driver loop, scales with executors.
     */
   def mergeShards(shards: Seq[DataFrame], seriesCols: Seq[String],
       tsCol: String, valueCol: String): DataFrame = {
-    val all = shards.reduce(_ unionByName _)
+    val tagged = shards.zipWithIndex.map { case (s, i) =>
+      s.withColumn("_shard_idx", lit(i))
+    }
+    val all = tagged.reduce(_ unionByName _)
     val keys = (seriesCols :+ tsCol).map(col)
-    all.groupBy(keys: _*).agg(max(col(valueCol)).as(valueCol))
+    all.groupBy(keys: _*)
+      .agg(expr(s"max_by(`$valueCol`, _shard_idx)").as(valueCol))
   }
 }

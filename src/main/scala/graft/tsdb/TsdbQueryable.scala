@@ -1,6 +1,6 @@
 package graft.tsdb
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Spark-native analog of the reference's Prometheus
@@ -34,36 +34,55 @@ final class TsdbQueryable(
       col(tsCol) < lit(maxt).cast("timestamp")
 
   /** Select samples of all series matching `matchers` within
-    * [mint, maxt), sorted by series labels then time — the `sorted`
-    * contract of queryable/parquet_queryable.go:283 Select.
+    * [mint, maxt), projected to `projection` label columns (the
+    * reference's projection hints, parquet_queryable.go:120
+    * WithHonorProjectionHints / materialize.go:179
+    * FilterSeriesLabels) and capped at `rowQuota` rows when > 0 (the
+    * reference's row-count quota, search/limits.go:52 NewQuota —
+    * there an error budget, here an enforced limit after a
+    * deterministic sort).
     */
-  def select(mint: String, maxt: String, matchers: Matcher*): DataFrame =
-    withMatchers(matchers)
+  def select(mint: String, maxt: String, matchers: Seq[Matcher],
+      projection: Seq[String] = Nil, rowQuota: Long = 0L): DataFrame = {
+    val labels = if (projection.nonEmpty) projection else labelCols
+    val base = withMatchers(matchers)
       .filter(inRange(mint, maxt))
-      .select((labelCols :+ tsCol :+ valueCol).map(col): _*)
+      .select((labels :+ tsCol :+ valueCol).map(col): _*)
+    if (rowQuota > 0L)
+      base.orderBy((labels :+ tsCol).map(col): _*).limit(
+        math.min(rowQuota, Int.MaxValue.toLong).toInt)
+    else base
+  }
+
+  /** Varargs convenience overload. */
+  def select(mint: String, maxt: String, matchers: Matcher*): DataFrame =
+    select(mint, maxt, matchers.toSeq, Nil, 0L)
 
   /** Label names that have at least one non-null value among rows
     * matching `matchers` (reference: materialize.go:273
-    * MaterializeLabelNames). One pass: aggregate a count per label
-    * column, then keep the non-empty ones.
+    * MaterializeLabelNames). ONE aggregation pass: count per label
+    * column in a single row, explode it as a name→count map, keep
+    * non-empty. No per-label re-scan.
     */
   def labelNames(matchers: Matcher*): DataFrame = {
     val counts = withMatchers(matchers)
-      .agg(count(lit(1)).as("_rows"),
-        labelCols.map(c => count(col(c)).as(c)): _*)
-    val spark = df.sparkSession
-    import spark.implicits._
-    val stacked = labelCols
-      .map(c => counts.select(lit(c).as("label_name"), col(c).as("_cnt")))
-      .reduce(_ unionAll _)
-    stacked.filter($"_cnt" > 0).select("label_name").orderBy("label_name")
+      .agg(count(col(labelCols.head)).as(labelCols.head),
+        labelCols.tail.map(c => count(col(c)).as(c)): _*)
+    counts
+      .select(explode(map(
+        labelCols.flatMap(c => Seq(lit(c), col(c))): _*))
+        .as(Seq("label_name", "_cnt")))
+      .filter(col("_cnt") > 0)
+      .select("label_name")
+      .orderBy("label_name")
   }
 
   /** Distinct values of one label among rows matching `matchers`
     * (reference: materialize.go:320 MaterializeLabelValues), sorted,
-    * optionally limited (limits.go quota analog).
+    * optionally limited (search/limits.go quota analog).
     */
-  def labelValues(name: String, limit: Int = 0, matchers: Matcher*): DataFrame = {
+  def labelValues(name: String, matchers: Seq[Matcher] = Nil,
+      limit: Int = 0): DataFrame = {
     val base = withMatchers(matchers)
       .select(col(name).cast("string").as("label_value"))
       .filter(col("label_value").isNotNull)
