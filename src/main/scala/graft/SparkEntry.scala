@@ -1,13 +1,607 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Ann, Dedup}
+import graft.tsdb.{ConvertOptions, Matcher, PromOps, TsdbConverter, TsdbQueryable}
+
+/** Driver contract: every operator from SURVEY.md §2 registered as a
+  * runnable query plus (where SQL-expressible) a DuckDB oracle.
+  *
+  * Determinism discipline (SURVEY §6):
+  *   - every computed column aliased IDENTICALLY in Spark and SQL;
+  *   - float aggregates summed in decimal then cast to double, so the
+  *     result is independent of partition/accumulation order, then
+  *     rounded;
+  *   - timestamps emitted as epoch milliseconds (BIGINT both sides);
+  *   - every top-k/rank has a total-order tiebreak;
+  *   - every result has a deterministic ORDER BY on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+      // rejects natively; read it as a long and floor to micros —
+      // the same truncation DuckDB's epoch_ms applies, so ms-level
+      // outputs agree across engines.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else s.read.parquet(s"$dir/$name.parquet")
+
+  /** Order-insensitive float sum: accumulate exactly in decimal, then
+    * one well-defined decimal→double conversion. Partition order can
+    * no longer change the value, so DuckDB and Spark agree bitwise.
+    */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(30,8)")).cast("double")
+
+  // TPC-H date columns read as TIMESTAMP_NTZ; with a UTC session the
+  // cast to TIMESTAMP is instant-preserving, and unix_millis then
+  // matches DuckDB's epoch_ms.
+  private def ms(c: Column): Column = unix_millis(c.cast("timestamp"))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q02_agg_pricing")(spark, "/root/testdata/sf0.001")
+
+  // ===================== relational q01–q10 =====================
+
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+        col("l_quantity") < 10)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(dsum(col("l_quantity")), 2).as("sum_qty"),
+        round(dsum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(dsum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
+        round(dsum(col("l_extendedprice")) / count(lit(1)), 4).as("avg_price"),
+        round(dsum(col("l_discount")) / count(lit(1)), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def q03(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem")
+          .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), ms(col("o_orderdate")).as("o_date_ms"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    val asiaNations = t(s, dir, "nation")
+      .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+    val supAsia = t(s, dir, "supplier")
+      .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supAsia),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(round(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy("n_name")
+  }
+
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select("o_orderstatus", "o_orderpriority")
+      .distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  private def q07(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  private def q08(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(dsum(col("o_totalprice")), 2).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n_orders"), col("total_price"))
+      .orderBy("status", "priority")
+
+  private def q09(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        round(sum(col("k")).cast("double") / count(lit(1)), 4).as("avg_k"))
+      .orderBy("event_type")
+
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"),
+        ms(date_trunc("hour", col("ts"))).as("bucket_ms"))
+      .agg(count(lit(1)).as("n_events"),
+        round(dsum(col("value")) / count(lit(1)), 4).as("avg_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("event_type", "bucket_ms")
+
+  // ===================== time-series surface =====================
+
+  private def queryable(s: SparkSession, dir: String): TsdbQueryable =
+    new TsdbQueryable(t(s, dir, "events"), Seq("event_type", "user_id"))
+
+  private def withTsMs(df: DataFrame): DataFrame =
+    df.withColumn("ts_ms", ms(col("ts"))).drop("ts")
+
+  private def tsSelectEq(s: SparkSession, dir: String): DataFrame =
+    withTsMs(queryable(s, dir)
+      .select("2024-01-05", "2024-01-20", Matcher.Eq("event_type", "click")))
+      .orderBy("ts_ms", "user_id", "value")
+
+  private def tsSelectRegex(s: SparkSession, dir: String): DataFrame =
+    withTsMs(queryable(s, dir)
+      .select("2024-01-01", "2024-01-10", Matcher.Re("event_type", "click|view")))
+      .orderBy("ts_ms", "user_id", "value")
+
+  private def tsSelectNotRegex(s: SparkSession, dir: String): DataFrame =
+    withTsMs(queryable(s, dir)
+      .select("2024-01-01", "2024-01-31",
+        Seq(Matcher.Nre("event_type", "c.*")), Nil, 500L))
+      .orderBy("event_type", "user_id", "ts_ms")
+
+  private def tsLabelNames(s: SparkSession, dir: String): DataFrame =
+    queryable(s, dir).labelNames(Matcher.Eq("event_type", "error"))
+
+  private def tsLabelValues(s: SparkSession, dir: String): DataFrame =
+    queryable(s, dir).labelValues("event_type",
+      Seq(Matcher.Re("event_type", ".+")), limit = 3)
+
+  private def tsLastPoint(s: SparkSession, dir: String): DataFrame =
+    PromOps.lastPoint(t(s, dir, "events"), Seq("event_type", "user_id"),
+        "ts", tieBreak = Seq("event_id"))
+      .select(col("event_type"), col("user_id"), ms(col("ts")).as("ts_ms"),
+        col("value"), col("event_id"))
+      .orderBy("event_type", "user_id")
+
+  private def tsRate(s: SparkSession, dir: String): DataFrame =
+    PromOps.rate(t(s, dir, "events"), Seq("event_type", "user_id"),
+        "ts", "value", rangeSeconds = 2592000.0, tieBreak = Seq("event_id"))
+      .select(col("event_type"), col("user_id"),
+        round(col("increase"), 4).as("increase"), col("samples"),
+        round(col("rate"), 10).as("rate"))
+      .orderBy("event_type", "user_id")
+
+  private def tsMergeShards(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val shardA = ev.filter(col("user_id") % 2 === 0)
+    val shardB = ev.filter(col("user_id") % 2 === 1 || col("value") > 100)
+    TsdbConverter.mergeShards(Seq(shardA, shardB),
+        Seq("event_type", "user_id"), "ts", "value")
+      .select(col("event_type"), col("user_id"), ms(col("ts")).as("ts_ms"),
+        col("value"))
+      .orderBy("event_type", "user_id", "ts_ms", "value")
+  }
+
+  private def tsConvertRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_roundtrip_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+    TsdbConverter.convert(t(s, dir, "events"), path, "ts",
+      ConvertOptions(sortBy = Seq("event_type", "user_id"),
+        colDuration = "1 day", bloomFilterLabels = Seq("event_type"),
+        shards = 4))
+    s.read.parquet(path)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), round(dsum(col("value")), 2).as("sum_value"))
+      .orderBy("bucket")
+  }
+
+  // ===================== LLM-data-pipeline =====================
+
+  private def ddExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+      .withColumn("dup_rank", col("dup_rank").cast("long"))
+      .orderBy("doc_id")
+
+  private def ddNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(t(s, dir, "documents"), "text", "doc_id",
+        n = 4, threshold = 0.8, dfCap = 100)
+      .orderBy("id_a", "id_b")
+
+  private def ddMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLsh(t(s, dir, "documents"), "text", "doc_id",
+        n = 4, k = 32, bands = 8)
+      .orderBy("id_a", "id_b")
+
+  private def ddMinhashNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashNearDup(t(s, dir, "documents"), "text", "doc_id",
+        n = 4, k = 32, bands = 8, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+
+  private def ddSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashNearDup(t(s, dir, "documents"), "text", "doc_id",
+        maxHamming = 8, nBands = 4)
+      .orderBy("id_a", "id_b")
+
+  private def ddEmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",
+        threshold = 0.45)
+      .orderBy("id_a", "id_b")
+
+  private def ddEmbedNearDupLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), "embedding", "vec_id",
+        threshold = 0.3, nPlanes = 4)
+      .orderBy("id_a", "id_b")
+
+  private def annBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.bruteForce(emb, emb.filter(col("vec_id") < 5), "embedding", "vec_id", k = 10)
+      .orderBy("qid", "rank")
+  }
+
+  private def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.lshTopK(emb, emb.filter(col("vec_id") < 5), "embedding", "vec_id",
+        k = 10, nPlanes = 4)
+      .orderBy("qid", "rank")
+  }
+
+  private def txtTokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+
+  private def txtQuality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  private def txtLangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  private def txtFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  private def mmFeatures(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.extractFeatures(
+        graft.multimodal.Multimodal.asMediaTable(
+          t(s, dir, "documents"), "doc_id", "text"), dims = 8)
+      .withColumn("byte_len", col("byte_len").cast("long"))
+      .orderBy("media_id")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_filter_project" -> (q01 _),
+    "q02_agg_pricing" -> (q02 _),
+    "q03_join_topk" -> (q03 _),
+    "q04_multi_join" -> (q04 _),
+    "q05_window_topk" -> (q05 _),
+    "q06_distinct" -> (q06 _),
+    "q07_anti_join" -> (q07 _),
+    "q08_rollup" -> (q08 _),
+    "q09_json_extract" -> (q09 _),
+    "q10_time_bucket" -> (q10 _),
+    "ts_select_eq" -> (tsSelectEq _),
+    "ts_select_regex" -> (tsSelectRegex _),
+    "ts_select_not_regex" -> (tsSelectNotRegex _),
+    "ts_label_names" -> (tsLabelNames _),
+    "ts_label_values" -> (tsLabelValues _),
+    "ts_last_point" -> (tsLastPoint _),
+    "ts_rate" -> (tsRate _),
+    "ts_merge_shards" -> (tsMergeShards _),
+    "ts_convert_roundtrip" -> (tsConvertRoundtrip _),
+    "dd_exact" -> (ddExact _),
+    "dd_ngram_jaccard" -> (ddNgramJaccard _),
+    "dd_minhash_lsh" -> (ddMinhashLsh _),
+    "dd_minhash_neardup" -> (ddMinhashNearDup _),
+    "dd_simhash" -> (ddSimhash _),
+    "dd_embed_neardup" -> (ddEmbedNearDup _),
+    "dd_embed_neardup_lsh" -> (ddEmbedNearDupLsh _),
+    "ann_bruteforce" -> (annBruteForce _),
+    "ann_lsh" -> (annLsh _),
+    "txt_token_count" -> (txtTokenCount _),
+    "txt_quality" -> (txtQuality _),
+    "txt_lang_id" -> (txtLangId _),
+    "txt_fingerprint" -> (txtFingerprint _),
+    "mm_features" -> (mmFeatures _),
+  )
+
+  /** DuckDB oracle SQL per query (omitted → driver does a rows-only
+    * check). Each mirrors the Spark plan's arithmetic EXACTLY: same
+    * aliases, same decimal-accumulate-then-double pattern, same
+    * rounding, same order of floating-point operations.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q02_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE), 2) AS sum_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS sum_base_price,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE), 2) AS sum_disc_price,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,8))) AS DOUBLE), 2) AS sum_charge,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / count(*), 4) AS avg_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) / count(*), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q03_join_topk" ->
+      """SELECT l_orderkey,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue,
+        |  epoch_ms(o_orderdate) AS o_date_ms
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q04_multi_join" ->
+      """SELECT n_name,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q05_window_topk" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+    "q06_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q08_rollup" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(o_orderpriority, '(all)') AS priority,
+        |  count(*) AS n_orders,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS total_price
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q09_json_extract" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / count(*), 4) AS avg_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q10_time_bucket" ->
+      """SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
+        |  count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) / count(*), 4) AS avg_value,
+        |  max(value) AS max_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY event_type, bucket_ms""".stripMargin,
+    "ts_select_eq" ->
+      """SELECT event_type, user_id, value, epoch_ms(ts) AS ts_ms
+        |FROM events
+        |WHERE event_type = 'click'
+        |  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
+        |ORDER BY ts_ms, user_id, value""".stripMargin,
+    "ts_select_regex" ->
+      """SELECT event_type, user_id, value, epoch_ms(ts) AS ts_ms
+        |FROM events
+        |WHERE event_type IN ('click', 'view')
+        |  AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-10'
+        |ORDER BY ts_ms, user_id, value""".stripMargin,
+    "ts_select_not_regex" ->
+      """SELECT event_type, user_id, value, epoch_ms(ts) AS ts_ms
+        |FROM (
+        |  SELECT * FROM events
+        |  WHERE NOT regexp_full_match(coalesce(event_type, ''), 'c.*')
+        |    AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
+        |  ORDER BY event_type, user_id, ts
+        |  LIMIT 500)
+        |ORDER BY event_type, user_id, ts_ms""".stripMargin,
+    "ts_label_names" ->
+      """SELECT label_name FROM (
+        |  SELECT 'event_type' AS label_name, count(event_type) AS c
+        |  FROM events WHERE event_type = 'error'
+        |  UNION ALL
+        |  SELECT 'user_id', count(user_id) FROM events WHERE event_type = 'error')
+        |WHERE c > 0
+        |ORDER BY label_name""".stripMargin,
+    "ts_label_values" ->
+      """SELECT CAST(event_type AS VARCHAR) AS label_value
+        |FROM (SELECT DISTINCT event_type FROM events
+        |      WHERE event_type IS NOT NULL AND event_type <> '')
+        |ORDER BY label_value
+        |LIMIT 3""".stripMargin,
+    "ts_last_point" ->
+      """SELECT event_type, user_id, epoch_ms(ts) AS ts_ms, value, event_id
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type, user_id
+        |                                   ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1
+        |ORDER BY event_type, user_id""".stripMargin,
+    "ts_rate" ->
+      """WITH d AS (
+        |  SELECT event_type, user_id, value,
+        |    lag(value) OVER (PARTITION BY event_type, user_id
+        |                     ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT event_type, user_id,
+        |  round(CAST(sum(CASE WHEN prev IS NULL THEN 0.0
+        |                      WHEN value >= prev THEN value - prev
+        |                      ELSE value END) AS DOUBLE), 4) AS increase,
+        |  count(*) AS samples,
+        |  round(CAST(sum(CASE WHEN prev IS NULL THEN 0.0
+        |                      WHEN value >= prev THEN value - prev
+        |                      ELSE value END) AS DOUBLE) / 2592000.0, 10) AS rate
+        |FROM d
+        |GROUP BY event_type, user_id
+        |ORDER BY event_type, user_id""".stripMargin,
+    "ts_merge_shards" ->
+      """SELECT event_type, user_id, epoch_ms(ts) AS ts_ms,
+        |  arg_max(value, sidx) AS value
+        |FROM (
+        |  SELECT event_type, user_id, ts, value, 0 AS sidx FROM events
+        |  WHERE user_id % 2 = 0
+        |  UNION ALL
+        |  SELECT event_type, user_id, ts, value, 1 FROM events
+        |  WHERE user_id % 2 = 1 OR value > 100)
+        |GROUP BY event_type, user_id, ts
+        |ORDER BY event_type, user_id, ts_ms, value""".stripMargin,
+    "dd_exact" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+        |  CAST(row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS BIGINT) AS dup_rank
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "dd_ngram_jaccard" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(1, greatest(length(text) - 3, 1) + 1)) AS i
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 4) AS shingle FROM pos),
+        |capped AS (
+        |  SELECT doc_id, shingle FROM (
+        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+        |  WHERE df <= 100),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM capped GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM capped a JOIN capped b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT id_a, id_b,
+        |    round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b)
+        |WHERE jaccard >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dd_embed_neardup" ->
+      """SELECT id_a, id_b, cos_sim FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |      / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |         * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cos_sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE cos_sim >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+    "ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        |s AS (SELECT qid, nid,
+        |        list_inner_product(qv, nv)
+        |          / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(nv, nv))) AS sim
+        |      FROM c CROSS JOIN q WHERE qid <> nid),
+        |r AS (SELECT qid, nid, sim,
+        |        CAST(row_number() OVER (PARTITION BY qid
+        |          ORDER BY round(sim, 6) DESC, nid) AS BIGINT) AS "rank"
+        |      FROM s)
+        |SELECT qid, nid, round(sim, 4) AS sim, "rank" FROM r
+        |WHERE "rank" <= 10
+        |ORDER BY qid, "rank"""".stripMargin,
+    "txt_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "txt_quality" ->
+      """SELECT doc_id,
+        |  round(
+        |    least(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) / 100.0, 1.0) * 0.5
+        |    + (1.0 - least((CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+        |                    / CAST(greatest(length(text), 1) AS DOUBLE)) * 10.0, 1.0)) * 0.25
+        |    + least((CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|in|is)\b')) AS DOUBLE)
+        |             / greatest(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE), 1.0)) * 5.0, 1.0) * 0.25,
+        |  4) AS quality
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "txt_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|in|is)\b')) AS INT) AS s_en,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|nicht|ein)\b')) AS INT) AS s_de,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|des|une)\b')) AS INT) AS s_fr,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|y|que|una)\b')) AS INT) AS s_es,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(de|shi|bu|le|wo|zai)\b')) AS INT) AS s_zh
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+        |       WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+        |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+        |       WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+        |       ELSE 'zh' END AS lang_pred
+        |FROM s
+        |ORDER BY doc_id""".stripMargin,
+    "txt_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+  )
 }

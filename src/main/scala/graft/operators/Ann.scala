@@ -25,8 +25,17 @@ object Ann {
     val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
     val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w))
+    topK(scored, k)
+  }
+
+  /** Per-query top-k with a cross-engine-deterministic order: rank on
+    * the 6-dp-rounded similarity (immune to last-ulp fp differences)
+    * with the neighbor id as total-order tiebreak.
+    */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid")
+      .orderBy(round(col("sim"), 6).desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rank"))
   }
@@ -40,9 +49,6 @@ object Ann {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rank"))
+    topK(scored, k)
   }
 }

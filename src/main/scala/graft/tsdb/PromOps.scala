@@ -34,8 +34,9 @@ object PromOps {
     * exactly by the DuckDB oracle).
     */
   def increase(df: DataFrame, seriesCols: Seq[String], tsCol: String,
-      valueCol: String): DataFrame = {
-    val w = Window.partitionBy(seriesCols.map(col): _*).orderBy(col(tsCol))
+      valueCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((col(tsCol) +: tieBreak.map(col)): _*)
     df.withColumn("_prev", lag(col(valueCol), 1).over(w))
       .withColumn("_delta",
         when(col("_prev").isNull, lit(0.0))
@@ -51,9 +52,10 @@ object PromOps {
     * Select, queryable/parquet_queryable.go:283).
     */
   def rate(df: DataFrame, seriesCols: Seq[String], tsCol: String,
-      valueCol: String, rangeSeconds: Double): DataFrame = {
+      valueCol: String, rangeSeconds: Double,
+      tieBreak: Seq[String] = Nil): DataFrame = {
     require(rangeSeconds > 0, "rangeSeconds must be positive")
-    increase(df, seriesCols, tsCol, valueCol)
+    increase(df, seriesCols, tsCol, valueCol, tieBreak)
       .withColumn("rate", col("increase") / rangeSeconds)
   }
 
