@@ -80,7 +80,9 @@ object Matcher {
       case ".*" => None
       case ".+" => Some(nn(label) =!= "")
       case p if literalAlternation.matches(p) =>
-        val set = p.split('|').toSeq
+        // limit -1 keeps trailing empty alternatives: "api|" means
+        // "api" OR "" and the "" must survive the split
+        val set = p.split("\\|", -1).toSeq
         // plain IN pushes down; coalesce only when "" can match or a
         // negation needs nulls to evaluate (not just be dropped)
         val c = if (nullSafe || set.contains("")) nn(label) else col(label)

@@ -1,0 +1,30 @@
+package graft
+
+import graft.operators.Ann
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, Array(1.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f)),
+    (2L, Array(0.0f, 1.0f)),
+    (3L, Array(-1.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForce ranks by cosine, excludes self") {
+    val out = Ann.bruteForce(corpus, corpus.filter($"vec_id" === 0L),
+        "embedding", "vec_id", k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L))) // nid by rank
+  }
+
+  test("lshTopK returns only bucket-local neighbors, ranked") {
+    val out = Ann.lshTopK(corpus, corpus.filter($"vec_id" === 0L),
+        "embedding", "vec_id", k = 3, nPlanes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // whatever shares vec 0's bucket must be ranked; result is a
+    // subset of bruteForce's and contains no self-pair
+    assert(out.forall { case (q, n) => q == 0L && n != 0L })
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),   // near dup of 1
+    (4L, "completely different text with zero overlap xyz")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup ranks identical content") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out(1L) == 1 && out(2L) == 2) // same hash, ranked by id
+    assert(out(3L) == 1 && out(4L) == 1)
+  }
+
+  test("ngramJaccard finds near-dups and respects threshold") {
+    val pairs = Dedup.ngramJaccard(docs, "text", "doc_id", n = 3,
+        threshold = 0.5, dfCap = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L))) // exact dup → jaccard 1.0
+    assert(keys.contains((1L, 3L)) && keys.contains((2L, 3L))) // near dups
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 1.0)
+  }
+
+  test("cappedShingles drops hot shingles before any join") {
+    val sh = Dedup.cappedShingles(docs, "text", "doc_id", n = 3, dfCap = 2)
+    val dfs = sh.groupBy("shingle").count().agg(max("count")).head.getLong(0)
+    assert(dfs <= 2)
+  }
+
+  test("minHash signature similarity tracks exact jaccard") {
+    val est = Dedup.minHashLsh(docs, "text", "doc_id", n = 3, k = 32, bands = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(est((1L, 2L)) == 1.0)           // identical docs, identical sigs
+    assert(est((1L, 3L)) > 0.5)            // near dup → high estimate
+    assert(!est.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minHashNearDup composes LSH candidates with exact verify") {
+    val out = Dedup.minHashNearDup(docs, "text", "doc_id", n = 3, k = 32,
+        bands = 8, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == Set((1L, 2L))) // only the exact dup survives 0.9
+  }
+
+  test("simHashNearDup pairs identical docs at hamming 0") {
+    val out = Dedup.simHashNearDup(docs, "text", "doc_id",
+        maxHamming = 3, nBands = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(out.get((1L, 2L)).contains(0))
+  }
+
+  test("embeddingNearDup thresholds on cosine") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.01f)), (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(vecs, "embedding", "vec_id", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == Set((1L, 2L)))
+  }
+}

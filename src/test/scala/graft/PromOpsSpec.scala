@@ -1,0 +1,59 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.tsdb.PromOps
+
+class PromOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // one series "a": counter 0 → 10 → 4 (reset) → 9; one series "b"
+  private def df = Seq(
+    ("a", ts("2024-01-01 00:00:00"), 0.0),
+    ("a", ts("2024-01-01 00:01:00"), 10.0),
+    ("a", ts("2024-01-01 00:02:00"), 4.0),
+    ("a", ts("2024-01-01 00:03:00"), 9.0),
+    ("b", ts("2024-01-01 00:00:30"), 5.0)
+  ).toDF("series", "ts", "value")
+
+  test("increase applies counter-reset semantics") {
+    val out = PromOps.increase(df, Seq("series"), "ts", "value")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // a: +10, reset→+4, +5 = 19; b: single sample → 0
+    assert(out("a") == 19.0)
+    assert(out("b") == 0.0)
+  }
+
+  test("rate divides increase by the range seconds") {
+    val out = PromOps.rate(df, Seq("series"), "ts", "value", rangeSeconds = 180.0)
+      .select("series", "rate")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out("a") - 19.0 / 180.0) < 1e-12)
+  }
+
+  test("lastPoint picks the latest sample per series") {
+    val out = PromOps.lastPoint(df, Seq("series"), "ts")
+      .select("series", "value")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("a" -> 9.0, "b" -> 5.0))
+  }
+
+  test("lastPoint breaks timestamp ties deterministically") {
+    val dup = Seq(
+      ("a", ts("2024-01-01 00:00:00"), 1.0, 1L),
+      ("a", ts("2024-01-01 00:00:00"), 2.0, 2L)
+    ).toDF("series", "ts", "value", "seq")
+    val out = PromOps.lastPoint(dup, Seq("series"), "ts", tieBreak = Seq("seq"))
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    assert(out == Seq(2.0)) // highest seq wins (desc ordering)
+  }
+
+  test("downsample buckets per series per window") {
+    val out = PromOps.downsample(df, Seq("series"), "ts", "value", "minute")
+      .filter(col("series") === "a")
+      .collect()
+    assert(out.length == 4) // four distinct minutes for series a
+  }
+}

