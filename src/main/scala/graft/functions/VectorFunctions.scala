@@ -14,8 +14,11 @@ object VectorFunctions {
   /** Cast to array<double> so accumulation is double-precision. */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product — native codegen'd loop ([[VectorExpressions]]);
+    * same ascending-index sum order as the HOF formulation it
+    * replaced, so engine-vs-oracle comparisons are unchanged.
+    */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dotNative(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+    (2L, Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
+  ).toDF("id", "a", "b")
+
+  test("native dot matches the sequential fold") {
+    val out = vecs.select(dot(col("a"), col("b")))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(out == Seq(1.0 * 4 + 2 * 5 + 3 * 6, 0.0))
+  }
+
+  test("dot survives codegen fallback (interpreted path)") {
+    val s = spark
+    s.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val out = vecs.select(dot(col("a"), col("b")))
+        .collect().map(_.getDouble(0)).toSeq
+      assert(out == Seq(32.0, 0.0))
+    } finally s.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("dot is null-safe") {
+    val withNull = Seq((1L, Some(Array(1.0)), Option.empty[Array[Double]]))
+      .toDF("id", "a", "b")
+    val out = withNull.select(dot(col("a"), col("b"))).collect()
+    assert(out.head.isNullAt(0))
+  }
+
+  test("cosine of identical vectors is 1") {
+    val out = vecs.select(round(cosine(col("a"), col("a")), 9))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(out == Seq(1.0, 1.0))
+  }
+
+  test("cosine of orthogonal vectors is 0") {
+    val out = Seq((Array(1.0, 0.0), Array(0.0, 1.0))).toDF("a", "b")
+      .select(cosine(col("a"), col("b"))).head.getDouble(0)
+    assert(out == 0.0)
+  }
+
+  test("float embedding columns cast cleanly") {
+    val f = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val out = f.select(dot(asDouble(col("a")), asDouble(col("b")))).head.getDouble(0)
+    assert(out == 11.0)
+  }
+}
