@@ -207,11 +207,13 @@ object Dedup {
     * one shuffle, no joins.
     */
   def simHash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // hash once per token in the projection; the 64 vote aggregates
+    // then read the cached column instead of each recomputing xxhash64
     val toks = df.select(col(idCol),
-      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
-    val h = xxhash64(col("tok"))
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), xxhash64(col("tok")).as("h"))
     val votes = (0 until 64).map { j =>
-      sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
     }
     toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
       .select(col(idCol),

@@ -1,0 +1,90 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.SparkEntry
+import graft.tsdb.TsdbQueryable
+import graft.tsdb.Matcher
+
+/** Plan audit (SURVEY §5 / VERDICT item 9): prints `explain formatted`
+  * for the scan-heaviest registered queries and greps the physical
+  * plan for the properties that matter at 100 TB — predicates reaching
+  * the parquet scan (PushedFilters), pruned ReadSchema, broadcast
+  * joins on dims, partition pruning on the converter's bucket column.
+  * Exits non-zero if an expected property is missing.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    var failures = List.empty[String]
+
+    def audit(name: String, df: DataFrame, expect: Map[String, String]): Unit = {
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(s"\n===== $name =====")
+      println(plan.linesIterator.filter(l =>
+        l.contains("PushedFilters") || l.contains("ReadSchema") ||
+          l.contains("PartitionFilters") || l.contains("Batched") ||
+          l.contains("BroadcastHashJoin") || l.contains("Join") ||
+          l.contains("(1) Scan")).mkString("\n"))
+      expect.foreach { case (what, needle) =>
+        val ok = plan.contains(needle)
+        println(s"[audit] $name :: $what -> ${if (ok) "OK" else "MISSING ('" + needle + "')"}")
+        if (!ok) failures ::= s"$name: $what"
+      }
+    }
+
+    audit("q01_filter_project",
+      SparkEntry.queries("q01_filter_project")(spark, dir),
+      Map(
+        "quantity filter pushed to scan" -> "LessThan(l_quantity,10.0)",
+        "shipdate filter pushed to scan" -> "GreaterThanOrEqual(l_shipdate,",
+        // 6 of 11 lineitem cols: the 5 projected + the filter column
+        "pruned ReadSchema" ->
+          "struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double,l_returnflag:string,l_shipdate:timestamp_ntz>"))
+
+    audit("q03_join_topk",
+      SparkEntry.queries("q03_join_topk")(spark, dir),
+      Map("segment filter pushed" -> "EqualTo(c_mktsegment,BUILDING)"))
+
+    audit("q04_multi_join",
+      SparkEntry.queries("q04_multi_join")(spark, dir),
+      Map(
+        "region filter pushed" -> "EqualTo(r_name,ASIA)",
+        "dims broadcast" -> "BroadcastHashJoin"))
+
+    audit("ts_select_eq",
+      SparkEntry.queries("ts_select_eq")(spark, dir),
+      Map("matcher equality pushed" -> "EqualTo(event_type,click)"))
+
+    // Matcher IN fast-path must reach the scan as an In() filter.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    audit("matcher_set_in_pushdown",
+      new TsdbQueryable(ev, Seq("event_type", "user_id"))
+        .select("2024-01-01", "2024-01-31", Matcher.Re("event_type", "click|view")),
+      Map("IN-list pushed" -> "In(event_type, [click,view])"))
+
+    // Bucket partition pruning on the converter's layout.
+    val rtPath = "/tmp/graft_audit_roundtrip"
+    graft.tsdb.TsdbConverter.convert(ev, rtPath, "ts",
+      graft.tsdb.ConvertOptions(sortBy = Seq("event_type", "user_id")))
+    audit("bucket_partition_pruning",
+      spark.read.parquet(rtPath).filter(col("bucket") === 19725L),
+      Map("partition filter present" -> "PartitionFilters: [isnotnull(bucket"))
+
+    if (failures.nonEmpty) {
+      println(s"\n[audit] FAILURES: ${failures.mkString("; ")}")
+      sys.exit(1)
+    }
+    println("\n[audit] all plan properties present")
+    spark.stop()
+  }
+}
