@@ -187,6 +187,17 @@ object SparkEntry {
         Seq(Matcher.Nre("event_type", "c.*")), Nil, 500L))
       .orderBy("event_type", "user_id", "ts_ms")
 
+  /** Projection hints + row quota on the Select path (reference
+    * WithHonorProjectionHints + NewQuota): only the event_type label
+    * is materialized and the result is capped deterministically.
+    */
+  private def tsSelectProjected(s: SparkSession, dir: String): DataFrame =
+    withTsMs(queryable(s, dir)
+      .select("2024-01-01", "2024-01-31",
+        Seq(Matcher.Eq("event_type", "purchase")),
+        projection = Seq("event_type"), rowQuota = 200L))
+      .orderBy("event_type", "ts_ms", "value")
+
   private def tsLabelNames(s: SparkSession, dir: String): DataFrame =
     queryable(s, dir).labelNames(Matcher.Eq("event_type", "error"))
 
@@ -325,6 +336,7 @@ object SparkEntry {
     "ts_select_eq" -> (tsSelectEq _),
     "ts_select_regex" -> (tsSelectRegex _),
     "ts_select_not_regex" -> (tsSelectNotRegex _),
+    "ts_select_projected" -> (tsSelectProjected _),
     "ts_label_names" -> (tsLabelNames _),
     "ts_label_values" -> (tsLabelValues _),
     "ts_last_point" -> (tsLastPoint _),
@@ -460,6 +472,15 @@ object SparkEntry {
         |  ORDER BY event_type, user_id, ts
         |  LIMIT 500)
         |ORDER BY event_type, user_id, ts_ms""".stripMargin,
+    "ts_select_projected" ->
+      """SELECT event_type, value, epoch_ms(ts) AS ts_ms
+        |FROM (
+        |  SELECT event_type, ts, value FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
+        |  ORDER BY event_type, ts
+        |  LIMIT 200)
+        |ORDER BY event_type, ts_ms, value""".stripMargin,
     "ts_label_names" ->
       """SELECT label_name FROM (
         |  SELECT 'event_type' AS label_name, count(event_type) AS c

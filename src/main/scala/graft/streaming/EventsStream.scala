@@ -1,7 +1,18 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event of the long-format series model (SURVEY §3). */
+final case class SeriesEvent(
+    ts: Timestamp, event_type: String, user_id: Long, value: Double)
+
+/** Running per-series state: the live instant-query answer. */
+final case class SeriesLast(
+    event_type: String, user_id: Long, last_ts: Timestamp,
+    last_value: Double, n_samples: Long)
 
 /** Structured-Streaming transforms over an `events`-shaped stream
   * (ts, event_type, user_id, value). The batch engine's time-series
@@ -29,6 +40,34 @@ object EventsStream {
         max("value").as("max_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("avg_value"), col("max_value"))
+
+  /** Stateful per-series running last point — the streaming form of
+    * PromOps.lastPoint: each micro-batch updates a per-series
+    * GroupState so an instant query is answerable without rescanning
+    * history. State is one row per live series (bounded by series
+    * cardinality, not by throughput), the partitioning is the
+    * groupByKey hash on the series key — the same key the batch
+    * layout sorts by.
+    */
+  def runningLastPoint(events: Dataset[SeriesEvent]): Dataset[SeriesLast] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.event_type, e.user_id))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: (String, Long), batch: Iterator[SeriesEvent],
+         state: GroupState[SeriesLast]) => {
+          var cur = state.getOption.orNull
+          batch.foreach { e =>
+            val n = if (cur == null) 1L else cur.n_samples + 1L
+            cur =
+              if (cur == null || !e.ts.before(cur.last_ts))
+                SeriesLast(key._1, key._2, e.ts, e.value, n)
+              else cur.copy(n_samples = n)
+          }
+          state.update(cur)
+          Iterator(cur)
+        })
+  }
 
   /** Append-mode sink into the converter's bucketed layout. */
   def toBucketedParquet(events: DataFrame, path: String, checkpoint: String) =

@@ -64,17 +64,25 @@ final class TsdbQueryable(
     * column in a single row, explode it as a name→count map, keep
     * non-empty. No per-label re-scan.
     */
-  def labelNames(matchers: Matcher*): DataFrame = {
+  def labelNames(matchers: Matcher*): DataFrame =
+    labelNames(matchers.toSeq, 0)
+
+  /** As [[labelNames]] with a result-count quota (the reference's
+    * limit plumbing on the LabelNames path,
+    * parquet_queryable.go:75-90).
+    */
+  def labelNames(matchers: Seq[Matcher], limit: Int): DataFrame = {
     val counts = withMatchers(matchers)
       .agg(count(col(labelCols.head)).as(labelCols.head),
         labelCols.tail.map(c => count(col(c)).as(c)): _*)
-    counts
+    val base = counts
       .select(explode(map(
         labelCols.flatMap(c => Seq(lit(c), col(c))): _*))
         .as(Seq("label_name", "_cnt")))
       .filter(col("_cnt") > 0)
       .select("label_name")
       .orderBy("label_name")
+    if (limit > 0) base.limit(limit) else base
   }
 
   /** Distinct values of one label among rows matching `matchers`

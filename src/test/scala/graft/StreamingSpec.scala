@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
-import graft.streaming.EventsStream
+import graft.streaming.{EventsStream, SeriesEvent}
 
 class StreamingSpec extends SparkSpec {
 
@@ -33,6 +33,42 @@ class StreamingSpec extends SparkSpec {
       assert(rows(0).getString(0) == "click" && rows(0).getLong(1) == 2L
         && rows(0).getDouble(2) == 15.0)
       assert(rows(1).getString(0) == "view" && rows(1).getLong(1) == 1L)
+    } finally query.stop()
+  }
+
+  test("runningLastPoint keeps per-series state across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[SeriesEvent]
+    val out = EventsStream.runningLastPoint(mem.toDS())
+    val query = out.writeStream
+      .format("memory").queryName("last_state")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      mem.addData(
+        SeriesEvent(ts("2024-01-01 00:00:00"), "click", 1L, 10.0),
+        SeriesEvent(ts("2024-01-01 00:01:00"), "click", 1L, 20.0))
+      query.processAllAvailable()
+      // second batch: newer sample for the same series, plus a new series
+      mem.addData(
+        SeriesEvent(ts("2024-01-01 00:05:00"), "click", 1L, 30.0),
+        SeriesEvent(ts("2024-01-01 00:02:00"), "view", 2L, 7.0))
+      query.processAllAvailable()
+      // the memory sink keeps every update; the latest state per
+      // series is the row with the highest n_samples
+      val rows = s.sql(
+        """SELECT event_type, user_id,
+          |  max_by(last_value, n_samples) AS last_value,
+          |  max(n_samples) AS n_samples
+          |FROM last_state GROUP BY event_type, user_id
+          |ORDER BY event_type""".stripMargin).collect()
+      assert(rows.length == 2)
+      assert(rows(0).getString(0) == "click" && rows(0).getDouble(2) == 30.0
+        && rows(0).getLong(3) == 3L)
+      assert(rows(1).getString(0) == "view" && rows(1).getDouble(2) == 7.0
+        && rows(1).getLong(3) == 1L)
     } finally query.stop()
   }
 }
