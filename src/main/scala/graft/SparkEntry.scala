@@ -220,6 +220,40 @@ object SparkEntry {
         round(col("rate"), 10).as("rate"))
       .orderBy("event_type", "user_id")
 
+  private def tsAggBy(s: SparkSession, dir: String): DataFrame =
+    PromOps.aggregateBy(t(s, dir, "events"), Seq("event_type"), "ts", "value", "day")
+      .select(col("event_type"), ms(col("bucket")).as("bucket_ms"),
+        round(col("sum_value"), 4).as("sum_value"),
+        col("min_value"), col("max_value"), col("n_series_samples"))
+      .orderBy("event_type", "bucket_ms")
+
+  private def tsResets(s: SparkSession, dir: String): DataFrame =
+    PromOps.resets(t(s, dir, "events"), Seq("event_type", "user_id"),
+        "ts", "value", tieBreak = Seq("event_id"))
+      .orderBy("event_type", "user_id")
+
+  private def tsDelta(s: SparkSession, dir: String): DataFrame =
+    PromOps.delta(t(s, dir, "events"), Seq("event_type", "user_id"),
+        "ts", "value", tieBreak = Seq("event_id"))
+      .select(col("event_type"), col("user_id"), round(col("delta"), 4).as("delta"))
+      .orderBy("event_type", "user_id")
+
+  /** Open-label-set round trip: map labels → l_* physical columns
+    * (schema builder analog) → back to a map → aggregate. Exercises
+    * LabelSchema.spread/gather end-to-end against a plain oracle.
+    */
+  private def tsSchemaRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val withMap = t(s, dir, "events").select(
+      map(lit("event_type"), col("event_type"),
+        lit("user_id"), col("user_id").cast("string")).as("labels"),
+      col("ts"), col("value"))
+    val wide = graft.tsdb.LabelSchema.spread(withMap, "labels")
+    val back = graft.tsdb.LabelSchema.gather(wide, "labels")
+    back.select(col("labels").getItem("event_type").as("event_type"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
   private def tsMergeShards(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val shardA = ev.filter(col("user_id") % 2 === 0)
@@ -341,6 +375,10 @@ object SparkEntry {
     "ts_label_values" -> (tsLabelValues _),
     "ts_last_point" -> (tsLastPoint _),
     "ts_rate" -> (tsRate _),
+    "ts_agg_by" -> (tsAggBy _),
+    "ts_resets" -> (tsResets _),
+    "ts_delta" -> (tsDelta _),
+    "ts_schema_roundtrip" -> (tsSchemaRoundtrip _),
     "ts_merge_shards" -> (tsMergeShards _),
     "ts_convert_roundtrip" -> (tsConvertRoundtrip _),
     "dd_exact" -> (ddExact _),
@@ -519,6 +557,39 @@ object SparkEntry {
         |FROM d
         |GROUP BY event_type, user_id
         |ORDER BY event_type, user_id""".stripMargin,
+    "ts_agg_by" ->
+      """SELECT event_type, epoch_ms(date_trunc('day', ts)) AS bucket_ms,
+        |  round(CAST(sum(value) AS DOUBLE), 4) AS sum_value,
+        |  min(value) AS min_value, max(value) AS max_value,
+        |  count(*) AS n_series_samples
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY event_type, bucket_ms""".stripMargin,
+    "ts_resets" ->
+      """SELECT event_type, user_id,
+        |  CAST(sum(CASE WHEN value < prev THEN 1 ELSE 0 END) AS BIGINT) AS resets
+        |FROM (SELECT event_type, user_id, value,
+        |        lag(value) OVER (PARTITION BY event_type, user_id
+        |                         ORDER BY ts, event_id) AS prev
+        |      FROM events)
+        |GROUP BY event_type, user_id
+        |ORDER BY event_type, user_id""".stripMargin,
+    "ts_delta" ->
+      """SELECT event_type, user_id, round(lastv - firstv, 4) AS delta
+        |FROM (SELECT event_type, user_id,
+        |        first_value(value) OVER w AS firstv,
+        |        last_value(value) OVER w AS lastv,
+        |        row_number() OVER w AS rn
+        |      FROM events
+        |      WINDOW w AS (PARTITION BY event_type, user_id
+        |                   ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING
+        |                   AND UNBOUNDED FOLLOWING))
+        |WHERE rn = 1
+        |ORDER BY event_type, user_id""".stripMargin,
+    "ts_schema_roundtrip" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "ts_merge_shards" ->
       """SELECT event_type, user_id, epoch_ms(ts) AS ts_ms,
         |  arg_max(value, sidx) AS value

@@ -59,6 +59,47 @@ object PromOps {
       .withColumn("rate", col("increase") / rangeSeconds)
   }
 
+  /** Cross-series aggregation — PromQL `sum/avg/min/max/count by
+    * (labels)`: collapse all series sharing the `by` labels at each
+    * timestamp-bucket. One shuffle on (by-labels, bucket); map-side
+    * partial aggregation keeps the 100 TB shuffle small.
+    */
+  def aggregateBy(df: DataFrame, by: Seq[String], tsCol: String,
+      valueCol: String, window: String): DataFrame =
+    df.groupBy((by.map(col) :+ date_trunc(window, col(tsCol)).as("bucket")): _*)
+      .agg(
+        sum(col(valueCol)).as("sum_value"),
+        min(col(valueCol)).as("min_value"),
+        max(col(valueCol)).as("max_value"),
+        count(lit(1)).as("n_series_samples"))
+
+  /** Per-series count of counter resets (PromQL `resets`): samples
+    * strictly below their predecessor.
+    */
+  def resets(df: DataFrame, seriesCols: Seq[String], tsCol: String,
+      valueCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((col(tsCol) +: tieBreak.map(col)): _*)
+    df.withColumn("_prev", lag(col(valueCol), 1).over(w))
+      .groupBy(seriesCols.map(col): _*)
+      .agg(sum(when(col(valueCol) < col("_prev"), 1).otherwise(0))
+        .cast("long").as("resets"))
+  }
+
+  /** Per-series gauge delta (PromQL `delta`, no extrapolation):
+    * last value minus first value over the selected range.
+    */
+  def delta(df: DataFrame, seriesCols: Seq[String], tsCol: String,
+      valueCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val order = (col(tsCol) +: tieBreak.map(col))
+    val w = Window.partitionBy(seriesCols.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.withColumn("_first", first(col(valueCol)).over(w))
+      .withColumn("_last", last(col(valueCol)).over(w))
+      .groupBy(seriesCols.map(col): _*)
+      .agg(max(col("_last") - col("_first")).as("delta"))
+  }
+
   /** Downsample to fixed windows: per-series per-bucket aggregates
     * (avg/max/count) — the `*_over_time` family over aligned steps.
     */

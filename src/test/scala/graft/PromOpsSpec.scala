@@ -50,6 +50,27 @@ class PromOpsSpec extends SparkSpec {
     assert(out == Seq(2.0)) // highest seq wins (desc ordering)
   }
 
+  test("resets counts strict decreases only") {
+    val out = PromOps.resets(df, Seq("series"), "ts", "value")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a") == 1L) // 10 -> 4 is the only reset
+    assert(out("b") == 0L)
+  }
+
+  test("delta is last minus first, sign preserved") {
+    val out = PromOps.delta(df, Seq("series"), "ts", "value")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("a") == 9.0)  // 9 - 0
+    assert(out("b") == 0.0)
+  }
+
+  test("aggregateBy collapses series sharing the by-labels") {
+    val out = PromOps.aggregateBy(df, Seq.empty, "ts", "value", "hour")
+      .select("sum_value", "n_series_samples").collect()
+    assert(out.length == 1)
+    assert(out.head.getDouble(0) == 28.0 && out.head.getLong(1) == 5L)
+  }
+
   test("downsample buckets per series per window") {
     val out = PromOps.downsample(df, Seq("series"), "ts", "value", "minute")
       .filter(col("series") === "a")
