@@ -348,6 +348,15 @@ object SparkEntry {
       .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  private def mmFrames(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.sampleFrames(
+        graft.multimodal.Multimodal.asMediaTable(
+          t(s, dir, "documents"), "doc_id", "text"),
+        frameBytes = 64, everyNth = 2)
+      .select(col("media_id"), col("frame_idx"),
+        length(col("frame")).cast("long").as("frame_bytes"))
+      .orderBy("media_id", "frame_idx")
+
   private def mmFeatures(s: SparkSession, dir: String): DataFrame =
     graft.multimodal.Multimodal.extractFeatures(
         graft.multimodal.Multimodal.asMediaTable(
@@ -395,6 +404,7 @@ object SparkEntry {
     "txt_lang_id" -> (txtLangId _),
     "txt_fingerprint" -> (txtFingerprint _),
     "mm_features" -> (mmFeatures _),
+    "mm_frames" -> (mmFrames _),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only

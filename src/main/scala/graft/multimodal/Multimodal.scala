@@ -50,6 +50,44 @@ object Multimodal {
     out
   }
 
+  /** Frame sampling: slice each payload into fixed-size frames and
+    * keep every `everyNth` one — the video-frame-extraction shape.
+    * Pure Catalyst (sequence + substring on binary), so it fuses
+    * into the scan; at 100 TB the frame explosion is a narrow map,
+    * no shuffle. Real decoders replace the byte-slicing with codec
+    * frame boundaries; the plumbing (explode, batching, schema) is
+    * identical.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int,
+      everyNth: Int = 1): DataFrame = {
+    require(frameBytes > 0 && everyNth > 0, "frameBytes/everyNth must be positive")
+    media.select(col("media_id"), col("payload"),
+        explode(sequence(lit(0),
+          greatest(ceil(length(col("payload")) / lit(frameBytes.toDouble))
+            .cast("long") - 1L, lit(0L)))).as("frame_idx"))
+      .filter(pmod(col("frame_idx"), lit(everyNth.toLong)) === 0)
+      .select(col("media_id"), col("frame_idx"),
+        expr(s"substring(payload, cast(frame_idx * $frameBytes + 1 as int), $frameBytes)")
+          .as("frame"))
+  }
+
+  /** ===== STUB ===== resize: scales the typed metadata exactly as a
+    * real resizer would and decimates the payload proportionally
+    * (byte truncation stands in for pixel resampling — no codec in
+    * this environment). Schema and plan shape are production-real.
+    */
+  def resizeStub(media: DataFrame, maxDim: Int): DataFrame = {
+    val scale = least(lit(1.0),
+      lit(maxDim.toDouble) / greatest(col("meta_width"), col("meta_height")))
+    media.select(
+      col("media_id"), col("media_type"),
+      expr("substring(payload, 1, cast(ceil(length(payload) * " +
+        s"least(1.0, $maxDim / greatest(meta_width, meta_height))) as int))")
+        .as("payload"),
+      ceil(col("meta_width") * scale).cast("int").as("meta_width"),
+      ceil(col("meta_height") * scale).cast("int").as("meta_height"))
+  }
+
   /** Partition-parallel "decode + featurize": the multimodal hot
     * loop. Binary payloads never hit the driver; each task processes
     * its partition's batch exactly as a codec UDF would.
