@@ -323,7 +323,7 @@ object SparkEntry {
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Ann.lshTopK(emb, emb.filter(col("vec_id") < 5), "embedding", "vec_id",
-        k = 10, nPlanes = 4)
+        k = 10, nPlanes = 4, multiProbe = true)
       .orderBy("qid", "rank")
   }
 

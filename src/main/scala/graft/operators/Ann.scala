@@ -40,15 +40,30 @@ object Ann {
       .select(col("qid"), col("nid"), round(col("sim"), 4).as("sim"), col("rank"))
   }
 
+  /** Bucketed ANN. `multiProbe=true` additionally probes every
+    * 1-bit-flip neighbor of each query's bucket — the standard
+    * multi-probe LSH recall boost. The expansion happens on the
+    * (small, broadcast) query side only: the 100 TB corpus is still
+    * scanned once and joined bucket-local, so recall costs nothing
+    * on the big side.
+    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
-      idCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
+      idCol: String, k: Int, nPlanes: Int = 8,
+      multiProbe: Boolean = false): DataFrame = {
     val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"),
       lshBucket(asDouble(col(vecCol)), nPlanes).as("bucket"))
-    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"),
+    val q0 = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"),
       lshBucket(asDouble(col(vecCol)), nPlanes).as("bucket"))
+    val q =
+      if (!multiProbe) q0
+      else q0.select(col("qid"), col("qv"),
+          explode(array((col("bucket") +: (0 until nPlanes).map(p =>
+            col("bucket").bitwiseXOR(lit(1L << p)))): _*)).as("bucket"))
+        .dropDuplicates("qid", "bucket")
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("sim"))
+      .dropDuplicates("qid", "nid")
     topK(scored, k)
   }
 }

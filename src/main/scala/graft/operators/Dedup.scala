@@ -51,10 +51,16 @@ object Dedup {
   def cappedShingles(df: DataFrame, textCol: String, idCol: String,
       n: Int, dfCap: Long): DataFrame = {
     val sh = shingles(df, textCol, idCol, n)
-    val w = Window.partitionBy(col("shingle"))
-    sh.withColumn("_df", count(lit(1)).over(w))
-      .filter(col("_df") <= dfCap)
-      .drop("_df")
+    // hot-shingle list via partial-aggregating groupBy, then an
+    // anti-join to drop them: cheaper than a count-over-window (which
+    // sorts the full inverted index within partitions), and the hot
+    // list is a small fraction of the shingle universe so AQE turns
+    // the anti-join into a broadcast at any realistic cap.
+    val hot = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > dfCap)
+      .select(col("shingle"))
+    sh.join(hot, Seq("shingle"), "left_anti")
   }
 
   /** n-gram Jaccard near-duplicate pairs above `threshold`, over the

@@ -43,15 +43,23 @@ final class TsdbQueryable(
     * deterministic sort).
     */
   def select(mint: String, maxt: String, matchers: Seq[Matcher],
-      projection: Seq[String] = Nil, rowQuota: Long = 0L): DataFrame = {
+      projection: Seq[String] = Nil, rowQuota: Long = 0L,
+      sorted: Boolean = true): DataFrame = {
     val labels = if (projection.nonEmpty) projection else labelCols
     val base = withMatchers(matchers)
       .filter(inRange(mint, maxt))
       .select((labels :+ tsCol :+ valueCol).map(col): _*)
-    if (rowQuota > 0L)
-      base.orderBy((labels :+ tsCol).map(col): _*).limit(
-        math.min(rowQuota, Int.MaxValue.toLong).toInt)
-    else base
+    if (rowQuota > 0L) {
+      val capped = math.min(rowQuota, Int.MaxValue.toLong).toInt
+      // `sorted` mirrors the reference's Select(sorted, ...) hint
+      // (parquet_queryable.go:153): a sorted quota is deterministic
+      // but costs a global top-k; unsorted is the reference's plain
+      // budget-truncation and stays a local limit per scan task —
+      // the right call at 100 TB when the caller just wants a cap.
+      if (sorted)
+        base.orderBy((labels :+ tsCol).map(col): _*).limit(capped)
+      else base.limit(capped)
+    } else base
   }
 
   /** Varargs convenience overload. */

@@ -27,4 +27,21 @@ class AnnSpec extends SparkSpec {
     // subset of bruteForce's and contains no self-pair
     assert(out.forall { case (q, n) => q == 0L && n != 0L })
   }
+
+  test("multi-probe LSH recall on real embeddings beats a floor") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 10)
+    def topSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topSet(Ann.bruteForce(emb, queries, "embedding", "vec_id", 10))
+    val single = topSet(Ann.lshTopK(emb, queries, "embedding", "vec_id", 10,
+      nPlanes = 4))
+    val multi = topSet(Ann.lshTopK(emb, queries, "embedding", "vec_id", 10,
+      nPlanes = 4, multiProbe = true))
+    val recallSingle = (single & exact).size.toDouble / exact.size
+    val recallMulti = (multi & exact).size.toDouble / exact.size
+    info(f"recall single-probe=$recallSingle%.2f multi-probe=$recallMulti%.2f")
+    assert(recallMulti >= recallSingle)
+    assert(recallMulti > 0.5) // 4 planes + 1-bit probes on 500 vectors
+  }
 }
