@@ -20,6 +20,9 @@ import org.apache.spark.sql.functions._
   * [[TsdbConverter]], so the same predicates prune partitions and
   * row groups instead of scanning 100 TB.
   */
+/** Thrown when a strict quota is exceeded (limits.go:52 analog). */
+final class QuotaExceededException(msg: String) extends RuntimeException(msg)
+
 final class TsdbQueryable(
     df: DataFrame,
     labelCols: Seq[String],
@@ -65,6 +68,26 @@ final class TsdbQueryable(
   /** Varargs convenience overload. */
   def select(mint: String, maxt: String, matchers: Matcher*): DataFrame =
     select(mint, maxt, matchers.toSeq, Nil, 0L)
+
+  /** Reference error-budget semantics (search/limits.go:52 NewQuota +
+    * parquet_queryable.go:75-90): FAIL the query when the selection
+    * exceeds `rowQuota` instead of silently truncating. Costs one
+    * counting pass capped at rowQuota+1 rows before the caller's
+    * action — the price of a hard budget, paid at budget scale, not
+    * data scale.
+    */
+  @throws[QuotaExceededException]
+  def selectStrict(mint: String, maxt: String, matchers: Seq[Matcher],
+      projection: Seq[String] = Nil, rowQuota: Long = 0L): DataFrame = {
+    val base = select(mint, maxt, matchers, projection, 0L)
+    if (rowQuota > 0L) {
+      val probe = math.min(rowQuota, Int.MaxValue.toLong - 1).toInt
+      if (base.limit(probe + 1).count() > rowQuota)
+        throw new QuotaExceededException(
+          s"select would materialize more than $rowQuota rows")
+    }
+    base
+  }
 
   /** Label names that have at least one non-null value among rows
     * matching `matchers` (reference: materialize.go:273

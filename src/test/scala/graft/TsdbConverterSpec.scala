@@ -31,6 +31,36 @@ class TsdbConverterSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("convert's bloom filter option reaches the parquet footer") {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft_bloom").toString + "/out"
+    val df = Seq.tabulate(100)(i =>
+      (s"series_$i", ts("2024-01-01 10:00:00"), i.toDouble))
+      .toDF("series", "ts", "value")
+    TsdbConverter.convert(df, dir, "ts",
+      ConvertOptions(sortBy = Seq("series"), colDuration = "1 day",
+        bloomFilterLabels = Seq("series")))
+    val part = new java.io.File(dir).listFiles().filter(_.isDirectory).head
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(part.getAbsolutePath), new Configuration()))
+    try {
+      val rg = reader.getFooter.getBlocks.asScala.head
+      val seriesCol = rg.getColumns.asScala
+        .find(_.getPath.toDotString == "series").get
+      val valueCol = rg.getColumns.asScala
+        .find(_.getPath.toDotString == "value").get
+      assert(seriesCol.getBloomFilterOffset > 0,
+        "bloom filter missing for the configured label column")
+      assert(valueCol.getBloomFilterOffset <= 0,
+        "bloom filter unexpectedly present for an unconfigured column")
+    } finally reader.close()
+  }
+
   test("convert writes a bucket-partitioned layout that prunes") {
     val dir = Files.createTempDirectory("graft_conv").toString + "/out"
     val df = Seq(

@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+import graft.tsdb.{Matcher, QuotaExceededException, TsdbQueryable}
+
+class TsdbQueryableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def q = new TsdbQueryable(
+    Seq(
+      ("api", 1L, ts("2024-01-01 00:00:00"), 1.0),
+      ("api", 2L, ts("2024-01-02 00:00:00"), 2.0),
+      ("web", 1L, ts("2024-01-03 00:00:00"), 3.0),
+      ("web", 2L, ts("2024-02-01 00:00:00"), 4.0)
+    ).toDF("job", "instance", "ts", "value"),
+    labelCols = Seq("job", "instance"))
+
+  test("select filters by matchers and [mint, maxt)") {
+    val out = q.select("2024-01-01", "2024-02-01", Matcher.Eq("job", "web"))
+    assert(out.collect().map(_.getDouble(3)).toSeq == Seq(3.0))
+  }
+
+  test("projection hints materialize only requested labels") {
+    val out = q.select("2024-01-01", "2024-03-01", Seq(Matcher.Eq("job", "api")),
+      projection = Seq("job"))
+    assert(out.columns.toSeq == Seq("job", "ts", "value"))
+  }
+
+  test("sorted row quota truncates deterministically") {
+    val out = q.select("2024-01-01", "2024-03-01", Nil, Nil, rowQuota = 2L)
+    assert(out.collect().map(_.getDouble(3)).toSeq == Seq(1.0, 2.0))
+  }
+
+  test("unsorted row quota still caps the row count") {
+    val out = q.select("2024-01-01", "2024-03-01", Nil, Nil,
+      rowQuota = 2L, sorted = false)
+    assert(out.count() == 2L)
+  }
+
+  test("selectStrict passes under budget, throws over it") {
+    assert(q.selectStrict("2024-01-01", "2024-03-01", Nil, Nil, 10L).count() == 4L)
+    intercept[QuotaExceededException] {
+      q.selectStrict("2024-01-01", "2024-03-01", Nil, Nil, 3L)
+    }
+  }
+
+  test("labelValues respects matchers and limit") {
+    val out = q.labelValues("instance", Seq(Matcher.Eq("job", "api")), limit = 1)
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("1"))
+  }
+
+  test("labelNames honors its limit") {
+    assert(q.labelNames(Nil, 1).collect().map(_.getString(0)).toSeq == Seq("instance"))
+  }
+}
