@@ -327,6 +327,13 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
+  private def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.ivfTopK(emb, emb.filter(col("vec_id") < 5), "embedding", "vec_id",
+        k = 10, nCentroids = 16, nProbe = 8)
+      .orderBy("qid", "rank")
+  }
+
   private def txtTokenCount(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
@@ -399,6 +406,7 @@ object SparkEntry {
     "dd_embed_neardup_lsh" -> (ddEmbedNearDupLsh _),
     "ann_bruteforce" -> (annBruteForce _),
     "ann_lsh" -> (annLsh _),
+    "ann_ivf" -> (annIvf _),
     "txt_token_count" -> (txtTokenCount _),
     "txt_quality" -> (txtQuality _),
     "txt_lang_id" -> (txtLangId _),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
@@ -25,6 +25,46 @@ object Ann {
     val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
     val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("sim"))
+    topK(scored, k)
+  }
+
+  /** IVF (inverted-file) ANN — the second scale path next to
+    * hyperplane LSH. Coarse quantizer: `nCentroids` vectors picked
+    * deterministically by hash order (a k-means refinement would
+    * drop in here; the plumbing is identical) and collected to the
+    * driver — the quantizer is metadata-scale BY DESIGN, exactly as
+    * IVF indexes ship their centroid table everywhere. Assignment is
+    * then a pure projection (argmax over literal-centroid dot
+    * products — codegen'd, zero shuffle over the corpus); queries
+    * probe their `nProbe` best cells and only score corpus rows in
+    * those cells (join key = cell id).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"))
+    val centroidRows = c
+      .orderBy(xxhash64(col("nid")), col("nid"))
+      .limit(nCentroids)
+      .select(col("nv")).collect()
+      .map(_.getSeq[Double](0).toSeq)
+    // per-row array of (cosine-to-centroid, cell); array_max gives the
+    // best cell, sorted+sliced gives the probe list — all codegen'd
+    def cellScores(v: Column): Column = array(centroidRows.zipWithIndex.map {
+      case (cv, i) =>
+        struct(cosine(v, typedLit(cv)).as("score"), lit(i).as("cell"))
+    }: _*)
+    def bestCell(v: Column): Column = array_max(cellScores(v)).getField("cell")
+    val assigned = c.withColumn("cell", bestCell(col("nv")))
+    val probed = queries
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("cell",
+        explode(transform(
+          slice(reverse(array_sort(cellScores(col("qv")))), 1, nProbe),
+          s => s.getField("cell"))))
+    val scored = assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("sim"))
+      .dropDuplicates("qid", "nid")
     topK(scored, k)
   }
 

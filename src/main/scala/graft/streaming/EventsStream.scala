@@ -69,6 +69,48 @@ object EventsStream {
         })
   }
 
+  /** Running state for a live counter series. */
+  final case class CounterState(
+      last_ts: Timestamp, last_value: Double, cum_increase: Double)
+
+  /** Per-series increase emitted per update. */
+  final case class SeriesIncrease(
+      event_type: String, user_id: Long, cum_increase: Double,
+      last_value: Double, last_ts: Timestamp)
+
+  /** Stateful streaming counter increase — PromOps.increase for
+    * unbounded input: per series, accumulate positive deltas (with
+    * counter-reset handling) across micro-batches. Emits the running
+    * cumulative increase on every update; divide by wall-clock range
+    * downstream for a live rate. Within a micro-batch events are
+    * processed in event-time order so late-within-batch samples
+    * cannot produce phantom resets.
+    */
+  def runningIncrease(events: Dataset[SeriesEvent]): Dataset[SeriesIncrease] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.event_type, e.user_id))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: (String, Long), batch: Iterator[SeriesEvent],
+         state: GroupState[CounterState]) => {
+          var cur = state.getOption.orNull
+          batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            cur =
+              if (cur == null) CounterState(e.ts, e.value, 0.0)
+              else if (e.ts.before(cur.last_ts)) cur // late sample: drop
+              else {
+                val delta =
+                  if (e.value >= cur.last_value) e.value - cur.last_value
+                  else e.value // counter reset
+                CounterState(e.ts, e.value, cur.cum_increase + delta)
+              }
+          }
+          state.update(cur)
+          Iterator(SeriesIncrease(key._1, key._2, cur.cum_increase,
+            cur.last_value, cur.last_ts))
+        })
+  }
+
   /** Append-mode sink into the converter's bucketed layout. */
   def toBucketedParquet(events: DataFrame, path: String, checkpoint: String) =
     events

@@ -75,6 +75,22 @@ object TsdbConverter {
     w.parquet(path)
   }
 
+  /** [[convert]] for an open label set: a `map<string,string>` labels
+    * column is first spread to `l_<name>` physical columns
+    * ([[LabelSchema.spread]] — the reference's schema-builder pass,
+    * schema/schema_builder.go:41), then written sorted/bucketed. The
+    * result is the reference's wide layout: one parquet column per
+    * label, absent labels as nulls.
+    */
+  def convertWithLabels(df: DataFrame, labelsCol: String, path: String,
+      tsCol: String, opts: ConvertOptions): Unit = {
+    val wide = LabelSchema.spread(df, labelsCol)
+    val sortBy =
+      if (opts.sortBy.nonEmpty) opts.sortBy
+      else wide.columns.filter(_.startsWith(LabelSchema.prefix)).sorted.toSeq
+    convert(wide, path, tsCol, opts.copy(sortBy = sortBy))
+  }
+
   /** Merge N converted shards that may overlap in series/time:
     * last-writer-wins per (series labels, ts), where "last" = the
     * highest shard ordinal — the deterministic winner the reference's

@@ -44,4 +44,19 @@ class AnnSpec extends SparkSpec {
     assert(recallMulti >= recallSingle)
     assert(recallMulti > 0.5) // 4 planes + 1-bit probes on 500 vectors
   }
+
+  test("IVF recall on real embeddings beats a floor") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 10)
+    def topSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topSet(Ann.bruteForce(emb, queries, "embedding", "vec_id", 10))
+    // these synthetic embeddings are near-uniform on the sphere — the
+    // IVF worst case — so probe half the cells for a meaningful floor
+    val ivf = topSet(Ann.ivfTopK(emb, queries, "embedding", "vec_id", 10,
+      nCentroids = 16, nProbe = 8))
+    val recall = (ivf & exact).size.toDouble / exact.size
+    info(f"IVF recall (16 cells, 8 probes) = $recall%.2f")
+    assert(recall > 0.5)
+  }
 }

@@ -71,4 +71,31 @@ class StreamingSpec extends SparkSpec {
         && rows(1).getLong(3) == 1L)
     } finally query.stop()
   }
+
+  test("runningIncrease accumulates counter deltas across batches with reset") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[SeriesEvent]
+    val out = EventsStream.runningIncrease(mem.toDS())
+    val query = out.writeStream
+      .format("memory").queryName("inc_state")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      // counter: 10 -> 25 (+15)
+      mem.addData(
+        SeriesEvent(ts("2024-01-01 00:00:00"), "req", 1L, 10.0),
+        SeriesEvent(ts("2024-01-01 00:01:00"), "req", 1L, 25.0))
+      query.processAllAvailable()
+      // reset to 3 (+3), then 8 (+5) => cumulative 23
+      mem.addData(
+        SeriesEvent(ts("2024-01-01 00:02:00"), "req", 1L, 3.0),
+        SeriesEvent(ts("2024-01-01 00:03:00"), "req", 1L, 8.0))
+      query.processAllAvailable()
+      val cum = s.sql(
+        "SELECT max_by(cum_increase, last_ts) FROM inc_state").head.getDouble(0)
+      assert(cum == 23.0)
+    } finally query.stop()
+  }
 }

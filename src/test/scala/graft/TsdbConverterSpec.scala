@@ -61,6 +61,19 @@ class TsdbConverterSpec extends SparkSpec {
     } finally reader.close()
   }
 
+  test("convertWithLabels writes the wide l_* layout from a label map") {
+    val dir = Files.createTempDirectory("graft_wide").toString + "/out"
+    val df = Seq(
+      (Map("job" -> "api", "env" -> "prod"), ts("2024-01-01 10:00:00"), 1.0),
+      (Map("job" -> "web"), ts("2024-01-02 10:00:00"), 2.0)
+    ).toDF("labels", "ts", "value")
+    TsdbConverter.convertWithLabels(df, "labels", dir, "ts",
+      graft.tsdb.ConvertOptions(sortBy = Nil, colDuration = "1 day"))
+    val back = spark.read.parquet(dir)
+    assert(back.columns.toSet == Set("l_job", "l_env", "ts", "value", "bucket"))
+    assert(back.filter(col("l_env").isNull).count() == 1) // sparse label
+  }
+
   test("convert writes a bucket-partitioned layout that prunes") {
     val dir = Files.createTempDirectory("graft_conv").toString + "/out"
     val df = Seq(
