@@ -68,9 +68,14 @@ object SparkEntry {
           .as("sum_disc_price"),
         round(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
           (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
-        round(dsum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
-        round(dsum(col("l_extendedprice")) / count(lit(1)), 4).as("avg_price"),
-        round(dsum(col("l_discount")) / count(lit(1)), 4).as("avg_disc"),
+        // averages stay UNROUNDED: the decimal sum is exact and
+        // order-independent, so the double quotient is bitwise
+        // identical in Spark and DuckDB, whereas rounding a quotient
+        // that lands on a .5 boundary diverges (Java shortest-repr
+        // HALF_UP vs C-style binary rounding)
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -151,7 +156,7 @@ object SparkEntry {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         sum(col("k")).as("sum_k"),
-        round(sum(col("k")).cast("double") / count(lit(1)), 4).as("avg_k"))
+        (sum(col("k")).cast("double") / count(lit(1))).as("avg_k"))
       .orderBy("event_type")
 
   private def q10(s: SparkSession, dir: String): DataFrame =
@@ -159,7 +164,7 @@ object SparkEntry {
       .groupBy(col("event_type"),
         ms(date_trunc("hour", col("ts"))).as("bucket_ms"))
       .agg(count(lit(1)).as("n_events"),
-        round(dsum(col("value")) / count(lit(1)), 4).as("avg_value"),
+        (dsum(col("value")) / count(lit(1))).as("avg_value"),
         max(col("value")).as("max_value"))
       .orderBy("event_type", "bucket_ms")
 
@@ -432,9 +437,9 @@ object SparkEntry {
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS sum_base_price,
         |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,8))) AS DOUBLE), 2) AS sum_disc_price,
         |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,8))) AS DOUBLE), 2) AS sum_charge,
-        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / count(*), 4) AS avg_qty,
-        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / count(*), 4) AS avg_price,
-        |  round(CAST(sum(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) / count(*), 4) AS avg_disc,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / count(*) AS avg_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) / count(*) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -495,14 +500,14 @@ object SparkEntry {
     "q09_json_extract" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        |  round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / count(*), 4) AS avg_k
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / count(*) AS avg_k
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     "q10_time_bucket" ->
       """SELECT event_type, epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
         |  count(*) AS n_events,
-        |  round(CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) / count(*), 4) AS avg_value,
+        |  CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) / count(*) AS avg_value,
         |  max(value) AS max_value
         |FROM events
         |GROUP BY 1, 2
