@@ -225,6 +225,12 @@ object SparkEntry {
         round(col("rate"), 10).as("rate"))
       .orderBy("event_type", "user_id")
 
+  private def tsInstantAlign(s: SparkSession, dir: String): DataFrame =
+    PromOps.alignToSteps(t(s, dir, "events"), Seq("event_type", "user_id"),
+        "ts", "value", "2024-01-01", "2024-01-08",
+        stepMs = 21600000L, lookbackMs = 43200000L)
+      .orderBy("event_type", "user_id", "step_ms")
+
   private def tsAggBy(s: SparkSession, dir: String): DataFrame =
     PromOps.aggregateBy(t(s, dir, "events"), Seq("event_type"), "ts", "value", "day")
       .select(col("event_type"), ms(col("bucket")).as("bucket_ms"),
@@ -396,6 +402,7 @@ object SparkEntry {
     "ts_label_values" -> (tsLabelValues _),
     "ts_last_point" -> (tsLastPoint _),
     "ts_rate" -> (tsRate _),
+    "ts_instant_align" -> (tsInstantAlign _),
     "ts_agg_by" -> (tsAggBy _),
     "ts_resets" -> (tsResets _),
     "ts_delta" -> (tsDelta _),
@@ -580,6 +587,21 @@ object SparkEntry {
         |FROM d
         |GROUP BY event_type, user_id
         |ORDER BY event_type, user_id""".stripMargin,
+    "ts_instant_align" ->
+      """WITH steps AS (SELECT unnest(range(0, 29)) AS i),
+        |samp AS (SELECT event_type, user_id, epoch_ms(ts) AS ts_ms, value
+        |         FROM events),
+        |joined AS (
+        |  SELECT event_type, user_id,
+        |    1704067200000 + i * 21600000 AS step_ms, ts_ms, value
+        |  FROM samp, steps
+        |  WHERE ts_ms <= 1704067200000 + i * 21600000
+        |    AND 1704067200000 + i * 21600000 < ts_ms + 43200000)
+        |SELECT event_type, user_id, step_ms,
+        |  max(ts_ms) AS ts_ms, arg_max(value, ts_ms) AS value
+        |FROM joined
+        |GROUP BY event_type, user_id, step_ms
+        |ORDER BY event_type, user_id, step_ms""".stripMargin,
     "ts_agg_by" ->
       """SELECT event_type, epoch_ms(date_trunc('day', ts)) AS bucket_ms,
         |  round(CAST(sum(value) AS DOUBLE), 4) AS sum_value,

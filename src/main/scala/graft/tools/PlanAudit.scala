@@ -59,6 +59,10 @@ object PlanAudit {
         "region filter pushed" -> "EqualTo(r_name,ASIA)",
         "dims broadcast" -> "BroadcastHashJoin"))
 
+    audit("q05_window_topk",
+      SparkEntry.queries("q05_window_topk")(spark, dir),
+      Map("rank pushdown (WindowGroupLimit)" -> "WindowGroupLimit"))
+
     audit("ts_select_eq",
       SparkEntry.queries("ts_select_eq")(spark, dir),
       Map("matcher equality pushed" -> "EqualTo(event_type,click)"))

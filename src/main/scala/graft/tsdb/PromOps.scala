@@ -59,6 +59,47 @@ object PromOps {
       .withColumn("rate", col("increase") / rangeSeconds)
   }
 
+  /** PromQL range-query materialization: evaluate the instant vector
+    * at every step in [start, end] (inclusive, UTC ISO dates) with a
+    * staleness lookback — for each step t, the latest sample per
+    * series with `ts <= t < ts + lookback`.
+    *
+    * Scale shape: each sample is exploded only to the steps it can
+    * serve (at most lookback/step of them — a bounded narrow map, no
+    * per-step scan, no driver loop), then ONE shuffle keyed
+    * (series, step) picks the per-step winner via max(struct(ts,v)).
+    * This is the evaluator-side loop the reference's consumers run
+    * over Select (queryable/parquet_queryable.go:283), distributed.
+    */
+  def alignToSteps(df: DataFrame, seriesCols: Seq[String], tsCol: String,
+      valueCol: String, startDate: String, endDate: String,
+      stepMs: Long, lookbackMs: Long): DataFrame = {
+    require(stepMs > 0 && lookbackMs > 0, "stepMs/lookbackMs must be positive")
+    def utcMs(d: String): Long =
+      java.time.LocalDate.parse(d)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    val startMs = utcMs(startDate)
+    val nSteps = ((utcMs(endDate) - startMs) / stepMs + 1).toInt
+    val withIdx = df
+      .withColumn("_ts_ms", unix_millis(col(tsCol).cast("timestamp")))
+      // integer ceil-divs so the served-step set matches the exact
+      // inequality ts <= step < ts + lookback
+      .withColumn("_i0", greatest(lit(0L),
+        expr(s"(_ts_ms - ${startMs}L + ${stepMs}L - 1) div ${stepMs}L")))
+      .withColumn("_i1", least(lit(nSteps - 1L),
+        expr(s"(_ts_ms + ${lookbackMs}L - ${startMs}L + ${stepMs}L - 1) div ${stepMs}L - 1")))
+      .filter(col("_i0") <= col("_i1"))
+      .select((seriesCols.map(col) :+ col("_ts_ms") :+ col(valueCol) :+
+        explode(sequence(col("_i0"), col("_i1"))).as("_i")): _*)
+    withIdx
+      .groupBy((seriesCols.map(col) :+
+        (lit(startMs) + col("_i") * stepMs).as("step_ms")): _*)
+      .agg(max(struct(col("_ts_ms"), col(valueCol))).as("_top"))
+      .select((seriesCols.map(col) :+ col("step_ms") :+
+        col("_top._ts_ms").as("ts_ms") :+
+        col(s"_top.$valueCol").as(valueCol)): _*)
+  }
+
   /** Cross-series aggregation — PromQL `sum/avg/min/max/count by
     * (labels)`: collapse all series sharing the `by` labels at each
     * timestamp-bucket. One shuffle on (by-labels, bucket); map-side

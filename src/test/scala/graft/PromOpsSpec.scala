@@ -71,6 +71,25 @@ class PromOpsSpec extends SparkSpec {
     assert(out.head.getDouble(0) == 28.0 && out.head.getLong(1) == 5L)
   }
 
+  test("alignToSteps materializes the instant vector per step with lookback") {
+    // step = 1h, lookback = 2h over 2024-01-01 .. 2024-01-02
+    val data = Seq(
+      ("a", ts("2024-01-01 00:30:00"), 1.0), // serves 01:00 and 02:00 steps
+      ("a", ts("2024-01-01 01:30:00"), 2.0)  // shadows at 02:00, serves 03:00
+    ).toDF("series", "ts", "value")
+    val out = PromOps.alignToSteps(data, Seq("series"), "ts", "value",
+        "2024-01-01", "2024-01-02", stepMs = 3600000L, lookbackMs = 7200000L)
+      .orderBy("step_ms")
+      .collect().map(r => (r.getLong(1), r.getDouble(3)))
+    val hour = 3600000L
+    val base = 1704067200000L // 2024-01-01T00:00Z
+    assert(out.toSeq == Seq(
+      (base + 1 * hour, 1.0), // latest at 01:00 is the 00:30 sample
+      (base + 2 * hour, 2.0), // 01:30 shadows 00:30
+      (base + 3 * hour, 2.0)  // still within 2h lookback
+    ))
+  }
+
   test("downsample buckets per series per window") {
     val out = PromOps.downsample(df, Seq("series"), "ts", "value", "minute")
       .filter(col("series") === "a")
