@@ -24,17 +24,24 @@ object Dedup {
       row_number().over(w).as("dup_rank"))
   }
 
-  /** Distinct character n-gram shingles per document: one row per
-    * (id, shingle). The inverted-index building block shared by the
-    * Jaccard and MinHash paths.
+  /** All character n-gram shingle occurrences per document (with
+    * duplicates): a pure narrow map, no shuffle. Use when the
+    * consumer is idempotent over duplicates (min-hash).
     */
-  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+  def shingleOccurrences(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame =
     df.select(col(idCol),
         explode(sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))))
           .as("pos"),
         col(textCol))
       .select(col(idCol), expr(s"substring(`$textCol`, pos, $n)").as("shingle"))
-      .distinct()
+
+  /** Distinct character n-gram shingles per document: one row per
+    * (id, shingle). The inverted-index building block for the
+    * Jaccard path (set semantics cost one dedup shuffle).
+    */
+  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    shingleOccurrences(df, textCol, idCol, n).distinct()
 
   /** [[shingles]] with stop-shingles removed: any shingle whose
     * document frequency exceeds `dfCap` is dropped BEFORE any join.
@@ -130,11 +137,13 @@ object Dedup {
 
   /** MinHash signature: for each of `k` affine permutations of the
     * base shingle hash, the per-document minimum. One shuffle
-    * (groupBy id) with full map-side partial aggregation.
+    * (groupBy id) with full map-side partial aggregation — duplicate
+    * shingles need no pre-dedup since min is idempotent, so the
+    * distinct shuffle of the Jaccard path is skipped entirely.
     */
   def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
       n: Int, k: Int): DataFrame = {
-    val sh = shingles(df, textCol, idCol, n)
+    val sh = shingleOccurrences(df, textCol, idCol, n)
     val base = pmod(xxhash64(col("shingle")), lit(MersennePrime))
     val mins = (0 until k).map { i =>
       val (a, b) = perm(i)
