@@ -63,9 +63,67 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "graft_dot"
 }
 
+/** Packed hyperplane-LSH bucket id for a double vector, computed in
+  * one pass: bit p of the result is the sign of Σᵢ vᵢ·rₚᵢ where the
+  * pseudo-random ±1 weight rₚᵢ is derived from the same xxhash64
+  * chain the HOF formulation used (`xxhash64(i, plane)` with Spark's
+  * seed 42), so bucket values are BIT-IDENTICAL to the old
+  * `zip_with`/`aggregate` version — only ~nPlanes× faster per row,
+  * with no per-element lambda dispatch. The per-row map over every
+  * corpus vector is exactly the hot loop that matters at 100 TB.
+  */
+case class HyperplaneBucket(child: Expression, nPlanes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(a: Any): Any =
+    HyperplaneBucket.compute(a.asInstanceOf[ArrayData], nPlanes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.HyperplaneBucket.compute($a, $nPlanes)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_lsh_bucket"
+}
+
+object HyperplaneBucket {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  /** Static entry for generated code: one tight loop per row. */
+  def compute(v: ArrayData, nPlanes: Int): Long = {
+    val n = v.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        // same chain as xxhash64(i, lit(p)): seed 42, then fold p
+        val h = XXH64.hashInt(p, XXH64.hashInt(i, 42L))
+        val sign = if (((h % 2) + 2) % 2 == 0) 1.0 else -1.0
+        s += v.getDouble(i) * sign
+        i += 1
+      }
+      if (s >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+}
+
 object VectorExpressions {
   /** Column API for [[DotProduct]]. */
   def dotNative(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API for [[HyperplaneBucket]]. */
+  def lshBucketNative(v: Column, nPlanes: Int): Column =
+    ColumnBridge.column(HyperplaneBucket(ColumnBridge.expression(v), nPlanes))
 }

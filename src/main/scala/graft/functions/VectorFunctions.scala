@@ -39,8 +39,18 @@ object VectorFunctions {
     when(s >= 0, 1L).otherwise(0L)
   }
 
-  /** LSH bucket id from `nPlanes` hyperplane bits packed into a long. */
+  /** LSH bucket id from `nPlanes` hyperplane bits packed into a long —
+    * native one-pass expression ([[VectorExpressions.lshBucketNative]]);
+    * bit-identical to [[lshBucketHof]], which it replaced in the hot
+    * path (VectorFunctionsSpec pins the equivalence).
+    */
   def lshBucket(v: Column, nPlanes: Int): Column =
+    VectorExpressions.lshBucketNative(v, nPlanes)
+
+  /** Reference HOF formulation of [[lshBucket]], kept as the
+    * executable spec of the bucket function.
+    */
+  def lshBucketHof(v: Column, nPlanes: Int): Column =
     (0 until nPlanes)
       .map(p => hyperplaneBit(v, p) * lit(1L << p))
       .reduce(_ + _)

@@ -46,6 +46,17 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(out == 0.0)
   }
 
+  test("native lshBucket is bit-identical to the HOF formulation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(asDouble(col("embedding")).as("v"))
+    val mismatches = emb.select(
+        lshBucket(col("v"), 8).as("native"),
+        lshBucketHof(col("v"), 8).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(mismatches == 0L)
+  }
+
   test("float embedding columns cast cleanly") {
     val f = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
     val out = f.select(dot(asDouble(col("a")), asDouble(col("b")))).head.getDouble(0)
