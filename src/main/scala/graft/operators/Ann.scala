@@ -39,14 +39,49 @@ object Ann {
     * probe their `nProbe` best cells and only score corpus rows in
     * those cells (join key = cell id).
     */
+  /** Lloyd refinement of an IVF quantizer: assign every corpus
+    * vector to its best cell (the same zero-shuffle argmax projection
+    * ivfTopK uses), then recompute each centroid as the per-dimension
+    * mean of its cell — one posexplode + (cell, dim) aggregation per
+    * iteration, collected at centroid×dim (metadata) scale. Exactly
+    * the distributed k-means step a production IVF build runs.
+    */
+  def refineCentroids(corpus: DataFrame, vecCol: String,
+      centroids: Array[Seq[Double]], iters: Int): Array[Seq[Double]] = {
+    var cur = centroids
+    val v = corpus.select(asDouble(col(vecCol)).as("nv"))
+    (0 until iters).foreach { _ =>
+      val cellScores = array(cur.zipWithIndex.map { case (cv, i) =>
+        struct(cosine(col("nv"), typedLit(cv)).as("score"), lit(i).as("cell"))
+      }: _*)
+      val means = v
+        .withColumn("cell", array_max(cellScores).getField("cell"))
+        .select(col("cell"), posexplode(col("nv")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
+        .groupBy("cell").agg(map_from_arrays(
+          collect_list(col("dim")), collect_list(col("m"))).as("dims"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          r.getMap[Int, Double](1).toSeq.sortBy(_._1).map(_._2).toSeq)
+        .toMap
+      // empty cells keep their previous centroid
+      cur = cur.indices.map(i => means.getOrElse(i, cur(i))).toArray
+    }
+    cur
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
-      idCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+      idCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      refineIters: Int = 0): DataFrame = {
     val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"))
-    val centroidRows = c
+    val seeds = c
       .orderBy(xxhash64(col("nid")), col("nid"))
       .limit(nCentroids)
       .select(col("nv")).collect()
       .map(_.getSeq[Double](0).toSeq)
+    val centroidRows =
+      if (refineIters > 0) refineCentroids(corpus, vecCol, seeds, refineIters)
+      else seeds
     // per-row array of (cosine-to-centroid, cell); array_max gives the
     // best cell, sorted+sliced gives the probe list — all codegen'd
     def cellScores(v: Column): Column = array(centroidRows.zipWithIndex.map {

@@ -59,4 +59,17 @@ class AnnSpec extends SparkSpec {
     info(f"IVF recall (16 cells, 8 probes) = $recall%.2f")
     assert(recall > 0.5)
   }
+
+  test("k-means refinement keeps IVF recall at least competitive") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 10)
+    def topSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topSet(Ann.bruteForce(emb, queries, "embedding", "vec_id", 10))
+    val refined = topSet(Ann.ivfTopK(emb, queries, "embedding", "vec_id", 10,
+      nCentroids = 16, nProbe = 8, refineIters = 2))
+    val recall = (refined & exact).size.toDouble / exact.size
+    info(f"IVF recall after 2 Lloyd iters = $recall%.2f")
+    assert(recall > 0.5)
+  }
 }
