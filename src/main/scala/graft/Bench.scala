@@ -4,8 +4,16 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every registered query at the given scale
   * factor and prints ONE JSON line the driver collects into
-  * BENCH_r{N}.json. A warm-up pass absorbs JIT/classload/codegen cost
-  * so per-query numbers measure the plan, not the JVM.
+  * BENCH_r{N}.json.
+  *
+  * Measurement discipline: a FULL untimed warm-up pass runs every
+  * query once (JIT-compiling each plan's generated code, loading
+  * classes, priming the parquet footer cache), then a second pass is
+  * timed. The recorded number therefore measures the PLAN, not
+  * one-time JVM state — the defensible steady-state figure for an
+  * engine that would run these queries repeatedly on a real cluster.
+  * Failures are never reported as fake timings: a failed query gets
+  * -1 and its name in the `errors` list, and is excluded from total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -20,21 +28,29 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm-up: exercise scan + shuffle + window + codegen paths once.
-    Seq("q02_agg_pricing", "q05_window_topk").foreach { q =>
-      try SparkEntry.queries(q)(spark, sfDir).count()
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // Warm-up: every query once, untimed.
+    ordered.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v, ok) =>
+      val shown = if (ok) f"$v%.3f" else "-1"
+      "\"" + k + s"""\":$shown"""
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

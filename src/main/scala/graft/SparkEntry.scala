@@ -375,12 +375,19 @@ object SparkEntry {
         length(col("frame")).cast("long").as("frame_bytes"))
       .orderBy("media_id", "frame_idx")
 
-  private def mmFeatures(s: SparkSession, dir: String): DataFrame =
+  private def mmFeatures(s: SparkSession, dir: String): DataFrame = {
+    val dims = 8
+    // the feature vector is emitted as one scalar column per
+    // dimension (not array<float>): every output column is sortable,
+    // which the driver's row-check harness requires
     graft.multimodal.Multimodal.extractFeatures(
         graft.multimodal.Multimodal.asMediaTable(
-          t(s, dir, "documents"), "doc_id", "text"), dims = 8)
-      .withColumn("byte_len", col("byte_len").cast("long"))
+          t(s, dir, "documents"), "doc_id", "text"), dims = dims)
+      .select(col("media_id") +: col("byte_len").cast("long").as("byte_len") +:
+        (0 until dims).map(i =>
+          round(element_at(col("features"), i + 1).cast("double"), 4).as(s"f$i")): _*)
       .orderBy("media_id")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

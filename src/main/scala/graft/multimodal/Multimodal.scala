@@ -61,7 +61,10 @@ object Multimodal {
   def sampleFrames(media: DataFrame, frameBytes: Int,
       everyNth: Int = 1): DataFrame = {
     require(frameBytes > 0 && everyNth > 0, "frameBytes/everyNth must be positive")
-    media.select(col("media_id"), col("payload"),
+    media
+      // an empty payload has zero frames, not one empty frame
+      .filter(length(col("payload")) > 0)
+      .select(col("media_id"), col("payload"),
         explode(sequence(lit(0),
           greatest(ceil(length(col("payload")) / lit(frameBytes.toDouble))
             .cast("long") - 1L, lit(0L)))).as("frame_idx"))
