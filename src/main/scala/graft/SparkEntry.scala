@@ -544,7 +544,7 @@ object SparkEntry {
         |  SELECT * FROM events
         |  WHERE NOT regexp_full_match(coalesce(event_type, ''), 'c.*')
         |    AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
-        |  ORDER BY event_type, user_id, ts
+        |  ORDER BY event_type, user_id, ts, value
         |  LIMIT 500)
         |ORDER BY event_type, user_id, ts_ms""".stripMargin,
     "ts_select_projected" ->
@@ -553,7 +553,7 @@ object SparkEntry {
         |  SELECT event_type, ts, value FROM events
         |  WHERE event_type = 'purchase'
         |    AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
-        |  ORDER BY event_type, ts
+        |  ORDER BY event_type, ts, value
         |  LIMIT 200)
         |ORDER BY event_type, ts_ms, value""".stripMargin,
     "ts_label_names" ->
@@ -604,10 +604,12 @@ object SparkEntry {
         |  FROM samp, steps
         |  WHERE ts_ms <= 1704067200000 + i * 21600000
         |    AND 1704067200000 + i * 21600000 < ts_ms + 43200000)
-        |SELECT event_type, user_id, step_ms,
-        |  max(ts_ms) AS ts_ms, arg_max(value, ts_ms) AS value
-        |FROM joined
-        |GROUP BY event_type, user_id, step_ms
+        |SELECT event_type, user_id, step_ms, ts_ms, value FROM (
+        |  SELECT event_type, user_id, step_ms, ts_ms, value,
+        |    row_number() OVER (PARTITION BY event_type, user_id, step_ms
+        |                       ORDER BY ts_ms DESC, value DESC) AS rn
+        |  FROM joined)
+        |WHERE rn = 1
         |ORDER BY event_type, user_id, step_ms""".stripMargin,
     "ts_agg_by" ->
       """SELECT event_type, epoch_ms(date_trunc('day', ts)) AS bucket_ms,

@@ -94,6 +94,9 @@ object PromOps {
     withIdx
       .groupBy((seriesCols.map(col) :+
         (lit(startMs) + col("_i") * stepMs).as("step_ms")): _*)
+      // per-step winner = lexicographic max of (ts, value): latest
+      // sample, ties on duplicate timestamps broken by max value —
+      // the oracle mirrors this exact order (ts DESC, value DESC)
       .agg(max(struct(col("_ts_ms"), col(valueCol))).as("_top"))
       .select((seriesCols.map(col) :+ col("step_ms") :+
         col("_top._ts_ms").as("ts_ms") :+

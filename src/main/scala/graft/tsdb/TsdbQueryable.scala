@@ -59,8 +59,12 @@ final class TsdbQueryable(
       // but costs a global top-k; unsorted is the reference's plain
       // budget-truncation and stays a local limit per scan task —
       // the right call at 100 TB when the caller just wants a cap.
+      // value is appended as a tiebreak: (labels, ts) alone is not a
+      // total order, so rows tied at the LIMIT boundary would be
+      // partition-dependent. With it, any residual tie means the
+      // whole projected row is identical and the choice is immaterial.
       if (sorted)
-        base.orderBy((labels :+ tsCol).map(col): _*).limit(capped)
+        base.orderBy((labels :+ tsCol :+ valueCol).map(col): _*).limit(capped)
       else base.limit(capped)
     } else base
   }
