@@ -152,18 +152,89 @@ object Dedup {
     sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
+  // ===== scale guards shared by the banded (LSH) self-joins =====
+  //
+  // Near-dup corpora are duplicate-heavy BY DEFINITION, and a cluster
+  // of M exact duplicates shares every band — an unguarded band
+  // self-join produces M²/2 pairs per band, a cartesian product in
+  // disguise at 100 TB. Two composed guards close it:
+  //   1. exact-dup collapse: band only one representative per
+  //      distinct content; expand representative pairs back to
+  //      member pairs afterwards (the output is unchanged — exact
+  //      duplicates have identical signatures/fingerprints, so every
+  //      member inherits its representative's pairs and scores).
+  //      The join now scales with DISTINCT content, and the
+  //      worst-case corpus (everything identical) becomes the
+  //      cheapest.
+  //   2. bucketCap: buckets of near-identical-but-not-equal content
+  //      beyond `cap` representatives are dropped entirely, with the
+  //      drop surfaced as an observed metric (Spark UI / listener —
+  //      no silent truncation, no extra job). The reference bounds
+  //      its search joins the same way via page pruning
+  //      (search/constraint.go:55-102).
+
+  /** Drop LSH buckets with more than `cap` members. Dropped bucket
+    * and row counts are published as the observed metric `metric`
+    * (columns dropped_buckets / dropped_rows); `cap <= 0` disables.
+    */
+  private[graft] def capBuckets(banded: DataFrame, keys: Seq[String],
+      cap: Int, metric: String): DataFrame =
+    if (cap <= 0) banded
+    else {
+      // hot-bucket list via partial agg; AQE broadcasts the anti-join
+      // (same shape as cappedShingles' df-cap)
+      val hot = banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_bn"))
+        .filter(col("_bn") > cap)
+        .observe(metric, count(lit(1)).as("dropped_buckets"),
+          coalesce(sum(col("_bn")), lit(0L)).as("dropped_rows"))
+      banded.join(hot.select(keys.map(col): _*), keys, "left_anti")
+    }
+
+  /** Expand representative-level pairs to member-level pairs.
+    *   - `repPairs`: (rid_a, rid_b, score…) over representatives;
+    *   - `memberOf`: (_rid, _mid) mapping every member to its
+    *     group's representative;
+    *   - intra-group pairs (members of one exact-dup group) get
+    *     `identicalScore` per score column.
+    * Joins are keyed on representative id (corpus-scale cardinality,
+    * fan-out = group size — exactly the output's own scale).
+    */
+  private def expandPairs(repPairs: DataFrame, memberOf: DataFrame,
+      scoreCols: Seq[String], identicalScore: Seq[Column]): DataFrame = {
+    val cross = repPairs
+      .join(memberOf.select(col("_rid").as("rid_a"), col("_mid").as("_ma")), "rid_a")
+      .join(memberOf.select(col("_rid").as("rid_b"), col("_mid").as("_mb")), "rid_b")
+      .select(least(col("_ma"), col("_mb")).as("id_a") +:
+        greatest(col("_ma"), col("_mb")).as("id_b") +: scoreCols.map(col): _*)
+    val m = memberOf.select(col("_rid"), col("_mid"))
+    val intra = m.as("p").join(m.as("q"),
+        col("p._rid") === col("q._rid") && col("p._mid") < col("q._mid"))
+      .select(col("p._mid").as("id_a") +: col("q._mid").as("id_b") +:
+        identicalScore.zip(scoreCols).map { case (c, nm) => c.as(nm) }: _*)
+    cross.unionByName(intra)
+  }
+
   /** MinHash + LSH candidate pairs: split the k-wide signature into
     * `bands` bands, bucket by (band, hash(band slice)), emit pairs
     * sharing any bucket, with the signature-estimated Jaccard.
     * Shuffle key (band, bandHash) has corpus-scale cardinality —
     * this is the 100 TB near-dup path. `bands` must divide `k` so no
-    * signature hash is silently dropped.
+    * signature hash is silently dropped. Exact duplicates are
+    * collapsed before banding and buckets capped at `bucketCap`
+    * distinct contents (see the scale-guard note above).
     */
   def minHashLsh(df: DataFrame, textCol: String, idCol: String,
-      n: Int = 4, k: Int = 32, bands: Int = 8): DataFrame = {
+      n: Int = 4, k: Int = 32, bands: Int = 8,
+      bucketCap: Int = 10000): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val rows = k / bands
-    val sigs = minHashSignatures(df, textCol, idCol, n, k)
+    val keyed = df.select(md5(col(textCol)).as("_ck"), col(idCol), col(textCol))
+    val reps = keyed.groupBy(col("_ck"))
+      .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
+    val memberOf = reps.select(col("_ck"), col(idCol).as("_rid"))
+      .join(keyed.select(col("_ck"), col(idCol).as("_mid")), "_ck")
+      .select(col("_rid"), col("_mid"))
+    val sigs = minHashSignatures(reps, textCol, idCol, n, k)
       .withColumn("sig", array((0 until k).map(i => col(s"h$i")): _*))
       .select(col(idCol), col("sig"))
     // Carry the signature THROUGH the banding so the pair join yields
@@ -180,17 +251,20 @@ object Dedup {
           xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bhash"))
       }: _*)).as("bb"))
       .select(col(idCol), col("sig"), col("bb.band"), col("bb.bhash"))
-    banded.as("x").join(banded.as("y"),
+    val capped = capBuckets(banded, Seq("band", "bhash"), bucketCap,
+      "graft_minhash_bucket_drops")
+    val repPairs = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+      .select(col(s"x.$idCol").as("rid_a"), col(s"y.$idCol").as("rid_b"),
         col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
-      .dropDuplicates("id_a", "id_b")
+      .dropDuplicates("rid_a", "rid_b")
       .withColumn("est_jaccard", round(
         aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / k, 4))
-      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      .select(col("rid_a"), col("rid_b"), col("est_jaccard"))
+    expandPairs(repPairs, memberOf, Seq("est_jaccard"), Seq(lit(1.0)))
   }
 
   /** Three-phase near-dup — the 100 TB shape, packaged:
@@ -275,11 +349,18 @@ object Dedup {
     * as MinHash-LSH.
     */
   def simHashNearDup(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, nBands: Int = 4): DataFrame = {
+      maxHamming: Int = 3, nBands: Int = 4,
+      bucketCap: Int = 10000): DataFrame = {
     require(64 % nBands == 0, s"nBands ($nBands) must divide 64")
     val width = 64 / nBands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sh = simHash(df, textCol, idCol)
+    val keyed = df.select(md5(col(textCol)).as("_ck"), col(idCol), col(textCol))
+    val reps = keyed.groupBy(col("_ck"))
+      .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
+    val memberOf = reps.select(col("_ck"), col(idCol).as("_rid"))
+      .join(keyed.select(col("_ck"), col(idCol).as("_mid")), "_ck")
+      .select(col("_rid"), col("_mid"))
+    val sh = simHash(reps, textCol, idCol)
     val banded = sh.select(
       col(idCol), col("simhash"),
       explode(array((0 until nBands).map { b =>
@@ -287,13 +368,17 @@ object Dedup {
           shiftright(col("simhash"), b * width).bitwiseAND(mask).as("key"))
       }: _*)).as("bb"))
       .select(col(idCol), col("simhash"), col("bb.band"), col("bb.key"))
-    banded.as("x").join(banded.as("y"),
+    val capped = capBuckets(banded, Seq("band", "key"), bucketCap,
+      "graft_simhash_bucket_drops")
+    val repPairs = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+      .select(col(s"x.$idCol").as("rid_a"), col(s"y.$idCol").as("rid_b"),
         expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    // intra-group pairs are identical text → hamming 0
+    expandPairs(repPairs, memberOf, Seq("hamming"), Seq(lit(0)))
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold` over a
@@ -318,14 +403,26 @@ object Dedup {
     * the same bucket with probability (1 - θ/π)^nPlanes.
     */
   def embeddingNearDupLsh(df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double, nPlanes: Int = 8): DataFrame = {
+      threshold: Double, nPlanes: Int = 8,
+      bucketCap: Int = 10000): DataFrame = {
     import graft.functions.VectorFunctions._
-    val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"),
-      lshBucket(asDouble(col(vecCol)), nPlanes).as("bucket"))
-    v.as("a").join(v.as("b"),
+    // exact-dup collapse keyed on the vector VALUE itself (arrays are
+    // hashable/orderable group keys) — no hash-collision risk
+    val keyed = df.select(asDouble(col(vecCol)).as("v"), col(idCol))
+    val reps = keyed.groupBy(col("v")).agg(min(col(idCol)).as(idCol))
+    val memberOf = reps.select(col("v"), col(idCol).as("_rid"))
+      .join(keyed.select(col("v"), col(idCol).as("_mid")), "v")
+      .select(col("_rid"), col("_mid"))
+    val banded = reps.select(col(idCol), col("v"),
+      lshBucket(col("v"), nPlanes).as("bucket"))
+    val capped = capBuckets(banded, Seq("bucket"), bucketCap,
+      "graft_embed_bucket_drops")
+    val repPairs = capped.as("a").join(capped.as("b"),
         col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+      .select(col(s"a.$idCol").as("rid_a"), col(s"b.$idCol").as("rid_b"),
         round(cosine(col("a.v"), col("b.v")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+    // identical vectors have cosine exactly 1.0 after rounding
+    expandPairs(repPairs, memberOf, Seq("cos_sim"), Seq(lit(1.0)))
   }
 }

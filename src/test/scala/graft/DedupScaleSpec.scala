@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+/** Scale guards for the banded (LSH) self-joins: exact-dup collapse
+  * + bucket caps. The adversarial corpus is the duplicate-heavy one —
+  * a 1000-copy exact-dup cluster that shares every band and would be
+  * a 500k-pair-per-band cartesian in an unguarded join.
+  */
+class DedupScaleSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private val cluster =
+    (1L to 1000L).map(i => (i, "all work and no play makes jack a dull boy"))
+  private val others = Seq(
+    (2001L, "the quick brown fox jumps over the lazy dog"),
+    (2002L, "the quick brown fox jumps over the lazy cat"), // near dup of 2001
+    (2003L, "completely different text with zero overlap xyz"))
+  private lazy val docs = (cluster ++ others).toDF("doc_id", "text")
+
+  test("capBuckets drops oversized buckets, keeps the rest") {
+    val banded = ((1 to 100).map(i => (i.toLong, 0, 7L)) ++
+      Seq((500L, 1, 9L), (501L, 1, 9L), (502L, 1, 9L)))
+      .toDF("doc_id", "band", "key")
+    val capped = Dedup.capBuckets(banded, Seq("band", "key"), 10, "t_drops")
+    assert(capped.count() == 3)
+    assert(capped.filter(col("band") === 0).count() == 0)
+  }
+
+  test("minHashLsh: 1000-dup cluster yields all member pairs at est 1.0") {
+    val out = Dedup.minHashLsh(docs, "text", "doc_id", n = 3, k = 32, bands = 8)
+    val intra = out.filter(col("id_a") <= 1000 && col("id_b") <= 1000)
+    assert(intra.count() == 1000L * 999 / 2)
+    assert(intra.filter(col("est_jaccard") =!= 1.0).count() == 0)
+    // recall on non-dup near-pairs is unchanged by the guards
+    assert(out.filter(col("id_a") === 2001 && col("id_b") === 2002).count() == 1)
+  }
+
+  test("minHashLsh: bucketCap=1 proves banding happens at rep level") {
+    // with cap 1 every bucket holding >=2 DISTINCT contents is
+    // dropped, so the only surviving pairs are the expanded
+    // exact-dup cluster — which must be untouched by the cap because
+    // it enters banding as a single representative
+    val out = Dedup.minHashLsh(docs, "text", "doc_id", n = 3, k = 32,
+      bands = 8, bucketCap = 1)
+    assert(out.count() == 1000L * 999 / 2)
+    assert(out.filter(col("id_b") > 2000).count() == 0)
+  }
+
+  test("simHashNearDup: dup cluster expands at hamming 0, near-dup kept") {
+    val out = Dedup.simHashNearDup(docs, "text", "doc_id",
+      maxHamming = 16, nBands = 4)
+    val intra = out.filter(col("id_a") <= 1000 && col("id_b") <= 1000)
+    assert(intra.count() == 1000L * 999 / 2)
+    assert(intra.filter(col("hamming") =!= 0).count() == 0)
+    assert(out.filter(col("id_a") === 2001 && col("id_b") === 2002).count() == 1)
+  }
+
+  test("embeddingNearDupLsh: vector-value collapse + cap") {
+    val base = Array(3.0f, 1.0f, 4.0f, 1.0f, 5.0f)
+    val dups = (1L to 12L).map(i => (i, base))
+    val near = (101L to 108L).map { i =>
+      (i, base.clone().updated(0, base(0) + (i - 100) * 1e-6f))
+    }
+    val vecs = (dups ++ near).toDF("vec_id", "embedding")
+    val open = Dedup.embeddingNearDupLsh(vecs, "embedding", "vec_id",
+      threshold = 0.9, nPlanes = 2)
+    val intra = open.filter(col("id_a") <= 12 && col("id_b") <= 12)
+    assert(intra.count() == 12L * 11 / 2)
+    assert(intra.filter(col("cos_sim") =!= 1.0).count() == 0)
+    // near-identical distinct vectors all pair up through their bucket
+    assert(open.count() > 12L * 11 / 2)
+    // with a tiny cap the shared bucket (9 distinct contents) is
+    // dropped; the exact-dup cluster must survive via its single rep
+    val capped = Dedup.embeddingNearDupLsh(vecs, "embedding", "vec_id",
+      threshold = 0.9, nPlanes = 2, bucketCap = 5)
+    assert(capped.count() == 12L * 11 / 2)
+  }
+}
