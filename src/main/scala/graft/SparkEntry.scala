@@ -276,6 +276,33 @@ object SparkEntry {
       .orderBy("event_type", "user_id", "ts_ms", "value")
   }
 
+  /** Block-compaction workflow: two overlapping converted block
+    * directories (block B is a "newer" revision — values × 1.5 on
+    * [Jan 10, ∞)) are k-way merged last-writer-wins and rewritten as
+    * one sorted bucketed block, then read back. The oracle replays
+    * the same union + arg_max in DuckDB.
+    */
+  private def tsMergeBlocks(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val tag = dir.replaceAll("[^0-9a-zA-Z]", "_")
+    val dirA = s"/tmp/graft_block_a_$tag"
+    val dirB = s"/tmp/graft_block_b_$tag"
+    val out = s"/tmp/graft_block_merged_$tag"
+    val opts = ConvertOptions(sortBy = Seq("event_type", "user_id"),
+      colDuration = "1 day", shards = 4)
+    TsdbConverter.convert(
+      ev.filter(col("ts") < lit("2024-01-20").cast("timestamp")), dirA, "ts", opts)
+    TsdbConverter.convert(
+      ev.filter(col("ts") >= lit("2024-01-10").cast("timestamp"))
+        .withColumn("value", col("value") * 1.5), dirB, "ts", opts)
+    TsdbConverter.mergeBlockDirs(s, Seq(dirA, dirB), out,
+      Seq("event_type", "user_id"), "ts", "value", opts)
+    s.read.parquet(out)
+      .select(col("event_type"), col("user_id"), ms(col("ts")).as("ts_ms"),
+        col("value"))
+      .orderBy("event_type", "user_id", "ts_ms", "value")
+  }
+
   private def tsConvertRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val path = "/tmp/graft_roundtrip_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
     TsdbConverter.convert(t(s, dir, "events"), path, "ts",
@@ -415,6 +442,7 @@ object SparkEntry {
     "ts_delta" -> (tsDelta _),
     "ts_schema_roundtrip" -> (tsSchemaRoundtrip _),
     "ts_merge_shards" -> (tsMergeShards _),
+    "ts_merge_blocks" -> (tsMergeBlocks _),
     "ts_convert_roundtrip" -> (tsConvertRoundtrip _),
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
@@ -653,6 +681,17 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT event_type, user_id, ts, value, 1 FROM events
         |  WHERE user_id % 2 = 1 OR value > 100)
+        |GROUP BY event_type, user_id, ts
+        |ORDER BY event_type, user_id, ts_ms, value""".stripMargin,
+    "ts_merge_blocks" ->
+      """SELECT event_type, user_id, epoch_ms(ts) AS ts_ms,
+        |  arg_max(value, sidx) AS value
+        |FROM (
+        |  SELECT event_type, user_id, ts, value, 0 AS sidx FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-20'
+        |  UNION ALL
+        |  SELECT event_type, user_id, ts, value * 1.5, 1 FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-10')
         |GROUP BY event_type, user_id, ts
         |ORDER BY event_type, user_id, ts_ms, value""".stripMargin,
     "dd_exact" ->

@@ -1,6 +1,6 @@
 package graft.tsdb
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Spark-native analog of the reference's TSDB→Parquet converter
@@ -108,5 +108,25 @@ object TsdbConverter {
     val keys = (seriesCols :+ tsCol).map(col)
     all.groupBy(keys: _*)
       .agg(expr(s"max_by(`$valueCol`, _shard_idx)").as(valueCol))
+  }
+
+  /** The reference's block-compaction workflow end to end
+    * (convert/merge.go NewMergeChunkSeriesSet driven by
+    * convert.go:348): read N already-converted block directories
+    * whose series/time ranges may overlap, k-way merge them with
+    * last-writer-wins per (series, ts) — later directory in `dirs`
+    * wins, the analog of the newer block winning a vertical
+    * compaction — and write ONE sorted, time-bucketed output block.
+    * Everything is a single distributed plan: N scans → union →
+    * one merge shuffle → sorted bucketed write; no driver-side
+    * iteration at any scale.
+    */
+  def mergeBlockDirs(spark: SparkSession, dirs: Seq[String], outPath: String,
+      seriesCols: Seq[String], tsCol: String, valueCol: String,
+      opts: ConvertOptions): Unit = {
+    require(dirs.nonEmpty, "need at least one block directory")
+    val merged = mergeShards(dirs.map(spark.read.parquet(_)),
+      seriesCols, tsCol, valueCol)
+    convert(merged, outPath, tsCol, opts)
   }
 }

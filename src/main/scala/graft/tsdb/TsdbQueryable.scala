@@ -73,18 +73,60 @@ final class TsdbQueryable(
   def select(mint: String, maxt: String, matchers: Matcher*): DataFrame =
     select(mint, maxt, matchers.toSeq, Nil, 0L)
 
-  /** Reference error-budget semantics (search/limits.go:52 NewQuota +
-    * parquet_queryable.go:75-90): FAIL the query when the selection
-    * exceeds `rowQuota` instead of silently truncating. Costs one
-    * counting pass capped at rowQuota+1 rows before the caller's
-    * action — the price of a hard budget, paid at budget scale, not
-    * data scale.
+  // Estimated in-memory byte width of one value of a column — the
+  // basis of the byte-denominated budgets. Strings/binary meter
+  // their actual payload; fixed-width types their type width.
+  private def byteWidth(name: String): Column = {
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    df.schema(name).dataType match {
+      case StringType | BinaryType =>
+        coalesce(octet_length(col(name)).cast("long"), lit(0L))
+      case t => lit(t.defaultSize.toLong)
+    }
+  }
+
+  /** Reference error-budget semantics (search/limits.go:44-76
+    * NewQuota and its three budgets — rows, chunk bytes, data bytes —
+    * wired at parquet_queryable.go:401): FAIL the query when the
+    * selection exceeds a quota instead of silently truncating.
+    *
+    *   - `rowQuota`: result row count.
+    *   - `chunkBytesQuota`: bytes of sample payload — the (ts, value)
+    *     pairs, 16 bytes each (the long-format analog of the
+    *     reference's encoded-chunk bytes budget).
+    *   - `dataBytesQuota`: everything materialized — sample payload
+    *     plus the projected label columns at their actual widths.
+    *
+    * With only `rowQuota` set the check is one counting pass capped
+    * at rowQuota+1 rows. A byte quota requires metering the full
+    * selection: still ONE aggregate job emitting a single row (all
+    * three meters partial-aggregate map-side), paid at budget scale,
+    * not data scale.
     */
   @throws[QuotaExceededException]
   def selectStrict(mint: String, maxt: String, matchers: Seq[Matcher],
-      projection: Seq[String] = Nil, rowQuota: Long = 0L): DataFrame = {
+      projection: Seq[String] = Nil, rowQuota: Long = 0L,
+      chunkBytesQuota: Long = 0L, dataBytesQuota: Long = 0L): DataFrame = {
     val base = select(mint, maxt, matchers, projection, 0L)
-    if (rowQuota > 0L) {
+    if (chunkBytesQuota > 0L || dataBytesQuota > 0L) {
+      val labels = if (projection.nonEmpty) projection else labelCols
+      val sampleBytes = lit(16L) // ts (8) + value (8) per sample
+      val rowBytes = labels.map(byteWidth).fold(sampleBytes)(_ + _)
+      val m = base.agg(
+        count(lit(1)).as("_rows"),
+        coalesce(sum(sampleBytes), lit(0L)).as("_chunk_bytes"),
+        coalesce(sum(rowBytes), lit(0L)).as("_data_bytes")).head()
+      val (rows, chunkB, dataB) = (m.getLong(0), m.getLong(1), m.getLong(2))
+      if (rowQuota > 0L && rows > rowQuota)
+        throw new QuotaExceededException(
+          s"select would materialize $rows rows (quota $rowQuota)")
+      if (chunkBytesQuota > 0L && chunkB > chunkBytesQuota)
+        throw new QuotaExceededException(
+          s"select would materialize $chunkB sample bytes (quota $chunkBytesQuota)")
+      if (dataBytesQuota > 0L && dataB > dataBytesQuota)
+        throw new QuotaExceededException(
+          s"select would materialize $dataB data bytes (quota $dataBytesQuota)")
+    } else if (rowQuota > 0L) {
       val probe = math.min(rowQuota, Int.MaxValue.toLong - 1).toInt
       if (base.limit(probe + 1).count() > rowQuota)
         throw new QuotaExceededException(

@@ -31,6 +31,29 @@ class TsdbConverterSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("mergeBlockDirs compacts overlapping converted blocks into one") {
+    val root = Files.createTempDirectory("graft_blocks").toString
+    val opts = ConvertOptions(sortBy = Seq("series"), colDuration = "1 day")
+    // block A: days 1-2; block B overlaps day 2 with a revised value
+    TsdbConverter.convert(Seq(
+        ("a", ts("2024-01-01 10:00:00"), 1.0),
+        ("a", ts("2024-01-02 10:00:00"), 2.0)
+      ).toDF("series", "ts", "value"), s"$root/a", "ts", opts)
+    TsdbConverter.convert(Seq(
+        ("a", ts("2024-01-02 10:00:00"), 20.0),
+        ("a", ts("2024-01-03 10:00:00"), 3.0)
+      ).toDF("series", "ts", "value"), s"$root/b", "ts", opts)
+    TsdbConverter.mergeBlockDirs(spark, Seq(s"$root/a", s"$root/b"),
+      s"$root/out", Seq("series"), "ts", "value", opts)
+    val back = spark.read.parquet(s"$root/out")
+    assert(back.count() == 3) // overlap deduplicated
+    // later block wins the overlapping sample
+    assert(back.filter(col("ts") === ts("2024-01-02 10:00:00"))
+      .head().getAs[Double]("value") == 20.0)
+    // output is itself a bucketed block: one dir per day
+    assert(back.select("bucket").distinct().count() == 3)
+  }
+
   test("convert's bloom filter option reaches the parquet footer") {
     import org.apache.hadoop.conf.Configuration
     import org.apache.hadoop.fs.Path

@@ -46,6 +46,40 @@ class TsdbQueryableSpec extends SparkSpec {
     }
   }
 
+  test("selectStrict chunk-bytes quota meters 16 bytes per sample") {
+    // 4 samples in range → 64 sample bytes
+    assert(q.selectStrict("2024-01-01", "2024-03-01", Nil, Nil,
+      chunkBytesQuota = 64L).count() == 4L)
+    intercept[QuotaExceededException] {
+      q.selectStrict("2024-01-01", "2024-03-01", Nil, Nil,
+        chunkBytesQuota = 63L)
+    }
+  }
+
+  test("selectStrict data-bytes quota meters labels at actual width") {
+    // per row: 16 sample bytes + 3 (job string) + 8 (instance long) = 27
+    assert(q.selectStrict("2024-01-01", "2024-03-01", Nil, Nil,
+      dataBytesQuota = 4 * 27L).count() == 4L)
+    intercept[QuotaExceededException] {
+      q.selectStrict("2024-01-01", "2024-03-01", Nil, Nil,
+        dataBytesQuota = 4 * 27L - 1)
+    }
+    // projection shrinks the metered width: only job + samples = 19/row
+    assert(q.selectStrict("2024-01-01", "2024-03-01", Nil,
+      projection = Seq("job"), dataBytesQuota = 4 * 19L).count() == 4L)
+    intercept[QuotaExceededException] {
+      q.selectStrict("2024-01-01", "2024-03-01", Nil,
+        projection = Seq("job"), dataBytesQuota = 4 * 19L - 1)
+    }
+  }
+
+  test("row quota still enforced alongside byte quotas in one pass") {
+    intercept[QuotaExceededException] {
+      q.selectStrict("2024-01-01", "2024-03-01", Nil, Nil,
+        rowQuota = 3L, chunkBytesQuota = 1000L)
+    }
+  }
+
   test("labelValues respects matchers and limit") {
     val out = q.labelValues("instance", Seq(Matcher.Eq("job", "api")), limit = 1)
     assert(out.collect().map(_.getString(0)).toSeq == Seq("1"))
