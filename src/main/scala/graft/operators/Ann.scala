@@ -39,23 +39,36 @@ object Ann {
     * probe their `nProbe` best cells and only score corpus rows in
     * those cells (join key = cell id).
     */
+  /** Per-row array of (cosine-to-centroid, cell id) for a centroid
+    * set baked in as literals — the zero-shuffle assignment
+    * projection shared by refinement, splitting, and probing.
+    */
+  private def cellScoresFor(cents: Array[Seq[Double]])(v: Column): Column =
+    array(cents.zipWithIndex.map { case (cv, i) =>
+      struct(cosine(v, typedLit(cv)).as("score"), lit(i).as("cell"))
+    }: _*)
+
   /** Lloyd refinement of an IVF quantizer: assign every corpus
     * vector to its best cell (the same zero-shuffle argmax projection
     * ivfTopK uses), then recompute each centroid as the per-dimension
     * mean of its cell — one posexplode + (cell, dim) aggregation per
     * iteration, collected at centroid×dim (metadata) scale. Exactly
     * the distributed k-means step a production IVF build runs.
+    *
+    * Runs at most `maxIters` iterations but stops as soon as no
+    * centroid moves more than `tol` (L2) — convergence-based, no
+    * hand-tuned iteration count.
     */
   def refineCentroids(corpus: DataFrame, vecCol: String,
-      centroids: Array[Seq[Double]], iters: Int): Array[Seq[Double]] = {
+      centroids: Array[Seq[Double]], maxIters: Int,
+      tol: Double = 1e-3): Array[Seq[Double]] = {
     var cur = centroids
     val v = corpus.select(asDouble(col(vecCol)).as("nv"))
-    (0 until iters).foreach { _ =>
-      val cellScores = array(cur.zipWithIndex.map { case (cv, i) =>
-        struct(cosine(col("nv"), typedLit(cv)).as("score"), lit(i).as("cell"))
-      }: _*)
+    var it = 0
+    var moved = Double.MaxValue
+    while (it < maxIters && moved > tol) {
       val means = v
-        .withColumn("cell", array_max(cellScores).getField("cell"))
+        .withColumn("cell", array_max(cellScoresFor(cur)(col("nv"))).getField("cell"))
         .select(col("cell"), posexplode(col("nv")).as(Seq("dim", "x")))
         .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
         .groupBy("cell").agg(map_from_arrays(
@@ -65,29 +78,61 @@ object Ann {
           r.getMap[Int, Double](1).toSeq.sortBy(_._1).map(_._2).toSeq)
         .toMap
       // empty cells keep their previous centroid
-      cur = cur.indices.map(i => means.getOrElse(i, cur(i))).toArray
+      val next = cur.indices.map(i => means.getOrElse(i, cur(i))).toArray
+      moved = cur.zip(next).map { case (a, b) =>
+        math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }.max
+      cur = next
+      it += 1
     }
     cur
   }
 
+  /** Split over-populated IVF cells: any cell holding more than
+    * `factor`× the mean population donates its farthest member (the
+    * lowest-cosine vector — found with one min_by aggregation, no
+    * sort) as an additional centroid. Oversized cells are where IVF
+    * recall and probe cost degrade — a hot cell means its members
+    * compete with too many neighbors under one key at query time.
+    */
+  def splitOversizedCells(corpus: DataFrame, vecCol: String,
+      centroids: Array[Seq[Double]],
+      factor: Double = 4.0): Array[Seq[Double]] = {
+    val v = corpus.select(asDouble(col(vecCol)).as("nv"))
+    val stats = v
+      .withColumn("best", array_max(cellScoresFor(centroids)(col("nv"))))
+      .select(col("best.cell").as("cell"), col("best.score").as("score"), col("nv"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), expr("min_by(nv, score)").as("far"))
+      .collect()
+    val meanN = stats.map(_.getLong(1)).sum.toDouble / centroids.length.max(1)
+    val extra = stats.filter(_.getLong(1) > factor * meanN)
+      .map(_.getSeq[Double](2).toSeq)
+    centroids ++ extra
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
-      refineIters: Int = 0): DataFrame = {
+      refineIters: Int = 8): DataFrame = {
     val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"))
     val seeds = c
       .orderBy(xxhash64(col("nid")), col("nid"))
       .limit(nCentroids)
       .select(col("nv")).collect()
       .map(_.getSeq[Double](0).toSeq)
+    // quantizer build: converge Lloyd (refineIters is a CAP, the tol
+    // stop usually fires first), split hot cells, re-converge
     val centroidRows =
-      if (refineIters > 0) refineCentroids(corpus, vecCol, seeds, refineIters)
-      else seeds
+      if (refineIters > 0) {
+        val refined = refineCentroids(corpus, vecCol, seeds, refineIters)
+        val split = splitOversizedCells(corpus, vecCol, refined)
+        if (split.length > refined.length)
+          refineCentroids(corpus, vecCol, split, refineIters)
+        else refined
+      } else seeds
     // per-row array of (cosine-to-centroid, cell); array_max gives the
     // best cell, sorted+sliced gives the probe list — all codegen'd
-    def cellScores(v: Column): Column = array(centroidRows.zipWithIndex.map {
-      case (cv, i) =>
-        struct(cosine(v, typedLit(cv)).as("score"), lit(i).as("cell"))
-    }: _*)
+    def cellScores(v: Column): Column = cellScoresFor(centroidRows)(v)
     def bestCell(v: Column): Column = array_max(cellScores(v)).getField("cell")
     val assigned = c.withColumn("cell", bestCell(col("nv")))
     val probed = queries

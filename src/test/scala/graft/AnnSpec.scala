@@ -72,4 +72,19 @@ class AnnSpec extends SparkSpec {
     info(f"IVF recall after 2 Lloyd iters = $recall%.2f")
     assert(recall > 0.5)
   }
+
+  test("converged quantizer with cell splitting reaches the recall gate") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 10)
+    def topSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topSet(Ann.bruteForce(emb, queries, "embedding", "vec_id", 10))
+    // default refineIters: convergence-stopped Lloyd + hot-cell split,
+    // nothing hand-tuned per corpus
+    val ivf = topSet(Ann.ivfTopK(emb, queries, "embedding", "vec_id", 10,
+      nCentroids = 16, nProbe = 8))
+    val recall = (ivf & exact).size.toDouble / exact.size
+    info(f"IVF recall, converged + split = $recall%.2f")
+    assert(recall >= 0.85)
+  }
 }
