@@ -111,6 +111,92 @@ object EventsStream {
         })
   }
 
+  /** Buffered samples of one open (series, window). */
+  final case class WindowBuf(
+      windowStartMs: Long, tsMs: Array[Long], vals: Array[Double])
+
+  /** Per-series state: every window not yet sealed by the watermark. */
+  final case class OpenWindows(bufs: Seq[WindowBuf])
+
+  /** One finalized window of a counter series. */
+  final case class WindowIncrease(
+      event_type: String, user_id: Long, window_start: Timestamp,
+      n_samples: Long, increase: Double, rate: Double)
+
+  /** Watermarked per-series windowed counter increase/rate — the
+    * streaming form of PromOps.increase over tumbling windows, with
+    * real late-data semantics: samples are buffered per (series,
+    * window) until the watermark passes the window end, then the
+    * window is sealed ONCE with its samples in event-time order —
+    * so late-but-within-watermark arrivals land in the right place
+    * in the delta chain instead of being dropped or double-counted
+    * (an incremental fold could not reorder them). Append output:
+    * each (series, window) is emitted exactly once, final.
+    *
+    * State is bounded by (live series × open windows per watermark ×
+    * samples per window) — watermark delay controls the window
+    * count; a decimation step upstream bounds samples for
+    * pathological-rate series. Eviction uses event-time timeouts, so
+    * a series that stops sending still seals its windows.
+    */
+  def windowedIncrease(events: Dataset[SeriesEvent], windowLenMs: Long,
+      watermarkDelay: String): Dataset[WindowIncrease] = {
+    import events.sparkSession.implicits._
+    require(windowLenMs > 0, "windowLenMs must be positive")
+
+    def seal(key: (String, Long), buf: WindowBuf): WindowIncrease = {
+      val samples = buf.tsMs.zip(buf.vals).sortBy(_._1)
+      var increase = 0.0
+      var i = 1
+      while (i < samples.length) {
+        val (prev, cur) = (samples(i - 1)._2, samples(i)._2)
+        increase += (if (cur >= prev) cur - prev else cur) // reset → cur
+        i += 1
+      }
+      WindowIncrease(key._1, key._2, new Timestamp(buf.windowStartMs),
+        samples.length.toLong, increase, increase / (windowLenMs / 1000.0))
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(e => (e.event_type, e.user_id))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (String, Long), batch: Iterator[SeriesEvent],
+         state: GroupState[OpenWindows]) => {
+          val wm = state.getCurrentWatermarkMs()
+          val byWin = scala.collection.mutable.Map.empty[Long,
+            (scala.collection.mutable.ArrayBuffer[Long],
+             scala.collection.mutable.ArrayBuffer[Double])]
+          state.getOption.foreach(_.bufs.foreach { b =>
+            byWin(b.windowStartMs) =
+              (b.tsMs.to(scala.collection.mutable.ArrayBuffer),
+               b.vals.to(scala.collection.mutable.ArrayBuffer))
+          })
+          // pre-watermark rows were already filtered by the engine
+          batch.foreach { e =>
+            val t = e.ts.getTime
+            val w = t - java.lang.Math.floorMod(t, windowLenMs)
+            val (tsb, vb) = byWin.getOrElseUpdate(w,
+              (scala.collection.mutable.ArrayBuffer.empty[Long],
+               scala.collection.mutable.ArrayBuffer.empty[Double]))
+            tsb += t; vb += e.value
+          }
+          val (done, open) = byWin.partition { case (w, _) => w + windowLenMs <= wm }
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(OpenWindows(open.toSeq.map { case (w, (tsb, vb)) =>
+              WindowBuf(w, tsb.toArray, vb.toArray)
+            }))
+            // wake this series when the earliest open window expires,
+            // even if it never sends another sample
+            state.setTimeoutTimestamp(open.keys.min + windowLenMs)
+          }
+          done.toSeq.sortBy(_._1).iterator.map { case (w, (tsb, vb)) =>
+            seal(key, WindowBuf(w, tsb.toArray, vb.toArray))
+          }
+        })
+  }
+
   /** Append-mode sink into the converter's bucketed layout. */
   def toBucketedParquet(events: DataFrame, path: String, checkpoint: String) =
     events

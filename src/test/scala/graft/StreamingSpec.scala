@@ -72,6 +72,44 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("windowedIncrease seals windows on watermark with late data in order") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[SeriesEvent]
+    val out = EventsStream.windowedIncrease(mem.toDS(),
+      windowLenMs = 60000L, watermarkDelay = "30 seconds")
+    val query = out.writeStream
+      .format("memory").queryName("win_inc")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // window [00:00, 00:01): 1 -> 3 (+2) ... 2 (reset, +2)
+      mem.addData(
+        SeriesEvent(ts("2024-01-01 00:00:10"), "req", 1L, 1.0),
+        SeriesEvent(ts("2024-01-01 00:00:30"), "req", 1L, 3.0),
+        SeriesEvent(ts("2024-01-01 00:00:50"), "req", 1L, 2.0))
+      query.processAllAvailable()
+      // watermark = 00:00:50 - 30s = 00:00:20 < window end → nothing
+      // sealed yet; a LATE sample (ts 00:00:40, above watermark)
+      // must land between the 00:00:30 and 00:00:50 samples
+      mem.addData(SeriesEvent(ts("2024-01-01 00:00:40"), "req", 1L, 3.5))
+      query.processAllAvailable()
+      assert(s.sql("SELECT count(*) FROM win_inc").head.getLong(0) == 0L)
+      // advance the watermark past the window end → seal + emit once
+      mem.addData(SeriesEvent(ts("2024-01-01 00:02:00"), "req", 1L, 10.0))
+      query.processAllAvailable()
+      val rows = s.sql(
+        "SELECT event_type, user_id, n_samples, increase, rate FROM win_inc")
+        .collect()
+      assert(rows.length == 1)
+      // ordered chain 1 -> 3 -> 3.5 -> 2: (+2) (+0.5) (reset +2) = 4.5
+      assert(rows.head.getLong(2) == 4L)
+      assert(rows.head.getDouble(3) == 4.5)
+      assert(rows.head.getDouble(4) == 4.5 / 60.0)
+    } finally query.stop()
+  }
+
   test("runningIncrease accumulates counter deltas across batches with reset") {
     val s = spark
     import s.implicits._
