@@ -368,7 +368,7 @@ object SparkEntry {
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Ann.ivfTopK(emb, emb.filter(col("vec_id") < 5), "embedding", "vec_id",
-        k = 10, nCentroids = 16, nProbe = 8)
+        k = 10, nCentroids = 16, nProbe = 8, trainFraction = 0.25)
       .orderBy("qid", "rank")
   }
 

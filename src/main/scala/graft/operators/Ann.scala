@@ -61,7 +61,7 @@ object Ann {
     */
   def refineCentroids(corpus: DataFrame, vecCol: String,
       centroids: Array[Seq[Double]], maxIters: Int,
-      tol: Double = 1e-3): Array[Seq[Double]] = {
+      tol: Double = 5e-3): Array[Seq[Double]] = {
     var cur = centroids
     val v = corpus.select(asDouble(col(vecCol)).as("nv"))
     var it = 0
@@ -113,21 +113,29 @@ object Ann {
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
-      refineIters: Int = 8): DataFrame = {
+      refineIters: Int = 8, trainFraction: Double = 1.0): DataFrame = {
     val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"))
     val seeds = c
       .orderBy(xxhash64(col("nid")), col("nid"))
       .limit(nCentroids)
       .select(col("nv")).collect()
       .map(_.getSeq[Double](0).toSeq)
-    // quantizer build: converge Lloyd (refineIters is a CAP, the tol
-    // stop usually fires first), split hot cells, re-converge
+    // quantizer TRAINING can run on a sample — the standard IVF
+    // build (a quantizer is a coarse partitioner; its quality is
+    // statistical, not per-row). At 100 TB you train on a fixed-seed
+    // sample and assign the full corpus once.
+    val train =
+      if (trainFraction < 1.0) corpus.sample(false, trainFraction, 42L)
+      else corpus
+    // converge Lloyd (refineIters is a CAP, the tol stop usually
+    // fires first), split hot cells, then a short re-converge — the
+    // split centroids only need local settling
     val centroidRows =
       if (refineIters > 0) {
-        val refined = refineCentroids(corpus, vecCol, seeds, refineIters)
-        val split = splitOversizedCells(corpus, vecCol, refined)
+        val refined = refineCentroids(train, vecCol, seeds, refineIters)
+        val split = splitOversizedCells(train, vecCol, refined)
         if (split.length > refined.length)
-          refineCentroids(corpus, vecCol, split, refineIters)
+          refineCentroids(train, vecCol, split, math.min(refineIters, 3))
         else refined
       } else seeds
     // per-row array of (cosine-to-centroid, cell); array_max gives the

@@ -110,7 +110,17 @@ object Dedup {
     */
   def jaccardVerify(candidates: DataFrame, df: DataFrame, textCol: String,
       idCol: String, n: Int): DataFrame = {
-    val sets = shingles(df, textCol, idCol, n)
+    // build shingle sets ONLY for documents that appear in a
+    // candidate pair (semi-join pre-filter): the expensive
+    // distinct+collect_set runs at candidate scale, not corpus
+    // scale — on a 100 TB corpus with a bounded candidate set this
+    // is the difference between re-shingling everything and
+    // re-shingling the near-dup suspects
+    val wanted = candidates.select(col("id_a").as(idCol))
+      .union(candidates.select(col("id_b").as(idCol)))
+      .distinct()
+    val sets = shingles(df.join(wanted, Seq(idCol), "left_semi"),
+        textCol, idCol, n)
       .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sh_set"))
     candidates.select("id_a", "id_b")
       .join(sets.select(col(idCol).as("id_a"), col("sh_set").as("set_a")), "id_a")
@@ -226,6 +236,18 @@ object Dedup {
   def minHashLsh(df: DataFrame, textCol: String, idCol: String,
       n: Int = 4, k: Int = 32, bands: Int = 8,
       bucketCap: Int = 10000): DataFrame = {
+    val (repPairs, memberOf) =
+      minHashLshReps(df, textCol, idCol, n, k, bands, bucketCap)
+    expandPairs(repPairs, memberOf, Seq("est_jaccard"), Seq(lit(1.0)))
+  }
+
+  /** Representative-level banded candidates + the member mapping —
+    * the building block [[minHashLsh]] and [[minHashNearDup]] share
+    * so the latter can run its estimate filter and exact verify at
+    * DISTINCT-CONTENT scale and expand member pairs only at the end.
+    */
+  private def minHashLshReps(df: DataFrame, textCol: String, idCol: String,
+      n: Int, k: Int, bands: Int, bucketCap: Int): (DataFrame, DataFrame) = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val rows = k / bands
     val keyed = df.select(md5(col(textCol)).as("_ck"), col(idCol), col(textCol))
@@ -264,7 +286,7 @@ object Dedup {
           (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / k, 4))
       .select(col("rid_a"), col("rid_b"), col("est_jaccard"))
-    expandPairs(repPairs, memberOf, Seq("est_jaccard"), Seq(lit(1.0)))
+    (repPairs, memberOf)
   }
 
   /** Three-phase near-dup — the 100 TB shape, packaged:
@@ -284,12 +306,31 @@ object Dedup {
     */
   def minHashNearDup(df: DataFrame, textCol: String, idCol: String,
       n: Int = 4, k: Int = 32, bands: Int = 8, threshold: Double,
-      estSlack: Double = 0.2): DataFrame =
-    jaccardVerify(
-        minHashLsh(df, textCol, idCol, n, k, bands)
-          .filter(col("est_jaccard") >= threshold - estSlack),
-        df, textCol, idCol, n)
+      estSlack: Double = 0.2, bucketCap: Int = 10000): DataFrame = {
+    // the whole estimate→verify pipeline runs on representatives
+    // (distinct content); member pairs are expanded from verified
+    // rep pairs at the very end — identical text ⇒ identical shingle
+    // sets ⇒ members inherit the rep pair's exact jaccard, and a
+    // duplicate cluster costs ONE verify instead of M²
+    val (repPairs, memberOf) =
+      minHashLshReps(df, textCol, idCol, n, k, bands, bucketCap)
+    // materialize the candidate set ONCE: it is the bounded
+    // intermediate of the two-phase pipeline (candidate-scale, never
+    // corpus-scale), and the verify stage references it three times
+    // (both sides of the set join + the doc pre-filter) — without
+    // cutting lineage here the whole banding pipeline would be
+    // re-derived per reference. At 100 TB this materialization is a
+    // temp-table write between the candidate and verify jobs.
+    val cands = repPairs.filter(col("est_jaccard") >= threshold - estSlack)
+      .select(col("rid_a").as("id_a"), col("rid_b").as("id_b"))
+      .localCheckpoint()
+    val verified = jaccardVerify(cands, df, textCol, idCol, n)
       .filter(col("jaccard") >= threshold)
+    expandPairs(
+      verified.select(col("id_a").as("rid_a"), col("id_b").as("rid_b"),
+        col("jaccard")),
+      memberOf, Seq("jaccard"), Seq(lit(1.0)))
+  }
 
   // SimHash bit-count packing: 3 bit-counters per long, 21 bits each.
   // 22 packed sums replace 64 independent sum(when(±1)) aggregates —
