@@ -24,7 +24,8 @@ object PlanAudit {
 
     var failures = List.empty[String]
 
-    def audit(name: String, df: DataFrame, expect: Map[String, String]): Unit = {
+    def audit(name: String, df: DataFrame, expect: Map[String, String],
+        forbid: Map[String, String] = Map.empty): Unit = {
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       println(s"\n===== $name =====")
@@ -36,6 +37,11 @@ object PlanAudit {
       expect.foreach { case (what, needle) =>
         val ok = plan.contains(needle)
         println(s"[audit] $name :: $what -> ${if (ok) "OK" else "MISSING ('" + needle + "')"}")
+        if (!ok) failures ::= s"$name: $what"
+      }
+      forbid.foreach { case (what, needle) =>
+        val ok = !plan.contains(needle)
+        println(s"[audit] $name :: $what -> ${if (ok) "OK" else "PRESENT ('" + needle + "')"}")
         if (!ok) failures ::= s"$name: $what"
       }
     }
@@ -66,6 +72,21 @@ object PlanAudit {
     audit("ts_select_eq",
       SparkEntry.queries("ts_select_eq")(spark, dir),
       Map("matcher equality pushed" -> "EqualTo(event_type,click)"))
+
+    // The banded dedup joins must stay equi-joins on bucket keys —
+    // never a cartesian/broadcast-nested-loop over the corpus — and
+    // the documents scan must read only (doc_id, text).
+    audit("dd_minhash_lsh",
+      SparkEntry.queries("dd_minhash_lsh")(spark, dir),
+      Map("documents scan pruned" -> "struct<doc_id:bigint,text:string>"),
+      Map("no cartesian product" -> "CartesianProduct",
+        "no nested-loop self-join" -> "BroadcastNestedLoopJoin"))
+
+    audit("dd_simhash",
+      SparkEntry.queries("dd_simhash")(spark, dir),
+      Map.empty,
+      Map("no cartesian product" -> "CartesianProduct",
+        "no nested-loop self-join" -> "BroadcastNestedLoopJoin"))
 
     // Matcher IN fast-path must reach the scan as an In() filter.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
