@@ -249,6 +249,20 @@ object SparkEntry {
       .select(col("event_type"), col("user_id"), round(col("delta"), 4).as("delta"))
       .orderBy("event_type", "user_id")
 
+  private def tsDownsample(s: SparkSession, dir: String): DataFrame =
+    PromOps.downsample(t(s, dir, "events"), Seq("event_type", "user_id"),
+        "ts", "value", "day")
+      .select(col("event_type"), col("user_id"), ms(col("bucket")).as("bucket_ms"),
+        col("avg_value"), col("max_value"), col("n_samples"))
+      .orderBy("event_type", "user_id", "bucket_ms")
+
+  private def tsTopkSeries(s: SparkSession, dir: String): DataFrame =
+    PromOps.topKSeries(t(s, dir, "events"), Seq("event_type"),
+        Seq("user_id"), "value", k = 3)
+      .select(col("event_type"), col("user_id"),
+        round(col("sum_value"), 4).as("sum_value"), col("rank"))
+      .orderBy("event_type", "rank")
+
   /** Open-label-set round trip: map labels → l_* physical columns
     * (schema builder analog) → back to a map → aggregate. Exercises
     * LabelSchema.spread/gather end-to-end against a plain oracle.
@@ -440,6 +454,8 @@ object SparkEntry {
     "ts_agg_by" -> (tsAggBy _),
     "ts_resets" -> (tsResets _),
     "ts_delta" -> (tsDelta _),
+    "ts_downsample" -> (tsDownsample _),
+    "ts_topk_series" -> (tsTopkSeries _),
     "ts_schema_roundtrip" -> (tsSchemaRoundtrip _),
     "ts_merge_shards" -> (tsMergeShards _),
     "ts_merge_blocks" -> (tsMergeBlocks _),
@@ -669,6 +685,26 @@ object SparkEntry {
         |                   AND UNBOUNDED FOLLOWING))
         |WHERE rn = 1
         |ORDER BY event_type, user_id""".stripMargin,
+    "ts_downsample" ->
+      """SELECT event_type, user_id,
+        |  epoch_ms(date_trunc('day', ts)) AS bucket_ms,
+        |  CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) / count(*) AS avg_value,
+        |  max(value) AS max_value, count(*) AS n_samples
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY event_type, user_id, bucket_ms""".stripMargin,
+    "ts_topk_series" ->
+      """SELECT event_type, user_id, round(sum_value, 4) AS sum_value, "rank"
+        |FROM (
+        |  SELECT event_type, user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) DESC,
+        |               user_id) AS BIGINT) AS "rank"
+        |  FROM events
+        |  GROUP BY event_type, user_id)
+        |WHERE "rank" <= 3
+        |ORDER BY event_type, "rank"""".stripMargin,
     "ts_schema_roundtrip" ->
       """SELECT event_type, count(*) AS n FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -146,13 +146,35 @@ object PromOps {
 
   /** Downsample to fixed windows: per-series per-bucket aggregates
     * (avg/max/count) — the `*_over_time` family over aligned steps.
+    * The average is an exact decimal sum divided once — independent
+    * of partition/accumulation order, so results are identical on
+    * any cluster size (and bitwise-comparable across engines).
     */
   def downsample(df: DataFrame, seriesCols: Seq[String], tsCol: String,
       valueCol: String, window: String): DataFrame =
     df.groupBy((seriesCols.map(col) :+
         date_trunc(window, col(tsCol)).as("bucket")): _*)
       .agg(
-        avg(col(valueCol)).as("avg_value"),
+        (sum(col(valueCol).cast("decimal(30,8)")).cast("double") /
+          count(lit(1))).as("avg_value"),
         max(col(valueCol)).as("max_value"),
         count(lit(1)).as("n_samples"))
+
+  /** PromQL `topk(k, ... ) by (group labels)`: the k series with the
+    * largest range-sum of the value within each group. One partial-
+    * aggregating shuffle to series grain, then a WindowGroupLimit-
+    * able rank over the (small) per-group series set. Total-order
+    * tiebreak on the series key keeps results engine-deterministic.
+    */
+  def topKSeries(df: DataFrame, groupCols: Seq[String],
+      seriesCols: Seq[String], valueCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val perSeries = df.groupBy((groupCols ++ seriesCols).map(col): _*)
+      .agg(sum(col(valueCol).cast("decimal(30,8)")).cast("double")
+        .as("sum_value"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("sum_value").desc +: seriesCols.map(col): _*)
+    perSeries.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

@@ -96,4 +96,18 @@ class PromOpsSpec extends SparkSpec {
       .collect()
     assert(out.length == 4) // four distinct minutes for series a
   }
+
+  test("topKSeries ranks series by range-sum within each group") {
+    import spark.implicits._
+    val data = Seq(
+      ("api", 1L, 10.0), ("api", 1L, 5.0), // sum 15
+      ("api", 2L, 20.0),                   // sum 20
+      ("api", 3L, 1.0),                    // sum 1
+      ("web", 7L, 2.0)
+    ).toDF("job", "instance", "value")
+    val out = PromOps.topKSeries(data, Seq("job"), Seq("instance"), "value", 2)
+      .orderBy("job", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(out.toSeq == Seq(("api", 2L, 1L), ("api", 1L, 2L), ("web", 7L, 1L)))
+  }
 }
