@@ -736,10 +736,14 @@ object SparkEntry {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "dd_ngram_jaccard" ->
-      """WITH pos AS (
-        |  SELECT doc_id, text,
+      """WITH keyed AS (SELECT doc_id, text, md5(text) AS ck FROM documents),
+        |grp AS (SELECT ck, min(doc_id) AS rid, min(text) AS text
+        |        FROM keyed GROUP BY ck),
+        |members AS (SELECT ck, doc_id AS mid FROM keyed),
+        |pos AS (
+        |  SELECT rid AS doc_id, text,
         |    unnest(range(1, greatest(length(text) - 3, 1) + 1)) AS i
-        |  FROM documents),
+        |  FROM grp),
         |sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 4) AS shingle FROM pos),
         |capped AS (
         |  SELECT doc_id, shingle FROM (
@@ -747,17 +751,31 @@ object SparkEntry {
         |  WHERE df <= 100),
         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM capped GROUP BY doc_id),
         |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  SELECT a.doc_id AS rid_a, b.doc_id AS rid_b, count(*) AS inter
         |  FROM capped a JOIN capped b USING (shingle)
         |  WHERE a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b, jaccard FROM (
-        |  SELECT id_a, id_b,
-        |    round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
-        |  FROM inter
-        |  JOIN sizes sa ON sa.doc_id = id_a
-        |  JOIN sizes sb ON sb.doc_id = id_b)
-        |WHERE jaccard >= 0.8
+        |  GROUP BY 1, 2),
+        |reppairs AS (
+        |  SELECT rid_a, rid_b, jaccard FROM (
+        |    SELECT rid_a, rid_b,
+        |      round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+        |    FROM inter
+        |    JOIN sizes sa ON sa.doc_id = rid_a
+        |    JOIN sizes sb ON sb.doc_id = rid_b)
+        |  WHERE jaccard >= 0.8),
+        |expanded AS (
+        |  SELECT least(ma.mid, mb.mid) AS id_a,
+        |    greatest(ma.mid, mb.mid) AS id_b, jaccard
+        |  FROM reppairs
+        |  JOIN grp ga ON ga.rid = rid_a
+        |  JOIN members ma ON ma.ck = ga.ck
+        |  JOIN grp gb ON gb.rid = rid_b
+        |  JOIN members mb ON mb.ck = gb.ck
+        |  UNION ALL
+        |  SELECT m1.mid, m2.mid, 1.0
+        |  FROM members m1 JOIN members m2
+        |    ON m1.ck = m2.ck AND m1.mid < m2.mid)
+        |SELECT id_a, id_b, jaccard FROM expanded
         |ORDER BY id_a, id_b""".stripMargin,
     "dd_embed_neardup" ->
       """SELECT id_a, id_b, cos_sim FROM (

@@ -80,24 +80,41 @@ object Dedup {
     * bounded fan-out. At 100 TB, prefer [[minHashLsh]] for candidate
     * generation and [[jaccardVerify]] to score only those pairs; the
     * math here is identical.
+    *
+    * Exact duplicates are collapsed BEFORE shingling, so document
+    * frequency counts DISTINCT CONTENTS. This is both the scale
+    * guard (a duplicate cluster contributes one inverted-index entry
+    * per shingle, not M) and a correctness fix: with per-document df,
+    * a duplicate cluster larger than `dfCap` would push every one of
+    * its shingles over the cap and the cluster's pairs — the most
+    * duplicated content in the corpus — would silently vanish from
+    * the output. Member pairs are expanded back afterwards
+    * (intra-cluster pairs at jaccard 1.0).
     */
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
       n: Int, threshold: Double, dfCap: Long): DataFrame = {
-    val sh = cappedShingles(df, textCol, idCol, n, dfCap)
+    val keyed = df.select(md5(col(textCol)).as("_ck"), col(idCol), col(textCol))
+    val reps = keyed.groupBy(col("_ck"))
+      .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
+    val memberOf = reps.select(col("_ck"), col(idCol).as("_rid"))
+      .join(keyed.select(col("_ck"), col(idCol).as("_mid")), "_ck")
+      .select(col("_rid"), col("_mid"))
+    val sh = cappedShingles(reps, textCol, idCol, n, dfCap)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
-    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    val a = sh.select(col(idCol).as("rid_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("rid_b"), col("shingle"))
     val inter = a.join(b, "shingle")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("na")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("nb")), "id_b")
+      .filter(col("rid_a") < col("rid_b"))
+      .groupBy("rid_a", "rid_b").agg(count(lit(1)).as("inter"))
+    val repPairs = inter
+      .join(sizes.select(col(idCol).as("rid_a"), col("n_sh").as("na")), "rid_a")
+      .join(sizes.select(col(idCol).as("rid_b"), col("n_sh").as("nb")), "rid_b")
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("rid_a"), col("rid_b"), col("jaccard"))
+    expandPairs(repPairs, memberOf, Seq("jaccard"), Seq(lit(1.0)))
   }
 
   /** Exact Jaccard for an explicit candidate-pair set only — the

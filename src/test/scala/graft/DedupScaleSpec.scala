@@ -47,6 +47,17 @@ class DedupScaleSpec extends graft.SparkSpec {
     assert(out.filter(col("id_b") > 2000).count() == 0)
   }
 
+  test("ngramJaccard: a dup cluster larger than dfCap keeps its pairs") {
+    // with per-document df, every shingle of the 1000-copy cluster
+    // has df >= 1000 > dfCap and the cluster's pairs would vanish;
+    // distinct-content df keeps them
+    val out = Dedup.ngramJaccard(docs, "text", "doc_id",
+      n = 3, threshold = 0.8, dfCap = 100)
+    val intra = out.filter(col("id_a") <= 1000 && col("id_b") <= 1000)
+    assert(intra.count() == 1000L * 999 / 2)
+    assert(intra.filter(col("jaccard") =!= 1.0).count() == 0)
+  }
+
   test("simHashNearDup: dup cluster expands at hamming 0, near-dup kept") {
     val out = Dedup.simHashNearDup(docs, "text", "doc_id",
       maxHamming = 16, nBands = 4)
