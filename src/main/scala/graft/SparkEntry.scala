@@ -430,6 +430,15 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  private def mmResize(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.resizeStub(
+        graft.multimodal.Multimodal.asMediaTable(
+          t(s, dir, "documents"), "doc_id", "text"), maxDim = 256)
+      .select(col("media_id"), col("meta_width").cast("long").as("meta_width"),
+        col("meta_height").cast("long").as("meta_height"),
+        length(col("payload")).cast("long").as("payload_bytes"))
+      .orderBy("media_id")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_filter_project" -> (q01 _),
@@ -476,6 +485,7 @@ object SparkEntry {
     "txt_fingerprint" -> (txtFingerprint _),
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
+    "mm_resize" -> (mmResize _),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only

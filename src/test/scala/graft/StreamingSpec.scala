@@ -110,6 +110,31 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("toBucketedParquet writes the converter's bucketed layout from a stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val mem = MemoryStream[(Timestamp, String, Long, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "user_id", "value")
+    val query = EventsStream.toBucketedParquet(
+      events, s"$root/data", s"$root/ckpt").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:00:00"), "click", 1L, 1.0),
+        (ts("2024-01-02 10:00:00"), "click", 1L, 2.0))
+      query.processAllAvailable()
+      val back = s.read.parquet(s"$root/data")
+      assert(back.count() == 2)
+      // one partition directory per day bucket — the same layout
+      // TsdbConverter.convert writes, so the batch queryable can
+      // read the streamed table with identical pruning
+      assert(back.select("bucket").distinct().count() == 2)
+      assert(new java.io.File(s"$root/data").listFiles()
+        .count(_.getName.startsWith("bucket=")) == 2)
+    } finally query.stop()
+  }
+
   test("runningIncrease accumulates counter deltas across batches with reset") {
     val s = spark
     import s.implicits._
