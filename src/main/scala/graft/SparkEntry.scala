@@ -317,6 +317,40 @@ object SparkEntry {
       .orderBy("event_type", "user_id", "ts_ms", "value")
   }
 
+  /** End-to-end storage→query check: select over the CONVERTED
+    * bucketed layout (with a time filter that prunes partition
+    * directories and an equality matcher that prunes row groups)
+    * must answer exactly what the same select answers on the raw
+    * table — the oracle runs on raw `events`.
+    */
+  private def tsConvertedSelect(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_convsel_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+    TsdbConverter.convert(t(s, dir, "events"), path, "ts",
+      ConvertOptions(sortBy = Seq("event_type", "user_id"),
+        colDuration = "1 day", bloomFilterLabels = Seq("event_type"),
+        shards = 4))
+    val q = new TsdbQueryable(s.read.parquet(path), Seq("event_type", "user_id"))
+    withTsMs(q.select("2024-01-05", "2024-01-20", Matcher.Eq("event_type", "view")))
+      .orderBy("ts_ms", "user_id", "value")
+  }
+
+  /** Salted fact-dim join (Zipfian-key guard, SURVEY §5): result
+    * must be IDENTICAL to the plain join — the oracle is the plain
+    * SQL join, so the salt/replicate/drop plumbing is provably
+    * transparent.
+    */
+  private def q11SkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val fact = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val dim = t(s, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    graft.operators.Skew.saltedJoin(fact, dim, "o_custkey", "o_orderkey", 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(dsum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy("c_mktsegment")
+  }
+
   private def tsConvertRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val path = "/tmp/graft_roundtrip_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
     TsdbConverter.convert(t(s, dir, "events"), path, "ts",
@@ -451,6 +485,7 @@ object SparkEntry {
     "q08_rollup" -> (q08 _),
     "q09_json_extract" -> (q09 _),
     "q10_time_bucket" -> (q10 _),
+    "q11_skew_join" -> (q11SkewJoin _),
     "ts_select_eq" -> (tsSelectEq _),
     "ts_select_regex" -> (tsSelectRegex _),
     "ts_select_not_regex" -> (tsSelectNotRegex _),
@@ -469,6 +504,7 @@ object SparkEntry {
     "ts_merge_shards" -> (tsMergeShards _),
     "ts_merge_blocks" -> (tsMergeBlocks _),
     "ts_convert_roundtrip" -> (tsConvertRoundtrip _),
+    "ts_converted_select" -> (tsConvertedSelect _),
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
@@ -580,10 +616,22 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY event_type, bucket_ms""".stripMargin,
+    "q11_skew_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "ts_select_eq" ->
       """SELECT event_type, user_id, value, epoch_ms(ts) AS ts_ms
         |FROM events
         |WHERE event_type = 'click'
+        |  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
+        |ORDER BY ts_ms, user_id, value""".stripMargin,
+    "ts_converted_select" ->
+      """SELECT event_type, user_id, value, epoch_ms(ts) AS ts_ms
+        |FROM events
+        |WHERE event_type = 'view'
         |  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
         |ORDER BY ts_ms, user_id, value""".stripMargin,
     "ts_select_regex" ->
