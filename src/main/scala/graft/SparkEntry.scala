@@ -358,7 +358,7 @@ object SparkEntry {
         colDuration = "1 day", bloomFilterLabels = Seq("event_type"),
         shards = 4))
     s.read.parquet(path)
-      .groupBy("bucket")
+      .groupBy(col("bucket").cast("long").as("bucket"))
       .agg(count(lit(1)).as("n"), round(dsum(col("value")), 2).as("sum_value"))
       .orderBy("bucket")
   }
@@ -766,6 +766,26 @@ object SparkEntry {
     "ts_schema_roundtrip" ->
       """SELECT event_type, count(*) AS n FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ts_convert_roundtrip" ->
+      """SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
+    "mm_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id, octet_length(encode(text)) AS nb
+        |  FROM documents),
+        |idx AS (
+        |  SELECT media_id, nb,
+        |    unnest(range(0, greatest(CAST(ceil(nb / 64.0) AS BIGINT), 1))) AS frame_idx
+        |  FROM f WHERE nb > 0)
+        |SELECT media_id, frame_idx,
+        |  CAST(least(64, nb - frame_idx * 64) AS BIGINT) AS frame_bytes
+        |FROM idx
+        |WHERE frame_idx % 2 = 0
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "ts_merge_shards" ->
       """SELECT event_type, user_id, epoch_ms(ts) AS ts_ms,
         |  arg_max(value, sidx) AS value
