@@ -263,6 +263,10 @@ object SparkEntry {
         round(col("sum_value"), 4).as("sum_value"), col("rank"))
       .orderBy("event_type", "rank")
 
+  private def tsCountValues(s: SparkSession, dir: String): DataFrame =
+    PromOps.countValues(t(s, dir, "events"), Seq("event_type"), "value")
+      .orderBy("event_type", "value")
+
   /** Open-label-set round trip: map labels → l_* physical columns
     * (schema builder analog) → back to a map → aggregate. Exercises
     * LabelSchema.spread/gather end-to-end against a plain oracle.
@@ -500,6 +504,7 @@ object SparkEntry {
     "ts_delta" -> (tsDelta _),
     "ts_downsample" -> (tsDownsample _),
     "ts_topk_series" -> (tsTopkSeries _),
+    "ts_count_values" -> (tsCountValues _),
     "ts_schema_roundtrip" -> (tsSchemaRoundtrip _),
     "ts_merge_shards" -> (tsMergeShards _),
     "ts_merge_blocks" -> (tsMergeBlocks _),
@@ -763,6 +768,11 @@ object SparkEntry {
         |  GROUP BY event_type, user_id)
         |WHERE "rank" <= 3
         |ORDER BY event_type, "rank"""".stripMargin,
+    "ts_count_values" ->
+      """SELECT event_type, value, count(*) AS n_samples
+        |FROM events
+        |GROUP BY event_type, value
+        |ORDER BY event_type, value""".stripMargin,
     "ts_schema_roundtrip" ->
       """SELECT event_type, count(*) AS n FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,

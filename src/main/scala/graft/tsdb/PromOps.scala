@@ -144,6 +144,14 @@ object PromOps {
       .agg(max(col("_last") - col("_first")).as("delta"))
   }
 
+  /** PromQL `count_values by (labels)`: how many samples carry each
+    * exact value within each group — one partial-aggregating shuffle
+    * keyed (labels, value).
+    */
+  def countValues(df: DataFrame, by: Seq[String], valueCol: String): DataFrame =
+    df.groupBy((by.map(col) :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("n_samples"))
+
   /** Downsample to fixed windows: per-series per-bucket aggregates
     * (avg/max/count) — the `*_over_time` family over aligned steps.
     * The average is an exact decimal sum divided once — independent
