@@ -99,6 +99,14 @@ object Dedup {
     val memberOf = reps.select(col("_ck"), col(idCol).as("_rid"))
       .join(keyed.select(col("_ck"), col(idCol).as("_mid")), "_ck")
       .select(col("_rid"), col("_mid"))
+    // NOTE on prefix filtering: the AllPairs/PPJoin prefix trick
+    // (index only each doc's |A|-⌈t·|A|⌉+1 rarest shingles) was
+    // measured here and LOST to the capped inverted index on this
+    // corpus shape — a sub-1k shingle universe where the df-cap
+    // already bounds the join, so the extra per-doc sort and df join
+    // were pure overhead. With the cap the join output is bounded by
+    // Σ_shingle df² ≤ |universe|·dfCap²; [[minHashLsh]] remains the
+    // scale path for corpora where that bound is not small.
     val sh = cappedShingles(reps, textCol, idCol, n, dfCap)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(idCol).as("rid_a"), col("shingle"))
