@@ -14,11 +14,20 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Content key for exact-dup grouping: SHA-256, not MD5 — MD5
+    * collisions are practically constructible, and a collision here
+    * silently merges two DISTINCT documents into one "exact
+    * duplicate" group (reported as jaccard-1.0 pairs and excluded
+    * from real near-dup scoring). The embedding path avoids the
+    * question entirely by grouping on the vector value itself.
+    */
+  private def contentKey(text: Column): Column = sha2(text, 256)
+
   /** Exact dedup: rank rows within identical-content groups so
     * `dup_rank > 1` rows can be dropped. One hash-shuffle.
     */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val h = md5(col(textCol))
+    val h = contentKey(col(textCol))
     val w = Window.partitionBy(h).orderBy(col(idCol))
     df.select(col(idCol), h.as("content_hash"),
       row_number().over(w).as("dup_rank"))
@@ -36,12 +45,23 @@ object Dedup {
         col(textCol))
       .select(col(idCol), expr(s"substring(`$textCol`, pos, $n)").as("shingle"))
 
+  /** Per-document distinct-shingle SET as an array column — computed
+    * entirely inside one projection (sequence → transform →
+    * array_distinct), so set semantics cost ZERO shuffle: dedup
+    * happens within the row, not across the corpus. The 100 TB win
+    * over explode-then-distinct is a full corpus-sized exchange.
+    */
+  def shingleSet(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol), expr(
+      s"array_distinct(transform(sequence(1, greatest(length(`$textCol`) - ${n - 1}, 1)), " +
+        s"p -> substring(`$textCol`, p, $n)))").as("sh_set"))
+
   /** Distinct character n-gram shingles per document: one row per
-    * (id, shingle). The inverted-index building block for the
-    * Jaccard path (set semantics cost one dedup shuffle).
+    * (id, shingle) — [[shingleSet]] exploded. Narrow map, no shuffle.
     */
   def shingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    shingleOccurrences(df, textCol, idCol, n).distinct()
+    shingleSet(df, textCol, idCol, n)
+      .select(col(idCol), explode(col("sh_set")).as("shingle"))
 
   /** [[shingles]] with stop-shingles removed: any shingle whose
     * document frequency exceeds `dfCap` is dropped BEFORE any join.
@@ -93,7 +113,7 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
       n: Int, threshold: Double, dfCap: Long): DataFrame = {
-    val keyed = df.select(md5(col(textCol)).as("_ck"), col(idCol), col(textCol))
+    val keyed = df.select(contentKey(col(textCol)).as("_ck"), col(idCol), col(textCol))
     val reps = keyed.groupBy(col("_ck"))
       .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
     val memberOf = reps.select(col("_ck"), col(idCol).as("_rid"))
@@ -107,7 +127,16 @@ object Dedup {
     // were pure overhead. With the cap the join output is bounded by
     // Σ_shingle df² ≤ |universe|·dfCap²; [[minHashLsh]] remains the
     // scale path for corpora where that bound is not small.
-    val sh = cappedShingles(reps, textCol, idCol, n, dfCap)
+    // materialize the capped inverted index ONCE: it is the bounded
+    // intermediate of this pipeline (≤ |universe|·dfCap rows by
+    // construction), and it is referenced three times below (both
+    // sides of the self-join + the size table). Without cutting
+    // lineage the expensive part — the shingle explode + distinct
+    // shuffle + df-count over the RAW corpus — is re-derived per
+    // reference. Same pattern as minHashNearDup's candidate set; at
+    // 100 TB this is a temp-table write between the index-build and
+    // pair-count jobs.
+    val sh = cappedShingles(reps, textCol, idCol, n, dfCap).localCheckpoint()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(idCol).as("rid_a"), col("shingle"))
     val b = sh.select(col(idCol).as("rid_b"), col("shingle"))
@@ -136,17 +165,17 @@ object Dedup {
   def jaccardVerify(candidates: DataFrame, df: DataFrame, textCol: String,
       idCol: String, n: Int): DataFrame = {
     // build shingle sets ONLY for documents that appear in a
-    // candidate pair (semi-join pre-filter): the expensive
-    // distinct+collect_set runs at candidate scale, not corpus
-    // scale — on a 100 TB corpus with a bounded candidate set this
-    // is the difference between re-shingling everything and
-    // re-shingling the near-dup suspects
+    // candidate pair (semi-join pre-filter): the set projection runs
+    // at candidate scale, not corpus scale — on a 100 TB corpus with
+    // a bounded candidate set this is the difference between
+    // re-shingling everything and re-shingling the near-dup suspects.
+    // The set itself is a single projection ([[shingleSet]]), so the
+    // only shuffles here are the semi-join and the pair joins.
     val wanted = candidates.select(col("id_a").as(idCol))
       .union(candidates.select(col("id_b").as(idCol)))
       .distinct()
-    val sets = shingles(df.join(wanted, Seq(idCol), "left_semi"),
-        textCol, idCol, n)
-      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sh_set"))
+    val sets = shingleSet(df.join(wanted, Seq(idCol), "left_semi"),
+      textCol, idCol, n)
     candidates.select("id_a", "id_b")
       .join(sets.select(col(idCol).as("id_a"), col("sh_set").as("set_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("sh_set").as("set_b")), "id_b")
@@ -212,6 +241,12 @@ object Dedup {
     * and row counts are published as the observed metric `metric`
     * (columns dropped_buckets / dropped_rows); `cap <= 0` disables.
     */
+  // Observed-metric names must be unique within one query plan:
+  // composing the same operator twice (union/join of two minHashLsh
+  // outputs) would otherwise register duplicate observations and fail
+  // analysis. A process-wide counter suffixes every invocation.
+  private val metricSeq = new java.util.concurrent.atomic.AtomicLong()
+
   private[graft] def capBuckets(banded: DataFrame, keys: Seq[String],
       cap: Int, metric: String): DataFrame =
     if (cap <= 0) banded
@@ -220,7 +255,8 @@ object Dedup {
       // (same shape as cappedShingles' df-cap)
       val hot = banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_bn"))
         .filter(col("_bn") > cap)
-        .observe(metric, count(lit(1)).as("dropped_buckets"),
+        .observe(s"${metric}_${metricSeq.incrementAndGet()}",
+          count(lit(1)).as("dropped_buckets"),
           coalesce(sum(col("_bn")), lit(0L)).as("dropped_rows"))
       banded.join(hot.select(keys.map(col): _*), keys, "left_anti")
     }
@@ -275,7 +311,7 @@ object Dedup {
       n: Int, k: Int, bands: Int, bucketCap: Int): (DataFrame, DataFrame) = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val rows = k / bands
-    val keyed = df.select(md5(col(textCol)).as("_ck"), col(idCol), col(textCol))
+    val keyed = df.select(contentKey(col(textCol)).as("_ck"), col(idCol), col(textCol))
     val reps = keyed.groupBy(col("_ck"))
       .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
     val memberOf = reps.select(col("_ck"), col(idCol).as("_rid"))
@@ -394,15 +430,24 @@ object Dedup {
     }: _*)
     val sums = (0 until SimhashPackedCols).map(g => sum(col(s"p$g")).as(s"s$g")) :+
       count(lit(1)).as("_n")
+    val fingerprint = (0 until 64).map { j =>
+      val g = j / SimhashFieldsPerCol
+      val f = j % SimhashFieldsPerCol
+      val ones = shiftright(col(s"s$g"), f * SimhashFieldBits)
+        .bitwiseAND((1L << SimhashFieldBits) - 1)
+      when(ones * 2 > col("_n"), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
     packed.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
       .select(col(idCol),
-        (0 until 64).map { j =>
-          val g = j / SimhashFieldsPerCol
-          val f = j % SimhashFieldsPerCol
-          val ones = shiftright(col(s"s$g"), f * SimhashFieldBits)
-            .bitwiseAND((1L << SimhashFieldBits) - 1)
-          when(ones * 2 > col("_n"), lit(1L << j)).otherwise(lit(0L))
-        }.reduce(_ + _).as("simhash"))
+        // enforce the packing bound at runtime: a document beyond
+        // 2^21 tokens would overflow its 21-bit counters into the
+        // neighboring field and yield a silently wrong fingerprint —
+        // fail loudly instead. The guard lives in the value path so
+        // column pruning cannot drop it.
+        when(col("_n") >= lit(1L << SimhashFieldBits),
+          expr("raise_error(concat('simhash: document with ', CAST(_n AS STRING), " +
+            s"' tokens exceeds the 2^$SimhashFieldBits packing bound'))").cast("long"))
+          .otherwise(fingerprint).as("simhash"))
   }
 
   /** SimHash near-duplicate pairs: band the 64-bit fingerprint into
@@ -420,7 +465,7 @@ object Dedup {
     require(64 % nBands == 0, s"nBands ($nBands) must divide 64")
     val width = 64 / nBands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val keyed = df.select(md5(col(textCol)).as("_ck"), col(idCol), col(textCol))
+    val keyed = df.select(contentKey(col(textCol)).as("_ck"), col(idCol), col(textCol))
     val reps = keyed.groupBy(col("_ck"))
       .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
     val memberOf = reps.select(col("_ck"), col(idCol).as("_rid"))

@@ -94,7 +94,9 @@ object EventsStream {
         (key: (String, Long), batch: Iterator[SeriesEvent],
          state: GroupState[CounterState]) => {
           var cur = state.getOption.orNull
-          batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          // (ts, value) tiebreak as in the batch PromOps ordering —
+          // same-timestamp samples must replay deterministically
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
             cur =
               if (cur == null) CounterState(e.ts, e.value, 0.0)
               else if (e.ts.before(cur.last_ts)) cur // late sample: drop
@@ -145,7 +147,11 @@ object EventsStream {
     require(windowLenMs > 0, "windowLenMs must be positive")
 
     def seal(key: (String, Long), buf: WindowBuf): WindowIncrease = {
-      val samples = buf.tsMs.zip(buf.vals).sortBy(_._1)
+      // sort by (ts, value), not ts alone: samples sharing a timestamp
+      // would otherwise keep ARRIVAL order, making the computed
+      // increase nondeterministic across replays — and the batch
+      // PromOps side pins the same tie with (ts, value) ordering.
+      val samples = buf.tsMs.zip(buf.vals).sorted
       var increase = 0.0
       var i = 1
       while (i < samples.length) {

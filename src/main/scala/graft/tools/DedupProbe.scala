@@ -21,6 +21,11 @@ object DedupProbe {
     }
 
     time("shingles.count")(Dedup.shingles(docs, "text", "doc_id", 4).count())
+    time("capped.count")(
+      Dedup.cappedShingles(docs, "text", "doc_id", 4, 100).count())
+    val n1 = time("ngram.count")(
+      Dedup.ngramJaccard(docs, "text", "doc_id", 4, 0.8, 100).count())
+    println(s"[probe] ngram pairs = $n1")
     time("signatures.count")(
       Dedup.minHashSignatures(docs, "text", "doc_id", 4, 32).count())
     val cand = Dedup.minHashLsh(docs, "text", "doc_id", 4, 32, 8)

@@ -33,8 +33,17 @@ object LabelSchema {
   /** Pivot `labelsCol: map<string,string>` into one `l_<name>` column
     * per discovered label, dropping the map.
     */
-  def spread(df: DataFrame, labelsCol: String): DataFrame = {
-    val names = labelNames(df, labelsCol)
+  def spread(df: DataFrame, labelsCol: String): DataFrame =
+    spread(df, labelsCol, labelNames(df, labelsCol))
+
+  /** [[spread]] against an ALREADY-DISCOVERED label universe — the
+    * reference runs its schema builder once per block at convert time
+    * (schema/schema_builder.go:41) and reuses the result for every
+    * query; callers that hold that metadata pass it here and skip the
+    * discovery scan. Labels absent from `names` are dropped, exactly
+    * as the reference's fixed physical schema drops unknown labels.
+    */
+  def spread(df: DataFrame, labelsCol: String, names: Seq[String]): DataFrame = {
     val labelCols = names.map(n => col(labelsCol).getItem(n).as(prefix + n))
     val rest = df.columns.filterNot(_ == labelsCol).map(col).toSeq
     df.select(rest ++ labelCols: _*)
