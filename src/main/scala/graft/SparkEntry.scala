@@ -486,27 +486,48 @@ object SparkEntry {
         length(col("frame")).cast("long").as("frame_bytes"))
       .orderBy("media_id", "frame_idx")
 
+  /** REAL image decode: one synthetic two-band PNG per document row
+    * (encoded on executors), decoded back with javax.imageio; output
+    * is the decoded dimensions + whole-image channel means + 2×2
+    * grid-pooled luminances. The oracle predicts every value from
+    * the generator's modular arithmetic — so a hash match proves the
+    * PNG encode→decode→pool loop is pixel-exact.
+    */
   private def mmFeatures(s: SparkSession, dir: String): DataFrame = {
-    val dims = 8
-    // the feature vector is emitted as one scalar column per
-    // dimension (not array<float>): every output column is sortable,
-    // which the driver's row-check harness requires
-    graft.multimodal.Multimodal.extractFeatures(
-        graft.multimodal.Multimodal.asMediaTable(
-          t(s, dir, "documents"), "doc_id", "text"), dims = dims)
-      .select(col("media_id") +: col("byte_len").cast("long").as("byte_len") +:
-        (0 until dims).map(i =>
-          round(element_at(col("features"), i + 1).cast("double"), 4).as(s"f$i")): _*)
+    // feature cells emitted as scalar columns (sortable, as the
+    // driver's row-check harness requires)
+    graft.multimodal.Multimodal.decodeImageFeatures(
+        graft.multimodal.Multimodal.syntheticImageTable(
+          t(s, dir, "documents"), "doc_id"),
+        gridRows = 2, gridCols = 2)
+      .select(col("media_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        round(col("mean_r"), 4).as("mean_r"),
+        round(col("mean_g"), 4).as("mean_g"),
+        round(col("mean_b"), 4).as("mean_b"),
+        round(element_at(col("features"), 1), 4).as("f0"),
+        round(element_at(col("features"), 2), 4).as("f1"),
+        round(element_at(col("features"), 3), 4).as("f2"),
+        round(element_at(col("features"), 4), 4).as("f3"))
       .orderBy("media_id")
   }
 
+  /** REAL resize: bilinear-resample every synthetic PNG so its
+    * longest edge fits 16px, re-encode, then DECODE THE RESIZED
+    * PAYLOAD — the reported dimensions come from parsing the
+    * re-encoded PNG, so the oracle's ceil(dim·scale) prediction
+    * verifies the whole decode→resample→encode→decode loop.
+    */
   private def mmResize(s: SparkSession, dir: String): DataFrame =
-    graft.multimodal.Multimodal.resizeStub(
-        graft.multimodal.Multimodal.asMediaTable(
-          t(s, dir, "documents"), "doc_id", "text"), maxDim = 256)
-      .select(col("media_id"), col("meta_width").cast("long").as("meta_width"),
-        col("meta_height").cast("long").as("meta_height"),
-        length(col("payload")).cast("long").as("payload_bytes"))
+    graft.multimodal.Multimodal.decodeImageFeatures(
+        graft.multimodal.Multimodal.resizeImages(
+          graft.multimodal.Multimodal.syntheticImageTable(
+            t(s, dir, "documents"), "doc_id"),
+          maxDim = 16))
+      .select(col("media_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
       .orderBy("media_id")
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -828,6 +849,43 @@ object SparkEntry {
         |FROM idx
         |WHERE frame_idx % 2 = 0
         |ORDER BY media_id, frame_idx""".stripMargin,
+    // the mm image oracles replay the synthetic-image generator's
+    // modular arithmetic (Multimodal.imgW/imgH/bandA/bandB): a hash
+    // match means the imageio PNG encode→decode→pixel-pool loop
+    // reproduced every predicted value exactly
+    "mm_features" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id,
+        |    (doc_id % 37) + 12 AS w,
+        |    2 * ((doc_id % 12) + 5) AS h,
+        |    (doc_id * 5) % 256 AS ar, (doc_id * 7) % 256 AS ag,
+        |    (doc_id * 11) % 256 AS ab,
+        |    (doc_id * 13) % 256 AS br, (doc_id * 17) % 256 AS bg,
+        |    (doc_id * 19) % 256 AS bb
+        |  FROM documents)
+        |SELECT media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  round((ar + br) / 2.0, 4) AS mean_r,
+        |  round((ag + bg) / 2.0, 4) AS mean_g,
+        |  round((ab + bb) / 2.0, 4) AS mean_b,
+        |  round((ar + ag + ab) / 3.0, 4) AS f0,
+        |  round((ar + ag + ab) / 3.0, 4) AS f1,
+        |  round((br + bg + bb) / 3.0, 4) AS f2,
+        |  round((br + bg + bb) / 3.0, 4) AS f3
+        |FROM p ORDER BY media_id""".stripMargin,
+    "mm_resize" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id,
+        |    (doc_id % 37) + 12 AS w,
+        |    2 * ((doc_id % 12) + 5) AS h
+        |  FROM documents)
+        |SELECT media_id,
+        |  CAST(CASE WHEN greatest(w, h) <= 16 THEN w
+        |       ELSE CAST(ceil(w * (16.0 / greatest(w, h))) AS BIGINT) END
+        |    AS BIGINT) AS width,
+        |  CAST(CASE WHEN greatest(w, h) <= 16 THEN h
+        |       ELSE CAST(ceil(h * (16.0 / greatest(w, h))) AS BIGINT) END
+        |    AS BIGINT) AS height
+        |FROM p ORDER BY media_id""".stripMargin,
     "ts_merge_shards" ->
       """SELECT event_type, user_id, epoch_ms(ts) AS ts_ms,
         |  arg_max(value, sidx) AS value

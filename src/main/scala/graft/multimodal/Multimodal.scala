@@ -8,12 +8,16 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with typed metadata; decode/feature-
   * extract runs partition-parallel over the binary batches.
   *
-  * The decode itself is STUBBED (no codec libraries in this
-  * environment): `fakeDecode` derives deterministic pseudo-features
-  * from the payload bytes. Everything around it — the schema, the
-  * mapPartitions batching, the partition sizing — is the real
-  * production shape: swap `fakeDecode` for a JNI/codec call and the
-  * plan is unchanged.
+  * Two decode paths coexist:
+  *   - a REAL image path ([[syntheticImageTable]] →
+  *     [[decodeImageFeatures]] / [[resizeImages]]) built on
+  *     `javax.imageio` — PNG encode, decode, grid-pooled pixel
+  *     features and bilinear resampling are all actual pixel work,
+  *     no external codec needed;
+  *   - a codec-free byte featurizer ([[extractFeatures]]) kept for
+  *     payloads whose codec is NOT on the JVM (video/audio): it
+  *     derives statistics from raw bytes, standing where a JNI codec
+  *     call would go with an identical plan shape.
   */
 object Multimodal {
 
@@ -36,9 +40,155 @@ object Multimodal {
       (pmod(xxhash64(col(idCol)), lit(1024)) + 1).cast("int").as("meta_width"),
       (pmod(xxhash64(col(idCol), lit(1)), lit(1024)) + 1).cast("int").as("meta_height"))
 
-  /** ===== STUB ===== deterministic stand-in for a real decoder:
-    * "features" are byte-derived statistics. Real impl would decode
-    * the image and pool pixels; signature and batch shape identical.
+  // ===== real image path (javax.imageio, pure JVM) =====
+
+  /** Deterministic synthetic image parameters — plain modular
+    * arithmetic on the id so a SQL oracle can predict every decoded
+    * value. The image is two horizontal bands: rows [0, H/2) are
+    * solid colour A, rows [H/2, H) solid colour B (H is always even),
+    * so pooled means are exact rationals.
+    */
+  private[graft] def imgW(id: Long): Int = (Math.floorMod(id, 37L) + 12L).toInt
+  private[graft] def imgH(id: Long): Int = (2L * (Math.floorMod(id, 12L) + 5L)).toInt
+  private[graft] def bandA(id: Long): (Int, Int, Int) =
+    (Math.floorMod(id * 5L, 256L).toInt, Math.floorMod(id * 7L, 256L).toInt,
+      Math.floorMod(id * 11L, 256L).toInt)
+  private[graft] def bandB(id: Long): (Int, Int, Int) =
+    (Math.floorMod(id * 13L, 256L).toInt, Math.floorMod(id * 17L, 256L).toInt,
+      Math.floorMod(id * 19L, 256L).toInt)
+
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def decodePng(payload: Array[Byte]): java.awt.image.BufferedImage =
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+
+  /** A media table whose payloads are REAL PNG bytes (encoded on the
+    * executors, partition-parallel — payload bytes never visit the
+    * driver): one two-band synthetic image per input row, its
+    * dimensions and band colours deterministic functions of the id.
+    * PNG is lossless, so every downstream decode recovers the exact
+    * generated pixels — which is what lets a SQL oracle verify a
+    * genuine imageio encode→decode round trip.
+    */
+  def syntheticImageTable(df: DataFrame, idCol: String): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
+    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = (imgW(id), imgH(id))
+        val (ar, ag, ab) = bandA(id)
+        val (br, bg, bb) = bandB(id)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val top = (ar << 16) | (ag << 8) | ab
+        val bot = (br << 16) | (bg << 8) | bb
+        var y = 0
+        while (y < h) {
+          val rgb = if (y < h / 2) top else bot
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        Row(id, "image/png", encodePng(img), w, h)
+      }
+    }(encoder).toDF()
+  }
+
+  /** REAL image decode + featurize: `javax.imageio` parses each PNG
+    * payload, and features are grid-pooled pixel statistics —
+    * `gridRows`×`gridCols` mean luminances plus whole-image per-
+    * channel means, every value accumulated as exact integer sums
+    * before one final division (cross-engine float-safe). Width and
+    * height come from the DECODED image, not the metadata columns, so
+    * a mismatch fails the oracle. Partition-parallel narrow map: the
+    * multimodal hot loop at 100 TB, payloads never hit the driver.
+    */
+  def decodeImageFeatures(media: DataFrame, gridRows: Int = 2,
+      gridCols: Int = 2): DataFrame = {
+    require(gridRows > 0 && gridCols > 0, "grid dims must be positive")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("mean_r", DoubleType, nullable = false),
+      StructField("mean_g", DoubleType, nullable = false),
+      StructField("mean_b", DoubleType, nullable = false),
+      StructField("features", ArrayType(DoubleType), nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val img = decodePng(r.getAs[Array[Byte]](1))
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        // per-cell integer sum of (r+g+b) and pixel count
+        val cellSum = new Array[Long](gridRows * gridCols)
+        val cellN = new Array[Long](gridRows * gridCols)
+        var y = 0
+        while (y < h) {
+          val gy = math.min(y * gridRows / h, gridRows - 1)
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val (pr, pg, pb) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+            sr += pr; sg += pg; sb += pb
+            val c = gy * gridCols + math.min(x * gridCols / w, gridCols - 1)
+            cellSum(c) += pr + pg + pb
+            cellN(c) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        Row(id, w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n,
+          cellSum.indices.map(i =>
+            cellSum(i).toDouble / (3.0 * cellN(i))).toSeq)
+      }
+    }(encoder).toDF()
+  }
+
+  /** REAL resize: decode the PNG, bilinear-resample so the longest
+    * edge fits `maxDim` (no-op when it already does), re-encode.
+    * Target dimensions are `ceil(dim * scale)` — the same arithmetic
+    * a SQL oracle replays — while the pixel resampling is genuine
+    * `Graphics2D` bilinear interpolation. Output schema = input
+    * schema; metadata reflects the RESIZED image.
+    */
+  def resizeImages(media: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim > 0, "maxDim must be positive")
+    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
+    media.select("media_id", "media_type", "payload").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val src = decodePng(r.getAs[Array[Byte]](2))
+        val (w, h) = (src.getWidth, src.getHeight)
+        if (math.max(w, h) <= maxDim)
+          Row(id, r.getString(1), r.getAs[Array[Byte]](2), w, h)
+        else {
+          val scale = maxDim.toDouble / math.max(w, h)
+          val nw = math.ceil(w * scale).toInt.max(1)
+          val nh = math.ceil(h * scale).toInt.max(1)
+          val dst = new java.awt.image.BufferedImage(
+            nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, nw, nh, null)
+          g.dispose()
+          Row(id, r.getString(1), encodePng(dst), nw, nh)
+        }
+      }
+    }(encoder).toDF()
+  }
+
+  /** Codec-free byte featurizer for payload types whose codec is NOT
+    * on the JVM (video/audio): "features" are byte-derived
+    * statistics standing where the JNI codec call would go; the plan
+    * shape (partition-parallel batch decode) is identical.
     */
   private def fakeDecode(payload: Array[Byte], dims: Int): Array[Float] = {
     val out = new Array[Float](dims)
@@ -74,10 +224,10 @@ object Multimodal {
           .as("frame"))
   }
 
-  /** ===== STUB ===== resize: scales the typed metadata exactly as a
-    * real resizer would and decimates the payload proportionally
-    * (byte truncation stands in for pixel resampling — no codec in
-    * this environment). Schema and plan shape are production-real.
+  /** Codec-free resize stand-in for non-image payloads: scales the
+    * typed metadata exactly as a real resizer would and decimates the
+    * payload proportionally (byte truncation in place of pixel
+    * resampling). For images, [[resizeImages]] is the REAL path.
     */
   def resizeStub(media: DataFrame, maxDim: Int): DataFrame = {
     val scale = least(lit(1.0),

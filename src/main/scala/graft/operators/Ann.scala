@@ -115,18 +115,21 @@ object Ann {
       idCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
       refineIters: Int = 8, trainFraction: Double = 1.0): DataFrame = {
     val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"))
-    val seeds = c
+    // quantizer TRAINING can run on a sample — the standard IVF
+    // build (a quantizer is a coarse partitioner; its quality is
+    // statistical, not per-row). At 100 TB you train on a fixed-seed
+    // sample and assign the full corpus once. Seeds come from the
+    // SAME sample: before this the only full-corpus passes are the
+    // single assignment projection at the end.
+    val train =
+      if (trainFraction < 1.0) corpus.sample(false, trainFraction, 42L)
+      else corpus
+    val seeds = train
+      .select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"))
       .orderBy(xxhash64(col("nid")), col("nid"))
       .limit(nCentroids)
       .select(col("nv")).collect()
       .map(_.getSeq[Double](0).toSeq)
-    // quantizer TRAINING can run on a sample — the standard IVF
-    // build (a quantizer is a coarse partitioner; its quality is
-    // statistical, not per-row). At 100 TB you train on a fixed-seed
-    // sample and assign the full corpus once.
-    val train =
-      if (trainFraction < 1.0) corpus.sample(false, trainFraction, 42L)
-      else corpus
     // converge Lloyd (refineIters is a CAP, the tol stop usually
     // fires first), split hot cells, then a short re-converge — the
     // split centroids only need local settling

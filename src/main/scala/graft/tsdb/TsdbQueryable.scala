@@ -27,7 +27,20 @@ final class TsdbQueryable(
     df: DataFrame,
     labelCols: Seq[String],
     tsCol: String = "ts",
-    valueCol: String = "value") {
+    valueCol: String = "value",
+    materializedSeriesCallback: DataFrame => DataFrame = identity) {
+
+  /** Integrator seam on the select path — the analog of the
+    * reference's `WithMaterializedSeriesCallback` /
+    * `WithMaterializedLabelsFilterCallback` options
+    * (queryable/parquet_queryable.go:97-110): every materialized
+    * selection flows through the callback before quotas/sorting, so
+    * integrators can meter it (idiomatically: `df.observe(...)`, which
+    * costs no extra job) or post-filter it. Returns a NEW queryable;
+    * the receiver is unchanged.
+    */
+  def withMaterializedSeriesCallback(cb: DataFrame => DataFrame): TsdbQueryable =
+    new TsdbQueryable(df, labelCols, tsCol, valueCol, cb)
 
   private def withMatchers(matchers: Seq[Matcher]): DataFrame =
     Matcher.compile(matchers).map(df.filter).getOrElse(df)
@@ -49,9 +62,9 @@ final class TsdbQueryable(
       projection: Seq[String] = Nil, rowQuota: Long = 0L,
       sorted: Boolean = true): DataFrame = {
     val labels = if (projection.nonEmpty) projection else labelCols
-    val base = withMatchers(matchers)
+    val base = materializedSeriesCallback(withMatchers(matchers)
       .filter(inRange(mint, maxt))
-      .select((labels :+ tsCol :+ valueCol).map(col): _*)
+      .select((labels :+ tsCol :+ valueCol).map(col): _*))
     if (rowQuota > 0L) {
       val capped = math.min(rowQuota, Int.MaxValue.toLong).toInt
       // `sorted` mirrors the reference's Select(sorted, ...) hint

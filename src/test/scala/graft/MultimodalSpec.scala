@@ -46,4 +46,80 @@ class MultimodalSpec extends SparkSpec {
     assert(tiny.forall(r => r.getInt(3) <= 1 && r.getInt(4) <= 1))
     assert(tiny.forall(r => r.getAs[Array[Byte]](2).length >= 1))
   }
+
+  private def imageTable(ids: Long*) = Multimodal.syntheticImageTable(
+    ids.map(Tuple1(_)).toDF("doc_id"), "doc_id")
+
+  test("syntheticImageTable emits real PNGs that decode to exact pixels") {
+    val row = imageTable(7L).collect().head
+    val png = row.getAs[Array[Byte]](2)
+    // PNG magic
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == Multimodal.imgW(7L) && img.getHeight == Multimodal.imgH(7L))
+    val (ar, ag, ab) = Multimodal.bandA(7L)
+    val (br, bg, bb) = Multimodal.bandB(7L)
+    assert(img.getRGB(0, 0) == ((0xff << 24) | (ar << 16) | (ag << 8) | ab))
+    assert(img.getRGB(img.getWidth - 1, img.getHeight - 1) ==
+      ((0xff << 24) | (br << 16) | (bg << 8) | bb))
+  }
+
+  test("decodeImageFeatures pools real pixels to exact band statistics") {
+    val id = 11L
+    val out = Multimodal.decodeImageFeatures(imageTable(id)).collect().head
+    assert(out.getInt(1) == Multimodal.imgW(id) && out.getInt(2) == Multimodal.imgH(id))
+    val (ar, ag, ab) = Multimodal.bandA(id)
+    val (br, bg, bb) = Multimodal.bandB(id)
+    assert(out.getDouble(3) == (ar + br) / 2.0)
+    assert(out.getDouble(4) == (ag + bg) / 2.0)
+    assert(out.getDouble(5) == (ab + bb) / 2.0)
+    val f = out.getSeq[Double](6)
+    assert(f == Seq((ar + ag + ab) / 3.0, (ar + ag + ab) / 3.0,
+      (br + bg + bb) / 3.0, (br + bg + bb) / 3.0))
+  }
+
+  test("resizeImages bilinear-resamples and re-encodes to ceil(dim*scale)") {
+    val (w, h) = (Multimodal.imgW(25L), Multimodal.imgH(25L)) // 37 × 12
+    val out = Multimodal.resizeImages(imageTable(25L), maxDim = 10)
+      .collect().head
+    val scale = 10.0 / math.max(w, h)
+    val (nw, nh) = (math.ceil(w * scale).toInt, math.ceil(h * scale).toInt)
+    assert(out.getInt(3) == nw && out.getInt(4) == nh)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.getAs[Array[Byte]](2)))
+    assert(img.getWidth == nw && img.getHeight == nh)
+    // interior of the top band is far from the boundary: bilinear of a
+    // solid region is the solid colour
+    val (ar, ag, ab) = Multimodal.bandA(25L)
+    assert(img.getRGB(0, 0) == ((0xff << 24) | (ar << 16) | (ag << 8) | ab))
+  }
+
+  test("resizeImages is a no-op below maxDim") {
+    val before = imageTable(3L).collect().head
+    val after = Multimodal.resizeImages(imageTable(3L), maxDim = 64)
+      .collect().head
+    assert(after.getInt(3) == before.getInt(3) && after.getInt(4) == before.getInt(4))
+    assert(after.getAs[Array[Byte]](2).sameElements(before.getAs[Array[Byte]](2)))
+  }
+
+  test("resized solid-colour image stays solid under bilinear resampling") {
+    // hand-built solid PNG → resize → every pixel must stay that colour
+    val img = new java.awt.image.BufferedImage(30, 20,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (200 << 16) | (40 << 8) | 90
+    (0 until 20).foreach(y => (0 until 30).foreach(x => img.setRGB(x, y, rgb)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq((1L, "image/png", bos.toByteArray, 30, 20))
+      .toDF("media_id", "media_type", "payload", "meta_width", "meta_height")
+    val out = Multimodal.resizeImages(media, maxDim = 7).collect().head
+    val small = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.getAs[Array[Byte]](2)))
+    assert(small.getWidth == 7 && small.getHeight == 5)
+    (0 until small.getHeight).foreach { y =>
+      (0 until small.getWidth).foreach { x =>
+        assert(small.getRGB(x, y) == ((0xff << 24) | rgb))
+      }
+    }
+  }
 }

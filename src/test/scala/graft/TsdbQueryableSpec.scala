@@ -80,6 +80,26 @@ class TsdbQueryableSpec extends SparkSpec {
     }
   }
 
+  test("materializedSeriesCallback meters the selection without an extra job") {
+    import org.apache.spark.sql.functions.{count, lit}
+    import org.apache.spark.sql.Observation
+    val obs = Observation("series_meter")
+    val metered = q.withMaterializedSeriesCallback(
+      _.observe(obs, count(lit(1)).as("materialized_rows")))
+    val out = metered.select("2024-01-01", "2024-02-01", Matcher.Eq("job", "api"))
+    assert(out.count() == 2L)
+    assert(obs.get("materialized_rows") == 2L)
+  }
+
+  test("materializedSeriesCallback can post-filter materialized series") {
+    val filtered = q.withMaterializedSeriesCallback(
+      _.filter(org.apache.spark.sql.functions.col("value") > 1.5))
+    val out = filtered.select("2024-01-01", "2024-03-01", Nil, Nil)
+    assert(out.collect().map(_.getDouble(3)).sorted.toSeq == Seq(2.0, 3.0, 4.0))
+    // the receiver is unchanged — callback attaches to a NEW queryable
+    assert(q.select("2024-01-01", "2024-03-01", Nil, Nil).count() == 4L)
+  }
+
   test("labelValues respects matchers and limit") {
     val out = q.labelValues("instance", Seq(Matcher.Eq("job", "api")), limit = 1)
     assert(out.collect().map(_.getString(0)).toSeq == Seq("1"))
