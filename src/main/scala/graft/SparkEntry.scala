@@ -411,6 +411,18 @@ object SparkEntry {
         n = 4, threshold = 0.8, dfCap = 100)
       .orderBy("id_a", "id_b")
 
+  /** The cluster-id output contract: connected components over the
+    * verified ngram-Jaccard near-dup pairs — one row per member doc,
+    * labelled with its component's smallest doc id. The oracle
+    * replays the same components with a recursive CTE over the same
+    * pair SQL, so the hash check proves the distributed large-star/
+    * small-star iteration computes exactly transitive closure.
+    */
+  private def ddClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusters(Dedup.ngramJaccard(t(s, dir, "documents"), "text",
+        "doc_id", n = 4, threshold = 0.8, dfCap = 100))
+      .orderBy("doc_id")
+
   private def ddMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashLsh(t(s, dir, "documents"), "text", "doc_id",
         n = 4, k = 32, bands = 8)
@@ -565,6 +577,7 @@ object SparkEntry {
     "ts_converted_select" -> (tsConvertedSelect _),
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
+    "dd_clusters" -> (ddClusters _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_minhash_neardup" -> (ddMinhashNearDup _),
     "dd_simhash" -> (ddSimhash _),
@@ -587,6 +600,51 @@ object SparkEntry {
     * aliases, same decimal-accumulate-then-double pattern, same
     * rounding, same order of floating-point operations.
     */
+  /** The ngram-Jaccard pair pipeline as a CTE list, shared between
+    * the dd_ngram_jaccard oracle and the dd_clusters oracle (which
+    * runs transitive closure over the same `expanded` pair set).
+    */
+  private val ngramPairCtes: String =
+    """keyed AS (SELECT doc_id, text, sha256(text) AS ck FROM documents),
+      |grp AS (SELECT ck, min(doc_id) AS rid, min(text) AS text
+      |        FROM keyed GROUP BY ck),
+      |members AS (SELECT ck, doc_id AS mid FROM keyed),
+      |pos AS (
+      |  SELECT rid AS doc_id, text,
+      |    unnest(range(1, greatest(length(text) - 3, 1) + 1)) AS i
+      |  FROM grp),
+      |sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 4) AS shingle FROM pos),
+      |capped AS (
+      |  SELECT doc_id, shingle FROM (
+      |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
+      |  WHERE df <= 100),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM capped GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS rid_a, b.doc_id AS rid_b, count(*) AS inter
+      |  FROM capped a JOIN capped b USING (shingle)
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |reppairs AS (
+      |  SELECT rid_a, rid_b, jaccard FROM (
+      |    SELECT rid_a, rid_b,
+      |      round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+      |    FROM inter
+      |    JOIN sizes sa ON sa.doc_id = rid_a
+      |    JOIN sizes sb ON sb.doc_id = rid_b)
+      |  WHERE jaccard >= 0.8),
+      |expanded AS (
+      |  SELECT least(ma.mid, mb.mid) AS id_a,
+      |    greatest(ma.mid, mb.mid) AS id_b, jaccard
+      |  FROM reppairs
+      |  JOIN grp ga ON ga.rid = rid_a
+      |  JOIN members ma ON ma.ck = ga.ck
+      |  JOIN grp gb ON gb.rid = rid_b
+      |  JOIN members mb ON mb.ck = gb.ck
+      |  UNION ALL
+      |  SELECT m1.mid, m2.mid, 1.0
+      |  FROM members m1 JOIN members m2
+      |    ON m1.ck = m2.ck AND m1.mid < m2.mid)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
@@ -914,47 +972,25 @@ object SparkEntry {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "dd_ngram_jaccard" ->
-      """WITH keyed AS (SELECT doc_id, text, sha256(text) AS ck FROM documents),
-        |grp AS (SELECT ck, min(doc_id) AS rid, min(text) AS text
-        |        FROM keyed GROUP BY ck),
-        |members AS (SELECT ck, doc_id AS mid FROM keyed),
-        |pos AS (
-        |  SELECT rid AS doc_id, text,
-        |    unnest(range(1, greatest(length(text) - 3, 1) + 1)) AS i
-        |  FROM grp),
-        |sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 4) AS shingle FROM pos),
-        |capped AS (
-        |  SELECT doc_id, shingle FROM (
-        |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh)
-        |  WHERE df <= 100),
-        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM capped GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS rid_a, b.doc_id AS rid_b, count(*) AS inter
-        |  FROM capped a JOIN capped b USING (shingle)
-        |  WHERE a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |reppairs AS (
-        |  SELECT rid_a, rid_b, jaccard FROM (
-        |    SELECT rid_a, rid_b,
-        |      round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
-        |    FROM inter
-        |    JOIN sizes sa ON sa.doc_id = rid_a
-        |    JOIN sizes sb ON sb.doc_id = rid_b)
-        |  WHERE jaccard >= 0.8),
-        |expanded AS (
-        |  SELECT least(ma.mid, mb.mid) AS id_a,
-        |    greatest(ma.mid, mb.mid) AS id_b, jaccard
-        |  FROM reppairs
-        |  JOIN grp ga ON ga.rid = rid_a
-        |  JOIN members ma ON ma.ck = ga.ck
-        |  JOIN grp gb ON gb.rid = rid_b
-        |  JOIN members mb ON mb.ck = gb.ck
-        |  UNION ALL
-        |  SELECT m1.mid, m2.mid, 1.0
-        |  FROM members m1 JOIN members m2
-        |    ON m1.ck = m2.ck AND m1.mid < m2.mid)
+      s"""WITH $ngramPairCtes
         |SELECT id_a, id_b, jaccard FROM expanded
         |ORDER BY id_a, id_b""".stripMargin,
+    // transitive closure over the SAME pair set the ngram oracle
+    // emits: min-reachable-node labelling via a recursive CTE
+    "dd_clusters" ->
+      s"""WITH RECURSIVE $ngramPairCtes,
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM expanded
+        |  UNION
+        |  SELECT id_b, id_a FROM expanded),
+        |reach AS (
+        |  SELECT src AS node, dst AS r FROM edges
+        |  UNION
+        |  SELECT rr.node, e.dst FROM reach rr JOIN edges e ON rr.r = e.src)
+        |SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+        |FROM reach
+        |GROUP BY node
+        |ORDER BY doc_id""".stripMargin,
     "dd_embed_neardup" ->
       """SELECT id_a, id_b, cos_sim FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

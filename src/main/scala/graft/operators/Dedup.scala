@@ -536,4 +536,98 @@ object Dedup {
     // identical vectors have cosine exactly 1.0 after rounding
     expandPairs(repPairs, memberOf, Seq("cos_sim"), Seq(lit(1.0)))
   }
+
+  // ===== cluster-id output contract =====
+  //
+  // A pair list is quadratic per duplicate cluster (M members → M²/2
+  // pairs); what a training-data pipeline actually consumes is ONE
+  // row per member: (doc_id → cluster_id). `clusters` turns verified
+  // near-dup pairs into that form with the alternating
+  // large-star/small-star connected-components algorithm (Kiveris et
+  // al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+  // O(log n) rounds of pure DataFrame joins/aggregations, no driver-
+  // side graph state, so a 10 M-copy cluster costs 10 M output rows,
+  // not 5·10¹³.
+
+  /** One large-star round: every node u connects its larger
+    * neighbors to m(u) = min(N(u) ∪ {u}). Output edges oriented
+    * (hi → lo). Strictly decreases component "height"; cannot
+    * disconnect anything.
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val m = sym.groupBy("src").agg(min(col("dst")).as("_mn"))
+      .select(col("src"), least(col("src"), col("_mn")).as("_m"))
+    sym.join(m, "src")
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("_m").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** One small-star round over (hi → lo)-oriented edges: every node u
+    * rewires its smaller neighbors (and itself) to m(u) = min of
+    * them. Preserves orientation; converged when idempotent.
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val m = edges.groupBy("src").agg(min(col("dst")).as("_m"))
+    edges.join(m, "src")
+      .select(col("dst").as("src"), col("_m").as("dst"))
+      .union(m.select(col("src"), col("_m").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Connected components over an undirected pair list: returns one
+    * row per node, `(doc_id, cluster_id)` with cluster_id = the
+    * smallest doc id in the component — the rep→member union-find
+    * output a dedup pipeline keeps (drop every row where
+    * `doc_id != cluster_id`, or join features by cluster_id).
+    *
+    * Each round is two join+aggregate passes over the current edge
+    * set; the edge set only shrinks toward one star per component.
+    * Convergence is detected by an edge-set fingerprint (count +
+    * order-independent XOR of edge hashes — distinct edges, so no
+    * cancellation; collision odds negligible, and a false
+    * "converged" would need an XOR tie on a CHANGED set of the same
+    * size in the same round). localCheckpoint per round
+    * cuts the O(rounds)-deep lineage exactly like the candidate-set
+    * checkpoint in [[minHashNearDup]]; at 100 TB each round is a
+    * bounded temp-table write.
+    */
+  def clusters(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val a = col(aCol).cast("long")
+    val b = col(bCol).cast("long")
+    var edges = pairs
+      .select(greatest(a, b).as("src"), least(a, b).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var fp = fingerprint(edges)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      fp = nfp
+      edges = next
+      i += 1
+    }
+    require(converged,
+      s"connected components did not converge in $maxIter rounds")
+    // converged state is one star per component: (member, min).
+    // Centers only appear as dst — give them their own row.
+    edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
+      .union(edges.select(col("dst").as("doc_id"), col("dst").as("cluster_id")))
+      .groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id"))
+  }
 }

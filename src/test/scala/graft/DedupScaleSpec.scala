@@ -87,4 +87,54 @@ class DedupScaleSpec extends graft.SparkSpec {
       threshold = 0.9, nPlanes = 2, bucketCap = 5)
     assert(capped.count() == 12L * 11 / 2)
   }
+
+  // local union-find reference for the connected-components checks
+  private def ufComponents(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def sparkComponents(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.clusters(pairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("clusters: chain graph collapses to one component in O(log n) rounds") {
+    // a 64-node path is the worst case for naive min-propagation
+    // (diameter 63); alternating star must still converge inside the
+    // default round cap and label everything 0
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val got = sparkComponents(chain)
+    assert(got.size == 64)
+    assert(got.values.forall(_ == 0L))
+  }
+
+  test("clusters: matches union-find on a random pair soup") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(120)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(p => p._1 != p._2)
+    assert(sparkComponents(pairs) == ufComponents(pairs))
+  }
+
+  test("clusters: disjoint cliques keep distinct labels") {
+    val cliqueA = for (i <- 0L to 3L; j <- i + 1 to 3L) yield (i, j)
+    val cliqueB = for (i <- 10L to 13L; j <- i + 1 to 13L) yield (i, j)
+    val got = sparkComponents(cliqueA ++ cliqueB)
+    assert((0L to 3L).forall(got(_) == 0L))
+    assert((10L to 13L).forall(got(_) == 10L))
+  }
+
+  test("clusters: M-copy cluster emits M rows, not M^2/2") {
+    // the output-contract fix: a 40-member component is 40 rows
+    val star = (1L to 39L).map(i => (0L, i))
+    val out = Dedup.clusters(star.toDF("id_a", "id_b"))
+    assert(out.count() == 40L)
+  }
 }
