@@ -40,24 +40,23 @@ object Dedup {
   def shingleOccurrences(df: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame =
     df.select(col(idCol),
-        explode(sequence(lit(1), greatest(length(col(textCol)) - (n - 1), lit(1))))
-          .as("pos"),
-        col(textCol))
-      .select(col(idCol), expr(s"substring(`$textCol`, pos, $n)").as("shingle"))
+      explode(graft.functions.NgramShingles.ngramShingles(col(textCol), n))
+        .as("shingle"))
 
-  /** Per-document distinct-shingle SET as an array column — computed
-    * entirely inside one projection (sequence → transform →
-    * array_distinct), so set semantics cost ZERO shuffle: dedup
-    * happens within the row, not across the corpus. The 100 TB win
-    * over explode-then-distinct is a full corpus-sized exchange.
+  /** Per-document distinct-shingle SET as an array column — one
+    * native-expression pass per row ([[graft.functions.NgramShingles]]),
+    * so set semantics cost ZERO shuffle: dedup happens within the
+    * row, not across the corpus. The 100 TB win over
+    * explode-then-distinct is a full corpus-sized exchange.
     */
   def shingleSet(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    df.select(col(idCol), expr(
-      s"array_distinct(transform(sequence(1, greatest(length(`$textCol`) - ${n - 1}, 1)), " +
-        s"p -> substring(`$textCol`, p, $n)))").as("sh_set"))
+    df.select(col(idCol),
+      graft.functions.NgramShingles.ngramShingleSet(col(textCol), n).as("sh_set"))
 
   /** Distinct character n-gram shingles per document: one row per
-    * (id, shingle) — [[shingleSet]] exploded. Narrow map, no shuffle.
+    * (id, shingle) — [[shingleSet]] exploded. Narrow map, no
+    * shuffle: the per-row set dedup replaces what used to be a
+    * corpus-wide `distinct` exchange.
     */
   def shingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
     shingleSet(df, textCol, idCol, n)
