@@ -67,6 +67,118 @@ object Matcher {
   /** A regex that is just an alternation of literals ("a|b|c"). */
   private val literalAlternation = "^[A-Za-z0-9_ |-]*$".r
 
+  // ===== RE2 compatibility =====
+  //
+  // The reference compiles matcher patterns with Go's RE2
+  // (search/constraint.go:639 Regex); Spark's rlike is
+  // java.util.regex. The engines' COMMON syntax agrees on boolean
+  // full-match results (both implement regular-language semantics and
+  // we never extract submatches), but each accepts syntax the other
+  // rejects — silently diverging matches are the failure mode this
+  // gate removes:
+  //   - Java-only constructs RE2 rejects (backtracking features:
+  //     backreferences, lookahead/lookbehind, atomic groups,
+  //     possessive quantifiers, \G, \Z) are REJECTED here, loudly —
+  //     the analog of the reference failing to compile the matcher.
+  //   - RE2-only spellings Java rejects are TRANSLATED: `(?P<name>`
+  //     named groups, POSIX classes ([:alpha:] → \p{Alpha}), and
+  //     RE2's literal fallback for non-repetition braces ("a{" is a
+  //     literal '{' in RE2 but a syntax error in Java).
+
+  private val posixClasses: Map[String, String] = Map(
+    "alnum" -> "\\p{Alnum}", "alpha" -> "\\p{Alpha}", "ascii" -> "\\p{ASCII}",
+    "blank" -> "\\p{Blank}", "cntrl" -> "\\p{Cntrl}", "digit" -> "\\p{Digit}",
+    "graph" -> "\\p{Graph}", "lower" -> "\\p{Lower}", "print" -> "\\p{Print}",
+    "punct" -> "\\p{Punct}", "space" -> "\\p{Space}", "upper" -> "\\p{Upper}",
+    "word" -> "\\w", "xdigit" -> "\\p{XDigit}")
+
+  private val countedRep = java.util.regex.Pattern.compile("\\{\\d+(,\\d*)?\\}")
+
+  /** Translate an RE2 matcher pattern to java.util.regex syntax,
+    * throwing on constructs RE2 itself rejects. One linear scan
+    * tracking escape state and character-class nesting.
+    */
+  private[tsdb] def re2ToJava(pattern: String): String = {
+    val out = new StringBuilder(pattern.length + 8)
+    val n = pattern.length
+    var i = 0
+    var inClass = false
+    def err(what: String): Nothing = throw new IllegalArgumentException(
+      s"matcher regex uses $what, which RE2 (the reference engine) does not support: $pattern")
+    while (i < n) {
+      val c = pattern.charAt(i)
+      c match {
+        case '\\' =>
+          if (i + 1 >= n) err("a trailing backslash")
+          val e = pattern.charAt(i + 1)
+          if (!inClass && e >= '1' && e <= '9') err(s"backreference \\$e")
+          if (e == 'G') err("\\G")
+          if (e == 'Z') err("\\Z (RE2 spells end-of-text \\z)")
+          out.append(c).append(e)
+          i += 2
+        case '[' if !inClass =>
+          inClass = true
+          out.append(c)
+          i += 1
+        case '[' if inClass =>
+          val close = pattern.indexOf(":]", i)
+          if (i + 1 < n && pattern.charAt(i + 1) == ':' && close > i) {
+            val body = pattern.substring(i + 2, close)
+            val (neg, name) =
+              if (body.startsWith("^")) (true, body.substring(1)) else (false, body)
+            val repl = posixClasses.getOrElse(name,
+              err(s"unknown POSIX class [:$name:]"))
+            out.append(
+              if (!neg) repl
+              else if (repl == "\\w") "\\W"
+              else repl.replace("\\p", "\\P"))
+            i = close + 2
+          } else { out.append("\\["); i += 1 } // literal [ inside a class
+        case ']' if inClass =>
+          inClass = false
+          out.append(c)
+          i += 1
+        case '(' if !inClass && pattern.startsWith("(?", i) =>
+          if (pattern.startsWith("(?P<", i)) { out.append("(?<"); i += 4 }
+          else if (pattern.startsWith("(?P=", i)) err("a named backreference (?P=)")
+          else if (pattern.startsWith("(?=", i)) err("lookahead (?=)")
+          else if (pattern.startsWith("(?!", i)) err("negative lookahead (?!)")
+          else if (pattern.startsWith("(?<=", i)) err("lookbehind (?<=)")
+          else if (pattern.startsWith("(?<!", i)) err("negative lookbehind (?<!)")
+          else if (pattern.startsWith("(?>", i)) err("an atomic group (?>)")
+          else { out.append(c); i += 1 } // (?: (?i) (?<name> are RE2-valid
+        case '*' | '+' | '?' if !inClass =>
+          if (i + 1 < n && pattern.charAt(i + 1) == '+')
+            err(s"a possessive quantifier ($c+)")
+          out.append(c)
+          i += 1
+        case '{' if !inClass =>
+          val m = countedRep.matcher(pattern)
+          m.region(i, n)
+          if (m.lookingAt()) {
+            if (m.end < n && pattern.charAt(m.end) == '+')
+              err("a possessive quantifier ({m,n}+)")
+            out.append(pattern.substring(i, m.end))
+            i = m.end
+          } else { out.append("\\{"); i += 1 } // RE2: non-repetition brace is literal
+        case _ =>
+          out.append(c)
+          i += 1
+      }
+    }
+    val res = out.toString
+    // fail at PLAN BUILD, not mid-task: anything Java still rejects
+    // after translation (which RE2 rejects too — e.g. "[]a]") must
+    // surface as a compile error like the reference's
+    try java.util.regex.Pattern.compile(res)
+    catch {
+      case e: java.util.regex.PatternSyntaxException =>
+        throw new IllegalArgumentException(
+          s"matcher regex does not compile: $pattern (${e.getDescription})")
+    }
+    res
+  }
+
   /** Does the (anchored) pattern match the empty string? Decided at
     * plan-build time so the null-safe coalesce is only paid when "" /
     * absent labels can actually match.
@@ -90,8 +202,9 @@ object Matcher {
         else Some(c.isin(set: _*))
       case p =>
         // Prometheus regexes are fully anchored; null behaves as "".
-        val c = if (nullSafe || matchesEmpty(p)) nn(label) else col(label)
-        Some(c.rlike("^(?:" + p + ")$"))
+        val jp = re2ToJava(p)
+        val c = if (nullSafe || matchesEmpty(jp)) nn(label) else col(label)
+        Some(c.rlike("^(?:" + jp + ")$"))
     }
 
   /** AND of all matchers; None when every matcher matches all rows. */

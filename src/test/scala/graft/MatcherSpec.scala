@@ -72,4 +72,80 @@ class MatcherSpec extends SparkSpec {
     val p = Matcher.compile(Seq(Matcher.Re("job", ".+"), Matcher.Neq("job", "api")))
     assert(df.filter(p.get).select("id").collect().map(_.getInt(0)).toSet == Set(2))
   }
+
+  // ===== RE2 parity (reference compiles matchers with Go RE2,
+  // search/constraint.go:639; Spark rlike is java.util.regex) =====
+
+  test("Java-only constructs RE2 rejects are rejected loudly") {
+    val re2Invalid = Seq(
+      """(a)\1""",    // backreference
+      "a(?=b)",       // lookahead
+      "a(?!b)",       // negative lookahead
+      "(?<=a)b",      // lookbehind
+      "(?<!a)b",      // negative lookbehind
+      "(?>ab)c",      // atomic group
+      "a*+b",         // possessive quantifiers
+      "a++",
+      "a?+",
+      "a{2,3}+",
+      """\Gab""",     // \G anchor
+      """ab\Z""",     // \Z (RE2 spells it \z)
+      "(?P<x>a)(?P=x)") // named backreference
+    re2Invalid.foreach { p =>
+      assertThrows[IllegalArgumentException](Matcher.Re("job", p).toPredicate)
+      assertThrows[IllegalArgumentException](Matcher.Nre("job", p).toPredicate)
+    }
+  }
+
+  test("RE2-only spellings Java rejects are translated") {
+    // (?P<name>...) named group (the RE2 spelling)
+    assert(ids(Matcher.Re("job", "(?P<x>api|web)")) == Set(1, 2))
+    // POSIX classes
+    assert(ids(Matcher.Re("job", "[[:alpha:]]+")) == Set(1, 2))
+    assert(ids(Matcher.Re("job", "[[:^digit:]]+")) == Set(1, 2))
+    assert(ids(Matcher.Re("job", "[[:word:]]+")) == Set(1, 2))
+    // RE2 treats a non-repetition brace as a literal; Java errors on it
+    val braces = Seq((1, Some("a{b")), (2, Some("ab"))).toDF("id", "job")
+    val got = braces.filter(Matcher.Re("job", "a\\{?b|a{b").toPredicate.get)
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(got == Set(1, 2))
+    // valid counted repetition still works
+    assert(ids(Matcher.Re("job", "a{1}pi")) == Set(1))
+    // escaped quantifier followed by + is one-or-more literal, not
+    // possessive — must NOT be rejected
+    val plus = Seq((1, Some("++")), (2, Some("a"))).toDF("id", "job")
+    assert(plus.filter(Matcher.Re("job", """\++""").toPredicate.get)
+      .collect().map(_.getInt(0)).toSet == Set(1))
+  }
+
+  test("property: safe-subset patterns match identically to anchored java full-match") {
+    // within the syntax subset BOTH engines accept, boolean full-match
+    // results agree engine-to-engine; this pins the graft compile
+    // chain (anchoring + null handling + translation) to the
+    // same-JVM reference for a generated corpus
+    val rnd = new scala.util.Random(42)
+    val atoms = Seq("a", "b", "c", "1", ".", "[ab]", "[^c]", """\d""", "(a|b)")
+    val quants = Seq("", "", "*", "+", "?", "{1,2}", "*?")
+    def pat(): String = {
+      val k = 1 + rnd.nextInt(4)
+      val parts = Seq.fill(k)(atoms(rnd.nextInt(atoms.size)) +
+        quants(rnd.nextInt(quants.size)))
+      if (rnd.nextBoolean()) parts.mkString else parts.mkString("|")
+    }
+    val alphabet = "abc1d"
+    def str(): String =
+      Seq.fill(rnd.nextInt(5))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    val strings = (Seq("", "a", "abc") ++ Seq.fill(17)(str())).distinct
+    val data = strings.zipWithIndex.map { case (s, i) => (i, Some(s)) }
+      .toDF("id", "job")
+    (0 until 120).foreach { _ =>
+      val p = pat()
+      val expect = strings.zipWithIndex.collect {
+        case (s, i) if java.util.regex.Pattern.matches("^(?:" + p + ")$", s) => i
+      }.toSet
+      val got = Matcher.Re("job", p).toPredicate.map(data.filter).getOrElse(data)
+        .select("id").collect().map(_.getInt(0)).toSet
+      assert(got == expect, s"pattern <$p> diverged")
+    }
+  }
 }
