@@ -18,12 +18,78 @@ import org.apache.spark.sql.SparkSession
   *
   * `SPARK_GRAFT_ONLY` (comma-separated names) restricts the run for
   * standalone profiling.
+  *
+  * `SPARK_GRAFT_BENCH_ISOLATE=1` runs every query in its OWN child
+  * JVM (same flags as the suite JVM, fresh code cache, fresh Spark
+  * session) and merges the children's JSON — the diagnostic mode
+  * that separates inherent query cost from shared-JVM state (JIT
+  * cache pressure, GC history, broadcast/codegen caches). Slower
+  * wall-clock (one SparkSession bring-up per query); same output
+  * contract.
   */
 object Bench {
+
+  /** Child-JVM flags mirroring build.sbt's javaOptions. */
+  private def childJvmFlags: Seq[String] = {
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    addOpens ++ Seq(
+      "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC",
+      s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+      "-XX:ReservedCodeCacheSize=512m",
+      "-XX:+UseCodeCacheFlushing")
+  }
+
+  /** Isolated mode: one child JVM per query, merged results. */
+  private def runIsolated(names: Seq[String], passes: Int): Unit = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val results = names.map { name =>
+      val pb = new ProcessBuilder(
+        (Seq(javaBin) ++ childJvmFlags ++ Seq("-cp", cp, "graft.Bench")): _*)
+      pb.environment().put("SPARK_GRAFT_ONLY", name)
+      pb.environment().remove("SPARK_GRAFT_BENCH_ISOLATE")
+      pb.redirectErrorStream(false)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      proc.getErrorStream.readAllBytes()
+      proc.waitFor()
+      // child prints one JSON line: {"..."queries":{"<name>":sec},...}
+      val re = ("\"" + java.util.regex.Pattern.quote(name) + "\":(-?[0-9.]+)").r
+      val t = re.findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse(-1.0)
+      System.err.println(f"[bench-isolate] $name%-24s ${t}%.3f s")
+      (name, if (t >= 0) Some(t) else None)
+    }
+    val qs = results.map { case (k, m) =>
+      "\"" + k + s"""\":${m.map(v => f"$v%.3f").getOrElse("-1")}"""
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, None) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.flatMap(_._2).sum
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"passes":$passes,"isolated":true,"sf":"$sfDir"}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
+    if (sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").exists(_ == "1")) {
+      val only = sys.env.get("SPARK_GRAFT_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      runIsolated(
+        SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_.contains(n))),
+        passes)
+      return
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

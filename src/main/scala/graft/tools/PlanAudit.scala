@@ -105,6 +105,21 @@ object PlanAudit {
       spark.read.parquet(rtPath).filter(col("bucket") === 19725L),
       Map("partition filter present" -> "PartitionFilters: [isnotnull(bucket"))
 
+    // labelValues under matchers on OTHER labels (materialize.go:320
+    // MaterializeLabelValues analog): the matcher must reach
+    // PushedFilters so the converted layout's sorted row groups +
+    // bloom filters prune the scan, and the scan must read ONLY the
+    // matcher column + the target label (no ts/value
+    // materialization for a label-index query).
+    audit("label_values_under_matchers_pushdown",
+      new TsdbQueryable(spark.read.parquet(rtPath),
+          Seq("event_type", "user_id"))
+        .labelValues("user_id", Seq(Matcher.Eq("event_type", "click"))),
+      Map(
+        "matcher pushed to scan" -> "EqualTo(event_type,click)",
+        "scan pruned to the two label columns" ->
+          "struct<user_id:bigint,event_type:string>"))
+
     if (failures.nonEmpty) {
       println(s"\n[audit] FAILURES: ${failures.mkString("; ")}")
       sys.exit(1)
