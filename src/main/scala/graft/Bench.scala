@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_BENCH_PASSES` (default 3) timed passes run and each
   * query reports its MEDIAN — the standard robust estimator, immune
   * to the one-off GC/compilation hiccup a single pass can catch in a
-  * 47-query shared JVM. `value` is the sum of per-query medians.
+  * 49-query shared JVM. `value` is the sum of per-query medians.
   * Failures are never reported as fake timings: a failed query gets
   * -1 and its name in the `errors` list, and is excluded from total.
   *

@@ -3,17 +3,20 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, NgramShingles}
 
 /** Session extension registering graft's native expressions as SQL
-  * functions, so `spark.sql("SELECT graft_dot(a, b) ...")` works.
+  * functions, so `spark.sql("SELECT graft_dot(a, b) ...")` and
+  * `graft_shingles(text, 4[, true])` work.
   *
   * Wire-up: `spark.sql.extensions=graft.GraftExtensions` at session
   * build, or [[GraftFunctions.register]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotProduct)
+    ext.injectFunction(GraftFunctions.shingles)
+  }
 }
 
 object GraftFunctions {
@@ -26,9 +29,31 @@ object GraftFunctions {
       DotProduct(children.head, children(1))
     })
 
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case _ => throw new IllegalArgumentException(s"$what must be an int literal")
+  }
+
+  private def boolLit(e: Expression, what: String): Boolean = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+    case _ => throw new IllegalArgumentException(s"$what must be a boolean literal")
+  }
+
+  private[graft] val shingles: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_shingles"),
+    new ExpressionInfo(classOf[NgramShingles].getName, "graft_shingles"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2 || children.length == 3,
+        "graft_shingles(text, n[, distinct]) takes 2 or 3 arguments")
+      NgramShingles(children.head, intLit(children(1), "n"),
+        if (children.length == 3) boolLit(children(2), "distinct") else false)
+    })
+
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = dotProduct
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    Seq(dotProduct, shingles).foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
   }
 }

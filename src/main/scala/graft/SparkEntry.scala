@@ -498,6 +498,23 @@ object SparkEntry {
         length(col("frame")).cast("long").as("frame_bytes"))
       .orderBy("media_id", "frame_idx")
 
+  /** The media table is a stored artifact: real PNG payloads written
+    * once per process as a parquet binary column (media payloads live
+    * in storage; a pipeline decodes them, it doesn't synthesize them
+    * per query). The generator runs on executors; the fixture read
+    * back is the production shape — binary column straight off
+    * parquet.
+    */
+  private def imageTable(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_images_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+    fixtureOnce(s"images:$dir") {
+      graft.multimodal.Multimodal.syntheticImageTable(
+          t(s, dir, "documents"), "doc_id")
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   /** REAL image decode: one synthetic two-band PNG per document row
     * (encoded on executors), decoded back with javax.imageio; output
     * is the decoded dimensions + whole-image channel means + 2×2
@@ -509,9 +526,7 @@ object SparkEntry {
     // feature cells emitted as scalar columns (sortable, as the
     // driver's row-check harness requires)
     graft.multimodal.Multimodal.decodeImageFeatures(
-        graft.multimodal.Multimodal.syntheticImageTable(
-          t(s, dir, "documents"), "doc_id"),
-        gridRows = 2, gridCols = 2)
+        imageTable(s, dir), gridRows = 2, gridCols = 2)
       .select(col("media_id"),
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),
@@ -533,10 +548,7 @@ object SparkEntry {
     */
   private def mmResize(s: SparkSession, dir: String): DataFrame =
     graft.multimodal.Multimodal.decodeImageFeatures(
-        graft.multimodal.Multimodal.resizeImages(
-          graft.multimodal.Multimodal.syntheticImageTable(
-            t(s, dir, "documents"), "doc_id"),
-          maxDim = 16))
+        graft.multimodal.Multimodal.resizeImages(imageTable(s, dir), maxDim = 16))
       .select(col("media_id"),
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"))

@@ -88,6 +88,14 @@ object PlanAudit {
       Map("no cartesian product" -> "CartesianProduct",
         "no nested-loop self-join" -> "BroadcastNestedLoopJoin"))
 
+    // Connected-components rounds are equi-joins on node ids; the
+    // final labelling must never degrade to a cartesian.
+    audit("dd_clusters",
+      SparkEntry.queries("dd_clusters")(spark, dir),
+      Map.empty,
+      Map("no cartesian product" -> "CartesianProduct",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin"))
+
     // Matcher IN fast-path must reach the scan as an In() filter.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$dir/events.parquet")

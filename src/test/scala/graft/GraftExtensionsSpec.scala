@@ -20,4 +20,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("2 arguments") ||
       e.getMessage.toLowerCase.contains("requirement"))
   }
+
+  test("graft_shingles is callable from SQL with occurrence and set modes") {
+    GraftFunctions.register(spark)
+    val occ = spark.sql("SELECT graft_shingles('abab', 2) AS s")
+      .head.getSeq[String](0)
+    assert(occ == Seq("ab", "ba", "ab"))
+    val set = spark.sql("SELECT graft_shingles('abab', 2, true) AS s")
+      .head.getSeq[String](0)
+    assert(set == Seq("ab", "ba"))
+    // short doc: one shingle = the whole text
+    assert(spark.sql("SELECT graft_shingles('x', 4) AS s")
+      .head.getSeq[String](0) == Seq("x"))
+    // multi-byte codepoints slice on codepoint boundaries
+    assert(spark.sql("SELECT graft_shingles('héllö', 2, true) AS s")
+      .head.getSeq[String](0) == Seq("hé", "él", "ll", "lö"))
+  }
 }

@@ -44,6 +44,33 @@ class TextPropertySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("native shingles match a codepoint-sliding reference on random strings") {
+    // includes multi-byte codepoints: boundary walking must slice on
+    // codepoints, never mid-UTF8-sequence
+    val texts = (samples(40) :+ "" :+ "a" :+ "héllö wörld ✓✓" :+ "ab").distinct
+    def ref(s: String, n: Int): Seq[String] = {
+      val cps = s.codePoints().toArray.toSeq
+      if (cps.length < n) Seq(s)
+      else cps.sliding(n).map(w => new String(w.toArray, 0, w.length)).toSeq
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .shingleOccurrences(df, "text", "doc_id", 3)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getString(1)).toSeq).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == ref(t, 3), s"text <$t>")
+    }
+    // set mode = distinct, first occurrence order
+    val setGot = graft.operators.Dedup.shingles(df, "text", "doc_id", 3)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getString(1)).toSeq).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(setGot(i.toLong) == ref(t, 3).distinct, s"set of <$t>")
+    }
+  }
+
   test("simhash of a doc equals simhash of its token-permuted self") {
     // simhash is a bag-of-tokens sketch: token order must not matter
     val doc = samples(1).headOption.getOrElse("the quick brown fox") + " alpha beta"
