@@ -92,3 +92,97 @@ object NgramShingles {
   def ngramShingleSet(text: Column, n: Int): Column =
     ColumnBridge.column(NgramShingles(ColumnBridge.expression(text), n, distinct = true))
 }
+
+/** Per-row MinHash signature over a shingle array — the whole
+  * signature in ONE projection.
+  *
+  * The SQL formulation (explode shingles → groupBy(id) with k
+  * `min(pmod(base·aᵢ+bᵢ, P))` aggregates) shuffles every
+  * (id, shingle) occurrence through an exchange just to take k
+  * mins that are computable row-locally. This expression folds the
+  * k affine permutations over the shingle array in a tight loop:
+  * zero shuffle for signatures at any corpus size, and the min over
+  * DISTINCT shingles equals the min over occurrences, so outputs are
+  * bit-identical to the aggregate form (spec-pinned).
+  *
+  * Hash chain replicates Spark's `xxhash64(shingle)` (XXH64, seed
+  * 42) then the same affine family `(base·aᵢ+bᵢ) mod (2³¹−1)` the
+  * aggregate form uses — P = 2³¹−1 keeps `base·aᵢ+bᵢ < 2⁶²`,
+  * overflow-free in a long.
+  */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(k > 0, "signature width must be positive")
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    MinHashSignature.compute(a.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.MinHashSignature.compute($a, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_minhash_signature"
+}
+
+object MinHashSignature {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  val MersennePrime: Long = 2147483647L // 2^31-1
+
+  /** The affine-permutation table (aᵢ, bᵢ) — splitmix64-seeded, the
+    * SAME chain the aggregate formulation used, so signatures are
+    * reproducible across both forms.
+    */
+  def perm(i: Int): (Long, Long) = {
+    var z = (i + 1).toLong * 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    val a = math.abs(z ^ (z >>> 31)) % (MersennePrime - 1) + 1
+    val b = math.abs(z * 31) % MersennePrime
+    (a, b)
+  }
+
+  // per-k permutation tables, built once per JVM
+  private val tables =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def tablesFor(k: Int): (Array[Long], Array[Long]) =
+    tables.computeIfAbsent(k, { kk =>
+      val ps = (0 until kk).map(perm)
+      (ps.map(_._1).toArray, ps.map(_._2).toArray)
+    })
+
+  /** Static entry for generated code. */
+  def compute(arr: ArrayData, k: Int): ArrayData = {
+    val (as, bs) = tablesFor(k)
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      // Spark's xxhash64(string) = XXH64 over the UTF-8 bytes, seed 42
+      val h = XXH64.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      val base = java.lang.Math.floorMod(h, MersennePrime)
+      var i = 0
+      while (i < k) {
+        val v = java.lang.Math.floorMod(base * as(i) + bs(i), MersennePrime)
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Column API: k-wide MinHash signature of a shingle array. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), k))
+}

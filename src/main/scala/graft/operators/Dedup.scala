@@ -185,35 +185,29 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  // Fixed affine permutation constants for MinHash, generated once
-  // from a splitmix-style scramble of the function index (pure data,
-  // no RNG at runtime — reproducible everywhere).
-  private val MersennePrime = 2147483647L // 2^31-1
-  private def perm(i: Int): (Long, Long) = {
-    var z = (i + 1).toLong * 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    val a = math.abs(z ^ (z >>> 31)) % (MersennePrime - 1) + 1
-    val b = math.abs(z * 31) % MersennePrime
-    (a, b)
-  }
+  /** MinHash signature as ONE narrow projection per row
+    * ([[graft.functions.MinHashSignature]]): shingle set + k affine
+    * permutations folded row-locally — ZERO shuffle at any corpus
+    * size. Bit-identical to the old explode+groupBy formulation
+    * (min over distinct shingles == min over occurrences; same hash
+    * chain), which used to push every (id, shingle) occurrence
+    * through an exchange just to take k row-local minima.
+    */
+  def minHashSignatureArrays(df: DataFrame, textCol: String, idCol: String,
+      n: Int, k: Int): DataFrame =
+    shingleSet(df, textCol, idCol, n)
+      .select(col(idCol),
+        graft.functions.MinHashSignature.minhashSignature(col("sh_set"), k)
+          .as("sig"))
 
-  /** MinHash signature: for each of `k` affine permutations of the
-    * base shingle hash, the per-document minimum. One shuffle
-    * (groupBy id) with full map-side partial aggregation — duplicate
-    * shingles need no pre-dedup since min is idempotent, so the
-    * distinct shuffle of the Jaccard path is skipped entirely.
+  /** [[minHashSignatureArrays]] with the signature spread into
+    * `h0..h{k-1}` columns (the probe/spec-facing shape).
     */
   def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
-      n: Int, k: Int): DataFrame = {
-    val sh = shingleOccurrences(df, textCol, idCol, n)
-    val base = pmod(xxhash64(col("shingle")), lit(MersennePrime))
-    val mins = (0 until k).map { i =>
-      val (a, b) = perm(i)
-      min(pmod(base * a + b, lit(MersennePrime))).as(s"h$i")
-    }
-    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-  }
+      n: Int, k: Int): DataFrame =
+    minHashSignatureArrays(df, textCol, idCol, n, k)
+      .select(col(idCol) +:
+        (0 until k).map(i => element_at(col("sig"), i + 1).as(s"h$i")): _*)
 
   // ===== scale guards shared by the banded (LSH) self-joins =====
   //
@@ -316,9 +310,7 @@ object Dedup {
     val memberOf = reps.select(col("_ck"), col(idCol).as("_rid"))
       .join(keyed.select(col("_ck"), col(idCol).as("_mid")), "_ck")
       .select(col("_rid"), col("_mid"))
-    val sigs = minHashSignatures(reps, textCol, idCol, n, k)
-      .withColumn("sig", array((0 until k).map(i => col(s"h$i")): _*))
-      .select(col(idCol), col("sig"))
+    val sigs = minHashSignatureArrays(reps, textCol, idCol, n, k)
     // Carry the signature THROUGH the banding so the pair join yields
     // (id_a, id_b, sig_a, sig_b) directly: the signature subplan
     // appears exactly once (the self-join's exchange is reused by

@@ -37,6 +37,27 @@ class DedupSpec extends SparkSpec {
     assert(dfs <= 2)
   }
 
+  test("native minHash signature is bit-identical to the SQL aggregate form") {
+    // the old formulation: explode occurrences, groupBy(id), k
+    // min-aggregates over pmod(xxhash64(shingle)·a+b, P). The native
+    // per-row expression must reproduce it EXACTLY — this pins the
+    // XXH64(seed 42) replication and the affine chain.
+    import org.apache.spark.sql.functions.{pmod, xxhash64, min => fmin, lit}
+    val P = graft.functions.MinHashSignature.MersennePrime
+    val k = 16
+    val sh = Dedup.shingleOccurrences(docs, "text", "doc_id", 3)
+    val base = pmod(xxhash64(col("shingle")), lit(P))
+    val aggs = (0 until k).map { i =>
+      val (a, b) = graft.functions.MinHashSignature.perm(i)
+      fmin(pmod(base * a + b, lit(P))).as(s"h$i")
+    }
+    val expect = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong)).toMap
+    val got = Dedup.minHashSignatures(docs, "text", "doc_id", 3, k)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong)).toMap
+    assert(got == expect)
+  }
+
   test("minHash signature similarity tracks exact jaccard") {
     val est = Dedup.minHashLsh(docs, "text", "doc_id", n = 3, k = 32, bands = 8)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
