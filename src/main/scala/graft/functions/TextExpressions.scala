@@ -186,3 +186,67 @@ object MinHashSignature {
   def minhashSignature(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingles), k))
 }
+
+/** Per-row 64-bit SimHash over a token array — the whole fingerprint
+  * in ONE projection.
+  *
+  * The aggregate formulation exploded every (id, token) occurrence
+  * through a corpus-wide exchange and needed 21-bit packed counters
+  * (3 per long, 22 aggregate columns) to stay codegen-friendly —
+  * which capped documents at 2²¹ tokens. Folding the votes row-
+  * locally removes the shuffle AND the bound: plain int counters
+  * handle any document Spark can hold in a row. Semantics identical:
+  * token hash = Spark's `xxhash64` (XXH64, seed 42), bit j set ⟺
+  * 2·ones_j > n over the token MULTISET.
+  */
+case class SimHashFingerprint(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(a: Any): Any =
+    SimHashFingerprint.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.SimHashFingerprint.compute($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashFingerprint =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_simhash"
+}
+
+object SimHashFingerprint {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  /** Static entry for generated code. */
+  def compute(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      val h = XXH64.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var b = 0
+      while (b < 64) {
+        counts(b) += ((h >>> b) & 1L).toInt
+        b += 1
+      }
+      j += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (2L * counts(b) > n) fp |= 1L << b
+      b += 1
+    }
+    fp
+  }
+
+  /** Column API: 64-bit SimHash of a token array. */
+  def simhash(tokens: Column): Column =
+    ColumnBridge.column(SimHashFingerprint(ColumnBridge.expression(tokens)))
+}

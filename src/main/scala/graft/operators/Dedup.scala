@@ -384,62 +384,20 @@ object Dedup {
       memberOf, Seq("jaccard"), Seq(lit(1.0)))
   }
 
-  // SimHash bit-count packing: 3 bit-counters per long, 21 bits each.
-  // 22 packed sums replace 64 independent sum(when(±1)) aggregates —
-  // the wide-aggregate form generated a codegen update method big
-  // enough to destabilize the JIT when many other wide queries share
-  // the JVM (round-2 bench pathology: 1.9s standalone, 100s in-suite).
-  private val SimhashFieldBits = 21
-  private val SimhashFieldsPerCol = 3
-  private val SimhashPackedCols =
-    (64 + SimhashFieldsPerCol - 1) / SimhashFieldsPerCol // 22
-
   /** 64-bit SimHash over word tokens: per-bit signed vote weighted
-    * by token frequency, packed into a long. Pure aggregation —
-    * one shuffle, no joins.
-    *
-    * Votes are accumulated as per-bit ONES-counts c_j packed three
-    * per long (21-bit fields): the signed-vote sum is 2·c_j − n, so
-    * `bit set ⟺ votes > 0 ⟺ 2·c_j > n`. Identical semantics to the
-    * ±1 formulation with a 22-column aggregate buffer instead of 64.
-    * Field width bounds documents at 2^21 ≈ 2M tokens (~10 MB of
-    * text); beyond that a counter would overflow into its neighbor.
+    * by token frequency. ONE narrow projection per row
+    * ([[graft.functions.SimHashFingerprint]]): the votes fold
+    * row-locally, so the fingerprint costs no shuffle at any corpus
+    * size — and no token-count bound (the packed-counter aggregate
+    * this replaces capped documents at 2²¹ tokens). Documents with
+    * zero tokens produce no row, as in the aggregate form.
     */
-  def simHash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    // hash once per token, then pack the 64 bit-tests into 22 long
-    // columns in the projection; the aggregate is 22 plain long sums.
-    val toks = df.select(col(idCol),
-        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
-      .select(col(idCol), xxhash64(col("tok")).as("h"))
-    val packed = toks.select(col(idCol) +: (0 until SimhashPackedCols).map { g =>
-      val fields = (0 until SimhashFieldsPerCol)
-        .map(f => g * SimhashFieldsPerCol + f).filter(_ < 64)
-      fields.map { j =>
-        val f = j - g * SimhashFieldsPerCol
-        shiftleft(shiftright(col("h"), j).bitwiseAND(1), f * SimhashFieldBits)
-      }.reduce(_ + _).as(s"p$g")
-    }: _*)
-    val sums = (0 until SimhashPackedCols).map(g => sum(col(s"p$g")).as(s"s$g")) :+
-      count(lit(1)).as("_n")
-    val fingerprint = (0 until 64).map { j =>
-      val g = j / SimhashFieldsPerCol
-      val f = j % SimhashFieldsPerCol
-      val ones = shiftright(col(s"s$g"), f * SimhashFieldBits)
-        .bitwiseAND((1L << SimhashFieldBits) - 1)
-      when(ones * 2 > col("_n"), lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    packed.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+  def simHash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) > 0)
       .select(col(idCol),
-        // enforce the packing bound at runtime: a document beyond
-        // 2^21 tokens would overflow its 21-bit counters into the
-        // neighboring field and yield a silently wrong fingerprint —
-        // fail loudly instead. The guard lives in the value path so
-        // column pruning cannot drop it.
-        when(col("_n") >= lit(1L << SimhashFieldBits),
-          expr("raise_error(concat('simhash: document with ', CAST(_n AS STRING), " +
-            s"' tokens exceeds the 2^$SimhashFieldBits packing bound'))").cast("long"))
-          .otherwise(fingerprint).as("simhash"))
-  }
+        graft.functions.SimHashFingerprint.simhash(col("_toks")).as("simhash"))
 
   /** SimHash near-duplicate pairs: band the 64-bit fingerprint into
     * `nBands` keys (16-bit slices for the default 4), pair documents

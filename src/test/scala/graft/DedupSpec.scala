@@ -73,6 +73,32 @@ class DedupSpec extends SparkSpec {
     assert(out.toSet == Set((1L, 2L))) // only the exact dup survives 0.9
   }
 
+  test("native simhash is bit-identical to the 64-aggregate vote form") {
+    // reference formulation: explode tokens, 64 independent
+    // sum(bit_j(xxhash64(tok))) aggregates, bit set iff 2*ones > n —
+    // pins the XXH64 replication and the vote rule, and that
+    // zero-token docs produce no row in either form
+    import org.apache.spark.sql.functions.{explode, xxhash64, shiftright, sum => fsum, count => fcount, lit, when}
+    val docsWithEmpty = docs.unionByName(
+      Seq((99L, "... ...")).toDF("doc_id", "text")) // punctuation-only: 0 tokens
+    val toks = docsWithEmpty.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val aggs = (0 until 64).map(j =>
+      fsum(shiftright(col("h"), j).bitwiseAND(1)).as(s"o$j")) :+
+      fcount(lit(1)).as("_n")
+    val expect = toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j =>
+          when(col(s"o$j") * 2 > col("_n"), lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.simHash(docsWithEmpty, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    assert(!got.contains(99L))
+  }
+
   test("simHashNearDup pairs identical docs at hamming 0") {
     val out = Dedup.simHashNearDup(docs, "text", "doc_id",
         maxHamming = 3, nBands = 4)
