@@ -48,99 +48,129 @@ object Ann {
       struct(cosine(v, typedLit(cv)).as("score"), lit(i).as("cell"))
     }: _*)
 
-  /** Lloyd refinement of an IVF quantizer: assign every corpus
-    * vector to its best cell (the same zero-shuffle argmax projection
-    * ivfTopK uses), then recompute each centroid as the per-dimension
-    * mean of its cell — one posexplode + (cell, dim) aggregation per
-    * iteration, collected at centroid×dim (metadata) scale. Exactly
-    * the distributed k-means step a production IVF build runs.
-    *
-    * Runs at most `maxIters` iterations but stops as soon as no
-    * centroid moves more than `tol` (L2) — convergence-based, no
-    * hand-tuned iteration count.
+  /** Best cell for one vector against the current centroid set —
+    * the local mirror of the `array_max(cellScoresFor(...))`
+    * assignment projection: max cosine, ties resolved to the LARGER
+    * cell index exactly as `array_max` over `struct(score, cell)`
+    * compares lexicographically.
     */
-  def refineCentroids(corpus: DataFrame, vecCol: String,
-      centroids: Array[Seq[Double]], maxIters: Int,
-      tol: Double = 5e-3): Array[Seq[Double]] = {
-    var cur = centroids
-    val v = corpus.select(asDouble(col(vecCol)).as("nv"))
-    var it = 0
-    var moved = Double.MaxValue
-    while (it < maxIters && moved > tol) {
-      val means = v
-        .withColumn("cell", array_max(cellScoresFor(cur)(col("nv"))).getField("cell"))
-        .select(col("cell"), posexplode(col("nv")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
-        .groupBy("cell").agg(map_from_arrays(
-          collect_list(col("dim")), collect_list(col("m"))).as("dims"))
-        .collect()
-        .map(r => r.getInt(0) ->
-          r.getMap[Int, Double](1).toSeq.sortBy(_._1).map(_._2).toSeq)
-        .toMap
-      // empty cells keep their previous centroid
-      val next = cur.indices.map(i => means.getOrElse(i, cur(i))).toArray
-      moved = cur.zip(next).map { case (a, b) =>
-        math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
-      }.max
-      cur = next
-      it += 1
+  private def bestCellLocal(v: Array[Double], nv: Double,
+      cents: Array[Array[Double]], cnorms: Array[Double]): Int = {
+    var best = 0; var bestScore = Double.NegativeInfinity
+    var i = 0
+    while (i < cents.length) {
+      var d = 0.0; var j = 0; val c = cents(i)
+      while (j < v.length) { d += v(j) * c(j); j += 1 }
+      val s = d / (nv * cnorms(i))
+      if (s >= bestScore) { bestScore = s; best = i }
+      i += 1
     }
-    cur
+    best
   }
 
-  /** Split over-populated IVF cells: any cell holding more than
-    * `factor`× the mean population donates its farthest member (the
-    * lowest-cosine vector — found with one min_by aggregation, no
-    * sort) as an additional centroid. Oversized cells are where IVF
-    * recall and probe cost degrade — a hot cell means its members
-    * compete with too many neighbors under one key at query time.
+  /** Driver-local Lloyd refinement of the IVF quantizer over the
+    * collected train sample: assign each sample vector to its best
+    * cell by cosine, recompute centroids as per-dimension means,
+    * stop when no centroid moves more than `tol` (L2) or after
+    * `maxIters`. Then split over-populated cells (any cell holding
+    * more than `splitFactor`× the mean donates its farthest member
+    * as a new centroid — hot cells are where IVF recall and probe
+    * cost degrade) and briefly re-converge.
+    *
+    * Local BY DESIGN: a quantizer is metadata (nCentroids × dim
+    * doubles) and its training set is a bounded sample — the same
+    * shape as any production IVF build, which trains the coarse
+    * quantizer in memory and only ASSIGNS at corpus scale. Running
+    * Lloyd as Spark jobs (the previous formulation) cost one
+    * cluster-wide aggregation per iteration to compute what is,
+    * after sampling, a driver-sized reduction.
     */
-  def splitOversizedCells(corpus: DataFrame, vecCol: String,
-      centroids: Array[Seq[Double]],
-      factor: Double = 4.0): Array[Seq[Double]] = {
-    val v = corpus.select(asDouble(col(vecCol)).as("nv"))
-    val stats = v
-      .withColumn("best", array_max(cellScoresFor(centroids)(col("nv"))))
-      .select(col("best.cell").as("cell"), col("best.score").as("score"), col("nv"))
-      .groupBy("cell")
-      .agg(count(lit(1)).as("n"), expr("min_by(nv, score)").as("far"))
-      .collect()
-    val meanN = stats.map(_.getLong(1)).sum.toDouble / centroids.length.max(1)
-    val extra = stats.filter(_.getLong(1) > factor * meanN)
-      .map(_.getSeq[Double](2).toSeq)
-    centroids ++ extra
+  private[graft] def trainQuantizer(sample: Array[Array[Double]],
+      seeds: Array[Seq[Double]], maxIters: Int, tol: Double = 5e-3,
+      splitFactor: Double = 4.0): Array[Seq[Double]] = {
+    val norms = sample.map(v => math.sqrt(v.map(x => x * x).sum).max(1e-300))
+    def lloyd(init: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+      var cur = init
+      var it = 0
+      var moved = Double.MaxValue
+      while (it < iters && moved > tol) {
+        val cnorms = cur.map(c => math.sqrt(c.map(x => x * x).sum).max(1e-300))
+        val sums = Array.fill(cur.length)(new Array[Double](sample.head.length))
+        val counts = new Array[Long](cur.length)
+        var r = 0
+        while (r < sample.length) {
+          val cell = bestCellLocal(sample(r), norms(r), cur, cnorms)
+          counts(cell) += 1
+          val s = sums(cell); val v = sample(r)
+          var j = 0
+          while (j < v.length) { s(j) += v(j); j += 1 }
+          r += 1
+        }
+        // empty cells keep their previous centroid
+        val next = cur.indices.map { i =>
+          if (counts(i) == 0) cur(i) else sums(i).map(_ / counts(i))
+        }.toArray
+        moved = cur.zip(next).map { case (a, b) =>
+          math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+        }.max
+        cur = next
+        it += 1
+      }
+      cur
+    }
+    val refined = lloyd(seeds.map(_.toArray), maxIters)
+    // split pass: per-cell population + farthest (min-cosine) member
+    val cnorms = refined.map(c => math.sqrt(c.map(x => x * x).sum).max(1e-300))
+    val counts = new Array[Long](refined.length)
+    val farScore = Array.fill(refined.length)(Double.MaxValue)
+    val farVec = new Array[Array[Double]](refined.length)
+    var r = 0
+    while (r < sample.length) {
+      val cell = bestCellLocal(sample(r), norms(r), refined, cnorms)
+      counts(cell) += 1
+      var d = 0.0; var j = 0; val v = sample(r); val c = refined(cell)
+      while (j < v.length) { d += v(j) * c(j); j += 1 }
+      val s = d / (norms(r) * cnorms(cell))
+      if (s < farScore(cell)) { farScore(cell) = s; farVec(cell) = v }
+      r += 1
+    }
+    val meanN = counts.sum.toDouble / refined.length.max(1)
+    val extra = refined.indices
+      .filter(i => counts(i) > splitFactor * meanN).map(farVec)
+    val split =
+      if (extra.nonEmpty) lloyd(refined ++ extra, math.min(maxIters, 3))
+      else refined
+    split.map(_.toSeq)
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
-      refineIters: Int = 8, trainFraction: Double = 1.0): DataFrame = {
+      refineIters: Int = 8, trainFraction: Double = 1.0,
+      maxTrainVectors: Int = 1 << 17): DataFrame = {
     val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"))
-    // quantizer TRAINING can run on a sample — the standard IVF
+    // quantizer TRAINING runs on a bounded sample — the standard IVF
     // build (a quantizer is a coarse partitioner; its quality is
     // statistical, not per-row). At 100 TB you train on a fixed-seed
-    // sample and assign the full corpus once. Seeds come from the
-    // SAME sample: before this the only full-corpus passes are the
-    // single assignment projection at the end.
+    // sample capped at `maxTrainVectors` and assign the full corpus
+    // once. The cap is enforced distributed (TakeOrdered on the
+    // deterministic hash order — bounded memory everywhere), so ONE
+    // job collects the whole training set and the only other
+    // full-corpus pass is the final assignment projection.
     val train =
       if (trainFraction < 1.0) corpus.sample(false, trainFraction, 42L)
       else corpus
-    val seeds = train
+    val sample = train
       .select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"))
       .orderBy(xxhash64(col("nid")), col("nid"))
-      .limit(nCentroids)
+      .limit(maxTrainVectors)
       .select(col("nv")).collect()
-      .map(_.getSeq[Double](0).toSeq)
-    // converge Lloyd (refineIters is a CAP, the tol stop usually
-    // fires first), split hot cells, then a short re-converge — the
-    // split centroids only need local settling
+      .map(_.getSeq[Double](0).toArray)
+    // seeds = first nCentroids in the same hash order (unchanged)
+    val seeds = sample.take(nCentroids).map(_.toSeq: Seq[Double])
     val centroidRows =
-      if (refineIters > 0) {
-        val refined = refineCentroids(train, vecCol, seeds, refineIters)
-        val split = splitOversizedCells(train, vecCol, refined)
-        if (split.length > refined.length)
-          refineCentroids(train, vecCol, split, math.min(refineIters, 3))
-        else refined
-      } else seeds
+      if (refineIters > 0 && sample.nonEmpty)
+        trainQuantizer(sample, seeds, refineIters)
+      else seeds
     // per-row array of (cosine-to-centroid, cell); array_max gives the
     // best cell, sorted+sliced gives the probe list — all codegen'd
     def cellScores(v: Column): Column = cellScoresFor(centroidRows)(v)

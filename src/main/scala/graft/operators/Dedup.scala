@@ -300,7 +300,7 @@ object Dedup {
     * so the latter can run its estimate filter and exact verify at
     * DISTINCT-CONTENT scale and expand member pairs only at the end.
     */
-  private def minHashLshReps(df: DataFrame, textCol: String, idCol: String,
+  private[graft] def minHashLshReps(df: DataFrame, textCol: String, idCol: String,
       n: Int, k: Int, bands: Int, bucketCap: Int): (DataFrame, DataFrame) = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val rows = k / bands
