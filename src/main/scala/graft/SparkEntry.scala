@@ -423,6 +423,17 @@ object SparkEntry {
         "doc_id", n = 4, threshold = 0.8, dfCap = 100))
       .orderBy("doc_id")
 
+  /** End-to-end corpus cleaning ([[operators.Pipeline.corpusClean]]):
+    * annotate → lang+quality gate → exact dedup → near-dup cluster
+    * collapse. The oracle replays every stage with the SAME SQL
+    * formulas that hash-match individually (txt_lang_id,
+    * txt_quality, dd_exact, dd_clusters), composed.
+    */
+  private def pipeCorpusClean(s: SparkSession, dir: String): DataFrame =
+    operators.Pipeline.corpusClean(t(s, dir, "documents"), "text", "doc_id",
+        lang = "en", minQuality = 0.5, n = 4, threshold = 0.8, dfCap = 100)
+      .orderBy("doc_id")
+
   private def ddMinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashLsh(t(s, dir, "documents"), "text", "doc_id",
         n = 4, k = 32, bands = 8)
@@ -590,6 +601,7 @@ object SparkEntry {
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_clusters" -> (ddClusters _),
+    "pipe_corpus_clean" -> (pipeCorpusClean _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_minhash_neardup" -> (ddMinhashNearDup _),
     "dd_simhash" -> (ddSimhash _),
@@ -616,8 +628,8 @@ object SparkEntry {
     * the dd_ngram_jaccard oracle and the dd_clusters oracle (which
     * runs transitive closure over the same `expanded` pair set).
     */
-  private val ngramPairCtes: String =
-    """keyed AS (SELECT doc_id, text, sha256(text) AS ck FROM documents),
+  private def ngramPairCtes(src: String = "documents"): String =
+    s"""keyed AS (SELECT doc_id, text, sha256(text) AS ck FROM $src),
       |grp AS (SELECT ck, min(doc_id) AS rid, min(text) AS text
       |        FROM keyed GROUP BY ck),
       |members AS (SELECT ck, doc_id AS mid FROM keyed),
@@ -656,6 +668,57 @@ object SparkEntry {
       |  SELECT m1.mid, m2.mid, 1.0
       |  FROM members m1 JOIN members m2
       |    ON m1.ck = m2.ck AND m1.mid < m2.mid)""".stripMargin
+
+  /** Transitive closure over `expanded`'s pair set (recursive CTE):
+    * `reach` maps every node in an edge to everything reachable from
+    * it. Shared by the dd_clusters oracle (min-reachable labelling)
+    * and the pipe_corpus_clean oracle (drop members with a smaller
+    * reachable id).
+    */
+  private val closureCtes: String =
+    """edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM expanded
+      |  UNION
+      |  SELECT id_b, id_a FROM expanded),
+      |reach AS (
+      |  SELECT src AS node, dst AS r FROM edges
+      |  UNION
+      |  SELECT rr.node, e.dst FROM reach rr JOIN edges e ON rr.r = e.src)""".stripMargin
+
+  /** Stopword-score CTE + language-CASE CTE — the txt_lang_id
+    * formulas, shared verbatim with pipe_corpus_clean. Plain literal
+    * + replace so the `\b` word boundaries survive (an s-interpolator
+    * would eat them as escapes).
+    */
+  private def langCtes(src: String): String =
+    """ls AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|in|is)\b')) AS INT) AS s_en,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|nicht|ein)\b')) AS INT) AS s_de,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|des|une)\b')) AS INT) AS s_fr,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|y|que|una)\b')) AS INT) AS s_es,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(de|shi|bu|le|wo|zai)\b')) AS INT) AS s_zh
+      |  FROM __SRC__),
+      |lang_pred AS (
+      |  SELECT doc_id,
+      |    CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+      |         WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+      |         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+      |         WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+      |         ELSE 'zh' END AS lang_pred
+      |  FROM ls)""".stripMargin.replace("__SRC__", src)
+
+  /** The quality-score SQL expression over a `text` column — the
+    * txt_quality formula, shared verbatim with pipe_corpus_clean.
+    */
+  private val qualitySqlExpr: String =
+    """round(
+      |    least(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) / 100.0, 1.0) * 0.5
+      |    + (1.0 - least((CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+      |                    / CAST(greatest(length(text), 1) AS DOUBLE)) * 10.0, 1.0)) * 0.25
+      |    + least((CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|in|is)\b')) AS DOUBLE)
+      |             / greatest(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE), 1.0)) * 5.0, 1.0) * 0.25,
+      |  4)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_filter_project" ->
@@ -984,21 +1047,14 @@ object SparkEntry {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "dd_ngram_jaccard" ->
-      s"""WITH $ngramPairCtes
+      s"""WITH ${ngramPairCtes()}
         |SELECT id_a, id_b, jaccard FROM expanded
         |ORDER BY id_a, id_b""".stripMargin,
     // transitive closure over the SAME pair set the ngram oracle
     // emits: min-reachable-node labelling via a recursive CTE
     "dd_clusters" ->
-      s"""WITH RECURSIVE $ngramPairCtes,
-        |edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM expanded
-        |  UNION
-        |  SELECT id_b, id_a FROM expanded),
-        |reach AS (
-        |  SELECT src AS node, dst AS r FROM edges
-        |  UNION
-        |  SELECT rr.node, e.dst FROM reach rr JOIN edges e ON rr.r = e.src)
+      s"""WITH RECURSIVE ${ngramPairCtes()},
+        |$closureCtes
         |SELECT node AS doc_id, least(node, min(r)) AS cluster_id
         |FROM reach
         |GROUP BY node
@@ -1033,32 +1089,31 @@ object SparkEntry {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "txt_quality" ->
-      """SELECT doc_id,
-        |  round(
-        |    least(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) / 100.0, 1.0) * 0.5
-        |    + (1.0 - least((CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
-        |                    / CAST(greatest(length(text), 1) AS DOUBLE)) * 10.0, 1.0)) * 0.25
-        |    + least((CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|in|is)\b')) AS DOUBLE)
-        |             / greatest(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE), 1.0)) * 5.0, 1.0) * 0.25,
-        |  4) AS quality
+      s"""SELECT doc_id, $qualitySqlExpr AS quality
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "txt_lang_id" ->
-      """WITH s AS (
-        |  SELECT doc_id,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|in|is)\b')) AS INT) AS s_en,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|nicht|ein)\b')) AS INT) AS s_de,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|des|une)\b')) AS INT) AS s_fr,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(el|los|las|y|que|una)\b')) AS INT) AS s_es,
-        |    CAST(len(regexp_extract_all(lower(text), '\b(de|shi|bu|le|wo|zai)\b')) AS INT) AS s_zh
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
-        |       WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
-        |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
-        |       WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
-        |       ELSE 'zh' END AS lang_pred
-        |FROM s
+      s"""WITH ${langCtes("documents")}
+        |SELECT doc_id, lang_pred FROM lang_pred
+        |ORDER BY doc_id""".stripMargin,
+    "pipe_corpus_clean" ->
+      s"""WITH RECURSIVE ${langCtes("documents")},
+        |scored AS (
+        |  SELECT doc_id, text, lang_pred AS lang,
+        |    $qualitySqlExpr AS quality,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+        |  FROM documents JOIN lang_pred USING (doc_id)),
+        |gated AS (SELECT * FROM scored WHERE lang = 'en' AND quality >= 0.5),
+        |uniq AS (
+        |  SELECT doc_id, text, lang, quality, n_tokens FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        |    FROM gated)
+        |  WHERE rn = 1),
+        |${ngramPairCtes("uniq")},
+        |$closureCtes,
+        |bad AS (SELECT node FROM reach GROUP BY node HAVING min(r) < node)
+        |SELECT doc_id, lang, quality, n_tokens FROM uniq
+        |WHERE doc_id NOT IN (SELECT node FROM bad)
         |ORDER BY doc_id""".stripMargin,
     "txt_fingerprint" ->
       """SELECT doc_id,

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** End-to-end corpus cleaning — the composition a training-data
+  * ingest job actually runs, built entirely from this library's own
+  * operators so each stage keeps its audited 100 TB shape:
+  *
+  *   1. annotate: language ID + quality score + token count
+  *      ([[graft.functions.TextFunctions]]) — one narrow map fused
+  *      into the scan;
+  *   2. gate: keep `lang` documents with quality ≥ `minQuality` —
+  *      the filter sits directly on the scan stage;
+  *   3. exact dedup ([[Dedup.exact]]): keep the smallest id per
+  *      content hash — one hash shuffle;
+  *   4. near-dup collapse: verified ngram-Jaccard pairs
+  *      ([[Dedup.ngramJaccard]]) → connected components
+  *      ([[Dedup.clusters]]) → drop every member whose component
+  *      has a smaller id, keeping one representative per cluster.
+  *
+  * Output: one row per surviving document with its annotations —
+  * the manifest the next pipeline stage (tokenize/train) consumes.
+  */
+object Pipeline {
+
+  def corpusClean(df: DataFrame, textCol: String, idCol: String,
+      lang: String = "en", minQuality: Double = 0.5,
+      n: Int = 4, threshold: Double = 0.8, dfCap: Int = 100): DataFrame = {
+    val scored = df.select(col(idCol), col(textCol),
+      TextFunctions.langId(col(textCol)).as("lang"),
+      TextFunctions.qualityScore(col(textCol)).as("quality"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val gated = scored.filter(col("lang") === lang &&
+      col("quality") >= minQuality)
+    // identical text ⇒ identical annotations, so gating before the
+    // dedup stages drops whole duplicate groups consistently
+    // materialize the gated+deduped manifest ONCE: it is referenced
+    // by the pair pipeline, the cluster join, and the final output,
+    // and its lineage (8 regex scans per doc for lang+quality, plus
+    // the dedup window) would otherwise re-run per reference. At
+    // 100 TB this cut is the temp-table write between the annotate
+    // and near-dup stages of a real ingest job.
+    val uniq = gated.join(
+      Dedup.exact(gated, textCol, idCol).filter(col("dup_rank") === 1)
+        .select(col(idCol)),
+      Seq(idCol), "left_semi")
+      .localCheckpoint()
+    val comp = Dedup.clusters(
+      Dedup.ngramJaccard(uniq, textCol, idCol, n, threshold, dfCap))
+    val drops = comp.filter(col("cluster_id") < col("doc_id"))
+      .select(col("doc_id").as(idCol))
+    uniq.join(drops, Seq(idCol), "left_anti")
+      .select(col(idCol), col("lang"), col("quality"), col("n_tokens"))
+  }
+}

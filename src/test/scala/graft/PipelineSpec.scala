@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Pipeline
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a ~25-word English period repeated 6× clears the quality gate
+  // (≥100 tokens, stopword-rich, no punctuation) and gives a wide
+  // shingle set so a one-word swap stays above jaccard 0.8
+  private val period = "the cat sat on the mat and the dog ran to " +
+    "the park while a bird flew over the house in the morning light "
+  private val good = period * 6
+  private val near = (period.replaceFirst("cat", "fox") + period * 5)
+  private val german = ("der hund und die katze und das haus " +
+    "und der baum und die tür und das licht und der nicht ein ") * 6
+
+  private val docs = Seq(
+    (1L, good),                 // kept: unique, en, high quality
+    (2L, good),                 // dropped: exact dup of 1
+    (3L, near),                 // dropped: near-dup of 1, cluster rep = 1
+    (4L, "!!! ??? ... !!!"),    // dropped: quality gate
+    (5L, german),               // dropped: lang gate (de)
+    (6L, "a completely different story where the wizard walked " +
+      "through the forest of silver trees to find the hidden city " +
+      "and the river of glass in the valley of the old kings " * 3)
+      // kept: unique, en, high quality
+  ).toDF("doc_id", "text")
+
+  test("corpusClean keeps exactly the unique high-quality in-lang reps") {
+    val out = Pipeline.corpusClean(docs, "text", "doc_id").collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 6L))
+    val r1 = out.find(_.getLong(0) == 1L).get
+    assert(r1.getString(1) == "en")
+    assert(r1.getDouble(2) >= 0.5)
+    assert(r1.getLong(3) > 100L)
+  }
+
+  test("each gate drops for its own reason") {
+    // lang gate: the german doc classifies de
+    val lang = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lang(5L) == "de")
+    assert(lang(1L) == "en")
+    // quality gate: punctuation-only doc scores low
+    val q = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(4L) < 0.5)
+    assert(q(1L) >= 0.5 && q(3L) >= 0.5 && q(6L) >= 0.5)
+    // near-dup gate: 1-3 really is a verified pair at 0.8
+    val pairs = graft.operators.Dedup
+      .ngramJaccard(docs.filter(col("doc_id").isin(1L, 3L, 6L)),
+        "text", "doc_id", n = 4, threshold = 0.8, dfCap = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 3L)))
+  }
+
+  test("a near-dup chain collapses to its smallest member") {
+    // 10 ~ 11 ~ 12 via one-word edits: component rep = 10
+    val chain = Seq(
+      (10L, period * 6),
+      (11L, period.replaceFirst("cat", "fox") + period * 5),
+      (12L, period.replaceFirst("cat", "owl") + period * 5)
+    ).toDF("doc_id", "text")
+    val out = Pipeline.corpusClean(chain, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(10L))
+  }
+}
