@@ -96,6 +96,15 @@ object PlanAudit {
       Map("no cartesian product" -> "CartesianProduct",
         "no nested-loop join" -> "BroadcastNestedLoopJoin"))
 
+    // The composed cleaning pipeline: its semi/anti joins and the
+    // cluster collapse must all stay keyed — a mis-keyed manifest
+    // join would degrade to a nested-loop over the corpus.
+    audit("pipe_corpus_clean",
+      SparkEntry.queries("pipe_corpus_clean")(spark, dir),
+      Map.empty,
+      Map("no cartesian product" -> "CartesianProduct",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin"))
+
     // Matcher IN fast-path must reach the scan as an In() filter.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$dir/events.parquet")
