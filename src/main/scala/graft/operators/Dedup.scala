@@ -21,7 +21,7 @@ object Dedup {
     * from real near-dup scoring). The embedding path avoids the
     * question entirely by grouping on the vector value itself.
     */
-  private def contentKey(text: Column): Column = sha2(text, 256)
+  private[graft] def contentKey(text: Column): Column = sha2(text, 256)
 
   /** Exact dedup: rank rows within identical-content groups so
     * `dup_rank > 1` rows can be dropped. One hash-shuffle.
