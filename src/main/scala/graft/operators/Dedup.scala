@@ -327,17 +327,20 @@ object Dedup {
       .select(col(idCol), col("sig"), col("bb.band"), col("bb.bhash"))
     val capped = capBuckets(banded, Seq("band", "bhash"), bucketCap,
       "graft_minhash_bucket_drops")
+    // The estimate is computed INSIDE the join projection — before
+    // the pair dedup — so the dedup exchange shuffles narrow
+    // (id, id, est) rows instead of dragging both k-long signatures
+    // through it (per-band duplicate pairs recompute a cheap k-term
+    // sum; the shuffle narrows ~10×, the better trade at any scale).
+    // est is deterministic per pair, so dedup-after ≡ dedup-before.
     val repPairs = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("rid_a"), col(s"y.$idCol").as("rid_b"),
-        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+        round(aggregate(zip_with(col("x.sig"), col("y.sig"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / k, 4).as("est_jaccard"))
       .dropDuplicates("rid_a", "rid_b")
-      .withColumn("est_jaccard", round(
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / k, 4))
-      .select(col("rid_a"), col("rid_b"), col("est_jaccard"))
     (repPairs, memberOf)
   }
 
