@@ -287,6 +287,26 @@ object SparkEntry {
     PromOps.countValues(t(s, dir, "events"), Seq("event_type"), "value")
       .orderBy("event_type", "value")
 
+  private def tsQuantile(s: SparkSession, dir: String): DataFrame =
+    PromOps.quantileOverTime(t(s, dir, "events"),
+        Seq("event_type", "user_id"), "value", 0.9)
+      .select(col("event_type"), col("user_id"),
+        round(col("quantile"), 6).as("q90"), col("samples"))
+      .orderBy("event_type", "user_id")
+
+  /** PromQL vector matching: `sum by (user_id) (click) / sum by
+    * (user_id) (view)` — binary op between two instant vectors with
+    * on(user_id) one-to-one matching; unmatched series drop.
+    */
+  private def tsRatioJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def vec(et: String) = ev.filter(col("event_type") === et)
+      .groupBy(col("user_id")).agg(dsum(col("value")).as("value"))
+    PromOps.binaryOp(vec("click"), vec("view"), Seq("user_id"), "value",
+        (l, r) => round(l / r, 6), outCol = "ratio")
+      .orderBy("user_id")
+  }
+
   /** Open-label-set round trip: map labels → l_* physical columns
     * (schema builder analog) → back to a map → aggregate. Exercises
     * LabelSchema.spread/gather end-to-end against a plain oracle.
@@ -593,6 +613,8 @@ object SparkEntry {
     "ts_downsample" -> (tsDownsample _),
     "ts_topk_series" -> (tsTopkSeries _),
     "ts_count_values" -> (tsCountValues _),
+    "ts_quantile" -> (tsQuantile _),
+    "ts_ratio_join" -> (tsRatioJoin _),
     "ts_schema_roundtrip" -> (tsSchemaRoundtrip _),
     "ts_merge_shards" -> (tsMergeShards _),
     "ts_merge_blocks" -> (tsMergeBlocks _),
@@ -959,6 +981,23 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type, value
         |ORDER BY event_type, value""".stripMargin,
+    "ts_quantile" ->
+      """SELECT event_type, user_id,
+        |  round(quantile_cont(value, 0.9), 6) AS q90,
+        |  count(*) AS samples
+        |FROM events
+        |GROUP BY event_type, user_id
+        |ORDER BY event_type, user_id""".stripMargin,
+    "ts_ratio_join" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS lv
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id),
+        |v AS (
+        |  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS rv
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id)
+        |SELECT user_id, round(lv / rv, 6) AS ratio
+        |FROM c JOIN v USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "ts_schema_roundtrip" ->
       """SELECT event_type, count(*) AS n FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,

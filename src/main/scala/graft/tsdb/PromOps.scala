@@ -1,6 +1,6 @@
 package graft.tsdb
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -167,6 +167,39 @@ object PromOps {
           count(lit(1))).as("avg_value"),
         max(col(valueCol)).as("max_value"),
         count(lit(1)).as("n_samples"))
+
+  /** PromQL `quantile_over_time(q, ...)`: per-series exact
+    * q-quantile of the value over the selected range, with linear
+    * interpolation between order statistics (the continuous-quantile
+    * definition both Spark's `percentile` and DuckDB's
+    * `quantile_cont` implement). One shuffle to series grain —
+    * `percentile` partial-aggregates per partition and merges, the
+    * same distributed shape as the other `*_over_time` aggregates.
+    */
+  def quantileOverTime(df: DataFrame, seriesCols: Seq[String],
+      valueCol: String, q: Double): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
+    df.groupBy(seriesCols.map(col): _*)
+      .agg(percentile(col(valueCol), lit(q)).as("quantile"),
+        count(lit(1)).as("samples"))
+  }
+
+  /** PromQL binary arithmetic between two instant vectors with
+    * `on(labels)` one-to-one matching: inner join on the match
+    * labels, `op` applied to the two values. Callers supply vectors
+    * already at `on`-label grain (as PromQL requires — aggregate
+    * first), so the join is one-to-one by construction; unmatched
+    * series drop, exactly PromQL's vector-matching semantics. The
+    * join keys on the match labels — corpus-cardinality, hash
+    * shuffle both sides (or broadcast when one side is small, left
+    * to AQE).
+    */
+  def binaryOp(left: DataFrame, right: DataFrame, on: Seq[String],
+      valueCol: String, op: (Column, Column) => Column,
+      outCol: String = "value"): DataFrame =
+    left.select(on.map(col) :+ col(valueCol).as("_lv"): _*)
+      .join(right.select(on.map(col) :+ col(valueCol).as("_rv"): _*), on)
+      .select(on.map(col) :+ op(col("_lv"), col("_rv")).as(outCol): _*)
 
   /** PromQL `topk(k, ... ) by (group labels)`: the k series with the
     * largest range-sum of the value within each group. One partial-

@@ -110,4 +110,31 @@ class PromOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
     assert(out.toSeq == Seq(("api", 2L, 1L), ("api", 1L, 2L), ("web", 7L, 1L)))
   }
+
+  test("quantileOverTime interpolates between order statistics") {
+    import spark.implicits._
+    val data = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0),
+      ("b", 10.0)
+    ).toDF("series", "value")
+    val q9 = PromOps.quantileOverTime(data, Seq("series"), "value", 0.9)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // idx = 0.9 * (5-1) = 3.6 → 4 + 0.6 * (5-4) = 4.6
+    assert(math.abs(q9("a")._1 - 4.6) < 1e-12 && q9("a")._2 == 5L)
+    assert(q9("b")._1 == 10.0) // single sample: all quantiles = it
+    val med = PromOps.quantileOverTime(data, Seq("series"), "value", 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(med("a") == 3.0)
+  }
+
+  test("binaryOp matches one-to-one on labels and drops unmatched") {
+    import spark.implicits._
+    val clicks = Seq((1L, 10.0), (2L, 6.0), (3L, 4.0)).toDF("user_id", "value")
+    val views = Seq((1L, 5.0), (2L, 3.0), (9L, 7.0)).toDF("user_id", "value")
+    val out = PromOps.binaryOp(clicks, views, Seq("user_id"), "value",
+        (l, r) => l / r, outCol = "ratio")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // users 3 and 9 are unmatched → dropped, PromQL vector matching
+    assert(out == Map(1L -> 2.0, 2L -> 2.0))
+  }
 }
