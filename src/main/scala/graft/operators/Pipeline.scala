@@ -25,9 +25,20 @@ import graft.functions.TextFunctions
   */
 object Pipeline {
 
+  /** `nearDupMethod`: `"ngram"` scores every candidate pair with the
+    * exact inverted-index Jaccard (SQL-oracle-able — the gate runs
+    * this); `"minhash"` swaps in the banded MinHash → estimate →
+    * exact-verify composition ([[Dedup.minHashNearDup]]) — the
+    * 100 TB configuration, where an inverted index over all shingles
+    * is no longer affordable but banding + candidate-only
+    * verification is. Both verify candidates with the SAME exact
+    * Jaccard at the same threshold, so they agree wherever banding
+    * recall holds (spec-pinned on the test corpus).
+    */
   def corpusClean(df: DataFrame, textCol: String, idCol: String,
       lang: String = "en", minQuality: Double = 0.5,
-      n: Int = 4, threshold: Double = 0.8, dfCap: Int = 100): DataFrame = {
+      n: Int = 4, threshold: Double = 0.8, dfCap: Int = 100,
+      nearDupMethod: String = "ngram"): DataFrame = {
     val scored = df.select(col(idCol), col(textCol),
       TextFunctions.langId(col(textCol)).as("lang"),
       TextFunctions.qualityScore(col(textCol)).as("quality"),
@@ -47,8 +58,16 @@ object Pipeline {
         .select(col(idCol)),
       Seq(idCol), "left_semi")
       .localCheckpoint()
-    val comp = Dedup.clusters(
-      Dedup.ngramJaccard(uniq, textCol, idCol, n, threshold, dfCap))
+    val pairs = nearDupMethod match {
+      case "ngram" =>
+        Dedup.ngramJaccard(uniq, textCol, idCol, n, threshold, dfCap)
+      case "minhash" =>
+        Dedup.minHashNearDup(uniq, textCol, idCol, n = n,
+          threshold = threshold)
+      case other => throw new IllegalArgumentException(
+        s"nearDupMethod must be ngram or minhash, got $other")
+    }
+    val comp = Dedup.clusters(pairs)
     val drops = comp.filter(col("cluster_id") < col("doc_id"))
       .select(col("doc_id").as(idCol))
     uniq.join(drops, Seq(idCol), "left_anti")

@@ -58,6 +58,18 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.toSet == Set((1L, 3L)))
   }
 
+  test("the minhash scale path keeps the same documents as the ngram path") {
+    val ngram = Pipeline.corpusClean(docs, "text", "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val minhash = Pipeline
+      .corpusClean(docs, "text", "doc_id", nearDupMethod = "minhash")
+      .collect().map(_.getLong(0)).toSet
+    assert(minhash == ngram)
+    intercept[IllegalArgumentException] {
+      Pipeline.corpusClean(docs, "text", "doc_id", nearDupMethod = "simhash")
+    }
+  }
+
   test("a near-dup chain collapses to its smallest member") {
     // 10 ~ 11 ~ 12 via one-word edits: component rep = 10
     val chain = Seq(
