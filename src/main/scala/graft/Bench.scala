@@ -29,18 +29,18 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Child-JVM flags mirroring build.sbt's javaOptions. */
+  /** Child-JVM flags: inherit THIS JVM's arguments (the suite JVM
+    * the child claims to mirror — picks up build.sbt's javaOptions
+    * without a hand-maintained copy that would drift), then append
+    * the bench-specific overrides (last occurrence wins for -D and
+    * -Xmx in HotSpot).
+    */
   private def childJvmFlags: Seq[String] = {
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar"
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    addOpens ++ Seq(
+    import scala.jdk.CollectionConverters._
+    val inherited = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      .filterNot(_.startsWith("-agentlib:")) // no debugger port clash
+    inherited ++ Seq(
       "-Dspark.ui.enabled=false",
       "-Dspark.sql.session.timeZone=UTC",
       s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
@@ -57,10 +57,13 @@ object Bench {
         (Seq(javaBin) ++ childJvmFlags ++ Seq("-cp", cp, "graft.Bench")): _*)
       pb.environment().put("SPARK_GRAFT_ONLY", name)
       pb.environment().remove("SPARK_GRAFT_BENCH_ISOLATE")
-      pb.redirectErrorStream(false)
+      // child stderr flows straight to ours: reading stdout to EOF
+      // while stderr sits in a full pipe would deadlock exactly when
+      // a child fails loudly (Spark task retries easily exceed the
+      // pipe buffer) — the failure-diagnosis scenario this mode is for
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val proc = pb.start()
       val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-      proc.getErrorStream.readAllBytes()
       proc.waitFor()
       // child prints one JSON line: {"..."queries":{"<name>":sec},...}
       val re = ("\"" + java.util.regex.Pattern.quote(name) + "\":(-?[0-9.]+)").r

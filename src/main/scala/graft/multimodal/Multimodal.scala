@@ -63,8 +63,17 @@ object Multimodal {
     bos.toByteArray
   }
 
-  private def decodePng(payload: Array[Byte]): java.awt.image.BufferedImage =
-    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+  private def decodePng(payload: Array[Byte],
+      mediaId: Long): java.awt.image.BufferedImage = {
+    // ImageIO.read signals "no decoder for these bytes" with null,
+    // not an exception — surface WHICH row was undecodable instead
+    // of letting a bare NPE kill the stage anonymously
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    if (img == null) throw new IllegalArgumentException(
+      s"media_id=$mediaId: payload is not a decodable image")
+    img
+  }
 
   /** A media table whose payloads are REAL PNG bytes (encoded on the
     * executors, partition-parallel — payload bytes never visit the
@@ -122,7 +131,7 @@ object Multimodal {
     media.select("media_id", "payload").mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
-        val img = decodePng(r.getAs[Array[Byte]](1))
+        val img = decodePng(r.getAs[Array[Byte]](1), id)
         val (w, h) = (img.getWidth, img.getHeight)
         var (sr, sg, sb) = (0L, 0L, 0L)
         // per-cell integer sum of (r+g+b) and pixel count
@@ -164,7 +173,7 @@ object Multimodal {
     media.select("media_id", "media_type", "payload").mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
-        val src = decodePng(r.getAs[Array[Byte]](2))
+        val src = decodePng(r.getAs[Array[Byte]](2), id)
         val (w, h) = (src.getWidth, src.getHeight)
         if (math.max(w, h) <= maxDim)
           Row(id, r.getString(1), r.getAs[Array[Byte]](2), w, h)

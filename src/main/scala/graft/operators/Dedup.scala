@@ -135,7 +135,12 @@ object Dedup {
     // reference. Same pattern as minHashNearDup's candidate set; at
     // 100 TB this is a temp-table write between the index-build and
     // pair-count jobs.
-    val sh = cappedShingles(reps, textCol, idCol, n, dfCap).localCheckpoint()
+    // eager=false: cut the lineage (the shingle/df pipeline is
+    // referenced by both join sides) without executing the corpus
+    // scan at CONSTRUCTION time — merely building or explaining the
+    // plan must stay free; the first real action materializes it once
+    val sh = cappedShingles(reps, textCol, idCol, n, dfCap)
+      .localCheckpoint(eager = false)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(idCol).as("rid_a"), col("shingle"))
     val b = sh.select(col(idCol).as("rid_b"), col("shingle"))
@@ -378,7 +383,7 @@ object Dedup {
     // temp-table write between the candidate and verify jobs.
     val cands = repPairs.filter(col("est_jaccard") >= threshold - estSlack)
       .select(col("rid_a").as("id_a"), col("rid_b").as("id_b"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // defer to the first action
     val verified = jaccardVerify(cands, df, textCol, idCol, n)
       .filter(col("jaccard") >= threshold)
     expandPairs(
@@ -549,6 +554,15 @@ object Dedup {
     */
   def clusters(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    // ids must be integral: cast("long") on e.g. a string/UUID id
+    // column would yield nulls and silently DROP every edge,
+    // returning an empty cluster map — fail loudly instead
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    Seq(aCol, bCol).foreach { c =>
+      val dt = pairs.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"clusters requires integral ids; column $c is $dt")
+    }
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
     var edges = pairs

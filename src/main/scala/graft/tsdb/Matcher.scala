@@ -120,9 +120,20 @@ object Matcher {
           inClass = true
           out.append(c)
           i += 1
+        case '&' if inClass =>
+          // Java-only class intersection: "[a&&b]" is {a}∩{b} in
+          // java.util.regex but three literals in RE2 — escape so
+          // '&' stays a literal member
+          out.append("\\&")
+          i += 1
         case '[' if inClass =>
-          val close = pattern.indexOf(":]", i)
-          if (i + 1 < n && pattern.charAt(i + 1) == ':' && close > i) {
+          if (i + 1 < n && pattern.charAt(i + 1) == ':') {
+            // "[:" inside a class starts a POSIX class in RE2 — a
+            // missing ":]" or unknown name is a compile error there,
+            // so it is one here too (searching from i+2 also keeps a
+            // malformed "[[:]" from slicing out of bounds)
+            val close = pattern.indexOf(":]", i + 2)
+            if (close < 0) err("a malformed POSIX class ([: without :])")
             val body = pattern.substring(i + 2, close)
             val (neg, name) =
               if (body.startsWith("^")) (true, body.substring(1)) else (false, body)
@@ -139,14 +150,26 @@ object Matcher {
           out.append(c)
           i += 1
         case '(' if !inClass && pattern.startsWith("(?", i) =>
-          if (pattern.startsWith("(?P<", i)) { out.append("(?<"); i += 4 }
+          // named groups ((?P<name> and RE2-2022's (?<name>) become
+          // PLAIN capturing groups: matching behavior is identical
+          // (we never extract groups) and Java's stricter group-name
+          // grammar (no '_', no leading digit) can't reject an
+          // RE2-valid name like (?P<status_code>...)
+          def dropGroupName(start: Int): Unit = {
+            val gt = pattern.indexOf('>', start)
+            if (gt < 0) err("an unterminated named group")
+            out.append('(')
+            i = gt + 1
+          }
+          if (pattern.startsWith("(?P<", i)) dropGroupName(i + 4)
           else if (pattern.startsWith("(?P=", i)) err("a named backreference (?P=)")
           else if (pattern.startsWith("(?=", i)) err("lookahead (?=)")
           else if (pattern.startsWith("(?!", i)) err("negative lookahead (?!)")
           else if (pattern.startsWith("(?<=", i)) err("lookbehind (?<=)")
           else if (pattern.startsWith("(?<!", i)) err("negative lookbehind (?<!)")
+          else if (pattern.startsWith("(?<", i)) dropGroupName(i + 3)
           else if (pattern.startsWith("(?>", i)) err("an atomic group (?>)")
-          else { out.append(c); i += 1 } // (?: (?i) (?<name> are RE2-valid
+          else { out.append(c); i += 1 } // (?: (?i) are RE2-valid
         case '*' | '+' | '?' if !inClass =>
           if (i + 1 < n && pattern.charAt(i + 1) == '+')
             err(s"a possessive quantifier ($c+)")
@@ -184,7 +207,7 @@ object Matcher {
     * absent labels can actually match.
     */
   private def matchesEmpty(pattern: String): Boolean =
-    try ("^(?:" + pattern + ")$").r.matches("") catch { case _: Exception => false }
+    try ("\\A(?:" + pattern + ")\\z").r.matches("") catch { case _: Exception => false }
 
   private[tsdb] def regexPredicate(label: String, pattern: String,
       nullSafe: Boolean = false): Option[Column] =
@@ -202,9 +225,12 @@ object Matcher {
         else Some(c.isin(set: _*))
       case p =>
         // Prometheus regexes are fully anchored; null behaves as "".
+        // \A..\z, not ^..$: Go's '$' is hard end-of-text, while
+        // Java's '$' also matches before a trailing newline — a
+        // value "view\n" must NOT match =~"view", as in RE2.
         val jp = re2ToJava(p)
         val c = if (nullSafe || matchesEmpty(jp)) nn(label) else col(label)
-        Some(c.rlike("^(?:" + jp + ")$"))
+        Some(c.rlike("\\A(?:" + jp + ")\\z"))
     }
 
   /** AND of all matchers; None when every matcher matches all rows. */

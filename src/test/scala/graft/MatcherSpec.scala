@@ -118,6 +118,28 @@ class MatcherSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSet == Set(1))
   }
 
+  test("RE2 edge parity: trailing newline, class '&', named groups, [[:]") {
+    // Go's '$' is hard end-of-text: "view\n" must NOT match =~"view"
+    // (Java's '$' would match before the trailing newline)
+    val nl = Seq((1, Some("view")), (2, Some("view\n"))).toDF("id", "job")
+    assert(nl.filter(Matcher.Re("job", "view").toPredicate.get)
+      .collect().map(_.getInt(0)).toSet == Set(1))
+    // '&' inside a class is a literal in RE2; Java's "a&&b" would be
+    // the empty intersection and match nothing
+    val amp = Seq((1, Some("a")), (2, Some("&")), (3, Some("b")), (4, Some("c")))
+      .toDF("id", "job")
+    assert(amp.filter(Matcher.Re("job", "[a&&b]").toPredicate.get)
+      .collect().map(_.getInt(0)).toSet == Set(1, 2, 3))
+    // RE2-valid group names Java's grammar rejects (underscore)
+    assert(ids(Matcher.Re("job", "(?P<status_code>api|web)")) == Set(1, 2))
+    assert(ids(Matcher.Re("job", "(?<status_code>api|web)")) == Set(1, 2))
+    // malformed POSIX opener must fail the compile gate, not crash
+    // with an index error
+    intercept[IllegalArgumentException] {
+      Matcher.Re("job", "[[:]").toPredicate
+    }
+  }
+
   test("property: safe-subset patterns match identically to anchored java full-match") {
     // within the syntax subset BOTH engines accept, boolean full-match
     // results agree engine-to-engine; this pins the graft compile
