@@ -167,15 +167,19 @@ object MinHashSignature {
     var j = 0
     while (j < n) {
       val s = arr.getUTF8String(j)
-      // Spark's xxhash64(string) = XXH64 over the UTF-8 bytes, seed 42
-      val h = XXH64.hashUnsafeBytes(
-        s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-      val base = java.lang.Math.floorMod(h, MersennePrime)
-      var i = 0
-      while (i < k) {
-        val v = java.lang.Math.floorMod(base * as(i) + bs(i), MersennePrime)
-        if (v < mins(i)) mins(i) = v
-        i += 1
+      // null elements carry no shingle — skip, as the explode form
+      // would have dropped them from the distinct set
+      if (s != null) {
+        // Spark's xxhash64(string) = XXH64 over the UTF-8 bytes, seed 42
+        val h = XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val base = java.lang.Math.floorMod(h, MersennePrime)
+        var i = 0
+        while (i < k) {
+          val v = java.lang.Math.floorMod(base * as(i) + bs(i), MersennePrime)
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
       }
       j += 1
     }
@@ -226,21 +230,25 @@ object SimHashFingerprint {
     val n = arr.numElements()
     val counts = new Array[Int](64)
     var j = 0
+    var voters = 0L // non-null tokens actually voting
     while (j < n) {
       val s = arr.getUTF8String(j)
-      val h = XXH64.hashUnsafeBytes(
-        s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-      var b = 0
-      while (b < 64) {
-        counts(b) += ((h >>> b) & 1L).toInt
-        b += 1
+      if (s != null) {
+        val h = XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          counts(b) += ((h >>> b) & 1L).toInt
+          b += 1
+        }
+        voters += 1
       }
       j += 1
     }
     var fp = 0L
     var b = 0
     while (b < 64) {
-      if (2L * counts(b) > n) fp |= 1L << b
+      if (2L * counts(b) > voters) fp |= 1L << b
       b += 1
     }
     fp

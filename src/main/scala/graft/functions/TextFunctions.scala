@@ -35,12 +35,15 @@ object TextFunctions {
   /** Composite quality score in [0,1]: favors mid-length docs with
     * low punctuation density and a healthy stopword ratio — the
     * usual cheap pre-filter before expensive model-based scoring.
+    * The stopword component is per-language: score against the SAME
+    * language the pipeline's lang gate selects, or a German corpus
+    * would lose the whole stopword component to an English list.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column, lang: String = "en"): Column = {
     val nTok = tokenCount(text).cast("double")
     val lenScore = least(nTok / 100.0, lit(1.0))
     val punctRatio = punctCount(text).cast("double") / greatest(length(text), lit(1)).cast("double")
-    val stopRatio = stopwordCount(text).cast("double") / greatest(nTok, lit(1.0))
+    val stopRatio = stopwordCount(text, lang).cast("double") / greatest(nTok, lit(1.0))
     round(lenScore * 0.5 + (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.25 +
       least(stopRatio * 5.0, lit(1.0)) * 0.25, 4)
   }

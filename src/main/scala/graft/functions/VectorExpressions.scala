@@ -103,6 +103,12 @@ case class HyperplaneBucket(child: Expression, nPlanes: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with ExpectsInputTypes {
 
+  // one long holds the bucket: plane p sets bit p, and 1L << p
+  // silently wraps mod 64 beyond that — reject instead of aliasing
+  // unrelated hyperplanes onto the same bit
+  require(nPlanes >= 1 && nPlanes <= 64,
+    s"nPlanes must be in [1,64] (bits of one long bucket), got $nPlanes")
+
   override def inputTypes = Seq(ArrayType(DoubleType))
   override def dataType: DataType = org.apache.spark.sql.types.LongType
 
@@ -122,19 +128,34 @@ case class HyperplaneBucket(child: Expression, nPlanes: Int)
 object HyperplaneBucket {
   import org.apache.spark.sql.catalyst.expressions.XXH64
 
+  // The ±1 sign for (plane, dim) is a row-independent constant —
+  // cache the table per (nPlanes, dim) so the per-row loop is array
+  // loads, not 2 hash calls per element (the tablesFor pattern
+  // MinHashSignature uses).
+  private val signTables =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  private def signsFor(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    signTables.computeIfAbsent((nPlanes, dim), { case (np, d) =>
+      Array.tabulate(np, d) { (p, i) =>
+        // same chain as xxhash64(i, lit(p)): seed 42, then fold p
+        val h = XXH64.hashInt(p, XXH64.hashInt(i, 42L))
+        if (((h % 2) + 2) % 2 == 0) 1.0 else -1.0
+      }
+    })
+
   /** Static entry for generated code: one tight loop per row. */
   def compute(v: ArrayData, nPlanes: Int): Long = {
     val n = v.numElements()
+    val signs = signsFor(nPlanes, n)
     var bucket = 0L
     var p = 0
     while (p < nPlanes) {
+      val row = signs(p)
       var s = 0.0
       var i = 0
       while (i < n) {
-        // same chain as xxhash64(i, lit(p)): seed 42, then fold p
-        val h = XXH64.hashInt(p, XXH64.hashInt(i, 42L))
-        val sign = if (((h % 2) + 2) % 2 == 0) 1.0 else -1.0
-        s += v.getDouble(i) * sign
+        s += v.getDouble(i) * row(i)
         i += 1
       }
       if (s >= 0) bucket |= (1L << p)

@@ -22,7 +22,15 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Zero-norm guard: a degenerate (all-zero/padded) vector must
+    * score 0 against everything, not NaN — Spark sorts NaN ABOVE
+    * every double, so an unguarded 0/0 would rank the broken vector
+    * as the #1 neighbor of every query it joins with.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom === 0.0, 0.0).otherwise(dot(a, b) / denom)
+  }
 
   /** Signed bit of a deterministic random hyperplane: sign of
     * sum_i v_i * r_{p,i} with pseudo-random ±1 weights derived from

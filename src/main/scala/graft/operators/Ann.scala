@@ -182,10 +182,13 @@ object Ann {
         explode(transform(
           slice(reverse(array_sort(cellScores(col("qv")))), 1, nProbe),
           s => s.getField("cell"))))
+    // no pair dedup needed: each corpus row sits in exactly ONE cell
+    // and the probe list is distinct per query, so (qid, nid) can
+    // match at most once — a dropDuplicates here would add a second
+    // corpus-scale exchange for zero semantic effect
     val scored = assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("sim"))
-      .dropDuplicates("qid", "nid")
     topK(scored, k)
   }
 
@@ -221,10 +224,13 @@ object Ann {
           explode(array((col("bucket") +: (0 until nPlanes).map(p =>
             col("bucket").bitwiseXOR(lit(1L << p)))): _*)).as("bucket"))
         .dropDuplicates("qid", "bucket")
+    // no pair dedup needed: each corpus row has exactly ONE bucket
+    // and the probed (qid, bucket) side is distinct, so (qid, nid)
+    // matches at most once — dropping duplicates would re-shuffle
+    // the corpus-scale join output for nothing
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("sim"))
-      .dropDuplicates("qid", "nid")
     topK(scored, k)
   }
 }

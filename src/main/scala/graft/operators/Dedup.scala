@@ -201,6 +201,11 @@ object Dedup {
   def minHashSignatureArrays(df: DataFrame, textCol: String, idCol: String,
       n: Int, k: Int): DataFrame =
     shingleSet(df, textCol, idCol, n)
+      // a document shorter than the shingle width has an EMPTY set:
+      // no row in the explode+groupBy form, and the sentinel
+      // signature all such docs would share must never reach the
+      // bander (it would pair every short doc with every other one)
+      .filter(size(col("sh_set")) > 0)
       .select(col(idCol),
         graft.functions.MinHashSignature.minhashSignature(col("sh_set"), k)
           .as("sig"))

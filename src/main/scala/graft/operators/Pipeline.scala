@@ -41,7 +41,7 @@ object Pipeline {
       nearDupMethod: String = "ngram"): DataFrame = {
     val scored = df.select(col(idCol), col(textCol),
       TextFunctions.langId(col(textCol)).as("lang"),
-      TextFunctions.qualityScore(col(textCol)).as("quality"),
+      TextFunctions.qualityScore(col(textCol), lang).as("quality"),
       TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
     val gated = scored.filter(col("lang") === lang &&
       col("quality") >= minQuality)

@@ -28,7 +28,7 @@ object DocStream {
       lang: String = "en", minQuality: Double = 0.5): DataFrame = {
     val scored = docs.select(col(idCol), col(tsCol), col(textCol),
       TextFunctions.langId(col(textCol)).as("lang"),
-      TextFunctions.qualityScore(col(textCol)).as("quality"),
+      TextFunctions.qualityScore(col(textCol), lang).as("quality"),
       TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
     scored.filter(col("lang") === lang && col("quality") >= minQuality)
       .withColumn("content_hash", Dedup.contentKey(col(textCol)))

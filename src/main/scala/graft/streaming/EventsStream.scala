@@ -27,19 +27,23 @@ final case class SeriesLast(
   */
 object EventsStream {
 
-  /** Per-series tumbling-window aggregate with a watermark for state
-    * eviction — the streaming form of PromOps.downsample.
+  /** Tumbling-window aggregate by `seriesCols` with a watermark for
+    * state eviction — the streaming form of PromOps.downsample at
+    * the SAME grain: pass the full series key for per-series
+    * windows, or a label subset for a PromQL-`by`-style collapse
+    * (the event_type-only default).
     */
-  def windowedAgg(events: DataFrame, windowLen: String, watermark: String): DataFrame =
+  def windowedAgg(events: DataFrame, windowLen: String, watermark: String,
+      seriesCols: Seq[String] = Seq("event_type")): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .groupBy(window(col("ts"), windowLen) +: seriesCols.map(col): _*)
       .agg(
         count(lit(1)).as("n_events"),
         avg("value").as("avg_value"),
         max("value").as("max_value"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("n_events"), col("avg_value"), col("max_value"))
+      .select(col("window.start").as("window_start") +: seriesCols.map(col) :+
+        col("n_events") :+ col("avg_value") :+ col("max_value"): _*)
 
   /** Stateful per-series running last point — the streaming form of
     * PromOps.lastPoint: each micro-batch updates a per-series
@@ -57,7 +61,10 @@ object EventsStream {
         (key: (String, Long), batch: Iterator[SeriesEvent],
          state: GroupState[SeriesLast]) => {
           var cur = state.getOption.orNull
-          batch.foreach { e =>
+          // (ts, value) order as in runningIncrease and the batch
+          // tieBreak: same-timestamp samples must pick the same
+          // winner on every replay, not arrival order
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
             val n = if (cur == null) 1L else cur.n_samples + 1L
             cur =
               if (cur == null || !e.ts.before(cur.last_ts))

@@ -58,6 +58,15 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.toSet == Set((1L, 3L)))
   }
 
+  test("a non-English run scores quality against its own stopwords") {
+    // the German doc must survive lang="de" cleaning: its quality
+    // gate uses the GERMAN stopword list (an English list would zero
+    // the stopword component and could drop well-formed German text)
+    val out = Pipeline.corpusClean(docs, "text", "doc_id", lang = "de")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(5L))
+  }
+
   test("the minhash scale path keeps the same documents as the ngram path") {
     val ngram = Pipeline.corpusClean(docs, "text", "doc_id")
       .collect().map(_.getLong(0)).toSet
