@@ -3,20 +3,20 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, NgramShingles}
+import graft.functions.{DotProduct, MinHashSignature, NgramShingles, SimHashFingerprint}
 
 /** Session extension registering graft's native expressions as SQL
-  * functions, so `spark.sql("SELECT graft_dot(a, b) ...")` and
-  * `graft_shingles(text, 4[, true])` work.
+  * functions, so `spark.sql("SELECT graft_dot(a, b) ...")`,
+  * `graft_shingles(text, 4[, true])`,
+  * `graft_minhash_signature(shingles, 32)` and
+  * `graft_simhash(tokens)` work.
   *
   * Wire-up: `spark.sql.extensions=graft.GraftExtensions` at session
   * build, or [[GraftFunctions.register]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftFunctions.dotProduct)
-    ext.injectFunction(GraftFunctions.shingles)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
 }
 
 object GraftFunctions {
@@ -50,9 +50,30 @@ object GraftFunctions {
         if (children.length == 3) boolLit(children(2), "distinct") else false)
     })
 
+  private[graft] val minhashSignature: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_minhash_signature"),
+    new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash_signature"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "graft_minhash_signature(shingles, k) takes exactly 2 arguments")
+      MinHashSignature(children.head, intLit(children(1), "k"))
+    })
+
+  private[graft] val simhash: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_simhash"),
+    new ExpressionInfo(classOf[SimHashFingerprint].getName, "graft_simhash"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "graft_simhash(tokens) takes exactly 1 argument")
+      SimHashFingerprint(children.head)
+    })
+
+  private[graft] val all = Seq(dotProduct, shingles, minhashSignature, simhash)
+
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit = {
-    Seq(dotProduct, shingles).foreach { case (id, info, builder) =>
+    all.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
   }

@@ -36,4 +36,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(spark.sql("SELECT graft_shingles('héllö', 2, true) AS s")
       .head.getSeq[String](0) == Seq("hé", "él", "ll", "lö"))
   }
+
+  test("graft_minhash_signature and graft_simhash are callable from SQL") {
+    GraftFunctions.register(spark)
+    val sig = spark.sql(
+      "SELECT graft_minhash_signature(graft_shingles('hello world', 4, true), 8) AS s")
+      .head.getSeq[Long](0)
+    assert(sig.length == 8 && sig.forall(_ != Long.MaxValue))
+    // SQL result == Column-API result
+    import org.apache.spark.sql.functions.col
+    val viaCol = Seq("hello world").toDF("t")
+      .select(graft.functions.MinHashSignature.minhashSignature(
+        graft.functions.NgramShingles.ngramShingleSet(col("t"), 4), 8))
+      .head.getSeq[Long](0)
+    assert(sig == viaCol)
+    val fp = spark.sql(
+      "SELECT graft_simhash(array('the', 'quick', 'fox')) AS f").head.getLong(0)
+    val fpCol = Seq(Seq("the", "quick", "fox")).toDF("toks")
+      .select(graft.functions.SimHashFingerprint.simhash(col("toks")))
+      .head.getLong(0)
+    assert(fp == fpCol)
+  }
 }
