@@ -201,6 +201,26 @@ object SparkEntry {
       .select("2024-01-05", "2024-01-20", Matcher.Eq("event_type", "click")))
       .orderBy("ts_ms", "user_id", "value")
 
+  /** The constraint-cache analog on the gate
+    * (search/constraint_cache.go wired at parquet_queryable.go:112):
+    * the SAME select runs twice through a [[graft.tsdb.SelectionCache]]
+    * and the returned result is the CACHE HIT — planned from the
+    * checkpointed selection, not the parquet scan. The oracle hash
+    * proves the cached path is value-identical to the direct scan;
+    * the hit is asserted loudly so this can never silently degrade to
+    * re-scanning.
+    */
+  private def tsSelectCached(s: SparkSession, dir: String): DataFrame = {
+    val cache = new graft.tsdb.SelectionCache()
+    val cq = queryable(s, dir).withSelectionCache(cache)
+    def once() = cq.select("2024-01-03", "2024-01-25", Matcher.Eq("event_type", "view"))
+    once()
+    val hit = once()
+    require(cache.hits == 1L && cache.misses == 1L,
+      s"selection cache did not serve the repeated select (hits=${cache.hits})")
+    withTsMs(hit).orderBy("ts_ms", "user_id", "value")
+  }
+
   private def tsSelectRegex(s: SparkSession, dir: String): DataFrame =
     withTsMs(queryable(s, dir)
       .select("2024-01-01", "2024-01-10", Matcher.Re("event_type", "click|view")))
@@ -599,6 +619,7 @@ object SparkEntry {
     "q10_time_bucket" -> (q10 _),
     "q11_skew_join" -> (q11SkewJoin _),
     "ts_select_eq" -> (tsSelectEq _),
+    "ts_select_cached" -> (tsSelectCached _),
     "ts_select_regex" -> (tsSelectRegex _),
     "ts_select_not_regex" -> (tsSelectNotRegex _),
     "ts_select_projected" -> (tsSelectProjected _),
@@ -840,6 +861,12 @@ object SparkEntry {
         |FROM events
         |WHERE event_type = 'click'
         |  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
+        |ORDER BY ts_ms, user_id, value""".stripMargin,
+    "ts_select_cached" ->
+      """SELECT event_type, user_id, value, epoch_ms(ts) AS ts_ms
+        |FROM events
+        |WHERE event_type = 'view'
+        |  AND ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-25'
         |ORDER BY ts_ms, user_id, value""".stripMargin,
     "ts_converted_select" ->
       """SELECT event_type, user_id, value, epoch_ms(ts) AS ts_ms

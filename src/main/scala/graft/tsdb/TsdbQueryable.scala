@@ -28,7 +28,8 @@ final class TsdbQueryable(
     labelCols: Seq[String],
     tsCol: String = "ts",
     valueCol: String = "value",
-    materializedSeriesCallback: DataFrame => DataFrame = identity) {
+    materializedSeriesCallback: DataFrame => DataFrame = identity,
+    selectionCache: Option[SelectionCache] = None) {
 
   /** Integrator seam on the select path — the analog of the
     * reference's `WithMaterializedSeriesCallback` /
@@ -40,7 +41,32 @@ final class TsdbQueryable(
     * the receiver is unchanged.
     */
   def withMaterializedSeriesCallback(cb: DataFrame => DataFrame): TsdbQueryable =
-    new TsdbQueryable(df, labelCols, tsCol, valueCol, cb)
+    new TsdbQueryable(df, labelCols, tsCol, valueCol, cb, selectionCache)
+
+  /** Attach a [[SelectionCache]] (the reference's
+    * WithRowRangesForConstraintsCache option,
+    * queryable/parquet_queryable.go:112 analog): selects with the same
+    * (time range, matchers, projection) reuse one materialized
+    * selection. Returns a NEW queryable; the receiver is unchanged.
+    */
+  def withSelectionCache(cache: SelectionCache): TsdbQueryable =
+    new TsdbQueryable(df, labelCols, tsCol, valueCol,
+      materializedSeriesCallback, Some(cache))
+
+  /** Cache key — the constraintsCacheKey analog
+    * (search/constraint_cache.go:24-33): there
+    * `<shard>:rgidx-<i>:<constraints...>`, here the canonicalized
+    * source-plan hash stands in for the shard name (same role: WHICH
+    * data), and range + matchers + projection are the constraints.
+    * Like the reference's keys, the callback is NOT encoded — a cache
+    * is wired to one queryable configuration; don't share one
+    * instance across queryables with different callbacks.
+    */
+  private def selectKey(mint: String, maxt: String,
+      matchers: Seq[Matcher], labels: Seq[String]): String =
+    (df.queryExecution.analyzed.semanticHash().toString +:
+      s"$mint/$maxt" +:
+      (matchers.map(_.toString) ++ labels)).mkString(":")
 
   private def withMatchers(matchers: Seq[Matcher]): DataFrame =
     Matcher.compile(matchers).map(df.filter).getOrElse(df)
@@ -62,9 +88,15 @@ final class TsdbQueryable(
       projection: Seq[String] = Nil, rowQuota: Long = 0L,
       sorted: Boolean = true): DataFrame = {
     val labels = if (projection.nonEmpty) projection else labelCols
-    val base = materializedSeriesCallback(withMatchers(matchers)
-      .filter(inRange(mint, maxt))
-      .select((labels :+ tsCol :+ valueCol).map(col): _*))
+    def materialize: DataFrame = materializedSeriesCallback(
+      withMatchers(matchers)
+        .filter(inRange(mint, maxt))
+        .select((labels :+ tsCol :+ valueCol).map(col): _*))
+    val base = selectionCache match {
+      case Some(c) =>
+        c.getOrMaterialize(selectKey(mint, maxt, matchers, labels), materialize)
+      case None => materialize
+    }
     if (rowQuota > 0L) {
       val capped = math.min(rowQuota, Int.MaxValue.toLong).toInt
       // `sorted` mirrors the reference's Select(sorted, ...) hint

@@ -100,6 +100,47 @@ class TsdbQueryableSpec extends SparkSpec {
     assert(q.select("2024-01-01", "2024-03-01", Nil, Nil).count() == 4L)
   }
 
+  test("selection cache serves repeated constraints without a source re-scan") {
+    import graft.tsdb.SelectionCache
+    import org.apache.spark.sql.execution.LogicalRDD
+    val cache = new SelectionCache()
+    val cached = q.withSelectionCache(cache)
+    val first = cached.select("2024-01-01", "2024-02-01", Matcher.Eq("job", "api"))
+    assert(first.collect().map(_.getDouble(3)).sorted.toSeq == Seq(1.0, 2.0))
+    assert((cache.hits, cache.misses, cache.size) == (0L, 1L, 1))
+    // same constraints → a hit, planned from the checkpointed blocks
+    // (LogicalRDD), not from the source relation
+    val second = cached.select("2024-01-01", "2024-02-01", Matcher.Eq("job", "api"))
+    assert(cache.hits == 1L && cache.misses == 1L)
+    assert(second.queryExecution.optimizedPlan.collectFirst {
+      case r: LogicalRDD => r
+    }.nonEmpty, "cache hit should replan from the checkpoint")
+    assert(second.collect().map(_.getDouble(3)).sorted.toSeq == Seq(1.0, 2.0))
+    // quota/sort apply ON TOP of the cached selection — still a hit
+    val capped = cached.select("2024-01-01", "2024-02-01",
+      Seq(Matcher.Eq("job", "api")), Nil, rowQuota = 1L)
+    assert(cache.hits == 2L && capped.count() == 1L)
+    // different constraints miss
+    cached.select("2024-01-01", "2024-02-01", Matcher.Eq("job", "web"))
+    assert(cache.misses == 2L && cache.size == 2)
+    // clear() drops everything (Close analog) — next use misses again
+    cache.clear()
+    assert(cache.size == 0)
+    cached.select("2024-01-01", "2024-02-01", Matcher.Eq("job", "api"))
+    assert(cache.misses == 3L)
+  }
+
+  test("selection cache at capacity passes misses through uncached") {
+    import graft.tsdb.SelectionCache
+    val cache = new SelectionCache(maxEntries = 1)
+    val cached = q.withSelectionCache(cache)
+    cached.select("2024-01-01", "2024-02-01", Matcher.Eq("job", "api"))
+    assert(cache.size == 1)
+    val over = cached.select("2024-01-01", "2024-02-01", Matcher.Eq("job", "web"))
+    assert(cache.size == 1 && cache.misses == 2L)
+    assert(over.collect().map(_.getDouble(3)).toSeq == Seq(3.0))
+  }
+
   test("labelValues respects matchers and limit") {
     val out = q.labelValues("instance", Seq(Matcher.Eq("job", "api")), limit = 1)
     assert(out.collect().map(_.getString(0)).toSeq == Seq("1"))
