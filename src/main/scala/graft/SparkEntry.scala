@@ -243,6 +243,34 @@ object SparkEntry {
         projection = Seq("event_type"), rowQuota = 200L))
       .orderBy("event_type", "ts_ms", "value")
 
+  /** Series-only select — the reference's skipChunks fast path
+    * (`/api/v1/series`, parquet_queryable.go:322 / materialize.go:164):
+    * distinct label sets under matchers + range, sample values never
+    * materialized (PlanAudit asserts `value` is absent from the
+    * scan's ReadSchema).
+    */
+  private def tsSelectSeries(s: SparkSession, dir: String): DataFrame =
+    queryable(s, dir).selectSeries("2024-01-05", "2024-01-20",
+      Seq(Matcher.Re("event_type", "click|view|purchase")))
+
+  /** histogram_quantile(0.9, ...) over classic le-bucketed cumulative
+    * histograms built from the events table: one map-side-combining
+    * aggregation to (event_type, le) grain, then the bucket
+    * interpolation (PromOps.histogramQuantile). The DuckDB oracle
+    * replays the identical bucket arithmetic.
+    */
+  private def tsHistogramQuantile(s: SparkSession, dir: String): DataFrame = {
+    val les = Seq(10.0, 25.0, 50.0, 100.0, 200.0, Double.PositiveInfinity)
+    val buckets = t(s, dir, "events")
+      .select(col("event_type"), col("value"),
+        explode(array(les.map(lit): _*)).as("le"))
+      .groupBy("event_type", "le")
+      .agg(count(when(col("value") <= col("le"), 1)).cast("double").as("cnt"))
+    PromOps.histogramQuantile(buckets, Seq("event_type"), 0.9)
+      .select(col("event_type"), round(col("quantile"), 6).as("q90"))
+      .orderBy("event_type")
+  }
+
   private def tsLabelNames(s: SparkSession, dir: String): DataFrame =
     queryable(s, dir).labelNames(Matcher.Eq("event_type", "error"))
 
@@ -623,6 +651,8 @@ object SparkEntry {
     "ts_select_regex" -> (tsSelectRegex _),
     "ts_select_not_regex" -> (tsSelectNotRegex _),
     "ts_select_projected" -> (tsSelectProjected _),
+    "ts_select_series" -> (tsSelectSeries _),
+    "ts_histogram_quantile" -> (tsHistogramQuantile _),
     "ts_label_names" -> (tsLabelNames _),
     "ts_label_values" -> (tsLabelValues _),
     "ts_last_point" -> (tsLastPoint _),
@@ -898,6 +928,41 @@ object SparkEntry {
         |  ORDER BY event_type, ts, value
         |  LIMIT 200)
         |ORDER BY event_type, ts_ms, value""".stripMargin,
+    "ts_select_series" ->
+      """SELECT event_type, user_id FROM (
+        |  SELECT DISTINCT event_type, user_id FROM events
+        |  WHERE event_type IN ('click', 'view', 'purchase')
+        |    AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20')
+        |ORDER BY event_type, user_id""".stripMargin,
+    "ts_histogram_quantile" ->
+      """WITH les AS (
+        |  SELECT unnest([10.0, 25.0, 50.0, 100.0, 200.0,
+        |                 CAST('inf' AS DOUBLE)]) AS le),
+        |b AS (
+        |  SELECT event_type, le,
+        |    CAST(count(CASE WHEN value <= le THEN 1 END) AS DOUBLE) AS cnt
+        |  FROM events CROSS JOIN les GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, le, cnt,
+        |    lag(le) OVER pw AS prev_le,
+        |    lag(cnt) OVER pw AS prev_cnt,
+        |    max(cnt) OVER (PARTITION BY event_type) AS total,
+        |    max(CASE WHEN le < CAST('inf' AS DOUBLE) THEN le END)
+        |      OVER (PARTITION BY event_type) AS max_finite
+        |  FROM b
+        |  WINDOW pw AS (PARTITION BY event_type ORDER BY le))
+        |SELECT event_type,
+        |  round(CASE
+        |    WHEN le = CAST('inf' AS DOUBLE) THEN max_finite
+        |    WHEN prev_le IS NULL AND le <= 0 THEN le
+        |    ELSE coalesce(prev_le, 0) + (le - coalesce(prev_le, 0)) *
+        |      (0.9 * total - coalesce(prev_cnt, 0)) /
+        |      (cnt - coalesce(prev_cnt, 0))
+        |  END, 6) AS q90
+        |FROM w
+        |WHERE cnt >= 0.9 * total
+        |  AND (prev_cnt IS NULL OR prev_cnt < 0.9 * total)
+        |ORDER BY event_type""".stripMargin,
     "ts_label_names" ->
       """SELECT label_name FROM (
         |  SELECT 'event_type' AS label_name, count(event_type) AS c

@@ -135,12 +135,15 @@ object Dedup {
     // reference. Same pattern as minHashNearDup's candidate set; at
     // 100 TB this is a temp-table write between the index-build and
     // pair-count jobs.
-    // eager=false: cut the lineage (the shingle/df pipeline is
-    // referenced by both join sides) without executing the corpus
-    // scan at CONSTRUCTION time — merely building or explaining the
-    // plan must stay free; the first real action materializes it once
+    // EAGER checkpoint: a lazy one lets AQE's concurrently-submitted
+    // stage jobs (both join sides need `sh`) race to materialize the
+    // same partitions — the loser's task completion then reports
+    // accumulators the winner's lineage-truncation already released,
+    // logging "non-existent accumulator" ERRORs at the scheduler.
+    // Eager materializes under ONE job before any consumer; same
+    // total work since the cut is always consumed.
     val sh = cappedShingles(reps, textCol, idCol, n, dfCap)
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(idCol).as("rid_a"), col("shingle"))
     val b = sh.select(col(idCol).as("rid_b"), col("shingle"))
@@ -388,7 +391,7 @@ object Dedup {
     // temp-table write between the candidate and verify jobs.
     val cands = repPairs.filter(col("est_jaccard") >= threshold - estSlack)
       .select(col("rid_a").as("id_a"), col("rid_b").as("id_b"))
-      .localCheckpoint(eager = false) // defer to the first action
+      .localCheckpoint() // eager: one materialization job, no AQE race (see ngramJaccard)
     val verified = jaccardVerify(cands, df, textCol, idCol, n)
       .filter(col("jaccard") >= threshold)
     expandPairs(

@@ -57,7 +57,7 @@ object Pipeline {
       Dedup.exact(gated, textCol, idCol).filter(col("dup_rank") === 1)
         .select(col(idCol)),
       Seq(idCol), "left_semi")
-      .localCheckpoint(eager = false) // materialized by the first action
+      .localCheckpoint() // eager: one materialization job, no AQE race (see Dedup.ngramJaccard)
     val pairs = nearDupMethod match {
       case "ngram" =>
         Dedup.ngramJaccard(uniq, textCol, idCol, n, threshold, dfCap)

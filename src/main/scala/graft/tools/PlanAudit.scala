@@ -73,6 +73,16 @@ object PlanAudit {
       SparkEntry.queries("ts_select_eq")(spark, dir),
       Map("matcher equality pushed" -> "EqualTo(event_type,click)"))
 
+    // Series-only select (skipChunks analog): the scan must read the
+    // label columns + the ts predicate column ONLY — the sample
+    // `value` column never materializes for /api/v1/series.
+    audit("ts_select_series",
+      SparkEntry.queries("ts_select_series")(spark, dir),
+      Map(
+        "matcher IN-list pushed" -> "In(event_type, [click,purchase,view]",
+        "scan pruned to labels + ts (no value)" ->
+          "struct<ts:bigint,user_id:bigint,event_type:string>"))
+
     // The banded dedup joins must stay equi-joins on bucket keys —
     // never a cartesian/broadcast-nested-loop over the corpus — and
     // the documents scan must read only (doc_id, text).

@@ -201,6 +201,52 @@ object PromOps {
       .join(right.select(on.map(col) :+ col(valueCol).as("_rv"): _*), on)
       .select(on.map(col) :+ op(col("_lv"), col("_rv")).as(outCol): _*)
 
+  /** PromQL `histogram_quantile(q, ...)` over classic le-bucketed
+    * CUMULATIVE histograms — the most-used PromQL function over the
+    * data the reference stores (its `le`-labelled bucket series;
+    * Prometheus promql/quantile.go bucketQuantile semantics). Input
+    * is already at (labels, le) grain with `cntCol` the cumulative
+    * count at each upper bound `leCol` (a +Inf row required, as in
+    * Prometheus). Per label-group: rank = q·total (total = the +Inf
+    * count = max cumulative), pick the first bucket whose cumulative
+    * count reaches rank, linearly interpolate inside it. Prometheus
+    * edge cases preserved: the +Inf bucket answers with the highest
+    * finite upper bound; a first bucket with le <= 0 answers with
+    * its own bound (no interpolatable lower edge below zero).
+    *
+    * Shape at scale: buckets are series-cardinality × bucket-count —
+    * tiny relative to samples — so this is one window shuffle over
+    * the per-group bucket lists plus a filter; the heavy cumulative
+    * counting happened in the aggregation that produced the buckets
+    * (map-side partial, sample rows never shuffle).
+    */
+  def histogramQuantile(buckets: DataFrame, labelCols: Seq[String], q: Double,
+      leCol: String = "le", cntCol: String = "cnt",
+      outCol: String = "quantile"): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
+    val part = Window.partitionBy(labelCols.map(col): _*)
+    val byLe = part.orderBy(col(leCol))
+    val inf = lit(Double.PositiveInfinity)
+    val prevLe = coalesce(col("_prev_le"), lit(0.0))
+    val prevCnt = coalesce(col("_prev_cnt"), lit(0.0))
+    buckets
+      .withColumn("_prev_le", lag(col(leCol), 1).over(byLe))
+      .withColumn("_prev_cnt", lag(col(cntCol), 1).over(byLe))
+      .withColumn("_total", max(col(cntCol)).over(part))
+      .withColumn("_max_finite",
+        max(when(col(leCol) =!= inf, col(leCol))).over(part))
+      .withColumn("_rank", lit(q) * col("_total"))
+      // first bucket whose cumulative count reaches the rank
+      .filter(col(cntCol) >= col("_rank") &&
+        (col("_prev_cnt").isNull || col("_prev_cnt") < col("_rank")))
+      .select(labelCols.map(col) :+
+        when(col(leCol) === inf, col("_max_finite"))
+          .when(col("_prev_le").isNull && col(leCol) <= 0, col(leCol))
+          .otherwise(prevLe + (col(leCol) - prevLe) *
+            (col("_rank") - prevCnt) / (col(cntCol) - prevCnt))
+          .as(outCol): _*)
+  }
+
   /** PromQL `topk(k, ... ) by (group labels)`: the k series with the
     * largest range-sum of the value within each group. One partial-
     * aggregating shuffle to series grain, then a WindowGroupLimit-

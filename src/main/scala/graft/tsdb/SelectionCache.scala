@@ -50,9 +50,12 @@ final class SelectionCache(maxEntries: Int = 64) {
   def size: Int = entries.size
 
   /** Serve `key` from cache, or materialize `build` once and retain
-    * its checkpoint. The checkpoint is lazy: the first ACTION on the
-    * returned DataFrame writes the partition blocks; every later use
-    * (same object, cached) replans from them.
+    * its checkpoint. The checkpoint is EAGER: the miss pays the
+    * materialization job up front, and every later use (same object,
+    * cached) replans from the written partition blocks. (Lazy
+    * checkpoints let concurrent AQE stage jobs race to materialize
+    * the same partitions, which leaks "non-existent accumulator"
+    * scheduler ERRORs — see Dedup.ngramJaccard.)
     */
   private[tsdb] def getOrMaterialize(key: String, build: => DataFrame): DataFrame = {
     val cached = entries.get(key)
@@ -60,7 +63,7 @@ final class SelectionCache(maxEntries: Int = 64) {
     else {
       missCount.incrementAndGet()
       if (entries.size >= maxEntries) build // full: uncached passthrough
-      else entries.computeIfAbsent(key, _ => build.localCheckpoint(false))
+      else entries.computeIfAbsent(key, _ => build.localCheckpoint())
     }
   }
 

@@ -118,6 +118,30 @@ final class TsdbQueryable(
   def select(mint: String, maxt: String, matchers: Matcher*): DataFrame =
     select(mint, maxt, matchers.toSeq, Nil, 0L)
 
+  /** Series-only select — the reference's `skipChunks` fast path
+    * serving `/api/v1/series` (queryable/parquet_queryable.go:322:
+    * when `hints.Func == "series"` the materializer returns label
+    * sets WITHOUT reading chunk bytes; materialize.go:164
+    * MaterializeSeries). In the row model "chunks" are the sample
+    * payload: the distinct label sets matching `matchers` within
+    * [mint, maxt) are computed from a scan that projects only the
+    * label columns plus the `ts` predicate column — the `value`
+    * column never enters ReadSchema (PlanAudit-asserted), so at
+    * 100 TB this reads the dictionary-encoded label columns and the
+    * timestamp column only, and the distinct partial-aggregates
+    * map-side down to series cardinality before the one shuffle.
+    */
+  def selectSeries(mint: String, maxt: String, matchers: Seq[Matcher],
+      projection: Seq[String] = Nil, limit: Int = 0): DataFrame = {
+    val labels = if (projection.nonEmpty) projection else labelCols
+    val base = withMatchers(matchers)
+      .filter(inRange(mint, maxt))
+      .select(labels.map(col): _*)
+      .distinct()
+      .orderBy(labels.map(col): _*)
+    if (limit > 0) base.limit(limit) else base
+  }
+
   // Estimated in-memory byte width of one value of a column — the
   // basis of the byte-denominated budgets. Strings/binary meter
   // their actual payload; fixed-width types their type width.
