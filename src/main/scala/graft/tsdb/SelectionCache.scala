@@ -25,9 +25,14 @@ import org.apache.spark.sql.DataFrame
   * likewise caches pre-materialization ranges, not final results).
   *
   * Concurrency matches the reference's sync.Map rationale
-  * (constraint_cache.go:36-40): one write per key, then reads.
-  * `computeIfAbsent` additionally guarantees a single materialization
-  * per key under concurrent first use.
+  * (constraint_cache.go:36-40): one write per key, then reads. A
+  * memoized holder is inserted with `putIfAbsent` and the
+  * materialization job runs via the WINNING holder's `lazy val` —
+  * single materialization per key under concurrent first use, but
+  * the map's bin lock is never held across a Spark job, so unrelated
+  * keys never serialize behind a materialization and a build that
+  * re-enters the cache cannot trip ConcurrentHashMap's recursive-
+  * update IllegalStateException.
   *
   * Capacity: checkpoint blocks hold executor disk, so unlike the
   * reference's unbounded map of tiny row ranges, at most `maxEntries`
@@ -39,7 +44,13 @@ import org.apache.spark.sql.DataFrame
 final class SelectionCache(maxEntries: Int = 64) {
   require(maxEntries > 0, s"maxEntries must be positive, got $maxEntries")
 
-  private val entries = new ConcurrentHashMap[String, DataFrame]()
+  // Memoized slot: `df` materializes at most once (Scala lazy-val
+  // latch), synchronizing on the holder — NOT on the map bin.
+  private final class Holder(build: () => DataFrame) {
+    lazy val df: DataFrame = build().localCheckpoint()
+  }
+
+  private val entries = new ConcurrentHashMap[String, Holder]()
   private val hitCount = new AtomicLong
   private val missCount = new AtomicLong
 
@@ -59,11 +70,17 @@ final class SelectionCache(maxEntries: Int = 64) {
     */
   private[tsdb] def getOrMaterialize(key: String, build: => DataFrame): DataFrame = {
     val cached = entries.get(key)
-    if (cached != null) { hitCount.incrementAndGet(); cached }
+    if (cached != null) { hitCount.incrementAndGet(); cached.df }
     else {
       missCount.incrementAndGet()
       if (entries.size >= maxEntries) build // full: uncached passthrough
-      else entries.computeIfAbsent(key, _ => build.localCheckpoint())
+      else {
+        val mine = new Holder(() => build)
+        val prev = entries.putIfAbsent(key, mine)
+        // whichever holder won the insert race materializes; the
+        // loser's job never runs (its lazy val is never forced)
+        (if (prev != null) prev else mine).df
+      }
     }
   }
 
