@@ -29,10 +29,14 @@ import org.apache.spark.sql.DataFrame
   * memoized holder is inserted with `putIfAbsent` and the
   * materialization job runs via the WINNING holder's `lazy val` —
   * single materialization per key under concurrent first use, but
-  * the map's bin lock is never held across a Spark job, so unrelated
-  * keys never serialize behind a materialization and a build that
-  * re-enters the cache cannot trip ConcurrentHashMap's recursive-
-  * update IllegalStateException.
+  * the map's bin lock is never held across a Spark job, so a build
+  * that re-enters the cache for an UNRELATED key never serializes
+  * behind (or deadlocks on) another materialization. Same-key
+  * re-entry (a build transitively selecting itself) would recurse
+  * through the holder's re-entrant lazy-val monitor, so it is
+  * detected per-thread and fails fast with IllegalStateException.
+  * A build that throws is evicted before the exception propagates:
+  * failed keys don't consume capacity, and a retry re-materializes.
   *
   * Capacity: checkpoint blocks hold executor disk, so unlike the
   * reference's unbounded map of tiny row ranges, at most `maxEntries`
@@ -45,12 +49,24 @@ final class SelectionCache(maxEntries: Int = 64) {
   require(maxEntries > 0, s"maxEntries must be positive, got $maxEntries")
 
   // Memoized slot: `df` materializes at most once (Scala lazy-val
-  // latch), synchronizing on the holder — NOT on the map bin.
-  private final class Holder(build: () => DataFrame) {
-    lazy val df: DataFrame = build().localCheckpoint()
+  // latch), synchronizing on the holder — NOT on the map bin. The
+  // build closure (and the plan lineage it captures) is released
+  // once the checkpoint exists; a throwing build keeps it so the
+  // lazy val can retry after the failed entry is evicted.
+  private final class Holder(build0: () => DataFrame) {
+    private[this] var build: () => DataFrame = build0
+    lazy val df: DataFrame = {
+      val out = build().localCheckpoint()
+      build = null
+      out
+    }
   }
 
   private val entries = new ConcurrentHashMap[String, Holder]()
+  // Keys whose build is running on THIS thread — same-key re-entry
+  // means the build depends on its own result; fail fast instead of
+  // recursing through the lazy-val monitor to StackOverflowError.
+  private val building = ThreadLocal.withInitial[java.util.HashSet[String]](() => new java.util.HashSet[String]())
   private val hitCount = new AtomicLong
   private val missCount = new AtomicLong
 
@@ -68,9 +84,9 @@ final class SelectionCache(maxEntries: Int = 64) {
     * the same partitions, which leaks "non-existent accumulator"
     * scheduler ERRORs — see Dedup.ngramJaccard.)
     */
-  private[tsdb] def getOrMaterialize(key: String, build: => DataFrame): DataFrame = {
+  private[graft] def getOrMaterialize(key: String, build: => DataFrame): DataFrame = {
     val cached = entries.get(key)
-    if (cached != null) { hitCount.incrementAndGet(); cached.df }
+    if (cached != null) { hitCount.incrementAndGet(); force(key, cached) }
     else {
       missCount.incrementAndGet()
       if (entries.size >= maxEntries) build // full: uncached passthrough
@@ -79,9 +95,28 @@ final class SelectionCache(maxEntries: Int = 64) {
         val prev = entries.putIfAbsent(key, mine)
         // whichever holder won the insert race materializes; the
         // loser's job never runs (its lazy val is never forced)
-        (if (prev != null) prev else mine).df
+        force(key, if (prev != null) prev else mine)
       }
     }
+  }
+
+  /** Force a holder's materialization with same-key re-entry
+    * detection; evict the entry if the build throws so failed keys
+    * neither occupy a capacity slot nor get counted as hits while
+    * silently re-running a failing build.
+    */
+  private def force(key: String, holder: Holder): DataFrame = {
+    val inFlight = building.get()
+    if (!inFlight.add(key))
+      throw new IllegalStateException(
+        s"SelectionCache: build for key re-entered getOrMaterialize with the same key " +
+          s"(selection depends on its own cached result): $key")
+    try holder.df
+    catch {
+      case e: Throwable =>
+        entries.remove(key, holder)
+        throw e
+    } finally inFlight.remove(key)
   }
 
   /** Drop one cached selection (constraint_cache.go:63 Delete analog). */

@@ -141,6 +141,45 @@ class TsdbQueryableSpec extends SparkSpec {
     assert(over.collect().map(_.getDouble(3)).toSeq == Seq(3.0))
   }
 
+  test("selection cache evicts a throwing build and retries cleanly") {
+    import graft.tsdb.SelectionCache
+    val cache = new SelectionCache()
+    var attempts = 0
+    def flaky(): org.apache.spark.sql.DataFrame = {
+      attempts += 1
+      if (attempts == 1) sys.error("boom")
+      else q.select("2024-01-01", "2024-02-01", Matcher.Eq("job", "api"))
+    }
+    val err = intercept[RuntimeException] { cache.getOrMaterialize("k", flaky()) }
+    assert(err.getMessage == "boom")
+    // failed build must not occupy a slot...
+    assert(cache.size == 0)
+    // ...and a retry materializes for real, then hits
+    assert(cache.getOrMaterialize("k", flaky()).count() == 2L)
+    assert(cache.size == 1 && attempts == 2)
+    assert(cache.getOrMaterialize("k", flaky()).count() == 2L)
+    assert(attempts == 2, "hit must not re-run the build")
+  }
+
+  test("selection cache fails fast on same-key re-entrant builds") {
+    import graft.tsdb.SelectionCache
+    val cache = new SelectionCache()
+    lazy val recurse: org.apache.spark.sql.DataFrame =
+      cache.getOrMaterialize("self", recurse)
+    val err = intercept[IllegalStateException] {
+      cache.getOrMaterialize("self", recurse)
+    }
+    assert(err.getMessage.contains("re-entered"))
+    assert(cache.size == 0, "the failed self-referential entry is evicted")
+    // unrelated-key re-entry from inside a build still works
+    val nested = cache.getOrMaterialize("outer", {
+      val inner = cache.getOrMaterialize("inner",
+        q.select("2024-01-01", "2024-02-01", Matcher.Eq("job", "api")))
+      inner.limit(1)
+    })
+    assert(nested.count() == 1L && cache.size == 2)
+  }
+
   test("labelValues respects matchers and limit") {
     val out = q.labelValues("instance", Seq(Matcher.Eq("job", "api")), limit = 1)
     assert(out.collect().map(_.getString(0)).toSeq == Seq("1"))
