@@ -254,18 +254,28 @@ object SparkEntry {
       Seq(Matcher.Re("event_type", "click|view|purchase")))
 
   /** histogram_quantile(0.9, ...) over classic le-bucketed cumulative
-    * histograms built from the events table: one map-side-combining
-    * aggregation to (event_type, le) grain, then the bucket
-    * interpolation (PromOps.histogramQuantile). The DuckDB oracle
+    * histograms built from the events table: ONE single-pass
+    * conditional aggregation reads each sample row once (a
+    * `count(when(value <= le))` column per bound, all partial-
+    * aggregating map-side), then the 6 cumulative counts unpivot at
+    * GROUP grain — series-cardinality × 6 rows, not samples × 6 as an
+    * explode-before-agg would — into the (labels, le) shape
+    * PromOps.histogramQuantile interpolates. The DuckDB oracle
     * replays the identical bucket arithmetic.
     */
   private def tsHistogramQuantile(s: SparkSession, dir: String): DataFrame = {
     val les = Seq(10.0, 25.0, 50.0, 100.0, 200.0, Double.PositiveInfinity)
+    val cums = les.zipWithIndex.map { case (le, i) =>
+      count(when(col("value") <= lit(le), 1)).cast("double").as(s"_cum$i")
+    }
     val buckets = t(s, dir, "events")
-      .select(col("event_type"), col("value"),
-        explode(array(les.map(lit): _*)).as("le"))
-      .groupBy("event_type", "le")
-      .agg(count(when(col("value") <= col("le"), 1)).cast("double").as("cnt"))
+      .groupBy("event_type")
+      .agg(cums.head, cums.tail: _*)
+      .select(col("event_type"),
+        explode(array(les.zipWithIndex.map { case (le, i) =>
+          struct(lit(le).as("le"), col(s"_cum$i").as("cnt"))
+        }: _*)).as("_b"))
+      .select(col("event_type"), col("_b.le").as("le"), col("_b.cnt").as("cnt"))
     PromOps.histogramQuantile(buckets, Seq("event_type"), 0.9)
       .select(col("event_type"), round(col("quantile"), 6).as("q90"))
       .orderBy("event_type")
@@ -371,6 +381,48 @@ object SparkEntry {
     back.select(col("labels").getItem("event_type").as("event_type"))
       .groupBy("event_type").agg(count(lit(1)).as("n"))
       .orderBy("event_type")
+  }
+
+  /** Wide-sparse-label schema path — the reference's schema builder
+    * exists for ~dozens of sparse label columns per block
+    * (schema/schema_builder.go:41-171), not the 2-label toy shape
+    * ts_schema_roundtrip covers. 48 sparse labels (each present on
+    * 1/3..1/7 of rows, deterministic modular synthesis) go through
+    * map → labelNames discovery → spread into 48 `l_*` physical
+    * columns, then ONE single-pass conditional aggregation reads all
+    * 48 columns at once (presence + matcher-hit count per label, all
+    * partial-aggregating map-side) and the 1-row result unpivots at
+    * metadata grain. At 100 TB: one scan, 96 conditional counters,
+    * no row amplification, nulls stored free in Parquet.
+    */
+  private val wideDimCount = 48
+  private def tsSchemaWide(s: SparkSession, dir: String): DataFrame = {
+    import graft.tsdb.LabelSchema
+    val ev = t(s, dir, "events")
+    val dimNames = (0 until wideDimCount).map(i => f"dim_$i%02d")
+    val entries = dimNames.zipWithIndex.flatMap { case (n, i) =>
+      val present = pmod(col("user_id") + lit(i), lit(3 + i % 5)) === 0
+      Seq(lit(n),
+        when(present, concat(lit("v"), pmod(col("user_id") + lit(i), lit(4)))))
+    }
+    val withMap = ev.select(
+      map_filter(map(entries: _*), (_, v) => v.isNotNull).as("labels"),
+      col("user_id"), col("value"))
+    val names = labelUniverse.computeIfAbsent(s"events_wide:$dir",
+      _ => LabelSchema.labelNames(withMap, "labels"))
+    val wide = LabelSchema.spread(withMap, "labels", names)
+    val aggs = names.zipWithIndex.flatMap { case (n, i) =>
+      val c = col(LabelSchema.prefix + n)
+      Seq(count(c).as(s"_p$i"), count(when(c === "v1", 1)).as(s"_m$i"))
+    }
+    wide.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(names.zipWithIndex.map { case (n, i) =>
+        struct(lit(n).as("label"), col(s"_p$i").as("present"),
+          col(s"_m$i").as("v1_hits"))
+      }: _*)).as("_e"))
+      .select(col("_e.label").as("label"), col("_e.present").as("present"),
+        col("_e.v1_hits").as("v1_hits"))
+      .orderBy("label")
   }
 
   private def tsMergeShards(s: SparkSession, dir: String): DataFrame = {
@@ -500,6 +552,19 @@ object SparkEntry {
   private def pipeCorpusClean(s: SparkSession, dir: String): DataFrame =
     operators.Pipeline.corpusClean(t(s, dir, "documents"), "text", "doc_id",
         lang = "en", minQuality = 0.5, n = 4, threshold = 0.8, dfCap = 100)
+      .orderBy("doc_id")
+
+  /** The 100 TB configuration of the same pipeline: near-dup stage
+    * swapped to banded MinHash → estimate filter → exact verify
+    * ([[operators.Dedup.minHashNearDup]]). Verification uses the
+    * SAME exact Jaccard at the same threshold, so wherever banding
+    * recall holds (1.0 on this corpus — SketchRecallSpec) the
+    * surviving manifest is identical and the oracle is shared.
+    */
+  private def pipeCorpusCleanMinhash(s: SparkSession, dir: String): DataFrame =
+    operators.Pipeline.corpusClean(t(s, dir, "documents"), "text", "doc_id",
+        lang = "en", minQuality = 0.5, n = 4, threshold = 0.8,
+        nearDupMethod = "minhash")
       .orderBy("doc_id")
 
   private def ddMinhashLsh(s: SparkSession, dir: String): DataFrame =
@@ -667,6 +732,7 @@ object SparkEntry {
     "ts_quantile" -> (tsQuantile _),
     "ts_ratio_join" -> (tsRatioJoin _),
     "ts_schema_roundtrip" -> (tsSchemaRoundtrip _),
+    "ts_schema_wide" -> (tsSchemaWide _),
     "ts_merge_shards" -> (tsMergeShards _),
     "ts_merge_blocks" -> (tsMergeBlocks _),
     "ts_convert_roundtrip" -> (tsConvertRoundtrip _),
@@ -675,6 +741,7 @@ object SparkEntry {
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_clusters" -> (ddClusters _),
     "pipe_corpus_clean" -> (pipeCorpusClean _),
+    "pipe_corpus_clean_minhash" -> (pipeCorpusCleanMinhash _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_minhash_neardup" -> (ddMinhashNearDup _),
     "dd_simhash" -> (ddSimhash _),
@@ -792,6 +859,30 @@ object SparkEntry {
       |    + least((CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|in|is)\b')) AS DOUBLE)
       |             / greatest(CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE), 1.0)) * 5.0, 1.0) * 0.25,
       |  4)""".stripMargin
+
+  /** Composed oracle for both corpusClean variants: every stage
+    * replayed with the SAME SQL formulas that hash-match
+    * individually (txt_lang_id, txt_quality, dd_exact, dd_clusters).
+    */
+  private lazy val corpusCleanOracle: String =
+    s"""WITH RECURSIVE ${langCtes("documents")},
+      |scored AS (
+      |  SELECT doc_id, text, lang_pred AS lang,
+      |    $qualitySqlExpr AS quality,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+      |  FROM documents JOIN lang_pred USING (doc_id)),
+      |gated AS (SELECT * FROM scored WHERE lang = 'en' AND quality >= 0.5),
+      |uniq AS (
+      |  SELECT doc_id, text, lang, quality, n_tokens FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      |    FROM gated)
+      |  WHERE rn = 1),
+      |${ngramPairCtes("uniq")},
+      |$closureCtes,
+      |bad AS (SELECT node FROM reach GROUP BY node HAVING min(r) < node)
+      |SELECT doc_id, lang, quality, n_tokens FROM uniq
+      |WHERE doc_id NOT IN (SELECT node FROM bad)
+      |ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_filter_project" ->
@@ -1093,6 +1184,17 @@ object SparkEntry {
     "ts_schema_roundtrip" ->
       """SELECT event_type, count(*) AS n FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // replays tsSchemaWide's modular label synthesis: dim_i present
+    // iff (user_id+i) % (3+i%5) = 0, value 'v' || (user_id+i) % 4
+    "ts_schema_wide" -> (0 until wideDimCount).map { i =>
+      val m = 3 + i % 5
+      f"SELECT 'dim_$i%02d' AS label, " +
+        s"count(CASE WHEN (user_id + $i) % $m = 0 THEN 1 END) AS present, " +
+        s"count(CASE WHEN (user_id + $i) % $m = 0 AND " +
+        s"'v' || CAST((user_id + $i) % 4 AS VARCHAR) = 'v1' THEN 1 END) AS v1_hits " +
+        "FROM events"
+    }.mkString("SELECT label, present, v1_hits FROM (\n",
+      "\nUNION ALL\n", "\n) ORDER BY label"),
     "ts_convert_roundtrip" ->
       """SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket,
         |  count(*) AS n,
@@ -1227,25 +1329,12 @@ object SparkEntry {
       s"""WITH ${langCtes("documents")}
         |SELECT doc_id, lang_pred FROM lang_pred
         |ORDER BY doc_id""".stripMargin,
-    "pipe_corpus_clean" ->
-      s"""WITH RECURSIVE ${langCtes("documents")},
-        |scored AS (
-        |  SELECT doc_id, text, lang_pred AS lang,
-        |    $qualitySqlExpr AS quality,
-        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
-        |  FROM documents JOIN lang_pred USING (doc_id)),
-        |gated AS (SELECT * FROM scored WHERE lang = 'en' AND quality >= 0.5),
-        |uniq AS (
-        |  SELECT doc_id, text, lang, quality, n_tokens FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
-        |    FROM gated)
-        |  WHERE rn = 1),
-        |${ngramPairCtes("uniq")},
-        |$closureCtes,
-        |bad AS (SELECT node FROM reach GROUP BY node HAVING min(r) < node)
-        |SELECT doc_id, lang, quality, n_tokens FROM uniq
-        |WHERE doc_id NOT IN (SELECT node FROM bad)
-        |ORDER BY doc_id""".stripMargin,
+    "pipe_corpus_clean" -> corpusCleanOracle,
+    // the minhash variant verifies candidates with the SAME exact
+    // Jaccard at the same threshold; banding recall is 1.0 on this
+    // corpus (SketchRecallSpec), so the manifest — and the oracle —
+    // are identical to the ngram path's
+    "pipe_corpus_clean_minhash" -> corpusCleanOracle,
     "txt_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(

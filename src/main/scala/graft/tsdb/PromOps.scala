@@ -242,6 +242,10 @@ object PromOps {
       .select(labelCols.map(col) :+
         when(col(leCol) === inf, col("_max_finite"))
           .when(col("_prev_le").isNull && col(leCol) <= 0, col(leCol))
+          // zero observations → the covering bucket is the empty first
+          // bucket and the interpolation is 0/0: Prometheus answers NaN
+          // (ANSI mode would otherwise raise DIVIDE_BY_ZERO here)
+          .when(col(cntCol) === prevCnt, lit(Double.NaN))
           .otherwise(prevLe + (col(leCol) - prevLe) *
             (col("_rank") - prevCnt) / (col(cntCol) - prevCnt))
           .as(outCol): _*)

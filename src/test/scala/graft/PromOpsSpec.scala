@@ -137,4 +137,51 @@ class PromOpsSpec extends SparkSpec {
     // users 3 and 9 are unmatched → dropped, PromQL vector matching
     assert(out == Map(1L -> 2.0, 2L -> 2.0))
   }
+
+  // cumulative le-buckets: 2 obs ≤0.1, 6 ≤0.5, 10 ≤1.0, 12 total
+  private def buckets = Seq(
+    ("s1", 0.1, 2.0), ("s1", 0.5, 6.0), ("s1", 1.0, 10.0),
+    ("s1", Double.PositiveInfinity, 12.0)
+  ).toDF("series", "le", "cnt")
+
+  private def hq(df: org.apache.spark.sql.DataFrame, q: Double): Map[String, Double] =
+    PromOps.histogramQuantile(df, Seq("series"), q)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("histogramQuantile interpolates inside the covering bucket") {
+    // rank = 0.5·12 = 6 → bucket (0.1, 0.5] exactly at its cumulative
+    // count → upper bound; rank 0.25·12 = 3 → 0.1 + 0.4·(3−2)/(6−2)
+    assert(math.abs(hq(buckets, 0.5)("s1") - 0.5) < 1e-12)
+    assert(math.abs(hq(buckets, 0.25)("s1") - 0.2) < 1e-12)
+  }
+
+  test("histogramQuantile q=1 answers from the highest finite bound") {
+    // rank = 12 lands in the +Inf bucket → Prometheus returns the
+    // highest finite upper bound, never Inf
+    assert(hq(buckets, 1.0) == Map("s1" -> 1.0))
+  }
+
+  test("histogramQuantile q=0 answers the lower edge of the first bucket") {
+    // rank = 0 → first bucket, zero offset → its implicit 0 lower edge
+    assert(hq(buckets, 0.0) == Map("s1" -> 0.0))
+    // a first bucket with le ≤ 0 has no interpolatable lower edge —
+    // Prometheus answers its own bound (promql bucketQuantile)
+    val neg = Seq(("n", -1.0, 3.0), ("n", Double.PositiveInfinity, 3.0))
+      .toDF("series", "le", "cnt")
+    assert(hq(neg, 0.4) == Map("n" -> -1.0))
+  }
+
+  test("histogramQuantile yields NaN for a zero-observation group") {
+    // total = 0 → rank 0, interpolation divides 0/0 → NaN, matching
+    // Prometheus's NaN for histograms with no observations
+    val empty = Seq(("z", 0.1, 0.0), ("z", Double.PositiveInfinity, 0.0))
+      .toDF("series", "le", "cnt")
+    val out = PromOps.histogramQuantile(empty, Seq("series"), 0.9).collect()
+    assert(out.length == 1 && out(0).getDouble(1).isNaN)
+  }
+
+  test("histogramQuantile rejects q outside [0,1]") {
+    intercept[IllegalArgumentException] { PromOps.histogramQuantile(buckets, Seq("series"), 1.5) }
+    intercept[IllegalArgumentException] { PromOps.histogramQuantile(buckets, Seq("series"), -0.1) }
+  }
 }

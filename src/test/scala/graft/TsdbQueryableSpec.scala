@@ -180,6 +180,29 @@ class TsdbQueryableSpec extends SparkSpec {
     assert(nested.count() == 1L && cache.size == 2)
   }
 
+  test("selectSeries returns distinct label sets; projection and limit apply") {
+    val all = q.selectSeries("2024-01-01", "2024-03-01", Nil)
+    assert(all.columns.toSeq == Seq("job", "instance"))
+    assert(all.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("api", 1L), ("api", 2L), ("web", 1L), ("web", 2L)))
+    // matchers narrow the series set before the distinct
+    val web = q.selectSeries("2024-01-01", "2024-03-01", Seq(Matcher.Eq("job", "web")))
+    assert(web.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("web", 1L), ("web", 2L)))
+    // projection collapses to the requested label subset
+    val proj = q.selectSeries("2024-01-01", "2024-03-01", Nil, projection = Seq("job"))
+    assert(proj.columns.toSeq == Seq("job"))
+    assert(proj.collect().map(_.getString(0)).toSeq == Seq("api", "web"))
+    // limit truncates the ordered series list deterministically
+    val lim = q.selectSeries("2024-01-01", "2024-03-01", Nil,
+      projection = Seq("job"), limit = 1)
+    assert(lim.collect().map(_.getString(0)).toSeq == Seq("api"))
+    // the time range prunes series wholly outside it
+    val jan = q.selectSeries("2024-01-01", "2024-02-01", Nil)
+    assert(jan.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("api", 1L), ("api", 2L), ("web", 1L)))
+  }
+
   test("labelValues respects matchers and limit") {
     val out = q.labelValues("instance", Seq(Matcher.Eq("job", "api")), limit = 1)
     assert(out.collect().map(_.getString(0)).toSeq == Seq("1"))
