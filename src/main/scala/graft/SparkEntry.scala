@@ -281,6 +281,45 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** `histogram_quantile(0.9, rate(bucket[30d]))` — the composition a
+    * real Prometheus user runs over the reference's `le`-labelled
+    * bucket series. Bucket COUNTER series are synthesized at day
+    * grain: one single-pass conditional aggregation computes the
+    * per-(event_type, day) bucket increments (map-side partial, each
+    * sample row read once), a cumulative window turns them into the
+    * monotone counter samples a scrape sequence would record —
+    * day-grain rows, series-cardinality × 6 buckets × ~30 days, tiny
+    * post-agg — then [[PromOps.rate]] computes each le-series'
+    * per-second increase over the range and
+    * [[PromOps.histogramQuantile]] interpolates over the rated
+    * buckets (rate of a cumulative histogram is itself cumulative in
+    * le, as in Prometheus). The oracle replays increment → cumsum →
+    * positive-delta increase → rate → interpolation exactly.
+    */
+  private def tsHistogramQuantileRate(s: SparkSession, dir: String): DataFrame = {
+    val les = Seq(10.0, 25.0, 50.0, 100.0, 200.0, Double.PositiveInfinity)
+    val incs = les.zipWithIndex.map { case (le, i) =>
+      count(when(col("value") <= lit(le), 1)).cast("double").as(s"_inc$i")
+    }
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(incs.head, incs.tail: _*)
+    val counters = daily
+      .select(col("event_type"), col("day"),
+        explode(array(les.zipWithIndex.map { case (le, i) =>
+          struct(lit(le).as("le"), col(s"_inc$i").as("inc"))
+        }: _*)).as("_b"))
+      .select(col("event_type"), col("day"),
+        col("_b.le").as("le"), col("_b.inc").as("inc"))
+      .withColumn("cnt", sum("inc").over(org.apache.spark.sql.expressions
+        .Window.partitionBy("event_type", "le").orderBy("day")))
+    val rated = PromOps.rate(counters, Seq("event_type", "le"),
+      "day", "cnt", rangeSeconds = 2592000.0)
+    PromOps.histogramQuantile(rated, Seq("event_type"), 0.9, cntCol = "rate")
+      .select(col("event_type"), round(col("quantile"), 6).as("q90_rate"))
+      .orderBy("event_type")
+  }
+
   private def tsLabelNames(s: SparkSession, dir: String): DataFrame =
     queryable(s, dir).labelNames(Matcher.Eq("event_type", "error"))
 
@@ -396,17 +435,25 @@ object SparkEntry {
     * no row amplification, nulls stored free in Parquet.
     */
   private val wideDimCount = 48
+  /** The deterministic sparse wide-label synthesis shared by
+    * ts_schema_wide, ts_wide_select and their oracles: label dim_i is
+    * present iff (user_id + i) % (3 + i%5) == 0, with value
+    * 'v' || ((user_id + i) % 4) — each label present on 1/3..1/7 of
+    * rows, cardinality 4.
+    */
+  private def wideLabelMapCol: Column = {
+    val entries = (0 until wideDimCount).flatMap { i =>
+      val present = pmod(col("user_id") + lit(i), lit(3 + i % 5)) === 0
+      Seq(lit(f"dim_$i%02d"),
+        when(present, concat(lit("v"), pmod(col("user_id") + lit(i), lit(4)))))
+    }
+    map_filter(map(entries: _*), (_, v) => v.isNotNull)
+  }
+
   private def tsSchemaWide(s: SparkSession, dir: String): DataFrame = {
     import graft.tsdb.LabelSchema
     val ev = t(s, dir, "events")
-    val dimNames = (0 until wideDimCount).map(i => f"dim_$i%02d")
-    val entries = dimNames.zipWithIndex.flatMap { case (n, i) =>
-      val present = pmod(col("user_id") + lit(i), lit(3 + i % 5)) === 0
-      Seq(lit(n),
-        when(present, concat(lit("v"), pmod(col("user_id") + lit(i), lit(4)))))
-    }
-    val withMap = ev.select(
-      map_filter(map(entries: _*), (_, v) => v.isNotNull).as("labels"),
+    val withMap = ev.select(wideLabelMapCol.as("labels"),
       col("user_id"), col("value"))
     val names = labelUniverse.computeIfAbsent(s"events_wide:$dir",
       _ => LabelSchema.labelNames(withMap, "labels"))
@@ -423,6 +470,47 @@ object SparkEntry {
       .select(col("_e.label").as("label"), col("_e.present").as("present"),
         col("_e.v1_hits").as("v1_hits"))
       .orderBy("label")
+  }
+
+  /** The reference's wide layout END TO END at realistic label
+    * cardinality: the 48-sparse-label corpus goes through
+    * [[TsdbConverter.convertWithLabels]] — schema discovery → spread
+    * to 48 `l_*` physical parquet columns → label-sorted, time-
+    * bucketed write with bloom filters on the two matcher labels
+    * (schema/schema_builder.go:41-171 + convert.go:81
+    * buildBloomfilterColumns analog) — then a matcher SELECT over the
+    * converted dataset: equality on l_dim_00 (pushed to the scan,
+    * where the sorted row groups + bloom filter prune) AND a negated
+    * regex on the SPARSE l_dim_07 — the Prometheus absent==""
+    * convention under test where it actually bites: rows where
+    * dim_07 is absent must be KEPT by `!~"v0"` (null behaves as ""),
+    * rows where it is present (its value is v0 throughout the
+    * residue class the equality pins) must be DROPPED. Projected to
+    * 3 of the 48 label columns. PlanAudit asserts the equality
+    * reaches PushedFilters and ReadSchema holds 5 of the 50 stored
+    * columns. The oracle replays the modular synthesis + both
+    * matcher semantics on the raw long table.
+    */
+  private def tsWideSelect(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_widesel_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+    // ingest wrote the wide block once; the operator under test is
+    // the select over the stored layout
+    fixtureOnce(s"widesel:$dir") {
+      TsdbConverter.convertWithLabels(
+        t(s, dir, "events").select(wideLabelMapCol.as("labels"),
+          col("ts"), col("value")),
+        "labels", path, "ts",
+        ConvertOptions(sortBy = Seq("l_dim_00", "l_dim_07"),
+          colDuration = "1 day",
+          bloomFilterLabels = Seq("l_dim_00", "l_dim_07"), shards = 4))
+    }
+    val wide = s.read.parquet(path)
+    val labelCols = wide.columns.filter(_.startsWith("l_")).sorted.toSeq
+    val q = new TsdbQueryable(wide, labelCols)
+    withTsMs(q.select("2024-01-05", "2024-01-20",
+        Seq(Matcher.Eq("l_dim_00", "v1"), Matcher.Nre("l_dim_07", "v0")),
+        projection = Seq("l_dim_00", "l_dim_04", "l_dim_07")))
+      .orderBy("ts_ms", "value", "l_dim_04")
   }
 
   private def tsMergeShards(s: SparkSession, dir: String): DataFrame = {
@@ -718,6 +806,7 @@ object SparkEntry {
     "ts_select_projected" -> (tsSelectProjected _),
     "ts_select_series" -> (tsSelectSeries _),
     "ts_histogram_quantile" -> (tsHistogramQuantile _),
+    "ts_histogram_quantile_rate" -> (tsHistogramQuantileRate _),
     "ts_label_names" -> (tsLabelNames _),
     "ts_label_values" -> (tsLabelValues _),
     "ts_last_point" -> (tsLastPoint _),
@@ -733,6 +822,7 @@ object SparkEntry {
     "ts_ratio_join" -> (tsRatioJoin _),
     "ts_schema_roundtrip" -> (tsSchemaRoundtrip _),
     "ts_schema_wide" -> (tsSchemaWide _),
+    "ts_wide_select" -> (tsWideSelect _),
     "ts_merge_shards" -> (tsMergeShards _),
     "ts_merge_blocks" -> (tsMergeBlocks _),
     "ts_convert_roundtrip" -> (tsConvertRoundtrip _),
@@ -1054,6 +1144,52 @@ object SparkEntry {
         |WHERE cnt >= 0.9 * total
         |  AND (prev_cnt IS NULL OR prev_cnt < 0.9 * total)
         |ORDER BY event_type""".stripMargin,
+    // replays tsHistogramQuantileRate: day-grain bucket increments →
+    // cumulative counter → positive-delta increase → /range → the
+    // same interpolation over the rated buckets
+    "ts_histogram_quantile_rate" ->
+      """WITH les AS (
+        |  SELECT unnest([10.0, 25.0, 50.0, 100.0, 200.0,
+        |                 CAST('inf' AS DOUBLE)]) AS le),
+        |daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, le,
+        |    CAST(count(CASE WHEN value <= le THEN 1 END) AS DOUBLE) AS inc
+        |  FROM events CROSS JOIN les GROUP BY 1, 2, 3),
+        |cum AS (
+        |  SELECT event_type, day, le,
+        |    sum(inc) OVER (PARTITION BY event_type, le ORDER BY day) AS cnt
+        |  FROM daily),
+        |lagged AS (
+        |  SELECT event_type, le, cnt,
+        |    lag(cnt) OVER (PARTITION BY event_type, le ORDER BY day) AS prev
+        |  FROM cum),
+        |rated AS (
+        |  SELECT event_type, le,
+        |    sum(CASE WHEN prev IS NULL THEN 0
+        |             WHEN cnt >= prev THEN cnt - prev
+        |             ELSE cnt END) / 2592000.0 AS r
+        |  FROM lagged GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, le, r,
+        |    lag(le) OVER pw AS prev_le,
+        |    lag(r) OVER pw AS prev_r,
+        |    max(r) OVER (PARTITION BY event_type) AS total,
+        |    max(CASE WHEN le < CAST('inf' AS DOUBLE) THEN le END)
+        |      OVER (PARTITION BY event_type) AS max_finite
+        |  FROM rated
+        |  WINDOW pw AS (PARTITION BY event_type ORDER BY le))
+        |SELECT event_type,
+        |  round(CASE
+        |    WHEN le = CAST('inf' AS DOUBLE) THEN max_finite
+        |    WHEN prev_le IS NULL AND le <= 0 THEN le
+        |    WHEN r = coalesce(prev_r, 0) THEN CAST('nan' AS DOUBLE)
+        |    ELSE coalesce(prev_le, 0) + (le - coalesce(prev_le, 0)) *
+        |      (0.9 * total - coalesce(prev_r, 0)) / (r - coalesce(prev_r, 0))
+        |  END, 6) AS q90_rate
+        |FROM w
+        |WHERE r >= 0.9 * total
+        |  AND (prev_r IS NULL OR prev_r < 0.9 * total)
+        |ORDER BY event_type""".stripMargin,
     "ts_label_names" ->
       """SELECT label_name FROM (
         |  SELECT 'event_type' AS label_name, count(event_type) AS c
@@ -1195,6 +1331,28 @@ object SparkEntry {
         "FROM events"
     }.mkString("SELECT label, present, v1_hits FROM (\n",
       "\nUNION ALL\n", "\n) ORDER BY label"),
+    // replays tsWideSelect on the raw long table: the same modular
+    // label synthesis (dim_i present iff (user_id+i) % (3+i%5) = 0,
+    // value 'v' || (user_id+i) % 4), the Eq('l_dim_00','v1') matcher
+    // and the null-safe Nre('l_dim_07','v0') matcher (absent label
+    // behaves as "", so absent rows are KEPT and present-v0 rows are
+    // DROPPED), and the 3-label projection
+    "ts_wide_select" ->
+      """SELECT
+        |  CASE WHEN user_id % 3 = 0
+        |       THEN 'v' || CAST(user_id % 4 AS VARCHAR) END AS l_dim_00,
+        |  CASE WHEN (user_id + 4) % 7 = 0
+        |       THEN 'v' || CAST((user_id + 4) % 4 AS VARCHAR) END AS l_dim_04,
+        |  CASE WHEN (user_id + 7) % 5 = 0
+        |       THEN 'v' || CAST((user_id + 7) % 4 AS VARCHAR) END AS l_dim_07,
+        |  value, epoch_ms(ts) AS ts_ms
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
+        |  AND user_id % 3 = 0
+        |  AND 'v' || CAST(user_id % 4 AS VARCHAR) = 'v1'
+        |  AND NOT ((user_id + 7) % 5 = 0 AND
+        |           'v' || CAST((user_id + 7) % 4 AS VARCHAR) = 'v0')
+        |ORDER BY ts_ms, value, l_dim_04""".stripMargin,
     "ts_convert_roundtrip" ->
       """SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket,
         |  count(*) AS n,

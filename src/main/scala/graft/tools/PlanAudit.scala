@@ -83,6 +83,19 @@ object PlanAudit {
         "scan pruned to labels + ts (no value)" ->
           "struct<ts:bigint,user_id:bigint,event_type:string>"))
 
+    // Wide-label layout select (48 sparse l_* columns written by
+    // convertWithLabels with blooms): the equality matcher must reach
+    // the scan — that is what the label-sorted row groups and the
+    // l_dim_00 bloom filter prune on — and ReadSchema must hold only
+    // the 3 projected labels + ts + value out of the 50 stored
+    // columns (the projection-hints analog on the wide layout).
+    audit("ts_wide_select",
+      SparkEntry.queries("ts_wide_select")(spark, dir),
+      Map(
+        "wide-label equality matcher pushed" -> "EqualTo(l_dim_00,v1)",
+        "scan pruned to projected labels + ts + value" ->
+          "struct<ts:timestamp,value:double,l_dim_00:string,l_dim_04:string,l_dim_07:string>"))
+
     // The banded dedup joins must stay equi-joins on bucket keys —
     // never a cartesian/broadcast-nested-loop over the corpus — and
     // the documents scan must read only (doc_id, text).

@@ -1,0 +1,94 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-curve evidence for the sketch paths (VERDICT r5 ask #2):
+  * run the 100 TB-shaped operators — minHashNearDup, clusters over
+  * the minhash pairs, ivfTopK — at sf0.01, sf0.1, and a ~10×
+  * replication of sf0.1, and record wall time + output size per
+  * point. The claim under test: cost scales with CORPUS size (the
+  * banded join is keyed on corpus-cardinality buckets), not with
+  * candidate-pairs².
+  *
+  * Replication must not manufacture quadratic work that a real 10×
+  * corpus would not have: identical copies would make every replica
+  * group mutual near-dups. Each replica instead passes through a
+  * per-replica character bijection (a rotated `translate` alphabet):
+  * shingle sets map bijectively, so within-replica Jaccard structure
+  * — and therefore the true near-dup pair count per replica — is
+  * preserved exactly, while cross-replica similarity is destroyed.
+  * True pairs grow linearly ×R, as in a genuinely larger corpus.
+  */
+object ScaleCurve {
+  private val alpha = "abcdefghijklmnopqrstuvwxyz"
+
+  def replicate(docs: DataFrame, copies: Int): DataFrame =
+    (0 until copies).map { i =>
+      val rot = alpha.drop(i % 26) + alpha.take(i % 26)
+      docs.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        translate(col("text"), alpha, rot).as("text"))
+    }.reduce(_ unionByName _)
+
+  def replicateEmb(emb: DataFrame, copies: Int): DataFrame =
+    (0 until copies).map { i =>
+      emb.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+        transform(col("embedding"),
+          (x, j) => x * (lit(1.0f) + lit(i.toFloat) * lit(0.003f) *
+            cos(j.cast("double")).cast("float"))).as("embedding"))
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    def point(tag: String, docs: DataFrame, emb: DataFrame): Unit = {
+      val nDocs = docs.count()
+      val nEmb = emb.count()
+      // one warm pass then one timed pass per op (the timed pass is
+      // what a steady-state job sees; scan caches are OS-level only)
+      for (pass <- 1 to 2) {
+        val (pairs, tMh) = time {
+          graft.operators.Dedup.minHashNearDup(docs, "text", "doc_id",
+            n = 4, k = 32, bands = 8, threshold = 0.8).count()
+        }
+        val (clusters, tCl) = time {
+          graft.operators.Dedup.clusters(
+            graft.operators.Dedup.minHashNearDup(docs, "text", "doc_id",
+              n = 4, k = 32, bands = 8, threshold = 0.8)).count()
+        }
+        val (topk, tIvf) = time {
+          graft.operators.Ann.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+            "embedding", "vec_id", k = 10, nCentroids = 16, nProbe = 8,
+            trainFraction = 0.25).count()
+        }
+        if (pass == 2)
+          println(f"""{"dataset":"$tag","n_docs":$nDocs,"n_emb":$nEmb,""" +
+            f""""minhash_neardup_s":$tMh%.2f,"minhash_pairs":$pairs,""" +
+            f""""clusters_s":$tCl%.2f,"cluster_rows":$clusters,""" +
+            f""""ann_ivf_s":$tIvf%.2f,"topk_rows":$topk}""")
+      }
+    }
+
+    val d001 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val e001 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val d01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val e01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+
+    point("sf0.01", d001, e001)
+    point("sf0.1", d01, e01)
+    point("sf0.1 x10", replicate(d01, 10), replicateEmb(e01, 10))
+    spark.stop()
+  }
+}

@@ -180,6 +180,31 @@ class PromOpsSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getDouble(1).isNaN)
   }
 
+  test("histogram_quantile over rate: the composed Prometheus idiom") {
+    // two-bucket counter series at three day-scrapes:
+    //   le=1.0:  0 → 30 → 60   (increase 60)
+    //   le=+Inf: 0 → 40 → 100  (increase 100)
+    val counters = Seq(
+      ("x", ts("2024-01-01 00:00:00"), 1.0, 0.0),
+      ("x", ts("2024-01-02 00:00:00"), 1.0, 30.0),
+      ("x", ts("2024-01-03 00:00:00"), 1.0, 60.0),
+      ("x", ts("2024-01-01 00:00:00"), Double.PositiveInfinity, 0.0),
+      ("x", ts("2024-01-02 00:00:00"), Double.PositiveInfinity, 40.0),
+      ("x", ts("2024-01-03 00:00:00"), Double.PositiveInfinity, 100.0)
+    ).toDF("series", "ts", "le", "cnt")
+    val rated = PromOps.rate(counters, Seq("series", "le"), "ts", "cnt",
+      rangeSeconds = 172800.0)
+    // rate of a cumulative histogram is itself cumulative in le
+    val r = rated.select("le", "rate").collect()
+      .map(row => row.getDouble(0) -> row.getDouble(1)).toMap
+    assert(r(1.0) <= r(Double.PositiveInfinity))
+    // total rate = 100/172800; rank = 0.5·total = 50/172800 lands in
+    // the le=1.0 bucket (60/172800): 0 + 1.0·(50−0)/(60−0) = 5/6
+    val out = PromOps.histogramQuantile(rated, Seq("series"), 0.5,
+      cntCol = "rate").collect()
+    assert(out.length == 1 && math.abs(out(0).getDouble(1) - 5.0 / 6.0) < 1e-12)
+  }
+
   test("histogramQuantile rejects q outside [0,1]") {
     intercept[IllegalArgumentException] { PromOps.histogramQuantile(buckets, Seq("series"), 1.5) }
     intercept[IllegalArgumentException] { PromOps.histogramQuantile(buckets, Seq("series"), -0.1) }

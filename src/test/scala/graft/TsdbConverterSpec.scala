@@ -97,6 +97,33 @@ class TsdbConverterSpec extends SparkSpec {
     assert(back.filter(col("l_env").isNull).count() == 1) // sparse label
   }
 
+  test("wide-layout select: absent labels behave as \"\" under negated matchers") {
+    import graft.tsdb.{Matcher, TsdbQueryable}
+    val dir = Files.createTempDirectory("graft_widesel").toString + "/out"
+    val df = Seq(
+      (Map("a" -> "x", "b" -> "v0"), ts("2024-01-01 10:00:00"), 1.0),
+      (Map("a" -> "x"),              ts("2024-01-02 10:00:00"), 2.0),
+      (Map("a" -> "y", "b" -> "v1"), ts("2024-01-03 10:00:00"), 3.0),
+      (Map("a" -> "x", "b" -> "v1"), ts("2024-01-04 10:00:00"), 4.0)
+    ).toDF("labels", "ts", "value")
+    TsdbConverter.convertWithLabels(df, "labels", dir, "ts",
+      graft.tsdb.ConvertOptions(sortBy = Nil, colDuration = "1 day",
+        bloomFilterLabels = Seq("l_a")))
+    val wide = spark.read.parquet(dir)
+    val q = new TsdbQueryable(wide, Seq("l_a", "l_b"))
+    val sel = q.select("2024-01-01", "2024-02-01",
+      Seq(Matcher.Eq("l_a", "x"), Matcher.Nre("l_b", "v0")))
+    // b-absent row KEPT ("" !~ v0), b=v0 row DROPPED, a=y row DROPPED
+    assert(sel.select("value").collect().map(_.getDouble(0)).sorted.toSeq ==
+      Seq(2.0, 4.0))
+    val kept = sel.filter(col("l_b").isNull)
+    assert(kept.count() == 1L, "the absent-label row must survive !~")
+    // the equality matcher reaches the parquet scan on the wide layout
+    val plan = sel.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("EqualTo(l_a,x)"), "Eq must push down on l_* columns")
+  }
+
   test("convert writes a bucket-partitioned layout that prunes") {
     val dir = Files.createTempDirectory("graft_conv").toString + "/out"
     val df = Seq(
