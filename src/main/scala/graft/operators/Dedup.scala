@@ -33,6 +33,18 @@ object Dedup {
       row_number().over(w).as("dup_rank"))
   }
 
+  /** [[exact]]'s keep-set applied to the FULL rows: one row (smallest
+    * id) survives per distinct content. Same window as [[exact]], but
+    * the rows themselves ride through it — one shuffle total, versus
+    * scoring ids with [[exact]] and semi-joining the winners back
+    * (two shuffles and a join). The shape pipelines want.
+    */
+  def exactCollapse(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(contentKey(col(textCol))).orderBy(col(idCol))
+    df.withColumn("_dup_rank", row_number().over(w))
+      .filter(col("_dup_rank") === 1).drop("_dup_rank")
+  }
+
   /** All character n-gram shingle occurrences per document (with
     * duplicates): a pure narrow map, no shuffle. Use when the
     * consumer is idempotent over duplicates (min-hash).
@@ -314,15 +326,40 @@ object Dedup {
     * DISTINCT-CONTENT scale and expand member pairs only at the end.
     */
   private[graft] def minHashLshReps(df: DataFrame, textCol: String, idCol: String,
-      n: Int, k: Int, bands: Int, bucketCap: Int): (DataFrame, DataFrame) = {
-    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
-    val rows = k / bands
+      n: Int, k: Int, bands: Int, bucketCap: Int,
+      minEst: Double = Double.NegativeInfinity): (DataFrame, DataFrame) = {
     val keyed = df.select(contentKey(col(textCol)).as("_ck"), col(idCol), col(textCol))
     val reps = keyed.groupBy(col("_ck"))
       .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
     val memberOf = reps.select(col("_ck"), col(idCol).as("_rid"))
       .join(keyed.select(col("_ck"), col(idCol).as("_mid")), "_ck")
       .select(col("_rid"), col("_mid"))
+    (bandedRepPairs(reps, textCol, idCol, n, k, bands, bucketCap, minEst),
+      memberOf)
+  }
+
+  /** Banded candidate pairs over an input that is ALREADY
+    * content-distinct — the core of [[minHashLshReps]] without the
+    * rep-collapse shuffle. Callers that have run exact dedup upstream
+    * (e.g. [[Pipeline.corpusClean]], whose manifest is distinct by
+    * construction) hit this directly and skip a full corpus shuffle
+    * plus the member-expansion joins that would all be identity
+    * no-ops.
+    *
+    * `minEst`: estimate threshold applied BETWEEN the join projection
+    * and the pair dedup. The estimate is deterministic per pair, so
+    * filter-then-dedup ≡ dedup-then-filter — but the filtered form
+    * sends only surviving candidates through the dedup exchange. On
+    * vocabulary-heavy corpora the banded join's false-positive
+    * candidates outnumber survivors by 1000× (554k → 545 on the sf0.1
+    * documents table), so this is the difference between shuffling
+    * the candidate blowup and shuffling the answer.
+    */
+  private def bandedRepPairs(reps: DataFrame, textCol: String, idCol: String,
+      n: Int, k: Int, bands: Int, bucketCap: Int,
+      minEst: Double = Double.NegativeInfinity): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val rows = k / bands
     val sigs = minHashSignatureArrays(reps, textCol, idCol, n, k)
     // Carry the signature THROUGH the banding so the pair join yields
     // (id_a, id_b, sig_a, sig_b) directly: the signature subplan
@@ -346,15 +383,17 @@ object Dedup {
     // through it (per-band duplicate pairs recompute a cheap k-term
     // sum; the shuffle narrows ~10×, the better trade at any scale).
     // est is deterministic per pair, so dedup-after ≡ dedup-before.
-    val repPairs = capped.as("x").join(capped.as("y"),
+    val scored = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("rid_a"), col(s"y.$idCol").as("rid_b"),
         round(aggregate(zip_with(col("x.sig"), col("y.sig"),
             (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / k, 4).as("est_jaccard"))
-      .dropDuplicates("rid_a", "rid_b")
-    (repPairs, memberOf)
+    val filtered =
+      if (minEst.isNegInfinity) scored
+      else scored.filter(col("est_jaccard") >= minEst)
+    filtered.dropDuplicates("rid_a", "rid_b")
   }
 
   /** Three-phase near-dup — the 100 TB shape, packaged:
@@ -374,14 +413,24 @@ object Dedup {
     */
   def minHashNearDup(df: DataFrame, textCol: String, idCol: String,
       n: Int = 4, k: Int = 32, bands: Int = 8, threshold: Double,
-      estSlack: Double = 0.2, bucketCap: Int = 10000): DataFrame = {
+      estSlack: Double = 0.2, bucketCap: Int = 10000,
+      assumeDistinct: Boolean = false): DataFrame = {
     // the whole estimate→verify pipeline runs on representatives
     // (distinct content); member pairs are expanded from verified
     // rep pairs at the very end — identical text ⇒ identical shingle
     // sets ⇒ members inherit the rep pair's exact jaccard, and a
-    // duplicate cluster costs ONE verify instead of M²
+    // duplicate cluster costs ONE verify instead of M².
+    // `assumeDistinct`: the caller guarantees content-distinct input
+    // (an upstream exact dedup, as in Pipeline.corpusClean) — the
+    // rep-collapse shuffle and the member-expansion joins are then
+    // identity no-ops and are skipped entirely: one fewer corpus
+    // shuffle and two fewer joins at any scale.
+    val minEst = threshold - estSlack
     val (repPairs, memberOf) =
-      minHashLshReps(df, textCol, idCol, n, k, bands, bucketCap)
+      if (assumeDistinct)
+        (bandedRepPairs(df, textCol, idCol, n, k, bands, bucketCap, minEst),
+          null)
+      else minHashLshReps(df, textCol, idCol, n, k, bands, bucketCap, minEst)
     // materialize the candidate set ONCE: it is the bounded
     // intermediate of the two-phase pipeline (candidate-scale, never
     // corpus-scale), and the verify stage references it three times
@@ -394,7 +443,8 @@ object Dedup {
       .localCheckpoint() // eager: one materialization job, no AQE race (see ngramJaccard)
     val verified = jaccardVerify(cands, df, textCol, idCol, n)
       .filter(col("jaccard") >= threshold)
-    expandPairs(
+    if (assumeDistinct) verified
+    else expandPairs(
       verified.select(col("id_a").as("rid_a"), col("id_b").as("rid_b"),
         col("jaccard")),
       memberOf, Seq("jaccard"), Seq(lit(1.0)))
@@ -573,24 +623,31 @@ object Dedup {
     }
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
-    var edges = pairs
-      .select(greatest(a, b).as("src"), least(a, b).as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint()
 
-    def fingerprint(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)).as("n"),
-        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)).as("h")).head()
-      (r.getLong(0), r.getLong(1))
+    // The convergence fingerprint (edge count + order-insensitive
+    // xor-hash) rides the checkpoint's own materialization job as an
+    // observed metric: one job per round, not checkpoint + a second
+    // fingerprint pass. At any scale the fingerprint is a map-side
+    // partial aggregate — it costs nothing beyond the materialization
+    // the round already pays.
+    def materialize(e: DataFrame): (DataFrame, (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = e.observe(obs, count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)).as("h"))
+        .localCheckpoint()
+      val row = obs.get
+      (out, (row("n").asInstanceOf[Long], row("h").asInstanceOf[Long]))
     }
 
-    var fp = fingerprint(edges)
+    var (edges, fp) = materialize(pairs
+      .select(greatest(a, b).as("src"), least(a, b).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct())
+
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      val nfp = fingerprint(next)
+      val (next, nfp) = materialize(smallStar(largeStar(edges)))
       converged = nfp == fp
       fp = nfp
       edges = next

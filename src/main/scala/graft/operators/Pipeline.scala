@@ -53,17 +53,16 @@ object Pipeline {
     // the dedup window) would otherwise re-run per reference. At
     // 100 TB this cut is the temp-table write between the annotate
     // and near-dup stages of a real ingest job.
-    val uniq = gated.join(
-      Dedup.exact(gated, textCol, idCol).filter(col("dup_rank") === 1)
-        .select(col(idCol)),
-      Seq(idCol), "left_semi")
+    val uniq = Dedup.exactCollapse(gated, textCol, idCol)
       .localCheckpoint() // eager: one materialization job, no AQE race (see Dedup.ngramJaccard)
     val pairs = nearDupMethod match {
       case "ngram" =>
         Dedup.ngramJaccard(uniq, textCol, idCol, n, threshold, dfCap)
       case "minhash" =>
+        // `uniq` is content-distinct by construction (exact dedup one
+        // stage up): skip the rep-collapse shuffle + member expansion
         Dedup.minHashNearDup(uniq, textCol, idCol, n = n,
-          threshold = threshold)
+          threshold = threshold, assumeDistinct = true)
       case other => throw new IllegalArgumentException(
         s"nearDupMethod must be ngram or minhash, got $other")
     }
