@@ -404,6 +404,113 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  // ---- PromQL function surface widening (round 7): the evaluator-
+  // side functions the reference's consumers run over Select
+  // (queryable/parquet_queryable.go:283 feeds Thanos/Cortex PromQL).
+  // deriv/predict_linear/stdvar use exact-decimal closed forms in
+  // PromOps, so their results are order-independent — identical on
+  // any cluster size and bit-comparable to the DuckDB oracle.
+
+  private def tsChanges(s: SparkSession, dir: String): DataFrame =
+    PromOps.changes(t(s, dir, "events"), Seq("event_type", "user_id"),
+        "ts", "value", tieBreak = Seq("event_id"))
+      .orderBy("event_type", "user_id")
+
+  private def tsIrate(s: SparkSession, dir: String): DataFrame =
+    PromOps.irate(t(s, dir, "events"), Seq("event_type", "user_id"),
+        "ts", "value", tieBreak = Seq("event_id"))
+      .select(col("event_type"), col("user_id"),
+        round(col("irate"), 10).as("irate"))
+      .orderBy("event_type", "user_id")
+
+  private def tsDeriv(s: SparkSession, dir: String): DataFrame =
+    PromOps.deriv(t(s, dir, "events"), Seq("event_type", "user_id"),
+        "ts", "value", originMs = 1704067200000L)
+      .select(col("event_type"), col("user_id"),
+        round(col("deriv"), 12).as("deriv"))
+      .orderBy("event_type", "user_id")
+
+  /** predict_linear(v[30d], 7d) evaluated at 2024-01-31. */
+  private def tsPredictLinear(s: SparkSession, dir: String): DataFrame =
+    PromOps.predictLinear(t(s, dir, "events"), Seq("event_type", "user_id"),
+        "ts", "value", evalMs = 1706659200000L, horizonMs = 604800000L,
+        originMs = 1704067200000L)
+      .select(col("event_type"), col("user_id"),
+        round(col("predicted"), 6).as("predicted"))
+      .orderBy("event_type", "user_id")
+
+  private def tsStddevOverTime(s: SparkSession, dir: String): DataFrame =
+    PromOps.stdvarOverTime(t(s, dir, "events"),
+        Seq("event_type", "user_id"), "value")
+      .select(col("event_type"), col("user_id"),
+        round(col("stdvar"), 8).as("stdvar"),
+        round(col("stddev"), 8).as("stddev"), col("samples"))
+      .orderBy("event_type", "user_id")
+
+  private def tsBottomkSeries(s: SparkSession, dir: String): DataFrame =
+    PromOps.bottomKSeries(t(s, dir, "events"), Seq("event_type"),
+        Seq("user_id"), "value", k = 3)
+      .select(col("event_type"), col("user_id"),
+        round(col("sum_value"), 4).as("sum_value"), col("rank"))
+      .orderBy("event_type", "rank")
+
+  /** label_replace(v, "cohort", "$1", user_id, "(\d)\d*") — derive a
+    * coarse cohort label from the first digit of the user id, then
+    * aggregate by it (the relabel-then-aggregate pattern Prometheus
+    * users run); narrow codegen'd projection, one agg shuffle.
+    */
+  private def tsLabelReplace(s: SparkSession, dir: String): DataFrame = {
+    val withSrc = t(s, dir, "events")
+      .withColumn("_uid", col("user_id").cast("string"))
+    PromOps.labelReplace(withSrc, "cohort", "_uid", "(\\d)\\d*")
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("n"), round(dsum(col("value")), 4).as("sum_value"))
+      .orderBy("cohort")
+  }
+
+  /** absent(nonexistent_series[, range]) → the 1-row vector. */
+  private def tsAbsent(s: SparkSession, dir: String): DataFrame =
+    PromOps.absent(queryable(s, dir)
+      .select("2024-01-01", "2024-02-01", Matcher.Eq("event_type", "no_such_type")))
+
+  private def tsClamp(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(dsum(PromOps.clamp(col("value"), 20.0, 80.0)), 4)
+        .as("sum_clamped"), count(lit(1)).as("n_samples"))
+      .select(col("event_type"), ms(col("day")).as("day_ms"),
+        col("sum_clamped"), col("n_samples"))
+      .orderBy("event_type", "day_ms")
+
+  /** PromQL subquery composition `max_over_time(rate(v[1d])[30d:1d])`:
+    * per-series day-grain counter increase (consecutive-sample
+    * positive deltas attributed to the later sample's day, exact
+    * decimal per-day sums), each day's increase divided by the 1d
+    * window, then the per-series max over the 30 days. One window
+    * shuffle + two partial-aggregating shuffles on shrinking grains
+    * (samples → series×days → series); at 100 TB only the first
+    * touches sample rows.
+    */
+  private def tsSubqueryRateMax(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    t(s, dir, "events")
+      .withColumn("_prev", lag(col("value"), 1).over(w))
+      .withColumn("_inc",
+        when(col("_prev").isNull, lit(0.0))
+          .when(col("value") >= col("_prev"), col("value") - col("_prev"))
+          .otherwise(col("value")))
+      .groupBy(col("event_type"), col("user_id"),
+        date_trunc("day", col("ts")).as("_day"))
+      .agg(sum(col("_inc").cast("decimal(18,8)")).cast("double").as("_dinc"))
+      .groupBy("event_type", "user_id")
+      .agg(max(col("_dinc") / lit(86400.0)).as("_mr"),
+        count(lit(1)).as("n_days"))
+      .select(col("event_type"), col("user_id"),
+        round(col("_mr"), 12).as("max_daily_rate"), col("n_days"))
+      .orderBy("event_type", "user_id")
+  }
+
   /** Open-label-set round trip: map labels → l_* physical columns
     * (schema builder analog) → back to a map → aggregate. Exercises
     * LabelSchema.spread/gather end-to-end against a plain oracle.
@@ -820,6 +927,16 @@ object SparkEntry {
     "ts_count_values" -> (tsCountValues _),
     "ts_quantile" -> (tsQuantile _),
     "ts_ratio_join" -> (tsRatioJoin _),
+    "ts_changes" -> (tsChanges _),
+    "ts_irate" -> (tsIrate _),
+    "ts_deriv" -> (tsDeriv _),
+    "ts_predict_linear" -> (tsPredictLinear _),
+    "ts_stddev_over_time" -> (tsStddevOverTime _),
+    "ts_bottomk_series" -> (tsBottomkSeries _),
+    "ts_label_replace" -> (tsLabelReplace _),
+    "ts_absent" -> (tsAbsent _),
+    "ts_clamp" -> (tsClamp _),
+    "ts_subquery_rate_max" -> (tsSubqueryRateMax _),
     "ts_schema_roundtrip" -> (tsSchemaRoundtrip _),
     "ts_schema_wide" -> (tsSchemaWide _),
     "ts_wide_select" -> (tsWideSelect _),
@@ -1317,6 +1434,164 @@ object SparkEntry {
         |SELECT user_id, round(lv / rv, 6) AS ratio
         |FROM c JOIN v USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    "ts_changes" ->
+      """SELECT event_type, user_id,
+        |  CAST(sum(CASE WHEN prev IS NOT NULL AND value <> prev
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS changes
+        |FROM (SELECT event_type, user_id, value,
+        |        lag(value) OVER (PARTITION BY event_type, user_id
+        |                         ORDER BY ts, event_id) AS prev
+        |      FROM events)
+        |GROUP BY event_type, user_id
+        |ORDER BY event_type, user_id""".stripMargin,
+    "ts_irate" ->
+      """WITH o AS (
+        |  SELECT event_type, user_id, value, epoch_ms(ts) AS ts_ms,
+        |    row_number() OVER w AS rn,
+        |    lead(value) OVER w AS pv,
+        |    lead(epoch_ms(ts)) OVER w AS pt
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type, user_id
+        |               ORDER BY ts DESC, event_id DESC))
+        |SELECT event_type, user_id,
+        |  round((CASE WHEN value >= pv THEN value - pv ELSE value END)
+        |        / ((ts_ms - pt) / 1000.0), 10) AS irate
+        |FROM o
+        |WHERE rn = 1 AND pv IS NOT NULL AND ts_ms - pt > 0
+        |ORDER BY event_type, user_id""".stripMargin,
+    // replays PromOps.regression's exact-decimal closed form:
+    // x = ms since 2024-01-01 as DECIMAL(12,0), y = DECIMAL(18,8),
+    // slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) per ms, ×1000 → per sec
+    "ts_deriv" ->
+      """WITH s AS (
+        |  SELECT event_type, user_id,
+        |    CAST(count(*) AS DECIMAL(6,0)) AS n,
+        |    CAST(sum(x) AS DECIMAL(16,0)) AS sx,
+        |    CAST(sum(y) AS DECIMAL(21,8)) AS sy,
+        |    CAST(sum(CAST(CAST(x AS DECIMAL(19,0)) * y AS DECIMAL(31,8)))
+        |      AS DECIMAL(31,8)) AS sxy,
+        |    CAST(sum(CAST(CAST(x AS DECIMAL(19,0)) * x AS DECIMAL(25,0)))
+        |      AS DECIMAL(27,0)) AS sxx
+        |  FROM (SELECT event_type, user_id,
+        |          CAST(epoch_ms(ts) - 1704067200000 AS DECIMAL(12,0)) AS x,
+        |          CAST(value AS DECIMAL(18,8)) AS y
+        |        FROM events)
+        |  GROUP BY 1, 2),
+        |d AS (
+        |  SELECT event_type, user_id,
+        |    CAST(n * sxy - sx * sy AS DECIMAL(36,8)) AS num,
+        |    CAST(n * sxx - CAST(sx AS DECIMAL(19,0)) * sx AS DECIMAL(35,0)) AS den
+        |  FROM s WHERE n >= 2)
+        |SELECT event_type, user_id,
+        |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1000.0, 12) AS deriv
+        |FROM d WHERE den <> 0
+        |ORDER BY event_type, user_id""".stripMargin,
+    // same regression sums; intercept at x=0 (2024-01-01), prediction
+    // at x = epoch_ms('2024-02-07') − origin = 3196800000
+    "ts_predict_linear" ->
+      """WITH s AS (
+        |  SELECT event_type, user_id,
+        |    CAST(count(*) AS DECIMAL(6,0)) AS n,
+        |    CAST(sum(x) AS DECIMAL(16,0)) AS sx,
+        |    CAST(sum(y) AS DECIMAL(21,8)) AS sy,
+        |    CAST(sum(CAST(CAST(x AS DECIMAL(19,0)) * y AS DECIMAL(31,8)))
+        |      AS DECIMAL(31,8)) AS sxy,
+        |    CAST(sum(CAST(CAST(x AS DECIMAL(19,0)) * x AS DECIMAL(25,0)))
+        |      AS DECIMAL(27,0)) AS sxx
+        |  FROM (SELECT event_type, user_id,
+        |          CAST(epoch_ms(ts) - 1704067200000 AS DECIMAL(12,0)) AS x,
+        |          CAST(value AS DECIMAL(18,8)) AS y
+        |        FROM events)
+        |  GROUP BY 1, 2),
+        |d AS (
+        |  SELECT event_type, user_id, n, sx, sy,
+        |    CAST(CAST(n * sxy - sx * sy AS DECIMAL(36,8)) AS DOUBLE)
+        |      / CAST(CAST(n * sxx - CAST(sx AS DECIMAL(19,0)) * sx
+        |              AS DECIMAL(35,0)) AS DOUBLE) AS slope_ms
+        |  FROM s
+        |  WHERE n >= 2 AND CAST(n * sxx - CAST(sx AS DECIMAL(19,0)) * sx
+        |                     AS DECIMAL(35,0)) <> 0)
+        |SELECT event_type, user_id,
+        |  round((CAST(sy AS DOUBLE) - slope_ms * CAST(sx AS DOUBLE))
+        |          / CAST(n AS DOUBLE)
+        |        + slope_ms * 3196800000.0, 6) AS predicted
+        |FROM d
+        |ORDER BY event_type, user_id""".stripMargin,
+    // replays PromOps.stdvarOverTime: population variance over exact
+    // decimal sums, (nΣy² − (Σy)²)/n²
+    "ts_stddev_over_time" ->
+      """WITH s AS (
+        |  SELECT event_type, user_id,
+        |    CAST(count(*) AS DECIMAL(6,0)) AS n,
+        |    CAST(sum(y) AS DECIMAL(16,8)) AS sy,
+        |    CAST(sum(CAST(CAST(y AS DECIMAL(19,8)) * y AS DECIMAL(30,16)))
+        |      AS DECIMAL(31,16)) AS syy
+        |  FROM (SELECT event_type, user_id,
+        |          CAST(value AS DECIMAL(18,8)) AS y FROM events)
+        |  GROUP BY 1, 2)
+        |SELECT event_type, user_id,
+        |  round(CAST(CAST(n * syy - CAST(sy AS DECIMAL(19,8)) * sy
+        |          AS DECIMAL(36,16)) AS DOUBLE)
+        |        / CAST(n * n AS DOUBLE), 8) AS stdvar,
+        |  round(sqrt(CAST(CAST(n * syy - CAST(sy AS DECIMAL(19,8)) * sy
+        |          AS DECIMAL(36,16)) AS DOUBLE)
+        |        / CAST(n * n AS DOUBLE)), 8) AS stddev,
+        |  CAST(n AS BIGINT) AS samples
+        |FROM s
+        |ORDER BY event_type, user_id""".stripMargin,
+    "ts_bottomk_series" ->
+      """SELECT event_type, user_id, round(sum_value, 4) AS sum_value, "rank"
+        |FROM (
+        |  SELECT event_type, user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) ASC,
+        |               user_id) AS BIGINT) AS "rank"
+        |  FROM events
+        |  GROUP BY event_type, user_id)
+        |WHERE "rank" <= 3
+        |ORDER BY event_type, "rank"""".stripMargin,
+    "ts_label_replace" ->
+      """SELECT regexp_extract(CAST(user_id AS VARCHAR),
+        |         '^(?:(\d)\d*)$', 1) AS cohort,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 4)
+        |    AS sum_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY cohort""".stripMargin,
+    "ts_absent" ->
+      """SELECT CAST(1.0 AS DOUBLE) AS value
+        |WHERE (SELECT count(*) FROM events
+        |       WHERE event_type = 'no_such_type'
+        |         AND ts >= TIMESTAMP '2024-01-01'
+        |         AND ts < TIMESTAMP '2024-02-01') = 0""".stripMargin,
+    "ts_clamp" ->
+      """SELECT event_type, epoch_ms(date_trunc('day', ts)) AS day_ms,
+        |  round(CAST(sum(CAST(greatest(least(value, 80.0), 20.0)
+        |    AS DECIMAL(30,8))) AS DOUBLE), 4) AS sum_clamped,
+        |  count(*) AS n_samples
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY event_type, day_ms""".stripMargin,
+    "ts_subquery_rate_max" ->
+      """WITH d AS (
+        |  SELECT event_type, user_id, date_trunc('day', ts) AS day,
+        |    CASE WHEN prev IS NULL THEN 0.0
+        |         WHEN value >= prev THEN value - prev
+        |         ELSE value END AS inc
+        |  FROM (SELECT event_type, user_id, ts, value,
+        |          lag(value) OVER (PARTITION BY event_type, user_id
+        |                           ORDER BY ts, event_id) AS prev
+        |        FROM events)),
+        |dr AS (
+        |  SELECT event_type, user_id, day,
+        |    CAST(sum(CAST(inc AS DECIMAL(18,8))) AS DOUBLE) / 86400.0 AS r
+        |  FROM d GROUP BY 1, 2, 3)
+        |SELECT event_type, user_id, round(max(r), 12) AS max_daily_rate,
+        |  count(*) AS n_days
+        |FROM dr GROUP BY 1, 2
+        |ORDER BY event_type, user_id""".stripMargin,
     "ts_schema_roundtrip" ->
       """SELECT event_type, count(*) AS n FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,

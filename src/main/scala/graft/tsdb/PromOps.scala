@@ -258,14 +258,192 @@ object PromOps {
     * tiebreak on the series key keeps results engine-deterministic.
     */
   def topKSeries(df: DataFrame, groupCols: Seq[String],
-      seriesCols: Seq[String], valueCol: String, k: Int): DataFrame = {
+      seriesCols: Seq[String], valueCol: String, k: Int): DataFrame =
+    rankSeries(df, groupCols, seriesCols, valueCol, k, largest = true)
+
+  /** PromQL `bottomk(k, ...) by (group labels)`: the k series with
+    * the SMALLEST range-sum — same single-shuffle WindowGroupLimit
+    * shape as [[topKSeries]], ascending order.
+    */
+  def bottomKSeries(df: DataFrame, groupCols: Seq[String],
+      seriesCols: Seq[String], valueCol: String, k: Int): DataFrame =
+    rankSeries(df, groupCols, seriesCols, valueCol, k, largest = false)
+
+  private def rankSeries(df: DataFrame, groupCols: Seq[String],
+      seriesCols: Seq[String], valueCol: String, k: Int,
+      largest: Boolean): DataFrame = {
     require(k > 0, "k must be positive")
     val perSeries = df.groupBy((groupCols ++ seriesCols).map(col): _*)
       .agg(sum(col(valueCol).cast("decimal(30,8)")).cast("double")
         .as("sum_value"))
+    val ord = if (largest) col("sum_value").desc else col("sum_value").asc
     val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(col("sum_value").desc +: seriesCols.map(col): _*)
+      .orderBy(ord +: seriesCols.map(col): _*)
     perSeries.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** PromQL `changes`: per-series count of consecutive-sample value
+    * changes over the selected range. Same one-window-shuffle shape
+    * as [[resets]]; exact integer output, engine-deterministic.
+    */
+  def changes(df: DataFrame, seriesCols: Seq[String], tsCol: String,
+      valueCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((col(tsCol) +: tieBreak.map(col)): _*)
+    df.withColumn("_prev", lag(col(valueCol), 1).over(w))
+      .groupBy(seriesCols.map(col): _*)
+      .agg(sum(when(col("_prev").isNotNull &&
+          col(valueCol) =!= col("_prev"), 1).otherwise(0))
+        .cast("long").as("changes"))
+  }
+
+  /** PromQL `irate`: instantaneous per-second rate from the LAST TWO
+    * samples of each series (counter semantics — a reset restarts
+    * from the newer value). Series with fewer than two samples, or a
+    * zero time step, produce no row — as in Prometheus. One window
+    * shuffle; the division is a single IEEE op on two samples, so the
+    * result is bit-identical on any cluster size.
+    */
+  def irate(df: DataFrame, seriesCols: Seq[String], tsCol: String,
+      valueCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((col(tsCol) +: tieBreak.map(col)).map(_.desc): _*)
+    df.withColumn("_rn", row_number().over(w))
+      .withColumn("_pv", lead(col(valueCol), 1).over(w))
+      .withColumn("_pt", lead(unix_millis(col(tsCol).cast("timestamp")), 1).over(w))
+      .filter(col("_rn") === 1 && col("_pv").isNotNull)
+      .withColumn("_dt_ms", unix_millis(col(tsCol).cast("timestamp")) - col("_pt"))
+      .filter(col("_dt_ms") > 0)
+      .select(seriesCols.map(col) :+
+        (when(col(valueCol) >= col("_pv"), col(valueCol) - col("_pv"))
+          .otherwise(col(valueCol)) / (col("_dt_ms") / lit(1000.0)))
+          .as("irate"): _*)
+  }
+
+  /** Shared per-series simple-linear-regression sums for [[deriv]] /
+    * [[predictLinear]] (PromQL's least-squares over (t, v)).
+    *
+    * Every accumulation is an EXACT decimal sum — x is integer
+    * milliseconds since `originMs`, v is quantized at 1e-8 — so the
+    * slope/intercept are order-independent: identical on 1 or 1000
+    * executors, and bit-identical to an oracle replaying the same
+    * closed form. Decimal widths are sized for x ≤ ~10^10 ms
+    * (~4 months of range) and |v| ≤ 10^9; one partial-aggregating
+    * shuffle to series grain, sample rows never move twice.
+    *
+    * `originMs` must be within ~31 years of every sample (x is
+    * DECIMAL(12,0) ms) — pass the selected range's start; an origin
+    * outside the window fails loudly under ANSI rather than losing
+    * precision silently.
+    */
+  private def regression(df: DataFrame, seriesCols: Seq[String],
+      tsCol: String, valueCol: String, originMs: Long): DataFrame = {
+    val x = (unix_millis(col(tsCol).cast("timestamp")) - lit(originMs))
+      .cast("decimal(12,0)")
+    val y = col(valueCol).cast("decimal(18,8)")
+    val sums = df
+      .select((seriesCols.map(col) :+ x.as("_x") :+ y.as("_y")): _*)
+      .groupBy(seriesCols.map(col): _*)
+      .agg(
+        count(lit(1)).cast("decimal(6,0)").as("_n"),
+        sum(col("_x")).cast("decimal(16,0)").as("_sx"),
+        sum(col("_y")).cast("decimal(21,8)").as("_sy"),
+        sum((col("_x") * col("_y")).cast("decimal(31,8)"))
+          .cast("decimal(31,8)").as("_sxy"),
+        sum((col("_x") * col("_x")).cast("decimal(25,0)"))
+          .cast("decimal(27,0)").as("_sxx"))
+    // den = n·Σx² − (Σx)² is 0 iff all samples share one timestamp;
+    // Prometheus emits nothing for such series (and for n < 2)
+    sums
+      .withColumn("_den", (col("_n") * col("_sxx") -
+        col("_sx") * col("_sx")).cast("decimal(35,0)"))
+      .filter(col("_n") >= 2 && col("_den") =!= 0)
+      .withColumn("_num", (col("_n") * col("_sxy") -
+        col("_sx") * col("_sy")).cast("decimal(36,8)"))
+      // exact-decimal → double once, then pure IEEE arithmetic:
+      // slope in value/ms; intercept at x = originMs
+      .withColumn("_slope_ms",
+        col("_num").cast("double") / col("_den").cast("double"))
+      .withColumn("_intercept",
+        (col("_sy").cast("double") -
+          col("_slope_ms") * col("_sx").cast("double")) /
+          col("_n").cast("double"))
+  }
+
+  /** PromQL `deriv`: per-series least-squares slope of the value
+    * over time, in value/second.
+    */
+  def deriv(df: DataFrame, seriesCols: Seq[String], tsCol: String,
+      valueCol: String, originMs: Long): DataFrame =
+    regression(df, seriesCols, tsCol, valueCol, originMs)
+      .select(seriesCols.map(col) :+
+        (col("_slope_ms") * lit(1000.0)).as("deriv"): _*)
+
+  /** PromQL `predict_linear(v[range], t)`: extrapolate the per-series
+    * least-squares line to `evalMs + horizonMs` (epoch ms).
+    */
+  def predictLinear(df: DataFrame, seriesCols: Seq[String], tsCol: String,
+      valueCol: String, evalMs: Long, horizonMs: Long,
+      originMs: Long): DataFrame =
+    regression(df, seriesCols, tsCol, valueCol, originMs)
+      .select(seriesCols.map(col) :+
+        (col("_intercept") + col("_slope_ms") *
+          lit((evalMs + horizonMs - originMs).toDouble)).as("predicted"): _*)
+
+  /** PromQL `stdvar_over_time` / `stddev_over_time`: per-series
+    * POPULATION variance and standard deviation. Computed as
+    * (n·Σv² − (Σv)²) / n² over exact decimal sums (v quantized at
+    * 1e-8), so the variance is order-independent and the only
+    * floating-point steps are one cast and one sqrt — identical on
+    * any cluster size and bit-comparable across engines.
+    */
+  def stdvarOverTime(df: DataFrame, seriesCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val y = col(valueCol).cast("decimal(18,8)")
+    df.select((seriesCols.map(col) :+ y.as("_y")): _*)
+      .groupBy(seriesCols.map(col): _*)
+      .agg(
+        count(lit(1)).cast("decimal(6,0)").as("_n"),
+        sum(col("_y")).cast("decimal(16,8)").as("_sy"),
+        sum((col("_y") * col("_y")).cast("decimal(30,16)"))
+          .cast("decimal(31,16)").as("_syy"))
+      .withColumn("_num", (col("_n") * col("_syy") -
+        col("_sy") * col("_sy")).cast("decimal(36,16)"))
+      .select(seriesCols.map(col) :+
+        (col("_num").cast("double") /
+          (col("_n") * col("_n")).cast("double")).as("stdvar") :+
+        sqrt(col("_num").cast("double") /
+          (col("_n") * col("_n")).cast("double")).as("stddev") :+
+        col("_n").cast("long").as("samples"): _*)
+  }
+
+  /** PromQL `label_replace(v, dst, "$1", src, regex)` restricted to
+    * a single capture group: sets `dst` to the first group of the
+    * FULLY-ANCHORED regex when it matches `src`, else leaves the
+    * series' dst untouched (null when absent — the open-label-set
+    * convention LabelSchema uses for missing labels). A narrow
+    * per-row projection: no shuffle, codegen'd regexp.
+    */
+  def labelReplace(df: DataFrame, dst: String, src: String,
+      regex: String): DataFrame = {
+    val anchored = s"^(?:$regex)$$"
+    val existing = if (df.columns.contains(dst)) col(dst)
+      else lit(null).cast("string")
+    df.withColumn(dst, when(col(src).rlike(anchored),
+      regexp_extract(col(src), anchored, 1)).otherwise(existing))
+  }
+
+  /** PromQL `absent`: one row (value 1.0) when the selection matched
+    * no series, empty otherwise. The global count partial-aggregates
+    * map-side — at 100 TB this is a scan-and-count, no data movement.
+    */
+  def absent(df: DataFrame): DataFrame =
+    df.groupBy().agg(count(lit(1)).as("_n"))
+      .filter(col("_n") === 0)
+      .select(lit(1.0).as("value"))
+
+  /** PromQL `clamp(v, min, max)` as a codegen'd scalar column. */
+  def clamp(c: Column, lo: Double, hi: Double): Column =
+    greatest(least(c, lit(hi)), lit(lo))
 }

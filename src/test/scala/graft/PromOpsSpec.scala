@@ -209,4 +209,114 @@ class PromOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { PromOps.histogramQuantile(buckets, Seq("series"), 1.5) }
     intercept[IllegalArgumentException] { PromOps.histogramQuantile(buckets, Seq("series"), -0.1) }
   }
+
+  test("changes counts value transitions, not resets") {
+    // a: 0→10→4→9 = 3 changes; b: single sample = 0
+    val out = PromOps.changes(df, Seq("series"), "ts", "value")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 3L, "b" -> 0L))
+    // constant series: no changes even with many samples
+    val const = Seq(("c", ts("2024-01-01 00:00:00"), 7.0),
+      ("c", ts("2024-01-01 00:01:00"), 7.0),
+      ("c", ts("2024-01-01 00:02:00"), 7.0)).toDF("series", "ts", "value")
+    assert(PromOps.changes(const, Seq("series"), "ts", "value")
+      .collect().head.getLong(1) == 0L)
+  }
+
+  test("irate uses only the last two samples, with counter resets") {
+    // a: last two are 4 → 9 over 60 s → 5/60
+    val out = PromOps.irate(df, Seq("series"), "ts", "value")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out("a") - 5.0 / 60.0) < 1e-12)
+    // b has a single sample → no row, as in Prometheus
+    assert(!out.contains("b"))
+    // reset at the tail: 10 → 4 over 60 s → irate = 4/60 (restart)
+    val reset = Seq(("r", ts("2024-01-01 00:00:00"), 10.0),
+      ("r", ts("2024-01-01 00:01:00"), 4.0)).toDF("series", "ts", "value")
+    val rr = PromOps.irate(reset, Seq("series"), "ts", "value")
+      .collect().head.getDouble(1)
+    assert(math.abs(rr - 4.0 / 60.0) < 1e-12)
+  }
+
+  test("deriv recovers an exact linear slope; short series drop") {
+    // value = 2·seconds + 5 → slope exactly 2.0/s (decimal closed
+    // form: no accumulation error to tolerate)
+    val lin = Seq(
+      ("l", ts("2024-01-01 00:00:00"), 5.0),
+      ("l", ts("2024-01-01 00:00:10"), 25.0),
+      ("l", ts("2024-01-01 00:00:25"), 55.0),
+      ("s", ts("2024-01-01 00:00:00"), 1.0) // single sample
+    ).toDF("series", "ts", "value")
+    val out = PromOps.deriv(lin, Seq("series"), "ts", "value",
+        originMs = ts("2024-01-01 00:00:00").getTime)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("l" -> 2.0))
+  }
+
+  test("deriv drops series whose samples share one timestamp") {
+    val flat = Seq(("z", ts("2024-01-01 00:00:00"), 1.0),
+      ("z", ts("2024-01-01 00:00:00"), 2.0)).toDF("series", "ts", "value")
+    assert(PromOps.deriv(flat, Seq("series"), "ts", "value",
+      originMs = ts("2024-01-01 00:00:00").getTime).count() == 0)
+  }
+
+  test("predictLinear extrapolates the least-squares line") {
+    val lin = Seq(
+      ("l", ts("2024-01-01 00:00:00"), 5.0),
+      ("l", ts("2024-01-01 00:00:10"), 25.0)
+    ).toDF("series", "ts", "value")
+    val origin = ts("2024-01-01 00:00:00").getTime
+    // predict at eval=+20 s, horizon=+10 s → x=30 s → 2·30+5 = 65
+    val out = PromOps.predictLinear(lin, Seq("series"), "ts", "value",
+        evalMs = origin + 20000L, horizonMs = 10000L, originMs = origin)
+      .collect().head.getDouble(1)
+    assert(math.abs(out - 65.0) < 1e-9)
+  }
+
+  test("stdvarOverTime computes exact population variance") {
+    // values 2, 4, 6: mean 4, var_pop = 8/3
+    val v = Seq(("s", 2.0), ("s", 4.0), ("s", 6.0)).toDF("series", "value")
+    val row = PromOps.stdvarOverTime(v, Seq("series"), "value").collect().head
+    assert(math.abs(row.getDouble(1) - 8.0 / 3.0) < 1e-12)
+    assert(math.abs(row.getDouble(2) - math.sqrt(8.0 / 3.0)) < 1e-12)
+    assert(row.getLong(3) == 3L)
+    // single sample → variance 0, not NaN
+    val one = Seq(("o", 5.0)).toDF("series", "value")
+    assert(PromOps.stdvarOverTime(one, Seq("series"), "value")
+      .collect().head.getDouble(1) == 0.0)
+  }
+
+  test("bottomKSeries ranks ascending with deterministic ties") {
+    val v = Seq(("g", "s1", 5.0), ("g", "s2", 1.0), ("g", "s3", 3.0),
+      ("g", "s4", 1.0)).toDF("grp", "series", "value")
+    val out = PromOps.bottomKSeries(v, Seq("grp"), Seq("series"), "value", 2)
+      .orderBy("rank").collect().map(_.getString(1)).toSeq
+    assert(out == Seq("s2", "s4")) // 1.0 tie broken by series name asc
+  }
+
+  test("labelReplace anchors the regex and keeps non-matches untouched") {
+    val v = Seq(("u42", "x"), ("nope!", "y")).toDF("src", "other")
+    val out = PromOps.labelReplace(v, "dst", "src", "u(\\d+)")
+      .select("src", "dst").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out("u42") == Some("42"))
+    assert(out("nope!") == None) // no dst column before → stays null
+    // partial match must NOT fire: anchored semantics
+    val partial = Seq(("u42-suffix", "x")).toDF("src", "other")
+    assert(PromOps.labelReplace(partial, "dst", "src", "u(\\d+)")
+      .select("dst").collect().head.isNullAt(0))
+  }
+
+  test("absent yields one row only for an empty selection") {
+    assert(PromOps.absent(df.filter(col("series") === "missing"))
+      .collect().map(_.getDouble(0)).toSeq == Seq(1.0))
+    assert(PromOps.absent(df).count() == 0)
+  }
+
+  test("clamp bounds values on both sides") {
+    val v = Seq(1.0, 50.0, 99.0).toDF("value")
+      .select(PromOps.clamp(col("value"), 20.0, 80.0).as("c"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(v == Seq(20.0, 50.0, 80.0))
+  }
 }
