@@ -423,6 +423,26 @@ object SparkEntry {
         round(col("irate"), 10).as("irate"))
       .orderBy("event_type", "user_id")
 
+  /** Prometheus's PRODUCTION `rate()`/`increase()` — boundary
+    * extrapolation with the average-spacing threshold and the
+    * counter-zero guard ([[PromOps.extrapolatedRate]]) — over the
+    * range [2024-01-01, 2024-02-01). The oracle replays the whole
+    * extrapolation ladder step for step, so the hash proves parity
+    * with the exact semantics a Prometheus server returns.
+    */
+  private def tsRateExtrapolated(s: SparkSession, dir: String): DataFrame =
+    PromOps.extrapolatedRate(
+        t(s, dir, "events")
+          .filter(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+            col("ts") < lit("2024-02-01").cast("timestamp")),
+        Seq("event_type", "user_id"), "ts", "value",
+        startMs = 1704067200000L, endMs = 1706745600000L,
+        tieBreak = Seq("event_id"))
+      .select(col("event_type"), col("user_id"),
+        round(col("increase"), 6).as("increase"),
+        round(col("rate"), 12).as("rate"), col("samples"))
+      .orderBy("event_type", "user_id")
+
   private def tsDeriv(s: SparkSession, dir: String): DataFrame =
     PromOps.deriv(t(s, dir, "events"), Seq("event_type", "user_id"),
         "ts", "value", originMs = 1704067200000L)
@@ -929,6 +949,7 @@ object SparkEntry {
     "ts_ratio_join" -> (tsRatioJoin _),
     "ts_changes" -> (tsChanges _),
     "ts_irate" -> (tsIrate _),
+    "ts_rate_extrapolated" -> (tsRateExtrapolated _),
     "ts_deriv" -> (tsDeriv _),
     "ts_predict_linear" -> (tsPredictLinear _),
     "ts_stddev_over_time" -> (tsStddevOverTime _),
@@ -1458,6 +1479,54 @@ object SparkEntry {
         |        / ((ts_ms - pt) / 1000.0), 10) AS irate
         |FROM o
         |WHERE rn = 1 AND pv IS NOT NULL AND ts_ms - pt > 0
+        |ORDER BY event_type, user_id""".stripMargin,
+    // replays PromOps.extrapolatedRate's full ladder: positive-delta
+    // increase in exact decimal, then sampled/avg-spacing/threshold/
+    // zero-guard extrapolation in the same IEEE op order
+    "ts_rate_extrapolated" ->
+      """WITH d AS (
+        |  SELECT event_type, user_id, value, epoch_ms(ts) AS ts_ms,
+        |    lag(value) OVER w AS prev,
+        |    row_number() OVER w AS rn
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |  WINDOW w AS (PARTITION BY event_type, user_id
+        |               ORDER BY ts, event_id)),
+        |agg AS (
+        |  SELECT event_type, user_id,
+        |    CAST(sum(CAST(CASE WHEN prev IS NULL THEN 0.0
+        |                       WHEN value >= prev THEN value - prev
+        |                       ELSE value END AS DECIMAL(30,8))) AS DOUBLE) AS inc,
+        |    min(ts_ms) AS first_ms, max(ts_ms) AS last_ms,
+        |    max(CASE WHEN rn = 1 THEN value END) AS first_v,
+        |    count(*) AS n
+        |  FROM d GROUP BY event_type, user_id
+        |  HAVING count(*) >= 2 AND max(ts_ms) > min(ts_ms)),
+        |ext AS (
+        |  SELECT event_type, user_id, inc, n, first_v,
+        |    CAST(last_ms - first_ms AS DOUBLE) AS sampled,
+        |    CAST(last_ms - first_ms AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS avg_sp,
+        |    CAST(first_ms - 1704067200000 AS DOUBLE) AS to_start_raw,
+        |    CAST(1706745600000 - last_ms AS DOUBLE) AS to_end
+        |  FROM agg),
+        |fin AS (
+        |  SELECT event_type, user_id, inc, n, sampled, avg_sp, to_end,
+        |    avg_sp * 1.1 AS threshold,
+        |    least(CASE WHEN inc > 0 AND first_v >= 0
+        |               THEN sampled * (first_v / inc)
+        |               ELSE to_start_raw END, to_start_raw) AS to_start
+        |  FROM ext)
+        |SELECT event_type, user_id,
+        |  round(inc * ((sampled
+        |      + (CASE WHEN to_start < threshold THEN to_start ELSE avg_sp / 2 END)
+        |      + (CASE WHEN to_end < threshold THEN to_end ELSE avg_sp / 2 END))
+        |    / sampled), 6) AS increase,
+        |  round(inc * ((sampled
+        |      + (CASE WHEN to_start < threshold THEN to_start ELSE avg_sp / 2 END)
+        |      + (CASE WHEN to_end < threshold THEN to_end ELSE avg_sp / 2 END))
+        |    / sampled) / 2678400.0, 12) AS rate,
+        |  n AS samples
+        |FROM fin
         |ORDER BY event_type, user_id""".stripMargin,
     // replays PromOps.regression's exact-decimal closed form:
     // x = ms since 2024-01-01 as DECIMAL(12,0), y = DECIMAL(18,8),

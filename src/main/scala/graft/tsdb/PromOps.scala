@@ -59,6 +59,72 @@ object PromOps {
       .withColumn("rate", col("increase") / rangeSeconds)
   }
 
+  /** PromQL `rate`/`increase` with Prometheus's PRODUCTION boundary
+    * extrapolation (promql `extrapolatedRate`): the raw first-to-last
+    * increase is scaled out to the query range's edges, except that a
+    * boundary further than 1.1× the average sample spacing is only
+    * extended by half a spacing, and a counter is never extrapolated
+    * below zero (the start-side extension is capped at the time the
+    * counter would reach zero at the observed slope). This is the
+    * exact semantics a Prometheus `rate()` call returns in
+    * production, where [[rate]] is the documented no-extrapolation
+    * variant.
+    *
+    * Shape: one window shuffle for consecutive deltas, then one
+    * partial-aggregating shuffle to series grain; the raw increase
+    * accumulates in exact decimal (order-independent on any cluster),
+    * and the extrapolation is a fixed sequence of scalar IEEE ops on
+    * six per-series aggregates — bit-comparable across engines.
+    * Series with <2 samples produce no row, as in Prometheus.
+    *
+    * Range bounds are epoch ms; rows outside [startMs, endMs) are the
+    * caller's to exclude (pass the select's own range).
+    */
+  def extrapolatedRate(df: DataFrame, seriesCols: Seq[String], tsCol: String,
+      valueCol: String, startMs: Long, endMs: Long,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(endMs > startMs, "range must be non-empty")
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((col(tsCol) +: tieBreak.map(col)): _*)
+    val tsMs = unix_millis(col(tsCol).cast("timestamp"))
+    val perSeries = df
+      .withColumn("_ts_ms", tsMs)
+      .withColumn("_prev", lag(col(valueCol), 1).over(w))
+      .withColumn("_delta",
+        when(col("_prev").isNull, lit(0.0))
+          .when(col(valueCol) >= col("_prev"), col(valueCol) - col("_prev"))
+          .otherwise(col(valueCol))) // counter reset
+      .groupBy(seriesCols.map(col): _*)
+      .agg(
+        sum(col("_delta").cast("decimal(30,8)")).cast("double").as("_inc"),
+        min(col("_ts_ms")).as("_first_ms"),
+        max(col("_ts_ms")).as("_last_ms"),
+        min(struct(col("_ts_ms") +: tieBreak.map(col) :+
+          col(valueCol).as("_v"): _*)).getField("_v").as("_first_v"),
+        count(lit(1)).as("_n"))
+      .filter(col("_n") >= 2 && col("_last_ms") > col("_first_ms"))
+    // the extrapolation ladder, exactly Prometheus's op order (all ms
+    // as doubles from here; each step is one IEEE op both engines run
+    // identically)
+    val sampled = (col("_last_ms") - col("_first_ms")).cast("double")
+    val avgSpacing = sampled / (col("_n") - 1).cast("double")
+    val threshold = avgSpacing * lit(1.1)
+    val toStartRaw = (col("_first_ms") - lit(startMs)).cast("double")
+    val toEnd = (lit(endMs) - col("_last_ms")).cast("double")
+    // counter guard: never extrapolate below zero on the start side
+    val toZero = when(col("_inc") > 0 && col("_first_v") >= 0,
+      sampled * (col("_first_v") / col("_inc"))).otherwise(toStartRaw)
+    val toStart = least(toZero, toStartRaw)
+    val extended = sampled +
+      when(toStart < threshold, toStart).otherwise(avgSpacing / 2) +
+      when(toEnd < threshold, toEnd).otherwise(avgSpacing / 2)
+    val factor = extended / sampled
+    perSeries.select(seriesCols.map(col) :+
+      (col("_inc") * factor).as("increase") :+
+      (col("_inc") * factor / lit((endMs - startMs) / 1000.0)).as("rate") :+
+      col("_n").as("samples"): _*)
+  }
+
   /** PromQL range-query materialization: evaluate the instant vector
     * at every step in [start, end] (inclusive, UTC ISO dates) with a
     * staleness lookback — for each step t, the latest sample per

@@ -319,4 +319,52 @@ class PromOpsSpec extends SparkSpec {
       .collect().map(_.getDouble(0)).toSeq
     assert(v == Seq(20.0, 50.0, 80.0))
   }
+
+  test("extrapolatedRate extends to near boundaries, halves far ones") {
+    // range [0, 100s); samples at 10s/40s/70s, values 5→8→11:
+    // sampled=60s, inc=6, avg spacing 30s, threshold 33s.
+    // start gap 10s < threshold → extend fully; end gap 30s < threshold
+    // → extend fully; zero-guard 60s·(5/6)=50s doesn't bind.
+    // increase = 6 · (100s/60s) = 10, rate = 10/100s
+    val d = Seq(
+      ("a", new Timestamp(10000L), 5.0),
+      ("a", new Timestamp(40000L), 8.0),
+      ("a", new Timestamp(70000L), 11.0)
+    ).toDF("series", "ts", "value")
+    val r = PromOps.extrapolatedRate(d, Seq("series"), "ts", "value",
+      startMs = 0L, endMs = 100000L).collect().head
+    assert(math.abs(r.getAs[Double]("increase") - 10.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("rate") - 0.1) < 1e-12)
+  }
+
+  test("extrapolatedRate caps the start extension at the zero crossing") {
+    // samples 50s/60s values 1→1.5: inc=0.5, sampled=10s, avg=10s,
+    // threshold 11s. durationToZero = 10s·(1/0.5)=20s < start gap 50s,
+    // 20s ≥ threshold → start extends by avg/2=5s; end gap 40s ≥
+    // threshold → 5s. extended=20s, factor=2 → increase 1.0
+    val d = Seq(
+      ("c", new Timestamp(50000L), 1.0),
+      ("c", new Timestamp(60000L), 1.5)
+    ).toDF("series", "ts", "value")
+    val r = PromOps.extrapolatedRate(d, Seq("series"), "ts", "value",
+      startMs = 0L, endMs = 100000L).collect().head
+    assert(math.abs(r.getAs[Double]("increase") - 1.0) < 1e-9)
+  }
+
+  test("extrapolatedRate drops sub-2-sample series and handles resets") {
+    val d = Seq(
+      ("one", new Timestamp(10000L), 7.0),              // 1 sample → drop
+      ("r", new Timestamp(10000L), 10.0),               // reset series:
+      ("r", new Timestamp(50000L), 2.0),                // 10 → 2 (reset)
+      ("r", new Timestamp(90000L), 4.0)                 // → 4: inc = 4
+    ).toDF("series", "ts", "value")
+    val out = PromOps.extrapolatedRate(d, Seq("series"), "ts", "value",
+      startMs = 0L, endMs = 100000L)
+    val rows = out.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("r"))
+    // inc=4 (0 + reset→2 + 2), sampled=80s, avg=40s, threshold 44s,
+    // zero-guard 80s·(10/4)=200s doesn't bind; gaps 10s both sides <
+    // threshold → extended=100s, factor=1.25 → increase 5
+    assert(math.abs(rows.head.getAs[Double]("increase") - 5.0) < 1e-9)
+  }
 }
