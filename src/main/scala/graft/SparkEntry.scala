@@ -404,6 +404,49 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** PromQL many-to-one vector matching — `sum by (event_type,
+    * user_id)(v) / on(user_id) group_left(plan) user_total` — the
+    * info-metric join idiom. The right vector is the per-user total
+    * with a derived `plan` label carried onto every matched left
+    * series; result = each series' share of its user's total. The
+    * uniqueness guard runs distributed on the right side; Catalyst
+    * broadcasts it (PlanAudit asserts the broadcast).
+    */
+  private def tsGroupLeft(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val left = ev.groupBy("event_type", "user_id")
+      .agg(dsum(col("value")).as("value"))
+    val right = ev.groupBy("user_id")
+      .agg(dsum(col("value")).as("value"))
+      .filter(col("value") > 0)
+      .withColumn("plan", concat(lit("p"), pmod(col("user_id"), lit(3))))
+    PromOps.binaryOpGroupLeft(left, right, Seq("user_id"), Seq("plan"),
+        "value", (l, r) => round(l / r, 6), outCol = "share")
+      .select(col("event_type"), col("user_id"), col("plan"), col("share"))
+      .orderBy("event_type", "user_id")
+  }
+
+  /** PromQL `offset` modifier — `increase(v[7d]) / increase(v[7d]
+    * offset 7d)`, the week-over-week comparison. An offset is a
+    * shifted select range: both selects push their own time window
+    * to the scan (partition/row-group pruning twice), each feeds
+    * [[PromOps.increase]], and the two per-series vectors join
+    * one-to-one on the series labels. Prev-week-zero series drop
+    * (mirrored by the oracle) — PromQL would emit +Inf there.
+    */
+  private def tsOffsetWow(s: SparkSession, dir: String): DataFrame = {
+    val q = queryable(s, dir)
+    def weekInc(mint: String, maxt: String) =
+      PromOps.increase(q.select(mint, maxt, Seq.empty[Matcher]),
+        Seq("event_type", "user_id"), "ts", "value", tieBreak = Seq("value"))
+    val cur = weekInc("2024-01-15", "2024-01-22")
+    val prev = weekInc("2024-01-08", "2024-01-15")
+      .filter(col("increase") > 0)
+    PromOps.binaryOp(cur, prev, Seq("event_type", "user_id"), "increase",
+        (l, r) => round(l / r, 6), outCol = "wow_ratio")
+      .orderBy("event_type", "user_id")
+  }
+
   // ---- PromQL function surface widening (round 7): the evaluator-
   // side functions the reference's consumers run over Select
   // (queryable/parquet_queryable.go:283 feeds Thanos/Cortex PromQL).
@@ -947,6 +990,8 @@ object SparkEntry {
     "ts_count_values" -> (tsCountValues _),
     "ts_quantile" -> (tsQuantile _),
     "ts_ratio_join" -> (tsRatioJoin _),
+    "ts_group_left" -> (tsGroupLeft _),
+    "ts_offset_wow" -> (tsOffsetWow _),
     "ts_changes" -> (tsChanges _),
     "ts_irate" -> (tsIrate _),
     "ts_rate_extrapolated" -> (tsRateExtrapolated _),
@@ -1455,6 +1500,56 @@ object SparkEntry {
         |SELECT user_id, round(lv / rv, 6) AS ratio
         |FROM c JOIN v USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    // many-to-one vector matching: left keeps its full label set,
+    // the right info vector's plan label rides along
+    "ts_group_left" ->
+      """WITH l AS (
+        |  SELECT event_type, user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS lv
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS rv
+        |  FROM events GROUP BY 1
+        |  HAVING CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) > 0)
+        |SELECT event_type, user_id,
+        |  concat('p', CAST(user_id % 3 AS VARCHAR)) AS plan,
+        |  round(lv / rv, 6) AS share
+        |FROM l JOIN r USING (user_id)
+        |ORDER BY event_type, user_id""".stripMargin,
+    // offset modifier: two range-filtered windows, each with its own
+    // lag partition, positive-delta increase, week-over-week ratio
+    "ts_offset_wow" ->
+      """WITH cur AS (
+        |  SELECT event_type, user_id,
+        |    CAST(sum(CASE WHEN prev IS NULL THEN 0.0
+        |                  WHEN value >= prev THEN value - prev
+        |                  ELSE value END) AS DOUBLE) AS inc
+        |  FROM (SELECT event_type, user_id, value,
+        |          lag(value) OVER (PARTITION BY event_type, user_id
+        |                           ORDER BY ts, value) AS prev
+        |        FROM events
+        |        WHERE ts >= TIMESTAMP '2024-01-15'
+        |          AND ts < TIMESTAMP '2024-01-22')
+        |  GROUP BY 1, 2),
+        |prv AS (
+        |  SELECT event_type, user_id,
+        |    CAST(sum(CASE WHEN prev IS NULL THEN 0.0
+        |                  WHEN value >= prev THEN value - prev
+        |                  ELSE value END) AS DOUBLE) AS inc
+        |  FROM (SELECT event_type, user_id, value,
+        |          lag(value) OVER (PARTITION BY event_type, user_id
+        |                           ORDER BY ts, value) AS prev
+        |        FROM events
+        |        WHERE ts >= TIMESTAMP '2024-01-08'
+        |          AND ts < TIMESTAMP '2024-01-15')
+        |  GROUP BY 1, 2
+        |  HAVING CAST(sum(CASE WHEN prev IS NULL THEN 0.0
+        |                       WHEN value >= prev THEN value - prev
+        |                       ELSE value END) AS DOUBLE) > 0)
+        |SELECT event_type, user_id, round(cur.inc / prv.inc, 6) AS wow_ratio
+        |FROM cur JOIN prv USING (event_type, user_id)
+        |ORDER BY event_type, user_id""".stripMargin,
     "ts_changes" ->
       """SELECT event_type, user_id,
         |  CAST(sum(CASE WHEN prev IS NOT NULL AND value <> prev

@@ -96,6 +96,12 @@ object PlanAudit {
         "scan pruned to projected labels + ts + value" ->
           "struct<ts:timestamp,value:double,l_dim_00:string,l_dim_04:string,l_dim_07:string>"))
 
+    // group_left vector matching: the small right "info" vector must
+    // broadcast so the big left vector never shuffles for the join.
+    audit("ts_group_left",
+      SparkEntry.queries("ts_group_left")(spark, dir),
+      Map("info vector broadcast" -> "BroadcastHashJoin"))
+
     // The banded dedup joins must stay equi-joins on bucket keys —
     // never a cartesian/broadcast-nested-loop over the corpus — and
     // the documents scan must read only (doc_id, text).

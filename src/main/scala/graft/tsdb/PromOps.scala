@@ -267,6 +267,41 @@ object PromOps {
       .join(right.select(on.map(col) :+ col(valueCol).as("_rv"): _*), on)
       .select(on.map(col) :+ op(col("_lv"), col("_rv")).as(outCol): _*)
 
+  /** PromQL many-to-one vector matching: `left op on(on) group_left
+    * (carry...) right`. The right vector is the "one" side (an info
+    * metric); each of its series may match many left series, and its
+    * `carry` labels ride along onto the result — the
+    * relabel-by-join idiom (`metric * on(instance) group_left(role)
+    * machine_info`). PromQL rejects a right side that is not unique
+    * per `on`-label set; that check runs DISTRIBUTED on the right
+    * side (a windowed count + raise_error), so a bad info vector
+    * fails loudly instead of silently fanning out the join.
+    *
+    * Shape at scale: the check windows only the right side — the
+    * small "one" vector — and the join keys on the `on` labels;
+    * Catalyst broadcasts the small side (PlanAudit-asserted for the
+    * gate query), so the big left vector never shuffles.
+    */
+  def binaryOpGroupLeft(left: DataFrame, right: DataFrame, on: Seq[String],
+      carry: Seq[String], valueCol: String, op: (Column, Column) => Column,
+      outCol: String = "value"): DataFrame = {
+    val w = Window.partitionBy(on.map(col): _*)
+    val checked = right
+      .withColumn("_card", count(lit(1)).over(w))
+      .withColumn("_rv", when(col("_card") > 1,
+          raise_error(concat(lit("group_left: right vector not unique on("),
+            concat_ws(",", on.map(col): _*), lit(")"))))
+        .otherwise(col(valueCol)))
+      .select((on ++ carry).map(col) :+ col("_rv"): _*)
+    // the result keeps the LEFT side's full label set (PromQL
+    // many-to-one semantics) plus the carried right labels
+    val leftLabels = left.columns.filterNot(_ == valueCol).toSeq
+    left.withColumnRenamed(valueCol, "_lv")
+      .join(checked, on)
+      .select((leftLabels ++ carry).map(col) :+
+        op(col("_lv"), col("_rv")).as(outCol): _*)
+  }
+
   /** PromQL `histogram_quantile(q, ...)` over classic le-bucketed
     * CUMULATIVE histograms — the most-used PromQL function over the
     * data the reference stores (its `le`-labelled bucket series;

@@ -320,6 +320,32 @@ class PromOpsSpec extends SparkSpec {
     assert(v == Seq(20.0, 50.0, 80.0))
   }
 
+  test("binaryOpGroupLeft carries right labels onto every left series") {
+    val left = Seq(("click", 1L, 10.0), ("view", 1L, 30.0), ("click", 2L, 8.0))
+      .toDF("event_type", "user_id", "value")
+    val right = Seq((1L, "gold", 40.0), (2L, "free", 8.0))
+      .toDF("user_id", "plan", "value")
+    val out = PromOps.binaryOpGroupLeft(left, right, Seq("user_id"),
+        Seq("plan"), "value", (l, r) => l / r, outCol = "share")
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("user_id"), r.getAs[String]("plan"),
+        r.getAs[Double]("share"))).toSet
+    assert(out == Set(("click", 1L, "gold", 0.25),
+      ("view", 1L, "gold", 0.75), ("click", 2L, "free", 1.0)))
+  }
+
+  test("binaryOpGroupLeft fails loudly on a non-unique right vector") {
+    val left = Seq(("click", 1L, 10.0)).toDF("event_type", "user_id", "value")
+    val dup = Seq((1L, "a", 1.0), (1L, "b", 2.0))
+      .toDF("user_id", "plan", "value")
+    val ex = intercept[Exception] {
+      PromOps.binaryOpGroupLeft(left, dup, Seq("user_id"), Seq("plan"),
+        "value", (l, r) => l / r).collect()
+    }
+    assert(ex.getMessage.contains("group_left") ||
+      Option(ex.getCause).exists(_.getMessage.contains("group_left")))
+  }
+
   test("extrapolatedRate extends to near boundaries, halves far ones") {
     // range [0, 100s); samples at 10s/40s/70s, values 5→8→11:
     // sampled=60s, inc=6, avg spacing 30s, threshold 33s.
