@@ -355,6 +355,18 @@ object SparkEntry {
         col("min_value"), col("max_value"), col("n_series_samples"))
       .orderBy("event_type", "bucket_ms")
 
+  /** PromQL `quantile/avg/stddev by (event_type)` at day grain —
+    * the cross-series distributional aggregators over
+    * [[PromOps.aggregateDistBy]]. avg stays unrounded (exact decimal
+    * sum → one double quotient, bitwise identical cross-engine). */
+  private def tsAggQuantile(s: SparkSession, dir: String): DataFrame =
+    PromOps.aggregateDistBy(t(s, dir, "events"), Seq("event_type"),
+        "ts", "value", "day", q = 0.5)
+      .select(col("event_type"), ms(col("bucket")).as("bucket_ms"),
+        round(col("quantile"), 6).as("q50"), col("avg_value"),
+        round(col("stddev_value"), 8).as("stddev_value"), col("n_samples"))
+      .orderBy("event_type", "bucket_ms")
+
   private def tsResets(s: SparkSession, dir: String): DataFrame =
     PromOps.resets(t(s, dir, "events"), Seq("event_type", "user_id"),
         "ts", "value", tieBreak = Seq("event_id"))
@@ -573,6 +585,18 @@ object SparkEntry {
         round(col("_mr"), 12).as("max_daily_rate"), col("n_days"))
       .orderBy("event_type", "user_id")
   }
+
+  /** `double_exponential_smoothing(v, 0.5, 0.25)` per series — the
+    * factors are exact binary fractions so both engines parse
+    * identical doubles; the oracle replays the recurrence with a
+    * recursive CTE advancing every series in lockstep. */
+  private def tsHoltWinters(s: SparkSession, dir: String): DataFrame =
+    PromOps.doubleExponentialSmoothing(t(s, dir, "events"),
+        Seq("event_type", "user_id"), "ts", "value",
+        sf = 0.5, tf = 0.25, tieBreak = Seq("event_id"))
+      .select(col("event_type"), col("user_id"),
+        round(col("smoothed"), 6).as("smoothed"), col("samples"))
+      .orderBy("event_type", "user_id")
 
   /** Open-label-set round trip: map labels → l_* physical columns
     * (schema builder analog) → back to a map → aggregate. Exercises
@@ -983,6 +1007,7 @@ object SparkEntry {
     "ts_rate" -> (tsRate _),
     "ts_instant_align" -> (tsInstantAlign _),
     "ts_agg_by" -> (tsAggBy _),
+    "ts_agg_quantile" -> (tsAggQuantile _),
     "ts_resets" -> (tsResets _),
     "ts_delta" -> (tsDelta _),
     "ts_downsample" -> (tsDownsample _),
@@ -1003,6 +1028,7 @@ object SparkEntry {
     "ts_absent" -> (tsAbsent _),
     "ts_clamp" -> (tsClamp _),
     "ts_subquery_rate_max" -> (tsSubqueryRateMax _),
+    "ts_holt_winters" -> (tsHoltWinters _),
     "ts_schema_roundtrip" -> (tsSchemaRoundtrip _),
     "ts_schema_wide" -> (tsSchemaWide _),
     "ts_wide_select" -> (tsWideSelect _),
@@ -1436,6 +1462,32 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY event_type, bucket_ms""".stripMargin,
+    // replays aggregateDistBy: quantile_cont ≡ Spark percentile,
+    // exact-decimal mean, stdvarOverTime's population-variance widths
+    "ts_agg_quantile" ->
+      """WITH y AS (
+        |  SELECT event_type, date_trunc('day', ts) AS bucket, value,
+        |    CAST(value AS DECIMAL(18,8)) AS yd
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, bucket,
+        |    quantile_cont(value, 0.5) AS q50raw,
+        |    CAST(count(*) AS DECIMAL(6,0)) AS n,
+        |    CAST(sum(yd) AS DECIMAL(16,8)) AS sy,
+        |    CAST(sum(CAST(CAST(yd AS DECIMAL(19,8)) * yd AS DECIMAL(30,16)))
+        |      AS DECIMAL(31,16)) AS syy,
+        |    CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sv,
+        |    count(*) AS n_samples
+        |  FROM y GROUP BY 1, 2)
+        |SELECT event_type, epoch_ms(bucket) AS bucket_ms,
+        |  round(q50raw, 6) AS q50,
+        |  sv / n_samples AS avg_value,
+        |  round(sqrt(CAST(CAST(n * syy - CAST(sy AS DECIMAL(19,8)) * sy
+        |               AS DECIMAL(36,16)) AS DOUBLE)
+        |             / CAST(n * n AS DOUBLE)), 8) AS stddev_value,
+        |  n_samples
+        |FROM a
+        |ORDER BY event_type, bucket_ms""".stripMargin,
     "ts_resets" ->
       """SELECT event_type, user_id,
         |  CAST(sum(CASE WHEN value < prev THEN 1 ELSE 0 END) AS BIGINT) AS resets
@@ -1755,6 +1807,36 @@ object SparkEntry {
         |SELECT event_type, user_id, round(max(r), 12) AS max_daily_rate,
         |  count(*) AS n_days
         |FROM dr GROUP BY 1, 2
+        |ORDER BY event_type, user_id""".stripMargin,
+    // replays doubleExponentialSmoothing's recurrence with a
+    // recursive CTE advancing every series in lockstep: identical
+    // IEEE op trees (0.5/0.25 are exact binary fractions), so the
+    // fold and the recursion agree bitwise before the 6dp round
+    "ts_holt_winters" ->
+      """WITH RECURSIVE samp AS (
+        |  SELECT event_type, user_id, value,
+        |    row_number() OVER w AS rn, count(*) OVER w2 AS n
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts, event_id),
+        |    w2 AS (PARTITION BY event_type, user_id)),
+        |hw AS (
+        |  SELECT a.event_type, a.user_id, 2 AS i, a.n,
+        |    a.value AS s0,
+        |    0.5 * b2.value + 0.5 * (a.value + (b2.value - a.value)) AS s1,
+        |    b2.value - a.value AS b
+        |  FROM samp a JOIN samp b2 ON b2.event_type = a.event_type
+        |    AND b2.user_id = a.user_id AND a.rn = 1 AND b2.rn = 2
+        |  UNION ALL
+        |  SELECT hw.event_type, hw.user_id, hw.i + 1, hw.n,
+        |    hw.s1,
+        |    0.5 * sm.value
+        |      + 0.5 * (hw.s1 + (0.25 * (hw.s1 - hw.s0) + 0.75 * hw.b)),
+        |    0.25 * (hw.s1 - hw.s0) + 0.75 * hw.b
+        |  FROM hw JOIN samp sm ON sm.event_type = hw.event_type
+        |    AND sm.user_id = hw.user_id AND sm.rn = hw.i + 1)
+        |SELECT event_type, user_id, round(s1, 6) AS smoothed,
+        |  n AS samples
+        |FROM hw WHERE i = n
         |ORDER BY event_type, user_id""".stripMargin,
     "ts_schema_roundtrip" ->
       """SELECT event_type, count(*) AS n FROM events

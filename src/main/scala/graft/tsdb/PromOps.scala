@@ -183,6 +183,37 @@ object PromOps {
         max(col(valueCol)).as("max_value"),
         count(lit(1)).as("n_series_samples"))
 
+  /** Cross-series DISTRIBUTIONAL aggregation — PromQL `quantile by`,
+    * `avg by`, `stddev by (labels)` at each time bucket: the exact
+    * interpolated q-quantile across the series sharing the `by`
+    * labels, the exact-decimal mean, and the population stddev via
+    * the same order-independent closed form as
+    * [[stdvarOverTime]] ((nΣy² − (Σy)²)/n²). One partial-aggregating
+    * shuffle keyed (labels, bucket); `percentile` merges per-
+    * partition state, the decimal sums are exact — results identical
+    * on any cluster size and bit-comparable across engines.
+    */
+  def aggregateDistBy(df: DataFrame, by: Seq[String], tsCol: String,
+      valueCol: String, window: String, q: Double): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
+    val y = col(valueCol).cast("decimal(18,8)")
+    df.groupBy((by.map(col) :+ date_trunc(window, col(tsCol)).as("bucket")): _*)
+      .agg(
+        percentile(col(valueCol), lit(q)).as("quantile"),
+        count(lit(1)).cast("decimal(6,0)").as("_n"),
+        sum(y).cast("decimal(16,8)").as("_sy"),
+        sum((y * y).cast("decimal(30,16)")).cast("decimal(31,16)").as("_syy"),
+        sum(col(valueCol).cast("decimal(30,8)")).cast("double").as("_sv"),
+        count(lit(1)).as("n_samples"))
+      .withColumn("_num", (col("_n") * col("_syy") -
+        col("_sy") * col("_sy")).cast("decimal(36,16)"))
+      .select(by.map(col) :+ col("bucket") :+ col("quantile") :+
+        (col("_sv") / col("n_samples")).as("avg_value") :+
+        sqrt(col("_num").cast("double") /
+          (col("_n") * col("_n")).cast("double")).as("stddev_value") :+
+        col("n_samples"): _*)
+  }
+
   /** Per-series count of counter resets (PromQL `resets`): samples
     * strictly below their predecessor.
     */
@@ -517,6 +548,55 @@ object PromOps {
         sqrt(col("_num").cast("double") /
           (col("_n") * col("_n")).cast("double")).as("stddev") :+
         col("_n").cast("long").as("samples"): _*)
+  }
+
+  /** PromQL `double_exponential_smoothing(v[range], sf, tf)` (named
+    * `holt_winters` before Prometheus v3) — Holt's linear method:
+    * s₁ = sf·y₁ + (1−sf)·(y₀ + b₀) with b₀ = y₁ − y₀, then for i ≥ 2
+    * bᵢ₋₁ = tf·(sᵢ₋₁ − sᵢ₋₂) + (1−tf)·bᵢ₋₂ and
+    * sᵢ = sf·yᵢ + (1−sf)·(sᵢ₋₁ + bᵢ₋₁); the result is the final
+    * level. This is inherently a sequential recurrence per series:
+    * evaluated as ONE shuffle to series grain (collect_list partial-
+    * aggregates map-side), then a per-row sort + linear fold via the
+    * `aggregate` higher-order function — no UDF, no driver loop.
+    * Per-series sample counts are range/scrape-interval quotients
+    * (bounded small in any real PromQL window); series cardinality
+    * is the axis that scales, and that is the distributed one.
+    * Series with <2 samples drop, as in Prometheus. The fold's IEEE
+    * op sequence is fixed, so results are deterministic on any
+    * cluster size and replayable by an oracle running the same
+    * recurrence.
+    */
+  def doubleExponentialSmoothing(df: DataFrame, seriesCols: Seq[String],
+      tsCol: String, valueCol: String, sf: Double, tf: Double,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(sf > 0 && sf < 1 && tf > 0 && tf < 1,
+      s"smoothing/trend factors must be in (0,1), got sf=$sf tf=$tf")
+    val sample = struct((col(tsCol) +: tieBreak.map(col) :+
+      col(valueCol).as("_v")): _*)
+    val y0 = element_at(col("_s"), 1).getField("_v")
+    val y1 = element_at(col("_s"), 2).getField("_v")
+    df.groupBy(seriesCols.map(col): _*)
+      .agg(sort_array(collect_list(sample)).as("_s"),
+        count(lit(1)).as("samples"))
+      .filter(col("samples") >= 2)
+      .withColumn("_acc",
+        aggregate(
+          slice(col("_s"), lit(3),
+            greatest(col("samples") - 2, lit(0L)).cast("int")),
+          struct(y0.as("s0"),
+            (lit(sf) * y1 + lit(1 - sf) * (y0 + (y1 - y0))).as("s1"),
+            (y1 - y0).as("b")),
+          (acc, e) => {
+            val bNew = lit(tf) * (acc.getField("s1") - acc.getField("s0")) +
+              lit(1 - tf) * acc.getField("b")
+            struct(acc.getField("s1").as("s0"),
+              (lit(sf) * e.getField("_v") +
+                lit(1 - sf) * (acc.getField("s1") + bNew)).as("s1"),
+              bNew.as("b"))
+          }))
+      .select(seriesCols.map(col) :+
+        col("_acc.s1").as("smoothed") :+ col("samples"): _*)
   }
 
   /** PromQL `label_replace(v, dst, "$1", src, regex)` restricted to

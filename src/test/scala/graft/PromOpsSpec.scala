@@ -320,6 +320,36 @@ class PromOpsSpec extends SparkSpec {
     assert(v == Seq(20.0, 50.0, 80.0))
   }
 
+  test("aggregateDistBy computes exact quantile, mean, population stddev") {
+    val d = Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex.map { case (v, i) =>
+      ("a", ts(s"2024-01-01 00:0$i:00"), v)
+    }.toDF("series", "ts", "value")
+    val r = PromOps.aggregateDistBy(d, Seq("series"), "ts", "value",
+      "day", q = 0.5).collect().head
+    assert(r.getAs[Double]("quantile") == 2.5)    // interpolated median
+    assert(r.getAs[Double]("avg_value") == 2.5)
+    // population variance of 1..4 = 1.25
+    assert(math.abs(r.getAs[Double]("stddev_value") - math.sqrt(1.25)) < 1e-12)
+    assert(r.getAs[Long]("n_samples") == 4L)
+  }
+
+  test("doubleExponentialSmoothing runs Holt's recurrence per series") {
+    // y=[10,12,13], sf=0.5, tf=0.25: b0=2, s1=12;
+    // b1=0.25·2+0.75·2=2, s2=0.5·13+0.5·14=13.5
+    val d = Seq(
+      ("a", new Timestamp(1000L), 10.0),
+      ("a", new Timestamp(2000L), 12.0),
+      ("a", new Timestamp(3000L), 13.0),
+      ("two", new Timestamp(1000L), 5.0),   // 2 samples → the init level
+      ("two", new Timestamp(2000L), 9.0),
+      ("one", new Timestamp(1000L), 7.0)    // 1 sample → dropped
+    ).toDF("series", "ts", "value")
+    val out = PromOps.doubleExponentialSmoothing(d, Seq("series"), "ts",
+        "value", sf = 0.5, tf = 0.25)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("smoothed")).toMap
+    assert(out == Map("a" -> 13.5, "two" -> 9.0))
+  }
+
   test("binaryOpGroupLeft carries right labels onto every left series") {
     val left = Seq(("click", 1L, 10.0), ("view", 1L, 30.0), ("click", 2L, 8.0))
       .toDF("event_type", "user_id", "value")
