@@ -910,6 +910,29 @@ object SparkEntry {
       .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
+  /** Gopher-style repetition quality signals per document
+    * ([[operators.TextStats.repetition]]). */
+  private def txtRepetition(s: SparkSession, dir: String): DataFrame =
+    operators.TextStats.repetition(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy("doc_id")
+
+  /** Benchmark decontamination ([[Dedup.decontaminate]]): the
+    * documents table split into a small "benchmark" slice
+    * (doc_id % 97 = 0) and the training remainder; training docs
+    * sharing any 24-char shingle with the benchmark are flagged
+    * with their distinct-shared-shingle count. The benchmark
+    * shingle set broadcasts — the training side never shuffles for
+    * the probe.
+    */
+  private def ddDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.decontaminate(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+        "text", "doc_id", n = 24)
+      .orderBy("doc_id")
+  }
+
   private def txtFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
@@ -1053,6 +1076,8 @@ object SparkEntry {
     "txt_quality" -> (txtQuality _),
     "txt_lang_id" -> (txtLangId _),
     "txt_fingerprint" -> (txtFingerprint _),
+    "txt_repetition" -> (txtRepetition _),
+    "dd_decontaminate" -> (ddDecontaminate _),
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
     "mm_resize" -> (mmResize _),
@@ -2021,6 +2046,49 @@ object SparkEntry {
         |      list_transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |    (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // replays TextStats.repetition: whitespace words, per-row
+    // distinct for the dup fraction, bigram frequency for the top
+    // fraction (single-word docs → 0.0)
+    "txt_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+        |    round(CAST(len(words) - len(list_distinct(words)) AS DOUBLE)
+        |          / len(words), 4) AS dup_word_frac
+        |  FROM w),
+        |bg AS (
+        |  SELECT doc_id,
+        |    concat(words[CAST(i AS INT)], ' ', words[CAST(i AS INT) + 1])
+        |      AS bigram
+        |  FROM (SELECT doc_id, words, unnest(range(1, len(words))) AS i
+        |        FROM w WHERE len(words) >= 2)),
+        |cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+        |top AS (
+        |  SELECT doc_id,
+        |    round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_bigram_frac
+        |  FROM cnt GROUP BY 1)
+        |SELECT doc_id, n_words, dup_word_frac,
+        |  coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
+        |FROM base LEFT JOIN top USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // replays Dedup.decontaminate: distinct 24-char shingles per
+    // side, inner join on the shared shingle, per-doc distinct count
+    "dd_decontaminate" ->
+      """WITH b AS (
+        |  SELECT DISTINCT substr(text, CAST(i AS INT), 24) AS shingle
+        |  FROM (SELECT text,
+        |          unnest(range(1, greatest(length(text) - 23, 1) + 1)) AS i
+        |        FROM documents WHERE doc_id % 97 = 0)),
+        |tr AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 24) AS shingle
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(1, greatest(length(text) - 23, 1) + 1)) AS i
+        |        FROM documents WHERE doc_id % 97 <> 0))
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM tr JOIN b USING (shingle)
+        |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
   )
 }

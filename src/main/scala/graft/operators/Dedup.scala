@@ -661,4 +661,30 @@ object Dedup {
       .union(edges.select(col("dst").as("doc_id"), col("dst").as("cluster_id")))
       .groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id"))
   }
+
+  /** Benchmark decontamination — the training-data hygiene step run
+    * before every LLM training job: flag training documents sharing
+    * any character `n`-gram with an evaluation/benchmark corpus, so
+    * test data leaking into the training set is dropped rather than
+    * memorized. Returns (id, n_hits) where n_hits counts the
+    * DISTINCT shared shingles (a graded contamination signal; any
+    * hit ≥ 1 is a flag).
+    *
+    * Shape at 100 TB: benchmark corpora are megabytes, training
+    * corpora are the 100 TB side — so the benchmark's distinct
+    * shingle set is built once and BROADCAST, and the training
+    * corpus runs one narrow shingle pass (native one-pass
+    * expression, per-row set dedup) into a broadcast hash join: the
+    * training side never shuffles for the probe; the only exchange
+    * is the per-doc hit count keyed on doc id.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, n: Int): DataFrame = {
+    val trainSh = shingles(train, textCol, idCol, n)
+    val benchSh = shingles(bench, textCol, idCol, n)
+      .select(col("shingle")).distinct()
+    trainSh.join(broadcast(benchSh), Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
 }

@@ -102,6 +102,12 @@ object PlanAudit {
       SparkEntry.queries("ts_group_left")(spark, dir),
       Map("info vector broadcast" -> "BroadcastHashJoin"))
 
+    // Decontamination: the benchmark shingle set must broadcast so
+    // the (100 TB) training side never shuffles for the probe join.
+    audit("dd_decontaminate",
+      SparkEntry.queries("dd_decontaminate")(spark, dir),
+      Map("benchmark shingles broadcast" -> "BroadcastHashJoin"))
+
     // The banded dedup joins must stay equi-joins on bucket keys —
     // never a cartesian/broadcast-nested-loop over the corpus — and
     // the documents scan must read only (doc_id, text).

@@ -114,4 +114,24 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSet == Set((1L, 2L)))
   }
+
+  test("decontaminate flags only training docs overlapping the benchmark") {
+    val train = Seq(
+      (1L, "the secret benchmark answer is forty two exactly"),
+      (2L, "completely unrelated training document text here"),
+      (3L, "contains the secret benchmark answer is forty two and more")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the secret benchmark answer is forty two")
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, bench, "text", "doc_id", n = 24)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 3L)) // doc 2 shares no 24-gram
+    assert(out.values.forall(_ >= 1L))
+    // count is DISTINCT shared shingles: doc 1 contains the benchmark
+    // text fully, so every benchmark shingle hits
+    assert(out(1L) == bench.select(
+      explode(graft.functions.NgramShingles.ngramShingleSet(col("text"), 24)))
+      .distinct().count())
+  }
 }

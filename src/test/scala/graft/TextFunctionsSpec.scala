@@ -43,4 +43,19 @@ class TextFunctionsSpec extends SparkSpec {
       .collect().map(_.getDouble(0))
     assert(out.forall(q => q >= 0.0 && q <= 1.0))
   }
+
+  test("repetition computes dup-word and top-bigram fractions") {
+    val d = Seq(
+      (1L, "a b a b a"),   // 5 words, 2 distinct → dup 0.6; "a b" ×2 of 4
+      (2L, "x y z w"),     // all distinct → dup 0, each bigram once → 1/3
+      (3L, "solo")         // single word → no bigrams → 0.0
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextStats.repetition(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_words"), r.getAs[Double]("dup_word_frac"),
+          r.getAs[Double]("top_bigram_frac")))).toMap
+    assert(out(1L) == ((5L, 0.6, 0.5)))
+    assert(out(2L) == ((4L, 0.0, 0.3333)))
+    assert(out(3L) == ((1L, 0.0, 0.0)))
+  }
 }
