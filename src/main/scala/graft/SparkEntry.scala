@@ -586,6 +586,57 @@ object SparkEntry {
       .orderBy("event_type", "user_id")
   }
 
+  /** PromQL scalar math functions (`abs`, `ceil`, `floor`, `sgn`,
+    * `sqrt`) plus a `bool`-modifier comparison (`v > bool 50`),
+    * composed inside one decimal-exact day aggregation. Only
+    * IEEE-exact functions (no libm transcendentals), so both engines
+    * agree bitwise before rounding.
+    */
+  private def tsMathFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(
+        round(dsum(abs(col("value") - 50.0)), 4).as("sum_abs_dev"),
+        sum(ceil(col("value"))).cast("long").as("sum_ceil"),
+        sum(floor(col("value"))).cast("long").as("sum_floor"),
+        sum(signum(col("value") - 50.0)).cast("long").as("sign_balance"),
+        round(sqrt(dsum(col("value"))), 6).as("sqrt_sum"),
+        count(when(col("value") > 50.0, 1)).as("n_above"))
+      .select(col("event_type"), ms(col("day")).as("day_ms"),
+        col("sum_abs_dev"), col("sum_ceil"), col("sum_floor"),
+        col("sign_balance"), col("sqrt_sum"), col("n_above"))
+      .orderBy("event_type", "day_ms")
+
+  /** PromQL time functions `day_of_week()` / `hour()` (0=Sunday, as
+    * Prometheus defines) driving a group-by — the by-time-of-day
+    * traffic profile. */
+  private def tsTimeGroup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy((dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n_samples"),
+        round(dsum(col("value")), 4).as("sum_value"))
+      .orderBy("dow", "hod")
+
+  /** The `*_over_time` family completed: `sum/min/last/count_over_time`
+    * per series per day window (downsample covers avg/max); last =
+    * lexicographic max of (ts, tiebreak, value), mirrored by the
+    * oracle's descending row_number. One partial-aggregating shuffle.
+    */
+  private def tsOverTimeFamily(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"), col("user_id"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(
+        round(dsum(col("value")), 4).as("sum_v"),
+        min(col("value")).as("min_v"),
+        max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("last_v"),
+        count(lit(1)).as("n_samples"))
+      .select(col("event_type"), col("user_id"), ms(col("day")).as("day_ms"),
+        col("sum_v"), col("min_v"), col("last_v"), col("n_samples"))
+      .orderBy("event_type", "user_id", "day_ms")
+
   /** `double_exponential_smoothing(v, 0.5, 0.25)` per series — the
     * factors are exact binary fractions so both engines parse
     * identical doubles; the oracle replays the recurrence with a
@@ -1052,6 +1103,9 @@ object SparkEntry {
     "ts_clamp" -> (tsClamp _),
     "ts_subquery_rate_max" -> (tsSubqueryRateMax _),
     "ts_holt_winters" -> (tsHoltWinters _),
+    "ts_math_funcs" -> (tsMathFuncs _),
+    "ts_time_group" -> (tsTimeGroup _),
+    "ts_over_time_family" -> (tsOverTimeFamily _),
     "ts_schema_roundtrip" -> (tsSchemaRoundtrip _),
     "ts_schema_wide" -> (tsSchemaWide _),
     "ts_wide_select" -> (tsWideSelect _),
@@ -1833,6 +1887,49 @@ object SparkEntry {
         |  count(*) AS n_days
         |FROM dr GROUP BY 1, 2
         |ORDER BY event_type, user_id""".stripMargin,
+    // IEEE-exact scalar functions only (abs/ceil/floor/sign/sqrt):
+    // no libm transcendentals, so sums agree bitwise pre-round
+    "ts_math_funcs" ->
+      """SELECT event_type, epoch_ms(date_trunc('day', ts)) AS day_ms,
+        |  round(CAST(sum(CAST(abs(value - 50.0) AS DECIMAL(30,8)))
+        |    AS DOUBLE), 4) AS sum_abs_dev,
+        |  CAST(sum(CAST(ceil(value) AS BIGINT)) AS BIGINT) AS sum_ceil,
+        |  CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor,
+        |  CAST(sum(sign(value - 50.0)) AS BIGINT) AS sign_balance,
+        |  round(sqrt(CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE)), 6)
+        |    AS sqrt_sum,
+        |  count(CASE WHEN value > 50.0 THEN 1 END) AS n_above
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY event_type, day_ms""".stripMargin,
+    // Prometheus day_of_week(): 0=Sunday — DuckDB's dayofweek is
+    // already 0=Sunday; Spark's is 1=Sunday, shifted in the query
+    "ts_time_group" ->
+      """SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+        |  CAST(hour(ts) AS BIGINT) AS hod,
+        |  count(*) AS n_samples,
+        |  round(CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 4)
+        |    AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY dow, hod""".stripMargin,
+    // last_over_time = value at the (ts, event_id)-max sample,
+    // mirrored by the descending row_number
+    "ts_over_time_family" ->
+      """WITH r AS (
+        |  SELECT event_type, user_id, date_trunc('day', ts) AS day, value,
+        |    row_number() OVER (PARTITION BY event_type, user_id,
+        |                         date_trunc('day', ts)
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT event_type, user_id, epoch_ms(day) AS day_ms,
+        |  round(CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 4) AS sum_v,
+        |  min(value) AS min_v,
+        |  max(CASE WHEN rn = 1 THEN value END) AS last_v,
+        |  count(*) AS n_samples
+        |FROM r
+        |GROUP BY 1, 2, 3
+        |ORDER BY event_type, user_id, day_ms""".stripMargin,
     // replays doubleExponentialSmoothing's recurrence with a
     // recursive CTE advancing every series in lockstep: identical
     // IEEE op trees (0.5/0.25 are exact binary fractions), so the
