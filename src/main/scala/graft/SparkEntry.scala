@@ -1040,6 +1040,38 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  /** Gradient-PNG fixture for the perceptual-hash operators —
+    * written once per process like [[imageTable]]. */
+  private def gradientTable(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_gradimg_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+    fixtureOnce(s"gradimages:$dir") {
+      graft.multimodal.Multimodal.gradientImageTable(
+          t(s, dir, "documents"), "doc_id")
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  /** REAL perceptual hash: gradient PNGs decoded with javax.imageio,
+    * 8×8 integer-exact aHash ([[graft.multimodal.Multimodal
+    * .perceptualHash]]); the oracle re-derives every bit from the
+    * generator's modular arithmetic, so a hash match proves the
+    * decode→pool→threshold loop is pixel-exact.
+    */
+  private def mmPhash(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.perceptualHash(gradientTable(s, dir))
+      .orderBy("media_id")
+
+  /** Image near-dup by perceptual-hash hamming distance, banded with
+    * the pigeonhole guarantee (maxHamming < nBands) — so the oracle
+    * can verify the BANDED plan against a brute-force SQL hamming
+    * join over the replayed hashes: banding provably loses nothing.
+    */
+  private def mmPhashNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.phashNearDup(gradientTable(s, dir),
+        maxHamming = 3, nBands = 4)
+      .orderBy("id_a", "id_b")
+
   /** REAL resize: bilinear-resample every synthetic PNG so its
     * longest edge fits 16px, re-encode, then DECODE THE RESIZED
     * PAYLOAD — the reported dimensions come from parsing the
@@ -1135,6 +1167,8 @@ object SparkEntry {
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
     "mm_resize" -> (mmResize _),
+    "mm_phash" -> (mmPhash _),
+    "mm_phash_neardup" -> (mmPhashNearDup _),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only
@@ -1186,6 +1220,54 @@ object SparkEntry {
       |  SELECT m1.mid, m2.mid, 1.0
       |  FROM members m1 JOIN members m2
       |    ON m1.ck = m2.ck AND m1.mid < m2.mid)""".stripMargin
+
+  /** The perceptual-hash replay as a CTE list ending in
+    * `ph(media_id, b0..b7)` — shared by the mm_phash and
+    * mm_phash_neardup oracles. Re-derives every aHash bit from the
+    * gradient generator's modular arithmetic with pure integer math
+    * (the same cross-multiplied comparison the Scala decoder uses),
+    * so a hash match proves the PNG encode→decode→pool→threshold
+    * loop is pixel-exact.
+    */
+  private val phashCtes: String =
+    """px AS (
+      |  SELECT doc_id AS media_id,
+      |    (doc_id % 37) + 12 AS w, 2 * ((doc_id % 12) + 5) AS h,
+      |    2 + doc_id % 5 AS a, 3 + doc_id % 7 AS b, doc_id % 256 AS base
+      |  FROM documents),
+      |ys AS (SELECT media_id, w, h, a, b, base,
+      |         CAST(unnest(range(0, h)) AS INT) AS y FROM px),
+      |pts AS (SELECT media_id, w, h, a, b, base, y,
+      |          CAST(unnest(range(0, w)) AS INT) AS x FROM ys),
+      |cl AS (
+      |  SELECT media_id,
+      |    least(CAST((y * 8) // h AS INT), 7) AS gy,
+      |    least(CAST((x * 8) // w AS INT), 7) AS gx,
+      |    w * h AS n,
+      |    3 * ((x * a + y * b + base) % 256) AS lum
+      |  FROM pts),
+      |cells AS (
+      |  SELECT media_id, gy, gx,
+      |    sum(lum) AS cellsum, count(*) AS celln, max(n) AS n
+      |  FROM cl GROUP BY 1, 2, 3),
+      |tot AS (SELECT media_id, sum(cellsum) AS total FROM cells GROUP BY 1),
+      |bits AS (
+      |  SELECT media_id, gy,
+      |    CAST(sum(CASE WHEN cellsum * n > total * celln
+      |         THEN (CAST(1 AS BIGINT) << gx) ELSE 0 END) AS BIGINT) AS bv
+      |  FROM cells JOIN tot USING (media_id)
+      |  GROUP BY 1, 2),
+      |ph AS (
+      |  SELECT media_id,
+      |    max(CASE WHEN gy = 0 THEN bv END) AS b0,
+      |    max(CASE WHEN gy = 1 THEN bv END) AS b1,
+      |    max(CASE WHEN gy = 2 THEN bv END) AS b2,
+      |    max(CASE WHEN gy = 3 THEN bv END) AS b3,
+      |    max(CASE WHEN gy = 4 THEN bv END) AS b4,
+      |    max(CASE WHEN gy = 5 THEN bv END) AS b5,
+      |    max(CASE WHEN gy = 6 THEN bv END) AS b6,
+      |    max(CASE WHEN gy = 7 THEN bv END) AS b7
+      |  FROM bits GROUP BY 1)""".stripMargin
 
   /** Transitive closure over `expanded`'s pair set (recursive CTE):
     * `reach` maps every node in an edge to everything reachable from
@@ -2144,6 +2226,25 @@ object SparkEntry {
         |    (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "mm_phash" ->
+      s"""WITH $phashCtes
+        |SELECT media_id, b0, b1, b2, b3, b4, b5, b6, b7
+        |FROM ph ORDER BY media_id""".stripMargin,
+    // brute-force hamming join over the replayed hashes — verifies
+    // the BANDED Spark plan loses nothing (pigeonhole: maxHamming 3
+    // < 4 bands)
+    "mm_phash_neardup" ->
+      s"""WITH $phashCtes
+        |SELECT id_a, id_b, hamming FROM (
+        |  SELECT p.media_id AS id_a, q.media_id AS id_b,
+        |    CAST(bit_count(xor(p.b0, q.b0)) + bit_count(xor(p.b1, q.b1))
+        |       + bit_count(xor(p.b2, q.b2)) + bit_count(xor(p.b3, q.b3))
+        |       + bit_count(xor(p.b4, q.b4)) + bit_count(xor(p.b5, q.b5))
+        |       + bit_count(xor(p.b6, q.b6)) + bit_count(xor(p.b7, q.b7))
+        |      AS BIGINT) AS hamming
+        |  FROM ph p JOIN ph q ON p.media_id < q.media_id)
+        |WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     // replays TextStats.repetition: whitespace words, per-row
     // distinct for the dup fraction, bigram frequency for the top
     // fraction (single-word docs → 0.0)

@@ -160,6 +160,138 @@ object Multimodal {
     }(encoder).toDF()
   }
 
+  /** Gradient-image parameters for the perceptual-hash path: gray
+    * pixel g(x,y) = (x·a + y·b + base) mod 256 with a/b/base plain
+    * modular functions of the id — images sharing (a, b) differ only
+    * by the constant `base` offset, which shifts every cell mean and
+    * the global mean equally, so their aHash is IDENTICAL: the
+    * near-dup structure is deterministic and a SQL oracle can replay
+    * every pixel. (The two-band [[syntheticImageTable]] is degenerate
+    * under aHash — every cell ties with the mean — hence a second
+    * generator with real spatial structure.)
+    */
+  private[graft] def gradA(id: Long): Int = (2L + Math.floorMod(id, 5L)).toInt
+  private[graft] def gradB(id: Long): Int = (3L + Math.floorMod(id, 7L)).toInt
+  private[graft] def gradBase(id: Long): Int = Math.floorMod(id, 256L).toInt
+
+  /** A media table of REAL grayscale gradient PNGs (encoded on
+    * executors) for the perceptual-hash operators. */
+  def gradientImageTable(df: DataFrame, idCol: String): DataFrame = {
+    val encoder = org.apache.spark.sql.Encoders.row(mediaSchema)
+    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = (imgW(id), imgH(id))
+        val (a, b, base) = (gradA(id), gradB(id), gradBase(id))
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = Math.floorMod(x * a + y * b + base, 256)
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, "image/png", encodePng(img), w, h)
+      }
+    }(encoder).toDF()
+  }
+
+  /** REAL perceptual hash (aHash): decode the PNG, pool luminance
+    * into an 8×8 grid with exact integer sums, set bit (gy,gx) iff
+    * the cell's mean luminance exceeds the whole-image mean — the
+    * comparison done as an integer cross-multiplication
+    * (cellSum·N > totalSum·cellN), so there is no floating point
+    * anywhere and a SQL oracle can replay the hash bit for bit. The
+    * 64 bits are emitted as 8 row-bytes `b0..b7` (b_g = Σ bit·2^gx):
+    * byte-wise XOR+popcount gives hamming distance without signed-
+    * 64-bit edge cases in either engine. Partition-parallel narrow
+    * map; payloads never visit the driver.
+    */
+  def perceptualHash(media: DataFrame): DataFrame = {
+    val outSchema = StructType(
+      StructField("media_id", LongType, nullable = false) +:
+        (0 until 8).map(g => StructField(s"b$g", LongType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val img = decodePng(r.getAs[Array[Byte]](1), id)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val cellSum = new Array[Long](64)
+        val cellN = new Array[Long](64)
+        var total = 0L
+        var y = 0
+        while (y < h) {
+          val gy = math.min(y * 8 / h, 7)
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            val c = gy * 8 + math.min(x * 8 / w, 7)
+            cellSum(c) += lum
+            cellN(c) += 1
+            total += lum
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        val bytes = (0 until 8).map { g =>
+          var acc = 0L
+          var gx = 0
+          while (gx < 8) {
+            val c = g * 8 + gx
+            if (cellSum(c) * n > total * cellN(c)) acc |= (1L << gx)
+            gx += 1
+          }
+          acc
+        }
+        Row.fromSeq(id +: bytes)
+      }
+    }(encoder).toDF()
+  }
+
+  /** Image near-duplicate pairs by perceptual-hash hamming distance —
+    * the multimodal dedup a training-data pipeline runs on decoded
+    * frames. Banded exactly like SimHash: the 8 hash bytes split
+    * into `nBands` equal groups and candidates must agree on at
+    * least one whole band — the pigeonhole guarantee is exact for
+    * `maxHamming < nBands` — then candidates are verified with the
+    * full byte-wise XOR popcount. The band join keys on (band,
+    * band-value): corpus-cardinality, bounded fan-out; never an
+    * all-pairs product.
+    */
+  def phashNearDup(media: DataFrame, maxHamming: Int = 3,
+      nBands: Int = 4): DataFrame = {
+    require(8 % nBands == 0, s"nBands ($nBands) must divide 8")
+    require(maxHamming < nBands,
+      s"pigeonhole guarantee needs maxHamming ($maxHamming) < nBands ($nBands)")
+    val perBand = 8 / nBands
+    val hashed = perceptualHash(media)
+    val bandCol = explode(array((0 until nBands).map { bd =>
+      struct(lit(bd).as("band"),
+        concat_ws(":", (0 until perBand).map(i =>
+          col(s"b${bd * perBand + i}")): _*).as("bval"))
+    }: _*)).as("bb")
+    val banded = hashed.select((col("media_id") +:
+      (0 until 8).map(g => col(s"b$g")) :+ bandCol): _*)
+      .select((col("media_id") +: (0 until 8).map(g => col(s"b$g")) :+
+        col("bb.band").as("band") :+ col("bb.bval").as("bval")): _*)
+    val ham = (0 until 8).map(g =>
+      expr(s"bit_count(x.b$g ^ y.b$g)")).reduce(_ + _)
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        ham.cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** REAL resize: decode the PNG, bilinear-resample so the longest
     * edge fits `maxDim` (no-op when it already does), re-encode.
     * Target dimensions are `ceil(dim * scale)` — the same arithmetic

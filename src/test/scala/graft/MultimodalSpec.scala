@@ -102,6 +102,32 @@ class MultimodalSpec extends SparkSpec {
     assert(after.getAs[Array[Byte]](2).sameElements(before.getAs[Array[Byte]](2)))
   }
 
+  test("perceptualHash: identical images hash identically, banding ≡ brute force") {
+    val ids = (1L to 40L).toDF("doc_id")
+    val media = Multimodal.gradientImageTable(ids, "doc_id")
+    val hashed = Multimodal.perceptualHash(media)
+    assert(hashed.count() == 40)
+    // bytes are 8-bit packs
+    val rows = hashed.collect()
+    assert(rows.forall(r => (1 to 8).forall { i =>
+      val b = r.getLong(i); b >= 0 && b <= 255
+    }))
+    // banded pairs must equal the brute-force hamming join at
+    // maxHamming < nBands (pigeonhole)
+    val banded = Multimodal.phashNearDup(media, maxHamming = 3, nBands = 4)
+      .select("id_a", "id_b", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ham = (0 until 8).map(g =>
+      expr(s"bit_count(x.b$g ^ y.b$g)")).reduce(_ + _)
+    val brute = hashed.as("x").join(hashed.as("y"),
+        col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id"), col("y.media_id"), ham.cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._3 <= 3).toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty) // the generator produces genuine near-dups
+  }
+
   test("resized solid-colour image stays solid under bilinear resampling") {
     // hand-built solid PNG → resize → every pixel must stay that colour
     val img = new java.awt.image.BufferedImage(30, 20,
