@@ -543,6 +543,16 @@ object SparkEntry {
       .orderBy("cohort")
   }
 
+  /** label_join(v, "series_key", "/", event_type, user_id) then
+    * aggregate by the joined key — the relabel idiom for flattening
+    * a multi-label series identity into one routing key. */
+  private def tsLabelJoin(s: SparkSession, dir: String): DataFrame =
+    PromOps.labelJoin(t(s, dir, "events"), "series_key", "/",
+        Seq("event_type", "user_id"))
+      .groupBy("series_key")
+      .agg(count(lit(1)).as("n"), round(dsum(col("value")), 4).as("sum_value"))
+      .orderBy("series_key")
+
   /** absent(nonexistent_series[, range]) → the 1-row vector. */
   private def tsAbsent(s: SparkSession, dir: String): DataFrame =
     PromOps.absent(queryable(s, dir)
@@ -1131,6 +1141,7 @@ object SparkEntry {
     "ts_stddev_over_time" -> (tsStddevOverTime _),
     "ts_bottomk_series" -> (tsBottomkSeries _),
     "ts_label_replace" -> (tsLabelReplace _),
+    "ts_label_join" -> (tsLabelJoin _),
     "ts_absent" -> (tsAbsent _),
     "ts_clamp" -> (tsClamp _),
     "ts_subquery_rate_max" -> (tsSubqueryRateMax _),
@@ -1937,6 +1948,15 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1
         |ORDER BY cohort""".stripMargin,
+    "ts_label_join" ->
+      """SELECT concat(event_type, '/', CAST(user_id AS VARCHAR))
+        |    AS series_key,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 4)
+        |    AS sum_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY series_key""".stripMargin,
     "ts_absent" ->
       """SELECT CAST(1.0 AS DOUBLE) AS value
         |WHERE (SELECT count(*) FROM events

@@ -37,4 +37,27 @@ object DocStream {
       .select(col(idCol), col(tsCol), col("lang"), col("quality"),
         col("n_tokens"))
   }
+
+  /** Streaming benchmark decontamination — the continuous-ingest
+    * form of [[graft.operators.Dedup.decontaminate]]: drop any
+    * streamed document sharing a character n-gram with the (static,
+    * small) benchmark shingle set. Each document carries its own
+    * shingle SET from the native one-pass expression, and the check
+    * is a stream-static LEFT ANTI join on `array_contains` — the
+    * benchmark side broadcasts, the join is STATELESS (re-evaluated
+    * per micro-batch, no watermark, no state store), and the stream
+    * side never shuffles. Semantics are identical to the batch
+    * operator's keep-set (spec-pinned).
+    *
+    * `benchShingles`: one `shingle` string column — build it once
+    * with [[graft.operators.Dedup.shingles]] over the benchmark
+    * corpus and it serves every micro-batch.
+    */
+  def decontaminate(docs: DataFrame, benchShingles: DataFrame,
+      textCol: String, n: Int): DataFrame =
+    docs.withColumn("_sh",
+        graft.functions.NgramShingles.ngramShingleSet(col(textCol), n))
+      .join(broadcast(benchShingles.select(col("shingle"))),
+        array_contains(col("_sh"), col("shingle")), "left_anti")
+      .drop("_sh")
 }

@@ -615,6 +615,19 @@ object PromOps {
       regexp_extract(col(src), anchored, 1)).otherwise(existing))
   }
 
+  /** PromQL `label_join(v, dst, sep, src...)`: `dst` becomes the
+    * `sep`-joined values of the source labels. Absent labels join as
+    * empty strings (Prometheus semantics — NOT concat_ws, which
+    * silently skips nulls). A narrow codegen'd projection.
+    */
+  def labelJoin(df: DataFrame, dst: String, sep: String,
+      srcs: Seq[String]): DataFrame = {
+    require(srcs.nonEmpty, "label_join needs at least one source label")
+    val parts = srcs.map(s => coalesce(col(s).cast("string"), lit("")))
+    val joined = parts.reduce((a, b) => concat(a, lit(sep), b))
+    df.withColumn(dst, joined)
+  }
+
   /** PromQL `absent`: one row (value 1.0) when the selection matched
     * no series, empty otherwise. The global count partial-aggregates
     * map-side — at 100 TB this is a scan-and-count, no data movement.

@@ -54,4 +54,39 @@ class DocStreamSpec extends SparkSpec {
       assert(r.getString(0) == "en" && r.getDouble(1) >= 0.5 && r.getLong(2) > 100L)
     } finally query.stop()
   }
+
+  test("streaming decontaminate drops exactly the batch operator's flag set") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val bench = Seq((100L, "forest of silver trees to find the hidden city"))
+      .toDF("doc_id", "text")
+    val benchShingles = graft.operators.Dedup
+      .shingles(bench, "text", "doc_id", 24)
+    val train = Seq(
+      (1L, good),                               // clean
+      (2L, other),                              // contains the bench 24-grams
+      (3L, "short clean text with no overlap at all here")
+    )
+    // batch keep-set: everything decontaminate does NOT flag
+    val batchDocs = train.toDF("doc_id", "text")
+    val flagged = graft.operators.Dedup
+      .decontaminate(batchDocs, bench, "text", "doc_id", 24)
+      .collect().map(_.getLong(0)).toSet
+    val batchKeep = train.map(_._1).toSet -- flagged
+
+    val mem = MemoryStream[(Long, String)]
+    val query = DocStream.decontaminate(
+        mem.toDF().toDF("doc_id", "text"), benchShingles, "text", 24)
+      .writeStream.format("memory").queryName("decon_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(train: _*)
+      query.processAllAvailable()
+      val streamKeep = s.sql("SELECT doc_id FROM decon_stream")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamKeep == batchKeep)
+      assert(flagged.contains(2L) && batchKeep.contains(1L))
+    } finally query.stop()
+  }
 }
