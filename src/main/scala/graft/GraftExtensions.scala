@@ -15,8 +15,49 @@ import graft.functions.{DotProduct, MinHashSignature, NgramShingles, SimHashFing
   * build, or [[GraftFunctions.register]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => RegexSetMatchRewrite)
+  }
+}
+
+/** The reference's set-match constraint optimization
+  * (search/constraint.go:73: a regex that is an alternation of
+  * literals becomes an IN-list constraint) as a Catalyst OPTIMIZER
+  * RULE, so it fires for raw SQL too — `WHERE label rlike
+  * '\\A(?:click|view)\\z'` plans as `label IN ('click','view')`,
+  * which reaches the Parquet scan's PushedFilters (dictionary/bloom
+  * pruning), where an RLike never pushes down.
+  *
+  * Only HARD-anchored patterns (`\A(?:…)\z` — the exact shape
+  * [[graft.tsdb.Matcher.re2ToJava]] emits) rewrite: `^…$` is NOT
+  * equivalent, because Java's `$` also matches before a trailing
+  * newline, so `^(?:a)$` accepts "a\n" where an IN-list would not.
+  * Alternatives are the same literal charset the Matcher fast path
+  * accepts; empty alternatives ("a|") keep their `""` member.
+  * Null semantics agree (both yield null for null input). Runs in
+  * the operator-optimization batch, i.e. before datasource pushdown.
+  */
+object RegexSetMatchRewrite
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{In, Literal, RLike}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.types.StringType
+
+  private val SetPattern =
+    """\\A\(\?:([A-Za-z0-9_ |\-]*)\)\\z""".r
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case rl @ RLike(left, Literal(p, StringType)) if p != null =>
+        p.toString match {
+          case SetPattern(alts) =>
+            In(left,
+              alts.split("\\|", -1).toSeq.distinct.map(Literal(_)))
+          case _ => rl
+        }
+    }
 }
 
 object GraftFunctions {

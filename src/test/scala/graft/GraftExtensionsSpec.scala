@@ -3,6 +3,40 @@ package graft
 class GraftExtensionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("RegexSetMatchRewrite plans hard-anchored literal alternations as IN") {
+    if (!spark.experimental.extraOptimizations.contains(RegexSetMatchRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RegexSetMatchRewrite
+    import org.apache.spark.sql.functions.col
+    val path = "/tmp/graft_setmatch_spec"
+    Seq("click", "view", "drag", "click\n").toDF("l")
+      .write.mode("overwrite").parquet(path)
+    val df = spark.read.parquet(path)
+    val q = df.filter(col("l").rlike("""\A(?:click|view)\z"""))
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains(" IN ") && !optimized.toUpperCase.contains("RLIKE"))
+    // the rewritten IN reaches the parquet scan's pushed filters —
+    // the whole point: RLike never pushes down, In does
+    assert(q.queryExecution.executedPlan.toString.contains("In(l, [click,view])"))
+    assert(q.collect().map(_.getString(0)).toSet == Set("click", "view"))
+    // soft anchors must NOT rewrite: Java's $ matches before a
+    // trailing newline, so ^(?:…)$ is not IN-equivalent
+    val soft = df.filter(col("l").rlike("^(?:click|view)$"))
+    assert(soft.queryExecution.optimizedPlan.toString.toUpperCase
+      .contains("RLIKE"))
+    assert(soft.collect().map(_.getString(0)).toSet ==
+      Set("click", "view", "click\n"))
+    // unanchored and non-literal patterns keep RLike too
+    val open = df.filter(col("l").rlike("""\A(?:cli.k)\z"""))
+    assert(open.queryExecution.optimizedPlan.toString.toUpperCase
+      .contains("RLIKE"))
+    // empty alternative keeps its "" member
+    Seq("a", "", "b").toDF("l").write.mode("overwrite").parquet(path + "_e")
+    val withEmpty = spark.read.parquet(path + "_e")
+      .filter(col("l").rlike("""\A(?:a|)\z"""))
+    assert(withEmpty.collect().map(_.getString(0)).toSet == Set("a", ""))
+  }
+
   test("graft_dot is callable from SQL after registration") {
     GraftFunctions.register(spark)
     Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
