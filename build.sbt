@@ -27,11 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // 40+ whole-stage-codegen queries in one JVM overflow the default
+  // 80+ whole-stage-codegen queries in one JVM overflow the default
   // 240m code cache, and once it fills the JIT deoptimizes hot query
   // loops to the interpreter (round-2 bench: 1.9s standalone vs 100s
-  // in-suite for the same plan). Size it for the suite and let
-  // flushing evict cold compiled methods instead of stopping the JIT.
-  "-XX:ReservedCodeCacheSize=512m",
+  // in-suite for the same plan; at 82 queries even 512m showed
+  // flush-induced 3x jitter on the literal-centroid ann_ivf
+  // projection). Size it for the suite and let flushing evict cold
+  // compiled methods instead of stopping the JIT.
+  "-XX:ReservedCodeCacheSize=1g",
   "-XX:+UseCodeCacheFlushing",
 )

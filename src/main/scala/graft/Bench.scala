@@ -84,7 +84,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
+    // 5 passes, not 3: with 80+ queries a single transient hiccup (GC
+    // cycle, kernel writeback) spans a pass window and a median of 3
+    // lets it through; a median of 5 absorbs two bad passes per query
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt.max(1)
     if (sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").exists(_ == "1")) {
       val only = sys.env.get("SPARK_GRAFT_ONLY")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)

@@ -192,6 +192,12 @@ object PromOps {
     * shuffle keyed (labels, bucket); `percentile` merges per-
     * partition state, the decimal sums are exact — results identical
     * on any cluster size and bit-comparable across engines.
+    *
+    * Decimal widths bound the group size at 10⁶ samples per
+    * (labels, bucket) cell and |v| ≤ ~10⁵ in the variance term —
+    * beyond that the exact closed form overflows LOUDLY under ANSI
+    * rather than drifting silently (the same contract as
+    * [[regression]]); choose a finer bucket for denser streams.
     */
   def aggregateDistBy(df: DataFrame, by: Seq[String], tsCol: String,
       valueCol: String, window: String, q: Double): DataFrame = {
