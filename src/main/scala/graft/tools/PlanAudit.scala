@@ -108,6 +108,29 @@ object PlanAudit {
       SparkEntry.queries("dd_decontaminate")(spark, dir),
       Map("benchmark shingles broadcast" -> "BroadcastHashJoin"))
 
+    // The offset-modifier composition: both selects' scans must prune
+    // to the 4 used columns (props never read — the range filter
+    // itself sits post-scan on raw `events` because ts arrives as
+    // nanos-long; range PUSHDOWN is the converted layout's job,
+    // audited via bucket_partition_pruning), and the two per-series
+    // vectors must meet in a hash join, not a nested loop.
+    audit("ts_offset_wow",
+      SparkEntry.queries("ts_offset_wow")(spark, dir),
+      Map(
+        "scan pruned to 4 of 6 event columns" ->
+          "struct<ts:bigint,user_id:bigint,event_type:string,value:double>",
+        "vector join is a hash join" -> "BroadcastHashJoin"),
+      forbid = Map("no nested-loop join" -> "BroadcastNestedLoopJoin"))
+
+    // The banded phash hamming join must stay an equi-join on
+    // (band, band-value) — never an all-pairs product over images.
+    audit("mm_phash_neardup",
+      SparkEntry.queries("mm_phash_neardup")(spark, dir),
+      Map.empty,
+      forbid = Map(
+        "no cartesian product" -> "CartesianProduct",
+        "no nested-loop self-join" -> "BroadcastNestedLoopJoin"))
+
     // The banded dedup joins must stay equi-joins on bucket keys —
     // never a cartesian/broadcast-nested-loop over the corpus — and
     // the documents scan must read only (doc_id, text).

@@ -307,6 +307,16 @@ class PromOpsSpec extends SparkSpec {
       .select("dst").collect().head.isNullAt(0))
   }
 
+  test("labelJoin joins absent labels as empty strings, not skipped") {
+    val v = Seq(("click", Some("us")), ("view", None))
+      .toDF("event_type", "region")
+    val out = PromOps.labelJoin(v, "key", "/", Seq("event_type", "region"))
+      .select("key").collect().map(_.getString(0)).toSet
+    // concat_ws would yield "view" (null skipped); PromQL keeps the
+    // separator with an empty value
+    assert(out == Set("click/us", "view/"))
+  }
+
   test("absent yields one row only for an empty selection") {
     assert(PromOps.absent(df.filter(col("series") === "missing"))
       .collect().map(_.getDouble(0)).toSeq == Seq(1.0))
