@@ -994,6 +994,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** PII scrubbing over documents salted with synthetic contact
+    * lines (the corpus itself is PII-free): every doc gains a
+    * deterministic email + phone, the scrubber must redact exactly
+    * those, and the oracle replays salt + scrub + counts byte for
+    * byte. Patterns are Java/RE2-identical by construction.
+    */
+  private def txtPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val salted = t(s, dir, "documents").withColumn("_t",
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or "),
+        lpad(pmod(col("doc_id"), lit(1000)), 3, "0"), lit("-555-"),
+        lpad(pmod(col("doc_id") * 7, lit(10000)), 4, "0")))
+    salted.select(col("doc_id"),
+        TextFunctions.piiEmailCount(col("_t")).cast("long").as("n_emails"),
+        TextFunctions.piiPhoneCount(col("_t")).cast("long").as("n_phones"),
+        TextFunctions.scrubPii(col("_t")).as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
   private def txtFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
@@ -1174,6 +1193,7 @@ object SparkEntry {
     "txt_lang_id" -> (txtLangId _),
     "txt_fingerprint" -> (txtFingerprint _),
     "txt_repetition" -> (txtRepetition _),
+    "txt_pii_scrub" -> (txtPiiScrub _),
     "dd_decontaminate" -> (ddDecontaminate _),
     "mm_features" -> (mmFeatures _),
     "mm_frames" -> (mmFrames _),
@@ -2290,6 +2310,26 @@ object SparkEntry {
         |SELECT doc_id, n_words, dup_word_frac,
         |  coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
         |FROM base LEFT JOIN top USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // replays salt + scrub + counts; patterns are Java/RE2-identical
+    "txt_pii_scrub" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+        |      '@example.com or ',
+        |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-555-',
+        |      lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+        |FROM s
         |ORDER BY doc_id""".stripMargin,
     // replays Dedup.decontaminate: distinct 24-char shingles per
     // side, inner join on the shared shingle, per-doc distinct count

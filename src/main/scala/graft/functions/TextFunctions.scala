@@ -17,6 +17,32 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  // PII patterns restricted to syntax Java regex and RE2 read
+  // identically (char classes, bounded repeats, ASCII \b) so a SQL
+  // oracle can replay the scrub byte for byte.
+  private[graft] val emailPattern =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val phonePattern =
+    "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII scrubbing — the redaction stage a training-data pipeline
+    * runs before anything leaves the ingest boundary: emails →
+    * `<EMAIL>`, NANP-style phone numbers → `<PHONE>`. A narrow
+    * codegen'd projection (two regexp_replace passes fused into the
+    * scan); pair with [[piiEmailCount]]/[[piiPhoneCount]] for the
+    * audit counters a compliance report wants.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
+  def piiEmailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(emailPattern), lit(0)))
+
+  def piiPhoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(phonePattern), lit(0)))
+
   def punctCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0)))
 

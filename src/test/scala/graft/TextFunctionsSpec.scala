@@ -44,6 +44,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out.forall(q => q >= 0.0 && q <= 1.0))
   }
 
+  test("scrubPii redacts emails and phones, counters agree") {
+    val d = Seq(
+      "mail me at jane.doe+spam@sub.example.co.uk or 415-555-2671 today",
+      "no pii here", "two mails a@b.io c@d.org and 123-456-7890 999-888-7777"
+    ).toDF("text").select(
+      TextFunctions.scrubPii(col("text")).as("s"),
+      TextFunctions.piiEmailCount(col("text")).as("ne"),
+      TextFunctions.piiPhoneCount(col("text")).as("np"))
+    val rows = d.collect()
+    assert(rows(0).getString(0) == "mail me at <EMAIL> or <PHONE> today")
+    assert(rows(0).getInt(1) == 1 && rows(0).getInt(2) == 1)
+    assert(rows(1).getString(0) == "no pii here")
+    assert(rows(2).getString(0) == "two mails <EMAIL> <EMAIL> and <PHONE> <PHONE>")
+  }
+
   test("repetition computes dup-word and top-bigram fractions") {
     val d = Seq(
       (1L, "a b a b a"),   // 5 words, 2 distinct → dup 0.6; "a b" ×2 of 4
