@@ -494,8 +494,21 @@ object SparkEntry {
         startMs = 1704067200000L, endMs = 1706745600000L,
         tieBreak = Seq("event_id"))
       .select(col("event_type"), col("user_id"),
-        round(col("increase"), 6).as("increase"),
-        round(col("rate"), 12).as("rate"), col("samples"))
+        // explicit floor(x·10^k + 0.5)/10^k on BOTH engines instead
+        // of round(): the ladder algebraically lands on exact .5
+        // decimal boundaries (inc + first_v + inc/(2(n−1)) with 2dp
+        // inputs), where Spark's BigDecimal HALF_UP and DuckDB's
+        // multiply-then-round disagree on the same double
+        (floor(col("increase") * 1e4 + 0.5) / 1e4).as("increase"),
+        (floor(col("rate") * 1e10 + 0.5) / 1e10).as("rate"),
+        col("samples"))
+      .orderBy("event_type", "user_id")
+
+  private def tsIdelta(s: SparkSession, dir: String): DataFrame =
+    PromOps.idelta(t(s, dir, "events"), Seq("event_type", "user_id"),
+        "ts", "value", tieBreak = Seq("event_id"))
+      .select(col("event_type"), col("user_id"),
+        round(col("idelta"), 4).as("idelta"))
       .orderBy("event_type", "user_id")
 
   private def tsDeriv(s: SparkSession, dir: String): DataFrame =
@@ -1154,6 +1167,7 @@ object SparkEntry {
     "ts_offset_wow" -> (tsOffsetWow _),
     "ts_changes" -> (tsChanges _),
     "ts_irate" -> (tsIrate _),
+    "ts_idelta" -> (tsIdelta _),
     "ts_rate_extrapolated" -> (tsRateExtrapolated _),
     "ts_deriv" -> (tsDeriv _),
     "ts_predict_linear" -> (tsPredictLinear _),
@@ -1819,6 +1833,18 @@ object SparkEntry {
         |FROM o
         |WHERE rn = 1 AND pv IS NOT NULL AND ts_ms - pt > 0
         |ORDER BY event_type, user_id""".stripMargin,
+    "ts_idelta" ->
+      """WITH o AS (
+        |  SELECT event_type, user_id, value,
+        |    row_number() OVER w AS rn,
+        |    lead(value) OVER w AS pv
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type, user_id
+        |               ORDER BY ts DESC, event_id DESC))
+        |SELECT event_type, user_id, round(value - pv, 4) AS idelta
+        |FROM o
+        |WHERE rn = 1 AND pv IS NOT NULL
+        |ORDER BY event_type, user_id""".stripMargin,
     // replays PromOps.extrapolatedRate's full ladder: positive-delta
     // increase in exact decimal, then sampled/avg-spacing/threshold/
     // zero-guard extrapolation in the same IEEE op order
@@ -1856,14 +1882,14 @@ object SparkEntry {
         |               ELSE to_start_raw END, to_start_raw) AS to_start
         |  FROM ext)
         |SELECT event_type, user_id,
-        |  round(inc * ((sampled
+        |  floor(inc * ((sampled
         |      + (CASE WHEN to_start < threshold THEN to_start ELSE avg_sp / 2 END)
         |      + (CASE WHEN to_end < threshold THEN to_end ELSE avg_sp / 2 END))
-        |    / sampled), 6) AS increase,
-        |  round(inc * ((sampled
+        |    / sampled) * 10000 + 0.5) / 10000 AS increase,
+        |  floor(inc * ((sampled
         |      + (CASE WHEN to_start < threshold THEN to_start ELSE avg_sp / 2 END)
         |      + (CASE WHEN to_end < threshold THEN to_end ELSE avg_sp / 2 END))
-        |    / sampled) / 2678400.0, 12) AS rate,
+        |    / sampled) / 2678400.0 * 10000000000 + 0.5) / 10000000000 AS rate,
         |  n AS samples
         |FROM fin
         |ORDER BY event_type, user_id""".stripMargin,

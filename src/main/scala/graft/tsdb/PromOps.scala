@@ -99,7 +99,11 @@ object PromOps {
         sum(col("_delta").cast("decimal(30,8)")).cast("double").as("_inc"),
         min(col("_ts_ms")).as("_first_ms"),
         max(col("_ts_ms")).as("_last_ms"),
-        min(struct(col("_ts_ms") +: tieBreak.map(col) :+
+        // order the first-sample pick on the FULL-RESOLUTION ts (the
+        // window's order), not _ts_ms: two samples inside the same
+        // millisecond would otherwise tie here while the lag window
+        // (and any oracle ordering on raw ts) separates them
+        min(struct(col(tsCol) +: tieBreak.map(col) :+
           col(valueCol).as("_v"): _*)).getField("_v").as("_first_v"),
         count(lit(1)).as("_n"))
       .filter(col("_n") >= 2 && col("_last_ms") > col("_first_ms"))
@@ -457,6 +461,22 @@ object PromOps {
         (when(col(valueCol) >= col("_pv"), col(valueCol) - col("_pv"))
           .otherwise(col(valueCol)) / (col("_dt_ms") / lit(1000.0)))
           .as("irate"): _*)
+  }
+
+  /** PromQL `idelta`: difference of each series' LAST TWO samples
+    * (gauge semantics — no counter-reset handling, unlike [[irate]]).
+    * Series with fewer than two samples produce no row. Same one-
+    * window-shuffle shape as [[irate]].
+    */
+  def idelta(df: DataFrame, seriesCols: Seq[String], tsCol: String,
+      valueCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy((col(tsCol) +: tieBreak.map(col)).map(_.desc): _*)
+    df.withColumn("_rn", row_number().over(w))
+      .withColumn("_pv", lead(col(valueCol), 1).over(w))
+      .filter(col("_rn") === 1 && col("_pv").isNotNull)
+      .select(seriesCols.map(col) :+
+        (col(valueCol) - col("_pv")).as("idelta"): _*)
   }
 
   /** Shared per-series simple-linear-regression sums for [[deriv]] /
