@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.operators.{Ann, Dedup}
-import graft.tsdb.{ConvertOptions, Matcher, PromOps, TsdbConverter, TsdbQueryable}
+import graft.tsdb.{ChunkStore, ConvertOptions, Matcher, PromOps, TsdbConverter, TsdbQueryable}
 
 /** Driver contract: every operator from SURVEY.md §2 registered as a
   * runnable query plus (where SQL-expressible) a DuckDB oracle.
@@ -875,6 +875,49 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  /** XOR-chunk storage roundtrip ([[tsdb.ChunkStore]] +
+    * [[tsdb.ChunkCodec]]): events encoded per series×day into framed
+    * Gorilla/XOR chunk blobs (the reference's physical format,
+    * schema/encoder.go:55), then decoded back in full. The output is
+    * EVERY sample with µs timestamps and raw doubles, so the hash
+    * match against the raw table proves the whole
+    * encode→frame→store→prune→decode loop is bit-lossless.
+    */
+  private def tsChunkRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    chunkBlockFixture(s, dir)
+    ChunkStore.select(s, chunkBlockPath(dir),
+        "2024-01-01", "2024-02-01", Nil,
+        Seq("event_type", "user_id"), "ts", "value")
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+      .orderBy("event_type", "user_id", "ts_us", "value")
+  }
+
+  /** Matcher + range select over the chunked dual-file layout:
+    * label pushdown on the labels file, bucket-directory + row-group
+    * (mint/maxt) pruning on the chunks file, frame-header skip
+    * inside each blob ([[functions.ChunkDecode]]) — and the answer
+    * must equal the same select on the raw table (the oracle).
+    */
+  private def tsChunkSelect(s: SparkSession, dir: String): DataFrame = {
+    chunkBlockFixture(s, dir)
+    ChunkStore.select(s, chunkBlockPath(dir),
+        "2024-01-05", "2024-01-20",
+        Seq(Matcher.Eq("event_type", "view")),
+        Seq("event_type", "user_id"), "ts", "value")
+      .withColumn("ts_us", unix_micros(col("ts"))).drop("ts")
+      .orderBy("ts_us", "user_id", "value")
+  }
+
+  private def chunkBlockPath(dir: String): String =
+    "/tmp/graft_chunkblock_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+
+  private def chunkBlockFixture(s: SparkSession, dir: String): Unit =
+    fixtureOnce(s"chunkblock:$dir") {
+      ChunkStore.write(t(s, dir, "events"), chunkBlockPath(dir),
+        Seq("event_type", "user_id"), "ts", "value",
+        colDuration = "1 day", samplesPerChunk = 120)
+    }
+
   // ===================== LLM-data-pipeline =====================
 
   private def ddExact(s: SparkSession, dir: String): DataFrame =
@@ -1114,6 +1157,20 @@ object SparkEntry {
         maxHamming = 3, nBands = 4)
       .orderBy("id_a", "id_b")
 
+  /** Image near-dup CLUSTERS ([[graft.multimodal.Multimodal.phashClusters]]):
+    * the M-rows-per-cluster output contract at image-corpus scale,
+    * mirroring dd_clusters — components run over REPRESENTATIVE
+    * (distinct-hash) pairs, members inherit, and the pair expansion
+    * is never materialized. The oracle replays transitive closure
+    * over the brute-force member-pair SQL, so the hash match proves
+    * the rep-level shortcut computes exactly the member-level
+    * components.
+    */
+  private def mmPhashClusters(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.phashClusters(gradientTable(s, dir),
+        maxHamming = 3, nBands = 4)
+      .orderBy("media_id")
+
   /** REAL resize: bilinear-resample every synthetic PNG so its
     * longest edge fits 16px, re-encode, then DECODE THE RESIZED
     * PAYLOAD — the reported dimensions come from parsing the
@@ -1189,6 +1246,8 @@ object SparkEntry {
     "ts_merge_blocks" -> (tsMergeBlocks _),
     "ts_convert_roundtrip" -> (tsConvertRoundtrip _),
     "ts_converted_select" -> (tsConvertedSelect _),
+    "ts_chunk_roundtrip" -> (tsChunkRoundtrip _),
+    "ts_chunk_select" -> (tsChunkSelect _),
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_clusters" -> (ddClusters _),
@@ -1214,6 +1273,7 @@ object SparkEntry {
     "mm_resize" -> (mmResize _),
     "mm_phash" -> (mmPhash _),
     "mm_phash_neardup" -> (mmPhashNearDup _),
+    "mm_phash_clusters" -> (mmPhashClusters _),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only
@@ -2151,6 +2211,19 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1
         |ORDER BY bucket""".stripMargin,
+    // every sample back out of the XOR-chunk layout, µs-exact —
+    // a hash match proves the codec is bit-lossless end to end
+    "ts_chunk_roundtrip" ->
+      """SELECT event_type, user_id, epoch_us(ts) AS ts_us, value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |ORDER BY event_type, user_id, ts_us, value""".stripMargin,
+    "ts_chunk_select" ->
+      """SELECT event_type, user_id, epoch_us(ts) AS ts_us, value
+        |FROM events
+        |WHERE event_type = 'view'
+        |  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
+        |ORDER BY ts_us, user_id, value""".stripMargin,
     "mm_frames" ->
       """WITH f AS (
         |  SELECT doc_id AS media_id, octet_length(encode(text)) AS nb
@@ -2311,6 +2384,20 @@ object SparkEntry {
         |  FROM ph p JOIN ph q ON p.media_id < q.media_id)
         |WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    // transitive closure over the same brute-force pair SQL —
+    // verifies the rep-level components + member inheritance
+    "mm_phash_clusters" ->
+      s"""WITH RECURSIVE $phashCtes,
+        |expanded AS (
+        |  SELECT p.media_id AS id_a, q.media_id AS id_b
+        |  FROM ph p JOIN ph q ON p.media_id < q.media_id
+        |  WHERE bit_count(xor(p.b0, q.b0)) + bit_count(xor(p.b1, q.b1))
+        |      + bit_count(xor(p.b2, q.b2)) + bit_count(xor(p.b3, q.b3))
+        |      + bit_count(xor(p.b4, q.b4)) + bit_count(xor(p.b5, q.b5))
+        |      + bit_count(xor(p.b6, q.b6)) + bit_count(xor(p.b7, q.b7)) <= 3),
+        |$closureCtes
+        |SELECT node AS media_id, least(node, min(r)) AS cluster_id
+        |FROM reach GROUP BY node ORDER BY media_id""".stripMargin,
     // replays TextStats.repetition: whitespace words, per-row
     // distinct for the dup fraction, bigram frequency for the top
     // fraction (single-word docs → 0.0)

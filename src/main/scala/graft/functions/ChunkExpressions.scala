@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+import graft.tsdb.ChunkCodec
+
+/** Catalyst expressions over the [[graft.tsdb.ChunkCodec]] XOR chunk
+  * codec. Both stay inside whole-stage codegen: the generated code
+  * calls the codec's static entry points directly (the per-row work
+  * is byte-stream parsing that gains nothing from inlined Java, but
+  * keeping the EXPRESSION codegen-able keeps the surrounding
+  * project/filter/explode span fused — no CodegenFallback barrier in
+  * the select path).
+  */
+
+/** `chunk_encode(samples, samplesPerChunk)`: sorted
+  * array<struct<ts:long, value:double>> → framed XOR chunk blob
+  * (binary). samplesPerChunk is a literal knob, not a column.
+  */
+case class ChunkEncode(child: Expression, samplesPerChunk: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(samplesPerChunk > 0, "samplesPerChunk must be positive")
+
+  override def inputTypes =
+    Seq(ArrayType(StructType(Seq(
+      StructField("ts", LongType, nullable = false),
+      StructField("value", DoubleType, nullable = false)))))
+
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(v: Any): Any =
+    ChunkCodec.encodeArrayData(v.asInstanceOf[ArrayData], samplesPerChunk)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // Scala emits static forwarders on the object's class, so this
+    // is a plain static call in the generated Java
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.tsdb.ChunkCodec.encodeArrayData($c, $samplesPerChunk);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `chunk_decode(blob, qmint, qmaxt)`: framed blob → samples of the
+  * chunks whose frame header overlaps [qmint, qmaxt] (inclusive, the
+  * reference decoder's filter — schema/encoder.go:310). Skipped
+  * chunks are never parsed. Callers explode the result and apply the
+  * exact per-sample range predicate on top.
+  */
+case class ChunkDecode(blob: Expression, qmint: Expression, qmaxt: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def first: Expression = blob
+  override def second: Expression = qmint
+  override def third: Expression = qmaxt
+
+  override def inputTypes = Seq(BinaryType, LongType, LongType)
+
+  override def dataType: DataType =
+    ArrayType(StructType(Seq(
+      StructField("ts", LongType, nullable = false),
+      StructField("value", DoubleType, nullable = false))),
+      containsNull = false)
+
+  override def nullSafeEval(b: Any, mi: Any, ma: Any): Any =
+    ChunkCodec.decodeToArrayData(b.asInstanceOf[Array[Byte]],
+      mi.asInstanceOf[Long], ma.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, mi, ma) =>
+      s"${ev.value} = graft.tsdb.ChunkCodec.decodeToArrayData($b, $mi, $ma);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(blob = newFirst, qmint = newSecond, qmaxt = newThird)
+}

@@ -261,35 +261,99 @@ object Multimodal {
     * into `nBands` equal groups and candidates must agree on at
     * least one whole band — the pigeonhole guarantee is exact for
     * `maxHamming < nBands` — then candidates are verified with the
-    * full byte-wise XOR popcount. The band join keys on (band,
-    * band-value): corpus-cardinality, bounded fan-out; never an
-    * all-pairs product.
+    * full byte-wise XOR popcount.
+    *
+    * Exact-duplicate collapse (same design as the minhash path):
+    * images with IDENTICAL 64-bit hashes — the most duplicated
+    * content in a real corpus — band via a single representative;
+    * member pairs are expanded afterwards (intra-group at hamming
+    * 0, cross-group inheriting the representative pair's hamming,
+    * which is exact since hamming depends only on the hash).
+    * Without the collapse the banded self-join is quadratic in the
+    * largest duplicate group: measured 22.5M pairs / 31 s at 50k
+    * synthetic images, where representative pairs are near-linear.
+    * The band join keys on (band, band-value) over DISTINCT hashes:
+    * corpus-cardinality, bounded fan-out; never an all-pairs
+    * product. Expansion joins key on representative id — fan-out
+    * equals the output's own size.
     */
   def phashNearDup(media: DataFrame, maxHamming: Int = 3,
       nBands: Int = 4): DataFrame = {
+    val (repPairs, memberOf) = phashRepPairs(media, maxHamming, nBands)
+    graft.operators.Dedup.expandPairs(repPairs, memberOf,
+      Seq("hamming"), Seq(lit(0L)))
+  }
+
+  /** Representative-level phash near-dup pairs + the member map.
+    * See [[phashNearDup]] for the collapse rationale. */
+  private def phashRepPairs(media: DataFrame, maxHamming: Int,
+      nBands: Int): (DataFrame, DataFrame) = {
     require(8 % nBands == 0, s"nBands ($nBands) must divide 8")
     require(maxHamming < nBands,
       s"pigeonhole guarantee needs maxHamming ($maxHamming) < nBands ($nBands)")
     val perBand = 8 / nBands
     val hashed = perceptualHash(media)
+    val hashCols = (0 until 8).map(g => col(s"b$g"))
+    val hashNames = (0 until 8).map(g => s"b$g")
+    val reps = hashed.groupBy(hashCols: _*)
+      .agg(min(col("media_id")).as("media_id"))
+    val memberOf = reps.select(col("media_id").as("_rid") +: hashCols: _*)
+      .join(hashed.select(col("media_id").as("_mid") +: hashCols: _*),
+        hashNames)
+      .select(col("_rid"), col("_mid"))
     val bandCol = explode(array((0 until nBands).map { bd =>
       struct(lit(bd).as("band"),
         concat_ws(":", (0 until perBand).map(i =>
           col(s"b${bd * perBand + i}")): _*).as("bval"))
     }: _*)).as("bb")
-    val banded = hashed.select((col("media_id") +:
-      (0 until 8).map(g => col(s"b$g")) :+ bandCol): _*)
-      .select((col("media_id") +: (0 until 8).map(g => col(s"b$g")) :+
+    val banded = reps.select((col("media_id") +: hashCols :+ bandCol): _*)
+      .select((col("media_id") +: hashCols :+
         col("bb.band").as("band") :+ col("bb.bval").as("bval")): _*)
     val ham = (0 until 8).map(g =>
       expr(s"bit_count(x.b$g ^ y.b$g)")).reduce(_ + _)
-    banded.as("x").join(banded.as("y"),
+    val repPairs = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
           col("x.media_id") < col("y.media_id"))
-      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+      .select(col("x.media_id").as("rid_a"), col("y.media_id").as("rid_b"),
         ham.cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("id_a", "id_b")
+      .dropDuplicates("rid_a", "rid_b")
+    (repPairs, memberOf)
+  }
+
+  /** Image near-dup CLUSTERS — the scale-correct output contract for
+    * duplicate-heavy image corpora, mirroring [[graft.operators.Dedup.clusters]]:
+    * M rows per M-member cluster, never the M²/2 pair expansion
+    * (measured: 22.5M member pairs at 50k synthetic images where the
+    * cluster map is 50k rows). Connected components run over
+    * REPRESENTATIVE pairs (distinct hashes); members then inherit
+    * their representative's component, and an exact-duplicate group
+    * is a cluster even when its hash has no near-neighbor. Cluster
+    * id = min member id of the component, the same contract as
+    * `dd_clusters`. All joins key on representative/cluster id —
+    * cardinality bounded by the corpus, never the pair space.
+    */
+  def phashClusters(media: DataFrame, maxHamming: Int = 3,
+      nBands: Int = 4): DataFrame = {
+    val (repPairs, memberOf) = phashRepPairs(media, maxHamming, nBands)
+    val cc = graft.operators.Dedup.clusters(
+      repPairs.select(col("rid_a").as("id_a"), col("rid_b").as("id_b")))
+      .select(col("doc_id").as("_rid"), col("cluster_id").as("_comp"))
+    // reps with no near-neighbor edge: their exact-dup group is a
+    // component of its own iff it has ≥ 2 members
+    val groupSizes = memberOf.groupBy(col("_rid"))
+      .agg(count(lit(1)).as("_gsz"))
+    val repComp = memberOf.select(col("_rid")).distinct()
+      .join(cc, Seq("_rid"), "left")
+      .join(groupSizes, Seq("_rid"))
+      .filter(col("_comp").isNotNull || col("_gsz") >= 2)
+      .select(col("_rid"), coalesce(col("_comp"), col("_rid")).as("_comp"))
+    val members = memberOf.join(repComp, Seq("_rid"))
+      .select(col("_mid"), col("_comp"))
+    val minMember = members.groupBy(col("_comp"))
+      .agg(min(col("_mid")).as("cluster_id"))
+    members.join(minMember, Seq("_comp"))
+      .select(col("_mid").as("media_id"), col("cluster_id"))
   }
 
   /** REAL resize: decode the PNG, bilinear-resample so the longest

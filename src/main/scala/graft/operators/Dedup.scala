@@ -288,7 +288,7 @@ object Dedup {
     * Joins are keyed on representative id (corpus-scale cardinality,
     * fan-out = group size — exactly the output's own scale).
     */
-  private def expandPairs(repPairs: DataFrame, memberOf: DataFrame,
+  private[graft] def expandPairs(repPairs: DataFrame, memberOf: DataFrame,
       scoreCols: Seq[String], identicalScore: Seq[Column]): DataFrame = {
     val cross = repPairs
       .join(memberOf.select(col("_rid").as("rid_a"), col("_mid").as("_ma")), "rid_a")

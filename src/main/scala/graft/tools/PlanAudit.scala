@@ -195,6 +195,29 @@ object PlanAudit {
         "scan pruned to the two label columns" ->
           "struct<user_id:bigint,event_type:string>"))
 
+    // Chunked dual-file select (ChunkStore): the labels side must
+    // broadcast (the chunks side — the 100 TB side — never
+    // shuffles), the matcher must push into the labels-file scan,
+    // the chunks scan must prune bucket partition directories from
+    // the time range, and the frame-metadata filter must reach the
+    // chunks scan so row groups prune on mint/maxt stats.
+    val csPath = "/tmp/graft_audit_chunkstore"
+    graft.tsdb.ChunkStore.write(ev, csPath, Seq("event_type", "user_id"),
+      "ts", "value")
+    audit("ts_chunk_select",
+      graft.tsdb.ChunkStore.select(spark, csPath,
+        "2024-01-05", "2024-01-20",
+        Seq(Matcher.Eq("event_type", "view")),
+        Seq("event_type", "user_id"), "ts", "value"),
+      Map(
+        "labels side broadcasts" -> "BroadcastHashJoin",
+        "matcher pushed to labels scan" -> "EqualTo(event_type,view)",
+        "bucket partition pruning" -> "PartitionFilters: [",
+        "mint/maxt metadata filter pushed" -> "GreaterThanOrEqual(maxt"),
+      forbid = Map(
+        "no shuffle of the chunks side" -> "Exchange hashpartitioning",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin"))
+
     if (failures.nonEmpty) {
       println(s"\n[audit] FAILURES: ${failures.mkString("; ")}")
       sys.exit(1)

@@ -56,6 +56,15 @@ object ScaleCurve {
     def point(tag: String, docs: DataFrame, emb: DataFrame): Unit = {
       val nDocs = docs.count()
       val nEmb = emb.count()
+      // media fixture is ingest (written once per point, untimed);
+      // the timed operator is the hash + banded join over storage
+      val mediaPath = "/tmp/graft_scale_media_" +
+        tag.replaceAll("[^0-9a-zA-Z]", "_")
+      graft.multimodal.Multimodal.gradientImageTable(docs, "doc_id")
+        .write.mode("overwrite").parquet(mediaPath)
+      val media = docs.sparkSession.read.parquet(mediaPath)
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
       // one warm pass then one timed pass per op (the timed pass is
       // what a steady-state job sees; scan caches are OS-level only)
       for (pass <- 1 to 2) {
@@ -73,11 +82,26 @@ object ScaleCurve {
             "embedding", "vec_id", k = 10, nCentroids = 16, nProbe = 8,
             trainFraction = 0.25).count()
         }
+        val (decon, tDc) = time {
+          graft.operators.Dedup.decontaminate(train, bench,
+            "text", "doc_id", n = 24).count()
+        }
+        val (phash, tPh) = time {
+          graft.multimodal.Multimodal.phashNearDup(media,
+            maxHamming = 3, nBands = 4).count()
+        }
+        val (phcl, tPc) = time {
+          graft.multimodal.Multimodal.phashClusters(media,
+            maxHamming = 3, nBands = 4).count()
+        }
         if (pass == 2)
           println(f"""{"dataset":"$tag","n_docs":$nDocs,"n_emb":$nEmb,""" +
             f""""minhash_neardup_s":$tMh%.2f,"minhash_pairs":$pairs,""" +
             f""""clusters_s":$tCl%.2f,"cluster_rows":$clusters,""" +
-            f""""ann_ivf_s":$tIvf%.2f,"topk_rows":$topk}""")
+            f""""ann_ivf_s":$tIvf%.2f,"topk_rows":$topk,""" +
+            f""""decontaminate_s":$tDc%.2f,"flagged_docs":$decon,""" +
+            f""""phash_neardup_s":$tPh%.2f,"phash_pairs":$phash,""" +
+            f""""phash_clusters_s":$tPc%.2f,"phash_cluster_rows":$phcl}""")
       }
     }
 

@@ -1,0 +1,134 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.functions.{ChunkDecode, ChunkEncode}
+
+/** The reference's dual-file chunked storage model, Spark-native:
+  * a converted block is a LABELS file (one row per series: label
+  * columns + a stable series ref) and a CHUNKS file (one row per
+  * series × time bucket: framed XOR chunk blob + mint/maxt/count
+  * metadata), the analog of the reference's labels and chunks
+  * parquet files with row-aligned series (convert/convert.go:80
+  * `labelsFileIdx`/`chunksFileIdx`, schema/schema.go DataColsIndexes,
+  * chunk cells re-encoded by schema/encoder.go:55).
+  *
+  * Query path (mirrors search/materialize.go: constraint search on
+  * label columns → ranged chunk-bytes fetch → decode):
+  *   1. matcher predicates run on the SMALL labels file (pushed to
+  *      its parquet scan),
+  *   2. the matching refs broadcast-join against the chunks file —
+  *      the 100 TB side, whose scan prunes by `bucket` partition
+  *      directories (time-range → directory pruning) and by
+  *      mint/maxt row-group stats,
+  *   3. only surviving blobs are decoded ([[ChunkDecode]] skips
+  *      non-overlapping chunks inside a blob by frame header — the
+  *      page-ranged-IO analog), then the exact per-sample range
+  *      predicate applies.
+  *
+  * The chunks side never shuffles: partition-dir pruning + broadcast
+  * ref join + narrow decode. The only wide exchange in the whole
+  * lifecycle is the write-side groupBy that assembles each series×
+  * bucket's samples — the converter's sort, paid once at ingest.
+  */
+object ChunkStore {
+
+  private def tsUs(tsCol: String): Column = unix_micros(col(tsCol))
+
+  /** Stable series ref: xxhash64 over the label VALUES in caller
+    * column order (the caller's `seriesCols` is the schema, so the
+    * hash is deterministic for a layout like the reference's
+    * data-file row index is for one converted block).
+    */
+  private def seriesRef(seriesCols: Seq[String]): Column =
+    xxhash64(seriesCols.map(col): _*)
+
+  /** Write `df` as a chunked dual-file block at `path`:
+    * `path/labels` (series_ref + label columns, sorted) and
+    * `path/chunks` (series_ref, mint, maxt, n_samples, data blob;
+    * partitioned by time bucket, sorted by series_ref within).
+    */
+  def write(df: DataFrame, path: String, seriesCols: Seq[String],
+      tsCol: String, valueCol: String, colDuration: String = "1 day",
+      samplesPerChunk: Int = 120, compression: String = "zstd"): Unit = {
+    require(seriesCols.nonEmpty, "need at least one series label column")
+    val withKey = df
+      .withColumn("series_ref", seriesRef(seriesCols))
+      .withColumn("bucket", TsdbConverter.bucketCol(tsCol, colDuration))
+      .withColumn("_ts_us", tsUs(tsCol))
+
+    // labels side is series-cardinality (can be millions at 100 TB):
+    // range-partition + sort, never a single-file coalesce
+    withKey.select((seriesCols.map(col) :+ col("series_ref")): _*)
+      .distinct()
+      .repartitionByRange(seriesCols.map(col): _*)
+      .sortWithinPartitions(seriesCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).option("compression", compression)
+      .parquet(s"$path/labels")
+
+    val enc = ColumnBridge.column(ChunkEncode(
+      ColumnBridge.expression(
+        sort_array(collect_list(struct(col("_ts_us").as("ts"),
+          col(valueCol).cast("double").as("value"))))),
+      samplesPerChunk))
+    withKey.groupBy(col("series_ref"), col("bucket"))
+      .agg(
+        min(col("_ts_us")).as("mint"),
+        max(col("_ts_us")).as("maxt"),
+        count(lit(1)).as("n_samples"),
+        enc.as("data"))
+      .sortWithinPartitions(col("bucket"), col("series_ref"))
+      .write.mode(SaveMode.Overwrite).option("compression", compression)
+      .partitionBy("bucket")
+      .parquet(s"$path/chunks")
+  }
+
+  /** Select samples of series matching `matchers` within
+    * [mint, maxt) — same bound convention as
+    * [[TsdbQueryable.select]] — from a chunked block written by
+    * [[write]]. Output: label columns + `tsCol` (timestamp) +
+    * `valueCol` (double), exactly a raw-table select's schema.
+    */
+  def select(spark: SparkSession, path: String, mint: String, maxt: String,
+      matchers: Seq[Matcher], seriesCols: Seq[String], tsCol: String,
+      valueCol: String, colDuration: String = "1 day"): DataFrame = {
+    val labels = spark.read.parquet(s"$path/labels")
+    val matched = Matcher.compile(matchers).map(labels.filter).getOrElse(labels)
+
+    val qmint = unix_micros(lit(mint).cast("timestamp"))
+    val qmaxt = unix_micros(lit(maxt).cast("timestamp"))
+    // bucket pruning: partition values are floor(epoch_sec/width),
+    // so the directory range covering [mint, maxt) is a static
+    // predicate the scan prunes on (maxt side exclusive)
+    val secs = Seq("second" -> 1L, "minute" -> 60L, "hour" -> 3600L,
+      "day" -> 86400L).toMap
+    val width = colDuration.trim.split("\\s+") match {
+      case Array(n, u) => n.toLong * secs(u.toLowerCase.stripSuffix("s"))
+      case _ => throw new IllegalArgumentException(s"bad duration $colDuration")
+    }
+    val loBucket = floor(unix_timestamp(lit(mint).cast("timestamp")) / width)
+    val hiBucket = floor((unix_timestamp(lit(maxt).cast("timestamp")) - 1) / width)
+
+    val chunks = spark.read.parquet(s"$path/chunks")
+      .filter(col("bucket") >= loBucket && col("bucket") <= hiBucket)
+      // frame-level metadata filter → parquet row-group stats prune
+      // before any blob is even read
+      .filter(col("maxt") >= qmint && col("mint") < qmaxt)
+      .join(broadcast(matched), "series_ref")
+
+    val decoded = ColumnBridge.column(ChunkDecode(
+      ColumnBridge.expression(col("data")),
+      ColumnBridge.expression(qmint),
+      // ChunkDecode's header filter is inclusive (reference
+      // semantics); the exact [mint, maxt) bound re-applies below
+      ColumnBridge.expression(qmaxt)))
+    chunks
+      .select((seriesCols.map(col) :+ explode(decoded).as("_s")): _*)
+      .filter(col("_s.ts") >= qmint && col("_s.ts") < qmaxt)
+      .select((seriesCols.map(col) :+
+        timestamp_micros(col("_s.ts")).as(tsCol) :+
+        col("_s.value").as(valueCol)): _*)
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.tsdb.{ChunkStore, Matcher}
+
+class ChunkStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val eventsDF = {
+    val rnd = new scala.util.Random(42)
+    val rows = for {
+      et <- Seq("click", "view", "purchase")
+      u <- 1L to 20L
+      i <- 0 until 50
+    } yield (et, u,
+      new Timestamp(ts("2024-01-01 00:00:00").getTime +
+        i * 3600000L + rnd.nextInt(60000)),
+      rnd.nextDouble() * 100)
+    rows.toDF("event_type", "user_id", "ts", "value")
+  }
+
+  private lazy val blockPath = {
+    val p = Files.createTempDirectory("graft_chunkstore").toString
+    ChunkStore.write(eventsDF, p, Seq("event_type", "user_id"),
+      "ts", "value", samplesPerChunk = 16)
+    p
+  }
+
+  test("full-range select over the chunked block ≡ the raw table") {
+    val back = ChunkStore.select(spark, blockPath,
+        "2024-01-01 00:00:00", "2024-02-01 00:00:00", Nil,
+        Seq("event_type", "user_id"), "ts", "value")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2, t._3.getTime, t._4))
+    val raw = eventsDF.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2, t._3.getTime, t._4))
+    assert(back.length == raw.length)
+    assert(back.sameElements(raw)) // µs timestamps and doubles bit-exact
+  }
+
+  test("matcher select prunes series; range bounds are [mint, maxt)") {
+    val out = ChunkStore.select(spark, blockPath,
+        "2024-01-01 05:00:00", "2024-01-01 10:00:00",
+        Seq(Matcher.Eq("event_type", "click")),
+        Seq("event_type", "user_id"), "ts", "value")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(0) == "click"))
+    val lo = ts("2024-01-01 05:00:00").getTime
+    val hi = ts("2024-01-01 10:00:00").getTime
+    assert(rows.forall { r =>
+      val t = r.getTimestamp(2).getTime; t >= lo && t < hi
+    })
+    // oracle: same filter on the raw table
+    val expect = eventsDF.filter(col("event_type") === "click" &&
+        col("ts") >= lit("2024-01-01 05:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-01 10:00:00").cast("timestamp"))
+      .count()
+    assert(rows.length.toLong == expect)
+  }
+
+  test("chunks file stores framed blobs with mint/maxt metadata") {
+    val chunks = spark.read.parquet(s"$blockPath/chunks")
+    assert(chunks.columns.toSet ==
+      Set("series_ref", "bucket", "mint", "maxt", "n_samples", "data"))
+    // 60 series × multi-day span, samplesPerChunk 16 → every blob
+    // has ≥ 1 frame and metadata brackets its samples
+    val bad = chunks.filter(col("mint") > col("maxt")).count()
+    assert(bad == 0)
+    // total samples preserved
+    assert(chunks.agg(sum("n_samples")).as[Long].head() == eventsDF.count())
+    // labels file: one row per distinct series
+    val labels = spark.read.parquet(s"$blockPath/labels")
+    assert(labels.count() == 60)
+    assert(labels.select("series_ref").distinct().count() == 60)
+  }
+
+  test("select plan broadcasts the labels side and prunes buckets") {
+    val plan = ChunkStore.select(spark, blockPath,
+        "2024-01-01 00:00:00", "2024-01-02 00:00:00",
+        Seq(Matcher.Eq("event_type", "view")),
+        Seq("event_type", "user_id"), "ts", "value")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
+}

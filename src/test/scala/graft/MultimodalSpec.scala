@@ -128,6 +128,53 @@ class MultimodalSpec extends SparkSpec {
     assert(brute.nonEmpty) // the generator produces genuine near-dups
   }
 
+  test("phashNearDup rep-collapse: duplicate-heavy corpus ≡ brute force") {
+    // 12 distinct images, each replicated 5× under fresh ids — the
+    // duplicate-group shape that made the pre-collapse banded join
+    // quadratic. Output must still equal brute force exactly, with
+    // intra-group pairs at hamming 0.
+    val ids = (1L to 12L).toDF("doc_id")
+    val base = Multimodal.gradientImageTable(ids, "doc_id")
+    val dup = (0 until 5).map { i =>
+      base.select((col("media_id") + lit(i * 1000L)).as("media_id"),
+        col("media_type"), col("payload"), col("meta_width"), col("meta_height"))
+    }.reduce(_ unionByName _)
+    val banded = Multimodal.phashNearDup(dup, maxHamming = 3, nBands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hashed = Multimodal.perceptualHash(dup)
+    val ham = (0 until 8).map(g =>
+      expr(s"bit_count(x.b$g ^ y.b$g)")).reduce(_ + _)
+    val brute = hashed.as("x").join(hashed.as("y"),
+        col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id"), col("y.media_id"), ham.cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._3 <= 3).toSet
+    assert(banded == brute)
+    // every replica pair of one source image is present at hamming 0
+    assert((1L to 12L).forall(id =>
+      banded.contains((id, id + 1000L, 0L))))
+  }
+
+  test("phashClusters ≡ clusters over the expanded member pairs") {
+    // rep-level components + member inheritance must equal the
+    // reference construction (components over ALL member pairs),
+    // including clusters that exist only as exact-dup groups
+    val ids = (1L to 15L).toDF("doc_id")
+    val base = Multimodal.gradientImageTable(ids, "doc_id")
+    val dup = (0 until 3).map { i =>
+      base.select((col("media_id") + lit(i * 1000L)).as("media_id"),
+        col("media_type"), col("payload"), col("meta_width"), col("meta_height"))
+    }.reduce(_ unionByName _)
+    val fast = Multimodal.phashClusters(dup, maxHamming = 3, nBands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ref = graft.operators.Dedup.clusters(
+        Multimodal.phashNearDup(dup, maxHamming = 3, nBands = 4)
+          .withColumnRenamed("hamming", "_h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == ref)
+    assert(fast.nonEmpty)
+  }
+
   test("resized solid-colour image stays solid under bilinear resampling") {
     // hand-built solid PNG → resize → every pixel must stay that colour
     val img = new java.awt.image.BufferedImage(30, 20,
