@@ -908,6 +908,39 @@ object SparkEntry {
       .orderBy("ts_us", "user_id", "value")
   }
 
+  /** Chunked-block compaction ([[tsdb.ChunkStore.mergeBlocks]]):
+    * two overlapping CHUNKED blocks (B is the newer revision —
+    * values × 1.5 on [Jan 10, ∞)) decode → k-way LWW merge →
+    * re-encode into one chunked block, read back in full. Same
+    * split and the same arg_max oracle as ts_merge_blocks, but the
+    * samples cross the XOR codec twice more (encode at write,
+    * decode at readback), so the hash match pins compaction over
+    * encoded chunks, not rows.
+    */
+  private def tsChunkMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val tag = dir.replaceAll("[^0-9a-zA-Z]", "_")
+    val dirA = s"/tmp/graft_chunkblk_a_$tag"
+    val dirB = s"/tmp/graft_chunkblk_b_$tag"
+    val out = s"/tmp/graft_chunkblk_merged_$tag"
+    val series = Seq("event_type", "user_id")
+    fixtureOnce(s"chunk_merge_inputs:$dir") {
+      ChunkStore.write(
+        ev.filter(col("ts") < lit("2024-01-20").cast("timestamp")),
+        dirA, series, "ts", "value")
+      ChunkStore.write(
+        ev.filter(col("ts") >= lit("2024-01-10").cast("timestamp"))
+          .withColumn("value", col("value") * 1.5),
+        dirB, series, "ts", "value")
+    }
+    ChunkStore.mergeBlocks(s, Seq(dirA, dirB), out, series, "ts", "value")
+    ChunkStore.select(s, out, "2024-01-01", "2024-02-01", Nil,
+        series, "ts", "value")
+      .select(col("event_type"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .orderBy("event_type", "user_id", "ts_us", "value")
+  }
+
   private def chunkBlockPath(dir: String): String =
     "/tmp/graft_chunkblock_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
 
@@ -1248,6 +1281,7 @@ object SparkEntry {
     "ts_converted_select" -> (tsConvertedSelect _),
     "ts_chunk_roundtrip" -> (tsChunkRoundtrip _),
     "ts_chunk_select" -> (tsChunkSelect _),
+    "ts_chunk_merge" -> (tsChunkMerge _),
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_clusters" -> (ddClusters _),
@@ -2224,6 +2258,19 @@ object SparkEntry {
         |WHERE event_type = 'view'
         |  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
         |ORDER BY ts_us, user_id, value""".stripMargin,
+    // same compaction oracle as ts_merge_blocks, µs precision —
+    // the samples additionally roundtrip the XOR codec twice
+    "ts_chunk_merge" ->
+      """SELECT event_type, user_id, epoch_us(ts) AS ts_us,
+        |  arg_max(value, sidx) AS value
+        |FROM (
+        |  SELECT event_type, user_id, ts, value, 0 AS sidx FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-20'
+        |  UNION ALL
+        |  SELECT event_type, user_id, ts, value * 1.5, 1 FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-10')
+        |GROUP BY event_type, user_id, ts
+        |ORDER BY event_type, user_id, ts_us, value""".stripMargin,
     "mm_frames" ->
       """WITH f AS (
         |  SELECT doc_id AS media_id, octet_length(encode(text)) AS nb

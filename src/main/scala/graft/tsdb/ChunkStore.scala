@@ -85,15 +85,15 @@ object ChunkStore {
       .parquet(s"$path/chunks")
   }
 
-  /** Select samples of series matching `matchers` within
-    * [mint, maxt) — same bound convention as
-    * [[TsdbQueryable.select]] — from a chunked block written by
-    * [[write]]. Output: label columns + `tsCol` (timestamp) +
-    * `valueCol` (double), exactly a raw-table select's schema.
+  /** The pruned, labels-joined chunk rows for a select — the shared
+    * front half of [[select]]/[[selectStrict]]: matcher pushdown on
+    * the labels file, broadcast ref join, bucket-directory pruning,
+    * and the frame-metadata (mint/maxt) filter that prunes row
+    * groups. No blob has been decoded yet.
     */
-  def select(spark: SparkSession, path: String, mint: String, maxt: String,
-      matchers: Seq[Matcher], seriesCols: Seq[String], tsCol: String,
-      valueCol: String, colDuration: String = "1 day"): DataFrame = {
+  private def prunedChunks(spark: SparkSession, path: String,
+      mint: String, maxt: String, matchers: Seq[Matcher],
+      colDuration: String): DataFrame = {
     val labels = spark.read.parquet(s"$path/labels")
     val matched = Matcher.compile(matchers).map(labels.filter).getOrElse(labels)
 
@@ -111,13 +111,18 @@ object ChunkStore {
     val loBucket = floor(unix_timestamp(lit(mint).cast("timestamp")) / width)
     val hiBucket = floor((unix_timestamp(lit(maxt).cast("timestamp")) - 1) / width)
 
-    val chunks = spark.read.parquet(s"$path/chunks")
+    spark.read.parquet(s"$path/chunks")
       .filter(col("bucket") >= loBucket && col("bucket") <= hiBucket)
       // frame-level metadata filter → parquet row-group stats prune
       // before any blob is even read
       .filter(col("maxt") >= qmint && col("mint") < qmaxt)
       .join(broadcast(matched), "series_ref")
+  }
 
+  private def decodeSamples(chunks: DataFrame, mint: String, maxt: String,
+      seriesCols: Seq[String], tsCol: String, valueCol: String): DataFrame = {
+    val qmint = unix_micros(lit(mint).cast("timestamp"))
+    val qmaxt = unix_micros(lit(maxt).cast("timestamp"))
     val decoded = ColumnBridge.column(ChunkDecode(
       ColumnBridge.expression(col("data")),
       ColumnBridge.expression(qmint),
@@ -130,5 +135,67 @@ object ChunkStore {
       .select((seriesCols.map(col) :+
         timestamp_micros(col("_s.ts")).as(tsCol) :+
         col("_s.value").as(valueCol)): _*)
+  }
+
+  /** Select samples of series matching `matchers` within
+    * [mint, maxt) — same bound convention as
+    * [[TsdbQueryable.select]] — from a chunked block written by
+    * [[write]]. Output: label columns + `tsCol` (timestamp) +
+    * `valueCol` (double), exactly a raw-table select's schema.
+    */
+  def select(spark: SparkSession, path: String, mint: String, maxt: String,
+      matchers: Seq[Matcher], seriesCols: Seq[String], tsCol: String,
+      valueCol: String, colDuration: String = "1 day"): DataFrame =
+    decodeSamples(
+      prunedChunks(spark, path, mint, maxt, matchers, colDuration),
+      mint, maxt, seriesCols, tsCol, valueCol)
+
+  /** [[select]] with the reference's strict chunk-byte quota
+    * (search/limits.go:44 NewQuota / materialize.go chunk-bytes
+    * accounting) — and unlike the row-model estimate in
+    * [[TsdbQueryable.selectStrict]], the bytes here are the REAL
+    * encoded chunk sizes: the sum of `length(data)` over exactly the
+    * blobs the pruned scan would fetch. The quota check is one
+    * metadata-only aggregation (blob lengths, no decode); on pass,
+    * the select proceeds.
+    */
+  @throws[QuotaExceededException]
+  def selectStrict(spark: SparkSession, path: String, mint: String,
+      maxt: String, matchers: Seq[Matcher], seriesCols: Seq[String],
+      tsCol: String, valueCol: String, chunkBytesQuota: Long,
+      colDuration: String = "1 day"): DataFrame = {
+    val chunks = prunedChunks(spark, path, mint, maxt, matchers, colDuration)
+    if (chunkBytesQuota > 0L) {
+      val bytes = chunks.agg(coalesce(sum(length(col("data"))), lit(0L)))
+        .head().getLong(0)
+      if (bytes > chunkBytesQuota)
+        throw new QuotaExceededException(
+          s"select would fetch $bytes encoded chunk bytes (quota $chunkBytesQuota)")
+    }
+    decodeSamples(chunks, mint, maxt, seriesCols, tsCol, valueCol)
+  }
+
+  /** Compact N chunked blocks that may overlap in series/time into
+    * ONE chunked block — the reference's vertical compaction over
+    * chunk files (convert/merge.go NewMergeChunkSeriesSet driven by
+    * convert.go:348), Spark-native: decode every block's chunks
+    * (one narrow pass each), k-way merge with last-writer-wins per
+    * (series, ts) — later directory in `dirs` wins, the newer-block
+    * convention [[TsdbConverter.mergeShards]] already implements —
+    * then re-encode through [[write]]. One distributed plan: N
+    * scans → union → one merge shuffle → one encode shuffle →
+    * bucketed write; no driver-side iteration at any scale.
+    */
+  def mergeBlocks(spark: SparkSession, dirs: Seq[String], outPath: String,
+      seriesCols: Seq[String], tsCol: String, valueCol: String,
+      colDuration: String = "1 day", samplesPerChunk: Int = 120): Unit = {
+    require(dirs.nonEmpty, "need at least one block directory")
+    val full = ("1970-01-01 00:00:00", "2200-01-01 00:00:00")
+    val merged = TsdbConverter.mergeShards(
+      dirs.map(d => select(spark, d, full._1, full._2, Nil,
+        seriesCols, tsCol, valueCol, colDuration)),
+      seriesCols, tsCol, valueCol)
+    write(merged, outPath, seriesCols, tsCol, valueCol,
+      colDuration, samplesPerChunk)
   }
 }

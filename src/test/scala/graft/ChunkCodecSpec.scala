@@ -122,6 +122,35 @@ class ChunkCodecSpec extends AnyFunSuite {
     assert(touched)
   }
 
+  test("codec density: dense series shapes beat the 16 B/sample row model") {
+    // one day at 15 s scrape — the Prometheus-dense shape the codec
+    // exists for (Gorilla paper §4.1 reports 1.37 B/sample on
+    // production data, dominated by repeated values / regular ts)
+    val n = 5760
+    val base = 1700000000000000L
+    def bps(ts: Array[Long], vs: Array[Double]): Double = {
+      val b = ChunkCodec.encodeBlob(ts, vs, 120)
+      b.length.toDouble / n
+    }
+    val regTs = (0 until n).map(i => base + i.toLong * 15000000L).toArray
+    val rnd = new scala.util.Random(5)
+    val constant = bps(regTs, Array.fill(n)(42.0))
+    info(f"constant gauge, regular ts: $constant%.2f B/sample")
+    assert(constant < 1.0) // dod=0 + xor=0 → ~2 bits/sample + headers
+    val counterVs = { var v = 0.0; (0 until n).map { _ => v += rnd.nextInt(20); v }.toArray }
+    val counter = bps(regTs, counterVs)
+    info(f"integer-increment counter, regular ts: $counter%.2f B/sample")
+    assert(counter < 6.0)
+    val walkVs = { var v = 100.0; (0 until n).map { _ => v += (rnd.nextDouble() - 0.5); v }.toArray }
+    val walk = bps(regTs, walkVs)
+    info(f"full-mantissa random walk, regular ts: $walk%.2f B/sample")
+    assert(walk < 12.0) // worst shape: mantissa noise defeats XOR
+    val jitTs = { var t = base; (0 until n).map { _ => t += 14800000L + rnd.nextInt(400000); t }.toArray }
+    val jitter = bps(jitTs, walkVs)
+    info(f"full-mantissa walk, jittered ts: $jitter%.2f B/sample")
+    assert(jitter < 15.0)
+  }
+
   test("header-overlap filter keeps exactly the reference's chunks") {
     // three chunks: [0..9k], [10k..19k], [20k..29k]
     val ts = (0 until 30).map(i => i * 1000L).toArray

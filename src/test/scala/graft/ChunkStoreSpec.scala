@@ -83,6 +83,63 @@ class ChunkStoreSpec extends SparkSpec {
     assert(labels.select("series_ref").distinct().count() == 60)
   }
 
+  test("selectStrict enforces the REAL encoded chunk-byte quota") {
+    // quota below the matched blobs' total → throws with real sizes
+    val e = intercept[graft.tsdb.QuotaExceededException] {
+      ChunkStore.selectStrict(spark, blockPath,
+        "2024-01-01 00:00:00", "2024-02-01 00:00:00",
+        Seq(Matcher.Eq("event_type", "click")),
+        Seq("event_type", "user_id"), "ts", "value",
+        chunkBytesQuota = 10L)
+    }
+    assert(e.getMessage.contains("encoded chunk bytes"))
+    // generous quota → same answer as plain select
+    val ok = ChunkStore.selectStrict(spark, blockPath,
+      "2024-01-01 00:00:00", "2024-02-01 00:00:00",
+      Seq(Matcher.Eq("event_type", "click")),
+      Seq("event_type", "user_id"), "ts", "value",
+      chunkBytesQuota = 100L * 1024 * 1024)
+    assert(ok.count() == 1000) // 20 users x 50 samples
+    // the quota only counts blobs SURVIVING pruning: a narrow time
+    // range must pass a quota the full range exceeds
+    val totalBytes = spark.read.parquet(s"$blockPath/chunks")
+      .join(spark.read.parquet(s"$blockPath/labels")
+        .filter(col("event_type") === "click").select("series_ref"),
+        "series_ref")
+      .agg(sum(length(col("data")))).head().getLong(0)
+    val narrow = ChunkStore.selectStrict(spark, blockPath,
+      "2024-01-01 00:00:00", "2024-01-01 06:00:00",
+      Seq(Matcher.Eq("event_type", "click")),
+      Seq("event_type", "user_id"), "ts", "value",
+      chunkBytesQuota = totalBytes - 1)
+    assert(narrow.count() > 0)
+  }
+
+  test("mergeBlocks compacts overlapping chunked blocks, LWW") {
+    val root = Files.createTempDirectory("graft_chunkmerge").toString
+    val a = Seq(
+      ("click", 1L, ts("2024-01-01 10:00:00"), 1.0),
+      ("click", 1L, ts("2024-01-02 10:00:00"), 2.0))
+      .toDF("event_type", "user_id", "ts", "value")
+    val b = Seq(
+      ("click", 1L, ts("2024-01-02 10:00:00"), 99.0), // overlap: b wins
+      ("view", 2L, ts("2024-01-03 10:00:00"), 3.0))
+      .toDF("event_type", "user_id", "ts", "value")
+    ChunkStore.write(a, s"$root/a", Seq("event_type", "user_id"), "ts", "value")
+    ChunkStore.write(b, s"$root/b", Seq("event_type", "user_id"), "ts", "value")
+    ChunkStore.mergeBlocks(spark, Seq(s"$root/a", s"$root/b"), s"$root/out",
+      Seq("event_type", "user_id"), "ts", "value")
+    val out = ChunkStore.select(spark, s"$root/out",
+        "2024-01-01 00:00:00", "2024-02-01 00:00:00", Nil,
+        Seq("event_type", "user_id"), "ts", "value")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2, t._3.getTime))
+    assert(out.length == 3)
+    assert(out(1)._4 == 99.0) // the later block's sample won
+    assert(out(2)._1 == "view")
+  }
+
   test("select plan broadcasts the labels side and prunes buckets") {
     val plan = ChunkStore.select(spark, blockPath,
         "2024-01-01 00:00:00", "2024-01-02 00:00:00",
