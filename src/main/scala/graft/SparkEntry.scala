@@ -941,6 +941,23 @@ object SparkEntry {
       .orderBy("event_type", "user_id", "ts_us", "value")
   }
 
+  /** Deterministic stratified sampling for training-mix
+    * construction ([[operators.Pipeline.sampleMix]]): language-ID
+    * the corpus, then keep per-language fractions decided by
+    * `substr(sha256(doc_id:salt),1,8) < threshold(lang)` — no RNG,
+    * partition-count-independent, and the oracle replays the exact
+    * hash selection (thresholds come from the same shared helper).
+    */
+  private def pipeSampleMix(s: SparkSession, dir: String): DataFrame =
+    operators.Pipeline.sampleMix(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.langId(col("text")).as("lang")),
+        "doc_id", "lang", sampleMixRates, defaultRate = 0.0, salt = "mix")
+      .orderBy("doc_id")
+
+  private val sampleMixRates: Map[String, Double] =
+    Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25, "es" -> 0.1)
+
   private def chunkBlockPath(dir: String): String =
     "/tmp/graft_chunkblock_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
 
@@ -1287,6 +1304,7 @@ object SparkEntry {
     "dd_clusters" -> (ddClusters _),
     "pipe_corpus_clean" -> (pipeCorpusClean _),
     "pipe_corpus_clean_minhash" -> (pipeCorpusCleanMinhash _),
+    "pipe_sample_mix" -> (pipeSampleMix _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_minhash_neardup" -> (ddMinhashNearDup _),
     "dd_simhash" -> (ddSimhash _),
@@ -2397,6 +2415,19 @@ object SparkEntry {
     "txt_lang_id" ->
       s"""WITH ${langCtes("documents")}
         |SELECT doc_id, lang_pred FROM lang_pred
+        |ORDER BY doc_id""".stripMargin,
+    // the same sha256 hex-threshold selection, thresholds baked
+    // from the SAME Scala helper the operator uses
+    "pipe_sample_mix" ->
+      s"""WITH ${langCtes("documents")}
+        |SELECT doc_id, lang_pred AS lang FROM lang_pred
+        |WHERE substr(sha256(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8) <
+        |  CASE lang_pred
+        |    WHEN 'en' THEN '${operators.Pipeline.sampleThreshold(0.5)}'
+        |    WHEN 'de' THEN '${operators.Pipeline.sampleThreshold(1.0)}'
+        |    WHEN 'fr' THEN '${operators.Pipeline.sampleThreshold(0.25)}'
+        |    WHEN 'es' THEN '${operators.Pipeline.sampleThreshold(0.1)}'
+        |    ELSE '${operators.Pipeline.sampleThreshold(0.0)}' END
         |ORDER BY doc_id""".stripMargin,
     "pipe_corpus_clean" -> corpusCleanOracle,
     // the minhash variant verifies candidates with the SAME exact

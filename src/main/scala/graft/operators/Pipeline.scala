@@ -72,4 +72,45 @@ object Pipeline {
     uniq.join(drops, Seq(idCol), "left_anti")
       .select(col(idCol), col("lang"), col("quality"), col("n_tokens"))
   }
+
+  /** The 8-hex-digit keep threshold for a sampling rate: a row is
+    * kept iff the first 8 hex digits of sha256(id:salt) compare
+    * lexicographically below it (fixed-width lowercase hex, so
+    * string order == numeric order). rate ≥ 1 returns "g", which is
+    * greater than every hex string — keep all. Shared by the
+    * operator and the oracle SQL so both engines run the identical
+    * selection.
+    */
+  private[graft] def sampleThreshold(rate: Double): String = {
+    require(rate >= 0.0, s"rate must be ≥ 0, got $rate")
+    if (rate >= 1.0) "g" else f"${(rate * 4294967296L).toLong}%08x"
+  }
+
+  /** Deterministic stratified sampling — the training-mix
+    * construction step run after cleaning: keep each document with
+    * its stratum's probability, decided by a content-independent
+    * hash of the document id. Properties a distributed pipeline
+    * needs and `DataFrame.sampleBy` does not give:
+    *   - DETERMINISTIC and partition-independent: the keep decision
+    *     is `substr(sha256(id:salt), 1, 8) < threshold(stratum)` —
+    *     no RNG state, same verdict on any cluster size, any retry,
+    *     any engine (the gate's DuckDB oracle replays it verbatim);
+    *   - NESTED mixes compose: a rate-0.5 sample of a rate-0.5
+    *     sample (same salt) equals the rate-0.25 sample, because
+    *     thresholds nest;
+    *   - a pure narrow map: no shuffle, no sort, pushes down past
+    *     nothing it shouldn't (the filter sits on the scan).
+    * Strata absent from `rates` fall back to `defaultRate`.
+    */
+  def sampleMix(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: String = "mix"): DataFrame = {
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(
+      lit(sampleThreshold(defaultRate))) { case (acc, (k, r)) =>
+        when(col(stratumCol) === k, lit(sampleThreshold(r))).otherwise(acc)
+    }
+    df.filter(
+      substring(sha2(concat(col(idCol).cast("string"), lit(":" + salt)), 256),
+        1, 8) < thr)
+  }
 }

@@ -79,6 +79,40 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("sampleMix: deterministic, stratified, nesting, rate-accurate") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val n = 20000
+    val docs = (1L to n).toDF("doc_id")
+      .withColumn("stratum",
+        when(col("doc_id") % 2 === 0, lit("a")).otherwise(lit("b")))
+    val half = Pipeline.sampleMix(docs, "doc_id", "stratum",
+      Map("a" -> 0.5, "b" -> 1.0))
+    // determinism + partition independence: same keep-set again on a
+    // different partition count
+    val ids1 = half.collect().map(_.getLong(0)).toSet
+    val ids2 = Pipeline.sampleMix(docs.repartition(13), "doc_id", "stratum",
+      Map("a" -> 0.5, "b" -> 1.0)).collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // stratified: every b kept, a's rate within 3σ of 0.5
+    val bKept = ids1.count(_ % 2 == 1)
+    assert(bKept == n / 2)
+    val aKept = ids1.count(_ % 2 == 0)
+    assert(math.abs(aKept - n / 4.0) < 3 * math.sqrt(n / 2 * 0.25))
+    // nesting: 0.5 of 0.5 (same salt) == 0.25
+    val nested = Pipeline.sampleMix(
+        Pipeline.sampleMix(docs, "doc_id", "stratum", Map("a" -> 0.5),
+          defaultRate = 0.5),
+        "doc_id", "stratum", Map("a" -> 0.25), defaultRate = 0.25)
+      .collect().map(_.getLong(0)).toSet
+    val quarter = Pipeline.sampleMix(docs, "doc_id", "stratum",
+        Map("a" -> 0.25), defaultRate = 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(nested == quarter)
+    // defaultRate 0 drops unknown strata entirely
+    assert(Pipeline.sampleMix(docs, "doc_id", "stratum",
+      Map("zzz" -> 1.0)).count() == 0L)
+  }
+
   test("a near-dup chain collapses to its smallest member") {
     // 10 ~ 11 ~ 12 via one-word edits: component rep = 10
     val chain = Seq(
