@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, MinHashSignature, NgramShingles, SimHashFingerprint}
+import graft.functions.{ChunkDecode, ChunkEncode, DotProduct, MinHashSignature, NgramShingles, SimHashFingerprint}
 
 /** Session extension registering graft's native expressions as SQL
   * functions, so `spark.sql("SELECT graft_dot(a, b) ...")`,
@@ -110,7 +110,28 @@ object GraftFunctions {
       SimHashFingerprint(children.head)
     })
 
-  private[graft] val all = Seq(dotProduct, shingles, minhashSignature, simhash)
+  private[graft] val chunkEncode: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_chunk_encode"),
+    new ExpressionInfo(classOf[ChunkEncode].getName, "graft_chunk_encode"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "graft_chunk_encode(samples, samplesPerChunk) takes exactly 2 arguments")
+      ChunkEncode(children.head, intLit(children(1), "samplesPerChunk"))
+    })
+
+  private[graft] val chunkDecode: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_chunk_decode"),
+    new ExpressionInfo(classOf[ChunkDecode].getName, "graft_chunk_decode"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        "graft_chunk_decode(blob, mint, maxt) takes exactly 3 arguments")
+      ChunkDecode(children.head, children(1), children(2))
+    })
+
+  private[graft] val all =
+    Seq(dotProduct, shingles, minhashSignature, simhash, chunkEncode, chunkDecode)
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit = {

@@ -219,4 +219,29 @@ object EventsStream {
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .partitionBy("bucket")
+
+  /** Streaming ingest into the CHUNKED dual-file layout: each
+    * micro-batch becomes its own mini chunked block
+    * (`root/batch_<id>`) via [[graft.tsdb.ChunkStore.write]], and
+    * background compaction — [[graft.tsdb.ChunkStore.mergeBlocks]]
+    * over the accumulated dirs, exactly the reference's vertical
+    * compaction — folds them into one block whenever the caller
+    * chooses. This is the Prometheus lifecycle re-expressed on
+    * Structured Streaming: live ingest appends small head blocks,
+    * compaction produces the queryable long-term block; LWW on
+    * (series, ts) across batches is inherited from mergeBlocks'
+    * later-dir-wins order (sorted by batch id). Per-micro-batch
+    * work is the same bounded groupBy-encode the batch writer runs;
+    * no state store is needed because blocks are immutable once
+    * written.
+    */
+  def toChunkedBlocks(events: DataFrame, root: String, checkpoint: String,
+      seriesCols: Seq[String], samplesPerChunk: Int = 120) =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          graft.tsdb.ChunkStore.write(batch, f"$root/batch_$id%09d",
+            seriesCols, "ts", "value", samplesPerChunk = samplesPerChunk)
+      }
 }

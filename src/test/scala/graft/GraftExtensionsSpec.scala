@@ -91,4 +91,30 @@ class GraftExtensionsSpec extends SparkSpec {
       .head.getLong(0)
     assert(fp == fpCol)
   }
+
+  test("graft_chunk_encode/decode roundtrip from SQL") {
+    GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT s.ts, s.value FROM (
+        |  SELECT explode(graft_chunk_decode(
+        |    graft_chunk_encode(
+        |      array(named_struct('ts', 1000L, 'value', 1.5D),
+        |            named_struct('ts', 2000L, 'value', 2.5D),
+        |            named_struct('ts', 3000L, 'value', 2.5D)), 2),
+        |    0L, 9999L)) AS s)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((1000L, 1.5), (2000L, 2.5), (3000L, 2.5)))
+    // the mint/maxt frame filter is live from SQL too: samplesPerChunk
+    // 2 put ts=3000 in its own chunk, which a [0, 2500] query skips
+    val filtered = spark.sql(
+      """SELECT s.ts FROM (
+        |  SELECT explode(graft_chunk_decode(
+        |    graft_chunk_encode(
+        |      array(named_struct('ts', 1000L, 'value', 1.5D),
+        |            named_struct('ts', 2000L, 'value', 2.5D),
+        |            named_struct('ts', 3000L, 'value', 2.5D)), 2),
+        |    0L, 2500L)) AS s)""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(filtered == Seq(1000L, 2000L))
+  }
 }

@@ -135,6 +135,42 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("toChunkedBlocks: per-batch mini blocks + compaction ≡ one batch block") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_chunk").toString
+    val mem = MemoryStream[(Timestamp, String, Long, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "user_id", "value")
+    val series = Seq("event_type", "user_id")
+    val query = EventsStream.toChunkedBlocks(
+      events, s"$root/blocks", s"$root/ckpt", series).start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:00:00"), "click", 1L, 1.0),
+        (ts("2024-01-01 11:00:00"), "click", 1L, 2.0))
+      query.processAllAvailable()
+      mem.addData(
+        (ts("2024-01-01 11:00:00"), "click", 1L, 99.0), // revision: later batch wins
+        (ts("2024-01-02 10:00:00"), "view", 2L, 3.0))
+      query.processAllAvailable()
+    } finally query.stop()
+    val dirs = new java.io.File(s"$root/blocks").listFiles()
+      .filter(_.getName.startsWith("batch_")).map(_.toString).sorted.toSeq
+    assert(dirs.size == 2)
+    graft.tsdb.ChunkStore.mergeBlocks(s, dirs, s"$root/compacted",
+      series, "ts", "value")
+    val out = graft.tsdb.ChunkStore.select(s, s"$root/compacted",
+        "2024-01-01 00:00:00", "2024-02-01 00:00:00", Nil,
+        series, "ts", "value")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3.getTime))
+    assert(out.length == 3)
+    assert(out(1)._4 == 99.0) // batch 1's revision of the 11:00 sample won
+    assert(out(2)._1 == "view")
+  }
+
   test("runningIncrease accumulates counter deltas across batches with reset") {
     val s = spark
     import s.implicits._
