@@ -958,6 +958,54 @@ object SparkEntry {
   private val sampleMixRates: Map[String, Double] =
     Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25, "es" -> 0.1)
 
+  /** Deterministic native-histogram fixture: one exponential-bucket
+    * histogram SAMPLE per (series, day), buckets derived with pure
+    * integer arithmetic from the series key and day ordinal so the
+    * oracle re-derives every count exactly. schema=0 (base-2
+    * boundaries `2^i`) keeps every boundary an exact double in both
+    * engines' `pow`. Includes all-empty histograms (seed % 21 == 0)
+    * to pin the NaN path cross-engine.
+    */
+  private def nativeHistTable(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        floor(unix_timestamp(col("ts")) / 86400).cast("long").as("d"))
+      .distinct()
+      .withColumn("seed",
+        col("user_id") * 31 + col("d") * 7 + length(col("event_type")))
+      .withColumn("zero_count", col("seed") % 3)
+      .withColumn("pos_idx", sequence(lit(-2), lit(5)))
+      .withColumn("pos_counts",
+        transform(col("pos_idx"), i => (col("seed") * (i + 3)) % 7))
+
+  /** PromQL `histogram_quantile(0.9, native_histogram)`
+    * ([[tsdb.NativeHistogram.histogramQuantile]]) — the reference's
+    * third chunk-encoding family (EncHistogram/EncFloatHistogram,
+    * schema/encoder.go:118) served to PromQL: per-row exponential-
+    * bucket walk with linear in-bucket interpolation, as a NARROW
+    * fold (no explode, no shuffle). The oracle replays the walk with
+    * an unnest + cumulative window and the identical FP op order.
+    */
+  private def tsNativeHistQuantile(s: SparkSession, dir: String): DataFrame =
+    nativeHistTable(s, dir)
+      .select(col("event_type"), col("user_id"), col("d"),
+        graft.tsdb.NativeHistogram.histogramQuantile(0.9,
+          col("zero_count"), col("pos_idx"), col("pos_counts")).as("phi90"))
+      .orderBy("event_type", "user_id", "d")
+
+  /** PromQL `sum by (label)` over a native-histogram vector
+    * ([[tsdb.NativeHistogram.sumBy]]): bucket-wise count addition
+    * across series — one hash aggregation on (label, bucket idx),
+    * zero bucket rides as idx NULL.
+    */
+  private def tsNativeHistSum(s: SparkSession, dir: String): DataFrame = {
+    val h = nativeHistTable(s, dir)
+    graft.tsdb.NativeHistogram.sumBy(h, Seq("event_type"),
+        "zero_count", "pos_idx", "pos_counts")
+      .withColumn("count", col("count").cast("long"))
+      .orderBy(col("event_type"), col("idx").asc_nulls_last)
+  }
+
   private def chunkBlockPath(dir: String): String =
     "/tmp/graft_chunkblock_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
 
@@ -1299,6 +1347,8 @@ object SparkEntry {
     "ts_chunk_roundtrip" -> (tsChunkRoundtrip _),
     "ts_chunk_select" -> (tsChunkSelect _),
     "ts_chunk_merge" -> (tsChunkMerge _),
+    "ts_native_hist_quantile" -> (tsNativeHistQuantile _),
+    "ts_native_hist_sum" -> (tsNativeHistSum _),
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_clusters" -> (ddClusters _),
@@ -1386,6 +1436,25 @@ object SparkEntry {
     * so a hash match proves the PNG encode→decode→pool→threshold
     * loop is pixel-exact.
     */
+  /** Native-histogram fixture replay: `hz(event_type, user_id, d,
+    * seed, zero_count)` per series-day, `hb(…, i, cnt)` per bucket —
+    * the same integer arithmetic as [[nativeHistTable]].
+    */
+  private val nativeHistCtes: String =
+    """sd AS (
+      |  SELECT DISTINCT event_type, user_id,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+      |  FROM events),
+      |hz AS (
+      |  SELECT event_type, user_id, d,
+      |    user_id * 31 + d * 7 + length(event_type) AS seed,
+      |    (user_id * 31 + d * 7 + length(event_type)) % 3 AS zero_count
+      |  FROM sd),
+      |hb AS (
+      |  SELECT event_type, user_id, d, zero_count, i,
+      |    (seed * (i + 3)) % 7 AS cnt
+      |  FROM hz, unnest(range(-2, 6)) AS t(i))""".stripMargin
+
   private val phashCtes: String =
     """px AS (
       |  SELECT doc_id AS media_id,
@@ -2276,6 +2345,49 @@ object SparkEntry {
         |WHERE event_type = 'view'
         |  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
         |ORDER BY ts_us, user_id, value""".stripMargin,
+    // native-histogram fixture CTEs: re-derive every bucket count
+    // with the same integer arithmetic, then replay the quantile
+    // walk (cumulative window ≡ the Spark fold) with the identical
+    // FP op order; schema-0 boundaries 2^i are exact doubles in both
+    // engines' pow
+    "ts_native_hist_quantile" ->
+      s"""WITH $nativeHistCtes,
+        |r AS (
+        |  SELECT event_type, user_id, d, zero_count, i, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type, user_id, d ORDER BY i)
+        |      + zero_count AS cum,
+        |    0.9 * (sum(cnt) OVER (PARTITION BY event_type, user_id, d)
+        |      + zero_count) AS rank,
+        |    sum(cnt) OVER (PARTITION BY event_type, user_id, d)
+        |      + zero_count AS total
+        |  FROM hb),
+        |pick AS (
+        |  SELECT event_type, user_id, d, i, cnt, cum, rank
+        |  FROM r WHERE cnt > 0 AND cum >= rank
+        |  QUALIFY row_number() OVER (PARTITION BY event_type, user_id, d
+        |    ORDER BY i) = 1),
+        |base AS (
+        |  SELECT DISTINCT event_type, user_id, d, zero_count, total, rank
+        |  FROM r)
+        |SELECT b.event_type, b.user_id, b.d,
+        |  CASE WHEN b.total = 0 THEN CAST('nan' AS DOUBLE)
+        |       WHEN b.zero_count >= b.rank THEN 0.0
+        |       ELSE pow(2.0, p.i - 1) +
+        |         (pow(2.0, p.i) - pow(2.0, p.i - 1)) *
+        |         ((b.rank - (p.cum - p.cnt)) / p.cnt) END AS phi90
+        |FROM base b
+        |LEFT JOIN pick p ON b.event_type = p.event_type
+        |  AND b.user_id = p.user_id AND b.d = p.d
+        |ORDER BY b.event_type, b.user_id, b.d""".stripMargin,
+    "ts_native_hist_sum" ->
+      s"""WITH $nativeHistCtes
+        |SELECT event_type, idx, count FROM (
+        |  SELECT event_type, i AS idx, sum(cnt) AS count
+        |  FROM hb GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT event_type, NULL, sum(zero_count)
+        |  FROM hz GROUP BY 1)
+        |ORDER BY event_type, idx ASC NULLS LAST""".stripMargin,
     // same compaction oracle as ts_merge_blocks, µs precision —
     // the samples additionally roundtrip the XOR codec twice
     "ts_chunk_merge" ->

@@ -292,7 +292,11 @@ object Multimodal {
     require(maxHamming < nBands,
       s"pigeonhole guarantee needs maxHamming ($maxHamming) < nBands ($nBands)")
     val perBand = 8 / nBands
-    val hashed = perceptualHash(media)
+    // both the rep collapse and the member map consume the hashes;
+    // without cutting lineage the image decode (the expensive part)
+    // runs once per consumer. EAGER for the same AQE-race reason as
+    // Dedup.ngramJaccard's candidate checkpoint.
+    val hashed = perceptualHash(media).localCheckpoint()
     val hashCols = (0 until 8).map(g => col(s"b$g"))
     val hashNames = (0 until 8).map(g => s"b$g")
     val reps = hashed.groupBy(hashCols: _*)

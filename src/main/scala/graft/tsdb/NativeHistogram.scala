@@ -1,0 +1,111 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PromQL operations over NATIVE (exponential-bucket) histograms —
+  * the reference's third chunk encoding family
+  * (schema/encoder.go:118-196 re-encodes EncHistogram /
+  * EncFloatHistogram chunks; the query layer serves them to PromQL's
+  * native-histogram functions).
+  *
+  * Row model: one histogram SAMPLE per row, as plain typed columns —
+  *   - `zero_count`: observations in the zero bucket (threshold 0
+  *     here: the bucket is the point 0.0),
+  *   - `pos_idx`:    array<int>, ascending bucket indexes `i`, each
+  *     covering `(base^(i-1), base^i]` with `base = 2^(2^-schema)`
+  *     (Prometheus's exponential schema; negative indexes are
+  *     fractional boundaries),
+  *   - `pos_counts`: array<long>, observations per bucket.
+  * Span run-length plumbing is a wire-format detail of the chunk
+  * encoding; the flattened (idx, count) arrays are the same
+  * information the iterator yields after decoding.
+  *
+  * `histogramQuantile` follows promql/quantile.go's
+  * `histogramQuantile(q, h)`: rank = q·count, walk buckets in
+  * ascending value order (zero bucket first here — positive-only
+  * histograms), pick the first bucket whose cumulative count reaches
+  * the rank, linear interpolation within the bucket:
+  * `lower + (upper − lower) · (rank − cumBefore) / bucketCount`.
+  * Empty histogram → NaN, like Prometheus.
+  *
+  * Everything is a NARROW per-row fold (`aggregate` over the zipped
+  * bucket arrays) — no explode, no shuffle: at 100 TB a range-vector
+  * of native histograms evaluates entirely map-side. schema=0 makes
+  * every boundary `2^i` an exact double, so a SQL oracle replaying
+  * the identical walk is bit-equal (the gate pins that); other
+  * schemas share the same code path via `pow(2, 2^-schema · i)`.
+  */
+object NativeHistogram {
+
+  /** Bucket upper bound for index `i` at `schema`: base^i with
+    * base = 2^(2^-schema). schema 0 → 2^i (FP-exact). */
+  private def upperBound(i: Column, schema: Int): Column =
+    pow(lit(2.0), i.cast("double") * lit(math.pow(2.0, -schema)))
+
+  /** The q-quantile of each row's histogram (see object doc).
+    * Returns a double Column; NaN for an empty histogram. */
+  def histogramQuantile(q: Double, zeroCount: Column, posIdx: Column,
+      posCounts: Column, schema: Int = 0): Column = {
+    require(q >= 0.0 && q <= 1.0, s"q must be in [0,1], got $q")
+    val total = zeroCount +
+      coalesce(aggregate(posCounts, lit(0L), (a, c) => a + c), lit(0L))
+    val rank = lit(q) * total.cast("double")
+    // fold state: (cum count so far, result or null)
+    val folded = aggregate(
+      zip_with(posIdx, posCounts, (i, c) => struct(i.as("i"), c.as("c"))),
+      struct(zeroCount.cast("double").as("cum"),
+        lit(null).cast("double").as("res")),
+      (acc, b) => {
+        val cumNext = acc.getField("cum") + b.getField("c").cast("double")
+        val lower = upperBound(b.getField("i") - 1, schema)
+        val upper = upperBound(b.getField("i"), schema)
+        val inBucket = lower +
+          (upper - lower) *
+            ((rank - acc.getField("cum")) / b.getField("c").cast("double"))
+        when(acc.getField("res").isNotNull, acc)
+          .when(cumNext >= rank && b.getField("c") > 0,
+            struct(cumNext.as("cum"), inBucket.as("res")))
+          .otherwise(struct(cumNext.as("cum"),
+            lit(null).cast("double").as("res")))
+      },
+      acc => acc.getField("res"))
+    when(total === 0, lit(Double.NaN))
+      .when(zeroCount.cast("double") >= rank, lit(0.0))
+      .otherwise(coalesce(folded,
+        // rank beyond the last bucket (q=1 lands exactly on the last
+        // cum, handled in the fold; this is pure FP-slack guard):
+        // the highest populated bucket's upper bound
+        upperBound(element_at(posIdx, -1), schema)))
+  }
+
+  /** PromQL `histogram_count`/`histogram_sum` are plain column
+    * reads in this model; `histogram_avg` is their ratio. */
+  def histogramCount(zeroCount: Column, posCounts: Column): Column =
+    zeroCount + coalesce(aggregate(posCounts, lit(0L), (a, c) => a + c), lit(0L))
+
+  /** Bucket-wise aggregation of native histograms across series
+    * (PromQL `sum by (labels)` over a native-histogram vector):
+    * explode the sparse (idx, count) pairs, one hash aggregation on
+    * (labels…, idx) — corpus-cardinality shuffle key, partial
+    * map-side combine — and the zero bucket sums alongside.
+    * Returns one row per (labels…, idx) plus idx NULL for the zero
+    * bucket, counts summed.
+    */
+  def sumBy(df: DataFrame, labelCols: Seq[String], zeroCountCol: String,
+      posIdxCol: String, posCountsCol: String): DataFrame = {
+    val keys = labelCols.map(col)
+    val buckets = df
+      .select(keys :+
+        explode(zip_with(col(posIdxCol), col(posCountsCol),
+          (i, c) => struct(i.as("idx"), c.as("cnt")))).as("b"): _*)
+      .groupBy(keys :+ col("b.idx").as("idx"): _*)
+      .agg(sum(col("b.cnt")).as("count"))
+    val zeros = df.groupBy(keys: _*)
+      .agg(sum(col(zeroCountCol)).as("count"))
+      .withColumn("idx", lit(null).cast("int"))
+      .select(keys :+ col("idx") :+ col("count"): _*)
+    buckets.select(keys :+ col("idx") :+ col("count"): _*)
+      .unionByName(zeros)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.tsdb.NativeHistogram
+
+class NativeHistogramSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Scala reference: the same promql/quantile.go walk, scalar. */
+  private def refQuantile(q: Double, zero: Long, idx: Seq[Int],
+      counts: Seq[Long], schema: Int = 0): Double = {
+    def ub(i: Int): Double = StrictMath.pow(2.0, math.pow(2.0, -schema) * i)
+    val total = zero + counts.sum
+    if (total == 0) return Double.NaN
+    val rank = q * total
+    if (zero.toDouble >= rank) return 0.0
+    var cum = zero.toDouble
+    idx.zip(counts).foreach { case (i, c) =>
+      if (c > 0 && cum + c >= rank) {
+        val lower = ub(i - 1); val upper = ub(i)
+        return lower + (upper - lower) * ((rank - cum) / c)
+      }
+      cum += c
+    }
+    ub(idx.last)
+  }
+
+  private def quantileOf(q: Double, zero: Long, idx: Seq[Int],
+      counts: Seq[Long], schema: Int = 0): Double =
+    Seq((zero, idx, counts)).toDF("z", "i", "c")
+      .select(NativeHistogram.histogramQuantile(q, col("z"),
+        col("i"), col("c"), schema).as("v"))
+      .head().getDouble(0)
+
+  test("histogramQuantile matches the scalar promql walk") {
+    val idx = Seq(-2, -1, 0, 1, 2, 3)
+    val counts = Seq(1L, 0L, 4L, 10L, 3L, 2L)
+    for (q <- Seq(0.0, 0.1, 0.5, 0.9, 0.99, 1.0)) {
+      val got = quantileOf(q, 5L, idx, counts)
+      val want = refQuantile(q, 5L, idx, counts)
+      assert(java.lang.Double.compare(got, want) == 0,
+        s"q=$q: got $got want $want")
+    }
+  }
+
+  test("edge cases: empty → NaN, zero-bucket rank → 0, q=1 → top upper") {
+    assert(quantileOf(0.5, 0L, Seq(0), Seq(0L)).isNaN)
+    assert(quantileOf(0.1, 100L, Seq(1), Seq(1L)) == 0.0)
+    // q=1 lands exactly on the last cumulative → last bucket's upper
+    assert(quantileOf(1.0, 0L, Seq(1, 2), Seq(3L, 5L)) == 4.0) // 2^2
+    // single bucket, q=0.5: lower + (upper-lower) * (rank/c)
+    val v = quantileOf(0.5, 0L, Seq(1), Seq(4L))
+    assert(v == 1.0 + (2.0 - 1.0) * (2.0 / 4.0))
+  }
+
+  test("schema > 0: fractional-power boundaries, randomized vs scalar walk") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 50) {
+      val schema = rnd.nextInt(4) // 0..3
+      val n = 1 + rnd.nextInt(6)
+      val start = rnd.nextInt(9) - 4
+      val idx = (start until start + n)
+      val counts = idx.map(_ => rnd.nextInt(5).toLong)
+      val zero = rnd.nextInt(3).toLong
+      val q = rnd.nextDouble()
+      val got = quantileOf(q, zero, idx, counts, schema)
+      val want = refQuantile(q, zero, idx, counts, schema)
+      assert(java.lang.Double.compare(got, want) == 0,
+        s"schema=$schema q=$q idx=$idx counts=$counts zero=$zero: got $got want $want")
+    }
+  }
+
+  test("sumBy aggregates buckets across series, zero bucket as idx NULL") {
+    val df = Seq(
+      ("a", 2L, Seq(0, 1), Seq(1L, 2L)),
+      ("a", 3L, Seq(1, 2), Seq(5L, 7L)),
+      ("b", 1L, Seq(0), Seq(9L))
+    ).toDF("lbl", "z", "i", "c")
+    val out = NativeHistogram.sumBy(df, Seq("lbl"), "z", "i", "c")
+      .collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)), r.getLong(2)))
+      .toSet
+    assert(out == Set(
+      ("a", Some(0), 1L), ("a", Some(1), 7L), ("a", Some(2), 7L),
+      ("a", None, 5L),
+      ("b", Some(0), 9L), ("b", None, 1L)))
+  }
+}
