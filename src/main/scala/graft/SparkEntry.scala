@@ -1006,6 +1006,20 @@ object SparkEntry {
       .orderBy(col("event_type"), col("idx").asc_nulls_last)
   }
 
+  /** PromQL `histogram_fraction(1, 8, native_histogram)`
+    * ([[tsdb.NativeHistogram.histogramFraction]]): bounds aligned on
+    * the schema-0 bucket boundaries 2^0 and 2^3, so every bucket's
+    * overlap share is exactly 0 or 1 and the result is one exact
+    * integer-sum division — interpolated shares are spec-pinned
+    * (NativeHistogramSpec). Zero bucket excluded (0 ∉ [1, 8]).
+    */
+  private def tsNativeHistFraction(s: SparkSession, dir: String): DataFrame =
+    nativeHistTable(s, dir)
+      .select(col("event_type"), col("user_id"), col("d"),
+        graft.tsdb.NativeHistogram.histogramFraction(1.0, 8.0,
+          col("zero_count"), col("pos_idx"), col("pos_counts")).as("frac"))
+      .orderBy("event_type", "user_id", "d")
+
   private def chunkBlockPath(dir: String): String =
     "/tmp/graft_chunkblock_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
 
@@ -1349,6 +1363,7 @@ object SparkEntry {
     "ts_chunk_merge" -> (tsChunkMerge _),
     "ts_native_hist_quantile" -> (tsNativeHistQuantile _),
     "ts_native_hist_sum" -> (tsNativeHistSum _),
+    "ts_native_hist_fraction" -> (tsNativeHistFraction _),
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_clusters" -> (ddClusters _),
@@ -2379,6 +2394,20 @@ object SparkEntry {
         |LEFT JOIN pick p ON b.event_type = p.event_type
         |  AND b.user_id = p.user_id AND b.d = p.d
         |ORDER BY b.event_type, b.user_id, b.d""".stripMargin,
+    // buckets 1..3 are exactly (1,2],(2,4],(4,8] — overlap share 0
+    // or 1 — so the fraction is an exact integer-sum division; the
+    // operator's per-bucket c*share additions stay integral doubles
+    "ts_native_hist_fraction" ->
+      s"""WITH $nativeHistCtes
+        |SELECT event_type, user_id, d,
+        |  CASE WHEN sum(cnt) + max(zero_count) = 0
+        |       THEN CAST('nan' AS DOUBLE)
+        |       ELSE CAST(sum(CASE WHEN i BETWEEN 1 AND 3 THEN cnt
+        |                          ELSE 0 END) AS DOUBLE) /
+        |            CAST(sum(cnt) + max(zero_count) AS DOUBLE) END AS frac
+        |FROM hb
+        |GROUP BY event_type, user_id, d
+        |ORDER BY event_type, user_id, d""".stripMargin,
     "ts_native_hist_sum" ->
       s"""WITH $nativeHistCtes
         |SELECT event_type, idx, count FROM (

@@ -84,6 +84,40 @@ object NativeHistogram {
   def histogramCount(zeroCount: Column, posCounts: Column): Column =
     zeroCount + coalesce(aggregate(posCounts, lit(0L), (a, c) => a + c), lit(0L))
 
+  /** PromQL `histogram_fraction(lower, upper, h)`: estimated
+    * fraction of observations in [lower, upper] — per bucket, the
+    * linear-overlap share `max(0, min(upper,bu) − max(lower,bl)) /
+    * (bu − bl)` of its count (promql/quantile.go
+    * histogramFraction's interpolation), plus the zero bucket's
+    * point mass at 0 when the interval covers it. Same narrow fold
+    * as [[histogramQuantile]]; NaN for an empty histogram. Bounds
+    * aligned on bucket boundaries make every per-bucket share
+    * exactly 0 or 1 — the FP-exact configuration the gate query
+    * uses; interpolated shares are spec-pinned.
+    */
+  def histogramFraction(lower: Double, upper: Double, zeroCount: Column,
+      posIdx: Column, posCounts: Column, schema: Int = 0): Column = {
+    require(lower <= upper, s"lower ($lower) must be ≤ upper ($upper)")
+    val total = zeroCount +
+      coalesce(aggregate(posCounts, lit(0L), (a, c) => a + c), lit(0L))
+    val zeroContrib =
+      if (lower <= 0.0 && 0.0 <= upper) zeroCount.cast("double") else lit(0.0)
+    val inBuckets = aggregate(
+      zip_with(posIdx, posCounts, (i, c) => struct(i.as("i"), c.as("c"))),
+      lit(0.0),
+      (acc, b) => {
+        val bl = upperBound(b.getField("i") - 1, schema)
+        val bu = upperBound(b.getField("i"), schema)
+        val share = greatest(
+          least(lit(upper), bu) - greatest(lit(lower), bl), lit(0.0)) /
+          (bu - bl)
+        acc + b.getField("c").cast("double") * share
+      })
+    when(total === 0, lit(Double.NaN))
+      .otherwise((zeroContrib + coalesce(inBuckets, lit(0.0))) /
+        total.cast("double"))
+  }
+
   /** Bucket-wise aggregation of native histograms across series
     * (PromQL `sum by (labels)` over a native-histogram vector):
     * explode the sparse (idx, count) pairs, one hash aggregation on

@@ -71,6 +71,42 @@ class NativeHistogramSpec extends SparkSpec {
     }
   }
 
+  test("histogramFraction matches a scalar overlap walk, incl. interpolation") {
+    def refFraction(lo: Double, hi: Double, zero: Long, idx: Seq[Int],
+        counts: Seq[Long], schema: Int = 0): Double = {
+      def ub(i: Int): Double = StrictMath.pow(2.0, math.pow(2.0, -schema) * i)
+      val total = zero + counts.sum
+      if (total == 0) return Double.NaN
+      var acc = 0.0
+      idx.zip(counts).foreach { case (i, c) =>
+        val bl = ub(i - 1); val bu = ub(i)
+        val share = math.max(math.min(hi, bu) - math.max(lo, bl), 0.0) / (bu - bl)
+        acc += c * share
+      }
+      val z = if (lo <= 0.0 && 0.0 <= hi) zero.toDouble else 0.0
+      (z + acc) / total
+    }
+    def fractionOf(lo: Double, hi: Double, zero: Long, idx: Seq[Int],
+        counts: Seq[Long], schema: Int = 0): Double =
+      Seq((zero, idx, counts)).toDF("z", "i", "c")
+        .select(NativeHistogram.histogramFraction(lo, hi, col("z"),
+          col("i"), col("c"), schema).as("v"))
+        .head().getDouble(0)
+    val idx = Seq(-1, 0, 1, 2, 3)
+    val counts = Seq(2L, 3L, 5L, 4L, 1L)
+    // boundary-aligned (exact), straddling (interpolated), covering-zero
+    for ((lo, hi) <- Seq((1.0, 8.0), (0.75, 3.0), (-1.0, 1.5), (0.0, 0.0),
+        (10.0, 20.0))) {
+      val got = fractionOf(lo, hi, 4L, idx, counts)
+      val want = refFraction(lo, hi, 4L, idx, counts)
+      assert(java.lang.Double.compare(got, want) == 0,
+        s"[$lo,$hi]: got $got want $want")
+    }
+    assert(fractionOf(0.0, 1.0, 0L, Seq(1), Seq(0L)).isNaN)
+    // sanity: full-range fraction is 1
+    assert(fractionOf(0.0, 1e9, 4L, idx, counts) == 1.0)
+  }
+
   test("sumBy aggregates buckets across series, zero bucket as idx NULL") {
     val df = Seq(
       ("a", 2L, Seq(0, 1), Seq(1L, 2L)),
