@@ -37,13 +37,20 @@ object ChunkStore {
 
   private def tsUs(tsCol: String): Column = unix_micros(col(tsCol))
 
-  /** Stable series ref: xxhash64 over the label VALUES in caller
-    * column order (the caller's `seriesCols` is the schema, so the
-    * hash is deterministic for a layout like the reference's
-    * data-file row index is for one converted block).
+  /** Stable series ref: TWO independent xxhash64s over the label
+    * VALUES in caller column order (the second seeded by a leading
+    * literal), joined together — 128 bits total. One 64-bit key has
+    * ~3% birthday-collision odds at 10⁹ series (a collision silently
+    * MERGES two series' chunks); at 128 bits the odds are ~10⁻²⁰.
+    * The reference gets this for free from per-file row alignment
+    * (labels row i ↔ chunks row i); a distributed layout needs the
+    * join key to carry the identity.
     */
-  private def seriesRef(seriesCols: Seq[String]): Column =
-    xxhash64(seriesCols.map(col): _*)
+  private val refCols = Seq("series_ref", "series_ref2")
+
+  private def withSeriesRef(df: DataFrame, seriesCols: Seq[String]): DataFrame =
+    df.withColumn("series_ref", xxhash64(seriesCols.map(col): _*))
+      .withColumn("series_ref2", xxhash64(lit(1) +: seriesCols.map(col): _*))
 
   /** Write `df` as a chunked dual-file block at `path`:
     * `path/labels` (series_ref + label columns, sorted) and
@@ -54,14 +61,13 @@ object ChunkStore {
       tsCol: String, valueCol: String, colDuration: String = "1 day",
       samplesPerChunk: Int = 120, compression: String = "zstd"): Unit = {
     require(seriesCols.nonEmpty, "need at least one series label column")
-    val withKey = df
-      .withColumn("series_ref", seriesRef(seriesCols))
+    val withKey = withSeriesRef(df, seriesCols)
       .withColumn("bucket", TsdbConverter.bucketCol(tsCol, colDuration))
       .withColumn("_ts_us", tsUs(tsCol))
 
     // labels side is series-cardinality (can be millions at 100 TB):
     // range-partition + sort, never a single-file coalesce
-    withKey.select((seriesCols.map(col) :+ col("series_ref")): _*)
+    withKey.select((seriesCols ++ refCols).map(col): _*)
       .distinct()
       .repartitionByRange(seriesCols.map(col): _*)
       .sortWithinPartitions(seriesCols.map(col): _*)
@@ -73,7 +79,7 @@ object ChunkStore {
         sort_array(collect_list(struct(col("_ts_us").as("ts"),
           col(valueCol).cast("double").as("value"))))),
       samplesPerChunk))
-    withKey.groupBy(col("series_ref"), col("bucket"))
+    withKey.groupBy(refCols.map(col) :+ col("bucket"): _*)
       .agg(
         min(col("_ts_us")).as("mint"),
         max(col("_ts_us")).as("maxt"),
@@ -116,7 +122,7 @@ object ChunkStore {
       // frame-level metadata filter → parquet row-group stats prune
       // before any blob is even read
       .filter(col("maxt") >= qmint && col("mint") < qmaxt)
-      .join(broadcast(matched), "series_ref")
+      .join(broadcast(matched), refCols)
   }
 
   private def decodeSamples(chunks: DataFrame, mint: String, maxt: String,

@@ -70,7 +70,7 @@ class ChunkStoreSpec extends SparkSpec {
   test("chunks file stores framed blobs with mint/maxt metadata") {
     val chunks = spark.read.parquet(s"$blockPath/chunks")
     assert(chunks.columns.toSet ==
-      Set("series_ref", "bucket", "mint", "maxt", "n_samples", "data"))
+      Set("series_ref", "series_ref2", "bucket", "mint", "maxt", "n_samples", "data"))
     // 60 series × multi-day span, samplesPerChunk 16 → every blob
     // has ≥ 1 frame and metadata brackets its samples
     val bad = chunks.filter(col("mint") > col("maxt")).count()
@@ -80,7 +80,7 @@ class ChunkStoreSpec extends SparkSpec {
     // labels file: one row per distinct series
     val labels = spark.read.parquet(s"$blockPath/labels")
     assert(labels.count() == 60)
-    assert(labels.select("series_ref").distinct().count() == 60)
+    assert(labels.select("series_ref", "series_ref2").distinct().count() == 60)
   }
 
   test("selectStrict enforces the REAL encoded chunk-byte quota") {
@@ -104,8 +104,9 @@ class ChunkStoreSpec extends SparkSpec {
     // range must pass a quota the full range exceeds
     val totalBytes = spark.read.parquet(s"$blockPath/chunks")
       .join(spark.read.parquet(s"$blockPath/labels")
-        .filter(col("event_type") === "click").select("series_ref"),
-        "series_ref")
+        .filter(col("event_type") === "click")
+        .select("series_ref", "series_ref2"),
+        Seq("series_ref", "series_ref2"))
       .agg(sum(length(col("data")))).head().getLong(0)
     val narrow = ChunkStore.selectStrict(spark, blockPath,
       "2024-01-01 00:00:00", "2024-01-01 06:00:00",
