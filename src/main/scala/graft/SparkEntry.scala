@@ -1020,6 +1020,133 @@ object SparkEntry {
           col("zero_count"), col("pos_idx"), col("pos_counts")).as("frac"))
       .orderBy("event_type", "user_id", "d")
 
+  /** PromQL `histogram_count` / `histogram_sum` / `histogram_avg`
+    * over the native-histogram vector
+    * ([[tsdb.NativeHistogram.histogramAvg]]): the tracked sum rides
+    * as a synthetic exact-quarter column (`(seed % 400) · 0.25` —
+    * every value an exact double), count folds the buckets narrow,
+    * avg is their single division (NaN on empty histograms, like
+    * Prometheus). All map-side; no shuffle beyond the fixture's.
+    */
+  private def tsNativeHistStats(s: SparkSession, dir: String): DataFrame = {
+    val h = nativeHistTable(s, dir)
+      .withColumn("hsum", (col("seed") % 400).cast("double") * 0.25)
+    h.select(col("event_type"), col("user_id"), col("d"),
+        graft.tsdb.NativeHistogram.histogramCount(
+          col("zero_count"), col("pos_counts")).as("h_count"),
+        col("hsum").as("h_sum"),
+        graft.tsdb.NativeHistogram.histogramAvg(col("hsum"),
+          col("zero_count"), col("pos_counts")).as("h_avg"))
+      .orderBy("event_type", "user_id", "d")
+  }
+
+  /** Deterministic COUNTER native-histogram fixture for the rate
+    * path: cumulative bucket counts `d² · k_bucket` — strictly
+    * monotone per bucket, exact integers — with bucket index 5
+    * APPEARING only from day 19740 (so the first/last snapshots can
+    * have different bucket sets and the missing-first-index → 0 path
+    * is exercised on the gate, not just in specs).
+    */
+  private def nativeHistCounterTable(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        floor(unix_timestamp(col("ts")) / 86400).cast("long").as("d"))
+      .distinct()
+      .withColumn("sseed", col("user_id") * 31 + length(col("event_type")))
+      .withColumn("t_sec", col("d") * 86400)
+      .withColumn("zero_count", col("d") * col("d") * (col("sseed") % 3))
+      .withColumn("pos_idx",
+        sequence(lit(-2), when(col("d") >= 19740, lit(5)).otherwise(lit(4))))
+      .withColumn("pos_counts",
+        transform(col("pos_idx"),
+          i => col("d") * col("d") * ((col("sseed") + i + 3) % 5)))
+
+  /** PromQL `rate(native_histogram[range])`
+    * ([[tsdb.NativeHistogram.rateBy]]): bucket-wise counter rate
+    * between each series' first and last histogram sample — ONE
+    * series-keyed aggregation picks the snapshots, the subtraction
+    * is a narrow map-side `zip_with` against a first-snapshot map
+    * lookup (missing first-side buckets read 0, decreases clamp).
+    * The gate explodes the rated buckets only to flatten for the
+    * oracle hash.
+    */
+  private def tsNativeHistRate(s: SparkSession, dir: String): DataFrame = {
+    val rated = graft.tsdb.NativeHistogram.rateBy(
+      nativeHistCounterTable(s, dir), Seq("event_type", "user_id"),
+      "t_sec", "zero_count", "pos_idx", "pos_counts")
+    rated.select(col("event_type"), col("user_id"), col("dt_sec"),
+        col("zero_rate"),
+        explode(zip_with(col("pos_idx"), col("pos_rate"),
+          (i, r) => struct(i.as("idx"), r.as("rate")))).as("b"))
+      .select(col("event_type"), col("user_id"), col("dt_sec"),
+        col("zero_rate"), col("b.idx").as("idx"), col("b.rate").as("rate"))
+      .orderBy("event_type", "user_id", "idx")
+  }
+
+  /** PromQL set operators `and` / `or` / `unless` between instant
+    * vectors matched `on(user_id)` ([[tsdb.PromOps.vectorAnd]]
+    * family): v1 = per-user click sums, v2 = per-user purchase sums;
+    * the three results union under an `op` tag. `and`/`unless` are
+    * LEFT SEMI / LEFT ANTI joins (the right side's values never
+    * materialize and can never fan the left out); `or` is PromQL's
+    * left-biased union (v1 plus v2's unmatched series).
+    */
+  private def tsSetOps(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def vec(et: String) = ev.filter(col("event_type") === et)
+      .groupBy(col("user_id")).agg(dsum(col("value")).as("value"))
+    val c = vec("click")
+    val p = vec("purchase")
+    PromOps.vectorAnd(c, p, Seq("user_id")).withColumn("op", lit("and"))
+      .unionByName(PromOps.vectorUnless(c, p, Seq("user_id"))
+        .withColumn("op", lit("unless")))
+      .unionByName(PromOps.vectorOr(c, p, Seq("user_id"))
+        .withColumn("op", lit("or")))
+      .select(col("op"), col("user_id"), col("value"))
+      .orderBy("op", "user_id")
+  }
+
+  /** PromQL `absent_over_time` / `present_over_time` over a step
+    * grid ([[tsdb.PromOps.absentOverTime]]): a sparse selection
+    * (purchases of the user_id % 50 == 7 cohort), hourly steps over
+    * Jan 3–10 with a 4 h range-vector window — per step the window's
+    * sample count and the absent flag. Samples map to covered steps
+    * with a bounded sequence explode (window/step entries each);
+    * never a per-step rescan, never a range join.
+    */
+  private def tsAbsentOverTime(s: SparkSession, dir: String): DataFrame = {
+    val sel = t(s, dir, "events")
+      .filter(col("event_type") === "purchase" &&
+        pmod(col("user_id"), lit(50)) === 7)
+    PromOps.absentOverTime(sel, "ts",
+        startSec = 1704240000L, endSec = 1704844800L,
+        stepSec = 3600L, windowSec = 14400L)
+      .orderBy("step_sec")
+  }
+
+  /** As-of join ([[operators.AsOf.asofJoin]]): each purchase event
+    * enriched with the user's most recent click at or before it —
+    * the temporal-join primitive, via the union+window formulation
+    * (ONE user-keyed shuffle, no join, linear per key; the naive
+    * range-join form expands quadratically per key group). Clicks
+    * pre-collapse to one row per (user, ts) so ties are impossible
+    * by construction; DuckDB's native ASOF JOIN is the oracle.
+    */
+  private def tsAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("value"))
+    operators.AsOf.asofJoin(purchases, clicks, Seq("user_id"),
+        "ts", "ts", Seq("ts", "value"))
+      .select(col("event_id"), col("user_id"), ms(col("ts")).as("ts_ms"),
+        col("value"), ms(col("asof_ts")).as("click_ts_ms"),
+        col("asof_value").as("click_value"))
+      .orderBy("event_id")
+  }
+
   private def chunkBlockPath(dir: String): String =
     "/tmp/graft_chunkblock_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
 
@@ -1143,6 +1270,19 @@ object SparkEntry {
     * ([[operators.TextStats.repetition]]). */
   private def txtRepetition(s: SparkSession, dir: String): DataFrame =
     operators.TextStats.repetition(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy("doc_id")
+
+  /** Cross-document duplicated-n-gram coverage
+    * ([[operators.TextStats.dupNgramCoverage]]): per document, the
+    * fraction of its distinct word 5-grams that occur in ≥1 other
+    * document — the MassiveText/RefinedWeb inter-document
+    * boilerplate signal that whole-document dedup misses. One
+    * gram-keyed aggregation + one gram-keyed join, both at corpus
+    * cardinality.
+    */
+  private def txtDupNgrams(s: SparkSession, dir: String): DataFrame =
+    operators.TextStats.dupNgramCoverage(
+        t(s, dir, "documents"), "text", "doc_id", n = 5)
       .orderBy("doc_id")
 
   /** Benchmark decontamination ([[Dedup.decontaminate]]): the
@@ -1364,6 +1504,11 @@ object SparkEntry {
     "ts_native_hist_quantile" -> (tsNativeHistQuantile _),
     "ts_native_hist_sum" -> (tsNativeHistSum _),
     "ts_native_hist_fraction" -> (tsNativeHistFraction _),
+    "ts_native_hist_stats" -> (tsNativeHistStats _),
+    "ts_native_hist_rate" -> (tsNativeHistRate _),
+    "ts_set_ops" -> (tsSetOps _),
+    "ts_absent_over_time" -> (tsAbsentOverTime _),
+    "ts_asof_join" -> (tsAsofJoin _),
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_clusters" -> (ddClusters _),
@@ -1383,6 +1528,7 @@ object SparkEntry {
     "txt_lang_id" -> (txtLangId _),
     "txt_fingerprint" -> (txtFingerprint _),
     "txt_repetition" -> (txtRepetition _),
+    "txt_dup_ngrams" -> (txtDupNgrams _),
     "txt_pii_scrub" -> (txtPiiScrub _),
     "dd_decontaminate" -> (ddDecontaminate _),
     "mm_features" -> (mmFeatures _),
@@ -2417,6 +2563,102 @@ object SparkEntry {
         |  SELECT event_type, NULL, sum(zero_count)
         |  FROM hz GROUP BY 1)
         |ORDER BY event_type, idx ASC NULLS LAST""".stripMargin,
+    // h_sum is the synthetic exact-quarter sum column; h_avg its one
+    // division by the folded count — identical operands both engines
+    "ts_native_hist_stats" ->
+      s"""WITH $nativeHistCtes,
+        |tot AS (
+        |  SELECT event_type, user_id, d,
+        |    max(zero_count) + sum(cnt) AS h_count,
+        |    CAST(max(seed) % 400 AS DOUBLE) * 0.25 AS h_sum
+        |  FROM (SELECT hb.*, hz.seed FROM hb
+        |        JOIN hz USING (event_type, user_id, d))
+        |  GROUP BY 1, 2, 3)
+        |SELECT event_type, user_id, d,
+        |  CAST(h_count AS BIGINT) AS h_count, h_sum,
+        |  CASE WHEN h_count = 0 THEN CAST('nan' AS DOUBLE)
+        |       ELSE h_sum / CAST(h_count AS DOUBLE) END AS h_avg
+        |FROM tot
+        |ORDER BY event_type, user_id, d""".stripMargin,
+    // counter fixture: cumulative count d²·k per bucket, bucket 5
+    // appears from day 19740; rate = (last−first)/Δt bucket-wise
+    // with missing-first → 0 — exact integers up to one division
+    "ts_native_hist_rate" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |series AS (
+        |  SELECT event_type, user_id,
+        |    user_id * 31 + length(event_type) AS sseed,
+        |    min(d) AS df, max(d) AS dl
+        |  FROM days GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+        |buckets AS (
+        |  SELECT s.*, CAST(i AS INT) AS idx
+        |  FROM series s, unnest(range(-2, 6)) AS t(i)
+        |  WHERE i <= (CASE WHEN dl >= 19740 THEN 5 ELSE 4 END))
+        |SELECT event_type, user_id,
+        |  CAST((dl - df) * 86400 AS DOUBLE) AS dt_sec,
+        |  CAST(greatest(dl*dl*(sseed % 3) - df*df*(sseed % 3), 0) AS DOUBLE)
+        |    / CAST((dl - df) * 86400 AS DOUBLE) AS zero_rate,
+        |  idx,
+        |  CAST(greatest(dl*dl*((sseed + idx + 3) % 5) -
+        |    (CASE WHEN idx <= (CASE WHEN df >= 19740 THEN 5 ELSE 4 END)
+        |          THEN df*df*((sseed + idx + 3) % 5) ELSE 0 END), 0) AS DOUBLE)
+        |    / CAST((dl - df) * 86400 AS DOUBLE) AS rate
+        |FROM buckets
+        |ORDER BY event_type, user_id, idx""".stripMargin,
+    // and/unless = semi/anti membership on the match labels; or =
+    // left-biased union (v1 plus v2's unmatched series)
+    "ts_set_ops" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS value
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id),
+        |p AS (
+        |  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT op, user_id, value FROM (
+        |  SELECT 'and' AS op, user_id, value FROM c
+        |  WHERE user_id IN (SELECT user_id FROM p)
+        |  UNION ALL
+        |  SELECT 'unless', user_id, value FROM c
+        |  WHERE user_id NOT IN (SELECT user_id FROM p)
+        |  UNION ALL
+        |  SELECT 'or', user_id, value FROM c
+        |  UNION ALL
+        |  SELECT 'or', user_id, value FROM p
+        |  WHERE user_id NOT IN (SELECT user_id FROM c))
+        |ORDER BY op, user_id""".stripMargin,
+    // hourly grid Jan 3–10, 4 h window: n_samples per (t-4h, t],
+    // absent flag when none — the oracle allows itself the range
+    // join the operator deliberately avoids
+    "ts_absent_over_time" ->
+      """WITH grid AS (
+        |  SELECT CAST(range AS BIGINT) AS step_sec
+        |  FROM range(1704240000, 1704844800 + 1, 3600)),
+        |sel AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS x FROM events
+        |  WHERE event_type = 'purchase' AND user_id % 50 = 7)
+        |SELECT g.step_sec, count(s.x) AS n_samples,
+        |  CASE WHEN count(s.x) = 0 THEN 1.0 ELSE 0.0 END AS absent
+        |FROM grid g LEFT JOIN sel s
+        |  ON s.x > g.step_sec - 14400 AND s.x <= g.step_sec
+        |GROUP BY g.step_sec
+        |ORDER BY g.step_sec""".stripMargin,
+    // DuckDB's native ASOF JOIN is the oracle for the union+window
+    // formulation; clicks pre-collapsed to one row per (user, ts)
+    "ts_asof_join" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, ts, max(value) AS value FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms, p.value,
+        |  epoch_ms(c.ts) AS click_ts_ms, c.value AS click_value
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
     // same compaction oracle as ts_merge_blocks, µs precision —
     // the samples additionally roundtrip the XOR codec twice
     "ts_chunk_merge" ->
@@ -2642,6 +2884,29 @@ object SparkEntry {
         |SELECT doc_id, n_words, dup_word_frac,
         |  coalesce(top_bigram_frac, 0.0) AS top_bigram_frac
         |FROM base LEFT JOIN top USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // distinct word 5-grams per doc, corpus df, per-doc duplicated
+    // coverage; docs with <5 words report 0
+    "txt_dup_ngrams" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(ws[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')
+        |      AS gram
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i
+        |        FROM w WHERE len(ws) >= 5)),
+        |dfreq AS (SELECT gram, count(*) AS df FROM grams GROUP BY gram),
+        |per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup
+        |  FROM grams JOIN dfreq USING (gram) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(p.n_grams, 0) AS n_grams,
+        |  coalesce(p.n_dup, 0) AS n_dup,
+        |  coalesce(round(CAST(p.n_dup AS DOUBLE) / p.n_grams, 4), 0.0)
+        |    AS dup_ngram_frac
+        |FROM documents d LEFT JOIN per p USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     // replays salt + scrub + counts; patterns are Java/RE2-identical
     "txt_pii_scrub" ->

@@ -84,6 +84,84 @@ object NativeHistogram {
   def histogramCount(zeroCount: Column, posCounts: Column): Column =
     zeroCount + coalesce(aggregate(posCounts, lit(0L), (a, c) => a + c), lit(0L))
 
+  /** PromQL `histogram_avg(h)`: the tracked observation sum divided
+    * by the count — one division, NaN for an empty histogram (like
+    * Prometheus's avg over a zero-count histogram). */
+  def histogramAvg(sumCol: Column, zeroCount: Column,
+      posCounts: Column): Column = {
+    val n = histogramCount(zeroCount, posCounts)
+    when(n === 0, lit(Double.NaN))
+      .otherwise(sumCol.cast("double") / n.cast("double"))
+  }
+
+  /** PromQL `histogram_stddev`/`histogram_stdvar` (promql/quantile.go
+    * histogramStdDev): mean = sum/count; each bucket contributes
+    * `count_b · (mid_b − mean)²` with `mid_b` the arithmetic middle
+    * of the bucket bounds (the zero bucket's middle is 0 at
+    * threshold 0); stdvar = Σ/count, stddev its square root. A
+    * narrow fold like [[histogramQuantile]] — no explode, no
+    * shuffle; NaN for an empty histogram.
+    */
+  def histogramStdvar(sumCol: Column, zeroCount: Column, posIdx: Column,
+      posCounts: Column, schema: Int = 0): Column = {
+    val n = histogramCount(zeroCount, posCounts)
+    val mean = sumCol.cast("double") / n.cast("double")
+    val zeroDev = zeroCount.cast("double") * mean * mean
+    val posDev = aggregate(
+      zip_with(posIdx, posCounts, (i, c) => struct(i.as("i"), c.as("c"))),
+      lit(0.0),
+      (acc, b) => {
+        val mid = (upperBound(b.getField("i") - 1, schema) +
+          upperBound(b.getField("i"), schema)) / 2.0
+        acc + b.getField("c").cast("double") * (mid - mean) * (mid - mean)
+      })
+    when(n === 0, lit(Double.NaN))
+      .otherwise((zeroDev + coalesce(posDev, lit(0.0))) / n.cast("double"))
+  }
+
+  /** PromQL `rate(native_histogram[range])`: the bucket-wise counter
+    * rate between each series' FIRST and LAST histogram sample in
+    * the selected range — `(last_b − first_b) / Δt` per bucket, the
+    * zero bucket alongside (what a native-histogram range vector
+    * feeds `histogram_quantile(φ, rate(h[5m]))` with). Buckets may
+    * APPEAR over a counter's lifetime, so missing first-side indexes
+    * read as 0; per-bucket decreases (a counter reset mid-range)
+    * clamp to 0 like PromQL's rate.
+    *
+    * Shape at scale: ONE hash aggregation on the series key picks
+    * first/last snapshots via min/max over (ts, …) structs
+    * (partial-aggregating map-side); the bucket subtraction is then
+    * a NARROW `zip_with` against a `map_from_arrays` lookup of the
+    * first snapshot — no explode, no second shuffle, no join.
+    * `tsSecCol` must be epoch seconds (numeric). Series with <2
+    * samples drop (no rate from one point, like PromQL).
+    *
+    * Returns: series cols, `dt_sec`, `zero_rate`, `pos_idx` (the
+    * last snapshot's indexes), `pos_rate` (aligned rates).
+    */
+  def rateBy(df: DataFrame, seriesCols: Seq[String], tsSecCol: String,
+      zeroCountCol: String, posIdxCol: String,
+      posCountsCol: String): DataFrame = {
+    val keys = seriesCols.map(col)
+    val snap = struct(col(tsSecCol).cast("long").as("t"),
+      col(zeroCountCol).cast("long").as("z"),
+      col(posIdxCol).as("i"), col(posCountsCol).as("c"))
+    val ends = df.groupBy(keys: _*)
+      .agg(min(snap).as("first"), max(snap).as("last"),
+        count(lit(1)).as("_n"))
+      .filter(col("_n") >= 2)
+    val dt = (col("last.t") - col("first.t")).cast("double")
+    val firstMap = map_from_arrays(col("first.i"), col("first.c"))
+    ends.select(keys ++ Seq(
+      dt.as("dt_sec"),
+      (greatest(col("last.z") - col("first.z"), lit(0L)).cast("double") / dt)
+        .as("zero_rate"),
+      col("last.i").as("pos_idx"),
+      zip_with(col("last.i"), col("last.c"), (i, c) =>
+        greatest(c - coalesce(element_at(firstMap, i), lit(0L)), lit(0L))
+          .cast("double") / dt).as("pos_rate")): _*)
+  }
+
   /** PromQL `histogram_fraction(lower, upper, h)`: estimated
     * fraction of observations in [lower, upper] — per bucket, the
     * linear-overlap share `max(0, min(upper,bu) − max(lower,bl)) /

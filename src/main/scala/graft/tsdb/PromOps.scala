@@ -663,6 +663,84 @@ object PromOps {
       .filter(col("_n") === 0)
       .select(lit(1.0).as("value"))
 
+  /** PromQL `and` between instant vectors, matched `on(on)`: the
+    * elements of `left` whose match-label set also appears in
+    * `right`. A LEFT SEMI join — the right side's values never
+    * materialize and duplicates on the right cannot fan out the
+    * left. The join keys on the match labels (corpus-cardinality
+    * hash shuffle, or a broadcast when the right vector is small —
+    * left to AQE).
+    */
+  def vectorAnd(left: DataFrame, right: DataFrame, on: Seq[String]): DataFrame =
+    left.join(right.select(on.map(col): _*), on, "left_semi")
+
+  /** PromQL `unless` between instant vectors, matched `on(on)`: the
+    * elements of `left` whose match-label set appears nowhere in
+    * `right` — the complement of [[vectorAnd]], as a LEFT ANTI join.
+    */
+  def vectorUnless(left: DataFrame, right: DataFrame, on: Seq[String]): DataFrame =
+    left.join(right.select(on.map(col): _*), on, "left_anti")
+
+  /** PromQL `or` between instant vectors, matched `on(on)`: all of
+    * `left`, plus the elements of `right` whose match-label set
+    * matches nothing in `left` (PromQL's left-biased union). The
+    * right side anti-joins against the left's label sets; both
+    * inputs must share the result schema.
+    */
+  def vectorOr(left: DataFrame, right: DataFrame, on: Seq[String]): DataFrame =
+    left.unionByName(
+      right.join(left.select(on.map(col): _*), on, "left_anti"))
+
+  /** PromQL `absent_over_time(sel[window])` / `present_over_time`
+    * evaluated over a step grid: for each step `t` in
+    * `[startSec, endSec]` at `stepSec` spacing, how many samples of
+    * the selection fall in the range-vector window `(t-window, t]`,
+    * and the absent flag (1 when none — what `absent_over_time`
+    * returns; `present_over_time` is the complement).
+    *
+    * Shape at scale: each sample is mapped to the step indexes whose
+    * window covers it (a bounded `sequence` explode of
+    * window/step ≈ constant entries per sample — never a per-step
+    * re-scan of the selection and never a range join), then ONE hash
+    * aggregation on the step index; the step grid itself is built
+    * map-side from a single-row `sequence` and left-joins the
+    * covered counts (broadcast — the grid is tiny relative to the
+    * data). At 100 TB: one corpus shuffle at grid cardinality.
+    */
+  def absentOverTime(df: DataFrame, tsCol: String,
+      startSec: Long, endSec: Long, stepSec: Long,
+      windowSec: Long): DataFrame = {
+    require(stepSec > 0 && windowSec > 0 && endSec >= startSec,
+      "absentOverTime: need step > 0, window > 0, end >= start")
+    // sample at epoch x covers step t iff t-window < x <= t, i.e.
+    // t in [x, x+window); restricted to the grid: k in
+    // [ceil((x-start)/step), ceil((x+window-start)/step) - 1]
+    val x = unix_timestamp(col(tsCol))
+    val kLo = greatest(ceil((x - startSec).cast("double") / stepSec)
+      .cast("long"), lit(0L))
+    val kHi = least(
+      ceil((x + windowSec - startSec).cast("double") / stepSec)
+        .cast("long") - 1L,
+      lit((endSec - startSec) / stepSec))
+    val covered = df
+      .filter(x > startSec - windowSec && x <= endSec)
+      // sequence(a, b) with b < a DESCENDS in Spark — a sample whose
+      // window straddles no grid step must contribute nothing
+      .filter(kHi >= kLo)
+      .select(explode(sequence(kLo, kHi)).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_samples"))
+    val spark = df.sparkSession
+    val grid = spark.range(1).select(
+        explode(sequence(lit(0L), lit((endSec - startSec) / stepSec)))
+          .as("k"))
+      .select(col("k"), (lit(startSec) + col("k") * stepSec).as("step_sec"))
+    grid.join(covered, Seq("k"), "left")
+      .select(col("step_sec"),
+        coalesce(col("n_samples"), lit(0L)).as("n_samples"),
+        when(coalesce(col("n_samples"), lit(0L)) === 0, lit(1.0))
+          .otherwise(lit(0.0)).as("absent"))
+  }
+
   /** PromQL `clamp(v, min, max)` as a codegen'd scalar column. */
   def clamp(c: Column, lo: Double, hi: Double): Column =
     greatest(least(c, lit(hi)), lit(lo))

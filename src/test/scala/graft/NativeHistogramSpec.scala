@@ -123,4 +123,62 @@ class NativeHistogramSpec extends SparkSpec {
       ("a", None, 5L),
       ("b", Some(0), 9L), ("b", None, 1L)))
   }
+
+  test("histogramAvg divides the tracked sum by the count; NaN on empty") {
+    val df = Seq(
+      (10.0, 2L, Seq(1, 2), Seq(3L, 5L)), // count 10, avg 1.0
+      (7.0, 0L, Seq[Int](), Seq[Long]())  // empty → NaN
+    ).toDF("hsum", "z", "i", "c")
+    val out = df.select(NativeHistogram.histogramAvg(
+      col("hsum"), col("z"), col("c"))).collect().map(_.getDouble(0))
+    assert(out(0) == 1.0)
+    assert(out(1).isNaN)
+  }
+
+  test("histogramStdvar matches a scalar replay of the bucket-middle walk") {
+    // schema 0: bucket i covers (2^(i-1), 2^i], middle = 3·2^(i-2)
+    val z = 2L; val idx = Seq(0, 1, 3); val cnt = Seq(4L, 1L, 5L)
+    val hsum = 37.5
+    val n = z + cnt.sum
+    val mean = hsum / n
+    var acc = z * mean * mean // zero bucket middle = 0
+    for ((i, c) <- idx.zip(cnt)) {
+      val mid = (math.pow(2, i - 1) + math.pow(2, i)) / 2.0
+      acc += c * (mid - mean) * (mid - mean)
+    }
+    val want = acc / n
+    val got = Seq((hsum, z, idx, cnt)).toDF("hsum", "z", "i", "c")
+      .select(NativeHistogram.histogramStdvar(
+        col("hsum"), col("z"), col("i"), col("c")))
+      .collect().head.getDouble(0)
+    assert(math.abs(got - want) < 1e-12, s"got $got want $want")
+    // empty histogram → NaN
+    val nan = Seq((0.0, 0L, Seq[Int](), Seq[Long]()))
+      .toDF("hsum", "z", "i", "c")
+      .select(NativeHistogram.histogramStdvar(
+        col("hsum"), col("z"), col("i"), col("c")))
+      .collect().head.getDouble(0)
+    assert(nan.isNaN)
+  }
+
+  test("rateBy: bucket-wise (last-first)/dt, missing-first reads 0, " +
+    "resets clamp, <2-sample series drop") {
+    val df = Seq(
+      // series a: t=0 buckets {1:10, 2:5}, t=100 buckets {1:30, 2:3, 3:7}
+      //   bucket 1: (30-10)/100=0.2; bucket 2 DECREASED (reset) → 0;
+      //   bucket 3 missing at first → 7/100
+      ("a", 0L, 1L, Seq(1, 2), Seq(10L, 5L)),
+      ("a", 100L, 6L, Seq(1, 2, 3), Seq(30L, 3L, 7L)),
+      // series b: single sample → dropped
+      ("b", 0L, 0L, Seq(1), Seq(1L))
+    ).toDF("s", "t", "z", "i", "c")
+    val out = NativeHistogram.rateBy(df, Seq("s"), "t", "z", "i", "c")
+    assert(out.count() == 1)
+    val r = out.collect().head
+    assert(r.getAs[Double]("dt_sec") == 100.0)
+    assert(r.getAs[Double]("zero_rate") == 0.05) // (6-1)/100
+    val rates = r.getAs[Seq[Int]]("pos_idx").zip(
+      r.getAs[Seq[Double]]("pos_rate")).toMap
+    assert(rates == Map(1 -> 0.2, 2 -> 0.0, 3 -> 0.07))
+  }
 }

@@ -433,4 +433,48 @@ class PromOpsSpec extends SparkSpec {
     // threshold → extended=100s, factor=1.25 → increase 5
     assert(math.abs(rows.head.getAs[Double]("increase") - 5.0) < 1e-9)
   }
+
+  test("set operators: and/unless membership, or is left-biased union") {
+    val left = Seq(("u1", 1.0), ("u2", 2.0), ("u3", 3.0))
+      .toDF("user", "value")
+    // u2 appears TWICE on the right — semi/anti must not fan out
+    val right = Seq(("u2", 20.0), ("u2", 21.0), ("u4", 40.0))
+      .toDF("user", "value")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getDouble(1)).toSeq.sorted
+    assert(pairs(PromOps.vectorAnd(left, right, Seq("user"))) ==
+      Seq("u2" -> 2.0))
+    assert(pairs(PromOps.vectorUnless(left, right, Seq("user"))) ==
+      Seq("u1" -> 1.0, "u3" -> 3.0))
+    // or: all of left (u2 keeps ITS value — left bias) + unmatched right
+    val or = PromOps.vectorOr(left,
+      right.groupBy("user").agg(min("value").as("value")), Seq("user"))
+    assert(pairs(or) ==
+      Seq("u1" -> 1.0, "u2" -> 2.0, "u3" -> 3.0, "u4" -> 40.0))
+  }
+
+  test("absentOverTime flags windowless steps; boundaries are (t-w, t]") {
+    // grid: steps 100, 160, 220 (start 100, end 220, step 60), w=60
+    val d = Seq(
+      ("s", new Timestamp(100000L), 1.0), // x=100 → covers step 100 only
+      ("s", new Timestamp(161000L), 1.0)  // x=161 → covers step 220? no:
+                                          // 161+60=221 > 220 ≥ 161 → yes
+    ).toDF("series", "ts", "value")
+    val out = PromOps.absentOverTime(d, "ts", 100L, 220L, 60L, 60L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    // x=100: (40,100] ∋ 100 ✓; (100,160] ∌ 100 (exclusive-left boundary)
+    // x=161: (100,160] ∌ 161; (160,220] ∋ 161 ✓
+    assert(out.toSeq == Seq(
+      (100L, 1L, 0.0), (160L, 0L, 1.0), (220L, 1L, 0.0)))
+  }
+
+  test("absentOverTime: sub-step window straddling no step contributes " +
+    "nothing (descending-sequence guard)") {
+    val d = Seq(("s", new Timestamp(101000L), 1.0)) // covers [101,111)
+      .toDF("series", "ts", "value")
+    val out = PromOps.absentOverTime(d, "ts", 100L, 200L, 100L, 10L)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((100L, 1.0), (200L, 1.0)))
+  }
 }

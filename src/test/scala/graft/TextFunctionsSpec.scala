@@ -73,4 +73,35 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(2L) == ((4L, 0.0, 0.3333)))
     assert(out(3L) == ((1L, 0.0, 0.0)))
   }
+
+  test("dupNgramCoverage scores cross-document duplicated n-grams") {
+    val d = Seq(
+      (1L, "a b c d e f"),   // grams: "a b c", "b c d", "c d e", "d e f"
+      (2L, "z z a b c d z"), // shares "a b c", "b c d" with doc 1
+      (3L, "q r s t"),       // grams: "q r s", "r s t" — unique
+      (4L, "xx yy")          // < 3 words → no grams → 0
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextStats.dupNgramCoverage(d, "text",
+        "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup"),
+          r.getAs[Double]("dup_ngram_frac")))).toMap
+    assert(out(1L) == ((4L, 2L, 0.5)))
+    assert(out(2L) == ((5L, 2L, 0.4)))
+    assert(out(3L) == ((2L, 0L, 0.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)))
+  }
+
+  test("dupNgramCoverage counts repeated in-doc grams once (distinct)") {
+    // "a b a b a b": 3-grams = {"a b a", "b a b"} repeated — distinct
+    // per doc, so none is corpus-duplicated across these two docs
+    val d = Seq((1L, "a b a b a b"), (2L, "c d c d c d"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextStats.dupNgramCoverage(d, "text",
+        "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup")))).toMap
+    assert(out(1L) == ((2L, 0L)))
+    assert(out(2L) == ((2L, 0L)))
+  }
 }
