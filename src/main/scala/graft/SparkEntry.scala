@@ -1083,6 +1083,39 @@ object SparkEntry {
       .orderBy("event_type", "user_id", "idx")
   }
 
+  /** `histogram_quantile(0.9, rate(native_histogram[range]))` — THE
+    * production native-histogram query, composed from
+    * [[tsdb.NativeHistogram.rateBy]] (bucket-wise counter rate, one
+    * series-keyed agg) and [[tsdb.NativeHistogram.histogramQuantile]]
+    * (narrow per-row walk over the RATE vector — the quantile fold
+    * is weight-agnostic, so rates work exactly like counts). The
+    * oracle replays rate + walk with the same left-to-right FP
+    * association (the zero bucket rides as a sentinel row so the
+    * running sum brackets identically).
+    */
+  private def tsNativeHistQuantileRate(s: SparkSession, dir: String): DataFrame = {
+    val rated = graft.tsdb.NativeHistogram.rateBy(
+      nativeHistCounterTable(s, dir), Seq("event_type", "user_id"),
+      "t_sec", "zero_count", "pos_idx", "pos_counts")
+    rated.select(col("event_type"), col("user_id"),
+        graft.tsdb.NativeHistogram.histogramQuantile(0.9,
+          col("zero_rate"), col("pos_idx"), col("pos_rate")).as("phi90"))
+      .orderBy("event_type", "user_id")
+  }
+
+  /** PromQL `count by` / `group by` aggregators
+    * ([[tsdb.PromOps.aggregateBy]] family completion): `count by
+    * (event_type)` counts SERIES (distinct label sets), `group`
+    * emits constant 1 per group — one aggregation, partial
+    * map-side distinct.
+    */
+  private def tsAggCountGroup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("n_series"))
+      .withColumn("group_value", lit(1.0))
+      .orderBy("event_type")
+
   /** PromQL set operators `and` / `or` / `unless` between instant
     * vectors matched `on(user_id)` ([[tsdb.PromOps.vectorAnd]]
     * family): v1 = per-user click sums, v2 = per-user purchase sums;
@@ -1284,6 +1317,16 @@ object SparkEntry {
     operators.TextStats.dupNgramCoverage(
         t(s, dir, "documents"), "text", "doc_id", n = 5)
       .orderBy("doc_id")
+
+  /** Training-sequence chunking ([[operators.Pipeline.tokenChunks]]):
+    * every document cut into 16-token windows sharing 4 tokens of
+    * overlap — the sequence-prep step after cleaning/sampling. Pure
+    * narrow map: split + bounded explode, no shuffle at any scale.
+    */
+  private def pipeTokenChunks(s: SparkSession, dir: String): DataFrame =
+    operators.Pipeline.tokenChunks(
+        t(s, dir, "documents"), "doc_id", "text", maxLen = 16, overlap = 4)
+      .orderBy("doc_id", "chunk_idx")
 
   /** Benchmark decontamination ([[Dedup.decontaminate]]): the
     * documents table split into a small "benchmark" slice
@@ -1506,6 +1549,8 @@ object SparkEntry {
     "ts_native_hist_fraction" -> (tsNativeHistFraction _),
     "ts_native_hist_stats" -> (tsNativeHistStats _),
     "ts_native_hist_rate" -> (tsNativeHistRate _),
+    "ts_native_hist_quantile_rate" -> (tsNativeHistQuantileRate _),
+    "ts_agg_count_group" -> (tsAggCountGroup _),
     "ts_set_ops" -> (tsSetOps _),
     "ts_absent_over_time" -> (tsAbsentOverTime _),
     "ts_asof_join" -> (tsAsofJoin _),
@@ -1529,6 +1574,7 @@ object SparkEntry {
     "txt_fingerprint" -> (txtFingerprint _),
     "txt_repetition" -> (txtRepetition _),
     "txt_dup_ngrams" -> (txtDupNgrams _),
+    "pipe_token_chunks" -> (pipeTokenChunks _),
     "txt_pii_scrub" -> (txtPiiScrub _),
     "dd_decontaminate" -> (ddDecontaminate _),
     "mm_features" -> (mmFeatures _),
@@ -2608,6 +2654,80 @@ object SparkEntry {
         |    / CAST((dl - df) * 86400 AS DOUBLE) AS rate
         |FROM buckets
         |ORDER BY event_type, user_id, idx""".stripMargin,
+    // rate CTEs as in ts_native_hist_rate, then the quantile walk —
+    // the zero bucket rides as a sentinel idx=-100 row so the
+    // running sum brackets exactly like the operator's fold
+    // (((zero+r1)+r2)+…), while rank uses zero + (((r1+r2)+…)) like
+    // the operator's total; cum_prev is the TRUE prefix, never a
+    // subtraction
+    "ts_native_hist_quantile_rate" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |series AS (
+        |  SELECT event_type, user_id,
+        |    user_id * 31 + length(event_type) AS sseed,
+        |    min(d) AS df, max(d) AS dl
+        |  FROM days GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+        |zr AS (
+        |  SELECT event_type, user_id,
+        |    CAST(greatest(dl*dl*(sseed % 3) - df*df*(sseed % 3), 0) AS DOUBLE)
+        |      / CAST((dl - df) * 86400 AS DOUBLE) AS zero_rate
+        |  FROM series),
+        |rates AS (
+        |  SELECT event_type, user_id, CAST(i AS INT) AS idx,
+        |    CAST(greatest(dl*dl*((sseed + i + 3) % 5) -
+        |      (CASE WHEN i <= (CASE WHEN df >= 19740 THEN 5 ELSE 4 END)
+        |            THEN df*df*((sseed + i + 3) % 5) ELSE 0 END), 0) AS DOUBLE)
+        |      / CAST((dl - df) * 86400 AS DOUBLE) AS r
+        |  FROM series s, unnest(range(-2, 6)) AS t(i)
+        |  WHERE i <= (CASE WHEN dl >= 19740 THEN 5 ELSE 4 END)),
+        |tot AS (
+        |  SELECT r.event_type, r.user_id,
+        |    z.zero_rate + max(r.rcum) AS total, max(r.idx) AS max_idx
+        |  FROM (SELECT event_type, user_id, idx, r,
+        |          sum(r) OVER (PARTITION BY event_type, user_id
+        |            ORDER BY idx ROWS UNBOUNDED PRECEDING) AS rcum
+        |        FROM rates) r
+        |  JOIN zr z USING (event_type, user_id)
+        |  GROUP BY r.event_type, r.user_id, z.zero_rate),
+        |walkrows AS (
+        |  SELECT event_type, user_id, -100 AS idx, zero_rate AS r FROM zr
+        |  UNION ALL
+        |  SELECT event_type, user_id, idx, r FROM rates),
+        |walk AS (
+        |  SELECT event_type, user_id, idx, r,
+        |    sum(r) OVER (PARTITION BY event_type, user_id
+        |      ORDER BY idx ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(r) OVER (PARTITION BY event_type, user_id
+        |      ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND 1 PRECEDING) AS cum_prev
+        |  FROM walkrows),
+        |pick AS (
+        |  SELECT w.event_type, w.user_id, w.idx, w.r, w.cum, w.cum_prev
+        |  FROM walk w JOIN tot t USING (event_type, user_id)
+        |  WHERE w.idx > -100 AND w.r > 0 AND w.cum >= 0.9 * t.total
+        |  QUALIFY row_number() OVER (PARTITION BY w.event_type, w.user_id
+        |    ORDER BY w.idx) = 1)
+        |SELECT t.event_type, t.user_id,
+        |  CASE WHEN t.total = 0 THEN CAST('nan' AS DOUBLE)
+        |       WHEN z.zero_rate >= 0.9 * t.total THEN 0.0
+        |       WHEN p.idx IS NULL THEN pow(2.0, t.max_idx)
+        |       ELSE pow(2.0, p.idx - 1) +
+        |         (pow(2.0, p.idx) - pow(2.0, p.idx - 1)) *
+        |         ((0.9 * t.total - p.cum_prev) / p.r) END AS phi90
+        |FROM tot t
+        |JOIN zr z USING (event_type, user_id)
+        |LEFT JOIN pick p USING (event_type, user_id)
+        |ORDER BY t.event_type, t.user_id""".stripMargin,
+    // count by = distinct series per group; group = constant 1
+    "ts_agg_count_group" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_series,
+        |  1.0 AS group_value
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // and/unless = semi/anti membership on the match labels; or =
     // left-biased union (v1 plus v2's unmatched series)
     "ts_set_ops" ->
@@ -2908,6 +3028,21 @@ object SparkEntry {
         |    AS dup_ngram_frac
         |FROM documents d LEFT JOIN per p USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // 16-token windows every 12 tokens (4-token overlap); the last
+    // chunk may be short, every token lands in >= 1 chunk
+    "pipe_token_chunks" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |k AS (
+        |  SELECT doc_id, ws,
+        |    unnest(range(0, (len(ws) - 1) // 12 + 1)) AS chunk_idx
+        |  FROM w WHERE len(ws) >= 1)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(chunk_idx * 12 AS BIGINT) AS start_tok,
+        |  CAST(least(16, len(ws) - chunk_idx * 12) AS BIGINT) AS n_tok,
+        |  array_to_string(ws[CAST(chunk_idx * 12 + 1 AS INT):
+        |    CAST(chunk_idx * 12 + 16 AS INT)], ' ') AS chunk_text
+        |FROM k ORDER BY doc_id, chunk_idx""".stripMargin,
     // replays salt + scrub + counts; patterns are Java/RE2-identical
     "txt_pii_scrub" ->
       """WITH s AS (

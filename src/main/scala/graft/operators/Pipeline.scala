@@ -113,4 +113,40 @@ object Pipeline {
       substring(sha2(concat(col(idCol).cast("string"), lit(":" + salt)), 256),
         1, 8) < thr)
   }
+
+  /** Fixed-window token chunking — the training-sequence prep step
+    * after cleaning/sampling: each document's whitespace tokens cut
+    * into windows of `maxLen` tokens starting every
+    * `maxLen - overlap` tokens (consecutive chunks share `overlap`
+    * tokens of context, the packing convention sequence builders
+    * use). Emits one row per (doc, chunk): start offset, token
+    * count, and the chunk text.
+    *
+    * Chunk starts are `k·stride` for `k in [0, ⌊(n-1)/stride⌋]` —
+    * every token lands in ≥1 chunk, the last chunk may be short.
+    * Pure narrow map (split + bounded explode, ≈ n/stride rows per
+    * doc): NO shuffle at any scale — chunking 100 TB is
+    * embarrassingly parallel and this plan keeps it that way.
+    */
+  def tokenChunks(df: DataFrame, idCol: String, textCol: String,
+      maxLen: Int, overlap: Int): DataFrame = {
+    require(maxLen > 0 && overlap >= 0 && overlap < maxLen,
+      s"need 0 <= overlap < maxLen, got maxLen=$maxLen overlap=$overlap")
+    val stride = maxLen - overlap
+    val words = split(col(textCol), " ")
+    val lastK = floor((size(col("_w")) - 1).cast("double") / stride)
+      .cast("long")
+    df.select(col(idCol), words.as("_w"))
+      .filter(size(col("_w")) >= 1)
+      .select(col(idCol), col("_w"),
+        explode(sequence(lit(0L), lastK)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_tok"),
+        least(lit(maxLen),
+          size(col("_w")) - col("chunk_idx") * stride).cast("long")
+          .as("n_tok"),
+        concat_ws(" ",
+          slice(col("_w"), (col("chunk_idx") * stride + 1).cast("int"),
+            lit(maxLen))).as("chunk_text"))
+  }
 }

@@ -48,9 +48,13 @@ object NativeHistogram {
   def histogramQuantile(q: Double, zeroCount: Column, posIdx: Column,
       posCounts: Column, schema: Int = 0): Column = {
     require(q >= 0.0 && q <= 1.0, s"q must be in [0,1], got $q")
-    val total = zeroCount +
-      coalesce(aggregate(posCounts, lit(0L), (a, c) => a + c), lit(0L))
-    val rank = lit(q) * total.cast("double")
+    // double accumulator so the same walk serves integer count
+    // vectors AND rate vectors (histogram_quantile over rateBy);
+    // integer counts stay exact — they're < 2^53
+    val total = zeroCount.cast("double") +
+      coalesce(aggregate(posCounts, lit(0.0),
+        (a, c) => a + c.cast("double")), lit(0.0))
+    val rank = lit(q) * total
     // fold state: (cum count so far, result or null)
     val folded = aggregate(
       zip_with(posIdx, posCounts, (i, c) => struct(i.as("i"), c.as("c"))),

@@ -161,6 +161,21 @@ class NativeHistogramSpec extends SparkSpec {
     assert(nan.isNaN)
   }
 
+  test("histogramQuantile accepts double bucket weights (rate vectors)") {
+    // weights 0.25/0.5/0.25 over buckets 1,2,3; zero weight 1.0
+    // total 2.0, rank(0.5) = 1.0 → zero bucket holds exactly → 0.0
+    val df = Seq((1.0, Seq(1, 2, 3), Seq(0.25, 0.5, 0.25)))
+      .toDF("z", "i", "c")
+    val q50 = df.select(NativeHistogram.histogramQuantile(0.5,
+      col("z"), col("i"), col("c"))).collect().head.getDouble(0)
+    assert(q50 == 0.0)
+    // rank(0.9) = 1.8: cum zero→1.0, b1→1.25, b2→1.75, b3→2.0 ⇒ b3,
+    // interp = 4 + (8-4)·((1.8-1.75)/0.25) = 4.8
+    val q90 = df.select(NativeHistogram.histogramQuantile(0.9,
+      col("z"), col("i"), col("c"))).collect().head.getDouble(0)
+    assert(math.abs(q90 - 4.8) < 1e-12, s"got $q90")
+  }
+
   test("rateBy: bucket-wise (last-first)/dt, missing-first reads 0, " +
     "resets clamp, <2-sample series drop") {
     val df = Seq(

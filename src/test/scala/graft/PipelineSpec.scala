@@ -113,6 +113,34 @@ class PipelineSpec extends SparkSpec {
       Map("zzz" -> 1.0)).count() == 0L)
   }
 
+  test("tokenChunks cuts overlapping fixed windows covering every token") {
+    // 10 tokens, maxLen 4, overlap 1 → stride 3 → starts 0,3,6,9
+    val d = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val out = Pipeline.tokenChunks(d, "doc_id", "text", maxLen = 4,
+        overlap = 1)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0L, 0L, 4L, "t0 t1 t2 t3"),
+      (1L, 3L, 4L, "t3 t4 t5 t6"),
+      (2L, 6L, 4L, "t6 t7 t8 t9"),
+      (3L, 9L, 1L, "t9"))) // short tail chunk
+    // consecutive chunks share exactly `overlap` tokens
+    assert(out(0)._4.split(" ").last == out(1)._4.split(" ").head)
+  }
+
+  test("tokenChunks: doc shorter than maxLen is one whole chunk") {
+    val d = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val out = Pipeline.tokenChunks(d, "doc_id", "text", maxLen = 16,
+      overlap = 4).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(3) == 3L && out.head.getString(4) == "a b c")
+    intercept[IllegalArgumentException] {
+      Pipeline.tokenChunks(d, "doc_id", "text", maxLen = 4, overlap = 4)
+    }
+  }
+
   test("a near-dup chain collapses to its smallest member") {
     // 10 ~ 11 ~ 12 via one-word edits: component rep = 10
     val chain = Seq(
