@@ -1,0 +1,612 @@
+package graft.tsdb.promql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tsdb.PromOps
+
+/** Evaluation context for a PromQL query: which tables back which
+  * metric names, the series label columns, and the instant-query
+  * evaluation time.
+  *
+  * Model: every metric is a long-format series table (label columns +
+  * `tsCol` + `valueCol`), the graft data model throughout
+  * ([[graft.tsdb.TsdbQueryable]]). `evalMs` is the PromQL evaluation
+  * timestamp T: an instant selector reads the latest sample per
+  * series in `[T - lookbackMs, T)` (Prometheus's staleness lookback,
+  * half-open on the right like every graft range), and a range
+  * selector `[r]` reads `[T - r, T)`.
+  *
+  * `tieBreak` columns order samples with duplicate timestamps inside
+  * window functions, exactly as the direct PromOps API takes them —
+  * required for engine-deterministic results on data with repeated
+  * (series, ts) keys.
+  */
+final case class PromQLContext(
+    metrics: Map[String, DataFrame],
+    labelCols: Seq[String],
+    evalMs: Long,
+    lookbackMs: Long = 300000L,
+    tsCol: String = "ts",
+    valueCol: String = "value",
+    tieBreak: Seq[String] = Nil)
+
+final class PromQLCompileException(msg: String) extends RuntimeException(msg)
+
+/** PromQL string → Spark DataFrame plan.
+  *
+  * The reference library is the storage half of a PromQL deployment:
+  * its Queryable feeds Prometheus's evaluator
+  * (queryable/parquet_queryable.go:153 implements
+  * prometheus/storage.Queryable precisely so `promql.Engine` can run
+  * on top). graft's [[graft.tsdb.PromOps]] implements the
+  * evaluator-side operators as Spark plans; this compiler closes the
+  * loop so the INPUT is the same PromQL string a Prometheus user
+  * already has. Parsing is [[PromQLParser]]; every AST node lowers to
+  * the declarative DataFrame ops (Catalyst sees one tree — selector
+  * predicates still reach PushedFilters, aggregations still partial-
+  * aggregate map-side; nothing is evaluated driver-side).
+  *
+  * Evaluation model: ONE instant query at `ctx.evalMs` — the result
+  * is an instant vector as a DataFrame of (label columns..., value).
+  * Scalar expressions fold at compile time.
+  *
+  * Documented deltas from Prometheus, all deliberate:
+  *   - ranges are half-open `[t-r, t)` (graft's universal convention)
+  *     where Prometheus uses `(t-r, t]`;
+  *   - `delta` is last-minus-first without boundary extrapolation
+  *     (PromOps.delta's documented semantics); `rate`/`increase` DO
+  *     use the production extrapolation (PromOps.extrapolatedRate);
+  *   - `topk`/`bottomk` break ties on the series labels (Prometheus
+  *     leaves ties unspecified — a cluster needs determinism);
+  *   - `label_replace` supports the `"$1"` replacement template (the
+  *     PromOps.labelReplace contract).
+  */
+object PromQL {
+
+  def parse(query: String): Expr = PromQLParser.parse(query)
+
+  /** Compile and return the instant-vector DataFrame: the vector's
+    * label columns followed by `value`. Fails on a scalar-typed
+    * query (wrap in `vector()`).
+    */
+  def compile(query: String, ctx: PromQLContext): DataFrame =
+    new Compiler(ctx).top(parse(query))
+
+  // ===== compiler =====
+
+  /** An instant vector: `df` has columns `labels :+ "value" :+ TS`
+    * (TS = the per-element sample timestamp in epoch ms — selectors
+    * carry their sample's scrape time, computed vectors carry the
+    * evaluation time, exactly Prometheus's `timestamp()` semantics).
+    */
+  private final case class Vec(df: DataFrame, labels: Seq[String])
+
+  private val TS = "_ts_ms"
+
+  private def fail(msg: String): Nothing = throw new PromQLCompileException(msg)
+
+  private final class Compiler(ctx: PromQLContext) {
+
+    def top(e: Expr): DataFrame = eval(e) match {
+      case Right(v) => v.df.select((v.labels.map(col) :+ col("value")): _*)
+      case Left(s) =>
+        fail(s"query evaluates to the scalar $s, not an instant vector — wrap it in vector()")
+    }
+
+    /** Either a compile-time scalar or an instant vector. */
+    private def eval(e: Expr): Either[Double, Vec] = e match {
+      case Expr.Num(v) => Left(v)
+      case Expr.Str(_) => fail("a string literal is not a valid expression result")
+      case s: Expr.Selector => Right(instant(s))
+      case Expr.Range(_, _) =>
+        fail("a range vector is only valid as a range-function argument")
+      case Expr.Neg(inner) => eval(inner) match {
+        case Left(v) => Left(-v)
+        case Right(v) => Right(mapValue(v, -_))
+      }
+      case c: Expr.Call => call(c)
+      case a: Expr.Agg => Right(agg(a))
+      case b: Expr.Bin => binary(b)
+    }
+
+    private def vec(e: Expr, what: String): Vec = eval(e) match {
+      case Right(v) => v
+      case Left(_) => fail(s"$what expects an instant vector, got a scalar")
+    }
+
+    private def scalarArg(e: Expr, what: String): Double = eval(e) match {
+      case Left(v) => v
+      case Right(_) => fail(s"$what expects a scalar, got an instant vector")
+    }
+
+    private def strArg(e: Expr, what: String): String = e match {
+      case Expr.Str(s) => s
+      case _ => fail(s"$what expects a string literal")
+    }
+
+    // ---- selectors ----
+
+    /** Raw sample rows of a selector within [start, end): matcher
+      * predicates compile through [[graft.tsdb.Matcher]] (pushdown,
+      * RE2 gate) and the time range is a pushable ts predicate.
+      */
+    private def rangeRows(sel: Expr.Selector, rangeMs: Long): DataFrame = {
+      val table = ctx.metrics.getOrElse(sel.metric,
+        fail(s"unknown metric '${sel.metric}' — context knows: ${ctx.metrics.keys.toSeq.sorted.mkString(", ")}"))
+      val end = ctx.evalMs - sel.offsetMs
+      val start = end - rangeMs
+      val tsMs = unix_millis(col(ctx.tsCol).cast("timestamp"))
+      val filtered = graft.tsdb.Matcher.compile(sel.matchers)
+        .map(table.filter).getOrElse(table)
+        .filter(tsMs >= start && tsMs < end)
+      filtered.select((ctx.labelCols ++ ctx.tieBreak).map(col) :+
+        col(ctx.tsCol) :+ tsMs.as(TS) :+ col(ctx.valueCol): _*)
+    }
+
+    /** Instant selector: latest sample per series in the lookback
+      * window — one shuffle at series grain; ties on duplicate
+      * timestamps resolve lexicographically on (ts, value), the
+      * [[PromOps.alignToSteps]] convention.
+      */
+    private def instant(sel: Expr.Selector): Vec = {
+      val rows = rangeRows(sel, ctx.lookbackMs)
+      val df = rows
+        .groupBy(ctx.labelCols.map(col): _*)
+        .agg(max(struct(col(TS), col(ctx.valueCol).as("_v"))).as("_top"))
+        .select(ctx.labelCols.map(col) :+
+          col("_top._v").as("value") :+ col(s"_top.$TS").as(TS): _*)
+      Vec(df, ctx.labelCols)
+    }
+
+    /** Computed vectors carry the evaluation timestamp. */
+    private def stamped(df: DataFrame, labels: Seq[String]): Vec =
+      Vec(df.withColumn(TS, lit(ctx.evalMs)), labels)
+
+    private def mapValue(v: Vec, f: Column => Column): Vec =
+      Vec(v.df.withColumn("value", f(col("value"))), v.labels)
+
+    // ---- functions ----
+
+    private val overTimeAggs = Set("avg_over_time", "sum_over_time",
+      "min_over_time", "max_over_time", "count_over_time", "last_over_time",
+      "stddev_over_time", "stdvar_over_time")
+
+    private def call(c: Expr.Call): Either[Double, Vec] = c.fn match {
+      case "vector" =>
+        val v = scalarArg(c.args.head, "vector()")
+        Right(stamped(sparkOf.range(1).select(lit(v).as("value")), Nil))
+      case "scalar" =>
+        fail("scalar() is not supported — a distributed plan cannot demote a vector to a driver-side scalar; aggregate explicitly instead")
+      case "timestamp" =>
+        val v = vec(one(c, "timestamp"), "timestamp()")
+        Right(Vec(v.df.withColumn("value", col(TS) / lit(1000.0)), v.labels))
+      case "absent" =>
+        val v = vec(one(c, "absent"), "absent()")
+        Right(stamped(PromOps.absent(v.df.select("value")), Nil))
+      case "histogram_quantile" => Right(histogramQuantile(c))
+      case "label_replace" =>
+        val Seq(ve, dst, repl, src, regex) = argN(c, 5)
+        val v = vec(ve, "label_replace")
+        val (d, r, sr, re) = (strArg(dst, "label_replace dst"),
+          strArg(repl, "label_replace replacement"),
+          strArg(src, "label_replace src"), strArg(regex, "label_replace regex"))
+        if (r != "$1") fail(
+          "label_replace supports the \"$1\" replacement template (PromOps.labelReplace contract)")
+        if (!v.labels.contains(sr)) fail(s"label_replace: unknown source label '$sr'")
+        val out = PromOps.labelReplace(v.df, d, sr, re)
+        Right(Vec(out, if (v.labels.contains(d)) v.labels else v.labels :+ d))
+      case "label_join" =>
+        if (c.args.length < 4) fail("label_join(v, dst, sep, src...) needs at least one source label")
+        val v = vec(c.args.head, "label_join")
+        val dst = strArg(c.args(1), "label_join dst")
+        val sep = strArg(c.args(2), "label_join sep")
+        val srcs = c.args.drop(3).map(strArg(_, "label_join src"))
+        srcs.find(s => !v.labels.contains(s)).foreach(s =>
+          fail(s"label_join: unknown source label '$s'"))
+        val out = PromOps.labelJoin(v.df, dst, sep, srcs)
+        Right(Vec(out, if (v.labels.contains(dst)) v.labels else v.labels :+ dst))
+      case "clamp" =>
+        val Seq(ve, lo, hi) = argN(c, 3)
+        val v = vec(ve, "clamp")
+        Right(mapValue(v, PromOps.clamp(_,
+          scalarArg(lo, "clamp min"), scalarArg(hi, "clamp max"))))
+      case "clamp_min" =>
+        val Seq(ve, lo) = argN(c, 2)
+        Right(mapValue(vec(ve, "clamp_min"), greatest(_, lit(scalarArg(lo, "clamp_min")))))
+      case "clamp_max" =>
+        val Seq(ve, hi) = argN(c, 2)
+        Right(mapValue(vec(ve, "clamp_max"), least(_, lit(scalarArg(hi, "clamp_max")))))
+      case "round" =>
+        val v = vec(c.args.head, "round")
+        val to = if (c.args.length > 1) scalarArg(c.args(1), "round to") else 1.0
+        if (to <= 0) fail("round() nearest must be positive")
+        // Prometheus: round half away from zero to the nearest
+        // multiple of `to` — floor(v/to + 0.5) * to
+        Right(mapValue(v, x => floor(x / lit(to) + lit(0.5)) * lit(to)))
+      case "abs" => Right(mapValue(vec(one(c, "abs"), "abs"), abs))
+      case "ceil" => Right(mapValue(vec(one(c, "ceil"), "ceil"), ceil(_).cast("double")))
+      case "floor" => Right(mapValue(vec(one(c, "floor"), "floor"), floor(_).cast("double")))
+      case "sqrt" => Right(mapValue(vec(one(c, "sqrt"), "sqrt"), sqrt))
+      case "sgn" => Right(mapValue(vec(one(c, "sgn"), "sgn"), signum))
+      case "exp" => Right(mapValue(vec(one(c, "exp"), "exp"), exp))
+      case "ln" => Right(mapValue(vec(one(c, "ln"), "ln"), log))
+      case "log2" => Right(mapValue(vec(one(c, "log2"), "log2"), log2))
+      case "log10" => Right(mapValue(vec(one(c, "log10"), "log10"), log10))
+      case "rate" | "increase" => Right(extrapolated(c))
+      case "delta" => Right(overRange(c, (df, ls, start) =>
+        PromOps.delta(df, ls, ctx.tsCol, ctx.valueCol, ctx.tieBreak)
+          .withColumnRenamed("delta", "value")))
+      case "idelta" => Right(overRange(c, (df, ls, _) =>
+        PromOps.idelta(df, ls, ctx.tsCol, ctx.valueCol, ctx.tieBreak)
+          .withColumnRenamed("idelta", "value")))
+      case "irate" => Right(overRange(c, (df, ls, _) =>
+        PromOps.irate(df, ls, ctx.tsCol, ctx.valueCol, ctx.tieBreak)
+          .withColumnRenamed("irate", "value")))
+      case "resets" => Right(overRange(c, (df, ls, _) =>
+        PromOps.resets(df, ls, ctx.tsCol, ctx.valueCol, ctx.tieBreak)
+          .withColumn("value", col("resets").cast("double")).drop("resets")))
+      case "changes" => Right(overRange(c, (df, ls, _) =>
+        PromOps.changes(df, ls, ctx.tsCol, ctx.valueCol, ctx.tieBreak)
+          .withColumn("value", col("changes").cast("double")).drop("changes")))
+      case "deriv" => Right(overRange(c, (df, ls, start) =>
+        PromOps.deriv(df, ls, ctx.tsCol, ctx.valueCol, originMs = start)
+          .withColumnRenamed("deriv", "value")))
+      case "predict_linear" =>
+        val Seq(re, te) = argN(c, 2)
+        val horizonSec = scalarArg(te, "predict_linear horizon")
+        Right(overRangeExpr(re, "predict_linear", (df, ls, start) =>
+          PromOps.predictLinear(df, ls, ctx.tsCol, ctx.valueCol,
+              evalMs = ctx.evalMs, horizonMs = (horizonSec * 1000.0).toLong,
+              originMs = start)
+            .withColumnRenamed("predicted", "value")))
+      case "double_exponential_smoothing" | "holt_winters" =>
+        val Seq(re, sfE, tfE) = argN(c, 3)
+        val sf = scalarArg(sfE, "smoothing factor")
+        val tf = scalarArg(tfE, "trend factor")
+        Right(overRangeExpr(re, c.fn, (df, ls, _) =>
+          PromOps.doubleExponentialSmoothing(df, ls, ctx.tsCol, ctx.valueCol,
+              sf, tf, ctx.tieBreak)
+            .withColumnRenamed("smoothed", "value").drop("samples")))
+      case "quantile_over_time" =>
+        val Seq(qe, re) = argN(c, 2)
+        val q = scalarArg(qe, "quantile_over_time q")
+        Right(overRangeExpr(re, "quantile_over_time", (df, ls, _) =>
+          PromOps.quantileOverTime(df, ls, ctx.valueCol, q)
+            .withColumnRenamed("quantile", "value").drop("samples")))
+      case fn if overTimeAggs(fn) => Right(overTime(c, fn))
+      case other => fail(s"unsupported function '$other'")
+    }
+
+    private def one(c: Expr.Call, what: String): Expr = argN(c, 1).head
+
+    private def argN(c: Expr.Call, n: Int): Seq[Expr] = {
+      if (c.args.length != n)
+        fail(s"${c.fn}() expects $n argument(s), got ${c.args.length}")
+      c.args
+    }
+
+    private def sparkOf =
+      ctx.metrics.values.headOption.map(_.sparkSession)
+        .getOrElse(fail("context has no metric tables"))
+
+    private def rangeArg(e: Expr, what: String): Expr.Range = e match {
+      case r: Expr.Range => r
+      case _: Expr.Selector => fail(
+        s"$what expects a RANGE vector — add a range like [5m] to the selector")
+      case _ => fail(s"$what expects a range vector selector")
+    }
+
+    /** Apply a per-series range computation: `build(rows, seriesCols,
+      * startMs)` must return seriesCols :+ "value".
+      */
+    private def overRangeExpr(e: Expr, what: String,
+        build: (DataFrame, Seq[String], Long) => DataFrame): Vec = {
+      val r = rangeArg(e, what)
+      val start = ctx.evalMs - r.sel.offsetMs - r.rangeMs
+      val rows = rangeRows(r.sel, r.rangeMs)
+      stamped(build(rows, ctx.labelCols, start)
+        .select(ctx.labelCols.map(col) :+ col("value"): _*), ctx.labelCols)
+    }
+
+    private def overRange(c: Expr.Call,
+        build: (DataFrame, Seq[String], Long) => DataFrame): Vec =
+      overRangeExpr(one(c, c.fn), c.fn, build)
+
+    /** `rate`/`increase` with Prometheus's production boundary
+      * extrapolation ([[PromOps.extrapolatedRate]]).
+      */
+    private def extrapolated(c: Expr.Call): Vec =
+      overRange(c, (rows, ls, start) => {
+        val r = rangeArg(c.args.head, c.fn)
+        val out = PromOps.extrapolatedRate(rows, ls, ctx.tsCol, ctx.valueCol,
+          startMs = start, endMs = ctx.evalMs - r.sel.offsetMs,
+          tieBreak = ctx.tieBreak)
+        out.withColumn("value",
+          col(if (c.fn == "rate") "rate" else "increase"))
+      })
+
+    /** The simple `*_over_time` family: one partial-aggregating
+      * shuffle to series grain; sums/averages accumulate in exact
+      * decimal (order-independent on any cluster size).
+      */
+    private def overTime(c: Expr.Call, fn: String): Vec =
+      overRange(c, (rows, ls, _) => {
+        val v = col(ctx.valueCol)
+        fn match {
+          case "sum_over_time" => rows.groupBy(ls.map(col): _*)
+            .agg(sum(v.cast("decimal(30,8)")).cast("double").as("value"))
+          case "avg_over_time" => rows.groupBy(ls.map(col): _*)
+            .agg((sum(v.cast("decimal(30,8)")).cast("double") /
+              count(lit(1))).as("value"))
+          case "min_over_time" => rows.groupBy(ls.map(col): _*)
+            .agg(min(v).as("value"))
+          case "max_over_time" => rows.groupBy(ls.map(col): _*)
+            .agg(max(v).as("value"))
+          case "count_over_time" => rows.groupBy(ls.map(col): _*)
+            .agg(count(lit(1)).cast("double").as("value"))
+          case "last_over_time" => rows.groupBy(ls.map(col): _*)
+            .agg(max(struct(col(TS), v.as("_v"))).as("_top"))
+            .select(ls.map(col) :+ col("_top._v").as("value"): _*)
+          case "stddev_over_time" | "stdvar_over_time" =>
+            PromOps.stdvarOverTime(rows, ls, ctx.valueCol)
+              .withColumn("value",
+                col(if (fn == "stddev_over_time") "stddev" else "stdvar"))
+        }
+      })
+
+    /** `histogram_quantile(q, v)` over classic buckets: the vector
+      * must carry an `le` label; buckets regroup on the remaining
+      * labels through [[PromOps.histogramQuantile]].
+      */
+    private def histogramQuantile(c: Expr.Call): Vec = {
+      val Seq(qe, ve) = argN(c, 2)
+      val q = scalarArg(qe, "histogram_quantile q")
+      val v = vec(ve, "histogram_quantile")
+      if (!v.labels.contains("le"))
+        fail("histogram_quantile needs a vector with an 'le' label")
+      val groupLabels = v.labels.filterNot(_ == "le")
+      val buckets = v.df.withColumn("_le", col("le").cast("double"))
+      val out = PromOps.histogramQuantile(buckets, groupLabels, q,
+        leCol = "_le", cntCol = "value", outCol = "value")
+      stamped(out.select(groupLabels.map(col) :+ col("value"): _*), groupLabels)
+    }
+
+    // ---- aggregation operators ----
+
+    private def agg(a: Expr.Agg): Vec = {
+      val v = vec(a.body, s"${a.op} aggregation")
+      val g = a.grouping match {
+        case Some(Expr.Grouping(true, ls)) =>
+          ls.find(l => !v.labels.contains(l)).foreach(l =>
+            fail(s"${a.op} by ($l): vector has no label '$l' (labels: ${v.labels.mkString(", ")})"))
+          ls
+        case Some(Expr.Grouping(false, ls)) => v.labels.filterNot(ls.contains)
+        case None => Nil
+      }
+      val value = col("value")
+      def grouped = v.df.groupBy(g.map(col): _*)
+      // a GLOBAL aggregation (no grouping) over an empty vector must
+      // return an empty vector, not SQL's single null/0 row
+      def simple(aggCol: Column): Vec =
+        stamped(grouped.agg(aggCol.as("value"), count(lit(1)).as("_n"))
+          .filter(col("_n") > 0).drop("_n"), g)
+      a.op match {
+        case "sum" => simple(sum(value.cast("decimal(30,8)")).cast("double"))
+        case "min" => simple(min(value))
+        case "max" => simple(max(value))
+        case "avg" => simple(sum(value.cast("decimal(30,8)")).cast("double") /
+          count(lit(1)))
+        case "count" => simple(count(lit(1)).cast("double"))
+        case "group" => simple(max(lit(1.0)))
+        case "stddev" | "stdvar" =>
+          // population stddev over exact decimal sums — the
+          // aggregateDistBy closed form at vector grain
+          val y = value.cast("decimal(18,8)")
+          val sums = grouped.agg(
+            count(lit(1)).cast("decimal(6,0)").as("_n"),
+            sum(y).cast("decimal(16,8)").as("_sy"),
+            sum((y * y).cast("decimal(30,16)")).cast("decimal(31,16)").as("_syy"))
+            .filter(col("_n") > 0)
+          val varCol = (col("_n") * col("_syy") - col("_sy") * col("_sy"))
+            .cast("decimal(36,16)").cast("double") /
+            (col("_n") * col("_n")).cast("double")
+          stamped(sums.select(g.map(col) :+
+            (if (a.op == "stddev") sqrt(varCol) else varCol).as("value"): _*), g)
+        case "quantile" =>
+          val q = scalarArg(a.param.getOrElse(fail("quantile needs a parameter")),
+            "quantile q")
+          simple(percentile(value, lit(q)))
+        case "count_values" =>
+          val dst = strArg(a.param.getOrElse(fail("count_values needs a label parameter")),
+            "count_values label")
+          val out = v.df
+            .groupBy((g.map(col) :+ value.cast("string").as(dst)): _*)
+            .agg(count(lit(1)).cast("double").as("value"))
+          stamped(out, g :+ dst)
+        case "topk" | "bottomk" =>
+          val k = scalarArg(a.param.getOrElse(fail(s"${a.op} needs a parameter")),
+            s"${a.op} k").toInt
+          if (k <= 0) fail(s"${a.op} k must be positive")
+          // keep the FULL label set (PromQL: topk selects elements,
+          // it does not relabel); rank within each `g` group with a
+          // total-order tiebreak on the remaining labels
+          val ord0 = if (a.op == "topk") col("value").desc else col("value").asc
+          val rest = v.labels.filterNot(g.contains)
+          val w = Window.partitionBy(g.map(col): _*)
+            .orderBy(ord0 +: rest.map(col): _*)
+          Vec(v.df.withColumn("_rk", row_number().over(w))
+            .filter(col("_rk") <= k).drop("_rk"), v.labels)
+        case other => fail(s"unsupported aggregation '$other'")
+      }
+    }
+
+    // ---- binary operators ----
+
+    private val cmpOps: Map[String, (Column, Column) => Column] = Map(
+      "==" -> (_ === _), "!=" -> (_ =!= _), ">" -> (_ > _),
+      "<" -> (_ < _), ">=" -> (_ >= _), "<=" -> (_ <= _))
+
+    private def arith(op: String)(l: Column, r: Column): Column = op match {
+      case "+" => l + r
+      case "-" => l - r
+      case "*" => l * r
+      case "/" => l / r
+      case "%" => l % r // Go math.Mod ≡ Java/DuckDB fmod: truncated
+      case "^" => pow(l, r)
+    }
+
+    private def scalarFold(op: String, l: Double, r: Double,
+        boolMod: Boolean): Double = op match {
+      case "+" => l + r
+      case "-" => l - r
+      case "*" => l * r
+      case "/" => l / r
+      case "%" => l % r
+      case "^" => math.pow(l, r)
+      case cmp =>
+        if (!boolMod) fail(s"scalar comparison '$cmp' requires the bool modifier")
+        val hit = cmp match {
+          case "==" => l == r
+          case "!=" => l != r
+          case ">" => l > r
+          case "<" => l < r
+          case ">=" => l >= r
+          case "<=" => l <= r
+        }
+        if (hit) 1.0 else 0.0
+    }
+
+    private def binary(b: Expr.Bin): Either[Double, Vec] = {
+      if (Set("and", "or", "unless")(b.op)) return Right(setOp(b))
+      (eval(b.lhs), eval(b.rhs)) match {
+        case (Left(l), Left(r)) => Left(scalarFold(b.op, l, r, b.boolMod))
+        case (Right(v), Left(s)) => Right(vectorScalar(b, v, lit(s), scalarRight = true))
+        case (Left(s), Right(v)) => Right(vectorScalar(b, v, lit(s), scalarRight = false))
+        case (Right(l), Right(r)) => Right(vectorVector(b, l, r))
+      }
+    }
+
+    private def vectorScalar(b: Expr.Bin, v: Vec, s: Column,
+        scalarRight: Boolean): Vec = {
+      val value = col("value")
+      val (l, r) = if (scalarRight) (value, s) else (s, value)
+      if (cmpOps.contains(b.op)) {
+        val cond = cmpOps(b.op)(l, r)
+        if (b.boolMod)
+          Vec(v.df.withColumn("value", when(cond, 1.0).otherwise(0.0)), v.labels)
+        else Vec(v.df.filter(cond), v.labels)
+      } else Vec(v.df.withColumn("value", arith(b.op)(l, r)), v.labels)
+    }
+
+    /** Match-label resolution: `on(ls)` takes ls; `ignoring(ls)` and
+      * the default match on the (statically known) label columns —
+      * PromQL's "all labels" semantics at DataFrame-schema grain.
+      */
+    private def matchLabels(b: Expr.Bin, l: Vec, r: Vec): Seq[String] =
+      b.matching match {
+        case Some(m) if m.on =>
+          m.labels.find(x => !l.labels.contains(x) || !r.labels.contains(x))
+            .foreach(x => fail(s"on($x): both sides must carry label '$x' " +
+              s"(left: ${l.labels.mkString(",")}; right: ${r.labels.mkString(",")})"))
+          m.labels
+        case Some(m) =>
+          val ls = l.labels.filterNot(m.labels.contains)
+          val rs = r.labels.filterNot(m.labels.contains)
+          if (ls.toSet != rs.toSet) fail(
+            s"ignoring(${m.labels.mkString(",")}): residual label sets differ " +
+              s"(left: ${ls.mkString(",")}; right: ${rs.mkString(",")})")
+          ls
+        case None =>
+          if (l.labels.toSet != r.labels.toSet) fail(
+            "vector matching needs on(...)/ignoring(...) when label sets differ " +
+              s"(left: ${l.labels.mkString(",")}; right: ${r.labels.mkString(",")})")
+          l.labels
+      }
+
+    /** Distributed one-to-one cardinality guard: PromQL rejects a
+      * side that is not unique on the match labels; the check is a
+      * windowed count + raise_error (no driver work), the
+      * [[PromOps.binaryOpGroupLeft]] pattern on both sides.
+      */
+    private def uniqueOn(df: DataFrame, on: Seq[String], side: String): DataFrame = {
+      val w = if (on.isEmpty) Window.partitionBy(lit(1))
+        else Window.partitionBy(on.map(col): _*)
+      df.withColumn("_card", count(lit(1)).over(w))
+        .withColumn("value", when(col("_card") > 1,
+            raise_error(concat(lit(s"one-to-one vector matching: $side side not unique on("),
+              lit(on.mkString(",")), lit(")"))))
+          .otherwise(col("value")))
+        .drop("_card")
+    }
+
+    private def vectorVector(b: Expr.Bin, l0: Vec, r0: Vec): Vec = {
+      val m = b.matching
+      val side = m.map(_.side).getOrElse(0)
+      // group_right is group_left with the operands swapped (the
+      // "one" side is always the right operand of group_left); the
+      // op itself keeps its original orientation
+      val (l, r, flip) = if (side == 1) (r0, l0, true) else (l0, r0, false)
+      val on = if (flip) matchLabels(b, r0, l0) else matchLabels(b, l0, r0)
+      val rawOp: (Column, Column) => Column =
+        if (cmpOps.contains(b.op)) {
+          if (b.boolMod) (x, y) => when(cmpOps(b.op)(x, y), 1.0).otherwise(0.0)
+          else (x, y) => x // comparison filter keeps the left value
+        } else arith(b.op)
+      val op: (Column, Column) => Column =
+        if (flip) (x, y) => rawOp(y, x) else rawOp
+      if (side != 0) {
+        val include = m.map(_.include).getOrElse(Nil)
+        include.find(l.labels.contains).foreach(x =>
+          fail(s"group_left/right include label '$x' already exists on the many side"))
+        include.find(x => !r.labels.contains(x)).foreach(x =>
+          fail(s"group_left/right include label '$x' missing on the one side"))
+        val lDf = l.df.select((l.labels :+ "value").map(col): _*)
+        val rDf = r.df.select((r.labels :+ "value").map(col): _*)
+        val out = PromOps.binaryOpGroupLeft(lDf, rDf, on, include,
+          "value", op)
+        if (cmpOps.contains(b.op) && !b.boolMod)
+          fail("comparison filter with group_left/group_right is not supported")
+        stamped(out, l.labels ++ include)
+      } else if (cmpOps.contains(b.op) && !b.boolMod) {
+        // vector-vector comparison WITHOUT bool: keep the left
+        // element (all left labels + left value) where the condition
+        // holds against its matched right value
+        val cond = if (flip) (x: Column, y: Column) => cmpOps(b.op)(y, x)
+          else cmpOps(b.op)
+        val rz = uniqueOn(r.df.select((on :+ "value").map(col): _*), on, "right")
+          .withColumnRenamed("value", "_rv")
+        val lz = uniqueOn(l.df, on, "left")
+        val joined = lz.join(rz, on).filter(cond(col("value"), col("_rv")))
+        Vec(joined.select((l.labels :+ "value" :+ TS).map(col): _*), l.labels)
+      } else {
+        // arithmetic / bool comparison one-to-one: result at match-
+        // label grain, both sides checked unique
+        val lz = uniqueOn(l.df.select((on :+ "value").map(col): _*), on, "left")
+        val rz = uniqueOn(r.df.select((on :+ "value").map(col): _*), on, "right")
+        val out = PromOps.binaryOp(lz, rz, on, "value", op)
+        stamped(out, on)
+      }
+    }
+
+    private def setOp(b: Expr.Bin): Vec = {
+      val l = vec(b.lhs, s"'${b.op}'")
+      val r = vec(b.rhs, s"'${b.op}'")
+      if (b.matching.exists(_.side != 0))
+        fail(s"group_left/group_right is not valid on '${b.op}'")
+      val on = matchLabels(b, l, r)
+      b.op match {
+        case "and" => Vec(PromOps.vectorAnd(l.df, r.df.select(on.map(col): _*), on), l.labels)
+        case "unless" => Vec(PromOps.vectorUnless(l.df, r.df.select(on.map(col): _*), on), l.labels)
+        case "or" =>
+          if (l.labels.toSet != r.labels.toSet) fail(
+            s"'or' needs both sides to carry the same labels " +
+              s"(left: ${l.labels.mkString(",")}; right: ${r.labels.mkString(",")})")
+          val rAligned = r.df.select((l.labels :+ "value" :+ TS).map(col): _*)
+          Vec(PromOps.vectorOr(l.df.select((l.labels :+ "value" :+ TS).map(col): _*),
+            rAligned, on), l.labels)
+      }
+    }
+  }
+}

@@ -1,0 +1,324 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.tsdb.PromOps
+import graft.tsdb.promql.{PromQL, PromQLCompileException, PromQLContext}
+
+/** End-to-end PromQL string → DataFrame semantics, pinned against
+  * hand-composed PromOps plans and hand-computed values on a small
+  * two-label corpus. The gate queries cross-check a subset against
+  * DuckDB; these specs cover the full surface.
+  */
+class PromQLCompilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // epoch ms of 2024-01-01 00:00 / 01:00 UTC
+  private val T0 = 1704067200000L
+  private val T1 = T0 + 3600000L
+
+  // counters over [00:00, 01:00): series keyed (job, instance)
+  //   (api,i1): 0 @00:00, 60 @00:30, 118 @00:59
+  //   (api,i2): 5 @00:10, 45 @00:50
+  //   (web,i1): 100 @00:20, 90 @00:40   (a reset)
+  private lazy val requests = Seq(
+    ("api", "i1", ts("2024-01-01 00:00:00"), 0.0, 1L),
+    ("api", "i1", ts("2024-01-01 00:30:00"), 60.0, 2L),
+    ("api", "i1", ts("2024-01-01 00:59:00"), 118.0, 3L),
+    ("api", "i2", ts("2024-01-01 00:10:00"), 5.0, 4L),
+    ("api", "i2", ts("2024-01-01 00:50:00"), 45.0, 5L),
+    ("web", "i1", ts("2024-01-01 00:20:00"), 100.0, 6L),
+    ("web", "i1", ts("2024-01-01 00:40:00"), 90.0, 7L)
+  ).toDF("job", "instance", "ts", "value", "seq")
+
+  // an info metric: one row per instance
+  private lazy val nodeInfo = Seq(
+    ("meta", "i1", ts("2024-01-01 00:55:00"), 1.0, 10L)
+  ).toDF("job", "instance", "ts", "value", "seq")
+
+  private lazy val ctx = PromQLContext(
+    metrics = Map("http_requests_total" -> requests, "node_info" -> nodeInfo),
+    labelCols = Seq("job", "instance"),
+    evalMs = T1,
+    lookbackMs = 600000L, // 10m
+    tieBreak = Seq("seq"))
+
+  private def run(q: String): DataFrame = PromQL.compile(q, ctx)
+
+  private def rows(q: String): Set[Seq[Any]] =
+    run(q).collect().map(_.toSeq).toSet
+
+  // ===== selectors =====
+
+  test("instant selector picks the latest sample per series within lookback") {
+    // lookback window [00:50, 01:00): (api,i1)@00:59=118, (api,i2)@00:50=45
+    assert(rows("http_requests_total") ==
+      Set(Seq("api", "i1", 118.0), Seq("api", "i2", 45.0)))
+  }
+
+  test("matchers filter series (compiled through Matcher, incl. regex)") {
+    assert(rows("""http_requests_total{instance="i2"}""") ==
+      Set(Seq("api", "i2", 45.0)))
+    assert(rows("""http_requests_total{instance=~"i1|i3"}""") ==
+      Set(Seq("api", "i1", 118.0)))
+  }
+
+  test("offset shifts the evaluation window") {
+    // offset 30m → window [00:20, 00:30): only (web,i1)@00:20=100
+    assert(rows("http_requests_total offset 30m") ==
+      Set(Seq("web", "i1", 100.0)))
+  }
+
+  test("timestamp() exposes the sample timestamp in seconds") {
+    assert(rows("""timestamp(http_requests_total{instance="i1"})""") ==
+      Set(Seq("api", "i1", (T0 + 3540000L) / 1000.0)))
+  }
+
+  // ===== range functions =====
+
+  test("rate compiles to PromOps.extrapolatedRate") {
+    val compiled = run("rate(http_requests_total[1h])")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val direct = PromOps.extrapolatedRate(
+        requests.filter(col("ts") >= lit("2024-01-01 00:00:00").cast("timestamp")),
+        Seq("job", "instance"), "ts", "value", T0, T1, tieBreak = Seq("seq"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("rate")).toMap
+    assert(compiled == direct)
+    assert(compiled.keySet ==
+      Set(("api", "i1"), ("api", "i2"), ("web", "i1")))
+  }
+
+  test("sum_over_time + sum by") {
+    assert(rows("sum by (job) (sum_over_time(http_requests_total[1h]))") ==
+      Set(Seq("api", 228.0), Seq("web", 190.0)))
+  }
+
+  test("avg_over_time and without-grouping") {
+    // per-series averages: (api,i1)=178/3, (api,i2)=25, (web,i1)=95;
+    // the outer avg accumulates in decimal(30,8) (the house order-
+    // independence convention), so 59.333333333… quantizes to
+    // 59.33333333 before the cross-series mean
+    val out = rows("avg without (instance) (avg_over_time(http_requests_total[1h]))")
+    assert(out == Set(
+      Seq("api", (59.33333333 + 25.0) / 2),
+      Seq("web", 95.0)))
+  }
+
+  test("count/min/max/last_over_time") {
+    assert(rows("count_over_time(http_requests_total[30m])") ==
+      Set(Seq("api", "i1", 2.0), Seq("api", "i2", 1.0), Seq("web", "i1", 1.0)))
+    assert(rows("""max_over_time(http_requests_total{job="api"}[1h])""") ==
+      Set(Seq("api", "i1", 118.0), Seq("api", "i2", 45.0)))
+    assert(rows("""last_over_time(http_requests_total{job="web"}[1h])""") ==
+      Set(Seq("web", "i1", 90.0)))
+  }
+
+  test("resets and changes") {
+    assert(rows("resets(http_requests_total[1h])") ==
+      Set(Seq("api", "i1", 0.0), Seq("api", "i2", 0.0), Seq("web", "i1", 1.0)))
+    assert(rows("changes(http_requests_total[1h])") ==
+      Set(Seq("api", "i1", 2.0), Seq("api", "i2", 1.0), Seq("web", "i1", 1.0)))
+  }
+
+  test("delta and idelta") {
+    assert(rows("""delta(http_requests_total{job="web"}[1h])""") ==
+      Set(Seq("web", "i1", -10.0)))
+    assert(rows("""idelta(http_requests_total{job="api"}[1h])""") ==
+      Set(Seq("api", "i1", 58.0), Seq("api", "i2", 40.0)))
+  }
+
+  test("quantile_over_time") {
+    assert(rows("""quantile_over_time(0.5, http_requests_total{instance="i1"}[1h])""") ==
+      Set(Seq("api", "i1", 60.0), Seq("web", "i1", 95.0)))
+  }
+
+  // ===== aggregation operators =====
+
+  test("global aggregation over an empty vector is empty") {
+    assert(rows("""sum(http_requests_total{job="nope"})""").isEmpty)
+    assert(rows("""count(http_requests_total{job="nope"})""").isEmpty)
+  }
+
+  test("count / group / quantile aggregators") {
+    assert(rows("count by (job) (http_requests_total)") ==
+      Set(Seq("api", 2.0)))
+    assert(rows("group(http_requests_total)") == Set(Seq(1.0)))
+    assert(rows("quantile(0.5, http_requests_total)") ==
+      Set(Seq((118.0 + 45.0) / 2)))
+  }
+
+  test("stddev/stdvar aggregators use the population closed form") {
+    // values 118, 45: mean 81.5, var = ((118-81.5)^2 + (45-81.5)^2)/2
+    val varExp = (36.5 * 36.5 * 2) / 2
+    val got = rows("stdvar(http_requests_total)").head.head.asInstanceOf[Double]
+    assert(math.abs(got - varExp) < 1e-9)
+    val sd = rows("stddev(http_requests_total)").head.head.asInstanceOf[Double]
+    assert(math.abs(sd - math.sqrt(varExp)) < 1e-9)
+  }
+
+  test("topk keeps full labels and breaks ties on them") {
+    assert(rows("topk(1, http_requests_total)") ==
+      Set(Seq("api", "i1", 118.0)))
+    assert(rows("bottomk(1, http_requests_total)") ==
+      Set(Seq("api", "i2", 45.0)))
+    // tie: two series at the same value — label order (i1 < i2) decides
+    assert(rows("topk(1, http_requests_total ^ 0)") ==
+      Set(Seq("api", "i1", 1.0)))
+  }
+
+  test("count_values groups by exact value") {
+    assert(rows("""count_values("v", http_requests_total ^ 0)""") ==
+      Set(Seq("1.0", 2.0)))
+  }
+
+  // ===== scalar functions =====
+
+  test("clamp family and round") {
+    assert(rows("clamp(http_requests_total, 50, 100)") ==
+      Set(Seq("api", "i1", 100.0), Seq("api", "i2", 50.0)))
+    assert(rows("clamp_min(http_requests_total, 50)") ==
+      Set(Seq("api", "i1", 118.0), Seq("api", "i2", 50.0)))
+    assert(rows("clamp_max(http_requests_total, 50)") ==
+      Set(Seq("api", "i1", 50.0), Seq("api", "i2", 45.0)))
+    // round to nearest 0.5 of v/7: 118/7=16.857→17.0, 45/7=6.428→6.5
+    assert(rows("round(http_requests_total / 7, 0.5)") ==
+      Set(Seq("api", "i1", 17.0), Seq("api", "i2", 6.5)))
+  }
+
+  test("abs/sqrt/sgn compose") {
+    assert(rows("sgn(http_requests_total - 100)") ==
+      Set(Seq("api", "i1", 1.0), Seq("api", "i2", -1.0)))
+    assert(rows("sqrt(abs(http_requests_total * -1))") ==
+      Set(Seq("api", "i1", math.sqrt(118.0)), Seq("api", "i2", math.sqrt(45.0))))
+  }
+
+  // ===== binary operators =====
+
+  test("vector-scalar arithmetic and comparison filter") {
+    assert(rows("http_requests_total * 2") ==
+      Set(Seq("api", "i1", 236.0), Seq("api", "i2", 90.0)))
+    assert(rows("http_requests_total > 100") ==
+      Set(Seq("api", "i1", 118.0)))
+    assert(rows("http_requests_total > bool 100") ==
+      Set(Seq("api", "i1", 1.0), Seq("api", "i2", 0.0)))
+    // scalar on the left
+    assert(rows("100 < http_requests_total") ==
+      Set(Seq("api", "i1", 118.0)))
+  }
+
+  test("scalar expressions fold at compile time") {
+    assert(rows("vector(2 + 3 * 4)") == Set(Seq(14.0)))
+    assert(rows("vector(2 ^ 3 ^ 2)") == Set(Seq(512.0)))
+    assert(rows("vector(7 == bool 7)") == Set(Seq(1.0)))
+  }
+
+  test("one-to-one vector matching with on()") {
+    val q = """sum by (instance) (sum_over_time(http_requests_total{job="api"}[1h]))
+              | / on(instance)
+              |sum by (instance) (sum_over_time(http_requests_total{job="web"}[1h]))"""
+      .stripMargin
+    assert(rows(q) == Set(Seq("i1", 178.0 / 190.0)))
+  }
+
+  test("one-to-one matching rejects a non-unique side") {
+    // left is NOT unique on job (api appears for i1 and i2); the
+    // right side matches job=api, so the guard must fire
+    val ex = intercept[Exception](
+      run("""sum by (job,instance)(http_requests_total)
+            | / on(job) sum by (job)(http_requests_total{instance="i1"})"""
+        .stripMargin).collect())
+    assert(ex.getMessage.contains("not unique") ||
+      Option(ex.getCause).exists(_.getMessage.contains("not unique")))
+  }
+
+  test("ignoring() matches on the residual labels") {
+    // left (job,instance) ignoring job → (instance); right at (instance)
+    val q = """http_requests_total{job="api"} / ignoring(job) sum by (instance) (node_info)"""
+    assert(rows(q) == Set(Seq("i1", 118.0)))
+  }
+
+  test("group_left carries labels from the one side") {
+    val q = """http_requests_total * on(instance) group_left(role)
+              |label_replace(sum by (instance) (node_info), "role", "$1", "instance", "(.*)")"""
+      .stripMargin
+    assert(rows(q) == Set(Seq("api", "i1", "i1", 118.0)))
+    assert(run(q).columns.toSeq == Seq("job", "instance", "role", "value"))
+  }
+
+  test("group_right mirrors group_left") {
+    val q = """label_replace(sum by (instance) (node_info), "role", "$1", "instance", "(.*)")
+              | * on(instance) group_right(role) http_requests_total"""
+      .stripMargin
+    assert(rows(q) == Set(Seq("api", "i1", "i1", 118.0)))
+  }
+
+  test("set operators and/unless/or") {
+    assert(rows("http_requests_total and on(instance) node_info") ==
+      Set(Seq("api", "i1", 118.0)))
+    assert(rows("http_requests_total unless on(instance) node_info") ==
+      Set(Seq("api", "i2", 45.0)))
+    // or: left-biased union; make labels agree via sum by
+    val q = """sum by (instance) (http_requests_total)
+              | or sum by (instance) (node_info offset 30m)"""
+      .stripMargin
+    // left has i1, i2; right (offset window [00:20,00:30)) has nothing
+    assert(rows(q) == Set(Seq("i1", 118.0), Seq("i2", 45.0)))
+  }
+
+  // ===== histogram_quantile / absent =====
+
+  test("histogram_quantile over an le-labelled vector") {
+    val buckets = Seq(
+      ("api", "10", ts("2024-01-01 00:59:00"), 5.0),
+      ("api", "50", ts("2024-01-01 00:59:00"), 9.0),
+      ("api", "+Inf", ts("2024-01-01 00:59:00"), 10.0)
+    ).toDF("job", "le", "ts", "value")
+    val hctx = PromQLContext(
+      metrics = Map("req_bucket" -> buckets),
+      labelCols = Seq("job", "le"), evalMs = T1, lookbackMs = 3600000L)
+    val out = PromQL.compile("histogram_quantile(0.7, req_bucket)", hctx)
+      .collect().map(_.toSeq).toSet
+    // rank 7 lands in the (10,50] bucket: 10 + 40*(7-5)/(9-5) = 30
+    assert(out == Set(Seq("api", 30.0)))
+  }
+
+  test("absent() emits one row only for an empty selection") {
+    assert(rows("""absent(http_requests_total{job="nope"})""") == Set(Seq(1.0)))
+    assert(rows("absent(http_requests_total)").isEmpty)
+  }
+
+  // ===== compile errors =====
+
+  test("compile errors are loud and specific") {
+    intercept[PromQLCompileException](run("unknown_metric"))
+    intercept[PromQLCompileException](run("rate(http_requests_total)")) // needs range
+    intercept[PromQLCompileException](run("sum by (bogus) (http_requests_total)"))
+    intercept[PromQLCompileException](run("no_such_function(http_requests_total)"))
+    intercept[PromQLCompileException](run("1 + 2")) // scalar result
+    intercept[PromQLCompileException](run("1 > 2")) // scalar comparison needs bool
+    intercept[PromQLCompileException](
+      run("http_requests_total / on(instance) node_info / on(nope) node_info"))
+    intercept[PromQLCompileException](run("scalar(http_requests_total)"))
+    intercept[PromQLCompileException](run("histogram_quantile(0.9, http_requests_total)"))
+  }
+
+  test("holt_winters / deriv / predict_linear compile to the PromOps plans") {
+    val hw = rows("double_exponential_smoothing(http_requests_total[1h], 0.5, 0.5)")
+    assert(hw.map(_.take(2)) ==
+      Set(Seq("api", "i1"), Seq("api", "i2"), Seq("web", "i1")))
+    val d = run("""deriv(http_requests_total{job="api"}[1h])""")
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    // (api,i2): two samples, slope = 40/(40*60*1000) ms → per-second
+    assert(math.abs(d("i2") - 40.0 / 2400.0) < 1e-12)
+    val pl = run("""predict_linear(http_requests_total{instance="i2"}[1h], 3600)""")
+      .collect().map(r => r.getDouble(2)).head
+    // line through (600s,5) (3000s,45): slope 1/60 per s; at eval+1h
+    // (7200s from window start): 5 + (7200-600)/60 = 115
+    assert(math.abs(pl - 115.0) < 1e-9)
+  }
+}
