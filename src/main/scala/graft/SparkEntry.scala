@@ -1180,6 +1180,75 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  // ===================== PromQL front-end =====================
+  //
+  // The reference's Queryable exists to serve Prometheus's PromQL
+  // engine (queryable/parquet_queryable.go:153 implements
+  // storage.Queryable for exactly that caller); graft.tsdb.promql
+  // closes the loop Spark-side: the SAME query STRING a Prometheus
+  // user runs compiles onto the PromOps operators. These gates prove
+  // the parse→compile→execute path end-to-end against oracles that
+  // replay the PromQL semantics in SQL.
+
+  /** Shared evaluation context: events as the metric, instant T =
+    * 2024-02-01T00:00Z (just past the fixture's last sample).
+    */
+  private def promCtx(s: SparkSession, dir: String): graft.tsdb.promql.PromQLContext =
+    graft.tsdb.promql.PromQLContext(
+      metrics = Map("events" -> t(s, dir, "events")),
+      labelCols = Seq("event_type", "user_id"),
+      evalMs = 1706745600000L, // 2024-02-01T00:00:00Z
+      lookbackMs = 86400000L,
+      tieBreak = Seq("event_id"))
+
+  /** `sum by (event_type) (rate(events[31d]))` — the canonical
+    * PromQL shape (aggregated counter rate), parsed from the string.
+    * `rate` lowers to [[PromOps.extrapolatedRate]] (production
+    * extrapolation semantics, same ladder as `ts_rate_extrapolated`);
+    * the `sum by` accumulates the per-series rates in exact decimal.
+    */
+  private def tsPromqlRateSum(s: SparkSession, dir: String): DataFrame =
+    graft.tsdb.promql.PromQL.compile(
+        "sum by (event_type) (rate(events[31d]))", promCtx(s, dir))
+      .select(col("event_type"), col("value").as("rate_sum"))
+      .orderBy("event_type")
+
+  /** `A / on(user_id) B` — one-to-one vector matching parsed from
+    * the string, with the distributed uniqueness guard on both sides.
+    */
+  private def tsPromqlRatio(s: SparkSession, dir: String): DataFrame =
+    graft.tsdb.promql.PromQL.compile(
+        """sum by (user_id) (sum_over_time(events{event_type="click"}[31d]))
+          | / on(user_id)
+          |sum by (user_id) (sum_over_time(events{event_type="view"}[31d]))"""
+          .stripMargin, promCtx(s, dir))
+      .select(col("user_id"), col("value").as("ratio"))
+      .orderBy("user_id")
+
+  /** `topk(5, ...)` over an `offset` range — selector offset
+    * arithmetic plus the full-label topk with the documented
+    * label-order tiebreak.
+    */
+  private def tsPromqlTopkOffset(s: SparkSession, dir: String): DataFrame =
+    graft.tsdb.promql.PromQL.compile(
+        "topk(5, sum by (event_type, user_id) (sum_over_time(events[24d] offset 7d)))",
+        promCtx(s, dir))
+      .select(col("event_type"), col("user_id"), col("value").as("total"))
+      .orderBy("event_type", "user_id")
+
+  /** Comparison filters on both vectors + `and on(user_id)` set
+    * matching: the alerting idiom ("users with >650 of clicks that
+    * also spent >650 on purchases"), parsed from the string.
+    */
+  private def tsPromqlFilterAnd(s: SparkSession, dir: String): DataFrame =
+    graft.tsdb.promql.PromQL.compile(
+        """(sum by (user_id) (sum_over_time(events{event_type="click"}[31d])) > 650)
+          | and on(user_id)
+          |(sum by (user_id) (sum_over_time(events{event_type="purchase"}[31d])) > 650)"""
+          .stripMargin, promCtx(s, dir))
+      .select(col("user_id"), col("value").as("click_total"))
+      .orderBy("user_id")
+
   private def chunkBlockPath(dir: String): String =
     "/tmp/graft_chunkblock_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
 
@@ -1554,6 +1623,10 @@ object SparkEntry {
     "ts_set_ops" -> (tsSetOps _),
     "ts_absent_over_time" -> (tsAbsentOverTime _),
     "ts_asof_join" -> (tsAsofJoin _),
+    "ts_promql_rate_sum" -> (tsPromqlRateSum _),
+    "ts_promql_ratio" -> (tsPromqlRatio _),
+    "ts_promql_topk_offset" -> (tsPromqlTopkOffset _),
+    "ts_promql_filter_and" -> (tsPromqlFilterAnd _),
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_clusters" -> (ddClusters _),
@@ -2779,6 +2852,95 @@ object SparkEntry {
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
         |ORDER BY p.event_id""".stripMargin,
+    // PromQL front-end oracles: each replays the semantics of the
+    // COMPILED plan — the extrapolatedRate ladder for rate(), exact
+    // decimal accumulation for sum/sum_over_time — so a hash match
+    // proves parse→compile→execute end-to-end
+    "ts_promql_rate_sum" ->
+      """WITH d AS (
+        |  SELECT event_type, user_id, value, epoch_ms(ts) AS ts_ms,
+        |    lag(value) OVER w AS prev,
+        |    row_number() OVER w AS rn
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |  WINDOW w AS (PARTITION BY event_type, user_id
+        |               ORDER BY ts, event_id)),
+        |agg AS (
+        |  SELECT event_type, user_id,
+        |    CAST(sum(CAST(CASE WHEN prev IS NULL THEN 0.0
+        |                       WHEN value >= prev THEN value - prev
+        |                       ELSE value END AS DECIMAL(30,8))) AS DOUBLE) AS inc,
+        |    min(ts_ms) AS first_ms, max(ts_ms) AS last_ms,
+        |    max(CASE WHEN rn = 1 THEN value END) AS first_v,
+        |    count(*) AS n
+        |  FROM d GROUP BY event_type, user_id
+        |  HAVING count(*) >= 2 AND max(ts_ms) > min(ts_ms)),
+        |ext AS (
+        |  SELECT event_type, user_id, inc, n, first_v,
+        |    CAST(last_ms - first_ms AS DOUBLE) AS sampled,
+        |    CAST(last_ms - first_ms AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS avg_sp,
+        |    CAST(first_ms - 1704067200000 AS DOUBLE) AS to_start_raw,
+        |    CAST(1706745600000 - last_ms AS DOUBLE) AS to_end
+        |  FROM agg),
+        |fin AS (
+        |  SELECT event_type, inc, sampled, avg_sp, to_end,
+        |    avg_sp * 1.1 AS threshold,
+        |    least(CASE WHEN inc > 0 AND first_v >= 0
+        |               THEN sampled * (first_v / inc)
+        |               ELSE to_start_raw END, to_start_raw) AS to_start
+        |  FROM ext),
+        |rates AS (
+        |  SELECT event_type,
+        |    inc * ((sampled
+        |        + (CASE WHEN to_start < threshold THEN to_start ELSE avg_sp / 2 END)
+        |        + (CASE WHEN to_end < threshold THEN to_end ELSE avg_sp / 2 END))
+        |      / sampled) / 2678400.0 AS rate
+        |  FROM fin)
+        |SELECT event_type,
+        |  CAST(sum(CAST(rate AS DECIMAL(30,8))) AS DOUBLE) AS rate_sum
+        |FROM rates GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "ts_promql_ratio" ->
+      """WITH l AS (
+        |  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS v
+        |  FROM events WHERE event_type = 'click'
+        |    AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |  GROUP BY user_id),
+        |r AS (
+        |  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS v
+        |  FROM events WHERE event_type = 'view'
+        |    AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |  GROUP BY user_id)
+        |SELECT l.user_id, l.v / r.v AS ratio
+        |FROM l JOIN r USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    "ts_promql_topk_offset" ->
+      """WITH s AS (
+        |  SELECT event_type, user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-25'
+        |  GROUP BY event_type, user_id),
+        |rk AS (
+        |  SELECT *, row_number()
+        |    OVER (ORDER BY total DESC, event_type, user_id) AS rk FROM s)
+        |SELECT event_type, user_id, total FROM rk WHERE rk <= 5
+        |ORDER BY event_type, user_id""".stripMargin,
+    "ts_promql_filter_and" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS v
+        |  FROM events WHERE event_type = 'click'
+        |    AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |  GROUP BY user_id),
+        |p AS (
+        |  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS v
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |  GROUP BY user_id)
+        |SELECT c.user_id, c.v AS click_total
+        |FROM c JOIN p USING (user_id)
+        |WHERE c.v > 650 AND p.v > 650
+        |ORDER BY c.user_id""".stripMargin,
     // same compaction oracle as ts_merge_blocks, µs precision —
     // the samples additionally roundtrip the XOR codec twice
     "ts_chunk_merge" ->
