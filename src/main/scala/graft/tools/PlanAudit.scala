@@ -218,6 +218,39 @@ object PlanAudit {
         "no shuffle of the chunks side" -> "Exchange hashpartitioning",
         "no nested-loop join" -> "BroadcastNestedLoopJoin"))
 
+    // PromQL front-end over the raw events table: a parsed query must
+    // compile to the SAME pushdown-friendly plan the direct API
+    // builds — the selector's matcher reaches PushedFilters and the
+    // one-to-one matching guard must not degrade the join to a
+    // nested loop. (The ts range can't push on THIS fixture — its ts
+    // is nanos-as-bigint rebuilt via timestamp_micros, opaque to
+    // every engine — so the range pushdown is asserted on the
+    // converted layout below.)
+    audit("ts_promql_ratio",
+      SparkEntry.queries("ts_promql_ratio")(spark, dir),
+      Map("parsed matcher pushed to scan" -> "EqualTo(event_type,click)"),
+      forbid = Map(
+        "no nested-loop join" -> "BroadcastNestedLoopJoin",
+        "no cartesian product" -> "CartesianProduct"))
+
+    // PromQL over the CONVERTED block layout — the production shape:
+    // the parsed selector's time range pushes as a real ts predicate
+    // AND prunes bucket partition directories via the context's
+    // literal bucket range; the matcher still reaches PushedFilters.
+    audit("ts_promql_converted_pushdown",
+      graft.tsdb.promql.PromQL.compile(
+        """sum by (user_id) (sum_over_time(events{event_type="view"}[15d] offset 11d))""",
+        graft.tsdb.promql.PromQLContext(
+          metrics = Map("events" -> spark.read.parquet(rtPath)),
+          labelCols = Seq("event_type", "user_id"),
+          evalMs = 1706745600000L,
+          bucketCol = Some("bucket"))),
+      Map(
+        "parsed matcher pushed to scan" -> "EqualTo(event_type,view)",
+        "parsed time range pushed" -> "GreaterThanOrEqual(ts,",
+        "bucket partition pruning from the range" ->
+          "PartitionFilters: [isnotnull(bucket"))
+
     if (failures.nonEmpty) {
       println(s"\n[audit] FAILURES: ${failures.mkString("; ")}")
       sys.exit(1)

@@ -37,20 +37,21 @@ final case class ConvertOptions(
 
 object TsdbConverter {
 
-  /** Bucket index for a timestamp column: floor(epoch_sec / width). */
-  def bucketCol(tsCol: String, duration: String) = {
-    val secs = duration.trim.split("\\s+") match {
-      case Array(n, u) => n.toLong * (u.toLowerCase match {
-        case "second" | "seconds" => 1L
-        case "minute" | "minutes" => 60L
-        case "hour" | "hours"     => 3600L
-        case "day" | "days"       => 86400L
-        case other => throw new IllegalArgumentException(s"bad unit $other")
-      })
-      case _ => throw new IllegalArgumentException(s"bad duration $duration")
-    }
-    floor(unix_timestamp(col(tsCol)) / secs).cast("long")
+  /** Bucket width in seconds for a `colDuration` spec. */
+  def durationSeconds(duration: String): Long = duration.trim.split("\\s+") match {
+    case Array(n, u) => n.toLong * (u.toLowerCase match {
+      case "second" | "seconds" => 1L
+      case "minute" | "minutes" => 60L
+      case "hour" | "hours"     => 3600L
+      case "day" | "days"       => 86400L
+      case other => throw new IllegalArgumentException(s"bad unit $other")
+    })
+    case _ => throw new IllegalArgumentException(s"bad duration $duration")
   }
+
+  /** Bucket index for a timestamp column: floor(epoch_sec / width). */
+  def bucketCol(tsCol: String, duration: String) =
+    floor(unix_timestamp(col(tsCol)) / durationSeconds(duration)).cast("long")
 
   /** Write a long-format series DataFrame as a time-bucketed,
     * label-sorted parquet dataset.

@@ -22,6 +22,14 @@ import graft.tsdb.PromOps
   * window functions, exactly as the direct PromOps API takes them —
   * required for engine-deterministic results on data with repeated
   * (series, ts) keys.
+  *
+  * When the metric tables are [[graft.tsdb.TsdbConverter]]-converted
+  * block layouts, set `bucketCol`/`bucketDuration` to the layout's
+  * time-partition column: every selector then also emits a LITERAL
+  * bucket-range predicate, so at 100 TB a range query prunes whole
+  * partition directories (the reference's colDuration row-group
+  * pruning, schema/schema_builder.go:155 DataColumIdx analog) before
+  * any footer is read.
   */
 final case class PromQLContext(
     metrics: Map[String, DataFrame],
@@ -30,7 +38,9 @@ final case class PromQLContext(
     lookbackMs: Long = 300000L,
     tsCol: String = "ts",
     valueCol: String = "value",
-    tieBreak: Seq[String] = Nil)
+    tieBreak: Seq[String] = Nil,
+    bucketCol: Option[String] = None,
+    bucketDuration: String = "1 day")
 
 final class PromQLCompileException(msg: String) extends RuntimeException(msg)
 
@@ -138,9 +148,26 @@ object PromQL {
       val end = ctx.evalMs - sel.offsetMs
       val start = end - rangeMs
       val tsMs = unix_millis(col(ctx.tsCol).cast("timestamp"))
-      val filtered = graft.tsdb.Matcher.compile(sel.matchers)
+      // range predicate on the RAW ts column, not unix_millis(ts):
+      // a function of the column would not reach PushedFilters, and
+      // with integer-ms bounds the two are equivalent
+      // (floor(x) >= s ⟺ x >= s and floor(x) < e ⟺ x < e for
+      // integer s, e) — PlanAudit asserts the pushdown
+      val tsCol = col(ctx.tsCol).cast("timestamp")
+      val filtered0 = graft.tsdb.Matcher.compile(sel.matchers)
         .map(table.filter).getOrElse(table)
-        .filter(tsMs >= start && tsMs < end)
+        .filter(tsCol >= timestamp_millis(lit(start)) &&
+          tsCol < timestamp_millis(lit(end)))
+      // converted-layout partition pruning: a LITERAL bucket range
+      // derived from the time range prunes directories at plan time
+      val filtered = ctx.bucketCol match {
+        case Some(b) =>
+          val secs = graft.tsdb.TsdbConverter.durationSeconds(ctx.bucketDuration)
+          val lo = Math.floorDiv(Math.floorDiv(start, 1000L), secs)
+          val hi = Math.floorDiv(Math.floorDiv(end - 1, 1000L), secs)
+          filtered0.filter(col(b) >= lo && col(b) <= hi)
+        case None => filtered0
+      }
       filtered.select((ctx.labelCols ++ ctx.tieBreak).map(col) :+
         col(ctx.tsCol) :+ tsMs.as(TS) :+ col(ctx.valueCol): _*)
     }

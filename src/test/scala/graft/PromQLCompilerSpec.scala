@@ -292,6 +292,24 @@ class PromQLCompilerSpec extends SparkSpec {
     assert(rows("absent(http_requests_total)").isEmpty)
   }
 
+  test("bucket pruning over a converted layout changes the plan, not the result") {
+    val path = java.nio.file.Files.createTempDirectory("pq_conv").toString
+    graft.tsdb.TsdbConverter.convert(requests, path, "ts",
+      graft.tsdb.ConvertOptions(sortBy = Seq("job", "instance"),
+        colDuration = "1 hour"))
+    val conv = spark.read.parquet(path)
+    def cctx(bucket: Option[String]) = ctx.copy(
+      metrics = Map("m" -> conv), bucketCol = bucket,
+      bucketDuration = "1 hour")
+    val q = "sum by (job) (sum_over_time(m[45m] offset 10m))"
+    val pruned = PromQL.compile(q, cctx(Some("bucket")))
+    val full = PromQL.compile(q, cctx(None))
+    assert(pruned.collect().map(_.toSeq).toSet ==
+      full.collect().map(_.toSeq).toSet)
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(bucket"))
+  }
+
   // ===== compile errors =====
 
   test("compile errors are loud and specific") {
