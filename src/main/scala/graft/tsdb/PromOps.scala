@@ -84,6 +84,19 @@ object PromOps {
       valueCol: String, startMs: Long, endMs: Long,
       tieBreak: Seq[String] = Nil): DataFrame = {
     require(endMs > startMs, "range must be non-empty")
+    extrapolatedRateAt(df, seriesCols, tsCol, valueCol,
+      lit(startMs), lit(endMs), tieBreak)
+  }
+
+  /** [[extrapolatedRate]] with PER-GROUP range bounds: `startCol` /
+    * `endCol` are epoch-ms expressions over the aggregated output's
+    * group keys (`seriesCols`) — the range-query form, where
+    * seriesCols include a step column and each step's window is
+    * `[step - range, step)`. Same ladder, same op order.
+    */
+  def extrapolatedRateAt(df: DataFrame, seriesCols: Seq[String], tsCol: String,
+      valueCol: String, startCol: Column, endCol: Column,
+      tieBreak: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy(seriesCols.map(col): _*)
       .orderBy((col(tsCol) +: tieBreak.map(col)): _*)
     val tsMs = unix_millis(col(tsCol).cast("timestamp"))
@@ -109,12 +122,13 @@ object PromOps {
       .filter(col("_n") >= 2 && col("_last_ms") > col("_first_ms"))
     // the extrapolation ladder, exactly Prometheus's op order (all ms
     // as doubles from here; each step is one IEEE op both engines run
-    // identically)
+    // identically). startCol/endCol evaluate over the group keys, so
+    // the same ladder serves one global range or a per-step window.
     val sampled = (col("_last_ms") - col("_first_ms")).cast("double")
     val avgSpacing = sampled / (col("_n") - 1).cast("double")
     val threshold = avgSpacing * lit(1.1)
-    val toStartRaw = (col("_first_ms") - lit(startMs)).cast("double")
-    val toEnd = (lit(endMs) - col("_last_ms")).cast("double")
+    val toStartRaw = (col("_first_ms") - startCol).cast("double")
+    val toEnd = (endCol - col("_last_ms")).cast("double")
     // counter guard: never extrapolate below zero on the start side
     val toZero = when(col("_inc") > 0 && col("_first_v") >= 0,
       sampled * (col("_first_v") / col("_inc"))).otherwise(toStartRaw)
@@ -125,7 +139,8 @@ object PromOps {
     val factor = extended / sampled
     perSeries.select(seriesCols.map(col) :+
       (col("_inc") * factor).as("increase") :+
-      (col("_inc") * factor / lit((endMs - startMs) / 1000.0)).as("rate") :+
+      (col("_inc") * factor /
+        ((endCol - startCol).cast("double") / lit(1000.0))).as("rate") :+
       col("_n").as("samples"): _*)
   }
 
@@ -544,10 +559,22 @@ object PromOps {
   def predictLinear(df: DataFrame, seriesCols: Seq[String], tsCol: String,
       valueCol: String, evalMs: Long, horizonMs: Long,
       originMs: Long): DataFrame =
+    predictLinearAt(df, seriesCols, tsCol, valueCol,
+      lit(evalMs), horizonMs, originMs)
+
+  /** [[predictLinear]] with a PER-GROUP evaluation time: `evalCol` is
+    * an epoch-ms expression over the aggregated output's group keys
+    * (`seriesCols`) — the range-query form, where seriesCols include
+    * a step column and each step predicts from its own eval time.
+    */
+  def predictLinearAt(df: DataFrame, seriesCols: Seq[String], tsCol: String,
+      valueCol: String, evalCol: Column, horizonMs: Long,
+      originMs: Long): DataFrame =
     regression(df, seriesCols, tsCol, valueCol, originMs)
       .select(seriesCols.map(col) :+
         (col("_intercept") + col("_slope_ms") *
-          lit((evalMs + horizonMs - originMs).toDouble)).as("predicted"): _*)
+          (evalCol + lit(horizonMs) - lit(originMs)).cast("double"))
+          .as("predicted"): _*)
 
   /** PromQL `stdvar_over_time` / `stddev_over_time`: per-series
     * POPULATION variance and standard deviation. Computed as

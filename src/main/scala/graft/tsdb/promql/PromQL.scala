@@ -23,6 +23,10 @@ import graft.tsdb.PromOps
   * required for engine-deterministic results on data with repeated
   * (series, ts) keys.
   *
+  * `subqueryStepMs` is the inner step used by a subquery written
+  * with an empty step (`[1h:]`) — Prometheus's "default evaluation
+  * interval" knob.
+  *
   * When the metric tables are [[graft.tsdb.TsdbConverter]]-converted
   * block layouts, set `bucketCol`/`bucketDuration` to the layout's
   * time-partition column: every selector then also emits a LITERAL
@@ -40,7 +44,21 @@ final case class PromQLContext(
     valueCol: String = "value",
     tieBreak: Seq[String] = Nil,
     bucketCol: Option[String] = None,
-    bucketDuration: String = "1 day")
+    bucketDuration: String = "1 day",
+    subqueryStepMs: Long = 60000L)
+
+/** A range-query step grid: evaluation timestamps `startMs,
+  * startMs + stepMs, ..., lastStepMs` (every multiple of `stepMs`
+  * from `startMs` that is <= `endMs` — the Prometheus `query_range`
+  * start/end/step triple).
+  */
+final case class StepGrid(startMs: Long, endMs: Long, stepMs: Long) {
+  require(stepMs > 0, "step must be positive")
+  require(endMs >= startMs, "grid end must be >= grid start")
+  /** Index of the last step (inclusive): steps are k in [0, lastIdx]. */
+  val lastIdx: Long = (endMs - startMs) / stepMs
+  def lastStepMs: Long = startMs + lastIdx * stepMs
+}
 
 final class PromQLCompileException(msg: String) extends RuntimeException(msg)
 
@@ -58,13 +76,35 @@ final class PromQLCompileException(msg: String) extends RuntimeException(msg)
   * predicates still reach PushedFilters, aggregations still partial-
   * aggregate map-side; nothing is evaluated driver-side).
   *
-  * Evaluation model: ONE instant query at `ctx.evalMs` — the result
-  * is an instant vector as a DataFrame of (label columns..., value).
+  * Two evaluation modes:
+  *
+  *   - '''instant''' ([[PromQL.compile]]): ONE query at `ctx.evalMs`;
+  *     the result is an instant vector of (label columns..., value).
+  *   - '''range''' ([[PromQL.compileRange]]): the `query_range` form —
+  *     the expression evaluated at EVERY step of a [[StepGrid]], as
+  *     ONE distributed plan. Each vector carries a hidden step
+  *     column; every sample row is mapped to the (at most
+  *     range/step) steps whose window covers it by a bounded
+  *     `sequence` explode, then every aggregation/join keys on
+  *     (labels..., step). The metric table is scanned ONCE for the
+  *     whole grid — never once per step — and the scan's time filter
+  *     is the literal span `[gridStart - range, gridEnd)`, so
+  *     predicate pushdown and bucket pruning still apply. At 100 TB
+  *     a 1000-step dashboard query costs one pruned scan + one
+  *     shuffle at (series × steps-covered) grain, not 1000 scans.
+  *
+  * Subqueries `expr[range:step]` evaluate the inner expression over
+  * its own (absolutely-aligned) step grid spanning exactly the outer
+  * windows' needs, then feed the per-step results to the outer range
+  * function as synthetic samples (ts = inner step) — recursively, so
+  * `max_over_time(rate(v[5m])[1h:1m])` is still one plan.
+  *
   * Scalar expressions fold at compile time.
   *
   * Documented deltas from Prometheus, all deliberate:
   *   - ranges are half-open `[t-r, t)` (graft's universal convention)
-  *     where Prometheus uses `(t-r, t]`;
+  *     where Prometheus uses `(t-r, t]`; subquery inner steps are the
+  *     multiples of the inner step in `[t-r, t-offset)`;
   *   - `delta` is last-minus-first without boundary extrapolation
   *     (PromOps.delta's documented semantics); `rate`/`increase` DO
   *     use the production extrapolation (PromOps.extrapolatedRate);
@@ -82,7 +122,19 @@ object PromQL {
     * query (wrap in `vector()`).
     */
   def compile(query: String, ctx: PromQLContext): DataFrame =
-    new Compiler(ctx).top(parse(query))
+    new Compiler(ctx, None).top(parse(query))
+
+  /** Compile the `query_range` form: evaluate at every step of
+    * `[startMs, endMs]` at `stepMs` spacing, as ONE distributed
+    * plan. Returns the vector's label columns, `step_ms` (the epoch
+    * ms of the evaluation step) and `value`. A scalar-typed query
+    * yields (step_ms, value) — the scalar at every step.
+    */
+  def compileRange(query: String, ctx: PromQLContext,
+      startMs: Long, endMs: Long, stepMs: Long): DataFrame = {
+    val g = StepGrid(startMs, endMs, stepMs)
+    new Compiler(ctx, Some(g)).topRange(parse(query))
+  }
 
   // ===== compiler =====
 
@@ -90,14 +142,25 @@ object PromQL {
     * (TS = the per-element sample timestamp in epoch ms — selectors
     * carry their sample's scrape time, computed vectors carry the
     * evaluation time, exactly Prometheus's `timestamp()` semantics).
+    * In range (grid) mode every vector df ALSO carries STEP, the
+    * evaluation step the element belongs to; `labels` never lists
+    * STEP — it is the hidden extra key every grouping/join adds.
     */
   private final case class Vec(df: DataFrame, labels: Seq[String])
 
   private val TS = "_ts_ms"
+  private val STEP = "_step_ms"
 
   private def fail(msg: String): Nothing = throw new PromQLCompileException(msg)
 
-  private final class Compiler(ctx: PromQLContext) {
+  private final class Compiler(ctx: PromQLContext, grid: Option[StepGrid]) {
+
+    /** Vector-element grain: the visible labels plus, in grid mode,
+      * the hidden step key. EVERY groupBy/join/window in the
+      * compiler keys on this, so per-step results never mix.
+      */
+    private def keys(ls: Seq[String]): Seq[String] =
+      if (grid.isDefined) ls :+ STEP else ls
 
     def top(e: Expr): DataFrame = eval(e) match {
       case Right(v) => v.df.select((v.labels.map(col) :+ col("value")): _*)
@@ -105,12 +168,19 @@ object PromQL {
         fail(s"query evaluates to the scalar $s, not an instant vector — wrap it in vector()")
     }
 
+    def topRange(e: Expr): DataFrame = eval(e) match {
+      case Right(v) => v.df.select(v.labels.map(col) :+
+        col(STEP).as("step_ms") :+ col("value"): _*)
+      case Left(s) => gridDf.select(col(STEP).as("step_ms"),
+        lit(s).as("value"))
+    }
+
     /** Either a compile-time scalar or an instant vector. */
     private def eval(e: Expr): Either[Double, Vec] = e match {
       case Expr.Num(v) => Left(v)
       case Expr.Str(_) => fail("a string literal is not a valid expression result")
       case s: Expr.Selector => Right(instant(s))
-      case Expr.Range(_, _) =>
+      case Expr.Range(_, _) | _: Expr.Subquery =>
         fail("a range vector is only valid as a range-function argument")
       case Expr.Neg(inner) => eval(inner) match {
         case Left(v) => Left(-v)
@@ -138,15 +208,16 @@ object PromQL {
 
     // ---- selectors ----
 
-    /** Raw sample rows of a selector within [start, end): matcher
-      * predicates compile through [[graft.tsdb.Matcher]] (pushdown,
-      * RE2 gate) and the time range is a pushable ts predicate.
+    /** Matcher + literal-time-filtered scan of the selector's table
+      * over raw-ts span [spanStartMs, spanEndMs): matcher predicates
+      * compile through [[graft.tsdb.Matcher]] (pushdown, RE2 gate),
+      * the time range is a pushable ts predicate, and a converted
+      * layout additionally prunes partition directories by bucket.
       */
-    private def rangeRows(sel: Expr.Selector, rangeMs: Long): DataFrame = {
+    private def scanRows(sel: Expr.Selector, spanStartMs: Long,
+        spanEndMs: Long): DataFrame = {
       val table = ctx.metrics.getOrElse(sel.metric,
         fail(s"unknown metric '${sel.metric}' — context knows: ${ctx.metrics.keys.toSeq.sorted.mkString(", ")}"))
-      val end = ctx.evalMs - sel.offsetMs
-      val start = end - rangeMs
       val tsMs = unix_millis(col(ctx.tsCol).cast("timestamp"))
       // range predicate on the RAW ts column, not unix_millis(ts):
       // a function of the column would not reach PushedFilters, and
@@ -156,15 +227,15 @@ object PromQL {
       val tsCol = col(ctx.tsCol).cast("timestamp")
       val filtered0 = graft.tsdb.Matcher.compile(sel.matchers)
         .map(table.filter).getOrElse(table)
-        .filter(tsCol >= timestamp_millis(lit(start)) &&
-          tsCol < timestamp_millis(lit(end)))
+        .filter(tsCol >= timestamp_millis(lit(spanStartMs)) &&
+          tsCol < timestamp_millis(lit(spanEndMs)))
       // converted-layout partition pruning: a LITERAL bucket range
       // derived from the time range prunes directories at plan time
       val filtered = ctx.bucketCol match {
         case Some(b) =>
           val secs = graft.tsdb.TsdbConverter.durationSeconds(ctx.bucketDuration)
-          val lo = Math.floorDiv(Math.floorDiv(start, 1000L), secs)
-          val hi = Math.floorDiv(Math.floorDiv(end - 1, 1000L), secs)
+          val lo = Math.floorDiv(Math.floorDiv(spanStartMs, 1000L), secs)
+          val hi = Math.floorDiv(Math.floorDiv(spanEndMs - 1, 1000L), secs)
           filtered0.filter(col(b) >= lo && col(b) <= hi)
         case None => filtered0
       }
@@ -172,24 +243,81 @@ object PromQL {
         col(ctx.tsCol) :+ tsMs.as(TS) :+ col(ctx.valueCol): _*)
     }
 
+    /** Map each sample row to the grid steps whose trailing window of
+      * `rangeMs` covers it: a sample visible at eval time t (i.e.
+      * raw ts in [t - offset - range, t - offset)) serves the steps
+      * s with tsm < s <= tsm + range, tsm = ts + offset. The step
+      * index bounds are exact integer math (a bounded `sequence`
+      * explode of at most range/step + 1 entries per row — never a
+      * per-step rescan, never a range join).
+      */
+    private def stepExplode(rows: DataFrame, g: StepGrid, offsetMs: Long,
+        rangeMs: Long): DataFrame = {
+      // shift S makes both `div` numerators non-negative (integer
+      // `div` truncates toward zero; floorDiv is what the inequality
+      // needs, and they agree on non-negatives): tsm >= gridStart -
+      // range - |offset shift| by the scan span, so S covers it
+      val s = ((rangeMs + math.max(0L, -offsetMs)) / g.stepMs + 2L) * g.stepMs
+      val shiftedStart = g.startMs - s
+      rows
+        .withColumn("_tsm", col(TS) + lit(offsetMs))
+        .withColumn("_k0", greatest(lit(0L),
+          expr(s"(_tsm - ${shiftedStart}L) div ${g.stepMs}L") -
+            lit(s / g.stepMs) + lit(1L)))
+        .withColumn("_k1", least(lit(g.lastIdx),
+          expr(s"(_tsm + ${rangeMs}L - ${shiftedStart}L) div ${g.stepMs}L") -
+            lit(s / g.stepMs)))
+        .filter(col("_k0") <= col("_k1"))
+        .select(col("*"), explode(sequence(col("_k0"), col("_k1"))).as("_k"))
+        .withColumn(STEP, lit(g.startMs) + col("_k") * g.stepMs)
+        .drop("_tsm", "_k0", "_k1", "_k")
+    }
+
+    /** Raw sample rows of a selector's trailing window — at the one
+      * instant in instant mode; per-step (with the STEP column) in
+      * grid mode. The table is scanned ONCE either way.
+      */
+    private def rangeRows(sel: Expr.Selector, rangeMs: Long): DataFrame =
+      grid match {
+        case None =>
+          val end = ctx.evalMs - sel.offsetMs
+          scanRows(sel, end - rangeMs, end)
+        case Some(g) =>
+          val rows = scanRows(sel, g.startMs - sel.offsetMs - rangeMs,
+            g.lastStepMs - sel.offsetMs)
+          stepExplode(rows, g, sel.offsetMs, rangeMs)
+      }
+
     /** Instant selector: latest sample per series in the lookback
-      * window — one shuffle at series grain; ties on duplicate
+      * window — one shuffle at element grain; ties on duplicate
       * timestamps resolve lexicographically on (ts, value), the
       * [[PromOps.alignToSteps]] convention.
       */
     private def instant(sel: Expr.Selector): Vec = {
       val rows = rangeRows(sel, ctx.lookbackMs)
+      val k = keys(ctx.labelCols)
       val df = rows
-        .groupBy(ctx.labelCols.map(col): _*)
+        .groupBy(k.map(col): _*)
         .agg(max(struct(col(TS), col(ctx.valueCol).as("_v"))).as("_top"))
-        .select(ctx.labelCols.map(col) :+
+        .select(k.map(col) :+
           col("_top._v").as("value") :+ col(s"_top.$TS").as(TS): _*)
       Vec(df, ctx.labelCols)
     }
 
-    /** Computed vectors carry the evaluation timestamp. */
-    private def stamped(df: DataFrame, labels: Seq[String]): Vec =
-      Vec(df.withColumn(TS, lit(ctx.evalMs)), labels)
+    /** The step grid as a (tiny) DataFrame — one row per step. */
+    private def gridDf: DataFrame = {
+      val g = grid.getOrElse(fail("internal: gridDf outside range mode"))
+      sparkOf.range(0, g.lastIdx + 1)
+        .select((lit(g.startMs) + col("id") * g.stepMs).as(STEP))
+    }
+
+    /** Computed vectors carry the evaluation timestamp — the step's
+      * own time in grid mode.
+      */
+    private def stamped(df: DataFrame, labels: Seq[String]): Vec = grid match {
+      case Some(_) => Vec(df.withColumn(TS, col(STEP)), labels)
+      case None => Vec(df.withColumn(TS, lit(ctx.evalMs)), labels)
+    }
 
     private def mapValue(v: Vec, f: Column => Column): Vec =
       Vec(v.df.withColumn("value", f(col("value"))), v.labels)
@@ -203,7 +331,11 @@ object PromQL {
     private def call(c: Expr.Call): Either[Double, Vec] = c.fn match {
       case "vector" =>
         val v = scalarArg(c.args.head, "vector()")
-        Right(stamped(sparkOf.range(1).select(lit(v).as("value")), Nil))
+        val base = grid match {
+          case Some(_) => gridDf.withColumn("value", lit(v))
+          case None => sparkOf.range(1).select(lit(v).as("value"))
+        }
+        Right(stamped(base, Nil))
       case "scalar" =>
         fail("scalar() is not supported — a distributed plan cannot demote a vector to a driver-side scalar; aggregate explicitly instead")
       case "timestamp" =>
@@ -211,7 +343,16 @@ object PromQL {
         Right(Vec(v.df.withColumn("value", col(TS) / lit(1000.0)), v.labels))
       case "absent" =>
         val v = vec(one(c, "absent"), "absent()")
-        Right(stamped(PromOps.absent(v.df.select("value")), Nil))
+        grid match {
+          case Some(_) =>
+            // per step: 1.0 at the steps where the vector is empty —
+            // the (tiny) grid anti-joins the vector's step set
+            val present = v.df.select(col(STEP)).distinct()
+            Right(stamped(gridDf.join(present, Seq(STEP), "left_anti")
+              .withColumn("value", lit(1.0)), Nil))
+          case None =>
+            Right(stamped(PromOps.absent(v.df.select("value")), Nil))
+        }
       case "histogram_quantile" => Right(histogramQuantile(c))
       case "label_replace" =>
         val Seq(ve, dst, repl, src, regex) = argN(c, 5)
@@ -283,9 +424,13 @@ object PromQL {
       case "predict_linear" =>
         val Seq(re, te) = argN(c, 2)
         val horizonSec = scalarArg(te, "predict_linear horizon")
+        val evalCol = grid match {
+          case Some(_) => col(STEP)
+          case None => lit(ctx.evalMs)
+        }
         Right(overRangeExpr(re, "predict_linear", (df, ls, start) =>
-          PromOps.predictLinear(df, ls, ctx.tsCol, ctx.valueCol,
-              evalMs = ctx.evalMs, horizonMs = (horizonSec * 1000.0).toLong,
+          PromOps.predictLinearAt(df, ls, ctx.tsCol, ctx.valueCol,
+              evalCol = evalCol, horizonMs = (horizonSec * 1000.0).toLong,
               originMs = start)
             .withColumnRenamed("predicted", "value")))
       case "double_exponential_smoothing" | "holt_winters" =>
@@ -318,23 +463,94 @@ object PromQL {
       ctx.metrics.values.headOption.map(_.sparkSession)
         .getOrElse(fail("context has no metric tables"))
 
-    private def rangeArg(e: Expr, what: String): Expr.Range = e match {
-      case r: Expr.Range => r
+    // ---- range-vector arguments (selector ranges and subqueries) ----
+
+    /** A materialized range-vector argument: sample rows in the
+      * rangeRows shape (labels ++ tieBreak ++ ts ++ TS ++ value, plus
+      * STEP in grid mode), the vector's visible labels, and the
+      * range/offset the window arithmetic needs.
+      */
+    private final case class RangeVec(rows: DataFrame, labels: Seq[String],
+        rangeMs: Long, offsetMs: Long)
+
+    private def rangeVec(e: Expr, what: String): RangeVec = e match {
+      case r: Expr.Range =>
+        RangeVec(rangeRows(r.sel, r.rangeMs), ctx.labelCols,
+          r.rangeMs, r.sel.offsetMs)
+      case sq: Expr.Subquery => subqueryRows(sq)
       case _: Expr.Selector => fail(
-        s"$what expects a RANGE vector — add a range like [5m] to the selector")
-      case _ => fail(s"$what expects a range vector selector")
+        s"$what expects a RANGE vector — add a range like [5m] to the selector (or [1h:5m] for a subquery)")
+      case _ => fail(s"$what expects a range vector")
     }
 
+    /** Evaluate a subquery `expr[range:step]`: the inner expression
+      * runs over its own absolutely-aligned step grid (the multiples
+      * of the inner step inside the span the OUTER windows need),
+      * then each inner (series, step, value) becomes one synthetic
+      * sample at ts = step. In grid mode the synthetic samples are
+      * then step-exploded to the outer grid exactly like raw rows.
+      * The whole thing stays one declarative plan — the inner
+      * expression's scans are shared across all outer steps.
+      */
+    private def subqueryRows(sq: Expr.Subquery): RangeVec = {
+      val stepMs = if (sq.stepMs > 0) sq.stepMs else ctx.subqueryStepMs
+      val (spanStart, spanEnd) = grid match {
+        case None => (ctx.evalMs - sq.offsetMs - sq.rangeMs,
+          ctx.evalMs - sq.offsetMs)
+        case Some(g) => (g.startMs - sq.offsetMs - sq.rangeMs,
+          g.lastStepMs - sq.offsetMs)
+      }
+      // inner steps at ABSOLUTE multiples of stepMs in [spanStart,
+      // spanEnd) — Prometheus's subquery alignment, graft's half-open
+      // convention
+      val first = Math.floorDiv(spanStart + stepMs - 1, stepMs) * stepMs
+      val last = Math.floorDiv(spanEnd - 1, stepMs) * stepMs
+      val degenerate = first > last
+      val innerGrid = if (degenerate) StepGrid(first, first, stepMs)
+        else StepGrid(first, last, stepMs)
+      val inner = new Compiler(ctx, Some(innerGrid)).vecFor(sq.body)
+      val sampled0 = inner.df
+        .select(inner.labels.map(col) :+ col(STEP).as("_sq_ms") :+
+          col("value"): _*)
+      val sampled1 = if (degenerate) sampled0.filter(lit(false)) else sampled0
+      // synthetic samples: ts = the inner step; tieBreak columns are
+      // constants (inner results are unique per (series, step), so
+      // tie order can never matter — the columns only satisfy the
+      // shared window specs)
+      val asSamples = ctx.tieBreak.foldLeft(
+        sampled1
+          .withColumn(ctx.tsCol, timestamp_millis(col("_sq_ms")))
+          .withColumn(TS, col("_sq_ms"))
+          .withColumnRenamed("value", ctx.valueCol)
+        )((d, c) => d.withColumn(c, lit(0L)))
+      val rows = grid match {
+        case None => asSamples.drop("_sq_ms")
+        case Some(g) =>
+          stepExplode(asSamples.drop("_sq_ms"), g, sq.offsetMs, sq.rangeMs)
+      }
+      RangeVec(rows, inner.labels, sq.rangeMs, sq.offsetMs)
+    }
+
+    /** Inner-compiler entry used by subqueries. */
+    def vecFor(e: Expr): Vec = vec(e, "subquery body")
+
     /** Apply a per-series range computation: `build(rows, seriesCols,
-      * startMs)` must return seriesCols :+ "value".
+      * startMs)` must return seriesCols :+ "value". seriesCols
+      * already include the step key in grid mode, so the build's
+      * windows/aggregations run per (series, step); `startMs` is the
+      * earliest window start (the regression origin — any constant
+      * inside the span works for the builds that take it).
       */
     private def overRangeExpr(e: Expr, what: String,
         build: (DataFrame, Seq[String], Long) => DataFrame): Vec = {
-      val r = rangeArg(e, what)
-      val start = ctx.evalMs - r.sel.offsetMs - r.rangeMs
-      val rows = rangeRows(r.sel, r.rangeMs)
-      stamped(build(rows, ctx.labelCols, start)
-        .select(ctx.labelCols.map(col) :+ col("value"): _*), ctx.labelCols)
+      val rv = rangeVec(e, what)
+      val start = grid match {
+        case None => ctx.evalMs - rv.offsetMs - rv.rangeMs
+        case Some(g) => g.startMs - rv.offsetMs - rv.rangeMs
+      }
+      val k = keys(rv.labels)
+      stamped(build(rv.rows, k, start)
+        .select(k.map(col) :+ col("value"): _*), rv.labels)
     }
 
     private def overRange(c: Expr.Call,
@@ -342,20 +558,26 @@ object PromQL {
       overRangeExpr(one(c, c.fn), c.fn, build)
 
     /** `rate`/`increase` with Prometheus's production boundary
-      * extrapolation ([[PromOps.extrapolatedRate]]).
+      * extrapolation ([[PromOps.extrapolatedRateAt]]) — per-step
+      * window bounds in grid mode, one literal window otherwise.
       */
-    private def extrapolated(c: Expr.Call): Vec =
-      overRange(c, (rows, ls, start) => {
-        val r = rangeArg(c.args.head, c.fn)
-        val out = PromOps.extrapolatedRate(rows, ls, ctx.tsCol, ctx.valueCol,
-          startMs = start, endMs = ctx.evalMs - r.sel.offsetMs,
-          tieBreak = ctx.tieBreak)
-        out.withColumn("value",
-          col(if (c.fn == "rate") "rate" else "increase"))
-      })
+    private def extrapolated(c: Expr.Call): Vec = {
+      val rv = rangeVec(one(c, c.fn), c.fn)
+      val (startCol, endCol) = grid match {
+        case None => (lit(ctx.evalMs - rv.offsetMs - rv.rangeMs),
+          lit(ctx.evalMs - rv.offsetMs))
+        case Some(_) => (col(STEP) - lit(rv.offsetMs + rv.rangeMs),
+          col(STEP) - lit(rv.offsetMs))
+      }
+      val k = keys(rv.labels)
+      val out = PromOps.extrapolatedRateAt(rv.rows, k, ctx.tsCol,
+          ctx.valueCol, startCol, endCol, ctx.tieBreak)
+        .withColumn("value", col(if (c.fn == "rate") "rate" else "increase"))
+      stamped(out.select(k.map(col) :+ col("value"): _*), rv.labels)
+    }
 
     /** The simple `*_over_time` family: one partial-aggregating
-      * shuffle to series grain; sums/averages accumulate in exact
+      * shuffle to element grain; sums/averages accumulate in exact
       * decimal (order-independent on any cluster size).
       */
     private def overTime(c: Expr.Call, fn: String): Vec =
@@ -394,10 +616,11 @@ object PromQL {
       if (!v.labels.contains("le"))
         fail("histogram_quantile needs a vector with an 'le' label")
       val groupLabels = v.labels.filterNot(_ == "le")
+      val k = keys(groupLabels)
       val buckets = v.df.withColumn("_le", col("le").cast("double"))
-      val out = PromOps.histogramQuantile(buckets, groupLabels, q,
+      val out = PromOps.histogramQuantile(buckets, k, q,
         leCol = "_le", cntCol = "value", outCol = "value")
-      stamped(out.select(groupLabels.map(col) :+ col("value"): _*), groupLabels)
+      stamped(out.select(k.map(col) :+ col("value"): _*), groupLabels)
     }
 
     // ---- aggregation operators ----
@@ -412,8 +635,10 @@ object PromQL {
         case Some(Expr.Grouping(false, ls)) => v.labels.filterNot(ls.contains)
         case None => Nil
       }
+      val k = keys(g)
       val value = col("value")
-      def grouped = v.df.groupBy(g.map(col): _*)
+      def grouped = if (k.isEmpty) v.df.groupBy()
+        else v.df.groupBy(k.map(col): _*)
       // a GLOBAL aggregation (no grouping) over an empty vector must
       // return an empty vector, not SQL's single null/0 row
       def simple(aggCol: Column): Vec =
@@ -439,7 +664,7 @@ object PromQL {
           val varCol = (col("_n") * col("_syy") - col("_sy") * col("_sy"))
             .cast("decimal(36,16)").cast("double") /
             (col("_n") * col("_n")).cast("double")
-          stamped(sums.select(g.map(col) :+
+          stamped(sums.select(k.map(col) :+
             (if (a.op == "stddev") sqrt(varCol) else varCol).as("value"): _*), g)
         case "quantile" =>
           val q = scalarArg(a.param.getOrElse(fail("quantile needs a parameter")),
@@ -449,22 +674,23 @@ object PromQL {
           val dst = strArg(a.param.getOrElse(fail("count_values needs a label parameter")),
             "count_values label")
           val out = v.df
-            .groupBy((g.map(col) :+ value.cast("string").as(dst)): _*)
+            .groupBy((k.map(col) :+ value.cast("string").as(dst)): _*)
             .agg(count(lit(1)).cast("double").as("value"))
           stamped(out, g :+ dst)
         case "topk" | "bottomk" =>
-          val k = scalarArg(a.param.getOrElse(fail(s"${a.op} needs a parameter")),
+          val kk = scalarArg(a.param.getOrElse(fail(s"${a.op} needs a parameter")),
             s"${a.op} k").toInt
-          if (k <= 0) fail(s"${a.op} k must be positive")
+          if (kk <= 0) fail(s"${a.op} k must be positive")
           // keep the FULL label set (PromQL: topk selects elements,
-          // it does not relabel); rank within each `g` group with a
-          // total-order tiebreak on the remaining labels
+          // it does not relabel); rank within each `g` group (per
+          // step) with a total-order tiebreak on the remaining labels
           val ord0 = if (a.op == "topk") col("value").desc else col("value").asc
           val rest = v.labels.filterNot(g.contains)
-          val w = Window.partitionBy(g.map(col): _*)
+          val w = (if (k.isEmpty) Window.partitionBy(lit(1))
+            else Window.partitionBy(k.map(col): _*))
             .orderBy(ord0 +: rest.map(col): _*)
           Vec(v.df.withColumn("_rk", row_number().over(w))
-            .filter(col("_rk") <= k).drop("_rk"), v.labels)
+            .filter(col("_rk") <= kk).drop("_rk"), v.labels)
         case other => fail(s"unsupported aggregation '$other'")
       }
     }
@@ -530,6 +756,8 @@ object PromQL {
     /** Match-label resolution: `on(ls)` takes ls; `ignoring(ls)` and
       * the default match on the (statically known) label columns —
       * PromQL's "all labels" semantics at DataFrame-schema grain.
+      * The hidden step key joins on top in grid mode (elements only
+      * ever match within their own step).
       */
     private def matchLabels(b: Expr.Bin, l: Vec, r: Vec): Seq[String] =
       b.matching match {
@@ -576,6 +804,7 @@ object PromQL {
       // op itself keeps its original orientation
       val (l, r, flip) = if (side == 1) (r0, l0, true) else (l0, r0, false)
       val on = if (flip) matchLabels(b, r0, l0) else matchLabels(b, l0, r0)
+      val kon = keys(on)
       val rawOp: (Column, Column) => Column =
         if (cmpOps.contains(b.op)) {
           if (b.boolMod) (x, y) => when(cmpOps(b.op)(x, y), 1.0).otherwise(0.0)
@@ -589,9 +818,9 @@ object PromQL {
           fail(s"group_left/right include label '$x' already exists on the many side"))
         include.find(x => !r.labels.contains(x)).foreach(x =>
           fail(s"group_left/right include label '$x' missing on the one side"))
-        val lDf = l.df.select((l.labels :+ "value").map(col): _*)
-        val rDf = r.df.select((r.labels :+ "value").map(col): _*)
-        val out = PromOps.binaryOpGroupLeft(lDf, rDf, on, include,
+        val lDf = l.df.select((keys(l.labels) :+ "value").map(col): _*)
+        val rDf = r.df.select((keys(r.labels) :+ "value").map(col): _*)
+        val out = PromOps.binaryOpGroupLeft(lDf, rDf, kon, include,
           "value", op)
         if (cmpOps.contains(b.op) && !b.boolMod)
           fail("comparison filter with group_left/group_right is not supported")
@@ -602,17 +831,17 @@ object PromQL {
         // holds against its matched right value
         val cond = if (flip) (x: Column, y: Column) => cmpOps(b.op)(y, x)
           else cmpOps(b.op)
-        val rz = uniqueOn(r.df.select((on :+ "value").map(col): _*), on, "right")
+        val rz = uniqueOn(r.df.select((kon :+ "value").map(col): _*), kon, "right")
           .withColumnRenamed("value", "_rv")
-        val lz = uniqueOn(l.df, on, "left")
-        val joined = lz.join(rz, on).filter(cond(col("value"), col("_rv")))
-        Vec(joined.select((l.labels :+ "value" :+ TS).map(col): _*), l.labels)
+        val lz = uniqueOn(l.df, kon, "left")
+        val joined = lz.join(rz, kon).filter(cond(col("value"), col("_rv")))
+        Vec(joined.select((keys(l.labels) :+ "value" :+ TS).map(col): _*), l.labels)
       } else {
         // arithmetic / bool comparison one-to-one: result at match-
         // label grain, both sides checked unique
-        val lz = uniqueOn(l.df.select((on :+ "value").map(col): _*), on, "left")
-        val rz = uniqueOn(r.df.select((on :+ "value").map(col): _*), on, "right")
-        val out = PromOps.binaryOp(lz, rz, on, "value", op)
+        val lz = uniqueOn(l.df.select((kon :+ "value").map(col): _*), kon, "left")
+        val rz = uniqueOn(r.df.select((kon :+ "value").map(col): _*), kon, "right")
+        val out = PromOps.binaryOp(lz, rz, kon, "value", op)
         stamped(out, on)
       }
     }
@@ -623,16 +852,18 @@ object PromQL {
       if (b.matching.exists(_.side != 0))
         fail(s"group_left/group_right is not valid on '${b.op}'")
       val on = matchLabels(b, l, r)
+      val kon = keys(on)
       b.op match {
-        case "and" => Vec(PromOps.vectorAnd(l.df, r.df.select(on.map(col): _*), on), l.labels)
-        case "unless" => Vec(PromOps.vectorUnless(l.df, r.df.select(on.map(col): _*), on), l.labels)
+        case "and" => Vec(PromOps.vectorAnd(l.df, r.df.select(kon.map(col): _*), kon), l.labels)
+        case "unless" => Vec(PromOps.vectorUnless(l.df, r.df.select(kon.map(col): _*), kon), l.labels)
         case "or" =>
           if (l.labels.toSet != r.labels.toSet) fail(
             s"'or' needs both sides to carry the same labels " +
               s"(left: ${l.labels.mkString(",")}; right: ${r.labels.mkString(",")})")
-          val rAligned = r.df.select((l.labels :+ "value" :+ TS).map(col): _*)
-          Vec(PromOps.vectorOr(l.df.select((l.labels :+ "value" :+ TS).map(col): _*),
-            rAligned, on), l.labels)
+          val shape = keys(l.labels) :+ "value" :+ TS
+          val rAligned = r.df.select(shape.map(col): _*)
+          Vec(PromOps.vectorOr(l.df.select(shape.map(col): _*),
+            rAligned, kon), l.labels)
       }
     }
   }

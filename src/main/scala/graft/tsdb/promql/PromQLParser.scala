@@ -29,6 +29,14 @@ object Expr {
     * argument of a range function.
     */
   final case class Range(sel: Selector, rangeMs: Long) extends Expr
+  /** Subquery `expr[range:step]` — the inner expression evaluated
+    * over a step grid within the trailing range, yielding a range
+    * vector (one synthetic sample per inner step). `stepMs = 0`
+    * means "use the context default" (Prometheus's empty-step form
+    * `[1h:]`). Only valid as a range-function argument.
+    */
+  final case class Subquery(body: Expr, rangeMs: Long, stepMs: Long,
+      offsetMs: Long = 0L) extends Expr
   /** Function call `rate(...)`, `clamp(v, 0, 1)`, ... */
   final case class Call(fn: String, args: Seq[Expr]) extends Expr
   /** Aggregation operator `sum by (a,b) (v)`, `topk(3, v)`, ...
@@ -106,7 +114,9 @@ object PromQLParser {
           j = m.end
           m.region(j, n)
         }
-        if (j > i && (j >= n || !isIdentChar(q.charAt(j)))
+        // ':' is an ident char (recording-rule names) but a legal
+        // boundary after a duration — the subquery form `[1h:10m]`
+        if (j > i && (j >= n || !isIdentChar(q.charAt(j)) || q.charAt(j) == ':')
             && !(j < n && q.charAt(j) == '.')) {
           out += TDur(durMs, i); i = j
         } else {
@@ -156,7 +166,7 @@ object PromQLParser {
           case _ =>
             c match {
               case '+' | '-' | '*' | '/' | '%' | '^' | '(' | ')' | '{' | '}' |
-                   '[' | ']' | ',' | '=' | '>' | '<' =>
+                   '[' | ']' | ',' | '=' | '>' | '<' | ':' =>
                 out += TOp(c.toString, i); i += 1
               case other => err(s"unexpected character '$other'", i)
             }
@@ -294,15 +304,31 @@ object PromQLParser {
       var continue = true
       while (continue) {
         if (at("[")) {
+          val bracketPos = peek.pos
           next()
           val ms = next() match {
             case TDur(d, _) => d
             case t => err(s"expected duration in range selector, got '${tokText(t)}'", t.pos)
           }
-          expectOp("]")
-          cur = cur match {
-            case s: Expr.Selector => Expr.Range(s, ms)
-            case _ => err("range selector '[...]' is only valid on a vector selector", toks(i - 1).pos)
+          if (eat(":")) {
+            // subquery `expr[range:step]` — empty step means the
+            // context's default evaluation interval
+            val stepMs = peek match {
+              case TDur(d, _) => next(); d
+              case _ => 0L
+            }
+            expectOp("]")
+            cur = cur match {
+              case _: Expr.Range | _: Expr.Subquery | _: Expr.Str =>
+                err("subquery '[range:step]' needs an instant-vector expression", bracketPos)
+              case body => Expr.Subquery(body, ms, stepMs)
+            }
+          } else {
+            expectOp("]")
+            cur = cur match {
+              case s: Expr.Selector => Expr.Range(s, ms)
+              case _ => err("range selector '[...]' is only valid on a vector selector (use [range:step] for a subquery)", toks(i - 1).pos)
+            }
           }
         } else if (atIdent("offset")) {
           val pos = peek.pos
@@ -316,7 +342,8 @@ object PromQLParser {
           cur = cur match {
             case s: Expr.Selector => s.copy(offsetMs = ms)
             case Expr.Range(s, r) => Expr.Range(s.copy(offsetMs = ms), r)
-            case _ => err("offset is only valid on a selector", pos)
+            case sq: Expr.Subquery => sq.copy(offsetMs = ms)
+            case _ => err("offset is only valid on a selector or subquery", pos)
           }
         } else continue = false
       }

@@ -325,6 +325,128 @@ class PromQLCompilerSpec extends SparkSpec {
     intercept[PromQLCompileException](run("histogram_quantile(0.9, http_requests_total)"))
   }
 
+  // ===== range queries (query_range) =====
+
+  private def rowsRange(q: String, startMs: Long, endMs: Long,
+      stepMs: Long): Set[Seq[Any]] =
+    PromQL.compileRange(q, ctx, startMs, endMs, stepMs)
+      .collect().map(_.toSeq).toSet
+
+  private val HALF = 1800000L // 30m
+
+  test("range query: instant selector per step with lookback") {
+    // steps 00:30 and 01:00, lookback 10m
+    assert(rowsRange("http_requests_total", T0 + HALF, T1, HALF) == Set(
+      Seq("web", "i1", T0 + HALF, 100.0),  // [00:20,00:30) → web@00:20
+      Seq("api", "i1", T1, 118.0),         // [00:50,01:00) → api,i1@00:59
+      Seq("api", "i2", T1, 45.0)))         //               → api,i2@00:50
+  }
+
+  test("range query: windowed aggregation per step") {
+    assert(rowsRange("sum by (job) (sum_over_time(http_requests_total[30m]))",
+      T0 + HALF, T1, HALF) == Set(
+      Seq("api", T0 + HALF, 5.0),    // [00:00,00:30): 0 + 5
+      Seq("web", T0 + HALF, 100.0),
+      Seq("api", T1, 223.0),         // [00:30,01:00): 60 + 118 + 45
+      Seq("web", T1, 90.0)))
+  }
+
+  test("range query: overlapping windows (range > step) explode boundedly") {
+    assert(rowsRange("count_over_time(http_requests_total[1h])",
+      T0 + HALF, T1, HALF) == Set(
+      Seq("api", "i1", T0 + HALF, 1.0), // [23:30,00:30): one sample
+      Seq("api", "i2", T0 + HALF, 1.0),
+      Seq("web", "i1", T0 + HALF, 1.0),
+      Seq("api", "i1", T1, 3.0),        // [00:00,01:00): all
+      Seq("api", "i2", T1, 2.0),
+      Seq("web", "i1", T1, 2.0)))
+  }
+
+  test("range query: single-step grid matches the instant query") {
+    val instant = rows("rate(http_requests_total[1h])")
+    val ranged = rowsRange("rate(http_requests_total[1h])", T1, T1, 60000L)
+    assert(ranged == instant.map(r => r.take(2) ++ Seq(T1) ++ r.drop(2)))
+  }
+
+  test("range query: vector matching joins within each step only") {
+    val q = """sum by (instance) (sum_over_time(http_requests_total[30m]))
+              | / on(instance)
+              |sum by (instance) (count_over_time(http_requests_total[30m]))"""
+      .stripMargin
+    assert(rowsRange(q, T0 + HALF, T1, HALF) == Set(
+      Seq("i1", T0 + HALF, 50.0),      // (0 + 100) / 2
+      Seq("i2", T0 + HALF, 5.0),
+      Seq("i1", T1, 268.0 / 3.0),      // (60 + 118 + 90) / 3
+      Seq("i2", T1, 45.0)))
+  }
+
+  test("range query: topk ranks per step") {
+    assert(rowsRange("topk(1, http_requests_total)", T0 + HALF, T1, HALF) ==
+      Set(Seq("web", "i1", T0 + HALF, 100.0), Seq("api", "i1", T1, 118.0)))
+  }
+
+  test("range query: absent() per step, scalar query per step") {
+    // step 00:00 has no sample in [23:50,00:00); step 00:30 does
+    assert(rowsRange("""absent(http_requests_total)""", T0, T0 + HALF, HALF) ==
+      Set(Seq(T0, 1.0)))
+    assert(rowsRange("""absent(http_requests_total{job="nope"})""",
+      T0, T0 + HALF, HALF) == Set(Seq(T0, 1.0), Seq(T0 + HALF, 1.0)))
+    assert(rowsRange("1 + 1", T0, T0 + HALF, HALF) ==
+      Set(Seq(T0, 2.0), Seq(T0 + HALF, 2.0)))
+  }
+
+  // ===== subqueries =====
+
+  test("subquery: range function over an inner selector grid") {
+    // inner steps = multiples of 10m in [00:00, 01:00): instant
+    // selector at each → (api,i1): 0@00:10-step, 60@00:40-step;
+    // (api,i2): 5@00:20; (web,i1): 100@00:30, 90@00:50
+    assert(rows("max_over_time(http_requests_total[1h:10m])") == Set(
+      Seq("api", "i1", 60.0), Seq("api", "i2", 5.0), Seq("web", "i1", 100.0)))
+  }
+
+  test("subquery: inner expression changes the label set") {
+    // inner steps {00:00, 00:30}; inner@00:00 window empty, inner@00:30
+    // → api=5, web=100; the outer max sees one sample per job
+    assert(rows(
+      "max_over_time(sum by (job) (sum_over_time(http_requests_total[30m]))[1h:30m])") ==
+      Set(Seq("api", 5.0), Seq("web", 100.0)))
+  }
+
+  test("subquery inside a range query") {
+    val q = "max_over_time(sum by (job) (sum_over_time(http_requests_total[30m]))[30m:30m])"
+    // outer step s sees the single inner step s-30m: outer 00:30 ←
+    // inner 00:00 (empty window), outer 01:00 ← inner 00:30
+    assert(rowsRange(q, T0 + HALF, T1, HALF) ==
+      Set(Seq("api", T1, 5.0), Seq("web", T1, 100.0)))
+  }
+
+  test("subquery: empty step uses the context default") {
+    val c10 = ctx.copy(subqueryStepMs = 600000L)
+    val out = PromQL.compile("max_over_time(http_requests_total[1h:])", c10)
+      .collect().map(_.toSeq).toSet
+    assert(out == Set(
+      Seq("api", "i1", 60.0), Seq("api", "i2", 5.0), Seq("web", "i1", 100.0)))
+  }
+
+  test("subquery parse shapes and errors") {
+    import graft.tsdb.promql.{Expr, PromQLParser}
+    PromQL.parse("rate(m[5m])[30m:5m]") match {
+      case Expr.Subquery(Expr.Call("rate", _), r, s, 0L) =>
+        assert(r == 1800000L && s == 300000L)
+      case other => fail(s"unexpected AST: $other")
+    }
+    PromQL.parse("m[30m:] offset 5m") match {
+      case Expr.Subquery(_: Expr.Selector, r, 0L, off) =>
+        assert(r == 1800000L && off == 300000L)
+      case other => fail(s"unexpected AST: $other")
+    }
+    intercept[graft.tsdb.promql.PromQLParseException](
+      PromQL.parse("m[5m][30m]")) // range of a range
+    intercept[PromQLCompileException](
+      run("http_requests_total[30m:10m]")) // subquery is not an instant vector
+  }
+
   test("holt_winters / deriv / predict_linear compile to the PromOps plans") {
     val hw = rows("double_exponential_smoothing(http_requests_total[1h], 0.5, 0.5)")
     assert(hw.map(_.take(2)) ==
