@@ -1249,6 +1249,57 @@ object SparkEntry {
       .select(col("user_id"), col("value").as("click_total"))
       .orderBy("user_id")
 
+  /** `query_range` over an aggregated window sum — the dashboard
+    * workhorse shape. Steps 2024-01-08..2024-01-30 every 2d, window
+    * 3d (overlapping: each sample serves up to 2 steps via the
+    * bounded explode). ONE scan of events for the whole grid.
+    */
+  private def tsPromqlRangeSum(s: SparkSession, dir: String): DataFrame =
+    graft.tsdb.promql.PromQL.compileRange(
+        "sum by (event_type) (sum_over_time(events[3d]))", promCtx(s, dir),
+        startMs = 1704672000000L, // 2024-01-08T00:00Z
+        endMs = 1706572800000L,   // 2024-01-30T00:00Z
+        stepMs = 172800000L)      // 2d
+      .select(col("event_type"), col("step_ms"), col("value").as("total"))
+      .orderBy("event_type", "step_ms")
+
+  /** `query_range` of the canonical alert expression — per-step
+    * production `rate()` with the full extrapolation ladder, each
+    * step's window bounds its own (PromOps.extrapolatedRateAt).
+    */
+  private def tsPromqlRangeRate(s: SparkSession, dir: String): DataFrame =
+    graft.tsdb.promql.PromQL.compileRange(
+        "sum by (event_type) (rate(events[4d]))", promCtx(s, dir),
+        startMs = 1704844800000L, // 2024-01-10T00:00Z
+        endMs = 1706572800000L,   // 2024-01-30T00:00Z
+        stepMs = 432000000L)      // 5d
+      .select(col("event_type"), col("step_ms"), col("value").as("rate_sum"))
+      .orderBy("event_type", "step_ms")
+
+  /** `query_range` of a raw selector: per-step latest sample within
+    * the lookback — the "graph this metric" query every dashboard
+    * panel issues.
+    */
+  private def tsPromqlRangeInstant(s: SparkSession, dir: String): DataFrame =
+    graft.tsdb.promql.PromQL.compileRange(
+        """events{event_type="click"}""", promCtx(s, dir),
+        startMs = 1704412800000L, // 2024-01-05T00:00Z
+        endMs = 1704758400000L,   // 2024-01-09T00:00Z
+        stepMs = 86400000L)       // 1d
+      .select(col("event_type"), col("user_id"), col("step_ms"), col("value"))
+      .orderBy("user_id", "step_ms")
+
+  /** Subquery: `max_over_time(<daily sum>[7d:1d])` — the peak daily
+    * total over the trailing week, one plan: inner grid (7 aligned
+    * day steps) feeds the outer max as synthetic samples.
+    */
+  private def tsPromqlSubquery(s: SparkSession, dir: String): DataFrame =
+    graft.tsdb.promql.PromQL.compile(
+        "max_over_time(sum by (event_type) (sum_over_time(events[1d]))[7d:1d])",
+        promCtx(s, dir))
+      .select(col("event_type"), col("value").as("max_daily"))
+      .orderBy("event_type")
+
   private def chunkBlockPath(dir: String): String =
     "/tmp/graft_chunkblock_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
 
@@ -1627,6 +1678,10 @@ object SparkEntry {
     "ts_promql_ratio" -> (tsPromqlRatio _),
     "ts_promql_topk_offset" -> (tsPromqlTopkOffset _),
     "ts_promql_filter_and" -> (tsPromqlFilterAnd _),
+    "ts_promql_range_sum" -> (tsPromqlRangeSum _),
+    "ts_promql_range_rate" -> (tsPromqlRangeRate _),
+    "ts_promql_range_instant" -> (tsPromqlRangeInstant _),
+    "ts_promql_subquery" -> (tsPromqlSubquery _),
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_clusters" -> (ddClusters _),
@@ -2941,6 +2996,102 @@ object SparkEntry {
         |FROM c JOIN p USING (user_id)
         |WHERE c.v > 650 AND p.v > 650
         |ORDER BY c.user_id""".stripMargin,
+    // range-query oracles: a steps CTE (DuckDB range()) replays the
+    // grid; each step's window is the half-open [step - range, step)
+    "ts_promql_range_sum" ->
+      """WITH steps AS (
+        |  SELECT range AS step_ms
+        |  FROM range(1704672000000, 1706572800001, 172800000)),
+        |j AS (
+        |  SELECT s.step_ms, e.event_type, e.value
+        |  FROM steps s JOIN events e
+        |    ON e.ts >= epoch_ms(s.step_ms - 259200000)
+        |   AND e.ts < epoch_ms(s.step_ms))
+        |SELECT event_type, step_ms,
+        |  CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total
+        |FROM j GROUP BY event_type, step_ms
+        |ORDER BY event_type, step_ms""".stripMargin,
+    "ts_promql_range_rate" ->
+      """WITH steps AS (
+        |  SELECT range AS step_ms
+        |  FROM range(1704844800000, 1706572800001, 432000000)),
+        |d AS (
+        |  SELECT s.step_ms, e.event_type, e.user_id, e.value,
+        |    epoch_ms(e.ts) AS ts_ms,
+        |    lag(e.value) OVER w AS prev,
+        |    row_number() OVER w AS rn
+        |  FROM steps s JOIN events e
+        |    ON e.ts >= epoch_ms(s.step_ms - 345600000)
+        |   AND e.ts < epoch_ms(s.step_ms)
+        |  WINDOW w AS (PARTITION BY s.step_ms, e.event_type, e.user_id
+        |               ORDER BY e.ts, e.event_id)),
+        |agg AS (
+        |  SELECT step_ms, event_type, user_id,
+        |    CAST(sum(CAST(CASE WHEN prev IS NULL THEN 0.0
+        |                       WHEN value >= prev THEN value - prev
+        |                       ELSE value END AS DECIMAL(30,8))) AS DOUBLE) AS inc,
+        |    min(ts_ms) AS first_ms, max(ts_ms) AS last_ms,
+        |    max(CASE WHEN rn = 1 THEN value END) AS first_v,
+        |    count(*) AS n
+        |  FROM d GROUP BY step_ms, event_type, user_id
+        |  HAVING count(*) >= 2 AND max(ts_ms) > min(ts_ms)),
+        |ext AS (
+        |  SELECT step_ms, event_type, inc, n, first_v,
+        |    CAST(last_ms - first_ms AS DOUBLE) AS sampled,
+        |    CAST(last_ms - first_ms AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS avg_sp,
+        |    CAST(first_ms - (step_ms - 345600000) AS DOUBLE) AS to_start_raw,
+        |    CAST(step_ms - last_ms AS DOUBLE) AS to_end
+        |  FROM agg),
+        |fin AS (
+        |  SELECT step_ms, event_type, inc, sampled, avg_sp, to_end,
+        |    avg_sp * 1.1 AS threshold,
+        |    least(CASE WHEN inc > 0 AND first_v >= 0
+        |               THEN sampled * (first_v / inc)
+        |               ELSE to_start_raw END, to_start_raw) AS to_start
+        |  FROM ext),
+        |rates AS (
+        |  SELECT step_ms, event_type,
+        |    inc * ((sampled
+        |        + (CASE WHEN to_start < threshold THEN to_start ELSE avg_sp / 2 END)
+        |        + (CASE WHEN to_end < threshold THEN to_end ELSE avg_sp / 2 END))
+        |      / sampled) / 345600.0 AS rate
+        |  FROM fin)
+        |SELECT event_type, step_ms,
+        |  CAST(sum(CAST(rate AS DECIMAL(30,8))) AS DOUBLE) AS rate_sum
+        |FROM rates GROUP BY event_type, step_ms
+        |ORDER BY event_type, step_ms""".stripMargin,
+    // per-step instant selector: latest sample in the lookback
+    // window, ms-grain ties broken by value (the max(struct) order)
+    "ts_promql_range_instant" ->
+      """WITH steps AS (
+        |  SELECT range AS step_ms
+        |  FROM range(1704412800000, 1704758400001, 86400000)),
+        |cand AS (
+        |  SELECT s.step_ms, e.event_type, e.user_id, e.value,
+        |    row_number() OVER (PARTITION BY s.step_ms, e.user_id
+        |                       ORDER BY epoch_ms(e.ts) DESC, e.value DESC) AS rn
+        |  FROM steps s JOIN events e
+        |    ON e.ts >= epoch_ms(s.step_ms - 86400000)
+        |   AND e.ts < epoch_ms(s.step_ms)
+        |  WHERE e.event_type = 'click')
+        |SELECT event_type, user_id, step_ms, value
+        |FROM cand WHERE rn = 1
+        |ORDER BY user_id, step_ms""".stripMargin,
+    // subquery: 7 aligned daily inner steps, outer max per group
+    "ts_promql_subquery" ->
+      """WITH steps AS (
+        |  SELECT range AS step_ms
+        |  FROM range(1706140800000, 1706745600000, 86400000)),
+        |daily AS (
+        |  SELECT s.step_ms, e.event_type,
+        |    CAST(sum(CAST(e.value AS DECIMAL(30,8))) AS DOUBLE) AS v
+        |  FROM steps s JOIN events e
+        |    ON e.ts >= epoch_ms(s.step_ms - 86400000)
+        |   AND e.ts < epoch_ms(s.step_ms)
+        |  GROUP BY s.step_ms, e.event_type)
+        |SELECT event_type, max(v) AS max_daily
+        |FROM daily GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // same compaction oracle as ts_merge_blocks, µs precision —
     // the samples additionally roundtrip the XOR codec twice
     "ts_chunk_merge" ->

@@ -251,6 +251,35 @@ object PlanAudit {
         "bucket partition pruning from the range" ->
           "PartitionFilters: [isnotnull(bucket"))
 
+    // PromQL RANGE query (query_range): the whole 23-step grid must
+    // be ONE scan of the metric table — a per-step rescan would be
+    // the 100 TB killer — with the grid's literal time span pushed
+    // and bucket partitions pruned on the converted layout.
+    {
+      val rangeDf = graft.tsdb.promql.PromQL.compileRange(
+        """sum by (user_id) (rate(events{event_type="view"}[2d]))""",
+        graft.tsdb.promql.PromQLContext(
+          metrics = Map("events" -> spark.read.parquet(rtPath)),
+          labelCols = Seq("event_type", "user_id"),
+          evalMs = 1706745600000L,
+          bucketCol = Some("bucket")),
+        startMs = 1704672000000L, endMs = 1706572800000L, stepMs = 86400000L)
+      audit("ts_promql_range_one_scan", rangeDf,
+        Map(
+          "parsed matcher pushed to scan" -> "EqualTo(event_type,view)",
+          "grid time span pushed" -> "GreaterThanOrEqual(ts,",
+          "bucket partition pruning from the span" ->
+            "PartitionFilters: [isnotnull(bucket"))
+      // formatted explain shows each node twice (tree + detail
+      // section); count the detail form "(n) Scan parquet" only
+      val nScans = """\(\d+\) Scan parquet""".r.findAllIn(
+        rangeDf.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)).size
+      val oneScan = nScans == 1
+      println(s"[audit] ts_promql_range_one_scan :: 23-step grid reads the table once (scans=$nScans) -> ${if (oneScan) "OK" else "FAIL"}")
+      if (!oneScan) failures ::= "ts_promql_range_one_scan: single scan"
+    }
+
     if (failures.nonEmpty) {
       println(s"\n[audit] FAILURES: ${failures.mkString("; ")}")
       sys.exit(1)
