@@ -1300,6 +1300,48 @@ object SparkEntry {
       .select(col("event_type"), col("value").as("max_daily"))
       .orderBy("event_type")
 
+  /** `@` modifier: this week's totals against a PINNED baseline week
+    * (`sum_over_time(v[7d] @ 1704672000)` = the week ending
+    * 2024-01-08) — the "compare now to a fixed point" idiom.
+    */
+  private def tsPromqlAtPinned(s: SparkSession, dir: String): DataFrame =
+    graft.tsdb.promql.PromQL.compile(
+        """sum by (event_type) (sum_over_time(events[7d]))
+          | / on(event_type)
+          |sum by (event_type) (sum_over_time(events[7d] @ 1704672000))"""
+          .stripMargin, promCtx(s, dir))
+      .select(col("event_type"), col("value").as("wow_ratio"))
+      .orderBy("event_type")
+
+  /** Time-gated range query — `and on() (day_of_week() != 0)` drops
+    * the Sunday steps: `day_of_week()` is a per-step column
+    * expression (one codegen'd projection over the step grid), and
+    * the gate semi-joins on the hidden step key.
+    */
+  private def tsPromqlBusinessDays(s: SparkSession, dir: String): DataFrame =
+    graft.tsdb.promql.PromQL.compileRange(
+        """sum by (event_type) (sum_over_time(events[1d])) and on() (day_of_week() != 0)""",
+        promCtx(s, dir),
+        startMs = 1704672000000L, // 2024-01-08T00:00Z (Monday)
+        endMs = 1705795200000L,   // 2024-01-21T00:00Z (Sunday)
+        stepMs = 86400000L)
+      .select(col("event_type"), col("step_ms"), col("value").as("total"))
+      .orderBy("event_type", "step_ms")
+
+  /** `absent_over_time` over a step grid: 1.0 at exactly the steps
+    * whose trailing window holds no matching sample — the alert-on-
+    * missing-data primitive, per-step via one grid anti-join.
+    */
+  private def tsPromqlAbsentRange(s: SparkSession, dir: String): DataFrame =
+    graft.tsdb.promql.PromQL.compileRange(
+        """absent_over_time(events{event_type="click", user_id="7"}[6h])""",
+        promCtx(s, dir),
+        startMs = 1704844800000L, // 2024-01-10T00:00Z
+        endMs = 1705017600000L,   // 2024-01-12T00:00Z
+        stepMs = 21600000L)       // 6h
+      .select(col("step_ms"), col("value").as("absent"))
+      .orderBy("step_ms")
+
   private def chunkBlockPath(dir: String): String =
     "/tmp/graft_chunkblock_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
 
@@ -1682,6 +1724,9 @@ object SparkEntry {
     "ts_promql_range_rate" -> (tsPromqlRangeRate _),
     "ts_promql_range_instant" -> (tsPromqlRangeInstant _),
     "ts_promql_subquery" -> (tsPromqlSubquery _),
+    "ts_promql_at_pinned" -> (tsPromqlAtPinned _),
+    "ts_promql_business_days" -> (tsPromqlBusinessDays _),
+    "ts_promql_absent_range" -> (tsPromqlAbsentRange _),
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_clusters" -> (ddClusters _),
@@ -3092,6 +3137,54 @@ object SparkEntry {
         |SELECT event_type, max(v) AS max_daily
         |FROM daily GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // @-pinned baseline week vs the current week
+    "ts_promql_at_pinned" ->
+      """WITH cur AS (
+        |  SELECT event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS v
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-25' AND ts < TIMESTAMP '2024-02-01'
+        |  GROUP BY event_type),
+        |base AS (
+        |  SELECT event_type,
+        |    CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS v
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |  GROUP BY event_type)
+        |SELECT cur.event_type, cur.v / base.v AS wow_ratio
+        |FROM cur JOIN base USING (event_type)
+        |ORDER BY cur.event_type""".stripMargin,
+    // Sunday steps dropped by the day_of_week gate (DuckDB dayofweek:
+    // Sunday = 0, the Prometheus convention)
+    "ts_promql_business_days" ->
+      """WITH steps AS (
+        |  SELECT range AS step_ms
+        |  FROM range(1704672000000, 1705795200001, 86400000)
+        |  WHERE dayofweek(epoch_ms(range)) != 0),
+        |j AS (
+        |  SELECT s.step_ms, e.event_type, e.value
+        |  FROM steps s JOIN events e
+        |    ON e.ts >= epoch_ms(s.step_ms - 86400000)
+        |   AND e.ts < epoch_ms(s.step_ms))
+        |SELECT event_type, step_ms,
+        |  CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total
+        |FROM j GROUP BY event_type, step_ms
+        |ORDER BY event_type, step_ms""".stripMargin,
+    // steps whose 6h trailing window holds no click from user 7
+    "ts_promql_absent_range" ->
+      """WITH steps AS (
+        |  SELECT range AS step_ms
+        |  FROM range(1704844800000, 1705017600001, 21600000)),
+        |covered AS (
+        |  SELECT DISTINCT s.step_ms
+        |  FROM steps s JOIN events e
+        |    ON e.ts >= epoch_ms(s.step_ms - 21600000)
+        |   AND e.ts < epoch_ms(s.step_ms)
+        |  WHERE e.event_type = 'click' AND e.user_id = 7)
+        |SELECT s.step_ms, CAST(1.0 AS DOUBLE) AS absent
+        |FROM steps s
+        |WHERE s.step_ms NOT IN (SELECT step_ms FROM covered)
+        |ORDER BY s.step_ms""".stripMargin,
     // same compaction oracle as ts_merge_blocks, µs precision —
     // the samples additionally roundtrip the XOR codec twice
     "ts_chunk_merge" ->

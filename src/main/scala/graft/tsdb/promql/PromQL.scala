@@ -151,6 +151,17 @@ object PromQL {
   private val TS = "_ts_ms"
   private val STEP = "_step_ms"
 
+  /** A PromQL scalar: a compile-time constant when possible (exact
+    * folding, loud errors), otherwise a column expression over the
+    * hidden step key — how `time()` is a "scalar" that differs per
+    * step in a range query while still being one codegen'd
+    * expression, never a driver-side loop.
+    */
+  private final case class Sc(const: Option[Double], expr: Column)
+  private object Sc {
+    def of(v: Double): Sc = Sc(Some(v), lit(v))
+  }
+
   private def fail(msg: String): Nothing = throw new PromQLCompileException(msg)
 
   private final class Compiler(ctx: PromQLContext, grid: Option[StepGrid]) {
@@ -165,25 +176,26 @@ object PromQL {
     def top(e: Expr): DataFrame = eval(e) match {
       case Right(v) => v.df.select((v.labels.map(col) :+ col("value")): _*)
       case Left(s) =>
-        fail(s"query evaluates to the scalar $s, not an instant vector — wrap it in vector()")
+        fail(s"query evaluates to the scalar ${s.const.getOrElse("<step-dependent>")}, not an instant vector — wrap it in vector()")
     }
 
     def topRange(e: Expr): DataFrame = eval(e) match {
       case Right(v) => v.df.select(v.labels.map(col) :+
         col(STEP).as("step_ms") :+ col("value"): _*)
       case Left(s) => gridDf.select(col(STEP).as("step_ms"),
-        lit(s).as("value"))
+        s.expr.as("value"))
     }
 
     /** Either a compile-time scalar or an instant vector. */
-    private def eval(e: Expr): Either[Double, Vec] = e match {
-      case Expr.Num(v) => Left(v)
+    private def eval(e: Expr): Either[Sc, Vec] = e match {
+      case Expr.Num(v) => Left(Sc.of(v))
       case Expr.Str(_) => fail("a string literal is not a valid expression result")
       case s: Expr.Selector => Right(instant(s))
       case Expr.Range(_, _) | _: Expr.Subquery =>
         fail("a range vector is only valid as a range-function argument")
       case Expr.Neg(inner) => eval(inner) match {
-        case Left(v) => Left(-v)
+        case Left(s) => Left(s.const.map(v => Sc.of(-v))
+          .getOrElse(Sc(None, -s.expr)))
         case Right(v) => Right(mapValue(v, -_))
       }
       case c: Expr.Call => call(c)
@@ -197,7 +209,8 @@ object PromQL {
     }
 
     private def scalarArg(e: Expr, what: String): Double = eval(e) match {
-      case Left(v) => v
+      case Left(s) => s.const.getOrElse(fail(
+        s"$what expects a FIXED scalar — a step-dependent scalar (time()-derived) is not valid here"))
       case Right(_) => fail(s"$what expects a scalar, got an instant vector")
     }
 
@@ -273,19 +286,34 @@ object PromQL {
         .drop("_tsm", "_k0", "_k1", "_k")
     }
 
+    /** Resolve an `@` modifier to a fixed epoch-ms instant: `start()`
+      * / `end()` are the grid bounds in range mode, the evaluation
+      * time in instant mode (Prometheus's exact resolution rule).
+      */
+    private def resolveAt(at: Option[Expr.At]): Option[Long] = at.map {
+      case Expr.AtMs(ms) => ms
+      case Expr.AtStart => grid.map(_.startMs).getOrElse(ctx.evalMs)
+      case Expr.AtEnd => grid.map(_.endMs).getOrElse(ctx.evalMs)
+    }
+
     /** Raw sample rows of a selector's trailing window — at the one
       * instant in instant mode; per-step (with the STEP column) in
-      * grid mode. The table is scanned ONCE either way.
+      * grid mode. The table is scanned ONCE either way. An `@`-pinned
+      * selector is step-invariant: its one fixed window cross-joins
+      * the (tiny) step grid instead of step-exploding.
       */
     private def rangeRows(sel: Expr.Selector, rangeMs: Long): DataFrame =
-      grid match {
-        case None =>
-          val end = ctx.evalMs - sel.offsetMs
+      (grid, resolveAt(sel.at)) match {
+        case (None, at) =>
+          val end = at.getOrElse(ctx.evalMs) - sel.offsetMs
           scanRows(sel, end - rangeMs, end)
-        case Some(g) =>
+        case (Some(g), None) =>
           val rows = scanRows(sel, g.startMs - sel.offsetMs - rangeMs,
             g.lastStepMs - sel.offsetMs)
           stepExplode(rows, g, sel.offsetMs, rangeMs)
+        case (Some(_), Some(at)) =>
+          val end = at - sel.offsetMs
+          scanRows(sel, end - rangeMs, end).crossJoin(gridDf)
       }
 
     /** Instant selector: latest sample per series in the lookback
@@ -328,12 +356,15 @@ object PromQL {
       "min_over_time", "max_over_time", "count_over_time", "last_over_time",
       "stddev_over_time", "stdvar_over_time")
 
-    private def call(c: Expr.Call): Either[Double, Vec] = c.fn match {
+    private def call(c: Expr.Call): Either[Sc, Vec] = c.fn match {
       case "vector" =>
-        val v = scalarArg(c.args.head, "vector()")
+        val s = eval(one(c, "vector")) match {
+          case Left(sc) => sc
+          case Right(_) => fail("vector() expects a scalar, got an instant vector")
+        }
         val base = grid match {
-          case Some(_) => gridDf.withColumn("value", lit(v))
-          case None => sparkOf.range(1).select(lit(v).as("value"))
+          case Some(_) => gridDf.withColumn("value", s.expr)
+          case None => sparkOf.range(1).select(s.expr.as("value"))
         }
         Right(stamped(base, Nil))
       case "scalar" =>
@@ -402,6 +433,76 @@ object PromQL {
       case "ln" => Right(mapValue(vec(one(c, "ln"), "ln"), log))
       case "log2" => Right(mapValue(vec(one(c, "log2"), "log2"), log2))
       case "log10" => Right(mapValue(vec(one(c, "log10"), "log10"), log10))
+      case "sin" => Right(mapValue(vec(one(c, "sin"), "sin"), sin))
+      case "cos" => Right(mapValue(vec(one(c, "cos"), "cos"), cos))
+      case "tan" => Right(mapValue(vec(one(c, "tan"), "tan"), tan))
+      case "asin" => Right(mapValue(vec(one(c, "asin"), "asin"), asin))
+      case "acos" => Right(mapValue(vec(one(c, "acos"), "acos"), acos))
+      case "atan" => Right(mapValue(vec(one(c, "atan"), "atan"), atan))
+      case "sinh" => Right(mapValue(vec(one(c, "sinh"), "sinh"), sinh))
+      case "cosh" => Right(mapValue(vec(one(c, "cosh"), "cosh"), cosh))
+      case "tanh" => Right(mapValue(vec(one(c, "tanh"), "tanh"), tanh))
+      case "deg" => Right(mapValue(vec(one(c, "deg"), "deg"),
+        _ * lit(180.0 / math.Pi)))
+      case "rad" => Right(mapValue(vec(one(c, "rad"), "rad"),
+        _ * lit(math.Pi / 180.0)))
+      case "pi" =>
+        if (c.args.nonEmpty) fail("pi() takes no arguments")
+        Left(Sc.of(math.Pi))
+      case "time" =>
+        if (c.args.nonEmpty) fail("time() takes no arguments")
+        grid match {
+          case Some(_) => Left(Sc(None, col(STEP) / lit(1000.0)))
+          case None => Left(Sc.of(ctx.evalMs / 1000.0))
+        }
+      case fn @ ("minute" | "hour" | "day_of_week" | "day_of_month" |
+          "days_in_month" | "month" | "year") =>
+        // zero args default to vector(time()) — the element value is
+        // epoch SECONDS; components are UTC (the harness session TZ;
+        // Prometheus is UTC-only here)
+        if (c.args.length > 1) fail(s"$fn() expects 0 or 1 arguments")
+        val v = c.args.headOption.map(vec(_, fn)).getOrElse {
+          val base = grid match {
+            case Some(_) => gridDf.withColumn("value", col(STEP) / lit(1000.0))
+            case None => sparkOf.range(1).select(lit(ctx.evalMs / 1000.0).as("value"))
+          }
+          stamped(base, Nil)
+        }
+        Right(mapValue(v, x => {
+          val t = timestamp_seconds(x)
+          (fn match {
+            case "minute" => minute(t)
+            case "hour" => hour(t)
+            case "day_of_week" => dayofweek(t) - lit(1) // 0 = Sunday
+            case "day_of_month" => dayofmonth(t)
+            case "days_in_month" => dayofmonth(last_day(t))
+            case "month" => month(t)
+            case "year" => year(t)
+          }).cast("double")
+        }))
+      case fn @ ("sort" | "sort_desc") =>
+        // presentation-only in PromQL; harmless pass-through order
+        val v = vec(one(c, fn), fn)
+        Right(Vec(v.df.orderBy(
+          if (fn == "sort") col("value").asc else col("value").desc), v.labels))
+      case "absent_over_time" =>
+        val rv = rangeVec(one(c, c.fn), c.fn)
+        grid match {
+          case Some(_) =>
+            // 1.0 at exactly the steps whose window is empty: the
+            // (tiny) grid anti-joins the covered step set
+            val present = rv.rows.select(col(STEP)).distinct()
+            Right(stamped(gridDf.join(present, Seq(STEP), "left_anti")
+              .withColumn("value", lit(1.0)), Nil))
+          case None =>
+            Right(stamped(PromOps.absent(rv.rows.select(ctx.valueCol)), Nil))
+        }
+      case "present_over_time" =>
+        val rv = rangeVec(one(c, c.fn), c.fn)
+        val k = keys(rv.labels)
+        Right(stamped(rv.rows.groupBy(k.map(col): _*)
+          .agg(max(lit(1.0)).as("value"))
+          .select(k.map(col) :+ col("value"): _*), rv.labels))
       case "rate" | "increase" => Right(extrapolated(c))
       case "delta" => Right(overRange(c, (df, ls, start) =>
         PromOps.delta(df, ls, ctx.tsCol, ctx.valueCol, ctx.tieBreak)
@@ -424,13 +525,10 @@ object PromQL {
       case "predict_linear" =>
         val Seq(re, te) = argN(c, 2)
         val horizonSec = scalarArg(te, "predict_linear horizon")
-        val evalCol = grid match {
-          case Some(_) => col(STEP)
-          case None => lit(ctx.evalMs)
-        }
-        Right(overRangeExpr(re, "predict_linear", (df, ls, start) =>
+        val rv = rangeVec(re, "predict_linear")
+        Right(overRangeVec(rv, (df, ls, start) =>
           PromOps.predictLinearAt(df, ls, ctx.tsCol, ctx.valueCol,
-              evalCol = evalCol, horizonMs = (horizonSec * 1000.0).toLong,
+              evalCol = evalInstant(rv), horizonMs = (horizonSec * 1000.0).toLong,
               originMs = start)
             .withColumnRenamed("predicted", "value")))
       case "double_exponential_smoothing" | "holt_winters" =>
@@ -471,17 +569,31 @@ object PromQL {
       * range/offset the window arithmetic needs.
       */
     private final case class RangeVec(rows: DataFrame, labels: Seq[String],
-        rangeMs: Long, offsetMs: Long)
+        rangeMs: Long, offsetMs: Long, anchorMs: Option[Long] = None)
 
     private def rangeVec(e: Expr, what: String): RangeVec = e match {
       case r: Expr.Range =>
         RangeVec(rangeRows(r.sel, r.rangeMs), ctx.labelCols,
-          r.rangeMs, r.sel.offsetMs)
+          r.rangeMs, r.sel.offsetMs, resolveAt(r.sel.at))
       case sq: Expr.Subquery => subqueryRows(sq)
       case _: Expr.Selector => fail(
         s"$what expects a RANGE vector — add a range like [5m] to the selector (or [1h:5m] for a subquery)")
       case _ => fail(s"$what expects a range vector")
     }
+
+    /** Per-element window bounds in epoch ms: literal for an instant
+      * query or an `@`-pinned argument, the step's own trailing
+      * window otherwise.
+      */
+    private def windowBounds(rv: RangeVec): (Column, Column) =
+      (grid, rv.anchorMs) match {
+        case (Some(_), None) =>
+          (col(STEP) - lit(rv.offsetMs + rv.rangeMs),
+            col(STEP) - lit(rv.offsetMs))
+        case (_, at) =>
+          val eff = at.getOrElse(ctx.evalMs)
+          (lit(eff - rv.offsetMs - rv.rangeMs), lit(eff - rv.offsetMs))
+      }
 
     /** Evaluate a subquery `expr[range:step]`: the inner expression
       * runs over its own absolutely-aligned step grid (the multiples
@@ -494,11 +606,13 @@ object PromQL {
       */
     private def subqueryRows(sq: Expr.Subquery): RangeVec = {
       val stepMs = if (sq.stepMs > 0) sq.stepMs else ctx.subqueryStepMs
-      val (spanStart, spanEnd) = grid match {
-        case None => (ctx.evalMs - sq.offsetMs - sq.rangeMs,
-          ctx.evalMs - sq.offsetMs)
-        case Some(g) => (g.startMs - sq.offsetMs - sq.rangeMs,
+      val anchor = resolveAt(sq.at)
+      val (spanStart, spanEnd) = (grid, anchor) match {
+        case (Some(g), None) => (g.startMs - sq.offsetMs - sq.rangeMs,
           g.lastStepMs - sq.offsetMs)
+        case (_, at) =>
+          val eff = at.getOrElse(ctx.evalMs)
+          (eff - sq.offsetMs - sq.rangeMs, eff - sq.offsetMs)
       }
       // inner steps at ABSOLUTE multiples of stepMs in [spanStart,
       // spanEnd) — Prometheus's subquery alignment, graft's half-open
@@ -523,12 +637,14 @@ object PromQL {
           .withColumn(TS, col("_sq_ms"))
           .withColumnRenamed("value", ctx.valueCol)
         )((d, c) => d.withColumn(c, lit(0L)))
-      val rows = grid match {
-        case None => asSamples.drop("_sq_ms")
-        case Some(g) =>
+      val rows = (grid, anchor) match {
+        case (None, _) => asSamples.drop("_sq_ms")
+        // @-pinned subquery is step-invariant: attach every step
+        case (Some(_), Some(_)) => asSamples.drop("_sq_ms").crossJoin(gridDf)
+        case (Some(g), None) =>
           stepExplode(asSamples.drop("_sq_ms"), g, sq.offsetMs, sq.rangeMs)
       }
-      RangeVec(rows, inner.labels, sq.rangeMs, sq.offsetMs)
+      RangeVec(rows, inner.labels, sq.rangeMs, sq.offsetMs, anchor)
     }
 
     /** Inner-compiler entry used by subqueries. */
@@ -542,11 +658,14 @@ object PromQL {
       * inside the span works for the builds that take it).
       */
     private def overRangeExpr(e: Expr, what: String,
+        build: (DataFrame, Seq[String], Long) => DataFrame): Vec =
+      overRangeVec(rangeVec(e, what), build)
+
+    private def overRangeVec(rv: RangeVec,
         build: (DataFrame, Seq[String], Long) => DataFrame): Vec = {
-      val rv = rangeVec(e, what)
-      val start = grid match {
-        case None => ctx.evalMs - rv.offsetMs - rv.rangeMs
-        case Some(g) => g.startMs - rv.offsetMs - rv.rangeMs
+      val start = (grid, rv.anchorMs) match {
+        case (Some(g), None) => g.startMs - rv.offsetMs - rv.rangeMs
+        case (_, at) => at.getOrElse(ctx.evalMs) - rv.offsetMs - rv.rangeMs
       }
       val k = keys(rv.labels)
       stamped(build(rv.rows, k, start)
@@ -557,18 +676,23 @@ object PromQL {
         build: (DataFrame, Seq[String], Long) => DataFrame): Vec =
       overRangeExpr(one(c, c.fn), c.fn, build)
 
+    /** The evaluation instant of a range-function element as a
+      * column: the step in grid mode, the `@` anchor when pinned,
+      * the query's eval time otherwise.
+      */
+    private def evalInstant(rv: RangeVec): Column =
+      (grid, rv.anchorMs) match {
+        case (Some(_), None) => col(STEP)
+        case (_, at) => lit(at.getOrElse(ctx.evalMs))
+      }
+
     /** `rate`/`increase` with Prometheus's production boundary
       * extrapolation ([[PromOps.extrapolatedRateAt]]) — per-step
       * window bounds in grid mode, one literal window otherwise.
       */
     private def extrapolated(c: Expr.Call): Vec = {
       val rv = rangeVec(one(c, c.fn), c.fn)
-      val (startCol, endCol) = grid match {
-        case None => (lit(ctx.evalMs - rv.offsetMs - rv.rangeMs),
-          lit(ctx.evalMs - rv.offsetMs))
-        case Some(_) => (col(STEP) - lit(rv.offsetMs + rv.rangeMs),
-          col(STEP) - lit(rv.offsetMs))
-      }
+      val (startCol, endCol) = windowBounds(rv)
       val k = keys(rv.labels)
       val out = PromOps.extrapolatedRateAt(rv.rows, k, ctx.tsCol,
           ctx.valueCol, startCol, endCol, ctx.tieBreak)
@@ -710,7 +834,20 @@ object PromQL {
       case "^" => pow(l, r)
     }
 
-    private def scalarFold(op: String, l: Double, r: Double,
+    /** Scalar-scalar operation: exact numeric folding when both sides
+      * are constants; a composed column expression when either is
+      * step-dependent (time()-derived in a range query).
+      */
+    private def scalarFold(op: String, l: Sc, r: Sc, boolMod: Boolean): Sc =
+      (l.const, r.const) match {
+        case (Some(a), Some(b)) => Sc.of(scalarFoldNum(op, a, b, boolMod))
+        case _ if cmpOps.contains(op) =>
+          if (!boolMod) fail(s"scalar comparison '$op' requires the bool modifier")
+          Sc(None, when(cmpOps(op)(l.expr, r.expr), 1.0).otherwise(0.0))
+        case _ => Sc(None, arith(op)(l.expr, r.expr))
+      }
+
+    private def scalarFoldNum(op: String, l: Double, r: Double,
         boolMod: Boolean): Double = op match {
       case "+" => l + r
       case "-" => l - r
@@ -731,12 +868,12 @@ object PromQL {
         if (hit) 1.0 else 0.0
     }
 
-    private def binary(b: Expr.Bin): Either[Double, Vec] = {
+    private def binary(b: Expr.Bin): Either[Sc, Vec] = {
       if (Set("and", "or", "unless")(b.op)) return Right(setOp(b))
       (eval(b.lhs), eval(b.rhs)) match {
         case (Left(l), Left(r)) => Left(scalarFold(b.op, l, r, b.boolMod))
-        case (Right(v), Left(s)) => Right(vectorScalar(b, v, lit(s), scalarRight = true))
-        case (Left(s), Right(v)) => Right(vectorScalar(b, v, lit(s), scalarRight = false))
+        case (Right(v), Left(s)) => Right(vectorScalar(b, v, s.expr, scalarRight = true))
+        case (Left(s), Right(v)) => Right(vectorScalar(b, v, s.expr, scalarRight = false))
         case (Right(l), Right(r)) => Right(vectorVector(b, l, r))
       }
     }

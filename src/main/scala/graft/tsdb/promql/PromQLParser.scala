@@ -17,14 +17,23 @@ object Expr {
   final case class Num(v: Double) extends Expr
   /** String literal — only valid as a function/aggregation argument. */
   final case class Str(v: String) extends Expr
-  /** Instant vector selector `metric{l="v", ...}` with an optional
-    * `offset`. The metric name resolves to a table in the
-    * [[PromQLContext]]; matchers compile through [[Matcher]] (same
-    * RE2 gate, set-match optimization and absent=="" convention as
-    * the direct API).
+  /** `@` modifier target: a fixed epoch-ms instant, or the symbolic
+    * `start()` / `end()` that resolve to the query range's bounds
+    * (the evaluation time for an instant query).
+    */
+  sealed trait At
+  final case class AtMs(ms: Long) extends At
+  case object AtStart extends At
+  case object AtEnd extends At
+
+  /** Instant vector selector `metric{l="v", ...}` with optional
+    * `offset` and `@` modifiers. The metric name resolves to a table
+    * in the [[PromQLContext]]; matchers compile through [[Matcher]]
+    * (same RE2 gate, set-match optimization and absent==""
+    * convention as the direct API).
     */
   final case class Selector(metric: String, matchers: Seq[Matcher],
-      offsetMs: Long = 0L) extends Expr
+      offsetMs: Long = 0L, at: Option[At] = None) extends Expr
   /** Range vector selector `sel[5m]` — only valid as the range
     * argument of a range function.
     */
@@ -36,7 +45,7 @@ object Expr {
     * `[1h:]`). Only valid as a range-function argument.
     */
   final case class Subquery(body: Expr, rangeMs: Long, stepMs: Long,
-      offsetMs: Long = 0L) extends Expr
+      offsetMs: Long = 0L, at: Option[At] = None) extends Expr
   /** Function call `rate(...)`, `clamp(v, 0, 1)`, ... */
   final case class Call(fn: String, args: Seq[Expr]) extends Expr
   /** Aggregation operator `sum by (a,b) (v)`, `topk(3, v)`, ...
@@ -166,7 +175,7 @@ object PromQLParser {
           case _ =>
             c match {
               case '+' | '-' | '*' | '/' | '%' | '^' | '(' | ')' | '{' | '}' |
-                   '[' | ']' | ',' | '=' | '>' | '<' | ':' =>
+                   '[' | ']' | ',' | '=' | '>' | '<' | ':' | '@' =>
                 out += TOp(c.toString, i); i += 1
               case other => err(s"unexpected character '$other'", i)
             }
@@ -344,6 +353,24 @@ object PromQLParser {
             case Expr.Range(s, r) => Expr.Range(s.copy(offsetMs = ms), r)
             case sq: Expr.Subquery => sq.copy(offsetMs = ms)
             case _ => err("offset is only valid on a selector or subquery", pos)
+          }
+        } else if (at("@")) {
+          val pos = peek.pos
+          next()
+          val at0: Expr.At = next() match {
+            // epoch SECONDS (fractional allowed), Prometheus's unit
+            case TNum(v, _) => Expr.AtMs((v * 1000.0).toLong)
+            case TIdent("start", _) =>
+              expectOp("("); expectOp(")"); Expr.AtStart
+            case TIdent("end", _) =>
+              expectOp("("); expectOp(")"); Expr.AtEnd
+            case t => err(s"expected timestamp, start() or end() after @, got '${tokText(t)}'", t.pos)
+          }
+          cur = cur match {
+            case s: Expr.Selector => s.copy(at = Some(at0))
+            case Expr.Range(s, r) => Expr.Range(s.copy(at = Some(at0)), r)
+            case sq: Expr.Subquery => sq.copy(at = Some(at0))
+            case _ => err("@ is only valid on a selector or subquery", pos)
           }
         } else continue = false
       }

@@ -432,19 +432,101 @@ class PromQLCompilerSpec extends SparkSpec {
   test("subquery parse shapes and errors") {
     import graft.tsdb.promql.{Expr, PromQLParser}
     PromQL.parse("rate(m[5m])[30m:5m]") match {
-      case Expr.Subquery(Expr.Call("rate", _), r, s, 0L) =>
+      case Expr.Subquery(Expr.Call("rate", _), r, s, 0L, None) =>
         assert(r == 1800000L && s == 300000L)
       case other => fail(s"unexpected AST: $other")
     }
     PromQL.parse("m[30m:] offset 5m") match {
-      case Expr.Subquery(_: Expr.Selector, r, 0L, off) =>
+      case Expr.Subquery(_: Expr.Selector, r, 0L, off, None) =>
         assert(r == 1800000L && off == 300000L)
+      case other => fail(s"unexpected AST: $other")
+    }
+    PromQL.parse("m[30m:5m] @ end()") match {
+      case Expr.Subquery(_, _, _, _, Some(Expr.AtEnd)) => ()
+      case other => fail(s"unexpected AST: $other")
+    }
+    PromQL.parse("m @ 1704067200.5") match {
+      case Expr.Selector(_, _, _, Some(Expr.AtMs(ms))) =>
+        assert(ms == 1704067200500L)
       case other => fail(s"unexpected AST: $other")
     }
     intercept[graft.tsdb.promql.PromQLParseException](
       PromQL.parse("m[5m][30m]")) // range of a range
     intercept[PromQLCompileException](
       run("http_requests_total[30m:10m]")) // subquery is not an instant vector
+  }
+
+  // ===== @ modifier, time functions, absent/present_over_time =====
+
+  test("@ modifier pins a selector's evaluation instant") {
+    // @ 00:30 (epoch secs), lookback 10m → window [00:20,00:30)
+    assert(rows(s"http_requests_total @ ${(T0 + HALF) / 1000}") ==
+      Set(Seq("web", "i1", 100.0)))
+    // pinned selector is step-invariant in a range query
+    assert(rowsRange(s"http_requests_total @ ${(T0 + HALF) / 1000}",
+      T0 + HALF, T1, HALF) == Set(
+      Seq("web", "i1", T0 + HALF, 100.0), Seq("web", "i1", T1, 100.0)))
+    // @ start() resolves to the grid start
+    assert(rowsRange("http_requests_total @ start()", T0 + HALF, T1, HALF) ==
+      Set(Seq("web", "i1", T0 + HALF, 100.0), Seq("web", "i1", T1, 100.0)))
+    // @-pinned range function: same rate at every step
+    val instantRate = rows("rate(http_requests_total[1h])")
+    val pinned = rowsRange(s"rate(http_requests_total[1h] @ ${T1 / 1000})",
+      T0 + HALF, T1, HALF)
+    assert(pinned == instantRate.flatMap(r =>
+      Seq(r.take(2) ++ Seq(T0 + HALF) ++ r.drop(2),
+        r.take(2) ++ Seq(T1) ++ r.drop(2))))
+  }
+
+  test("time() is the eval instant — per step in a range query") {
+    assert(rows("vector(time())") == Set(Seq(T1 / 1000.0)))
+    assert(rowsRange("vector(time())", T0 + HALF, T1, HALF) == Set(
+      Seq(T0 + HALF, (T0 + HALF) / 1000.0), Seq(T1, T1 / 1000.0)))
+    // scalar arithmetic over time() stays a column expression
+    assert(rowsRange("vector(time() * 2)", T0 + HALF, T1, HALF) == Set(
+      Seq(T0 + HALF, (T0 + HALF) / 500.0), Seq(T1, T1 / 500.0)))
+  }
+
+  test("time-component functions (UTC, Prometheus conventions)") {
+    // 2024-01-01T01:00Z: hour 1, Monday (day_of_week 1), 31-day month
+    assert(rows("hour()") == Set(Seq(1.0)))
+    assert(rows("minute()") == Set(Seq(0.0)))
+    assert(rows("day_of_week()") == Set(Seq(1.0)))
+    assert(rows("day_of_month()") == Set(Seq(1.0)))
+    assert(rows("days_in_month()") == Set(Seq(31.0)))
+    assert(rows("month()") == Set(Seq(1.0)))
+    assert(rows("year()") == Set(Seq(2024.0)))
+    // vector-argument form: component of the element VALUE (epoch s)
+    assert(rows(s"hour(vector(${T0 / 1000 + 7200}))") == Set(Seq(2.0)))
+  }
+
+  test("time-gated filtering in a range query (the alerting idiom)") {
+    // steps 00:30 (hour 0) and 01:00 (hour 1): keep hour >= 1 only
+    val q = """sum by (job) (sum_over_time(http_requests_total[30m]))
+              | and on() (hour() >= 1)""".stripMargin
+    assert(rowsRange(q, T0 + HALF, T1, HALF) ==
+      Set(Seq("api", T1, 223.0), Seq("web", T1, 90.0)))
+  }
+
+  test("absent_over_time / present_over_time") {
+    assert(rows("""absent_over_time(http_requests_total{job="nope"}[1h])""") ==
+      Set(Seq(1.0)))
+    assert(rows("absent_over_time(http_requests_total[1h])").isEmpty)
+    assert(rows("present_over_time(http_requests_total[30m])") == Set(
+      Seq("api", "i1", 1.0), Seq("api", "i2", 1.0), Seq("web", "i1", 1.0)))
+    // per step: 00:00's window [23:50,00:00) is empty, 00:30's is not
+    assert(rowsRange("absent_over_time(http_requests_total[10m])",
+      T0, T0 + HALF, HALF) == Set(Seq(T0, 1.0)))
+  }
+
+  test("trig, pi(), deg/rad, sort pass-through") {
+    assert(rows("vector(pi())") == Set(Seq(math.Pi)))
+    assert(rows("sin(vector(0))") == Set(Seq(0.0)))
+    assert(rows("cos(vector(0))") == Set(Seq(1.0)))
+    assert(rows("deg(vector(pi()))") == Set(Seq(180.0)))
+    assert(rows("rad(vector(180))") == Set(Seq(math.Pi)))
+    assert(rows("sort_desc(http_requests_total)") ==
+      Set(Seq("api", "i1", 118.0), Seq("api", "i2", 45.0)))
   }
 
   test("holt_winters / deriv / predict_linear compile to the PromOps plans") {
