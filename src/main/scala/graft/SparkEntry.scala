@@ -1342,6 +1342,43 @@ object SparkEntry {
       .select(col("step_ms"), col("value").as("absent"))
       .orderBy("step_ms")
 
+  /** `X / scalar(sum(X))` — share-of-total, the classic scalar()
+    * idiom. The scalar compiles to a one-row aggregate broadcast
+    * back onto the vector (Sc carrier): fully distributed, no
+    * driver-side demotion; the oracle replays the exact decimal
+    * sums and the one double division.
+    */
+  private def tsPromqlScalar(s: SparkSession, dir: String): DataFrame =
+    graft.tsdb.promql.PromQL.compile(
+        """sum by (event_type) (sum_over_time(events[31d]))
+          | / scalar(sum(sum_over_time(events[31d])))""".stripMargin,
+        promCtx(s, dir))
+      .select(col("event_type"), col("value").as("share"))
+      .orderBy("event_type")
+
+  /** `limitk(3, ...) by (event_type)` — the experimental limitk
+    * aggregator with graft's documented deterministic pick (first k
+    * in label order), full labels kept, WindowGroupLimit shape.
+    */
+  private def tsPromqlLimitk(s: SparkSession, dir: String): DataFrame =
+    graft.tsdb.promql.PromQL.compile(
+        "limitk(3, sum by (event_type, user_id) (sum_over_time(events[31d]))) by (event_type)",
+        promCtx(s, dir))
+      .select(col("event_type"), col("user_id"), col("value").as("total"))
+      .orderBy("event_type", "user_id")
+
+  /** `limit_ratio(0.25, ...)` — deterministic label-hash sampling of
+    * a vector (the experimental limit_ratio aggregator), decided by
+    * the same sha256-threshold selection as pipe_sample_mix so the
+    * oracle replays the identical keep set. Pure narrow filter.
+    */
+  private def tsPromqlLimitRatio(s: SparkSession, dir: String): DataFrame =
+    graft.tsdb.promql.PromQL.compile(
+        "limit_ratio(0.25, sum by (event_type, user_id) (sum_over_time(events[31d])))",
+        promCtx(s, dir))
+      .select(col("event_type"), col("user_id"), col("value").as("total"))
+      .orderBy("event_type", "user_id")
+
   private def chunkBlockPath(dir: String): String =
     "/tmp/graft_chunkblock_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
 
@@ -1727,6 +1764,9 @@ object SparkEntry {
     "ts_promql_at_pinned" -> (tsPromqlAtPinned _),
     "ts_promql_business_days" -> (tsPromqlBusinessDays _),
     "ts_promql_absent_range" -> (tsPromqlAbsentRange _),
+    "ts_promql_scalar" -> (tsPromqlScalar _),
+    "ts_promql_limitk" -> (tsPromqlLimitk _),
+    "ts_promql_limit_ratio" -> (tsPromqlLimitRatio _),
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_clusters" -> (ddClusters _),
@@ -3185,6 +3225,46 @@ object SparkEntry {
         |FROM steps s
         |WHERE s.step_ms NOT IN (SELECT step_ms FROM covered)
         |ORDER BY s.step_ms""".stripMargin,
+    "ts_promql_scalar" ->
+      """WITH per_series AS (
+        |  SELECT event_type, user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS v
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |  GROUP BY event_type, user_id),
+        |bytype AS (
+        |  SELECT event_type, CAST(sum(CAST(v AS DECIMAL(30,8))) AS DOUBLE) AS v
+        |  FROM per_series GROUP BY event_type),
+        |tot AS (
+        |  SELECT CAST(sum(CAST(v AS DECIMAL(30,8))) AS DOUBLE) AS t
+        |  FROM per_series)
+        |SELECT event_type, v / (SELECT t FROM tot) AS share
+        |FROM bytype ORDER BY event_type""".stripMargin,
+    "ts_promql_limitk" ->
+      """WITH s AS (
+        |  SELECT event_type, user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |  GROUP BY event_type, user_id),
+        |rk AS (
+        |  SELECT *, row_number()
+        |    OVER (PARTITION BY event_type ORDER BY user_id) AS rk FROM s)
+        |SELECT event_type, user_id, total FROM rk WHERE rk <= 3
+        |ORDER BY event_type, user_id""".stripMargin,
+    // the keep set replays graft's deterministic label-hash pick:
+    // substr(sha256(labels ++ ':limit_ratio'), 1, 8) < 0.25 * 16^8
+    "ts_promql_limit_ratio" ->
+      """WITH s AS (
+        |  SELECT event_type, user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |  GROUP BY event_type, user_id)
+        |SELECT event_type, user_id, total FROM s
+        |WHERE substr(sha256(event_type || chr(1) ||
+        |    CAST(user_id AS VARCHAR) || ':limit_ratio'), 1, 8) < '40000000'
+        |ORDER BY event_type, user_id""".stripMargin,
     // same compaction oracle as ts_merge_blocks, µs precision —
     // the samples additionally roundtrip the XOR codec twice
     "ts_chunk_merge" ->

@@ -110,6 +110,14 @@ final class PromQLCompileException(msg: String) extends RuntimeException(msg)
   *     use the production extrapolation (PromOps.extrapolatedRate);
   *   - `topk`/`bottomk` break ties on the series labels (Prometheus
   *     leaves ties unspecified — a cluster needs determinism);
+  *   - `limitk` picks the first k in label order and `limit_ratio`
+  *     selects by a sha256 label-set hash (Prometheus leaves both
+  *     picks engine-internal; graft's are deterministic and
+  *     partition-independent, and `limit_ratio(r)` ∪
+  *     `limit_ratio(r-1)` still partitions the vector exactly);
+  *   - `scalar(v)` is supported and stays distributed: the single-
+  *     element-or-NaN rule evaluates as a tiny per-step aggregate
+  *     broadcast back onto consumers — never a driver round-trip;
   *   - `label_replace` supports the `"$1"` replacement template (the
   *     PromOps.labelReplace contract).
   */
@@ -156,8 +164,17 @@ object PromQL {
     * hidden step key — how `time()` is a "scalar" that differs per
     * step in a range query while still being one codegen'd
     * expression, never a driver-side loop.
+    *
+    * A VECTOR-derived scalar (`scalar(v)`) additionally carries a
+    * tiny `carrier` DataFrame — one row per step in grid mode, one
+    * row total in instant mode — holding the aggregated value the
+    * expression references. Wherever the scalar meets a vector the
+    * carrier broadcast-joins in (on the step key in grid mode, a
+    * 1-row cross join otherwise): the scalar stays distributed, the
+    * big side never moves, and nothing is demoted to the driver.
     */
-  private final case class Sc(const: Option[Double], expr: Column)
+  private final case class Sc(const: Option[Double], expr: Column,
+      carrier: Option[DataFrame] = None)
   private object Sc {
     def of(v: Double): Sc = Sc(Some(v), lit(v))
   }
@@ -165,6 +182,52 @@ object PromQL {
   private def fail(msg: String): Nothing = throw new PromQLCompileException(msg)
 
   private final class Compiler(ctx: PromQLContext, grid: Option[StepGrid]) {
+
+    // fresh carrier-column names so two scalar() results can join
+    // without colliding ("_sc" prefix is reserved; labels never are)
+    private var scSeq = 0
+    private def freshSc(): String = { scSeq += 1; s"_sc$scSeq" }
+
+    /** Join two scalar carriers: per-step alignment in grid mode, a
+      * 1-row × 1-row cross join otherwise. Both are grid-sized at
+      * most — always broadcastable.
+      */
+    private def joinCarriers(a: DataFrame, b: DataFrame): DataFrame =
+      grid match {
+        case Some(_) => a.join(b, Seq(STEP), "left")
+        case None => a.crossJoin(b)
+      }
+
+    /** Combine two scalars under `f`, merging their carriers. */
+    private def combineSc(l: Sc, r: Sc, f: (Column, Column) => Column): Sc = {
+      val carrier = (l.carrier, r.carrier) match {
+        case (None, None) => None
+        case (Some(a), None) => Some(a)
+        case (None, Some(b)) => Some(b)
+        case (Some(a), Some(b)) => Some(joinCarriers(a, b))
+      }
+      Sc(None, f(l.expr, r.expr), carrier)
+    }
+
+    /** Attach a scalar's carrier (if any) to a vector's rows so the
+      * scalar expression can evaluate against them: broadcast join on
+      * the hidden step key in grid mode, a 1-row broadcast cross join
+      * otherwise. Returns the widened frame; `_sc*` columns are
+      * dropped by the caller after the value is computed.
+      */
+    private def attachCarrier(df: DataFrame, s: Sc): DataFrame =
+      s.carrier match {
+        case None => df
+        case Some(cr) => grid match {
+          case Some(_) => df.join(broadcast(cr), Seq(STEP), "left")
+          case None => df.crossJoin(broadcast(cr))
+        }
+      }
+
+    private def dropScCols(df: DataFrame): DataFrame = {
+      val sc = df.columns.filter(_.startsWith("_sc"))
+      if (sc.isEmpty) df else df.drop(sc.toIndexedSeq: _*)
+    }
 
     /** Vector-element grain: the visible labels plus, in grid mode,
       * the hidden step key. EVERY groupBy/join/window in the
@@ -182,8 +245,11 @@ object PromQL {
     def topRange(e: Expr): DataFrame = eval(e) match {
       case Right(v) => v.df.select(v.labels.map(col) :+
         col(STEP).as("step_ms") :+ col("value"): _*)
-      case Left(s) => gridDf.select(col(STEP).as("step_ms"),
-        s.expr.as("value"))
+      case Left(s) =>
+        val base = s.carrier
+          .map(cr => gridDf.join(broadcast(cr), Seq(STEP), "left"))
+          .getOrElse(gridDf)
+        base.select(col(STEP).as("step_ms"), s.expr.as("value"))
     }
 
     /** Either a compile-time scalar or an instant vector. */
@@ -195,7 +261,7 @@ object PromQL {
         fail("a range vector is only valid as a range-function argument")
       case Expr.Neg(inner) => eval(inner) match {
         case Left(s) => Left(s.const.map(v => Sc.of(-v))
-          .getOrElse(Sc(None, -s.expr)))
+          .getOrElse(Sc(None, -s.expr, s.carrier)))
         case Right(v) => Right(mapValue(v, -_))
       }
       case c: Expr.Call => call(c)
@@ -362,13 +428,38 @@ object PromQL {
           case Left(sc) => sc
           case Right(_) => fail("vector() expects a scalar, got an instant vector")
         }
-        val base = grid match {
-          case Some(_) => gridDf.withColumn("value", s.expr)
-          case None => sparkOf.range(1).select(s.expr.as("value"))
+        val base = (grid, s.carrier) match {
+          case (Some(_), Some(cr)) =>
+            gridDf.join(broadcast(cr), Seq(STEP), "left")
+              .select(col(STEP), s.expr.as("value"))
+          case (Some(_), None) => gridDf.withColumn("value", s.expr)
+          case (None, Some(cr)) => cr.select(s.expr.as("value"))
+          case (None, None) => sparkOf.range(1).select(s.expr.as("value"))
         }
         Right(stamped(base, Nil))
       case "scalar" =>
-        fail("scalar() is not supported — a distributed plan cannot demote a vector to a driver-side scalar; aggregate explicitly instead")
+        // Prometheus: the vector's single element's value, NaN when
+        // the vector has 0 or >1 elements — per step in grid mode.
+        // Compiles to one tiny aggregate (count + max at step grain)
+        // carried alongside the expression; consumers broadcast-join
+        // it, so the plan stays fully distributed.
+        val v = vec(one(c, "scalar"), "scalar()")
+        val name = freshSc()
+        val agg0 = grid match {
+          case Some(_) =>
+            gridDf.join(v.df.groupBy(STEP).agg(
+                count(lit(1)).as("_n"), max(col("value")).as("_v")),
+              Seq(STEP), "left")
+          case None =>
+            v.df.groupBy().agg(
+              count(lit(1)).as("_n"), max(col("value")).as("_v"))
+        }
+        // count==1 ⇒ max IS the single value (deterministic, unlike first)
+        val scCol = when(col("_n") === 1, col("_v"))
+          .otherwise(lit(Double.NaN)).as(name)
+        val carrier = agg0.select(
+          (grid.map(_ => col(STEP)).toSeq :+ scCol): _*)
+        Left(Sc(None, col(name), Some(carrier)))
       case "timestamp" =>
         val v = vec(one(c, "timestamp"), "timestamp()")
         Right(Vec(v.df.withColumn("value", col(TS) / lit(1000.0)), v.labels))
@@ -485,6 +576,15 @@ object PromQL {
         val v = vec(one(c, fn), fn)
         Right(Vec(v.df.orderBy(
           if (fn == "sort") col("value").asc else col("value").desc), v.labels))
+      case fn @ ("sort_by_label" | "sort_by_label_desc") =>
+        // presentation-only: order elements by the given label values
+        if (c.args.length < 2) fail(s"$fn(v, label, ...) needs at least one label")
+        val v = vec(c.args.head, fn)
+        val ls = c.args.tail.map(strArg(_, s"$fn label"))
+        ls.find(l => !v.labels.contains(l)).foreach(l =>
+          fail(s"$fn: vector has no label '$l'"))
+        val ord = ls.map(l => if (fn == "sort_by_label") col(l).asc else col(l).desc)
+        Right(Vec(v.df.orderBy(ord: _*), v.labels))
       case "absent_over_time" =>
         val rv = rangeVec(one(c, c.fn), c.fn)
         grid match {
@@ -815,6 +915,39 @@ object PromQL {
             .orderBy(ord0 +: rest.map(col): _*)
           Vec(v.df.withColumn("_rk", row_number().over(w))
             .filter(col("_rk") <= kk).drop("_rk"), v.labels)
+        case "limitk" =>
+          // Prometheus (experimental): "k arbitrary elements" per
+          // group; a cluster needs determinism, so graft's pick is
+          // the first k in label order — full labels kept, same
+          // WindowGroupLimit shape as topk
+          val kk = scalarArg(a.param.getOrElse(fail("limitk needs a parameter")),
+            "limitk k").toInt
+          if (kk <= 0) fail("limitk k must be positive")
+          val rest = v.labels.filterNot(g.contains)
+          val ord = if (rest.isEmpty) Seq(lit(1).asc) else rest.map(col(_).asc)
+          val w = (if (k.isEmpty) Window.partitionBy(lit(1))
+            else Window.partitionBy(k.map(col): _*)).orderBy(ord: _*)
+          Vec(v.df.withColumn("_rk", row_number().over(w))
+            .filter(col("_rk") <= kk).drop("_rk"), v.labels)
+        case "limit_ratio" =>
+          // Prometheus (experimental): deterministic ~r sample of the
+          // vector's elements decided per element by a label-set
+          // hash; r<0 selects the exact complement of |r| (the two
+          // halves partition the vector). graft's hash is the
+          // pipe_sample_mix sha256 threshold (DuckDB-replayable,
+          // partition-independent) over the labels in vector column
+          // order — Prometheus's own hash function is unspecified
+          // for engine interop, the partition/complement contract is
+          // what's portable. Pure narrow filter, no shuffle.
+          val r = scalarArg(a.param.getOrElse(fail("limit_ratio needs a parameter")),
+            "limit_ratio r")
+          if (r < -1.0 || r > 1.0) fail("limit_ratio r must be in [-1, 1]")
+          val key = concat_ws("\u0001",
+            v.labels.map(l => col(l).cast("string")): _*)
+          val h = substring(
+            sha2(concat(key, lit(":limit_ratio")), 256), 1, 8)
+          val thr = lit(graft.operators.Pipeline.sampleThreshold(math.abs(r)))
+          Vec(v.df.filter(if (r >= 0) h < thr else h >= thr), v.labels)
         case other => fail(s"unsupported aggregation '$other'")
       }
     }
@@ -843,8 +976,8 @@ object PromQL {
         case (Some(a), Some(b)) => Sc.of(scalarFoldNum(op, a, b, boolMod))
         case _ if cmpOps.contains(op) =>
           if (!boolMod) fail(s"scalar comparison '$op' requires the bool modifier")
-          Sc(None, when(cmpOps(op)(l.expr, r.expr), 1.0).otherwise(0.0))
-        case _ => Sc(None, arith(op)(l.expr, r.expr))
+          combineSc(l, r, (x, y) => when(cmpOps(op)(x, y), 1.0).otherwise(0.0))
+        case _ => combineSc(l, r, arith(op))
       }
 
     private def scalarFoldNum(op: String, l: Double, r: Double,
@@ -872,22 +1005,23 @@ object PromQL {
       if (Set("and", "or", "unless")(b.op)) return Right(setOp(b))
       (eval(b.lhs), eval(b.rhs)) match {
         case (Left(l), Left(r)) => Left(scalarFold(b.op, l, r, b.boolMod))
-        case (Right(v), Left(s)) => Right(vectorScalar(b, v, s.expr, scalarRight = true))
-        case (Left(s), Right(v)) => Right(vectorScalar(b, v, s.expr, scalarRight = false))
+        case (Right(v), Left(s)) => Right(vectorScalar(b, v, s, scalarRight = true))
+        case (Left(s), Right(v)) => Right(vectorScalar(b, v, s, scalarRight = false))
         case (Right(l), Right(r)) => Right(vectorVector(b, l, r))
       }
     }
 
-    private def vectorScalar(b: Expr.Bin, v: Vec, s: Column,
+    private def vectorScalar(b: Expr.Bin, v: Vec, s: Sc,
         scalarRight: Boolean): Vec = {
+      val df0 = attachCarrier(v.df, s)
       val value = col("value")
-      val (l, r) = if (scalarRight) (value, s) else (s, value)
-      if (cmpOps.contains(b.op)) {
+      val (l, r) = if (scalarRight) (value, s.expr) else (s.expr, value)
+      val out = if (cmpOps.contains(b.op)) {
         val cond = cmpOps(b.op)(l, r)
-        if (b.boolMod)
-          Vec(v.df.withColumn("value", when(cond, 1.0).otherwise(0.0)), v.labels)
-        else Vec(v.df.filter(cond), v.labels)
-      } else Vec(v.df.withColumn("value", arith(b.op)(l, r)), v.labels)
+        if (b.boolMod) df0.withColumn("value", when(cond, 1.0).otherwise(0.0))
+        else df0.filter(cond)
+      } else df0.withColumn("value", arith(b.op)(l, r))
+      Vec(dropScCols(out), v.labels)
     }
 
     /** Match-label resolution: `on(ls)` takes ls; `ignoring(ls)` and

@@ -189,8 +189,10 @@ object PromQLParser {
   // ===== parser =====
 
   private val aggOps = Set("sum", "min", "max", "avg", "count", "group",
-    "stddev", "stdvar", "topk", "bottomk", "quantile", "count_values")
-  private val paramAggOps = Set("topk", "bottomk", "quantile", "count_values")
+    "stddev", "stdvar", "topk", "bottomk", "quantile", "count_values",
+    "limitk", "limit_ratio")
+  private val paramAggOps = Set("topk", "bottomk", "quantile", "count_values",
+    "limitk", "limit_ratio")
   private val setOps = Set("and", "or", "unless")
   private val keywords = aggOps ++ setOps ++
     Set("by", "without", "on", "ignoring", "group_left", "group_right",

@@ -529,6 +529,59 @@ class PromQLCompilerSpec extends SparkSpec {
       Set(Seq("api", "i1", 118.0), Seq("api", "i2", 45.0)))
   }
 
+  // ===== scalar(), limitk / limit_ratio, sort_by_label =====
+
+  test("scalar() of a one-element vector broadcasts its value") {
+    // instant vector sums to 163; share-of-total per element
+    assert(rows("http_requests_total / scalar(sum(http_requests_total))") ==
+      Set(Seq("api", "i1", 118.0 / 163.0), Seq("api", "i2", 45.0 / 163.0)))
+    assert(rows("vector(scalar(sum(http_requests_total)) + 1)") ==
+      Set(Seq(164.0)))
+    // two vector-derived scalars combine (carriers join): 163 - 2
+    assert(rows("""vector(scalar(sum(http_requests_total))
+                  | - scalar(count(http_requests_total)))""".stripMargin) ==
+      Set(Seq(161.0)))
+  }
+
+  test("scalar() is NaN for 0- or many-element vectors, per step in range mode") {
+    val multi = run("vector(scalar(http_requests_total))").collect()
+    assert(multi.length == 1 && multi.head.getDouble(0).isNaN)
+    val empty = run("""vector(scalar(http_requests_total{job="nope"}))""").collect()
+    assert(empty.length == 1 && empty.head.getDouble(0).isNaN)
+    // per step: 00:30's lookback holds one series (web,i1), 01:00's two
+    assert(rowsRange("vector(scalar(count(http_requests_total)))",
+      T0 + HALF, T1, HALF) == Set(Seq(T0 + HALF, 1.0), Seq(T1, 2.0)))
+  }
+
+  test("limitk picks the first k in label order (full labels kept)") {
+    assert(rows("limitk(1, sum_over_time(http_requests_total[1h]))") ==
+      Set(Seq("api", "i1", 178.0)))
+    assert(rows("limitk(1, sum_over_time(http_requests_total[1h])) by (job)") ==
+      Set(Seq("api", "i1", 178.0), Seq("web", "i1", 190.0)))
+    intercept[PromQLCompileException](run("limitk(0, http_requests_total)"))
+  }
+
+  test("limit_ratio(r) and limit_ratio(r-1) partition the vector") {
+    val all = rows("sum_over_time(http_requests_total[1h])")
+    val pos = rows("limit_ratio(0.5, sum_over_time(http_requests_total[1h]))")
+    val neg = rows("limit_ratio(-0.5, sum_over_time(http_requests_total[1h]))")
+    assert((pos & neg).isEmpty)
+    assert((pos | neg) == all)
+    assert(rows("limit_ratio(1.0, sum_over_time(http_requests_total[1h]))") == all)
+    intercept[PromQLCompileException](
+      run("limit_ratio(1.5, http_requests_total)"))
+  }
+
+  test("sort_by_label orders by the given labels") {
+    val ordered = run(
+      """sort_by_label(sum_over_time(http_requests_total[1h]), "instance", "job")""")
+      .collect().map(_.toSeq)
+    assert(ordered.map(r => (r(1), r(0))).toSeq ==
+      Seq(("i1", "api"), ("i1", "web"), ("i2", "api")))
+    intercept[PromQLCompileException](
+      run("""sort_by_label(http_requests_total, "nope")"""))
+  }
+
   test("holt_winters / deriv / predict_linear compile to the PromOps plans") {
     val hw = rows("double_exponential_smoothing(http_requests_total[1h], 0.5, 0.5)")
     assert(hw.map(_.take(2)) ==
