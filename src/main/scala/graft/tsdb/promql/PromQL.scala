@@ -547,7 +547,7 @@ object PromQL {
           case None => Left(Sc.of(ctx.evalMs / 1000.0))
         }
       case fn @ ("minute" | "hour" | "day_of_week" | "day_of_month" |
-          "days_in_month" | "month" | "year") =>
+          "day_of_year" | "days_in_month" | "month" | "year") =>
         // zero args default to vector(time()) — the element value is
         // epoch SECONDS; components are UTC (the harness session TZ;
         // Prometheus is UTC-only here)
@@ -566,6 +566,7 @@ object PromQL {
             case "hour" => hour(t)
             case "day_of_week" => dayofweek(t) - lit(1) // 0 = Sunday
             case "day_of_month" => dayofmonth(t)
+            case "day_of_year" => dayofyear(t)
             case "days_in_month" => dayofmonth(last_day(t))
             case "month" => month(t)
             case "year" => year(t)
