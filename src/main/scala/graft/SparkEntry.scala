@@ -43,13 +43,20 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-      // rejects natively; read it as a long and floor to micros —
-      // the same truncation DuckDB's epoch_ms applies, so ms-level
-      // outputs agree across engines.
+      // events.ts has varied across driver testdata generations:
+      // TIMESTAMP(NANOS) (which Spark's reader rejects natively —
+      // read as long and floor to micros, the same truncation
+      // DuckDB's epoch_ms applies) or TIMESTAMP(MICROS) (loads as a
+      // timestamp directly). Dispatch on the LOADED type and cast
+      // both paths to the session-TZ timestamp so downstream code
+      // sees one column type either way.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = s.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     } else s.read.parquet(s"$dir/$name.parquet")
 
   /** Order-insensitive float sum: accumulate exactly in decimal, then
@@ -1379,6 +1386,83 @@ object SparkEntry {
       .select(col("event_type"), col("user_id"), col("value").as("total"))
       .orderBy("event_type", "user_id")
 
+  /** PromQL context with NATIVE-histogram metrics registered
+    * ([[graft.tsdb.promql.HistTable]]): `nh_gauge` is the
+    * deterministic exponential-bucket fixture with the
+    * exact-quarter tracked sum, `nh_requests` the cumulative
+    * counter fixture — both with day-aligned sample timestamps so
+    * the selector windows land exactly on the direct-API gates'
+    * row sets. Instant T = 2024-02-01T00:00Z, lookback 40 d
+    * (covers the whole fixture span).
+    */
+  private def promHistCtx(s: SparkSession, dir: String): graft.tsdb.promql.PromQLContext = {
+    val gauge = nativeHistTable(s, dir)
+      .withColumn("hsum", (col("seed") % 400).cast("double") * 0.25)
+      .withColumn("ts", timestamp_seconds(col("d") * 86400))
+    val counter = nativeHistCounterTable(s, dir)
+      .withColumn("ts", timestamp_seconds(col("t_sec")))
+    graft.tsdb.promql.PromQLContext(
+      metrics = Map.empty,
+      labelCols = Seq("event_type", "user_id"),
+      evalMs = 1706745600000L, // 2024-02-01T00:00:00Z
+      lookbackMs = 40L * 86400000L,
+      histMetrics = Map(
+        "nh_gauge" -> graft.tsdb.promql.HistTable(gauge, sumCol = Some("hsum")),
+        "nh_requests" -> graft.tsdb.promql.HistTable(counter)))
+  }
+
+  /** `histogram_quantile(0.9, rate(nh_requests[40d]))` — THE
+    * production native-histogram query, now parsed from the PromQL
+    * STRING: the front-end lowers the hist selector through the
+    * shared pushdown machinery, `rate` to the bucket-wise
+    * [[tsdb.NativeHistogram.rateBy]] aggregation, the quantile to
+    * the narrow per-row walk. Same oracle as the direct-API
+    * `ts_native_hist_quantile_rate` (the compiled plan must land on
+    * identical FP ops).
+    */
+  private def tsPromqlNhQuantileRate(s: SparkSession, dir: String): DataFrame =
+    graft.tsdb.promql.PromQL.compile(
+        "histogram_quantile(0.9, rate(nh_requests[40d]))", promHistCtx(s, dir))
+      .select(col("event_type"), col("user_id"), col("value").as("phi90"))
+      .orderBy("event_type", "user_id")
+
+  /** `histogram_quantile(0.9, sum by (event_type) (nh_gauge))` —
+    * bucket-wise vector aggregation COMPOSED with the quantile walk,
+    * parsed from the string: instant hist selector (latest sample
+    * per series in lookback), sparse buckets summed at (group, idx)
+    * grain and reassembled, then the per-row fold. All counts stay
+    * exact integers in double until the final interpolation, so the
+    * oracle (latest-day CTE + grouped walk) is bit-equal.
+    */
+  private def tsPromqlNhSumQuantile(s: SparkSession, dir: String): DataFrame =
+    graft.tsdb.promql.PromQL.compile(
+        "histogram_quantile(0.9, sum by (event_type) (nh_gauge))",
+        promHistCtx(s, dir))
+      .select(col("event_type"), col("value").as("phi90"))
+      .orderBy("event_type")
+
+  /** `histogram_avg(nh_gauge)` — the tracked-sum statistics family
+    * through the front-end (count folds the buckets narrow, avg is
+    * the one division, NaN on all-empty histograms — the seed%21
+    * rows pin the NaN path cross-engine).
+    */
+  private def tsPromqlNhAvg(s: SparkSession, dir: String): DataFrame =
+    graft.tsdb.promql.PromQL.compile(
+        "histogram_avg(nh_gauge)", promHistCtx(s, dir))
+      .select(col("event_type"), col("user_id"), col("value").as("h_avg"))
+      .orderBy("event_type", "user_id")
+
+  /** `histogram_fraction(1, 8, nh_gauge)` through the front-end —
+    * bounds on the schema-0 boundaries 2^0/2^3 so every bucket's
+    * overlap share is exactly 0 or 1 (the FP-exact configuration;
+    * interpolated shares are spec-pinned in NativeHistogramSpec).
+    */
+  private def tsPromqlNhFraction(s: SparkSession, dir: String): DataFrame =
+    graft.tsdb.promql.PromQL.compile(
+        "histogram_fraction(1, 8, nh_gauge)", promHistCtx(s, dir))
+      .select(col("event_type"), col("user_id"), col("value").as("frac"))
+      .orderBy("event_type", "user_id")
+
   private def chunkBlockPath(dir: String): String =
     "/tmp/graft_chunkblock_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
 
@@ -1767,6 +1851,10 @@ object SparkEntry {
     "ts_promql_scalar" -> (tsPromqlScalar _),
     "ts_promql_limitk" -> (tsPromqlLimitk _),
     "ts_promql_limit_ratio" -> (tsPromqlLimitRatio _),
+    "ts_promql_nh_quantile_rate" -> (tsPromqlNhQuantileRate _),
+    "ts_promql_nh_sum_quantile" -> (tsPromqlNhSumQuantile _),
+    "ts_promql_nh_avg" -> (tsPromqlNhAvg _),
+    "ts_promql_nh_fraction" -> (tsPromqlNhFraction _),
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_clusters" -> (ddClusters _),
@@ -1874,6 +1962,74 @@ object SparkEntry {
       |  SELECT event_type, user_id, d, zero_count, i,
       |    (seed * (i + 3)) % 7 AS cnt
       |  FROM hz, unnest(range(-2, 6)) AS t(i))""".stripMargin
+
+  /** rate CTEs (counter fixture re-derived in SQL) + the quantile
+    * walk with the zero bucket as a sentinel row — shared VERBATIM
+    * by the direct-API (`ts_native_hist_quantile_rate`) and PromQL
+    * front-end (`ts_promql_nh_quantile_rate`) entries: both plans
+    * must land on identical FP ops.
+    */
+  private val nhQuantileRateSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT event_type, user_id,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+      |  FROM events),
+      |series AS (
+      |  SELECT event_type, user_id,
+      |    user_id * 31 + length(event_type) AS sseed,
+      |    min(d) AS df, max(d) AS dl
+      |  FROM days GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+      |zr AS (
+      |  SELECT event_type, user_id,
+      |    CAST(greatest(dl*dl*(sseed % 3) - df*df*(sseed % 3), 0) AS DOUBLE)
+      |      / CAST((dl - df) * 86400 AS DOUBLE) AS zero_rate
+      |  FROM series),
+      |rates AS (
+      |  SELECT event_type, user_id, CAST(i AS INT) AS idx,
+      |    CAST(greatest(dl*dl*((sseed + i + 3) % 5) -
+      |      (CASE WHEN i <= (CASE WHEN df >= 19740 THEN 5 ELSE 4 END)
+      |            THEN df*df*((sseed + i + 3) % 5) ELSE 0 END), 0) AS DOUBLE)
+      |      / CAST((dl - df) * 86400 AS DOUBLE) AS r
+      |  FROM series s, unnest(range(-2, 6)) AS t(i)
+      |  WHERE i <= (CASE WHEN dl >= 19740 THEN 5 ELSE 4 END)),
+      |tot AS (
+      |  SELECT r.event_type, r.user_id,
+      |    z.zero_rate + max(r.rcum) AS total, max(r.idx) AS max_idx
+      |  FROM (SELECT event_type, user_id, idx, r,
+      |          sum(r) OVER (PARTITION BY event_type, user_id
+      |            ORDER BY idx ROWS UNBOUNDED PRECEDING) AS rcum
+      |        FROM rates) r
+      |  JOIN zr z USING (event_type, user_id)
+      |  GROUP BY r.event_type, r.user_id, z.zero_rate),
+      |walkrows AS (
+      |  SELECT event_type, user_id, -100 AS idx, zero_rate AS r FROM zr
+      |  UNION ALL
+      |  SELECT event_type, user_id, idx, r FROM rates),
+      |walk AS (
+      |  SELECT event_type, user_id, idx, r,
+      |    sum(r) OVER (PARTITION BY event_type, user_id
+      |      ORDER BY idx ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(r) OVER (PARTITION BY event_type, user_id
+      |      ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING
+      |        AND 1 PRECEDING) AS cum_prev
+      |  FROM walkrows),
+      |pick AS (
+      |  SELECT w.event_type, w.user_id, w.idx, w.r, w.cum, w.cum_prev
+      |  FROM walk w JOIN tot t USING (event_type, user_id)
+      |  WHERE w.idx > -100 AND w.r > 0 AND w.cum >= 0.9 * t.total
+      |  QUALIFY row_number() OVER (PARTITION BY w.event_type, w.user_id
+      |    ORDER BY w.idx) = 1)
+      |SELECT t.event_type, t.user_id,
+      |  CASE WHEN t.total = 0 THEN CAST('nan' AS DOUBLE)
+      |       WHEN z.zero_rate >= 0.9 * t.total THEN 0.0
+      |       WHEN p.idx IS NULL THEN pow(2.0, t.max_idx)
+      |       ELSE pow(2.0, p.idx - 1) +
+      |         (pow(2.0, p.idx) - pow(2.0, p.idx - 1)) *
+      |         ((0.9 * t.total - p.cum_prev) / p.r) END AS phi90
+      |FROM tot t
+      |JOIN zr z USING (event_type, user_id)
+      |LEFT JOIN pick p USING (event_type, user_id)
+      |ORDER BY t.event_type, t.user_id""".stripMargin
 
   private val phashCtes: String =
     """px AS (
@@ -2873,67 +3029,77 @@ object SparkEntry {
     // (((zero+r1)+r2)+…), while rank uses zero + (((r1+r2)+…)) like
     // the operator's total; cum_prev is the TRUE prefix, never a
     // subtraction
-    "ts_native_hist_quantile_rate" ->
-      """WITH days AS (
-        |  SELECT DISTINCT event_type, user_id,
-        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
-        |  FROM events),
-        |series AS (
-        |  SELECT event_type, user_id,
-        |    user_id * 31 + length(event_type) AS sseed,
-        |    min(d) AS df, max(d) AS dl
-        |  FROM days GROUP BY 1, 2, 3 HAVING count(*) >= 2),
-        |zr AS (
-        |  SELECT event_type, user_id,
-        |    CAST(greatest(dl*dl*(sseed % 3) - df*df*(sseed % 3), 0) AS DOUBLE)
-        |      / CAST((dl - df) * 86400 AS DOUBLE) AS zero_rate
-        |  FROM series),
-        |rates AS (
-        |  SELECT event_type, user_id, CAST(i AS INT) AS idx,
-        |    CAST(greatest(dl*dl*((sseed + i + 3) % 5) -
-        |      (CASE WHEN i <= (CASE WHEN df >= 19740 THEN 5 ELSE 4 END)
-        |            THEN df*df*((sseed + i + 3) % 5) ELSE 0 END), 0) AS DOUBLE)
-        |      / CAST((dl - df) * 86400 AS DOUBLE) AS r
-        |  FROM series s, unnest(range(-2, 6)) AS t(i)
-        |  WHERE i <= (CASE WHEN dl >= 19740 THEN 5 ELSE 4 END)),
-        |tot AS (
-        |  SELECT r.event_type, r.user_id,
-        |    z.zero_rate + max(r.rcum) AS total, max(r.idx) AS max_idx
-        |  FROM (SELECT event_type, user_id, idx, r,
-        |          sum(r) OVER (PARTITION BY event_type, user_id
-        |            ORDER BY idx ROWS UNBOUNDED PRECEDING) AS rcum
-        |        FROM rates) r
-        |  JOIN zr z USING (event_type, user_id)
-        |  GROUP BY r.event_type, r.user_id, z.zero_rate),
-        |walkrows AS (
-        |  SELECT event_type, user_id, -100 AS idx, zero_rate AS r FROM zr
-        |  UNION ALL
-        |  SELECT event_type, user_id, idx, r FROM rates),
-        |walk AS (
-        |  SELECT event_type, user_id, idx, r,
-        |    sum(r) OVER (PARTITION BY event_type, user_id
-        |      ORDER BY idx ROWS UNBOUNDED PRECEDING) AS cum,
-        |    sum(r) OVER (PARTITION BY event_type, user_id
-        |      ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING
-        |        AND 1 PRECEDING) AS cum_prev
-        |  FROM walkrows),
+    "ts_native_hist_quantile_rate" -> nhQuantileRateSql,
+    // the SAME query through the PromQL front-end must land on the
+    // identical plan → identical oracle (hash-equal by construction)
+    "ts_promql_nh_quantile_rate" -> nhQuantileRateSql,
+    // latest sample per series (instant selector), buckets summed at
+    // (event_type, idx) grain, then the quantile walk — counts stay
+    // exact integers until the final interpolation
+    "ts_promql_nh_sum_quantile" ->
+      s"""WITH $nativeHistCtes,
+        |latest AS (
+        |  SELECT event_type, user_id, max(d) AS d FROM sd GROUP BY 1, 2),
+        |lz AS (SELECT hz.* FROM hz JOIN latest USING (event_type, user_id, d)),
+        |lb AS (SELECT hb.* FROM hb JOIN latest USING (event_type, user_id, d)),
+        |gz AS (SELECT event_type, sum(zero_count) AS zc FROM lz GROUP BY 1),
+        |gb AS (SELECT event_type, i, sum(cnt) AS cnt FROM lb GROUP BY 1, 2),
+        |r AS (
+        |  SELECT gb.event_type, gz.zc, gb.i, gb.cnt,
+        |    sum(gb.cnt) OVER (PARTITION BY gb.event_type ORDER BY gb.i)
+        |      + gz.zc AS cum,
+        |    0.9 * (sum(gb.cnt) OVER (PARTITION BY gb.event_type) + gz.zc)
+        |      AS rank,
+        |    sum(gb.cnt) OVER (PARTITION BY gb.event_type) + gz.zc AS total
+        |  FROM gb JOIN gz USING (event_type)),
         |pick AS (
-        |  SELECT w.event_type, w.user_id, w.idx, w.r, w.cum, w.cum_prev
-        |  FROM walk w JOIN tot t USING (event_type, user_id)
-        |  WHERE w.idx > -100 AND w.r > 0 AND w.cum >= 0.9 * t.total
-        |  QUALIFY row_number() OVER (PARTITION BY w.event_type, w.user_id
-        |    ORDER BY w.idx) = 1)
-        |SELECT t.event_type, t.user_id,
-        |  CASE WHEN t.total = 0 THEN CAST('nan' AS DOUBLE)
-        |       WHEN z.zero_rate >= 0.9 * t.total THEN 0.0
-        |       WHEN p.idx IS NULL THEN pow(2.0, t.max_idx)
-        |       ELSE pow(2.0, p.idx - 1) +
-        |         (pow(2.0, p.idx) - pow(2.0, p.idx - 1)) *
-        |         ((0.9 * t.total - p.cum_prev) / p.r) END AS phi90
-        |FROM tot t
-        |JOIN zr z USING (event_type, user_id)
-        |LEFT JOIN pick p USING (event_type, user_id)
-        |ORDER BY t.event_type, t.user_id""".stripMargin,
+        |  SELECT event_type, i, cnt, cum, rank FROM r
+        |  WHERE cnt > 0 AND cum >= rank
+        |  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY i) = 1),
+        |base AS (SELECT DISTINCT event_type, zc, total, rank FROM r)
+        |SELECT b.event_type,
+        |  CASE WHEN b.total = 0 THEN CAST('nan' AS DOUBLE)
+        |       WHEN b.zc >= b.rank THEN 0.0
+        |       ELSE pow(2.0, p.i - 1) +
+        |         (pow(2.0, p.i) - pow(2.0, p.i - 1)) *
+        |         ((b.rank - (p.cum - p.cnt)) / p.cnt) END AS phi90
+        |FROM base b LEFT JOIN pick p USING (event_type)
+        |ORDER BY b.event_type""".stripMargin,
+    // latest-day rows only; h_sum is the exact-quarter synthetic
+    // sum, h_avg its one division (NaN on the all-empty seed%21 rows)
+    "ts_promql_nh_avg" ->
+      s"""WITH $nativeHistCtes,
+        |latest AS (
+        |  SELECT event_type, user_id, max(d) AS d FROM sd GROUP BY 1, 2),
+        |lz AS (SELECT hz.* FROM hz JOIN latest USING (event_type, user_id, d)),
+        |lb AS (SELECT hb.* FROM hb JOIN latest USING (event_type, user_id, d)),
+        |tot AS (
+        |  SELECT event_type, user_id,
+        |    max(zero_count) + sum(cnt) AS h_count,
+        |    CAST(max(seed) % 400 AS DOUBLE) * 0.25 AS h_sum
+        |  FROM (SELECT lb.*, lz.seed FROM lb
+        |        JOIN lz USING (event_type, user_id, d))
+        |  GROUP BY 1, 2)
+        |SELECT event_type, user_id,
+        |  CASE WHEN h_count = 0 THEN CAST('nan' AS DOUBLE)
+        |       ELSE h_sum / CAST(h_count AS DOUBLE) END AS h_avg
+        |FROM tot
+        |ORDER BY event_type, user_id""".stripMargin,
+    // latest-day rows; buckets 1..3 are exactly (1,2],(2,4],(4,8] —
+    // overlap share 0 or 1, one exact division
+    "ts_promql_nh_fraction" ->
+      s"""WITH $nativeHistCtes,
+        |latest AS (
+        |  SELECT event_type, user_id, max(d) AS d FROM sd GROUP BY 1, 2),
+        |lb AS (SELECT hb.* FROM hb JOIN latest USING (event_type, user_id, d))
+        |SELECT event_type, user_id,
+        |  CASE WHEN sum(cnt) + max(zero_count) = 0
+        |       THEN CAST('nan' AS DOUBLE)
+        |       ELSE CAST(sum(CASE WHEN i BETWEEN 1 AND 3 THEN cnt
+        |                          ELSE 0 END) AS DOUBLE) /
+        |            CAST(sum(cnt) + max(zero_count) AS DOUBLE) END AS frac
+        |FROM lb GROUP BY event_type, user_id
+        |ORDER BY event_type, user_id""".stripMargin,
     // count by = distinct series per group; group = constant 1
     "ts_agg_count_group" ->
       """SELECT event_type,

@@ -165,8 +165,14 @@ object PlanAudit {
 
     // Matcher IN fast-path must reach the scan as an In() filter.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val evRaw = spark.read.parquet(s"$dir/events.parquet")
+    // nanos-as-long (older testdata) vs native micros — match
+    // SparkEntry.t's dispatch
+    val ev = evRaw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        evRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => evRaw.withColumn("ts", col("ts").cast("timestamp"))
+    }
     audit("matcher_set_in_pushdown",
       new TsdbQueryable(ev, Seq("event_type", "user_id"))
         .select("2024-01-01", "2024-01-31", Matcher.Re("event_type", "click|view")),

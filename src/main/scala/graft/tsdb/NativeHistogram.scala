@@ -88,14 +88,24 @@ object NativeHistogram {
   def histogramCount(zeroCount: Column, posCounts: Column): Column =
     zeroCount + coalesce(aggregate(posCounts, lit(0L), (a, c) => a + c), lit(0L))
 
+  /** [[histogramCount]] with a DOUBLE accumulator: the variant that
+    * also serves RATE vectors (bucket counts already divided by Δt),
+    * where the long fold would fail analysis. Integer counts stay
+    * exact — they are far below 2^53. */
+  def histogramCountD(zeroCount: Column, posCounts: Column): Column =
+    zeroCount.cast("double") + coalesce(
+      aggregate(posCounts, lit(0.0), (a, c) => a + c.cast("double")), lit(0.0))
+
   /** PromQL `histogram_avg(h)`: the tracked observation sum divided
     * by the count — one division, NaN for an empty histogram (like
     * Prometheus's avg over a zero-count histogram). */
   def histogramAvg(sumCol: Column, zeroCount: Column,
       posCounts: Column): Column = {
-    val n = histogramCount(zeroCount, posCounts)
+    // double fold so the same division serves rate vectors; integer
+    // counts stay exact below 2^53 (identical value either way)
+    val n = histogramCountD(zeroCount, posCounts)
     when(n === 0, lit(Double.NaN))
-      .otherwise(sumCol.cast("double") / n.cast("double"))
+      .otherwise(sumCol.cast("double") / n)
   }
 
   /** PromQL `histogram_stddev`/`histogram_stdvar` (promql/quantile.go
@@ -108,7 +118,9 @@ object NativeHistogram {
     */
   def histogramStdvar(sumCol: Column, zeroCount: Column, posIdx: Column,
       posCounts: Column, schema: Int = 0): Column = {
-    val n = histogramCount(zeroCount, posCounts)
+    // double fold so the same walk serves rate vectors; integer
+    // counts stay exact below 2^53
+    val n = histogramCountD(zeroCount, posCounts)
     val mean = sumCol.cast("double") / n.cast("double")
     val zeroDev = zeroCount.cast("double") * mean * mean
     val posDev = aggregate(
@@ -180,8 +192,9 @@ object NativeHistogram {
   def histogramFraction(lower: Double, upper: Double, zeroCount: Column,
       posIdx: Column, posCounts: Column, schema: Int = 0): Column = {
     require(lower <= upper, s"lower ($lower) must be ≤ upper ($upper)")
-    val total = zeroCount +
-      coalesce(aggregate(posCounts, lit(0L), (a, c) => a + c), lit(0L))
+    // double fold (histogramCountD) so rate vectors work too;
+    // integer totals stay exact below 2^53
+    val total = histogramCountD(zeroCount, posCounts)
     val zeroContrib =
       if (lower <= 0.0 && 0.0 <= upper) zeroCount.cast("double") else lit(0.0)
     val inBuckets = aggregate(

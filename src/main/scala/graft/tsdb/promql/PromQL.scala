@@ -45,7 +45,32 @@ final case class PromQLContext(
     tieBreak: Seq[String] = Nil,
     bucketCol: Option[String] = None,
     bucketDuration: String = "1 day",
-    subqueryStepMs: Long = 60000L)
+    subqueryStepMs: Long = 60000L,
+    histMetrics: Map[String, HistTable] = Map.empty)
+
+/** A NATIVE-histogram metric for the PromQL front-end: one
+  * exponential-bucket histogram SAMPLE per row in the
+  * [[graft.tsdb.NativeHistogram]] column model (`zeroCountCol`,
+  * sparse ascending `posIdxCol` array<int>, aligned `posCountsCol`
+  * counts; `sumCol` is the tracked observation sum when the series
+  * carries one — required by `histogram_sum`/`histogram_avg`/
+  * `histogram_stddev`). The df must also carry the context's label
+  * columns and `tsCol`. `schema` is Prometheus's exponential-bucket
+  * schema (0 → base-2 boundaries `2^i`).
+  *
+  * Histogram-valued vectors flow through the same selector machinery
+  * as float metrics (matcher pushdown, literal time filter, bucket
+  * pruning, per-step explode in range mode) but are consumed only by
+  * the `histogram_*` functions, `rate()`, and bucket-wise `sum` —
+  * exactly the operations Prometheus defines on native histograms.
+  */
+final case class HistTable(
+    df: DataFrame,
+    zeroCountCol: String = "zero_count",
+    posIdxCol: String = "pos_idx",
+    posCountsCol: String = "pos_counts",
+    sumCol: Option[String] = None,
+    schema: Int = 0)
 
 /** A range-query step grid: evaluation timestamps `startMs,
   * startMs + stepMs, ..., lastStepMs` (every multiple of `stepMs`
@@ -128,6 +153,16 @@ object PromQL {
   /** Compile and return the instant-vector DataFrame: the vector's
     * label columns followed by `value`. Fails on a scalar-typed
     * query (wrap in `vector()`).
+    *
+    * Native-histogram metrics (registered in `ctx.histMetrics`) are
+    * supported through the histogram sub-grammar Prometheus defines
+    * for them: a hist selector (instant, latest sample per series),
+    * `rate(h[r])` / `increase(h[r])` (bucket-wise counter rate,
+    * [[graft.tsdb.NativeHistogram.rateBy]] semantics), bucket-wise
+    * `sum by/without (...)`, and the float-producing consumers
+    * `histogram_quantile/count/sum/avg/stddev/stdvar/fraction`. A
+    * histogram-valued expression anywhere else fails with a clear
+    * message (graft has no render for a histogram-typed result).
     */
   def compile(query: String, ctx: PromQLContext): DataFrame =
     new Compiler(ctx, None).top(parse(query))
@@ -296,8 +331,26 @@ object PromQL {
     private def scanRows(sel: Expr.Selector, spanStartMs: Long,
         spanEndMs: Long): DataFrame = {
       val table = ctx.metrics.getOrElse(sel.metric,
-        fail(s"unknown metric '${sel.metric}' — context knows: ${ctx.metrics.keys.toSeq.sorted.mkString(", ")}"))
-      val tsMs = unix_millis(col(ctx.tsCol).cast("timestamp"))
+        if (ctx.histMetrics.contains(sel.metric)) fail(
+          s"'${sel.metric}' is a native-histogram metric — consume it with " +
+            "histogram_quantile/histogram_count/histogram_sum/histogram_avg/" +
+            "histogram_stddev/histogram_stdvar/histogram_fraction (rate/" +
+            "increase and bucket-wise sum aggregation compose inside them)")
+        else fail(s"unknown metric '${sel.metric}' — context knows: ${ctx.metrics.keys.toSeq.sorted.mkString(", ")}"))
+      scanFiltered(table, sel, spanStartMs, spanEndMs)
+        .select((ctx.labelCols ++ ctx.tieBreak).map(col) :+
+          col(ctx.tsCol) :+
+          unix_millis(col(ctx.tsCol).cast("timestamp")).as(TS) :+
+          col(ctx.valueCol): _*)
+    }
+
+    /** Matcher + literal time-range filter + converted-layout bucket
+      * pruning — the selector machinery shared by float and
+      * native-histogram scans (payload selection differs, pushdown
+      * does not).
+      */
+    private def scanFiltered(table: DataFrame, sel: Expr.Selector,
+        spanStartMs: Long, spanEndMs: Long): DataFrame = {
       // range predicate on the RAW ts column, not unix_millis(ts):
       // a function of the column would not reach PushedFilters, and
       // with integer-ms bounds the two are equivalent
@@ -310,7 +363,7 @@ object PromQL {
           tsCol < timestamp_millis(lit(spanEndMs)))
       // converted-layout partition pruning: a LITERAL bucket range
       // derived from the time range prunes directories at plan time
-      val filtered = ctx.bucketCol match {
+      ctx.bucketCol match {
         case Some(b) =>
           val secs = graft.tsdb.TsdbConverter.durationSeconds(ctx.bucketDuration)
           val lo = Math.floorDiv(Math.floorDiv(spanStartMs, 1000L), secs)
@@ -318,8 +371,6 @@ object PromQL {
           filtered0.filter(col(b) >= lo && col(b) <= hi)
         case None => filtered0
       }
-      filtered.select((ctx.labelCols ++ ctx.tieBreak).map(col) :+
-        col(ctx.tsCol) :+ tsMs.as(TS) :+ col(ctx.valueCol): _*)
     }
 
     /** Map each sample row to the grid steps whose trailing window of
@@ -369,17 +420,25 @@ object PromQL {
       * the (tiny) step grid instead of step-exploding.
       */
     private def rangeRows(sel: Expr.Selector, rangeMs: Long): DataFrame =
+      rangeRowsBy(sel, rangeMs, scanRows(sel, _, _))
+
+    /** [[rangeRows]] with a pluggable span scan — the grid handling
+      * (per-step explode, `@`-pinned cross join) is payload-agnostic,
+      * so native-histogram selectors reuse it verbatim.
+      */
+    private def rangeRowsBy(sel: Expr.Selector, rangeMs: Long,
+        scan: (Long, Long) => DataFrame): DataFrame =
       (grid, resolveAt(sel.at)) match {
         case (None, at) =>
           val end = at.getOrElse(ctx.evalMs) - sel.offsetMs
-          scanRows(sel, end - rangeMs, end)
+          scan(end - rangeMs, end)
         case (Some(g), None) =>
-          val rows = scanRows(sel, g.startMs - sel.offsetMs - rangeMs,
+          val rows = scan(g.startMs - sel.offsetMs - rangeMs,
             g.lastStepMs - sel.offsetMs)
           stepExplode(rows, g, sel.offsetMs, rangeMs)
         case (Some(_), Some(at)) =>
           val end = at - sel.offsetMs
-          scanRows(sel, end - rangeMs, end).crossJoin(gridDf)
+          scan(end - rangeMs, end).crossJoin(gridDf)
       }
 
     /** Instant selector: latest sample per series in the lookback
@@ -476,6 +535,30 @@ object PromQL {
             Right(stamped(PromOps.absent(v.df.select("value")), Nil))
         }
       case "histogram_quantile" => Right(histogramQuantile(c))
+      case fn @ ("histogram_count" | "histogram_sum" | "histogram_avg" |
+          "histogram_stddev" | "histogram_stdvar") =>
+        val h = histArg(one(c, fn), fn)
+        def needSum(): Unit = if (!h.hasSum) fail(
+          s"$fn needs a histogram metric with a tracked observation sum " +
+            "(HistTable.sumCol) — rate vectors never carry one")
+        val NH = graft.tsdb.NativeHistogram
+        Right(histConsume(h, fn match {
+          case "histogram_count" => NH.histogramCountD(col(HZ), col(HC))
+          case "histogram_sum" => needSum(); col(HS)
+          case "histogram_avg" => needSum()
+            NH.histogramAvg(col(HS), col(HZ), col(HC))
+          case "histogram_stddev" => needSum()
+            sqrt(NH.histogramStdvar(col(HS), col(HZ), col(HI), col(HC), h.schema))
+          case "histogram_stdvar" => needSum()
+            NH.histogramStdvar(col(HS), col(HZ), col(HI), col(HC), h.schema)
+        }))
+      case "histogram_fraction" =>
+        val Seq(lo, hi, ve) = argN(c, 3)
+        val h = histArg(ve, "histogram_fraction")
+        Right(histConsume(h, graft.tsdb.NativeHistogram.histogramFraction(
+          scalarArg(lo, "histogram_fraction lower"),
+          scalarArg(hi, "histogram_fraction upper"),
+          col(HZ), col(HI), col(HC), h.schema)))
       case "label_replace" =>
         val Seq(ve, dst, repl, src, regex) = argN(c, 5)
         val v = vec(ve, "label_replace")
@@ -660,6 +743,7 @@ object PromQL {
 
     private def sparkOf =
       ctx.metrics.values.headOption.map(_.sparkSession)
+        .orElse(ctx.histMetrics.values.headOption.map(_.df.sparkSession))
         .getOrElse(fail("context has no metric tables"))
 
     // ---- range-vector arguments (selector ranges and subqueries) ----
@@ -830,13 +914,23 @@ object PromQL {
         }
       })
 
-    /** `histogram_quantile(q, v)` over classic buckets: the vector
-      * must carry an `le` label; buckets regroup on the remaining
-      * labels through [[PromOps.histogramQuantile]].
+    /** `histogram_quantile(q, v)`: over a NATIVE-histogram vector
+      * (histMetrics sub-grammar), the exponential-bucket walk as a
+      * narrow per-row fold
+      * ([[graft.tsdb.NativeHistogram.histogramQuantile]]); over
+      * classic buckets, the vector must carry an `le` label and
+      * regroups on the remaining labels through
+      * [[PromOps.histogramQuantile]].
       */
     private def histogramQuantile(c: Expr.Call): Vec = {
       val Seq(qe, ve) = argN(c, 2)
       val q = scalarArg(qe, "histogram_quantile q")
+      histEval(ve) match {
+        case Some(h) =>
+          return histConsume(h, graft.tsdb.NativeHistogram.histogramQuantile(
+            q, col(HZ), col(HI), col(HC), h.schema))
+        case None => ()
+      }
       val v = vec(ve, "histogram_quantile")
       if (!v.labels.contains("le"))
         fail("histogram_quantile needs a vector with an 'le' label")
@@ -848,18 +942,175 @@ object PromQL {
       stamped(out.select(k.map(col) :+ col("value"): _*), groupLabels)
     }
 
+    // ---- native-histogram vectors ----
+
+    /** A native-histogram instant vector: `df` carries the labels,
+      * TS (and STEP in grid mode) plus the histogram component
+      * columns HZ/HI/HC/HS — counts as DOUBLE so the one frame model
+      * serves both count vectors and rate vectors (integer counts
+      * stay exact below 2^53, the [[graft.tsdb.NativeHistogram]]
+      * convention). `hasSum` marks a metric with a tracked
+      * observation sum (required by histogram_sum/avg/stddev/stdvar).
+      */
+    private final case class HVec(df: DataFrame, labels: Seq[String],
+        hasSum: Boolean, schema: Int)
+
+    private val HZ = "_h_zero"
+    private val HI = "_h_idx"
+    private val HC = "_h_cnt"
+    private val HS = "_h_sum"
+
+    /** Evaluate the histogram-typed sub-grammar: a hist-metric
+      * selector, `rate`/`increase` over a hist range selector, and
+      * bucket-wise `sum by/without` — exactly the expressions
+      * Prometheus defines to PRODUCE a native-histogram vector.
+      * Returns None for float-typed expressions (the caller falls
+      * back to the classic path).
+      */
+    private def histEval(e: Expr): Option[HVec] = e match {
+      case s: Expr.Selector =>
+        ctx.histMetrics.get(s.metric).map(histInstant(s, _))
+      case Expr.Call(fn @ ("rate" | "increase"), Seq(r: Expr.Range)) =>
+        ctx.histMetrics.get(r.sel.metric)
+          .map(histRate(r.sel, _, r.rangeMs, increase = fn == "increase"))
+      case a: Expr.Agg if a.op == "sum" =>
+        histEval(a.body).map(histSum(a, _))
+      case _ => None
+    }
+
+    private def histArg(e: Expr, what: String): HVec =
+      histEval(e).getOrElse(fail(
+        s"$what expects a native-histogram vector (a histMetrics selector, " +
+          "rate/increase over one, or a bucket-wise sum of one)"))
+
+    /** Span scan of a hist metric: the shared selector machinery
+      * ([[scanFiltered]] — matcher pushdown, literal ts range,
+      * bucket pruning) with the histogram component payload.
+      */
+    private def scanHistRows(sel: Expr.Selector, ht: HistTable,
+        spanStartMs: Long, spanEndMs: Long): DataFrame =
+      scanFiltered(ht.df, sel, spanStartMs, spanEndMs)
+        .select(ctx.labelCols.map(col) :+
+          unix_millis(col(ctx.tsCol).cast("timestamp")).as(TS) :+
+          col(ht.zeroCountCol).cast("double").as(HZ) :+
+          col(ht.posIdxCol).cast("array<int>").as(HI) :+
+          col(ht.posCountsCol).cast("array<double>").as(HC) :+
+          ht.sumCol.map(c => col(c).cast("double"))
+            .getOrElse(lit(null).cast("double")).as(HS): _*)
+
+    /** Instant hist selector: latest histogram sample per series in
+      * the lookback window — the float [[instant]] shape; the max
+      * struct orders on TS first (ties break on the component
+      * columns — Spark array ordering is lexicographic, so the pick
+      * stays deterministic on duplicate-ts data).
+      */
+    private def histInstant(sel: Expr.Selector, ht: HistTable): HVec = {
+      val rows = rangeRowsBy(sel, ctx.lookbackMs, scanHistRows(sel, ht, _, _))
+      val k = keys(ctx.labelCols)
+      val df = rows
+        .groupBy(k.map(col): _*)
+        .agg(max(struct(col(TS), col(HZ), col(HI), col(HC), col(HS))).as("_top"))
+        .select(k.map(col) :+ col(s"_top.$TS").as(TS) :+
+          col(s"_top.$HZ").as(HZ) :+ col(s"_top.$HI").as(HI) :+
+          col(s"_top.$HC").as(HC) :+ col(s"_top.$HS").as(HS): _*)
+      HVec(df, ctx.labelCols, ht.sumCol.isDefined, ht.schema)
+    }
+
+    /** `rate(h[r])` / `increase(h[r])` over a native-histogram
+      * counter: bucket-wise first/last delta per series (clamped,
+      * missing-first buckets read 0) via
+      * [[graft.tsdb.NativeHistogram.rateBy]] — ONE series-keyed
+      * aggregation, narrow zip_with subtraction, per (series, step)
+      * in grid mode. `increase` multiplies the rates back by the
+      * sampled span (the clamped bucket delta). The rate vector
+      * carries no sum (rateBy's contract), so histogram_sum/avg/
+      * stddev over a rate fail loudly.
+      */
+    private def histRate(sel: Expr.Selector, ht: HistTable, rangeMs: Long,
+        increase: Boolean): HVec = {
+      val rows = rangeRowsBy(sel, rangeMs, scanHistRows(sel, ht, _, _))
+        .withColumn("_h_tsec", col(TS) / lit(1000.0))
+      val k = keys(ctx.labelCols)
+      val rated = graft.tsdb.NativeHistogram.rateBy(rows, k, "_h_tsec",
+        HZ, HI, HC)
+      val scale = if (increase) col("dt_sec") else lit(1.0)
+      val df = rated.select(k.map(col) :+
+        (col("zero_rate") * scale).as(HZ) :+
+        col("pos_idx").as(HI) :+
+        transform(col("pos_rate"), r => r * scale).as(HC) :+
+        lit(null).cast("double").as(HS): _*)
+      HVec(stampedDf(df), ctx.labelCols, hasSum = false, ht.schema)
+    }
+
+    /** Bucket-wise `sum by/without` over a hist vector
+      * ([[graft.tsdb.NativeHistogram.sumBy]] semantics, arrays
+      * reassembled so the result composes): explode the sparse
+      * (idx, count) pairs, hash-aggregate at (group, idx) grain —
+      * partial map-side combine, shuffle key at bucket cardinality —
+      * then collect the per-group buckets back to sorted arrays.
+      * Zero counts and tracked sums aggregate alongside at group
+      * grain; a group exists only where the vector had elements
+      * (PromQL's empty-vector rule).
+      */
+    private def histSum(a: Expr.Agg, h: HVec): HVec = {
+      val g = resolveGrouping(a.op, a.grouping, h.labels)
+      val k = keys(g)
+      def grouped(df: DataFrame) =
+        if (k.isEmpty) df.groupBy(lit(1).as("_one")) else df.groupBy(k.map(col): _*)
+      val zs = grouped(h.df).agg(
+          sum(col(HZ)).as(HZ),
+          (if (h.hasSum) sum(col(HS)) else lit(null).cast("double")).as(HS),
+          count(lit(1)).as("_n"))
+        .filter(col("_n") > 0).drop("_n")
+      val buckets = grouped(h.df
+          .select((k.map(col) :+ explode(zip_with(col(HI), col(HC),
+            (i, c) => struct(i.as("i"), c.as("c")))).as("_b")): _*)
+          .groupBy((k.map(col) :+ col("_b.i").as("_i")): _*)
+          .agg(sum(col("_b.c")).as("_c")))
+        .agg(array_sort(collect_list(struct(col("_i"), col("_c")))).as("_bs"))
+        .select((k.map(col) :+
+          transform(col("_bs"), b => b.getField("_i")).as(HI) :+
+          transform(col("_bs"), b => b.getField("_c")).as(HC)): _*)
+      // left join: a group whose members all have empty bucket
+      // arrays still exists (its zero bucket may be populated)
+      val joined = (if (k.isEmpty) zs.crossJoin(buckets.drop("_one"))
+          else zs.join(buckets, k.toIndexedSeq, "left"))
+        .withColumn(HI, coalesce(col(HI), array().cast("array<int>")))
+        .withColumn(HC, coalesce(col(HC), array().cast("array<double>")))
+        .drop("_one")
+      HVec(stampedDf(joined), g, h.hasSum, h.schema)
+    }
+
+    /** Attach the evaluation-time TS column (the step's own time in
+      * grid mode) — [[stamped]] without the Vec wrapper. */
+    private def stampedDf(df: DataFrame): DataFrame = grid match {
+      case Some(_) => df.withColumn(TS, col(STEP))
+      case None => df.withColumn(TS, lit(ctx.evalMs))
+    }
+
+    /** Lower a float-producing histogram consumer: compute `value`
+      * per row with a narrow fold over the component columns, drop
+      * the components. */
+    private def histConsume(h: HVec, value: Column): Vec =
+      Vec(h.df.withColumn("value", value).drop(HZ, HI, HC, HS),
+        h.labels)
+
     // ---- aggregation operators ----
+
+    /** Output labels of a `by`/`without` grouping over `labels`. */
+    private def resolveGrouping(op: String, grouping: Option[Expr.Grouping],
+        labels: Seq[String]): Seq[String] = grouping match {
+      case Some(Expr.Grouping(true, ls)) =>
+        ls.find(l => !labels.contains(l)).foreach(l =>
+          fail(s"$op by ($l): vector has no label '$l' (labels: ${labels.mkString(", ")})"))
+        ls
+      case Some(Expr.Grouping(false, ls)) => labels.filterNot(ls.contains)
+      case None => Nil
+    }
 
     private def agg(a: Expr.Agg): Vec = {
       val v = vec(a.body, s"${a.op} aggregation")
-      val g = a.grouping match {
-        case Some(Expr.Grouping(true, ls)) =>
-          ls.find(l => !v.labels.contains(l)).foreach(l =>
-            fail(s"${a.op} by ($l): vector has no label '$l' (labels: ${v.labels.mkString(", ")})"))
-          ls
-        case Some(Expr.Grouping(false, ls)) => v.labels.filterNot(ls.contains)
-        case None => Nil
-      }
+      val g = resolveGrouping(a.op, a.grouping, v.labels)
       val k = keys(g)
       val value = col("value")
       def grouped = if (k.isEmpty) v.df.groupBy()

@@ -1,0 +1,194 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.tsdb.promql.{HistTable, PromQL, PromQLCompileException, PromQLContext}
+
+/** Native-histogram metrics through the PromQL FRONT-END (the
+  * histMetrics sub-grammar): selectors, rate/increase, bucket-wise
+  * sum, and the float-producing histogram_* consumers — pinned
+  * against hand-computed values on a tiny corpus. The per-function
+  * numeric walks themselves are pinned in NativeHistogramSpec; these
+  * specs pin the COMPILER plumbing (lookback windows, grid steps,
+  * grouping, error paths).
+  */
+class PromQLNativeHistSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // epoch ms of 2024-01-01 01:00 UTC (the evaluation instant)
+  private val T1 = 1704067200000L + 3600000L
+
+  // schema-0 histograms: buckets (1,2](idx 1), (2,4](idx 2);
+  // two series of a latency metric, two samples each (counter-style
+  // cumulative counts so rate() has a meaningful delta)
+  //   (api,i1): @00:00 zero=1 b1=2 b2=4  sum=10.0
+  //             @00:50 zero=3 b1=6 b2=10 sum=34.0
+  //   (web,i1): @00:10 zero=0 b1=1 b2=0  sum=1.5
+  //             @00:40 zero=0 b1=3 b2=8  sum=30.5   (b2 appears late)
+  private lazy val hist = Seq(
+    ("api", "i1", ts("2024-01-01 00:00:00"), 1L, Seq(1, 2), Seq(2L, 4L), 10.0),
+    ("api", "i1", ts("2024-01-01 00:50:00"), 3L, Seq(1, 2), Seq(6L, 10L), 34.0),
+    ("web", "i1", ts("2024-01-01 00:10:00"), 0L, Seq(1), Seq(1L), 1.5),
+    ("web", "i1", ts("2024-01-01 00:40:00"), 0L, Seq(1, 2), Seq(3L, 8L), 30.5)
+  ).toDF("job", "instance", "ts", "zero_count", "pos_idx", "pos_counts", "hsum")
+
+  private lazy val ctx = PromQLContext(
+    metrics = Map.empty,
+    labelCols = Seq("job", "instance"),
+    evalMs = T1,
+    lookbackMs = 3600000L, // 1h — covers both samples of each series
+    histMetrics = Map("latency" -> HistTable(hist, sumCol = Some("hsum"))))
+
+  private def rows(q: String): Set[Seq[Any]] =
+    PromQL.compile(q, ctx).collect().map(_.toSeq).toSet
+
+  // ===== instant selector + consumers =====
+
+  test("histogram_count over an instant hist selector (latest sample per series)") {
+    // latest: (api,i1)@00:50 → 3+6+10 = 19; (web,i1)@00:40 → 0+3+8 = 11
+    assert(rows("histogram_count(latency)") ==
+      Set(Seq("api", "i1", 19.0), Seq("web", "i1", 11.0)))
+  }
+
+  test("histogram_sum / histogram_avg read the tracked sum") {
+    assert(rows("histogram_sum(latency)") ==
+      Set(Seq("api", "i1", 34.0), Seq("web", "i1", 30.5)))
+    assert(rows("histogram_avg(latency)") ==
+      Set(Seq("api", "i1", 34.0 / 19.0), Seq("web", "i1", 30.5 / 11.0)))
+  }
+
+  test("matchers and offset apply to hist selectors") {
+    assert(rows("""histogram_count(latency{job="web"})""") ==
+      Set(Seq("web", "i1", 11.0)))
+    // offset 30m → window [23:30, 00:30): latest is the FIRST sample
+    assert(rows("histogram_count(latency offset 30m)") ==
+      Set(Seq("api", "i1", 7.0), Seq("web", "i1", 1.0)))
+  }
+
+  test("histogram_quantile over a native-hist selector walks the buckets") {
+    // (api,i1) latest: zero=3, b1=6 over (1,2], b2=10 over (2,4];
+    // total 19, rank 0.5*19 = 9.5; cum after zero+b1 = 9 < 9.5 →
+    // lands in b2: 2 + 2*((9.5-9)/10) = 2.1
+    val r = PromQL.compile("histogram_quantile(0.5, latency)", ctx)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(r.contains(("api", "i1", 2.1)))
+  }
+
+  test("histogram_fraction interpolates bucket overlap") {
+    // (web,i1) latest: b1=3 over (1,2], b2=8 over (2,4]; [1,2] covers
+    // b1 fully, b2 not at all → 3/11
+    assert(rows("""histogram_fraction(1, 2, latency{job="web"})""") ==
+      Set(Seq("web", "i1", 3.0 / 11.0)))
+  }
+
+  test("histogram_stddev/stdvar fold bucket midpoints") {
+    // (web,i1): count 11, mean 30.5/11; mids: b1 → 1.5, b2 → 3
+    val mean = 30.5 / 11.0
+    val expect = (3.0 * (1.5 - mean) * (1.5 - mean) +
+      8.0 * (3.0 - mean) * (3.0 - mean)) / 11.0
+    val r = rows("""histogram_stdvar(latency{job="web"})""")
+    assert(r == Set(Seq("web", "i1", expect)))
+    assert(rows("""histogram_stddev(latency{job="web"})""") ==
+      Set(Seq("web", "i1", math.sqrt(expect))))
+  }
+
+  // ===== rate / increase =====
+
+  private def byJob(q: String): Map[String, Double] =
+    PromQL.compile(q, ctx).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toMap
+
+  private def close(a: Double, b: Double): Boolean = math.abs(a - b) < 1e-9
+
+  test("rate over a hist range selector is the bucket-wise counter rate") {
+    // (api,i1): dt=3000s, deltas zero=2 b1=4 b2=6; (web,i1): dt=1800s,
+    // deltas zero=0 b1=2 b2=8 → histogram_count(rate) = Σdeltas/dt
+    val r = byJob("histogram_count(rate(latency[1h]))")
+    assert(close(r("api"), 12.0 / 3000.0) && close(r("web"), 10.0 / 1800.0))
+  }
+
+  test("increase is the clamped bucket delta over the sampled span") {
+    val r = byJob("histogram_count(increase(latency[1h]))")
+    assert(close(r("api"), 12.0) && close(r("web"), 10.0))
+  }
+
+  test("missing-first buckets read as 0 in rate (late-appearing b2)") {
+    // (web,i1): b2 absent at 00:10, 8 at 00:40 → populated in the
+    // rate vector; q=1 → upper bound of the last populated bucket
+    val r = byJob("histogram_quantile(1, rate(latency[1h]))")
+    assert(close(r("web"), 4.0))
+  }
+
+  // ===== bucket-wise sum =====
+
+  test("sum by aggregates bucket-wise and composes with quantile") {
+    // sum by (instance): (api,i1)+(web,i1) latest samples →
+    // zero=3, b1=9, b2=18; count = 30
+    assert(rows("histogram_count(sum by (instance) (latency))") ==
+      Set(Seq("i1", 30.0)))
+    // tracked sums add: 34.0 + 30.5
+    assert(rows("histogram_sum(sum by (instance) (latency))") ==
+      Set(Seq("i1", 64.5)))
+    // quantile over the summed histogram: total 30, rank 15;
+    // cum zero+b1 = 12 < 15 → b2: 2 + 2*((15-12)/18)
+    val r = PromQL.compile(
+      "histogram_quantile(0.5, sum by (instance) (latency))", ctx)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(r == Set(("i1", 2.0 + 2.0 * (3.0 / 18.0))))
+  }
+
+  test("global sum (no grouping) still works and stays empty on empty vectors") {
+    assert(rows("histogram_count(sum(latency))") == Set(Seq(30.0)))
+    assert(rows("""histogram_count(sum(latency{job="nope"}))""") == Set.empty)
+  }
+
+  test("sum of rate composes (the production alerting shape)") {
+    // rates: api (2+4+6)/3000, web (0+2+8)/1800
+    val out = PromQL.compile(
+        "histogram_count(sum by (instance) (rate(latency[1h])))", ctx)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(out.map(_._1) == Seq("i1"))
+    assert(close(out.head._2, 12.0 / 3000.0 + 10.0 / 1800.0))
+  }
+
+  // ===== range (grid) mode =====
+
+  test("range mode evaluates hist consumers per step") {
+    // steps 00:30 and 01:00, lookback 1h: at 00:30 the latest
+    // samples are (api)@00:00 count 7, (web)@00:10 count 1; at
+    // 01:00 counts 19 / 11
+    val out = PromQL.compileRange("histogram_count(latency)", ctx,
+        startMs = T1 - 1800000L, endMs = T1, stepMs = 1800000L)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).toSet
+    assert(out == Set(
+      ("api", T1 - 1800000L, 7.0), ("web", T1 - 1800000L, 1.0),
+      ("api", T1, 19.0), ("web", T1, 11.0)))
+  }
+
+  // ===== error paths =====
+
+  test("a hist metric in float context fails with a pointed message") {
+    val e = intercept[PromQLCompileException](rows("latency * 2"))
+    assert(e.getMessage.contains("native-histogram metric"))
+  }
+
+  test("histogram_sum over a rate vector fails (no tracked sum)") {
+    val e = intercept[PromQLCompileException](
+      rows("histogram_sum(rate(latency[1h]))"))
+    assert(e.getMessage.contains("tracked observation sum"))
+  }
+
+  test("histogram functions on a float vector fail loudly") {
+    val floatCtx = ctx.copy(metrics = Map("reqs" ->
+      Seq(("api", "i1", ts("2024-01-01 00:59:00"), 1.0))
+        .toDF("job", "instance", "ts", "value")))
+    val e = intercept[PromQLCompileException](
+      PromQL.compile("histogram_count(reqs)", floatCtx).collect())
+    assert(e.getMessage.contains("native-histogram vector"))
+  }
+}
