@@ -80,8 +80,11 @@ object PlanAudit {
       SparkEntry.queries("ts_select_series")(spark, dir),
       Map(
         "matcher IN-list pushed" -> "In(event_type, [click,purchase,view]",
+        // µs-testdata bonus: the literal time range pushes on the
+        // RAW events scan too (not just the converted layout)
+        "time range pushed on raw events" -> "GreaterThanOrEqual(ts,",
         "scan pruned to labels + ts (no value)" ->
-          "struct<ts:bigint,user_id:bigint,event_type:string>"))
+          "struct<ts:timestamp_ntz,user_id:bigint,event_type:string>"))
 
     // Wide-label layout select (48 sparse l_* columns written by
     // convertWithLabels with blooms): the equality matcher must reach
@@ -118,7 +121,7 @@ object PlanAudit {
       SparkEntry.queries("ts_offset_wow")(spark, dir),
       Map(
         "scan pruned to 4 of 6 event columns" ->
-          "struct<ts:bigint,user_id:bigint,event_type:string,value:double>",
+          "struct<ts:timestamp_ntz,user_id:bigint,event_type:string,value:double>",
         "vector join is a hash join" -> "BroadcastHashJoin"),
       forbid = Map("no nested-loop join" -> "BroadcastNestedLoopJoin"))
 
@@ -228,16 +231,58 @@ object PlanAudit {
     // compile to the SAME pushdown-friendly plan the direct API
     // builds — the selector's matcher reaches PushedFilters and the
     // one-to-one matching guard must not degrade the join to a
-    // nested loop. (The ts range can't push on THIS fixture — its ts
-    // is nanos-as-bigint rebuilt via timestamp_micros, opaque to
-    // every engine — so the range pushdown is asserted on the
-    // converted layout below.)
+    // nested loop. Since the 2026-08-13 testdata generation events.ts
+    // is native TIMESTAMP(MICROS), so the selector's literal time
+    // range NOW pushes on the raw table too (Catalyst unwraps the
+    // loader's session-TZ cast against a literal) — asserted here in
+    // addition to the converted layout below.
     audit("ts_promql_ratio",
       SparkEntry.queries("ts_promql_ratio")(spark, dir),
-      Map("parsed matcher pushed to scan" -> "EqualTo(event_type,click)"),
+      Map(
+        "parsed matcher pushed to scan" -> "EqualTo(event_type,click)",
+        "parsed time range pushed on raw events" -> "GreaterThanOrEqual(ts,"),
       forbid = Map(
         "no nested-loop join" -> "BroadcastNestedLoopJoin",
         "no cartesian product" -> "CartesianProduct"))
+
+    // Native-histogram metrics through the front-end: the hist
+    // selector shares scanFiltered, so over a PARQUET-backed hist
+    // table the matcher AND the instant-lookback time range reach
+    // PushedFilters, and the scan reads only the histogram component
+    // columns the query needs (no stray fixture columns).
+    val nhPath = "/tmp/graft_audit_nh"
+    locally {
+      import org.apache.spark.sql.functions.{col, floor, length, lit, sequence, transform, unix_timestamp, timestamp_seconds}
+      ev.select(col("event_type"), col("user_id"),
+          floor(unix_timestamp(col("ts")) / 86400).cast("long").as("d"))
+        .distinct()
+        .withColumn("seed",
+          col("user_id") * 31 + col("d") * 7 + length(col("event_type")))
+        .withColumn("zero_count", col("seed") % 3)
+        .withColumn("pos_idx", sequence(lit(-2), lit(5)))
+        .withColumn("pos_counts",
+          transform(col("pos_idx"), i => (col("seed") * (i + 3)) % 7))
+        .withColumn("ts", timestamp_seconds(col("d") * 86400))
+        .write.mode("overwrite").parquet(nhPath)
+    }
+    audit("ts_promql_native_hist_pushdown",
+      graft.tsdb.promql.PromQL.compile(
+        """histogram_quantile(0.9, nh{event_type="click"})""",
+        graft.tsdb.promql.PromQLContext(
+          metrics = Map.empty,
+          labelCols = Seq("event_type", "user_id"),
+          evalMs = 1706745600000L,
+          lookbackMs = 40L * 86400000L,
+          histMetrics = Map("nh" ->
+            graft.tsdb.promql.HistTable(spark.read.parquet(nhPath))))),
+      Map(
+        "hist matcher pushed to scan" -> "EqualTo(event_type,click)",
+        "hist lookback range pushed" -> "GreaterThanOrEqual(ts,"),
+      forbid = Map(
+        // column pruning: the fixture's derivation columns must not
+        // be read — only labels + ts + the histogram components
+        "scan does not read the seed column" -> "seed:",
+        "scan does not read the day column" -> ",d:bigint"))
 
     // PromQL over the CONVERTED block layout — the production shape:
     // the parsed selector's time range pushes as a real ts predicate
