@@ -1386,6 +1386,20 @@ object SparkEntry {
       .select(col("event_type"), col("user_id"), col("value").as("total"))
       .orderBy("event_type", "user_id")
 
+  /** `mad_over_time(events{event_type="click"}[31d])` — the
+    * experimental median-absolute-deviation range function: window
+    * median per series, then the median of absolute deviations —
+    * two hash aggregations + one join all on the SAME element key
+    * (co-partitioned after the first shuffle), exact interpolated
+    * quantiles on both engines (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, the ts_quantile precedent).
+    */
+  private def tsPromqlMad(s: SparkSession, dir: String): DataFrame =
+    graft.tsdb.promql.PromQL.compile(
+        """mad_over_time(events{event_type="click"}[31d])""", promCtx(s, dir))
+      .select(col("event_type"), col("user_id"), col("value").as("mad"))
+      .orderBy("event_type", "user_id")
+
   /** PromQL context with NATIVE-histogram metrics registered
     * ([[graft.tsdb.promql.HistTable]]): `nh_gauge` is the
     * deterministic exponential-bucket fixture with the
@@ -1851,6 +1865,7 @@ object SparkEntry {
     "ts_promql_scalar" -> (tsPromqlScalar _),
     "ts_promql_limitk" -> (tsPromqlLimitk _),
     "ts_promql_limit_ratio" -> (tsPromqlLimitRatio _),
+    "ts_promql_mad" -> (tsPromqlMad _),
     "ts_promql_nh_quantile_rate" -> (tsPromqlNhQuantileRate _),
     "ts_promql_nh_sum_quantile" -> (tsPromqlNhSumQuantile _),
     "ts_promql_nh_avg" -> (tsPromqlNhAvg _),
@@ -3029,6 +3044,21 @@ object SparkEntry {
     // (((zero+r1)+r2)+…), while rank uses zero + (((r1+r2)+…)) like
     // the operator's total; cum_prev is the TRUE prefix, never a
     // subtraction
+    // window median per series, then median absolute deviation —
+    // quantile_cont ≡ Spark's exact interpolated percentile
+    "ts_promql_mad" ->
+      """WITH sel AS (
+        |  SELECT event_type, user_id, value FROM events
+        |  WHERE event_type = 'click'
+        |    AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'),
+        |med AS (
+        |  SELECT event_type, user_id, quantile_cont(value, 0.5) AS m
+        |  FROM sel GROUP BY 1, 2)
+        |SELECT s.event_type, s.user_id,
+        |  quantile_cont(abs(s.value - med.m), 0.5) AS mad
+        |FROM sel s JOIN med USING (event_type, user_id)
+        |GROUP BY s.event_type, s.user_id
+        |ORDER BY s.event_type, s.user_id""".stripMargin,
     "ts_native_hist_quantile_rate" -> nhQuantileRateSql,
     // the SAME query through the PromQL front-end must land on the
     // identical plan → identical oracle (hash-equal by construction)

@@ -729,6 +729,20 @@ object PromQL {
         Right(overRangeExpr(re, "quantile_over_time", (df, ls, _) =>
           PromOps.quantileOverTime(df, ls, ctx.valueCol, q)
             .withColumnRenamed("quantile", "value").drop("samples")))
+      case "mad_over_time" =>
+        // Prometheus (experimental): median absolute deviation about
+        // the window median. Two hash aggregations + one join, all on
+        // the SAME element key — co-partitioned after the first
+        // shuffle, no extra exchange; `percentile` is the exact
+        // interpolated quantile (≡ DuckDB quantile_cont).
+        Right(overRange(c, (rows, ls, _) => {
+          val med = rows.groupBy(ls.map(col): _*)
+            .agg(percentile(col(ctx.valueCol), lit(0.5)).as("_med"))
+          rows.join(med, ls.toIndexedSeq)
+            .groupBy(ls.map(col): _*)
+            .agg(percentile(abs(col(ctx.valueCol) - col("_med")), lit(0.5))
+              .as("value"))
+        }))
       case fn if overTimeAggs(fn) => Right(overTime(c, fn))
       case other => fail(s"unsupported function '$other'")
     }
@@ -1217,6 +1231,7 @@ object PromQL {
       case "/" => l / r
       case "%" => l % r // Go math.Mod ≡ Java/DuckDB fmod: truncated
       case "^" => pow(l, r)
+      case "atan2" => atan2(l, r) // the word-form binary op
     }
 
     /** Scalar-scalar operation: exact numeric folding when both sides
@@ -1240,6 +1255,7 @@ object PromQL {
       case "/" => l / r
       case "%" => l % r
       case "^" => math.pow(l, r)
+      case "atan2" => math.atan2(l, r)
       case cmp =>
         if (!boolMod) fail(s"scalar comparison '$cmp' requires the bool modifier")
         val hit = cmp match {

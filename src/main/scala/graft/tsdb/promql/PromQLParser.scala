@@ -244,7 +244,7 @@ object PromQLParser {
       case "and" | "unless" => 2
       case "==" | "!=" | ">" | "<" | ">=" | "<=" => 3
       case "+" | "-" => 4
-      case "*" | "/" | "%" => 5
+      case "*" | "/" | "%" | "atan2" => 5 // atan2: word op, * precedence (Prometheus)
       case "^" => 6
       case _ => 0
     }
@@ -256,7 +256,7 @@ object PromQLParser {
         val opTok = peek
         val op = opTok match {
           case TOp(s, _) if prec(s) > 0 => s
-          case TIdent(s, _) if setOps(s) => s
+          case TIdent(s, _) if setOps(s) || s == "atan2" => s
           case _ => ""
         }
         if (op.isEmpty || prec(op) < minPrec) continue = false

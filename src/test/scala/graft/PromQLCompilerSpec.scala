@@ -596,4 +596,26 @@ class PromQLCompilerSpec extends SparkSpec {
     // (7200s from window start): 5 + (7200-600)/60 = 115
     assert(math.abs(pl - 115.0) < 1e-9)
   }
+
+  test("atan2 is a binary operator at * precedence (scalar and vector forms)") {
+    // scalar-scalar folds at compile time: atan2(1, 1) = π/4; the
+    // word op binds tighter than + (1 + atan2(1,1) parses as
+    // 1 + (1 atan2 1), i.e. prec(atan2) = prec(*))
+    assert(rows("vector(1 atan2 1)") == Set(Seq(math.atan2(1.0, 1.0))))
+    assert(rows("vector(1 + 1 atan2 1)") ==
+      Set(Seq(1.0 + math.atan2(1.0, 1.0))))
+    // vector-scalar: per-element atan2(value, 2)
+    val v = run("""http_requests_total{instance="i1"} atan2 2""")
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(v("api") == math.atan2(118.0, 2.0))
+  }
+
+  test("mad_over_time is the median absolute deviation about the window median") {
+    // (api,i1) window [00:00,01:00): values 0, 60, 118 → median 60,
+    // |dev| = {60, 0, 58} → mad = 58; (api,i2): {5, 45} → median 25,
+    // |dev| = {20, 20} → mad 20; (web,i1): {100, 90} → mad 5
+    assert(rows("mad_over_time(http_requests_total[1h])") ==
+      Set(Seq("api", "i1", 58.0), Seq("api", "i2", 20.0),
+        Seq("web", "i1", 5.0)))
+  }
 }
