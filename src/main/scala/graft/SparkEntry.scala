@@ -1215,8 +1215,11 @@ object SparkEntry {
     * the `sum by` accumulates the per-series rates in exact decimal.
     */
   private def tsPromqlRateSum(s: SparkSession, dir: String): DataFrame =
+    // round(., 1e-8) before the sum: see tsPromqlRangeRate — exact
+    // half-boundary rates round differently at the decimal cast in
+    // Spark vs DuckDB; the PromQL round() resolves them identically
     graft.tsdb.promql.PromQL.compile(
-        "sum by (event_type) (rate(events[31d]))", promCtx(s, dir))
+        "sum by (event_type) (round(rate(events[31d]), 0.00000001))", promCtx(s, dir))
       .select(col("event_type"), col("value").as("rate_sum"))
       .orderBy("event_type")
 
@@ -1275,8 +1278,16 @@ object SparkEntry {
     * step's window bounds its own (PromOps.extrapolatedRateAt).
     */
   private def tsPromqlRangeRate(s: SparkSession, dir: String): DataFrame =
+    // round(. , 1e-8): per-series rates can land ALGEBRAICALLY on
+    // exact x.xxxxxxxx5 boundaries (2-decimal inputs, even ms spans),
+    // where Spark's BigDecimal(shortest-string) HALF_UP and DuckDB's
+    // binary-value rounding disagree at the decimal(30,8) sum cast.
+    // PromQL round() is floor(v/to + 0.5)·to — identical IEEE ops in
+    // both engines — so the boundary is resolved identically BEFORE
+    // the exact-decimal accumulation (the ts_rate_extrapolated fix,
+    // expressed in the query language itself).
     graft.tsdb.promql.PromQL.compileRange(
-        "sum by (event_type) (rate(events[4d]))", promCtx(s, dir),
+        "sum by (event_type) (round(rate(events[4d]), 0.00000001))", promCtx(s, dir),
         startMs = 1704844800000L, // 2024-01-10T00:00Z
         endMs = 1706572800000L,   // 2024-01-30T00:00Z
         stepMs = 432000000L)      // 5d
@@ -3227,10 +3238,10 @@ object SparkEntry {
         |  FROM ext),
         |rates AS (
         |  SELECT event_type,
-        |    inc * ((sampled
+        |    floor((inc * ((sampled
         |        + (CASE WHEN to_start < threshold THEN to_start ELSE avg_sp / 2 END)
         |        + (CASE WHEN to_end < threshold THEN to_end ELSE avg_sp / 2 END))
-        |      / sampled) / 2678400.0 AS rate
+        |      / sampled) / 2678400.0) / 0.00000001 + 0.5) * 0.00000001 AS rate
         |  FROM fin)
         |SELECT event_type,
         |  CAST(sum(CAST(rate AS DECIMAL(30,8))) AS DOUBLE) AS rate_sum
@@ -3332,10 +3343,10 @@ object SparkEntry {
         |  FROM ext),
         |rates AS (
         |  SELECT step_ms, event_type,
-        |    inc * ((sampled
+        |    floor((inc * ((sampled
         |        + (CASE WHEN to_start < threshold THEN to_start ELSE avg_sp / 2 END)
         |        + (CASE WHEN to_end < threshold THEN to_end ELSE avg_sp / 2 END))
-        |      / sampled) / 345600.0 AS rate
+        |      / sampled) / 345600.0) / 0.00000001 + 0.5) * 0.00000001 AS rate
         |  FROM fin)
         |SELECT event_type, step_ms,
         |  CAST(sum(CAST(rate AS DECIMAL(30,8))) AS DOUBLE) AS rate_sum
