@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ChunkDecode, ChunkEncode, DotProduct, MinHashSignature, NgramShingles, SimHashFingerprint}
+import graft.functions.{ChunkDecode, ChunkEncode, DotProduct, HistChunkDecode, HistChunkEncode, MinHashSignature, NgramShingles, SimHashFingerprint}
 
 /** Session extension registering graft's native expressions as SQL
   * functions, so `spark.sql("SELECT graft_dot(a, b) ...")`,
@@ -130,8 +130,30 @@ object GraftFunctions {
       ChunkDecode(children.head, children(1), children(2))
     })
 
+  private[graft] val histChunkEncode: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_hist_chunk_encode"),
+    new ExpressionInfo(classOf[HistChunkEncode].getName, "graft_hist_chunk_encode"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        "graft_hist_chunk_encode(samples, schema, samplesPerChunk) takes exactly 3 arguments")
+      HistChunkEncode(children.head, intLit(children(1), "schema"),
+        intLit(children(2), "samplesPerChunk"))
+    })
+
+  private[graft] val histChunkDecode: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_hist_chunk_decode"),
+    new ExpressionInfo(classOf[HistChunkDecode].getName, "graft_hist_chunk_decode"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        "graft_hist_chunk_decode(blob, mint, maxt) takes exactly 3 arguments")
+      HistChunkDecode(children.head, children(1), children(2))
+    })
+
   private[graft] val all =
-    Seq(dotProduct, shingles, minhashSignature, simhash, chunkEncode, chunkDecode)
+    Seq(dotProduct, shingles, minhashSignature, simhash, chunkEncode,
+      chunkDecode, histChunkEncode, histChunkDecode)
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit = {

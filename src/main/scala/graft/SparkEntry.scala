@@ -1397,6 +1397,51 @@ object SparkEntry {
       .select(col("event_type"), col("user_id"), col("value").as("total"))
       .orderBy("event_type", "user_id")
 
+  /** NATIVE-histogram chunk roundtrip ([[tsdb.HistChunkCodec]] +
+    * [[functions.HistChunkEncode]]/[[functions.HistChunkDecode]]) —
+    * the reference's THIRD chunk encoding family
+    * (EncHistogram/EncFloatHistogram, schema/encoder.go:118-196),
+    * closing the physical layer for histogram series the way
+    * ts_chunk_roundtrip closed it for floats: the counter fixture
+    * (cumulative bucket counts, bucket 5 APPEARING mid-series → a
+    * layout-change record inside the chunk; exact-quarter tracked
+    * sums through the XOR window) is packed per series into framed
+    * blobs — delta-of-delta timestamps, layout reuse, per-bucket
+    * count deltas — then decoded back in full and flattened to
+    * bucket grain. The hash match against the re-derived fixture
+    * proves encode→frame→decode is bit-lossless: every timestamp,
+    * zero count, bucket count, and sum double.
+    */
+  private def tsHistChunkRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val h = nativeHistCounterTable(s, dir)
+      .withColumn("hsum",
+        (col("d") * ((col("sseed") % 7) + 1)).cast("double") * 0.25)
+      .withColumn("ts_us", col("d") * 86400000000L)
+    val sample = struct(col("ts_us").as("ts"),
+      col("zero_count").cast("long").as("zero"),
+      col("pos_idx").as("idx"), col("pos_counts").as("cnt"),
+      col("hsum").as("sum"))
+    val enc = ColumnBridge.column(functions.HistChunkEncode(
+      ColumnBridge.expression(sort_array(collect_list(sample))),
+      histSchema = 0, samplesPerChunk = 10))
+    val dec = ColumnBridge.column(functions.HistChunkDecode(
+      ColumnBridge.expression(col("blob")),
+      ColumnBridge.expression(lit(0L)),
+      ColumnBridge.expression(lit(Long.MaxValue))))
+    h.groupBy(col("event_type"), col("user_id")).agg(enc.as("blob"))
+      .select(col("event_type"), col("user_id"), explode(dec).as("s"))
+      .select(col("event_type"), col("user_id"),
+        col("s.ts").as("ts_us"), col("s.zero").as("zero_count"),
+        col("s.sum").as("hsum"),
+        explode(zip_with(col("s.idx"), col("s.cnt"),
+          (i, c) => struct(i.as("i"), c.as("c")))).as("b"))
+      .select(col("event_type"), col("user_id"), col("ts_us"),
+        col("zero_count"), col("hsum"),
+        col("b.i").as("idx"), col("b.c").as("cnt"))
+      .orderBy("event_type", "user_id", "ts_us", "idx")
+  }
+
   /** `mad_over_time(events{event_type="click"}[31d])` — the
     * experimental median-absolute-deviation range function: window
     * median per series, then the median of absolute deviations —
@@ -1877,6 +1922,7 @@ object SparkEntry {
     "ts_promql_limitk" -> (tsPromqlLimitk _),
     "ts_promql_limit_ratio" -> (tsPromqlLimitRatio _),
     "ts_promql_mad" -> (tsPromqlMad _),
+    "ts_hist_chunk_roundtrip" -> (tsHistChunkRoundtrip _),
     "ts_promql_nh_quantile_rate" -> (tsPromqlNhQuantileRate _),
     "ts_promql_nh_sum_quantile" -> (tsPromqlNhSumQuantile _),
     "ts_promql_nh_avg" -> (tsPromqlNhAvg _),
@@ -3055,6 +3101,26 @@ object SparkEntry {
     // (((zero+r1)+r2)+…), while rank uses zero + (((r1+r2)+…)) like
     // the operator's total; cum_prev is the TRUE prefix, never a
     // subtraction
+    // roundtrip = identity: the oracle is the re-derived counter
+    // fixture at bucket grain (the codec must lose nothing)
+    "ts_hist_chunk_roundtrip" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |base AS (
+        |  SELECT event_type, user_id, d,
+        |    user_id * 31 + length(event_type) AS sseed,
+        |    CAST(d * 86400000000 AS BIGINT) AS ts_us
+        |  FROM days)
+        |SELECT event_type, user_id, ts_us,
+        |  d*d*(sseed % 3) AS zero_count,
+        |  CAST(d * ((sseed % 7) + 1) AS DOUBLE) * 0.25 AS hsum,
+        |  CAST(i AS INT) AS idx,
+        |  d*d*((sseed + i + 3) % 5) AS cnt
+        |FROM base, unnest(range(-2, 6)) AS t(i)
+        |WHERE i <= (CASE WHEN d >= 19740 THEN 5 ELSE 4 END)
+        |ORDER BY event_type, user_id, ts_us, idx""".stripMargin,
     // window median per series, then median absolute deviation —
     // quantile_cont ≡ Spark's exact interpolated percentile
     "ts_promql_mad" ->

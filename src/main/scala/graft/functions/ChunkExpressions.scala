@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-import graft.tsdb.ChunkCodec
+import graft.tsdb.{ChunkCodec, HistChunkCodec}
 
 /** Catalyst expressions over the [[graft.tsdb.ChunkCodec]] XOR chunk
   * codec. Both stay inside whole-stage codegen: the generated code
@@ -73,6 +73,79 @@ case class ChunkDecode(blob: Expression, qmint: Expression, qmaxt: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (b, mi, ma) =>
       s"${ev.value} = graft.tsdb.ChunkCodec.decodeToArrayData($b, $mi, $ma);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(blob = newFirst, qmint = newSecond, qmaxt = newThird)
+}
+
+/** The NATIVE-histogram sample struct both hist chunk expressions
+  * share: one exponential-bucket histogram per element, sum nullable
+  * (a sum-less counter series carries null in every row).
+  */
+object HistChunkExpressions {
+  val sampleType: StructType = StructType(Seq(
+    StructField("ts", LongType, nullable = false),
+    StructField("zero", LongType, nullable = false),
+    StructField("idx", ArrayType(IntegerType, containsNull = false),
+      nullable = false),
+    StructField("cnt", ArrayType(LongType, containsNull = false),
+      nullable = false),
+    StructField("sum", DoubleType, nullable = true)))
+}
+
+/** `hist_chunk_encode(samples, schema, samplesPerChunk)`: sorted
+  * native-histogram samples → framed EncHistogram blob
+  * ([[graft.tsdb.HistChunkCodec]] — layout reuse + count deltas).
+  * schema and samplesPerChunk are literal knobs.
+  */
+case class HistChunkEncode(child: Expression, histSchema: Int,
+    samplesPerChunk: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(samplesPerChunk > 0, "samplesPerChunk must be positive")
+
+  override def inputTypes = Seq(ArrayType(HistChunkExpressions.sampleType))
+
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(v: Any): Any =
+    HistChunkCodec.encodeArrayData(v.asInstanceOf[ArrayData],
+      histSchema, samplesPerChunk)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.tsdb.HistChunkCodec.encodeArrayData($c, $histSchema, $samplesPerChunk);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `hist_chunk_decode(blob, qmint, qmaxt)`: framed EncHistogram blob
+  * → native-histogram samples of the chunks whose frame header
+  * overlaps [qmint, qmaxt]; skipped bodies never parsed.
+  */
+case class HistChunkDecode(blob: Expression, qmint: Expression,
+    qmaxt: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def first: Expression = blob
+  override def second: Expression = qmint
+  override def third: Expression = qmaxt
+
+  override def inputTypes = Seq(BinaryType, LongType, LongType)
+
+  override def dataType: DataType =
+    ArrayType(HistChunkExpressions.sampleType, containsNull = false)
+
+  override def nullSafeEval(b: Any, mi: Any, ma: Any): Any =
+    HistChunkCodec.decodeToArrayData(b.asInstanceOf[Array[Byte]],
+      mi.asInstanceOf[Long], ma.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, mi, ma) =>
+      s"${ev.value} = graft.tsdb.HistChunkCodec.decodeToArrayData($b, $mi, $ma);")
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression,

@@ -52,7 +52,7 @@ object ChunkCodec {
   // bit stream
   // ---------------------------------------------------------------
 
-  private final class BitWriter(initial: Int = 64) {
+  private[tsdb] final class BitWriter(initial: Int = 64) {
     private var buf = new Array[Byte](initial)
     private var byteLen = 0 // bytes fully or partially used
     private var freeBits = 0 // unused low bits in buf(byteLen-1)
@@ -104,7 +104,7 @@ object ChunkCodec {
     def toBytes: Array[Byte] = java.util.Arrays.copyOf(buf, byteLen)
   }
 
-  private final class BitReader(bytes: Array[Byte], start: Int, end: Int) {
+  private[tsdb] final class BitReader(bytes: Array[Byte], start: Int, end: Int) {
     private var pos = start
     private var bitPos = 0
 
@@ -288,7 +288,7 @@ object ChunkCodec {
 
   /** Byte-aligned uvarint append (frame headers are byte-aligned,
     * unlike the in-chunk bit stream). */
-  private def putUvarint(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+  private[tsdb] def putUvarint(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
     var x = v
     while (java.lang.Long.compareUnsigned(x, 0x80L) >= 0) {
       out.write(((x & 0x7f) | 0x80).toInt)
@@ -322,7 +322,7 @@ object ChunkCodec {
     out.toByteArray
   }
 
-  private def readUvarint(bytes: Array[Byte], pos: Array[Int]): Long = {
+  private[tsdb] def readUvarint(bytes: Array[Byte], pos: Array[Int]): Long = {
     var x = 0L
     var shift = 0
     var p = pos(0)
