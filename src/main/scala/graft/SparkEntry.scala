@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.operators.{Ann, Dedup}
-import graft.tsdb.{ChunkStore, ConvertOptions, Matcher, PromOps, TsdbConverter, TsdbQueryable}
+import graft.tsdb.{ChunkStore, ConvertOptions, HistChunkStore, Matcher, PromOps, TsdbConverter, TsdbQueryable}
 
 /** Driver contract: every operator from SURVEY.md §2 registered as a
   * runnable query plus (where SQL-expressible) a DuckDB oracle.
@@ -1442,6 +1442,46 @@ object SparkEntry {
       .orderBy("event_type", "user_id", "ts_us", "idx")
   }
 
+  private def histChunkBlockPath(dir: String): String =
+    "/tmp/graft_histchunk_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+
+  private def histChunkFixture(s: SparkSession, dir: String): Unit =
+    fixtureOnce(s"histchunk:$dir") {
+      HistChunkStore.write(
+        nativeHistCounterTable(s, dir)
+          .withColumn("hsum",
+            (col("d") * ((col("sseed") % 7) + 1)).cast("double") * 0.25)
+          .withColumn("ts", timestamp_seconds(col("d") * 86400)),
+        histChunkBlockPath(dir), Seq("event_type", "user_id"), "ts",
+        "zero_count", "pos_idx", "pos_counts", Some("hsum"),
+        samplesPerChunk = 10)
+    }
+
+  /** Matcher + range select over the CHUNKED native-histogram layout
+    * ([[tsdb.HistChunkStore]]): labels-file matcher pushdown →
+    * broadcast ref join → bucket-dir + mint/maxt row-group pruning →
+    * frame-header skip → narrow decode into the NativeHistogram row
+    * model — ≡ the same filter on the raw fixture (the oracle). The
+    * histogram analog of ts_chunk_select: storage → query end-to-end
+    * for the reference's third encoding family.
+    */
+  private def tsHistChunkSelect(s: SparkSession, dir: String): DataFrame = {
+    histChunkFixture(s, dir)
+    HistChunkStore.select(s, histChunkBlockPath(dir),
+        "2024-01-05", "2024-01-20",
+        Seq(Matcher.Eq("event_type", "view")),
+        Seq("event_type", "user_id"), "ts")
+      .select(col("event_type"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("zero_count"),
+        col("hist_sum").as("hsum"),
+        explode(zip_with(col("pos_idx"), col("pos_counts"),
+          (i, c) => struct(i.as("i"), c.as("c")))).as("b"))
+      .select(col("event_type"), col("user_id"), col("ts_us"),
+        col("zero_count"), col("hsum"),
+        col("b.i").as("idx"), col("b.c").as("cnt"))
+      .orderBy("event_type", "user_id", "ts_us", "idx")
+  }
+
   /** `mad_over_time(events{event_type="click"}[31d])` — the
     * experimental median-absolute-deviation range function: window
     * median per series, then the median of absolute deviations —
@@ -1923,6 +1963,7 @@ object SparkEntry {
     "ts_promql_limit_ratio" -> (tsPromqlLimitRatio _),
     "ts_promql_mad" -> (tsPromqlMad _),
     "ts_hist_chunk_roundtrip" -> (tsHistChunkRoundtrip _),
+    "ts_hist_chunk_select" -> (tsHistChunkSelect _),
     "ts_promql_nh_quantile_rate" -> (tsPromqlNhQuantileRate _),
     "ts_promql_nh_sum_quantile" -> (tsPromqlNhSumQuantile _),
     "ts_promql_nh_avg" -> (tsPromqlNhAvg _),
@@ -3113,6 +3154,29 @@ object SparkEntry {
         |    user_id * 31 + length(event_type) AS sseed,
         |    CAST(d * 86400000000 AS BIGINT) AS ts_us
         |  FROM days)
+        |SELECT event_type, user_id, ts_us,
+        |  d*d*(sseed % 3) AS zero_count,
+        |  CAST(d * ((sseed % 7) + 1) AS DOUBLE) * 0.25 AS hsum,
+        |  CAST(i AS INT) AS idx,
+        |  d*d*((sseed + i + 3) % 5) AS cnt
+        |FROM base, unnest(range(-2, 6)) AS t(i)
+        |WHERE i <= (CASE WHEN d >= 19740 THEN 5 ELSE 4 END)
+        |ORDER BY event_type, user_id, ts_us, idx""".stripMargin,
+    // select ≡ raw fixture under the same matcher + day range: the
+    // chunked hist layout must lose nothing inside the window
+    "ts_hist_chunk_select" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |base AS (
+        |  SELECT event_type, user_id, d,
+        |    user_id * 31 + length(event_type) AS sseed,
+        |    CAST(d * 86400000000 AS BIGINT) AS ts_us
+        |  FROM days
+        |  WHERE event_type = 'view'
+        |    AND d >= CAST(floor(epoch(TIMESTAMP '2024-01-05 00:00:00') / 86400) AS BIGINT)
+        |    AND d < CAST(floor(epoch(TIMESTAMP '2024-01-20 00:00:00') / 86400) AS BIGINT))
         |SELECT event_type, user_id, ts_us,
         |  d*d*(sseed % 3) AS zero_count,
         |  CAST(d * ((sseed % 7) + 1) AS DOUBLE) * 0.25 AS hsum,

@@ -227,6 +227,21 @@ object PlanAudit {
         "no shuffle of the chunks side" -> "Exchange hashpartitioning",
         "no nested-loop join" -> "BroadcastNestedLoopJoin"))
 
+    // Chunked NATIVE-HISTOGRAM select (HistChunkStore): same plan
+    // contract as ts_chunk_select — labels side broadcasts, matcher
+    // pushes into the labels scan, bucket partitions prune, mint/maxt
+    // row-group stats prune, chunks side never shuffles.
+    audit("ts_hist_chunk_select",
+      SparkEntry.queries("ts_hist_chunk_select")(spark, dir),
+      Map(
+        "labels side broadcasts" -> "BroadcastHashJoin",
+        "matcher pushed to labels scan" -> "EqualTo(event_type,view)",
+        "bucket partition pruning" -> "PartitionFilters: [",
+        "mint/maxt metadata filter pushed" -> "GreaterThanOrEqual(maxt"),
+      forbid = Map(
+        "no shuffle of the chunks side" -> "Exchange hashpartitioning",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin"))
+
     // PromQL front-end over the raw events table: a parsed query must
     // compile to the SAME pushdown-friendly plan the direct API
     // builds — the selector's matcher reaches PushedFilters and the

@@ -1,0 +1,149 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.functions.{HistChunkDecode, HistChunkEncode}
+
+/** [[ChunkStore]]'s dual-file layout for NATIVE-histogram series —
+  * the reference's chunked storage applied to its third encoding
+  * family (EncHistogram cells, schema/encoder.go:118): a LABELS file
+  * (series + 128-bit ref) and a CHUNKS file (one framed
+  * [[HistChunkCodec]] blob per series × time bucket with mint/maxt
+  * metadata, partitioned by bucket).
+  *
+  * The query path is the [[ChunkStore]] shape exactly: matchers push
+  * into the small labels scan, matching refs broadcast-join against
+  * the chunks file (the 100 TB side — bucket-directory pruning +
+  * mint/maxt row-group stats, never shuffled), surviving blobs decode
+  * narrowly with frame-header skip, and the exact per-sample range
+  * filter applies on top. The decoded rows land in the
+  * [[NativeHistogram]] column model (`zero_count`, `pos_idx`,
+  * `pos_counts`, optional sum), so `histogramQuantile`/`rateBy`/
+  * `sumBy` run directly on the select's output — chunked storage to
+  * PromQL answer without ever leaving one declarative plan.
+  */
+object HistChunkStore {
+
+  private val refCols = Seq("series_ref", "series_ref2")
+
+  private def withSeriesRef(df: DataFrame, seriesCols: Seq[String]): DataFrame =
+    df.withColumn("series_ref", xxhash64(seriesCols.map(col): _*))
+      .withColumn("series_ref2", xxhash64(lit(1) +: seriesCols.map(col): _*))
+
+  /** Write a native-histogram table (`tsCol` timestamp; `zeroCol`
+    * long; `idxCol` array<int> ascending; `cntCol` array<long>;
+    * `sumCol` optional double) as a chunked dual-file block.
+    */
+  def write(df: DataFrame, path: String, seriesCols: Seq[String],
+      tsCol: String, zeroCol: String, idxCol: String, cntCol: String,
+      sumCol: Option[String] = None, histSchema: Int = 0,
+      colDuration: String = "1 day", samplesPerChunk: Int = 120,
+      compression: String = "zstd"): Unit = {
+    require(seriesCols.nonEmpty, "need at least one series label column")
+    val withKey = withSeriesRef(df, seriesCols)
+      .withColumn("bucket", TsdbConverter.bucketCol(tsCol, colDuration))
+      .withColumn("_ts_us", unix_micros(col(tsCol)))
+
+    withKey.select((seriesCols ++ refCols).map(col): _*)
+      .distinct()
+      .repartitionByRange(seriesCols.map(col): _*)
+      .sortWithinPartitions(seriesCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).option("compression", compression)
+      .parquet(s"$path/labels")
+
+    val sample = struct(
+      col("_ts_us").as("ts"),
+      col(zeroCol).cast("long").as("zero"),
+      col(idxCol).cast("array<int>").as("idx"),
+      col(cntCol).cast("array<bigint>").as("cnt"),
+      sumCol.map(c => col(c).cast("double"))
+        .getOrElse(lit(null).cast("double")).as("sum"))
+    val enc = ColumnBridge.column(HistChunkEncode(
+      ColumnBridge.expression(sort_array(collect_list(sample))),
+      histSchema, samplesPerChunk))
+    withKey.groupBy(refCols.map(col) :+ col("bucket"): _*)
+      .agg(
+        min(col("_ts_us")).as("mint"),
+        max(col("_ts_us")).as("maxt"),
+        count(lit(1)).as("n_samples"),
+        enc.as("data"))
+      .sortWithinPartitions(col("bucket"), col("series_ref"))
+      .write.mode(SaveMode.Overwrite).option("compression", compression)
+      .partitionBy("bucket")
+      .parquet(s"$path/chunks")
+  }
+
+  /** Select histogram samples of series matching `matchers` within
+    * [mint, maxt) from a block written by [[write]]. Output: label
+    * columns + `tsCol` (timestamp) + `zero_count`/`pos_idx`/
+    * `pos_counts` (+ `hist_sum` when the block carries sums) — the
+    * [[NativeHistogram]] row model.
+    */
+  def select(spark: SparkSession, path: String, mint: String, maxt: String,
+      matchers: Seq[Matcher], seriesCols: Seq[String], tsCol: String,
+      colDuration: String = "1 day"): DataFrame = {
+    val labels = spark.read.parquet(s"$path/labels")
+    val matched = Matcher.compile(matchers).map(labels.filter).getOrElse(labels)
+
+    val qmint = unix_micros(lit(mint).cast("timestamp"))
+    val qmaxt = unix_micros(lit(maxt).cast("timestamp"))
+    val secs = Seq("second" -> 1L, "minute" -> 60L, "hour" -> 3600L,
+      "day" -> 86400L).toMap
+    val width = colDuration.trim.split("\\s+") match {
+      case Array(n, u) => n.toLong * secs(u.toLowerCase.stripSuffix("s"))
+      case _ => throw new IllegalArgumentException(s"bad duration $colDuration")
+    }
+    val loBucket = floor(unix_timestamp(lit(mint).cast("timestamp")) / width)
+    val hiBucket = floor((unix_timestamp(lit(maxt).cast("timestamp")) - 1) / width)
+
+    val chunks = spark.read.parquet(s"$path/chunks")
+      .filter(col("bucket") >= loBucket && col("bucket") <= hiBucket)
+      .filter(col("maxt") >= qmint && col("mint") < qmaxt)
+      .join(broadcast(matched), refCols)
+
+    val decoded = ColumnBridge.column(HistChunkDecode(
+      ColumnBridge.expression(col("data")),
+      ColumnBridge.expression(qmint),
+      ColumnBridge.expression(qmaxt)))
+    chunks
+      .select((seriesCols.map(col) :+ explode(decoded).as("_s")): _*)
+      .filter(col("_s.ts") >= qmint && col("_s.ts") < qmaxt)
+      .select((seriesCols.map(col) :+
+        timestamp_micros(col("_s.ts")).as(tsCol) :+
+        col("_s.zero").as("zero_count") :+
+        col("_s.idx").as("pos_idx") :+
+        col("_s.cnt").as("pos_counts") :+
+        col("_s.sum").as("hist_sum")): _*)
+  }
+
+  /** Compact N overlapping hist-chunk blocks into one: decode every
+    * block (narrow passes), last-writer-wins per (series, ts) on the
+    * WHOLE histogram sample — later directory in `dirs` wins, the
+    * [[ChunkStore.mergeBlocks]] convention — then re-encode through
+    * [[write]]. One plan, no driver iteration.
+    */
+  def mergeBlocks(spark: SparkSession, dirs: Seq[String], outPath: String,
+      seriesCols: Seq[String], tsCol: String, histSchema: Int = 0,
+      colDuration: String = "1 day", samplesPerChunk: Int = 120): Unit = {
+    require(dirs.nonEmpty, "need at least one block directory")
+    val full = ("1970-01-01 00:00:00", "2200-01-01 00:00:00")
+    val tagged = dirs.zipWithIndex.map { case (d, i) =>
+      select(spark, d, full._1, full._2, Nil, seriesCols, tsCol, colDuration)
+        .withColumn("_block", lit(i))
+    }
+    val merged = tagged.reduce(_ unionByName _)
+      .groupBy((seriesCols.map(col) :+ col(tsCol)): _*)
+      .agg(max(struct(col("_block"), col("zero_count"), col("pos_idx"),
+        col("pos_counts"), col("hist_sum"))).as("_top"))
+      .select((seriesCols.map(col) :+ col(tsCol) :+
+        col("_top.zero_count").as("zero_count") :+
+        col("_top.pos_idx").as("pos_idx") :+
+        col("_top.pos_counts").as("pos_counts") :+
+        col("_top.hist_sum").as("hist_sum")): _*)
+    write(merged, outPath, seriesCols, tsCol, "zero_count", "pos_idx",
+      "pos_counts", Some("hist_sum"), histSchema, colDuration,
+      samplesPerChunk)
+  }
+}

@@ -145,6 +145,49 @@ class HistChunkCodecSpec extends SparkSpec {
       ("b", 1500L, 2L, Seq(0), Seq(7L), 0.5)))
   }
 
+  test("HistChunkStore: write → select roundtrip and mergeBlocks LWW") {
+    import graft.tsdb.{HistChunkStore, Matcher}
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val blockA = Seq(
+      ("api", ts(1), 1L, Seq(1), Seq(10L), 2.5),
+      ("api", ts(2), 2L, Seq(1), Seq(20L), 5.0),
+      ("web", ts(1), 0L, Seq(2), Seq(7L), 1.0)
+    ).toDF("job", "ts", "zero_count", "pos_idx", "pos_counts", "hsum")
+    // block B overlaps A on (api, Jan 2) with a REVISED histogram
+    val blockB = Seq(
+      ("api", ts(2), 3L, Seq(1, 2), Seq(21L, 4L), 9.0),
+      ("api", ts(3), 4L, Seq(1, 2), Seq(25L, 6L), 12.0)
+    ).toDF("job", "ts", "zero_count", "pos_idx", "pos_counts", "hsum")
+    val dirA = "/tmp/graft_test_histblk_a"
+    val dirB = "/tmp/graft_test_histblk_b"
+    val out = "/tmp/graft_test_histblk_m"
+    HistChunkStore.write(blockA, dirA, Seq("job"), "ts",
+      "zero_count", "pos_idx", "pos_counts", Some("hsum"))
+    HistChunkStore.write(blockB, dirB, Seq("job"), "ts",
+      "zero_count", "pos_idx", "pos_counts", Some("hsum"))
+    // select with matcher + range: only (api, Jan 1..2)
+    val sel = HistChunkStore.select(spark, dirA,
+        "2024-01-01", "2024-01-03", Seq(Matcher.Eq("job", "api")),
+        Seq("job"), "ts")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1),
+        r.getLong(2), r.getSeq[Int](3), r.getSeq[Long](4), r.getDouble(5)))
+      .toSet
+    assert(sel == Set(
+      ("api", ts(1), 1L, Seq(1), Seq(10L), 2.5),
+      ("api", ts(2), 2L, Seq(1), Seq(20L), 5.0)))
+    // merge: B (later dir) wins on the overlapping sample
+    HistChunkStore.mergeBlocks(spark, Seq(dirA, dirB), out, Seq("job"), "ts")
+    val merged = HistChunkStore.select(spark, out,
+        "2024-01-01", "2024-02-01", Nil, Seq("job"), "ts")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1),
+        r.getLong(2), r.getSeq[Long](4).sum, r.getDouble(5))).toSet
+    assert(merged == Set(
+      ("api", ts(1), 1L, 10L, 2.5),
+      ("api", ts(2), 3L, 25L, 9.0), // block B's revision
+      ("api", ts(3), 4L, 31L, 12.0),
+      ("web", ts(1), 0L, 7L, 1.0)))
+  }
+
   test("SQL registration: graft_hist_chunk_encode/decode work from SQL") {
     graft.GraftFunctions.register(spark)
     val row = spark.sql(
