@@ -1482,6 +1482,34 @@ object SparkEntry {
       .orderBy("event_type", "user_id", "ts_us", "idx")
   }
 
+  /** The FULL native-histogram stack in one query: the counter
+    * fixture stored as a CHUNKED dual-file block
+    * ([[tsdb.HistChunkStore]]), selected back through the pruned
+    * decode path, registered as a PromQL `histMetrics` table, and
+    * queried with the STRING
+    * `histogram_quantile(0.9, sum by (event_type) (nh))` — chunk
+    * bytes to quantile without leaving one declarative plan. The
+    * oracle re-derives the fixture's latest-day histograms in SQL
+    * and replays the bucket-wise sum + quantile walk (all counts
+    * integer-exact to the final interpolation).
+    */
+  private def tsPromqlNhChunked(s: SparkSession, dir: String): DataFrame = {
+    histChunkFixture(s, dir)
+    val nh = HistChunkStore.select(s, histChunkBlockPath(dir),
+      "2024-01-01", "2024-02-01", Nil, Seq("event_type", "user_id"), "ts")
+    val ctx = graft.tsdb.promql.PromQLContext(
+      metrics = Map.empty,
+      labelCols = Seq("event_type", "user_id"),
+      evalMs = 1706745600000L, // 2024-02-01T00:00:00Z
+      lookbackMs = 40L * 86400000L,
+      histMetrics = Map("nh" -> graft.tsdb.promql.HistTable(nh,
+        zeroCountCol = "zero_count", sumCol = Some("hist_sum"))))
+    graft.tsdb.promql.PromQL.compile(
+        "histogram_quantile(0.9, sum by (event_type) (nh))", ctx)
+      .select(col("event_type"), col("value").as("phi90"))
+      .orderBy("event_type")
+  }
+
   /** `mad_over_time(events{event_type="click"}[31d])` — the
     * experimental median-absolute-deviation range function: window
     * median per series, then the median of absolute deviations —
@@ -1964,6 +1992,7 @@ object SparkEntry {
     "ts_promql_mad" -> (tsPromqlMad _),
     "ts_hist_chunk_roundtrip" -> (tsHistChunkRoundtrip _),
     "ts_hist_chunk_select" -> (tsHistChunkSelect _),
+    "ts_promql_nh_chunked" -> (tsPromqlNhChunked _),
     "ts_promql_nh_quantile_rate" -> (tsPromqlNhQuantileRate _),
     "ts_promql_nh_sum_quantile" -> (tsPromqlNhSumQuantile _),
     "ts_promql_nh_avg" -> (tsPromqlNhAvg _),
@@ -3162,6 +3191,51 @@ object SparkEntry {
         |FROM base, unnest(range(-2, 6)) AS t(i)
         |WHERE i <= (CASE WHEN d >= 19740 THEN 5 ELSE 4 END)
         |ORDER BY event_type, user_id, ts_us, idx""".stripMargin,
+    // full stack: chunked store → decode → PromQL string. Latest-day
+    // histograms per series (instant selector over the chunk select),
+    // bucket-wise sum by event_type, then the quantile walk —
+    // integer-exact counts until the final interpolation
+    "ts_promql_nh_chunked" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |latest AS (
+        |  SELECT event_type, user_id, max(d) AS d FROM days GROUP BY 1, 2),
+        |base AS (
+        |  SELECT event_type, user_id, d,
+        |    user_id * 31 + length(event_type) AS sseed
+        |  FROM latest),
+        |gz AS (
+        |  SELECT event_type, sum(d*d*(sseed % 3)) AS zc
+        |  FROM base GROUP BY 1),
+        |gb AS (
+        |  SELECT event_type, CAST(i AS INT) AS i,
+        |    sum(d*d*((sseed + i + 3) % 5)) AS cnt
+        |  FROM base, unnest(range(-2, 6)) AS t(i)
+        |  WHERE i <= (CASE WHEN d >= 19740 THEN 5 ELSE 4 END)
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT gb.event_type, gz.zc, gb.i, gb.cnt,
+        |    sum(gb.cnt) OVER (PARTITION BY gb.event_type ORDER BY gb.i)
+        |      + gz.zc AS cum,
+        |    0.9 * (sum(gb.cnt) OVER (PARTITION BY gb.event_type) + gz.zc)
+        |      AS rank,
+        |    sum(gb.cnt) OVER (PARTITION BY gb.event_type) + gz.zc AS total
+        |  FROM gb JOIN gz USING (event_type)),
+        |pick AS (
+        |  SELECT event_type, i, cnt, cum, rank FROM r
+        |  WHERE cnt > 0 AND cum >= rank
+        |  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY i) = 1),
+        |base2 AS (SELECT DISTINCT event_type, zc, total, rank FROM r)
+        |SELECT b.event_type,
+        |  CASE WHEN b.total = 0 THEN CAST('nan' AS DOUBLE)
+        |       WHEN b.zc >= b.rank THEN 0.0
+        |       ELSE pow(2.0, p.i - 1) +
+        |         (pow(2.0, p.i) - pow(2.0, p.i - 1)) *
+        |         ((b.rank - (p.cum - p.cnt)) / p.cnt) END AS phi90
+        |FROM base2 b LEFT JOIN pick p USING (event_type)
+        |ORDER BY b.event_type""".stripMargin,
     // select ≡ raw fixture under the same matcher + day range: the
     // chunked hist layout must lose nothing inside the window
     "ts_hist_chunk_select" ->
