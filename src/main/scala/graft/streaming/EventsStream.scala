@@ -244,4 +244,26 @@ object EventsStream {
           graft.tsdb.ChunkStore.write(batch, f"$root/batch_$id%09d",
             seriesCols, "ts", "value", samplesPerChunk = samplesPerChunk)
       }
+
+  /** [[toChunkedBlocks]] for NATIVE-HISTOGRAM streams: each
+    * micro-batch of histogram samples (`ts`, `zero_count`,
+    * `pos_idx`, `pos_counts`, optional `hist_sum`) becomes a mini
+    * [[graft.tsdb.HistChunkStore]] block; compaction over the
+    * accumulated dirs ([[graft.tsdb.HistChunkStore.mergeBlocks]],
+    * later-batch-wins on whole histogram samples) folds them into
+    * the queryable long-term block — the EncHistogram half of the
+    * Prometheus head-block lifecycle on Structured Streaming.
+    */
+  def toHistChunkedBlocks(samples: DataFrame, root: String,
+      checkpoint: String, seriesCols: Seq[String],
+      sumCol: Option[String] = Some("hist_sum"),
+      samplesPerChunk: Int = 120) =
+    samples.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          graft.tsdb.HistChunkStore.write(batch, f"$root/batch_$id%09d",
+            seriesCols, "ts", "zero_count", "pos_idx", "pos_counts",
+            sumCol, samplesPerChunk = samplesPerChunk)
+      }
 }

@@ -171,6 +171,45 @@ class StreamingSpec extends SparkSpec {
     assert(out(2)._1 == "view")
   }
 
+  test("toHistChunkedBlocks: streaming hist ingest + compaction with LWW") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_hchunk").toString
+    val mem = MemoryStream[(Timestamp, String, Long, Seq[Int], Seq[Long], Double)]
+    val samples = mem.toDF().toDF(
+      "ts", "job", "zero_count", "pos_idx", "pos_counts", "hist_sum")
+    val series = Seq("job")
+    val query = EventsStream.toHistChunkedBlocks(
+      samples, s"$root/blocks", s"$root/ckpt", series).start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:00:00"), "api", 1L, Seq(1), Seq(5L), 2.0),
+        (ts("2024-01-01 11:00:00"), "api", 2L, Seq(1), Seq(9L), 4.5))
+      query.processAllAvailable()
+      mem.addData(
+        // revision of the 11:00 histogram: later batch must win
+        (ts("2024-01-01 11:00:00"), "api", 3L, Seq(1, 2), Seq(10L, 2L), 6.0),
+        (ts("2024-01-02 10:00:00"), "web", 0L, Seq(0), Seq(1L), 0.5))
+      query.processAllAvailable()
+    } finally query.stop()
+    val dirs = new java.io.File(s"$root/blocks").listFiles()
+      .filter(_.getName.startsWith("batch_")).map(_.toString).sorted.toSeq
+    assert(dirs.size == 2)
+    graft.tsdb.HistChunkStore.mergeBlocks(s, dirs, s"$root/compacted",
+      series, "ts")
+    val out = graft.tsdb.HistChunkStore.select(s, s"$root/compacted",
+        "2024-01-01 00:00:00", "2024-02-01 00:00:00", Nil, series, "ts")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getSeq[Int](3), r.getSeq[Long](4), r.getDouble(5)))
+      .sortBy(t => (t._1, t._2.getTime))
+    assert(out.length == 3)
+    assert(out(1) == ("api", ts("2024-01-01 11:00:00"), 3L,
+      Seq(1, 2), Seq(10L, 2L), 6.0)) // batch 1's revision won
+    assert(out(2)._1 == "web")
+  }
+
   test("runningIncrease accumulates counter deltas across batches with reset") {
     val s = spark
     import s.implicits._
