@@ -299,6 +299,21 @@ object PlanAudit {
         "scan does not read the seed column" -> "seed:",
         "scan does not read the day column" -> ",d:bigint"))
 
+    // Native-hist bucket-wise sum (HistSumAgg): ONE aggregation pass
+    // — the built-in composition (explode + reassemble + scalar
+    // branch join) read the instant-vector subtree twice with no
+    // possible exchange reuse (differently-pruned scans). The
+    // TypedImperativeAggregate plan must scan the metric table once.
+    {
+      val sumDf = SparkEntry.queries("ts_promql_nh_sum_quantile")(spark, dir)
+      val nScans = """\(\d+\) Scan parquet""".r.findAllIn(
+        sumDf.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)).size
+      val one = nScans == 1
+      println(s"[audit] ts_promql_nh_sum_one_scan :: hist sum-quantile reads the table once (scans=$nScans) -> ${if (one) "OK" else "FAIL"}")
+      if (!one) failures ::= "ts_promql_nh_sum_one_scan: single scan"
+    }
+
     // PromQL over the CONVERTED block layout — the production shape:
     // the parsed selector's time range pushes as a real ts predicate
     // AND prunes bucket partition directories via the context's

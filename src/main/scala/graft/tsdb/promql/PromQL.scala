@@ -1057,42 +1057,34 @@ object PromQL {
     }
 
     /** Bucket-wise `sum by/without` over a hist vector
-      * ([[graft.tsdb.NativeHistogram.sumBy]] semantics, arrays
-      * reassembled so the result composes): explode the sparse
-      * (idx, count) pairs, hash-aggregate at (group, idx) grain —
-      * partial map-side combine, shuffle key at bucket cardinality —
-      * then collect the per-group buckets back to sorted arrays.
-      * Zero counts and tracked sums aggregate alongside at group
-      * grain; a group exists only where the vector had elements
-      * (PromQL's empty-vector rule).
+      * ([[graft.tsdb.NativeHistogram.sumBy]] semantics, arrays kept
+      * assembled so the result composes): ONE aggregation through
+      * the native [[graft.functions.HistSumAgg]]
+      * TypedImperativeAggregate — sparse bucket arrays merge in the
+      * aggregation buffer (partial map-side combine, a single
+      * group-grain shuffle), zero counts and tracked sums accumulate
+      * alongside. The previous built-in composition (explode →
+      * bucket-grain agg → reassemble, PLUS a scalar branch joined
+      * back) computed the instant-vector subtree TWICE — the pruned
+      * scans differ per branch, so ReuseExchange cannot dedup them;
+      * the imperative aggregate reads it once. A group exists only
+      * where the vector had elements (PromQL's empty-vector rule).
       */
     private def histSum(a: Expr.Agg, h: HVec): HVec = {
       val g = resolveGrouping(a.op, a.grouping, h.labels)
       val k = keys(g)
-      def grouped(df: DataFrame) =
-        if (k.isEmpty) df.groupBy(lit(1).as("_one")) else df.groupBy(k.map(col): _*)
-      val zs = grouped(h.df).agg(
-          sum(col(HZ)).as(HZ),
-          (if (h.hasSum) sum(col(HS)) else lit(null).cast("double")).as(HS),
-          count(lit(1)).as("_n"))
+      val bridge = org.apache.spark.sql.graft.ColumnBridge
+      val aggCol = bridge.column(graft.functions.HistSumAgg(
+        bridge.expression(struct(col(HZ), col(HI), col(HC), col(HS))))
+        .toAggregateExpression())
+      val grouped =
+        if (k.isEmpty) h.df.groupBy() else h.df.groupBy(k.map(col): _*)
+      val out = grouped.agg(aggCol.as("_hs"), count(lit(1)).as("_n"))
         .filter(col("_n") > 0).drop("_n")
-      val buckets = grouped(h.df
-          .select((k.map(col) :+ explode(zip_with(col(HI), col(HC),
-            (i, c) => struct(i.as("i"), c.as("c")))).as("_b")): _*)
-          .groupBy((k.map(col) :+ col("_b.i").as("_i")): _*)
-          .agg(sum(col("_b.c")).as("_c")))
-        .agg(array_sort(collect_list(struct(col("_i"), col("_c")))).as("_bs"))
         .select((k.map(col) :+
-          transform(col("_bs"), b => b.getField("_i")).as(HI) :+
-          transform(col("_bs"), b => b.getField("_c")).as(HC)): _*)
-      // left join: a group whose members all have empty bucket
-      // arrays still exists (its zero bucket may be populated)
-      val joined = (if (k.isEmpty) zs.crossJoin(buckets.drop("_one"))
-          else zs.join(buckets, k.toIndexedSeq, "left"))
-        .withColumn(HI, coalesce(col(HI), array().cast("array<int>")))
-        .withColumn(HC, coalesce(col(HC), array().cast("array<double>")))
-        .drop("_one")
-      HVec(stampedDf(joined), g, h.hasSum, h.schema)
+          col("_hs.zero").as(HZ) :+ col("_hs.idx").as(HI) :+
+          col("_hs.cnt").as(HC) :+ col("_hs.sum").as(HS)): _*)
+      HVec(stampedDf(out), g, h.hasSum, h.schema)
     }
 
     /** Attach the evaluation-time TS column (the step's own time in
