@@ -158,6 +158,17 @@ class PromQLNativeHistSpec extends SparkSpec {
 
   // ===== range (grid) mode =====
 
+  test("range mode: bucket-wise sum aggregates per step (HistSumAgg grid keys)") {
+    // steps 00:30 / 01:00: at 00:30 the latest samples are
+    // (api)@00:00 count 7 and (web)@00:10 count 1 → summed 8; at
+    // 01:00 counts 19 + 11 → 30
+    val out = PromQL.compileRange(
+        "histogram_count(sum by (instance) (latency))", ctx,
+        startMs = T1 - 1800000L, endMs = T1, stepMs = 1800000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set(("i1", T1 - 1800000L, 8.0), ("i1", T1, 30.0)))
+  }
+
   test("range mode evaluates hist consumers per step") {
     // steps 00:30 and 01:00, lookback 1h: at 00:30 the latest
     // samples are (api)@00:00 count 7, (web)@00:10 count 1; at
