@@ -1590,6 +1590,22 @@ object SparkEntry {
       .select(col("event_type"), col("user_id"), col("value").as("h_avg"))
       .orderBy("event_type", "user_id")
 
+  /** `histogram_stdvar(nh_gauge)` through the front-end — the
+    * bucket-middle deviation walk
+    * ([[tsdb.NativeHistogram.histogramStdvar]]): mean = sum/count,
+    * each bucket contributes `count·(mid − mean)²` with mid the
+    * arithmetic bucket middle (exact dyadic at schema 0), zero
+    * bucket deviates from 0. The oracle replays the fold
+    * left-to-right in ascending idx (cumulative window), so the
+    * result is bit-equal; NaN on the all-empty seed%21 rows.
+    * `histogram_stddev` is its square root (spec-pinned).
+    */
+  private def tsPromqlNhStdvar(s: SparkSession, dir: String): DataFrame =
+    graft.tsdb.promql.PromQL.compile(
+        "histogram_stdvar(nh_gauge)", promHistCtx(s, dir))
+      .select(col("event_type"), col("user_id"), col("value").as("h_stdvar"))
+      .orderBy("event_type", "user_id")
+
   /** `histogram_fraction(1, 8, nh_gauge)` through the front-end —
     * bounds on the schema-0 boundaries 2^0/2^3 so every bucket's
     * overlap share is exactly 0 or 1 (the FP-exact configuration;
@@ -1996,6 +2012,7 @@ object SparkEntry {
     "ts_promql_nh_quantile_rate" -> (tsPromqlNhQuantileRate _),
     "ts_promql_nh_sum_quantile" -> (tsPromqlNhSumQuantile _),
     "ts_promql_nh_avg" -> (tsPromqlNhAvg _),
+    "ts_promql_nh_stdvar" -> (tsPromqlNhStdvar _),
     "ts_promql_nh_fraction" -> (tsPromqlNhFraction _),
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
@@ -3330,6 +3347,40 @@ object SparkEntry {
         |       ELSE h_sum / CAST(h_count AS DOUBLE) END AS h_avg
         |FROM tot
         |ORDER BY event_type, user_id""".stripMargin,
+    // latest-day rows; bucket-middle deviation walk replayed
+    // left-to-right in ascending idx (cumulative window ≡ the
+    // operator's fold), mids exact dyadic at schema 0
+    "ts_promql_nh_stdvar" ->
+      s"""WITH $nativeHistCtes,
+        |latest AS (
+        |  SELECT event_type, user_id, max(d) AS d FROM sd GROUP BY 1, 2),
+        |lz AS (SELECT hz.* FROM hz JOIN latest USING (event_type, user_id, d)),
+        |lb AS (SELECT hb.* FROM hb JOIN latest USING (event_type, user_id, d)),
+        |m AS (
+        |  SELECT event_type, user_id, d,
+        |    CAST(max(zero_count) AS DOUBLE) + sum(CAST(cnt AS DOUBLE)) AS n,
+        |    max(zero_count) AS zc,
+        |    CAST(max(seed) % 400 AS DOUBLE) * 0.25 AS hsum
+        |  FROM (SELECT lb.*, lz.seed FROM lb
+        |        JOIN lz USING (event_type, user_id, d))
+        |  GROUP BY 1, 2, 3),
+        |m2 AS (SELECT *, hsum / n AS mean FROM m),
+        |walk AS (
+        |  SELECT lb.event_type, lb.user_id,
+        |    sum(CAST(lb.cnt AS DOUBLE) *
+        |        ((pow(2.0, lb.i - 1) + pow(2.0, lb.i)) / 2.0 - m2.mean) *
+        |        ((pow(2.0, lb.i - 1) + pow(2.0, lb.i)) / 2.0 - m2.mean))
+        |      OVER (PARTITION BY lb.event_type, lb.user_id, lb.d
+        |            ORDER BY lb.i ROWS UNBOUNDED PRECEDING) AS posdev
+        |  FROM lb JOIN m2 USING (event_type, user_id, d)
+        |  QUALIFY row_number() OVER (PARTITION BY lb.event_type, lb.user_id,
+        |    lb.d ORDER BY lb.i DESC) = 1)
+        |SELECT m2.event_type, m2.user_id,
+        |  CASE WHEN m2.n = 0 THEN CAST('nan' AS DOUBLE)
+        |       ELSE (CAST(m2.zc AS DOUBLE) * m2.mean * m2.mean + w.posdev)
+        |            / m2.n END AS h_stdvar
+        |FROM m2 JOIN walk w USING (event_type, user_id)
+        |ORDER BY m2.event_type, m2.user_id""".stripMargin,
     // latest-day rows; buckets 1..3 are exactly (1,2],(2,4],(4,8] —
     // overlap share 0 or 1, one exact division
     "ts_promql_nh_fraction" ->
