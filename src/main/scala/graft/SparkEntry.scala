@@ -1524,6 +1524,43 @@ object SparkEntry {
       .select(col("event_type"), col("user_id"), col("value").as("mad"))
       .orderBy("event_type", "user_id")
 
+  /** The experimental `ts_of_min/max/last_over_time` family
+    * (Prometheus 3.x): WHEN each series hit its window extreme /
+    * last sample, in epoch seconds. Ties on the extreme resolve to
+    * the earliest sample (the strict-comparison walk of the
+    * reference implementations), made partitioning-independent by
+    * the struct aggregates — the oracle replays the same
+    * min-ts-among-tied-values rule. One groupBy per function, no
+    * windows, partial aggregation map-side.
+    */
+  private def tsPromqlTsOf(s: SparkSession, dir: String): DataFrame = {
+    val ctx = promCtx(s, dir)
+    def q(fn: String, as: String): DataFrame =
+      graft.tsdb.promql.PromQL.compile(s"$fn(events[31d])", ctx)
+        .select(col("event_type"), col("user_id"), col("value").as(as))
+    q("ts_of_min_over_time", "ts_of_min")
+      .join(q("ts_of_max_over_time", "ts_of_max"), Seq("event_type", "user_id"))
+      .join(q("ts_of_last_over_time", "ts_of_last"), Seq("event_type", "user_id"))
+      .orderBy("event_type", "user_id")
+  }
+
+  /** `group_right` many-to-one vector matching parsed from the
+    * string: the RIGHT side keeps its full label set, each right
+    * element divided by the single left element sharing its
+    * `on(user_id)` key — `user_total / per-(type,user) total`. The
+    * mirror image of `ts_group_left` (the compiler swaps operands
+    * and reuses the group_left plan — the ONE side broadcasts, the
+    * many side never shuffles for the join).
+    */
+  private def tsPromqlGroupRight(s: SparkSession, dir: String): DataFrame =
+    graft.tsdb.promql.PromQL.compile(
+        """sum by (user_id) (sum_over_time(events[31d]))
+          | / on(user_id) group_right
+          |sum by (event_type, user_id) (sum_over_time(events[31d]))"""
+          .stripMargin, promCtx(s, dir))
+      .select(col("event_type"), col("user_id"), col("value").as("inv_share"))
+      .orderBy("event_type", "user_id")
+
   /** PromQL context with NATIVE-histogram metrics registered
     * ([[graft.tsdb.promql.HistTable]]): `nh_gauge` is the
     * deterministic exponential-bucket fixture with the
@@ -2006,6 +2043,8 @@ object SparkEntry {
     "ts_promql_limitk" -> (tsPromqlLimitk _),
     "ts_promql_limit_ratio" -> (tsPromqlLimitRatio _),
     "ts_promql_mad" -> (tsPromqlMad _),
+    "ts_promql_ts_of" -> (tsPromqlTsOf _),
+    "ts_promql_group_right" -> (tsPromqlGroupRight _),
     "ts_hist_chunk_roundtrip" -> (tsHistChunkRoundtrip _),
     "ts_hist_chunk_select" -> (tsHistChunkSelect _),
     "ts_promql_nh_chunked" -> (tsPromqlNhChunked _),
@@ -3290,6 +3329,43 @@ object SparkEntry {
         |  quantile_cont(abs(s.value - med.m), 0.5) AS mad
         |FROM sel s JOIN med USING (event_type, user_id)
         |GROUP BY s.event_type, s.user_id
+        |ORDER BY s.event_type, s.user_id""".stripMargin,
+    // ts_of_min/max: min ts among rows tied at the window extreme
+    // (the strict-comparison first-occurrence rule); ts_of_last =
+    // the window's max ts. Epoch SECONDS = ms / 1000.0, the same
+    // IEEE division on both engines.
+    "ts_promql_ts_of" ->
+      """WITH w AS (
+        |  SELECT event_type, user_id, value, epoch_ms(ts) AS ms
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'),
+        |m AS (
+        |  SELECT event_type, user_id, min(value) AS mnv, max(value) AS mxv
+        |  FROM w GROUP BY 1, 2)
+        |SELECT w.event_type, w.user_id,
+        |  min(CASE WHEN w.value = m.mnv THEN w.ms END) / 1000.0 AS ts_of_min,
+        |  min(CASE WHEN w.value = m.mxv THEN w.ms END) / 1000.0 AS ts_of_max,
+        |  max(w.ms) / 1000.0 AS ts_of_last
+        |FROM w JOIN m USING (event_type, user_id)
+        |GROUP BY w.event_type, w.user_id
+        |ORDER BY w.event_type, w.user_id""".stripMargin,
+    // group_right: result at the many (right) side's label grain,
+    // the op keeping its written orientation — user total divided
+    // by that user's per-type total
+    "ts_promql_group_right" ->
+      """WITH s AS (
+        |  SELECT event_type, user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS v
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |  GROUP BY 1, 2),
+        |u AS (
+        |  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS v
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |  GROUP BY 1)
+        |SELECT s.event_type, s.user_id, u.v / s.v AS inv_share
+        |FROM s JOIN u USING (user_id)
         |ORDER BY s.event_type, s.user_id""".stripMargin,
     "ts_native_hist_quantile_rate" -> nhQuantileRateSql,
     // the SAME query through the PromQL front-end must land on the

@@ -118,6 +118,34 @@ class PromQLCompilerSpec extends SparkSpec {
       Set(Seq("web", "i1", 90.0)))
   }
 
+  test("ts_of_min/max/last_over_time return epoch seconds of the extreme") {
+    assert(rows("""ts_of_last_over_time(http_requests_total{job="api"}[1h])""") ==
+      Set(Seq("api", "i1", (T0 + 3540000L) / 1000.0),
+        Seq("api", "i2", (T0 + 3000000L) / 1000.0)))
+    assert(rows("""ts_of_max_over_time(http_requests_total{job="web"}[1h])""") ==
+      Set(Seq("web", "i1", (T0 + 1200000L) / 1000.0)))
+    assert(rows("""ts_of_min_over_time(http_requests_total{instance="i1"}[1h])""") ==
+      Set(Seq("api", "i1", T0 / 1000.0),
+        Seq("web", "i1", (T0 + 2400000L) / 1000.0)))
+  }
+
+  test("ts_of_min/max_over_time ties resolve to the earliest sample") {
+    // values 5,7,5,7 at 00:00/:10/:20/:30 — both extremes occur twice
+    val tied = Seq(
+      ("a", "x", ts("2024-01-01 00:00:00"), 5.0, 1L),
+      ("a", "x", ts("2024-01-01 00:10:00"), 7.0, 2L),
+      ("a", "x", ts("2024-01-01 00:20:00"), 5.0, 3L),
+      ("a", "x", ts("2024-01-01 00:30:00"), 7.0, 4L)
+    ).toDF("job", "instance", "ts", "value", "seq")
+    val tctx = ctx.copy(metrics = Map("m" -> tied))
+    assert(PromQL.compile("ts_of_min_over_time(m[1h])", tctx)
+      .collect().map(_.toSeq).toSet ==
+      Set(Seq("a", "x", T0 / 1000.0)))
+    assert(PromQL.compile("ts_of_max_over_time(m[1h])", tctx)
+      .collect().map(_.toSeq).toSet ==
+      Set(Seq("a", "x", (T0 + 600000L) / 1000.0)))
+  }
+
   test("resets and changes") {
     assert(rows("resets(http_requests_total[1h])") ==
       Set(Seq("api", "i1", 0.0), Seq("api", "i2", 0.0), Seq("web", "i1", 1.0)))
