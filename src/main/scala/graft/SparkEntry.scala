@@ -1757,6 +1757,20 @@ object SparkEntry {
       .orderBy("qid", "rank")
   }
 
+  /** IVF-PQ ([[Ann.ivfPqTopK]]): the index row the ADC scan reads is
+    * cell + 16 codes (≈17 B) instead of 64 floats — the memory-scale
+    * ANN configuration; exact rerank restores true cosine order on
+    * the surviving candidates. Rows-only by design (approximate);
+    * pinned by AnnSpec's ≥0.85 recall gate at these settings.
+    */
+  private def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), "embedding", "vec_id",
+        k = 10, nCentroids = 16, nProbe = 8, nSub = 16, codebookSize = 16,
+        trainFraction = 0.25)
+      .orderBy("qid", "rank")
+  }
+
   private def txtTokenCount(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
@@ -2067,6 +2081,7 @@ object SparkEntry {
     "ann_bruteforce" -> (annBruteForce _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
+    "ann_ivf_pq" -> (annIvfPq _),
     "txt_token_count" -> (txtTokenCount _),
     "txt_quality" -> (txtQuality _),
     "txt_lang_id" -> (txtLangId _),

@@ -192,6 +192,167 @@ object Ann {
     topK(scored, k)
   }
 
+  /** Driver-local L2 Lloyd for the PQ codebooks: one independent
+    * k-means per subspace over the residual subvectors. Assignment
+    * ties resolve to the LATER code (`>=` walk), mirroring the Spark
+    * `array_max(struct(score, code))` assignment so training and
+    * corpus encoding agree. Empty codes keep their previous centroid.
+    */
+  private[graft] def trainPqCodebooks(resid: Array[Array[Double]],
+      nSub: Int, codebookSize: Int, iters: Int = 10): Array[Array[Array[Double]]] = {
+    val dim = resid.head.length
+    require(dim % nSub == 0,
+      s"PQ needs dim ($dim) divisible by nSub ($nSub)")
+    val subDim = dim / nSub
+    Array.tabulate(nSub) { mi =>
+      val subs = resid.map(v => v.slice(mi * subDim, (mi + 1) * subDim))
+      var cur = subs.distinct.take(codebookSize)
+      if (cur.isEmpty) cur = Array(new Array[Double](subDim))
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(cur.length)(new Array[Double](subDim))
+        val counts = new Array[Long](cur.length)
+        var r = 0
+        while (r < subs.length) {
+          val v = subs(r)
+          // argmax (v·cb − |cb|²/2) ≡ argmin L2; >= keeps the later
+          // code on ties, matching array_max's lexicographic struct
+          var best = 0; var bestScore = Double.NegativeInfinity
+          var ki = 0
+          while (ki < cur.length) {
+            val cb = cur(ki)
+            var d = 0.0; var n2 = 0.0; var j = 0
+            while (j < subDim) { d += v(j) * cb(j); n2 += cb(j) * cb(j); j += 1 }
+            val s = d - 0.5 * n2
+            if (s >= bestScore) { bestScore = s; best = ki }
+            ki += 1
+          }
+          counts(best) += 1
+          val s = sums(best)
+          var j = 0
+          while (j < subDim) { s(j) += v(j); j += 1 }
+          r += 1
+        }
+        cur = cur.indices.map { ki =>
+          if (counts(ki) == 0) cur(ki) else sums(ki).map(_ / counts(ki))
+        }.toArray
+        it += 1
+      }
+      cur
+    }
+  }
+
+  /** IVF-PQ — the MEMORY-scale ANN path (the IndexIVFPQ design of
+    * Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011): the stored index row is one cell id plus
+    * `nSub` small codes (nSub bytes at codebookSize ≤ 256) instead
+    * of D floats — ~50× smaller than the raw vectors, which is what
+    * makes the scan side of ANN affordable at 100 TB. Vectors are
+    * unit-normalized so cosine = inner product; each vector's
+    * RESIDUAL against its cell centroid is product-quantized with
+    * per-subspace codebooks (residual PQ — the faiss default,
+    * tighter than raw-vector PQ because residual norms are small).
+    *
+    * Search is two-stage, both stages shuffle-free on the corpus:
+    * 1. ADC (asymmetric distance computation): for corpus rows in
+    *    the query's `nProbe` best cells, approx similarity =
+    *    q·centroid[cell] + Σ_m q_m·codebook_m[code_m] — every
+    *    lookup a literal-array index, fully codegen'd; the per-query
+    *    top `rerank` candidates survive (one bounded window).
+    * 2. Exact re-score of just those candidates (queries × rerank
+    *    rows) against the raw vectors via a broadcast join back by
+    *    id — the point-lookup fetch a production index does.
+    * With `rerank` ≥ a few × k, PQ's quantization error affects only
+    * candidate ORDER inside probed cells, and the exact stage
+    * restores true cosine ranking.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      nSub: Int = 8, codebookSize: Int = 16, rerank: Int = 0,
+      refineIters: Int = 8, trainFraction: Double = 1.0,
+      maxTrainVectors: Int = 1 << 17): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"))
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+    // --- train (bounded sample, driver-local — the ivfTopK contract)
+    val train =
+      if (trainFraction < 1.0) corpus.sample(false, trainFraction, 42L)
+      else corpus
+    val sample = train
+      .select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"))
+      .orderBy(xxhash64(col("nid")), col("nid"))
+      .limit(maxTrainVectors)
+      .select(col("nv")).collect()
+      .map { r =>
+        val v = r.getSeq[Double](0).toArray
+        val n = math.sqrt(v.map(x => x * x).sum).max(1e-300)
+        v.map(_ / n)
+      }
+    val seeds = sample.take(nCentroids).map(_.toSeq: Seq[Double])
+    val cents =
+      if (refineIters > 0 && sample.nonEmpty)
+        trainQuantizer(sample, seeds, refineIters)
+      else seeds
+    val centsA = cents.map(_.toArray)
+    val cnorms = centsA.map(cv => math.sqrt(cv.map(x => x * x).sum).max(1e-300))
+    val resid = sample.map { v =>
+      val cell = bestCellLocal(v, 1.0, centsA, cnorms)
+      v.indices.map(j => v(j) - centsA(cell)(j)).toArray
+    }
+    val books =
+      if (resid.nonEmpty) trainPqCodebooks(resid, nSub, codebookSize)
+      else Array.fill(nSub)(Array(new Array[Double](1)))
+    val subDim = centsA.headOption.map(_.length / nSub).getOrElse(1)
+    // --- literal index-side expressions (zero shuffle, codegen'd)
+    val centsLit = typedLit(cents.map(_.toSeq): Seq[Seq[Double]])
+    def unit(v: Column, n: Column): Column = transform(v, x => x / n)
+    def sub(v: Column, mi: Int): Column = slice(v, mi * subDim + 1, subDim)
+    def cellScores(v: Column): Column = cellScoresFor(cents)(v)
+    def bestCell(v: Column): Column = array_max(cellScores(v)).getField("cell")
+    def pqCode(r: Column, mi: Int): Column =
+      array_max(array(books(mi).zipWithIndex.map { case (cb, ki) =>
+        struct((dot(sub(r, mi), typedLit(cb.toSeq: Seq[Double])) -
+          lit(0.5 * cb.map(x => x * x).sum)).as("score"), lit(ki).as("code"))
+      }: _*)).getField("code")
+    // index build: ONE corpus pass ending in (id, cell, codes) — the
+    // persisted form at scale; raw vectors stay behind in the table
+    val cN = c
+      .withColumn("_n", greatest(sqrt(dot(col("nv"), col("nv"))), lit(1e-300)))
+      .withColumn("nvh", unit(col("nv"), col("_n")))
+    val assigned = cN
+      .withColumn("cell", bestCell(col("nvh")))
+      .withColumn("_resid", zip_with(col("nvh"),
+        element_at(centsLit, col("cell") + 1), (a, b) => a - b))
+      .select(col("nid"), col("cell"),
+        array((0 until nSub).map(mi => pqCode(col("_resid"), mi)): _*).as("codes"))
+    // --- search
+    val qN = q
+      .withColumn("_n", greatest(sqrt(dot(col("qv"), col("qv"))), lit(1e-300)))
+      .withColumn("qvh", unit(col("qv"), col("_n")))
+    val probed = qN.withColumn("cell",
+        explode(transform(
+          slice(reverse(array_sort(cellScores(col("qvh")))), 1, nProbe),
+          s => s.getField("cell"))))
+      .select(col("qid"), col("qvh"), col("cell"))
+    val adc = assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("approx",
+        dot(col("qvh"), element_at(centsLit, col("cell") + 1)) +
+          (0 until nSub).map(mi =>
+            dot(sub(col("qvh"), mi),
+              element_at(typedLit(books(mi).map(_.toSeq): Seq[Seq[Double]]),
+                element_at(col("codes"), mi + 1) + 1))
+          ).reduce(_ + _))
+    val rr = if (rerank > 0) rerank else 8 * k
+    val wc = Window.partitionBy("qid").orderBy(col("approx").desc, col("nid"))
+    val cand = adc.withColumn("_cr", row_number().over(wc))
+      .filter(col("_cr") <= rr)
+      .select("qid", "nid")
+    val exact = c.join(broadcast(cand), Seq("nid"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("sim"))
+    topK(exact, k)
+  }
+
   /** Per-query top-k with a cross-engine-deterministic order: rank on
     * the 6-dp-rounded similarity (immune to last-ulp fp differences)
     * with the neighbor id as total-order tiebreak.

@@ -73,6 +73,48 @@ class AnnSpec extends SparkSpec {
     assert(recall > 0.5)
   }
 
+  test("IVF-PQ with exact rerank matches plain IVF's recall gate") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 10)
+    def topSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topSet(Ann.bruteForce(emb, queries, "embedding", "vec_id", 10))
+    // same cells/probes as the plain-IVF gate test: with rerank = 8k
+    // the PQ codes only pick CANDIDATES (the exact stage restores
+    // true cosine order), so quantization must not cost the gate
+    val pq = topSet(Ann.ivfPqTopK(emb, queries, "embedding", "vec_id", 10,
+      nCentroids = 16, nProbe = 8, nSub = 16, codebookSize = 16))
+    val recall = (pq & exact).size.toDouble / exact.size
+    info(f"IVF-PQ recall (16 cells, 8 probes, 16x16 codes, rerank 80) = $recall%.2f")
+    assert(recall >= 0.85)
+  }
+
+  test("PQ codebooks: assignment round-trip beats the zero-code baseline") {
+    // reconstruction error with trained codebooks must beat
+    // quantizing every residual to the subspace mean (1-code PQ) —
+    // the sanity floor that catches a broken Lloyd loop
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val sample = emb.limit(200).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      .map { v => val n = math.sqrt(v.map(x => x * x).sum).max(1e-300); v.map(_ / n) }
+    val books = Ann.trainPqCodebooks(sample, nSub = 8, codebookSize = 16)
+    val base = Ann.trainPqCodebooks(sample, nSub = 8, codebookSize = 1)
+    def mse(bks: Array[Array[Array[Double]]]): Double = {
+      val subDim = sample.head.length / 8
+      sample.map { v =>
+        (0 until 8).map { mi =>
+          val sv = v.slice(mi * subDim, (mi + 1) * subDim)
+          val best = bks(mi).map(cb =>
+            sv.zip(cb).map { case (a, b) => (a - b) * (a - b) }.sum).min
+          best
+        }.sum
+      }.sum / sample.length
+    }
+    val m16 = mse(books); val m1 = mse(base)
+    info(f"PQ reconstruction MSE: k=16 $m16%.5f vs k=1 $m1%.5f")
+    assert(m16 < m1 * 0.8)
+  }
+
   test("converged quantizer with cell splitting reaches the recall gate") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 10)
