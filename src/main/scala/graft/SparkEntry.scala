@@ -1787,6 +1787,28 @@ object SparkEntry {
       .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
+  /** Deterministic 256-bucket weight table shared with the oracle:
+    * w(b) = ((b * 2654435761) % 1000) / 1000.0 - 0.5 (Knuth's
+    * multiplicative constant — pseudo-random-looking but pure
+    * integer arithmetic any engine replays exactly). A real
+    * pipeline would load trained weights; the OPERATOR is identical
+    * either way.
+    */
+  private def modelWeights: Seq[Double] =
+    (0 until 256).map(b => ((b * 2654435761L) % 1000L) / 1000.0 - 0.5)
+
+  /** Hashed-feature linear model scoring over every document
+    * ([[TextFunctions.modelScore]]) — one narrow codegen'd map, the
+    * weight table a baked literal; decimal-accumulated so the score
+    * is partitioning-independent.
+    */
+  private def txtQualityModel(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.modelScore(col("text"), modelWeights, bias = 0.1)
+          .as("model_score"))
+      .orderBy("doc_id")
+
   /** Gopher-style repetition quality signals per document
     * ([[operators.TextStats.repetition]]). */
   private def txtRepetition(s: SparkSession, dir: String): DataFrame =
@@ -2086,6 +2108,7 @@ object SparkEntry {
     "txt_quality" -> (txtQuality _),
     "txt_lang_id" -> (txtLangId _),
     "txt_fingerprint" -> (txtFingerprint _),
+    "txt_quality_model" -> (txtQualityModel _),
     "txt_repetition" -> (txtRepetition _),
     "txt_dup_ngrams" -> (txtDupNgrams _),
     "pipe_token_chunks" -> (pipeTokenChunks _),
@@ -3985,6 +4008,30 @@ object SparkEntry {
         |    (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    // per token: the SAME polynomial hash as txt_fingerprint mod 256
+    // picks the bucket, the weight formula replays graft's literal
+    // table, contributions accumulate in decimal(30,8) (order-free)
+    "txt_quality_model" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |tw AS (
+        |  SELECT doc_id,
+        |    ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |        (acc, x) -> (acc * 31 + x) % 2147483647) % 256)
+        |      * 2654435761) % 1000 / 1000.0 - 0.5 AS wt
+        |  FROM toks),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(CAST(wt AS DECIMAL(30,8))) AS DOUBLE) AS wsum,
+        |    count(*) AS nt
+        |  FROM tw GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  round(0.1 + COALESCE(a.wsum, 0.0) / greatest(COALESCE(a.nt, 0), 1), 6)
+        |    AS model_score
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "mm_phash" ->
       s"""WITH $phashCtes
         |SELECT media_id, b0, b1, b2, b3, b4, b5, b6, b7

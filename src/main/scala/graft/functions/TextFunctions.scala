@@ -94,9 +94,46 @@ object TextFunctions {
     * element — filtered so the fold is the documented pure char fold
     * any left-to-right engine reproduces).
     */
-  def fingerprint(text: Column): Column =
+  def fingerprint(text: Column): Column = polyHash(text)
+
+  private def polyHash(s: Column): Column =
     aggregate(
-      filter(split(text, ""), c => c =!= ""),
+      filter(split(s, ""), c => c =!= ""),
       lit(0L),
       (acc, c) => pmod(acc * 31L + ascii(c).cast("long"), lit(2147483647L)))
+
+  /** Hashed-bag-of-words LINEAR MODEL scoring — the fastText-shaped
+    * quality classifier a training-data pipeline applies to every
+    * document after the cheap heuristic gates: each token hashes
+    * into one of `weights.length` feature buckets (the same
+    * polynomial hash as [[fingerprint]], so a SQL engine replays it
+    * exactly), the document's raw score is
+    * `bias + Σ weights(bucket(token)) / max(nTokens, 1)`.
+    *
+    * The weight table ships as a LITERAL array baked into the
+    * codegen'd projection (a real model of hundreds of thousands of
+    * buckets would ship as a broadcast array instead — same plan
+    * shape): the whole thing is one narrow map fused into the scan,
+    * nothing shuffles at any corpus size. Weight contributions
+    * accumulate in decimal(30,8) so the score is independent of
+    * token order and partitioning. The calibrated probability
+    * sigmoid(score) is MONOTONE in this raw score, so quality
+    * thresholds translate 1:1 — the sigmoid itself is deliberately
+    * not applied (exp() is not bit-identical across engines; a
+    * gating pipeline thresholds the raw margin identically).
+    */
+  def modelScore(text: Column, weights: Seq[Double], bias: Double): Column = {
+    val wLit = typedLit(weights)
+    val n = weights.length
+    val toks = tokens(text)
+    val wsum = aggregate(
+      transform(toks, t =>
+        element_at(wLit, (polyHash(t) % lit(n.toLong)).cast("int") + 1)),
+      lit(0).cast("decimal(30,8)"),
+      // re-narrow each step: decimal + widens to (31,8), and the
+      // accumulator type must stay fixed (3dp weights never overflow)
+      (acc, w) => (acc + w.cast("decimal(30,8)")).cast("decimal(30,8)"))
+    round(lit(bias) +
+      wsum.cast("double") / greatest(size(toks), lit(1)).cast("double"), 6)
+  }
 }

@@ -26,6 +26,29 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out == 0L)
   }
 
+  test("modelScore equals the manual hashed-feature fold") {
+    val weights = (0 until 8).map(b => b * 0.125 - 0.5)
+    def polyHash(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 2147483647L)
+    val text = "Hello world hello"
+    val toks = Seq("hello", "world", "hello")
+    val expected = BigDecimal(0.25) +
+      toks.map(t => BigDecimal(weights((polyHash(t) % 8).toInt))
+        .setScale(8)).sum / 3
+    val out = Seq(text).toDF("text")
+      .select(TextFunctions.modelScore(col("text"), weights, bias = 0.25))
+      .head.getDouble(0)
+    assert(math.abs(out - expected.toDouble) < 1e-9)
+  }
+
+  test("modelScore of an empty document is exactly the bias") {
+    val weights = Seq(0.5, -0.5)
+    val out = Seq("", "!!!").toDF("text")
+      .select(TextFunctions.modelScore(col("text"), weights, bias = 0.125))
+      .collect().map(_.getDouble(0))
+    assert(out.toSeq == Seq(0.125, 0.125))
+  }
+
   test("langId picks the language with most stopword hits") {
     val rows = Seq(
       "the cat is on the mat and a dog",      // en
