@@ -1838,6 +1838,17 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text", maxLen = 16, overlap = 4)
       .orderBy("doc_id", "chunk_idx")
 
+  /** Concat-and-chunk sequence packing
+    * ([[operators.Pipeline.packSequences]]): per-shard running
+    * token offsets + bounded explode into fixed 400-token training
+    * sequences; the oracle replays the window and the span
+    * arithmetic exactly.
+    */
+  private def pipePackSequences(s: SparkSession, dir: String): DataFrame =
+    operators.Pipeline.packSequences(
+        t(s, dir, "documents"), "doc_id", "text", maxLen = 400, nShards = 8)
+      .orderBy("shard", "seq_id", "doc_id")
+
   /** Benchmark decontamination ([[Dedup.decontaminate]]): the
     * documents table split into a small "benchmark" slice
     * (doc_id % 97 = 0) and the training remainder; training docs
@@ -2112,6 +2123,7 @@ object SparkEntry {
     "txt_repetition" -> (txtRepetition _),
     "txt_dup_ngrams" -> (txtDupNgrams _),
     "pipe_token_chunks" -> (pipeTokenChunks _),
+    "pipe_pack_sequences" -> (pipePackSequences _),
     "txt_pii_scrub" -> (txtPiiScrub _),
     "dd_decontaminate" -> (ddDecontaminate _),
     "mm_features" -> (mmFeatures _),
@@ -4129,6 +4141,31 @@ object SparkEntry {
         |  array_to_string(ws[CAST(chunk_idx * 12 + 1 AS INT):
         |    CAST(chunk_idx * 12 + 16 AS INT)], ' ') AS chunk_text
         |FROM k ORDER BY doc_id, chunk_idx""".stripMargin,
+    // per-shard running token offsets in doc-id order, then each
+    // doc's span per overlapped 400-token sequence; floor(x/400.0)
+    // is the same double division Spark's floor(col/lit) runs
+    "pipe_pack_sequences" ->
+      """WITH base AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+        |      AS n
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0),
+        |off AS (
+        |  SELECT doc_id, shard, n,
+        |    sum(n) OVER (PARTITION BY shard ORDER BY doc_id) AS e,
+        |    sum(n) OVER (PARTITION BY shard ORDER BY doc_id) - n AS s
+        |  FROM base),
+        |x AS (
+        |  SELECT shard, doc_id, s, e,
+        |    unnest(range(CAST(floor(s / 400.0) AS BIGINT),
+        |      CAST(floor((e - 1) / 400.0) AS BIGINT) + 1)) AS seq_id
+        |  FROM off)
+        |SELECT shard, seq_id, doc_id,
+        |  greatest(s, seq_id * 400) - s AS tok_from,
+        |  least(e, (seq_id + 1) * 400) - s AS tok_to
+        |FROM x
+        |ORDER BY shard, seq_id, doc_id""".stripMargin,
     // replays salt + scrub + counts; patterns are Java/RE2-identical
     "txt_pii_scrub" ->
       """WITH s AS (

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -128,6 +129,55 @@ object Pipeline {
     * doc): NO shuffle at any scale — chunking 100 TB is
     * embarrassingly parallel and this plan keeps it that way.
     */
+  /** Concat-and-chunk SEQUENCE PACKING — the step that turns a
+    * cleaned corpus into fixed-length training sequences with no
+    * padding waste: documents are laid head-to-tail into one token
+    * stream per shard and the stream is cut every `maxLen` tokens;
+    * a document spanning a cut contributes spans to both
+    * neighboring sequences. (Best-fit bin packing needs a
+    * sequential pass; concat-and-chunk is what large pipelines run
+    * because it is order-deterministic and embarrassingly parallel
+    * BY SHARD.)
+    *
+    * `shard = id % nShards` (replayable by any SQL engine;
+    * production would hash). Each shard packs independently: ONE
+    * per-shard running-offset window in id order, then a bounded
+    * explode (⌈n/maxLen⌉+1 rows max per doc) emits each document's
+    * span per overlapped sequence. The only data movement at any
+    * corpus size is the per-shard sort the window needs — no joins,
+    * no corpus-wide sequence, shard count = write parallelism.
+    *
+    * Output: (shard, seq_id, doc_id, tok_from, tok_to) — within-doc
+    * token offsets [tok_from, tok_to) landing in `seq_id` of the
+    * doc's shard. Every token of every non-empty document is
+    * covered exactly once; every sequence holds exactly `maxLen`
+    * tokens except each shard's last (spec-pinned).
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      maxLen: Int, nShards: Int): DataFrame = {
+    require(maxLen > 0 && nShards > 0,
+      s"need maxLen > 0 and nShards > 0, got maxLen=$maxLen nShards=$nShards")
+    val L = lit(maxLen.toLong)
+    val base = df
+      .select(col(idCol),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("_n"))
+      .filter(col("_n") > 0)
+      .withColumn("shard", pmod(col(idCol), lit(nShards.toLong)))
+    val off = base
+      .withColumn("_end",
+        sum(col("_n")).over(Window.partitionBy("shard").orderBy(col(idCol))))
+      .withColumn("_start", col("_end") - col("_n"))
+    off
+      .withColumn("seq_id", explode(sequence(
+        floor(col("_start") / L).cast("long"),
+        floor((col("_end") - 1) / L).cast("long"))))
+      .select(col("shard"), col("seq_id"), col(idCol),
+        (greatest(col("_start"), col("seq_id") * L) - col("_start"))
+          .as("tok_from"),
+        (least(col("_end"), (col("seq_id") + 1) * L) - col("_start"))
+          .as("tok_to"))
+  }
+
   def tokenChunks(df: DataFrame, idCol: String, textCol: String,
       maxLen: Int, overlap: Int): DataFrame = {
     require(maxLen > 0 && overlap >= 0 && overlap < maxLen,

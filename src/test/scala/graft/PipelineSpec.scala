@@ -141,6 +141,46 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("packSequences: exact coverage, full sequences, boundary spans") {
+    import spark.implicits._
+    // token counts 3,5,2,4 in one shard (ids 0,8,16,24 ≡ 0 mod 8) +
+    // one 7-token doc in shard 1; maxLen 4 → shard-0 stream of 14
+    // tokens cuts at 4/8/12; doc 8 (offset 3..8) must span seqs 0-1
+    val docs = Seq(
+      (0L, "a b c"), (8L, "d e f g h"), (16L, "i j"), (24L, "k l m n"),
+      (1L, "p q r s t u v"), (9L, "")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Pipeline
+      .packSequences(docs, "doc_id", "text", maxLen = 4, nShards = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // every token of every non-empty doc covered exactly once
+    val perDoc = out.groupBy(_._3).view.mapValues(_.map(s => s._5 - s._4).sum)
+    assert(perDoc.toMap == Map(0L -> 3L, 8L -> 5L, 16L -> 2L, 24L -> 4L,
+      1L -> 7L))
+    // spans within a doc never overlap and are contiguous
+    out.groupBy(_._3).foreach { case (_, spans) =>
+      val sorted = spans.sortBy(_._4)
+      assert(sorted.head._4 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 == b._4)
+        case _ => ()
+      }
+    }
+    // every sequence holds exactly maxLen tokens except the shard's last
+    val perSeq = out.groupBy(s => (s._1, s._2)).view
+      .mapValues(_.map(s => s._5 - s._4).sum).toMap
+    val lastSeq = out.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    perSeq.foreach { case ((shard, seq), tot) =>
+      if (seq < lastSeq(shard)) assert(tot == 4L, s"shard $shard seq $seq")
+      else assert(tot <= 4L)
+    }
+    // doc 8 spans the 4-token boundary: seq 0 gets [0,1), seq 1 [1,5)
+    assert(out.filter(_._3 == 8L).sortBy(_._2).toSeq ==
+      Seq((0L, 0L, 8L, 0L, 1L), (0L, 1L, 8L, 1L, 5L)))
+  }
+
   test("a near-dup chain collapses to its smallest member") {
     // 10 ~ 11 ~ 12 via one-word edits: component rep = 10
     val chain = Seq(
