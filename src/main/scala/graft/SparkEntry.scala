@@ -334,6 +334,14 @@ object SparkEntry {
     queryable(s, dir).labelValues("event_type",
       Seq(Matcher.Re("event_type", ".+")), limit = 3)
 
+  /** Exact per-label cardinality under a matcher
+    * ([[graft.tsdb.TsdbQueryable.labelCardinality]]); the HLL
+    * variant is spec-pinned within 5% on the same fixture.
+    */
+  private def tsLabelCardinality(s: SparkSession, dir: String): DataFrame =
+    queryable(s, dir).labelCardinality(
+      Seq(graft.tsdb.Matcher.Nre("event_type", "err.*")))
+
   private def tsLastPoint(s: SparkSession, dir: String): DataFrame =
     PromOps.lastPoint(t(s, dir, "events"), Seq("event_type", "user_id"),
         "ts", tieBreak = Seq("event_id"))
@@ -2024,6 +2032,7 @@ object SparkEntry {
     "ts_histogram_quantile_rate" -> (tsHistogramQuantileRate _),
     "ts_label_names" -> (tsLabelNames _),
     "ts_label_values" -> (tsLabelValues _),
+    "ts_label_cardinality" -> (tsLabelCardinality _),
     "ts_last_point" -> (tsLastPoint _),
     "ts_rate" -> (tsRate _),
     "ts_instant_align" -> (tsInstantAlign _),
@@ -2624,6 +2633,17 @@ object SparkEntry {
         |      WHERE event_type IS NOT NULL AND event_type <> '')
         |ORDER BY label_value
         |LIMIT 3""".stripMargin,
+    // negated-regex matcher replayed (RE2/Java-identical pattern),
+    // one count(DISTINCT) per label column
+    "ts_label_cardinality" ->
+      """WITH m AS (
+        |  SELECT event_type, user_id FROM events
+        |  WHERE NOT regexp_full_match(coalesce(event_type, ''), 'err.*'))
+        |SELECT 'event_type' AS label_name,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS cardinality FROM m
+        |UNION ALL
+        |SELECT 'user_id', CAST(count(DISTINCT user_id) AS BIGINT) FROM m
+        |ORDER BY label_name""".stripMargin,
     "ts_last_point" ->
       """SELECT event_type, user_id, epoch_ms(ts) AS ts_ms, value, event_id
         |FROM (SELECT *, row_number() OVER (PARTITION BY event_type, user_id

@@ -302,17 +302,31 @@ object Ann {
       if (resid.nonEmpty) trainPqCodebooks(resid, nSub, codebookSize)
       else Array.fill(nSub)(Array(new Array[Double](1)))
     val subDim = centsA.headOption.map(_.length / nSub).getOrElse(1)
-    // --- literal index-side expressions (zero shuffle, codegen'd)
+    // --- literal index-side expressions (zero shuffle). The
+    // codebooks ship as ONE nested literal and every per-subspace /
+    // per-code step is a HOF loop over it — generated code stays
+    // O(nSub), not O(nSub × codebookSize) (a flat per-code literal
+    // expansion trips janino's 64 KB method limit and knocks the
+    // whole projection back to interpreted mode).
     val centsLit = typedLit(cents.map(_.toSeq): Seq[Seq[Double]])
+    val booksLit = typedLit(
+      books.map(_.map(_.toSeq).toSeq).toSeq: Seq[Seq[Seq[Double]]])
+    val halfNormsLit = typedLit(
+      books.map(_.map(cb => 0.5 * cb.map(x => x * x).sum).toSeq).toSeq:
+        Seq[Seq[Double]])
     def unit(v: Column, n: Column): Column = transform(v, x => x / n)
-    def sub(v: Column, mi: Int): Column = slice(v, mi * subDim + 1, subDim)
+    def subAt(v: Column, mi: Column): Column =
+      slice(v, mi * subDim + 1, lit(subDim))
     def cellScores(v: Column): Column = cellScoresFor(cents)(v)
     def bestCell(v: Column): Column = array_max(cellScores(v)).getField("cell")
-    def pqCode(r: Column, mi: Int): Column =
-      array_max(array(books(mi).zipWithIndex.map { case (cb, ki) =>
-        struct((dot(sub(r, mi), typedLit(cb.toSeq: Seq[Double])) -
-          lit(0.5 * cb.map(x => x * x).sum)).as("score"), lit(ki).as("code"))
-      }: _*)).getField("code")
+    // codes(mi) = argmax_k (r_mi·cb_k − |cb_k|²/2) ≡ argmin L2
+    def pqCodes(r: Column): Column =
+      transform(sequence(lit(0), lit(nSub - 1)), mi =>
+        array_max(transform(sequence(lit(0), lit(codebookSize - 1)), ki =>
+          struct(
+            (dot(subAt(r, mi), element_at(element_at(booksLit, mi + 1), ki + 1)) -
+              element_at(element_at(halfNormsLit, mi + 1), ki + 1)).as("score"),
+            ki.as("code")))).getField("code"))
     // index build: ONE corpus pass ending in (id, cell, codes) — the
     // persisted form at scale; raw vectors stay behind in the table
     val cN = c
@@ -322,8 +336,7 @@ object Ann {
       .withColumn("cell", bestCell(col("nvh")))
       .withColumn("_resid", zip_with(col("nvh"),
         element_at(centsLit, col("cell") + 1), (a, b) => a - b))
-      .select(col("nid"), col("cell"),
-        array((0 until nSub).map(mi => pqCode(col("_resid"), mi)): _*).as("codes"))
+      .select(col("nid"), col("cell"), pqCodes(col("_resid")).as("codes"))
     // --- search
     val qN = q
       .withColumn("_n", greatest(sqrt(dot(col("qv"), col("qv"))), lit(1e-300)))
@@ -337,11 +350,10 @@ object Ann {
       .filter(col("qid") =!= col("nid"))
       .withColumn("approx",
         dot(col("qvh"), element_at(centsLit, col("cell") + 1)) +
-          (0 until nSub).map(mi =>
-            dot(sub(col("qvh"), mi),
-              element_at(typedLit(books(mi).map(_.toSeq): Seq[Seq[Double]]),
-                element_at(col("codes"), mi + 1) + 1))
-          ).reduce(_ + _))
+          aggregate(sequence(lit(0), lit(nSub - 1)), lit(0.0), (acc, mi) =>
+            acc + dot(subAt(col("qvh"), mi),
+              element_at(element_at(booksLit, mi + 1),
+                element_at(col("codes"), mi + 1) + 1))))
     val rr = if (rerank > 0) rerank else 8 * k
     val wc = Window.partitionBy("qid").orderBy(col("approx").desc, col("nid"))
     val cand = adc.withColumn("_cr", row_number().over(wc))

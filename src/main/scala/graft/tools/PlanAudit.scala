@@ -149,6 +149,35 @@ object PlanAudit {
       Map("no cartesian product" -> "CartesianProduct",
         "no nested-loop self-join" -> "BroadcastNestedLoopJoin"))
 
+    // IVF-PQ: the ADC scan joins the corpus codes against the
+    // BROADCAST probe list (cell keys) and the exact rerank joins
+    // the broadcast candidate ids back — the corpus side never
+    // shuffles for either join, and nothing degenerates to a
+    // cartesian/nested-loop product.
+    audit("ann_ivf_pq",
+      SparkEntry.queries("ann_ivf_pq")(spark, dir),
+      Map(
+        "probes/candidates broadcast" -> "BroadcastHashJoin",
+        "embeddings scan pruned" -> "struct<vec_id:bigint,embedding:array<float>>"),
+      forbid = Map(
+        "no cartesian product" -> "CartesianProduct",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin"))
+
+    // Hashed-feature model scoring is ONE narrow map fused into the
+    // scan: no join anywhere in the plan, documents pruned to
+    // (doc_id, text).
+    audit("txt_quality_model",
+      SparkEntry.queries("txt_quality_model")(spark, dir),
+      Map("documents scan pruned" -> "struct<doc_id:bigint,text:string>"),
+      forbid = Map("no join of any kind" -> "Join"))
+
+    // Sequence packing: exactly one data-movement step — the
+    // per-shard window's hash partitioning — and no joins.
+    audit("pipe_pack_sequences",
+      SparkEntry.queries("pipe_pack_sequences")(spark, dir),
+      Map("per-shard window partitioning" -> "hashpartitioning(shard"),
+      forbid = Map("no join of any kind" -> "Join"))
+
     // Connected-components rounds are equi-joins on node ids; the
     // final labelling must never degrade to a cartesian.
     audit("dd_clusters",

@@ -100,6 +100,26 @@ class TsdbQueryableSpec extends SparkSpec {
     assert(q.select("2024-01-01", "2024-03-01", Nil, Nil).count() == 4L)
   }
 
+  test("labelCardinality: exact counts under matchers; HLL within 5%") {
+    val exact = q.labelCardinality(Seq(Matcher.Eq("job", "api")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact == Map("job" -> 1L, "instance" -> 2L))
+    // HLL path on the real events fixture: each label within 5% of
+    // the exact count (rsd 0.02 sketch)
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    val eq = new TsdbQueryable(events, labelCols = Seq("event_type", "user_id"))
+    val ex = eq.labelCardinality()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = eq.labelCardinality(exact = false)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    ex.foreach { case (l, n) =>
+      val a = approx(l)
+      assert(math.abs(a - n) <= math.max(1L, (0.05 * n).toLong),
+        s"label $l: approx $a vs exact $n")
+    }
+  }
+
   test("selection cache serves repeated constraints without a source re-scan") {
     import graft.tsdb.SelectionCache
     import org.apache.spark.sql.execution.LogicalRDD
