@@ -1535,10 +1535,10 @@ object SparkEntry {
   /** The experimental `ts_of_min/max/last_over_time` family
     * (Prometheus 3.x): WHEN each series hit its window extreme /
     * last sample, in epoch seconds. Ties on the extreme resolve to
-    * the earliest sample (the strict-comparison walk of the
-    * reference implementations), made partitioning-independent by
-    * the struct aggregates — the oracle replays the same
-    * min-ts-among-tied-values rule. One groupBy per function, no
+    * the LATEST sample (upstream's non-strict <=/>= walk keeps the
+    * last occurrence), made partitioning-independent by the struct
+    * aggregates — the oracle replays the same
+    * max-ts-among-tied-values rule. One groupBy per function, no
     * windows, partial aggregation map-side.
     */
   private def tsPromqlTsOf(s: SparkSession, dir: String): DataFrame = {
@@ -3240,10 +3240,12 @@ object SparkEntry {
     "ts_native_hist_sum" ->
       s"""WITH $nativeHistCtes
         |SELECT event_type, idx, count FROM (
-        |  SELECT event_type, i AS idx, sum(cnt) AS count
+        |  SELECT event_type, CAST(i AS INT) AS idx,
+        |    CAST(sum(cnt) AS BIGINT) AS count
         |  FROM hb GROUP BY 1, 2
         |  UNION ALL
-        |  SELECT event_type, NULL, sum(zero_count)
+        |  SELECT event_type, CAST(NULL AS INT),
+        |    CAST(sum(zero_count) AS BIGINT)
         |  FROM hz GROUP BY 1)
         |ORDER BY event_type, idx ASC NULLS LAST""".stripMargin,
     // h_sum is the synthetic exact-quarter sum column; h_avg its one
@@ -3400,10 +3402,10 @@ object SparkEntry {
         |FROM sel s JOIN med USING (event_type, user_id)
         |GROUP BY s.event_type, s.user_id
         |ORDER BY s.event_type, s.user_id""".stripMargin,
-    // ts_of_min/max: min ts among rows tied at the window extreme
-    // (the strict-comparison first-occurrence rule); ts_of_last =
-    // the window's max ts. Epoch SECONDS = ms / 1000.0, the same
-    // IEEE division on both engines.
+    // ts_of_min/max: MAX ts among rows tied at the window extreme —
+    // upstream's non-strict (<=/>=) walk keeps the last occurrence;
+    // ts_of_last = the window's max ts. Epoch SECONDS = ms / 1000.0,
+    // the same IEEE division on both engines.
     "ts_promql_ts_of" ->
       """WITH w AS (
         |  SELECT event_type, user_id, value, epoch_ms(ts) AS ms
@@ -3413,8 +3415,8 @@ object SparkEntry {
         |  SELECT event_type, user_id, min(value) AS mnv, max(value) AS mxv
         |  FROM w GROUP BY 1, 2)
         |SELECT w.event_type, w.user_id,
-        |  min(CASE WHEN w.value = m.mnv THEN w.ms END) / 1000.0 AS ts_of_min,
-        |  min(CASE WHEN w.value = m.mxv THEN w.ms END) / 1000.0 AS ts_of_max,
+        |  max(CASE WHEN w.value = m.mnv THEN w.ms END) / 1000.0 AS ts_of_min,
+        |  max(CASE WHEN w.value = m.mxv THEN w.ms END) / 1000.0 AS ts_of_max,
         |  max(w.ms) / 1000.0 AS ts_of_last
         |FROM w JOIN m USING (event_type, user_id)
         |GROUP BY w.event_type, w.user_id
@@ -3546,7 +3548,7 @@ object SparkEntry {
     "ts_agg_count_group" ->
       """SELECT event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_series,
-        |  1.0 AS group_value
+        |  CAST(1.0 AS DOUBLE) AS group_value
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     // and/unless = semi/anti membership on the match labels; or =
@@ -3581,7 +3583,8 @@ object SparkEntry {
         |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS x FROM events
         |  WHERE event_type = 'purchase' AND user_id % 50 = 7)
         |SELECT g.step_sec, count(s.x) AS n_samples,
-        |  CASE WHEN count(s.x) = 0 THEN 1.0 ELSE 0.0 END AS absent
+        |  CAST(CASE WHEN count(s.x) = 0 THEN 1.0 ELSE 0.0 END
+        |    AS DOUBLE) AS absent
         |FROM grid g LEFT JOIN sel s
         |  ON s.x > g.step_sec - 14400 AND s.x <= g.step_sec
         |GROUP BY g.step_sec
@@ -4182,8 +4185,8 @@ object SparkEntry {
         |      CAST(floor((e - 1) / 400.0) AS BIGINT) + 1)) AS seq_id
         |  FROM off)
         |SELECT shard, seq_id, doc_id,
-        |  greatest(s, seq_id * 400) - s AS tok_from,
-        |  least(e, (seq_id + 1) * 400) - s AS tok_to
+        |  CAST(greatest(s, seq_id * 400) - s AS BIGINT) AS tok_from,
+        |  CAST(least(e, (seq_id + 1) * 400) - s AS BIGINT) AS tok_to
         |FROM x
         |ORDER BY shard, seq_id, doc_id""".stripMargin,
     // replays salt + scrub + counts; patterns are Java/RE2-identical

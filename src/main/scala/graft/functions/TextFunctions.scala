@@ -123,6 +123,8 @@ object TextFunctions {
     * gating pipeline thresholds the raw margin identically).
     */
   def modelScore(text: Column, weights: Seq[Double], bias: Double): Column = {
+    require(weights.nonEmpty,
+      "modelScore needs a non-empty weight table (pmod by 0 yields null scores)")
     val wLit = typedLit(weights)
     val n = weights.length
     val toks = tokens(text)

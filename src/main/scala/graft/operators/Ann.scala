@@ -206,7 +206,11 @@ object Ann {
     val subDim = dim / nSub
     Array.tabulate(nSub) { mi =>
       val subs = resid.map(v => v.slice(mi * subDim, (mi + 1) * subDim))
-      var cur = subs.distinct.take(codebookSize)
+      // value-level dedup (Array equals is reference equality): seed
+      // from distinct subvectors so duplicate samples can't produce
+      // twin centroids that starve each other under the >= tie rule
+      var cur = subs.map(_.toVector).distinct.take(codebookSize)
+        .map(_.toArray)
       if (cur.isEmpty) cur = Array(new Array[Double](subDim))
       var it = 0
       while (it < iters) {

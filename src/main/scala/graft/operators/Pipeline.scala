@@ -152,17 +152,26 @@ object Pipeline {
     * doc's shard. Every token of every non-empty document is
     * covered exactly once; every sequence holds exactly `maxLen`
     * tokens except each shard's last (spec-pinned).
+    *
+    * `nShards ≤ 0` (the default) sizes the shard count from the
+    * input's partition count — i.e. the job's write parallelism —
+    * so the per-shard window sort never funnels a 1000-executor
+    * corpus through a fixed handful of tasks. Per-shard coverage
+    * properties are shard-count-invariant (spec-pinned): any shard
+    * count yields full single-coverage and all-full-but-last
+    * sequences; only the (shard, seq_id) labeling changes.
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-      maxLen: Int, nShards: Int): DataFrame = {
-    require(maxLen > 0 && nShards > 0,
-      s"need maxLen > 0 and nShards > 0, got maxLen=$maxLen nShards=$nShards")
+      maxLen: Int, nShards: Int = 0): DataFrame = {
+    require(maxLen > 0, s"need maxLen > 0, got maxLen=$maxLen")
+    val shards =
+      if (nShards > 0) nShards else math.max(1, df.rdd.getNumPartitions)
     val L = lit(maxLen.toLong)
     val base = df
       .select(col(idCol),
         TextFunctions.tokenCount(col(textCol)).cast("long").as("_n"))
       .filter(col("_n") > 0)
-      .withColumn("shard", pmod(col(idCol), lit(nShards.toLong)))
+      .withColumn("shard", pmod(col(idCol), lit(shards.toLong)))
     val off = base
       .withColumn("_end",
         sum(col("_n")).over(Window.partitionBy("shard").orderBy(col(idCol))))

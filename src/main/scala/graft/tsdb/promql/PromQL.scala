@@ -925,22 +925,23 @@ object PromQL {
           // Experimental `ts_of_*` family (Prometheus 3.x,
           // promql/functions.go funcTsOfMinOverTime and friends):
           // the epoch SECONDS of the extreme/last sample. Ties on
-          // the extreme value resolve to the EARLIEST sample —
-          // the strict `<`/`>` comparisons of the min/max walk keep
-          // the first occurrence; the struct aggregates below make
-          // that deterministic under any partitioning (min ts among
-          // tied values), never iteration-order-dependent.
+          // the extreme value resolve to the LATEST sample — the
+          // upstream walk uses NON-strict comparisons (`<=`/`>=`),
+          // so a later equal sample replaces the held one; the
+          // struct aggregates below make that deterministic under
+          // any partitioning (max ts among tied values), never
+          // iteration-order-dependent.
           case "ts_of_last_over_time" => rows.groupBy(ls.map(col): _*)
             .agg((max(col(TS)) / lit(1000.0)).as("value"))
           case "ts_of_min_over_time" => rows.groupBy(ls.map(col): _*)
-            .agg(min(struct(v.as("_v"), col(TS).as("_ts"))).as("_m"))
-            .select(ls.map(col) :+ (col("_m._ts") / lit(1000.0)).as("value"): _*)
-          case "ts_of_max_over_time" => rows.groupBy(ls.map(col): _*)
-            // max struct picks the largest value, then the largest
-            // NEGATED ts = the smallest ts among the tied maxima
-            .agg(max(struct(v.as("_v"), (-col(TS)).as("_nts"))).as("_m"))
+            // min struct picks the smallest value, then the smallest
+            // NEGATED ts = the largest ts among the tied minima
+            .agg(min(struct(v.as("_v"), (-col(TS)).as("_nts"))).as("_m"))
             .select(ls.map(col) :+
               (-col("_m._nts") / lit(1000.0)).as("value"): _*)
+          case "ts_of_max_over_time" => rows.groupBy(ls.map(col): _*)
+            .agg(max(struct(v.as("_v"), col(TS).as("_ts"))).as("_m"))
+            .select(ls.map(col) :+ (col("_m._ts") / lit(1000.0)).as("value"): _*)
           case "stddev_over_time" | "stdvar_over_time" =>
             PromOps.stdvarOverTime(rows, ls, ctx.valueCol)
               .withColumn("value",

@@ -129,8 +129,9 @@ class PromQLCompilerSpec extends SparkSpec {
         Seq("web", "i1", (T0 + 2400000L) / 1000.0)))
   }
 
-  test("ts_of_min/max_over_time ties resolve to the earliest sample") {
-    // values 5,7,5,7 at 00:00/:10/:20/:30 — both extremes occur twice
+  test("ts_of_min/max_over_time ties resolve to the latest sample") {
+    // values 5,7,5,7 at 00:00/:10/:20/:30 — both extremes occur
+    // twice; upstream's non-strict (<=/>=) walk keeps the LAST
     val tied = Seq(
       ("a", "x", ts("2024-01-01 00:00:00"), 5.0, 1L),
       ("a", "x", ts("2024-01-01 00:10:00"), 7.0, 2L),
@@ -140,10 +141,10 @@ class PromQLCompilerSpec extends SparkSpec {
     val tctx = ctx.copy(metrics = Map("m" -> tied))
     assert(PromQL.compile("ts_of_min_over_time(m[1h])", tctx)
       .collect().map(_.toSeq).toSet ==
-      Set(Seq("a", "x", T0 / 1000.0)))
+      Set(Seq("a", "x", (T0 + 1200000L) / 1000.0)))
     assert(PromQL.compile("ts_of_max_over_time(m[1h])", tctx)
       .collect().map(_.toSeq).toSet ==
-      Set(Seq("a", "x", (T0 + 600000L) / 1000.0)))
+      Set(Seq("a", "x", (T0 + 1800000L) / 1000.0)))
   }
 
   test("resets and changes") {

@@ -2,7 +2,15 @@
 """Local stand-in for the driver's correctness gate: for each result
 directory written by graft.Verify, run the matching oracle SQL in
 DuckDB over the same sf parquet tables and compare (rows, schema,
-values) with columns sorted by name and rows sorted by all columns.
+values, LOGICAL TYPES) with columns sorted by name and rows sorted by
+all columns.
+
+The driver's hash is type-aware: identical values hash differently
+when DuckDB types an aggregate HUGEINT (uncast sum()) while Spark
+emits BIGINT, or INTEGER vs BIGINT. So this gate also DESCRIBEs both
+relations and fails on any per-column logical-type mismatch — the
+class of bug that cost ts_native_hist_sum/pipe_pack_sequences in r7
+and that value-compare alone can never catch.
 
 Usage: compare_oracle.py <verify_out_dir> <sf_dir>
 """
@@ -31,6 +39,12 @@ def canon(rows):
         out.append(tuple(canon_row))
     out.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
     return out
+
+
+def described_types(con, query):
+    """column name -> DuckDB logical type, for an arbitrary query."""
+    return {r[0]: r[1]
+            for r in con.execute(f"DESCRIBE {query}").fetchall()}
 
 
 def main():
@@ -69,13 +83,24 @@ def main():
             idx = [duck_cols_all.index(c) for c in duck_cols]
             duck_rows = [tuple(r[i] for i in idx) for r in duck_rows_raw]
             schema_ok = spark_cols == duck_cols
+            spark_types = described_types(
+                con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            duck_types = described_types(con, f"({oracle[name]})")
+            type_diffs = sorted(
+                (c, spark_types.get(c), duck_types.get(c))
+                for c in set(spark_types) | set(duck_types)
+                if spark_types.get(c) != duck_types.get(c))
+            types_ok = not type_diffs
             a, b = canon(spark_rows), canon(duck_rows)
             rows_ok = len(a) == len(b)
             hash_ok = a == b
-            ok = schema_ok and rows_ok and hash_ok
+            ok = schema_ok and rows_ok and hash_ok and types_ok
             status = "oracle"
             detail = (f"rows={len(a)}/{len(b)} schema={schema_ok} "
-                      f"values={hash_ok}")
+                      f"values={hash_ok} types={types_ok}")
+            if type_diffs:
+                detail += " type_diffs=" + "; ".join(
+                    f"{c}: spark={s} duck={d}" for c, s, d in type_diffs)
             if not ok and schema_ok and rows_ok:
                 for i, (x, y) in enumerate(zip(a, b)):
                     if x != y:
