@@ -289,6 +289,47 @@ object PlanAudit {
         "no nested-loop join" -> "BroadcastNestedLoopJoin",
         "no cartesian product" -> "CartesianProduct"))
 
+    // GLOBAL topk (no `by`): must plan TakeOrderedAndProject — each
+    // task keeps its partial top-k and only k rows move — and no
+    // window of any kind may appear (the old shape was a
+    // single-partition WindowExec over the whole aggregated vector).
+    audit("ts_promql_topk_offset",
+      SparkEntry.queries("ts_promql_topk_offset")(spark, dir),
+      Map("global top-k is TakeOrderedAndProject" -> "TakeOrderedAndProject"),
+      forbid = Map("no window operator at all" -> "Window"))
+
+    // limitk BY a label: the row_number-≤-k shape must give Spark 4's
+    // rank pushdown (WindowGroupLimit) so each task emits at most k
+    // rows per group before the window exchange.
+    audit("ts_promql_limitk",
+      SparkEntry.queries("ts_promql_limitk")(spark, dir),
+      Map("rank pushdown (WindowGroupLimit)" -> "WindowGroupLimit"),
+      forbid = Map("no cartesian product" -> "CartesianProduct",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin"))
+
+    // limit_ratio: the selection itself is a pure narrow sha256
+    // filter — the plan's ONLY hash exchange is the inner
+    // aggregation's (the display orderBy adds a range exchange), and
+    // there is no join anywhere.
+    {
+      val lrDf = SparkEntry.queries("ts_promql_limit_ratio")(spark, dir)
+      val lrPlan = lrDf.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val nHash = "Arguments: hashpartitioning".r.findAllIn(lrPlan).size
+      val ok = nHash <= 1 && !lrPlan.contains("Join")
+      println(s"[audit] ts_promql_limit_ratio :: narrow filter adds no exchange/join (hash exchanges=$nHash) -> ${if (ok) "OK" else "FAIL"}")
+      if (!ok) failures ::= "ts_promql_limit_ratio: narrow filter"
+    }
+
+    // mad_over_time: median then MAD-about-median — two hash aggs
+    // and one equi-join on the SAME series key; never a
+    // cartesian/nested-loop pairing of the two aggregates.
+    audit("ts_promql_mad",
+      SparkEntry.queries("ts_promql_mad")(spark, dir),
+      Map.empty,
+      forbid = Map("no cartesian product" -> "CartesianProduct",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin"))
+
     // Native-histogram metrics through the front-end: the hist
     // selector shares scanFiltered, so over a PARQUET-backed hist
     // table the matcher AND the instant-lookback time range reach

@@ -434,10 +434,30 @@ object PromOps {
       .agg(sum(col(valueCol).cast("decimal(30,8)")).cast("double")
         .as("sum_value"))
     val ord = if (largest) col("sum_value").desc else col("sum_value").asc
-    val w = Window.partitionBy(groupCols.map(col): _*)
-      .orderBy(ord +: seriesCols.map(col): _*)
-    perSeries.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    if (groupCols.isEmpty) {
+      // GLOBAL top-k: orderBy + limit plans TakeOrderedAndProject —
+      // map-side partial top-k, only k rows move — instead of a
+      // single-partition WindowExec over every series. Rank is then
+      // recomputed among the k survivors with a tiny k-row broadcast
+      // peer count (rank = #peers at-or-before in the total order),
+      // so no "No Partition Defined" window ever appears.
+      val top = perSeries.orderBy(ord +: seriesCols.map(col): _*).limit(k)
+      // struct asc ordering == (ord, seriesCols...) ranking order
+      val key = struct(
+        (if (largest) -col("sum_value") else col("sum_value")).as("_o") +:
+          seriesCols.map(col): _*)
+      val keyed = top.withColumn("_key", key)
+      keyed.join(broadcast(keyed.select(col("_key").as("_peer"))),
+          col("_peer") <= col("_key"))
+        .groupBy((seriesCols.map(col) :+ col("sum_value")): _*)
+        .agg(count(lit(1)).cast("long").as("rank"))
+        .select((seriesCols.map(col) :+ col("sum_value") :+ col("rank")): _*)
+    } else {
+      val w = Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(ord +: seriesCols.map(col): _*)
+      perSeries.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+    }
   }
 
   /** PromQL `changes`: per-series count of consecutive-sample value

@@ -1189,11 +1189,20 @@ object PromQL {
           // step) with a total-order tiebreak on the remaining labels
           val ord0 = if (a.op == "topk") col("value").desc else col("value").asc
           val rest = v.labels.filterNot(g.contains)
-          val w = (if (k.isEmpty) Window.partitionBy(lit(1))
-            else Window.partitionBy(k.map(col): _*))
-            .orderBy(ord0 +: rest.map(col): _*)
-          Vec(v.df.withColumn("_rk", row_number().over(w))
-            .filter(col("_rk") <= kk).drop("_rk"), v.labels)
+          if (k.isEmpty)
+            // GLOBAL top-k (instant query, no grouping): orderBy +
+            // limit plans TakeOrderedAndProject — each task keeps its
+            // partial top-k and only k rows ever move, vs a
+            // single-partition WindowExec funneling the whole vector
+            // through one task at 100M-series scale
+            Vec(v.df.orderBy(ord0 +: rest.map(col(_).asc): _*).limit(kk),
+              v.labels)
+          else {
+            val w = Window.partitionBy(k.map(col): _*)
+              .orderBy(ord0 +: rest.map(col): _*)
+            Vec(v.df.withColumn("_rk", row_number().over(w))
+              .filter(col("_rk") <= kk).drop("_rk"), v.labels)
+          }
         case "limitk" =>
           // Prometheus (experimental): "k arbitrary elements" per
           // group; a cluster needs determinism, so graft's pick is
@@ -1203,11 +1212,20 @@ object PromQL {
             "limitk k").toInt
           if (kk <= 0) fail("limitk k must be positive")
           val rest = v.labels.filterNot(g.contains)
-          val ord = if (rest.isEmpty) Seq(lit(1).asc) else rest.map(col(_).asc)
-          val w = (if (k.isEmpty) Window.partitionBy(lit(1))
-            else Window.partitionBy(k.map(col): _*)).orderBy(ord: _*)
-          Vec(v.df.withColumn("_rk", row_number().over(w))
-            .filter(col("_rk") <= kk).drop("_rk"), v.labels)
+          if (k.isEmpty)
+            // global limitk: first k in label order via
+            // TakeOrderedAndProject (or a plain CollectLimit when the
+            // vector carries no labels at all) — never a
+            // single-partition window
+            Vec(if (rest.isEmpty) v.df.limit(kk)
+              else v.df.orderBy(rest.map(col(_).asc): _*).limit(kk),
+              v.labels)
+          else {
+            val ord = if (rest.isEmpty) Seq(lit(1).asc) else rest.map(col(_).asc)
+            val w = Window.partitionBy(k.map(col): _*).orderBy(ord: _*)
+            Vec(v.df.withColumn("_rk", row_number().over(w))
+              .filter(col("_rk") <= kk).drop("_rk"), v.labels)
+          }
         case "limit_ratio" =>
           // Prometheus (experimental): deterministic ~r sample of the
           // vector's elements decided per element by a label-set
@@ -1338,13 +1356,24 @@ object PromQL {
       * [[PromOps.binaryOpGroupLeft]] pattern on both sides.
       */
     private def uniqueOn(df: DataFrame, on: Seq[String], side: String): DataFrame = {
-      val w = if (on.isEmpty) Window.partitionBy(lit(1))
-        else Window.partitionBy(on.map(col): _*)
-      df.withColumn("_card", count(lit(1)).over(w))
-        .withColumn("value", when(col("_card") > 1,
-            raise_error(concat(lit(s"one-to-one vector matching: $side side not unique on("),
-              lit(on.mkString(",")), lit(")"))))
-          .otherwise(col("value")))
+      val err = raise_error(concat(
+        lit(s"one-to-one vector matching: $side side not unique on("),
+        lit(on.mkString(",")), lit(")")))
+      val guarded =
+        if (on.isEmpty) {
+          // on() matches the WHOLE vector: the cardinality guard is a
+          // global count — one partial (map-side) aggregation whose
+          // 1-row result broadcasts back, never a single-partition
+          // window over the full vector
+          df.crossJoin(broadcast(df.groupBy()
+            .agg(count(lit(1)).as("_card"))))
+        } else {
+          val w = Window.partitionBy(on.map(col): _*)
+          df.withColumn("_card", count(lit(1)).over(w))
+        }
+      guarded
+        .withColumn("value",
+          when(col("_card") > 1, err).otherwise(col("value")))
         .drop("_card")
     }
 
