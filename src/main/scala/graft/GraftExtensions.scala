@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ChunkDecode, ChunkEncode, DotProduct, HistChunkDecode, HistChunkEncode, MinHashSignature, NgramShingles, SimHashFingerprint}
+import graft.functions.{ChunkDecode, ChunkEncode, DotProduct, FloatHistChunkDecode, FloatHistChunkEncode, HistChunkDecode, HistChunkEncode, MinHashSignature, NgramShingles, SimHashFingerprint}
 
 /** Session extension registering graft's native expressions as SQL
   * functions, so `spark.sql("SELECT graft_dot(a, b) ...")`,
@@ -151,9 +151,33 @@ object GraftFunctions {
       HistChunkDecode(children.head, children(1), children(2))
     })
 
+  private[graft] val floatHistChunkEncode: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_float_hist_chunk_encode"),
+    new ExpressionInfo(classOf[FloatHistChunkEncode].getName,
+      "graft_float_hist_chunk_encode"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        "graft_float_hist_chunk_encode(samples, schema, samplesPerChunk) takes exactly 3 arguments")
+      FloatHistChunkEncode(children.head, intLit(children(1), "schema"),
+        intLit(children(2), "samplesPerChunk"))
+    })
+
+  private[graft] val floatHistChunkDecode: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_float_hist_chunk_decode"),
+    new ExpressionInfo(classOf[FloatHistChunkDecode].getName,
+      "graft_float_hist_chunk_decode"),
+    (children: Seq[Expression]) => {
+      require(children.length == 3,
+        "graft_float_hist_chunk_decode(blob, mint, maxt) takes exactly 3 arguments")
+      FloatHistChunkDecode(children.head, children(1), children(2))
+    })
+
   private[graft] val all =
     Seq(dotProduct, shingles, minhashSignature, simhash, chunkEncode,
-      chunkDecode, histChunkEncode, histChunkDecode)
+      chunkDecode, histChunkEncode, histChunkDecode,
+      floatHistChunkEncode, floatHistChunkDecode)
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit = {

@@ -1450,6 +1450,52 @@ object SparkEntry {
       .orderBy("event_type", "user_id", "ts_us", "idx")
   }
 
+  /** FLOAT-histogram chunk roundtrip
+    * ([[tsdb.HistChunkCodec.encodeFloatBlob]] /
+    * [[functions.FloatHistChunkEncode]]): the reference's
+    * EncFloatHistogram side of the third encoding family
+    * (schema/encoder.go:118-196) — bucket counts and the zero count
+    * are DOUBLES (what recording rules emit), XOR-window encoded
+    * under the same layout-reuse/delta-of-delta scheme; bucket 5
+    * still appears mid-series so the layout-change record runs on
+    * the gate. Counts are exact dyadic quarters/halves of the
+    * counter fixture, so the re-derived oracle is bit-equal — the
+    * hash match proves encode→frame→decode loses no double (NaN and
+    * non-dyadic deltas are spec-pinned in HistChunkCodecSpec).
+    */
+  private def tsFloatHistRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val h = nativeHistCounterTable(s, dir)
+      .withColumn("zero_f",
+        (col("d") * (col("sseed") % 3)).cast("double") * 0.5)
+      .withColumn("cnt_f",
+        transform(col("pos_counts"), c => c.cast("double") * 0.25))
+      .withColumn("hsum",
+        (col("d") * ((col("sseed") % 7) + 1)).cast("double") * 0.25)
+      .withColumn("ts_us", col("d") * 86400000000L)
+    val sample = struct(col("ts_us").as("ts"), col("zero_f").as("zero"),
+      col("pos_idx").as("idx"), col("cnt_f").as("cnt"),
+      col("hsum").as("sum"))
+    val enc = ColumnBridge.column(functions.FloatHistChunkEncode(
+      ColumnBridge.expression(sort_array(collect_list(sample))),
+      histSchema = 0, samplesPerChunk = 10))
+    val dec = ColumnBridge.column(functions.FloatHistChunkDecode(
+      ColumnBridge.expression(col("blob")),
+      ColumnBridge.expression(lit(0L)),
+      ColumnBridge.expression(lit(Long.MaxValue))))
+    h.groupBy(col("event_type"), col("user_id")).agg(enc.as("blob"))
+      .select(col("event_type"), col("user_id"), explode(dec).as("s"))
+      .select(col("event_type"), col("user_id"),
+        col("s.ts").as("ts_us"), col("s.zero").as("zero_count"),
+        col("s.sum").as("hsum"),
+        explode(zip_with(col("s.idx"), col("s.cnt"),
+          (i, c) => struct(i.as("i"), c.as("c")))).as("b"))
+      .select(col("event_type"), col("user_id"), col("ts_us"),
+        col("zero_count"), col("hsum"),
+        col("b.i").as("idx"), col("b.c").as("cnt"))
+      .orderBy("event_type", "user_id", "ts_us", "idx")
+  }
+
   private def histChunkBlockPath(dir: String): String =
     "/tmp/graft_histchunk_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
 
@@ -2102,6 +2148,7 @@ object SparkEntry {
     "ts_promql_ts_of" -> (tsPromqlTsOf _),
     "ts_promql_group_right" -> (tsPromqlGroupRight _),
     "ts_hist_chunk_roundtrip" -> (tsHistChunkRoundtrip _),
+    "ts_float_hist_roundtrip" -> (tsFloatHistRoundtrip _),
     "ts_hist_chunk_select" -> (tsHistChunkSelect _),
     "ts_promql_nh_chunked" -> (tsPromqlNhChunked _),
     "ts_promql_nh_quantile_rate" -> (tsPromqlNhQuantileRate _),
@@ -3316,6 +3363,27 @@ object SparkEntry {
         |  CAST(d * ((sseed % 7) + 1) AS DOUBLE) * 0.25 AS hsum,
         |  CAST(i AS INT) AS idx,
         |  d*d*((sseed + i + 3) % 5) AS cnt
+        |FROM base, unnest(range(-2, 6)) AS t(i)
+        |WHERE i <= (CASE WHEN d >= 19740 THEN 5 ELSE 4 END)
+        |ORDER BY event_type, user_id, ts_us, idx""".stripMargin,
+    // float roundtrip = identity over the FLOAT fixture (exact
+    // dyadic halves/quarters of the counter fixture) — the
+    // EncFloatHistogram codec must lose no double
+    "ts_float_hist_roundtrip" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |base AS (
+        |  SELECT event_type, user_id, d,
+        |    user_id * 31 + length(event_type) AS sseed,
+        |    CAST(d * 86400000000 AS BIGINT) AS ts_us
+        |  FROM days)
+        |SELECT event_type, user_id, ts_us,
+        |  CAST(d * (sseed % 3) AS DOUBLE) * 0.5 AS zero_count,
+        |  CAST(d * ((sseed % 7) + 1) AS DOUBLE) * 0.25 AS hsum,
+        |  CAST(i AS INT) AS idx,
+        |  CAST(d*d*((sseed + i + 3) % 5) AS DOUBLE) * 0.25 AS cnt
         |FROM base, unnest(range(-2, 6)) AS t(i)
         |WHERE i <= (CASE WHEN d >= 19740 THEN 5 ELSE 4 END)
         |ORDER BY event_type, user_id, ts_us, idx""".stripMargin,

@@ -80,6 +80,65 @@ case class ChunkDecode(blob: Expression, qmint: Expression, qmaxt: Expression)
     copy(blob = newFirst, qmint = newSecond, qmaxt = newThird)
 }
 
+/** `float_hist_chunk_encode(samples, schema, samplesPerChunk)`:
+  * sorted FLOAT-histogram samples → framed EncFloatHistogram blob
+  * ([[graft.tsdb.HistChunkCodec.encodeFloatBlob]] — layout reuse +
+  * XOR-windowed double counts).
+  */
+case class FloatHistChunkEncode(child: Expression, histSchema: Int,
+    samplesPerChunk: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(samplesPerChunk > 0, "samplesPerChunk must be positive")
+
+  override def inputTypes = Seq(ArrayType(HistChunkExpressions.floatSampleType))
+
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(v: Any): Any =
+    HistChunkCodec.encodeFloatArrayData(v.asInstanceOf[ArrayData],
+      histSchema, samplesPerChunk)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.tsdb.HistChunkCodec.encodeFloatArrayData($c, $histSchema, $samplesPerChunk);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `float_hist_chunk_decode(blob, qmint, qmaxt)`: framed
+  * EncFloatHistogram blob → float-histogram samples of the chunks
+  * whose frame header overlaps [qmint, qmaxt]; skipped bodies never
+  * parsed.
+  */
+case class FloatHistChunkDecode(blob: Expression, qmint: Expression,
+    qmaxt: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def first: Expression = blob
+  override def second: Expression = qmint
+  override def third: Expression = qmaxt
+
+  override def inputTypes = Seq(BinaryType, LongType, LongType)
+
+  override def dataType: DataType =
+    ArrayType(HistChunkExpressions.floatSampleType, containsNull = false)
+
+  override def nullSafeEval(b: Any, mi: Any, ma: Any): Any =
+    HistChunkCodec.decodeFloatToArrayData(b.asInstanceOf[Array[Byte]],
+      mi.asInstanceOf[Long], ma.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, mi, ma) =>
+      s"${ev.value} = graft.tsdb.HistChunkCodec.decodeFloatToArrayData($b, $mi, $ma);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(blob = newFirst, qmint = newSecond, qmaxt = newThird)
+}
+
 /** The NATIVE-histogram sample struct both hist chunk expressions
   * share: one exponential-bucket histogram per element, sum nullable
   * (a sum-less counter series carries null in every row).
@@ -91,6 +150,17 @@ object HistChunkExpressions {
     StructField("idx", ArrayType(IntegerType, containsNull = false),
       nullable = false),
     StructField("cnt", ArrayType(LongType, containsNull = false),
+      nullable = false),
+    StructField("sum", DoubleType, nullable = true)))
+
+  /** FLOAT-histogram sample struct (EncFloatHistogram family): zero
+    * count and bucket counts are doubles. */
+  val floatSampleType: StructType = StructType(Seq(
+    StructField("ts", LongType, nullable = false),
+    StructField("zero", DoubleType, nullable = false),
+    StructField("idx", ArrayType(IntegerType, containsNull = false),
+      nullable = false),
+    StructField("cnt", ArrayType(DoubleType, containsNull = false),
       nullable = false),
     StructField("sum", DoubleType, nullable = true)))
 }

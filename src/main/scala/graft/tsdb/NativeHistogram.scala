@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   *     covering `(base^(i-1), base^i]` with `base = 2^(2^-schema)`
   *     (Prometheus's exponential schema; negative indexes are
   *     fractional boundaries),
-  *   - `pos_counts`: array<long>, observations per bucket.
+  *   - `pos_counts`: array<long> (integer histograms) or
+  *     array<double> (FLOAT histograms — recording-rule output, the
+  *     EncFloatHistogram family): every fold below accumulates in
+  *     double, so both count types run the same analytics.
   * Span run-length plumbing is a wire-format detail of the chunk
   * encoding; the flattened (idx, count) arrays are the same
   * information the iterator yields after decoding.
@@ -159,8 +162,11 @@ object NativeHistogram {
       zeroCountCol: String, posIdxCol: String,
       posCountsCol: String): DataFrame = {
     val keys = seriesCols.map(col)
+    // zero rides as double so the same path serves FLOAT histograms
+    // (double bucket counts — recording-rule output); integer counts
+    // stay exact below 2^53
     val snap = struct(col(tsSecCol).cast("long").as("t"),
-      col(zeroCountCol).cast("long").as("z"),
+      col(zeroCountCol).cast("double").as("z"),
       col(posIdxCol).as("i"), col(posCountsCol).as("c"))
     val ends = df.groupBy(keys: _*)
       .agg(min(snap).as("first"), max(snap).as("last"),
@@ -170,7 +176,7 @@ object NativeHistogram {
     val firstMap = map_from_arrays(col("first.i"), col("first.c"))
     ends.select(keys ++ Seq(
       dt.as("dt_sec"),
-      (greatest(col("last.z") - col("first.z"), lit(0L)).cast("double") / dt)
+      (greatest(col("last.z") - col("first.z"), lit(0.0)).cast("double") / dt)
         .as("zero_rate"),
       col("last.i").as("pos_idx"),
       zip_with(col("last.i"), col("last.c"), (i, c) =>

@@ -203,4 +203,116 @@ class HistChunkCodecSpec extends SparkSpec {
     assert(row.getSeq[Int](2) == Seq(2) && row.getSeq[Long](3) == Seq(4L))
     assert(row.isNullAt(4))
   }
+
+  // ----- FLOAT-histogram family (EncFloatHistogram) -----
+
+  import graft.tsdb.HistChunkCodec.FloatSamples
+
+  private def assertSameF(a: FloatSamples, b: FloatSamples): Unit = {
+    def bits(x: Array[Double]) =
+      x.map(java.lang.Double.doubleToRawLongBits).toSeq
+    assert(a.ts.toSeq == b.ts.toSeq, "ts")
+    assert(bits(a.zero) == bits(b.zero), "zero bits")
+    assert(a.idx.map(_.toSeq).toSeq == b.idx.map(_.toSeq).toSeq, "idx")
+    assert(a.cnt.map(bits).toSeq == b.cnt.map(bits).toSeq, "cnt bits")
+    if (a.sums == null) assert(b.sums == null, "sums null")
+    else assert(bits(a.sums) == bits(b.sums), "sums bits")
+  }
+
+  // float counter with NON-dyadic deltas (0.1 steps — every value
+  // carries a full mantissa), a NaN bucket count and a NaN sum, a
+  // signed zero, and a layout change at sample 2
+  private def floatFixture: FloatSamples = FloatSamples(
+    ts = Array(1000000L, 16000000L, 31000000L, 46000000L, 61000000L),
+    zero = Array(0.0, 0.3, 0.6, -0.0, 2.5),
+    idx = Array(
+      Array(-1, 0, 2), Array(-1, 0, 2), Array(-1, 0, 2, 3),
+      Array(-1, 0, 2, 3), Array(-1, 0, 2, 3)),
+    cnt = Array(
+      Array(0.1, 4.2, 2.0), Array(0.2, 4.3, 7.7), Array(0.3, 6.1, 9.9, 1.5),
+      Array(0.4, Double.NaN, 12.0, 1.5), Array(0.5, 8.8, 12.1, 4.0)),
+    sums = Array(0.25, 7.85, 19.5, Double.NaN, 42.1))
+
+  test("float chunk roundtrip is bit-exact: non-dyadic deltas, NaN, -0.0, layout change") {
+    val f = floatFixture
+    val enc = HistChunkCodec.encodeFloatChunk(f.ts, f.zero, f.idx, f.cnt,
+      f.sums, schema = 1)
+    val (dec, schema) = HistChunkCodec.decodeFloatChunk(enc, 0, enc.length)
+    assert(schema == 1)
+    assertSameF(f, dec)
+  }
+
+  test("float sum-less series and empty histograms roundtrip") {
+    val s = FloatSamples(
+      ts = Array(10L, 20L, 30L),
+      zero = Array(0.0, 0.0, 4.25),
+      idx = Array(Array.empty[Int], Array(1), Array.empty[Int]),
+      cnt = Array(Array.empty[Double], Array(9.5), Array.empty[Double]),
+      sums = null)
+    val enc = HistChunkCodec.encodeFloatChunk(s.ts, s.zero, s.idx, s.cnt,
+      null, schema = -3)
+    val (dec, schema) = HistChunkCodec.decodeFloatChunk(enc, 0, enc.length)
+    assert(schema == -3)
+    assertSameF(s, dec)
+  }
+
+  test("float blob framing: ordinal 3, header skip leaves corrupted bodies unparsed") {
+    val f = floatFixture
+    val blob = HistChunkCodec.encodeFloatBlob(f, schema = 0,
+      samplesPerChunk = 2)
+    val (all, _) = HistChunkCodec.decodeFloatBlob(blob, 0L, Long.MaxValue)
+    assertSameF(f, all)
+    val fs = HistChunkCodec.frames(blob)
+    assert(fs.length == 3 &&
+      fs.forall(_._1 == HistChunkCodec.EncFloatHistogram))
+    val (mid, _) = HistChunkCodec.decodeFloatBlob(blob, 31000000L, 46000000L)
+    assert(mid.ts.toSeq == Seq(31000000L, 46000000L))
+    val corrupted = blob.clone()
+    java.util.Arrays.fill(corrupted, fs.last._4, corrupted.length, 0x5a.toByte)
+    val (kept, _) = HistChunkCodec.decodeFloatBlob(corrupted, 0L, 46000000L)
+    assert(kept.ts.toSeq == f.ts.take(4).toSeq)
+  }
+
+  test("float codec density: XOR windows beat the 88 B/sample row model") {
+    val n = 5760
+    val rnd = new scala.util.Random(11)
+    val ts = (0 until n).map(i => 1700000000000000L + i.toLong * 15000000L).toArray
+    val idx = Array.fill(n)(Array(-2, -1, 0, 1, 2, 3, 4, 5))
+    val cnt = new Array[Array[Double]](n)
+    val zero = new Array[Double](n)
+    var running = Array.fill(8)(100.0)
+    var z = 100.0
+    for (i <- 0 until n) {
+      running = running.map(v => v + rnd.nextInt(3) * 0.1)
+      z += rnd.nextInt(2) * 0.1
+      cnt(i) = running.clone()
+      zero(i) = z
+    }
+    val blob = HistChunkCodec.encodeFloatBlob(
+      FloatSamples(ts, zero, idx, cnt, null), 0, 120)
+    val bps = blob.length.toDouble / n
+    info(f"8-bucket float counter, 0.1 steps: $bps%.2f B/sample")
+    // raw row model: 8 doubles + zero + ts = 88 B/sample; XOR'd
+    // same-exponent neighbors cost ~5 B each
+    assert(bps < 60.0)
+    val (dec, _) = HistChunkCodec.decodeFloatBlob(blob, 0L, Long.MaxValue)
+    assert(dec.cnt(n - 1).map(java.lang.Double.doubleToRawLongBits).toSeq ==
+      cnt(n - 1).map(java.lang.Double.doubleToRawLongBits).toSeq)
+  }
+
+  test("SQL registration: graft_float_hist_chunk_encode/decode work from SQL") {
+    graft.GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT graft_float_hist_chunk_decode(
+        |  graft_float_hist_chunk_encode(
+        |    array(named_struct('ts', 5L, 'zero', CAST(0.5 AS DOUBLE),
+        |      'idx', array(2), 'cnt', array(CAST(4.1 AS DOUBLE)),
+        |      'sum', CAST(2.25 AS DOUBLE))),
+        |    0, 120), 0L, 100L) AS s""".stripMargin)
+      .selectExpr("s[0].ts", "s[0].zero", "s[0].idx", "s[0].cnt", "s[0].sum")
+      .collect().head
+    assert(row.getLong(0) == 5L && row.getDouble(1) == 0.5)
+    assert(row.getSeq[Int](2) == Seq(2) && row.getSeq[Double](3) == Seq(4.1))
+    assert(row.getDouble(4) == 2.25)
+  }
 }
