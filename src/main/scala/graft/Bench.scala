@@ -26,6 +26,13 @@ import org.apache.spark.sql.SparkSession
   * cache pressure, GC history, broadcast/codegen caches). Slower
   * wall-clock (one SparkSession bring-up per query); same output
   * contract.
+  *
+  * The DEFAULT (in-suite) mode additionally re-runs the
+  * `SPARK_GRAFT_BENCH_ISOLATE_TOP` (default 10) heaviest queries
+  * isolated and ships both columns in the one JSON line
+  * (`"queries"` = in-suite medians, `"isolated"` = child-JVM
+  * medians), flagging any query whose in-suite median exceeds 2× its
+  * isolated one as a co-residency artifact on stderr.
   */
 object Bench {
 
@@ -48,29 +55,36 @@ object Bench {
       "-XX:+UseCodeCacheFlushing")
   }
 
-  /** Isolated mode: one child JVM per query, merged results. */
-  private def runIsolated(names: Seq[String], passes: Int): Unit = {
+  /** One child JVM running a single query's bench (warm-up +
+    * `passes` timed passes, fresh Spark session); returns its median.
+    */
+  private def runChild(name: String, passes: Int): Option[Double] = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val cp = System.getProperty("java.class.path")
-    val results = names.map { name =>
-      val pb = new ProcessBuilder(
-        (Seq(javaBin) ++ childJvmFlags ++ Seq("-cp", cp, "graft.Bench")): _*)
-      pb.environment().put("SPARK_GRAFT_ONLY", name)
-      pb.environment().remove("SPARK_GRAFT_BENCH_ISOLATE")
-      // child stderr flows straight to ours: reading stdout to EOF
-      // while stderr sits in a full pipe would deadlock exactly when
-      // a child fails loudly (Spark task retries easily exceed the
-      // pipe buffer) — the failure-diagnosis scenario this mode is for
-      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-      val proc = pb.start()
-      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-      proc.waitFor()
-      // child prints one JSON line: {"..."queries":{"<name>":sec},...}
-      val re = ("\"" + java.util.regex.Pattern.quote(name) + "\":(-?[0-9.]+)").r
-      val t = re.findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse(-1.0)
-      System.err.println(f"[bench-isolate] $name%-24s ${t}%.3f s")
-      (name, if (t >= 0) Some(t) else None)
-    }
+    val pb = new ProcessBuilder(
+      (Seq(javaBin) ++ childJvmFlags ++ Seq("-cp", cp, "graft.Bench")): _*)
+    pb.environment().put("SPARK_GRAFT_ONLY", name)
+    pb.environment().put("SPARK_GRAFT_BENCH_PASSES", passes.toString)
+    pb.environment().put("SPARK_GRAFT_BENCH_ISOLATE_TOP", "0")
+    pb.environment().remove("SPARK_GRAFT_BENCH_ISOLATE")
+    // child stderr flows straight to ours: reading stdout to EOF
+    // while stderr sits in a full pipe would deadlock exactly when
+    // a child fails loudly (Spark task retries easily exceed the
+    // pipe buffer) — the failure-diagnosis scenario this mode is for
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    proc.waitFor()
+    // child prints one JSON line: {"..."queries":{"<name>":sec},...}
+    val re = ("\"" + java.util.regex.Pattern.quote(name) + "\":(-?[0-9.]+)").r
+    val t = re.findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse(-1.0)
+    System.err.println(f"[bench-isolate] $name%-24s ${t}%.3f s")
+    if (t >= 0) Some(t) else None
+  }
+
+  /** Isolated mode: one child JVM per query, merged results. */
+  private def runIsolated(names: Seq[String], passes: Int): Unit = {
+    val results = names.map(name => (name, runChild(name, passes)))
     val qs = results.map { case (k, m) =>
       "\"" + k + s"""\":${m.map(v => f"$v%.3f").getOrElse("-1")}"""
     }.mkString("{", ",", "}")
@@ -135,7 +149,35 @@ object Bench {
     val errors = results.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
+
+    // Shared-JVM pressure diagnosis (bench hygiene): the TOP-N
+    // heaviest queries get an ISOLATED re-run — a fresh child JVM
+    // each (fresh code cache, fresh session) — and both columns ship
+    // in the one JSON line. A query whose in-suite median exceeds 2×
+    // its isolated median is a co-residency artifact (page-cache /
+    // JIT-cache pressure from 130 plans in one JVM), not a plan
+    // regression; the flag list makes that call mechanical instead
+    // of a per-round investigation. SPARK_GRAFT_BENCH_ISOLATE_TOP=0
+    // disables (the child JVMs set it to 0 themselves).
+    val isoTop = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE_TOP", "10")
+      .toInt
+    val isoJson = if (isoTop <= 0) "" else {
+      val heavy = results.collect { case (n, Some(t)) => (n, t) }
+        .sortBy(-_._2).take(isoTop)
+      val iso = heavy.map { case (n, _) =>
+        (n, runChild(n, passes = math.min(passes, 3)))
+      }
+      val pressured = heavy.zip(iso).collect {
+        case ((n, suite), (_, Some(alone))) if suite > 2 * alone => n
+      }
+      if (pressured.nonEmpty)
+        System.err.println(
+          s"[bench] in-suite > 2x isolated (pressure artifacts): ${pressured.mkString(", ")}")
+      iso.map { case (k, m) =>
+        "\"" + k + s"""\":${m.map(v => f"$v%.3f").getOrElse("-1")}"""
+      }.mkString(""","isolated":{""", ",", "}")
+    }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"passes":$passes$isoJson,"sf":"$sfDir"}""")
   }
 }

@@ -181,6 +181,48 @@ class PipelineSpec extends SparkSpec {
       Seq((0L, 0L, 8L, 0L, 1L), (0L, 1L, 8L, 1L, 5L)))
   }
 
+  test("packSequences coverage is shard-count-invariant; default sizes from input partitions") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c"), (8L, "d e f g h"), (16L, "i j"), (24L, "k l m n"),
+      (1L, "p q r s t u v"), (9L, ""), (5L, "w x y"), (13L, "z")
+    ).toDF("doc_id", "text")
+    // the per-shard coverage contract holds for ANY shard count —
+    // only the (shard, seq_id) labeling changes: every non-empty
+    // doc's tokens covered exactly once by contiguous spans, every
+    // sequence full except each shard's last. nShards ≤ 0 (default)
+    // sizes from the input's partition count, so the contract must
+    // hold there without naming a count at all.
+    for (n <- Seq(1, 3, 5, 0)) {
+      val out = graft.operators.Pipeline
+        .packSequences(docs, "doc_id", "text", maxLen = 4, nShards = n)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      val perDoc = out.groupBy(_._3).view
+        .mapValues(_.map(s => s._5 - s._4).sum)
+      assert(perDoc.toMap == Map(0L -> 3L, 8L -> 5L, 16L -> 2L,
+        24L -> 4L, 1L -> 7L, 5L -> 3L, 13L -> 1L), s"nShards=$n coverage")
+      out.groupBy(_._3).foreach { case (_, spans) =>
+        val sorted = spans.sortBy(_._4)
+        assert(sorted.head._4 == 0L)
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(a._5 == b._4)
+          case _ => ()
+        }
+      }
+      val perSeq = out.groupBy(s => (s._1, s._2)).view
+        .mapValues(_.map(s => s._5 - s._4).sum).toMap
+      val lastSeq = out.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      perSeq.foreach { case ((shard, seq), tot) =>
+        if (seq < lastSeq(shard)) assert(tot == 4L, s"nShards=$n shard $shard seq $seq")
+        else assert(tot <= 4L)
+      }
+      // shard ids stay inside [0, effective shard count)
+      if (n > 0) assert(out.map(_._1).forall(s => s >= 0 && s < n))
+    }
+  }
+
   test("a near-dup chain collapses to its smallest member") {
     // 10 ~ 11 ~ 12 via one-word edits: component rep = 10
     val chain = Seq(
