@@ -29,11 +29,11 @@ final class TsdbQueryable(
     tsCol: String = "ts",
     valueCol: String = "value",
     materializedSeriesCallback: DataFrame => DataFrame = identity,
-    selectionCache: Option[SelectionCache] = None) {
+    selectionCache: Option[SelectionCache] = None,
+    labelsFilter: Option[Column] = None) {
 
   /** Integrator seam on the select path — the analog of the
-    * reference's `WithMaterializedSeriesCallback` /
-    * `WithMaterializedLabelsFilterCallback` options
+    * reference's `WithMaterializedSeriesCallback` option
     * (queryable/parquet_queryable.go:97-110): every materialized
     * selection flows through the callback before quotas/sorting, so
     * integrators can meter it (idiomatically: `df.observe(...)`, which
@@ -41,7 +41,23 @@ final class TsdbQueryable(
     * the receiver is unchanged.
     */
   def withMaterializedSeriesCallback(cb: DataFrame => DataFrame): TsdbQueryable =
-    new TsdbQueryable(df, labelCols, tsCol, valueCol, cb, selectionCache)
+    new TsdbQueryable(df, labelCols, tsCol, valueCol, cb, selectionCache,
+      labelsFilter)
+
+  /** The `WithMaterializedLabelsFilterCallback` analog
+    * (queryable/parquet_queryable.go:104-110): a predicate over the
+    * LABEL columns that every query path — select, selectStrict,
+    * selectSeries, labelNames, labelValues, labelCardinality —
+    * applies on top of the matchers. This is the tenancy/ACL seam: a
+    * filter the caller cannot express as matchers (e.g. a UDF-free
+    * `col("tenant").isin(...)` from an entitlement table) rides into
+    * the same pushed-down scan, so "filter after materialization"
+    * costs nothing extra at 100 TB when the predicate is
+    * Catalyst-expressible. Returns a NEW queryable.
+    */
+  def withMaterializedLabelsFilterCallback(pred: Column): TsdbQueryable =
+    new TsdbQueryable(df, labelCols, tsCol, valueCol,
+      materializedSeriesCallback, selectionCache, Some(pred))
 
   /** Attach a [[SelectionCache]] (the reference's
     * WithRowRangesForConstraintsCache option,
@@ -51,7 +67,7 @@ final class TsdbQueryable(
     */
   def withSelectionCache(cache: SelectionCache): TsdbQueryable =
     new TsdbQueryable(df, labelCols, tsCol, valueCol,
-      materializedSeriesCallback, Some(cache))
+      materializedSeriesCallback, Some(cache), labelsFilter)
 
   /** Cache key — the constraintsCacheKey analog
     * (search/constraint_cache.go:24-33): there
@@ -66,10 +82,13 @@ final class TsdbQueryable(
       matchers: Seq[Matcher], labels: Seq[String]): String =
     (df.queryExecution.analyzed.semanticHash().toString +:
       s"$mint/$maxt" +:
-      (matchers.map(_.toString) ++ labels)).mkString(":")
+      (matchers.map(_.toString) ++ labels ++
+        labelsFilter.map(_.toString).toSeq)).mkString(":")
 
-  private def withMatchers(matchers: Seq[Matcher]): DataFrame =
-    Matcher.compile(matchers).map(df.filter).getOrElse(df)
+  private def withMatchers(matchers: Seq[Matcher]): DataFrame = {
+    val matched = Matcher.compile(matchers).map(df.filter).getOrElse(df)
+    labelsFilter.map(matched.filter).getOrElse(matched)
+  }
 
   private def inRange(mint: String, maxt: String): Column =
     col(tsCol) >= lit(mint).cast("timestamp") &&

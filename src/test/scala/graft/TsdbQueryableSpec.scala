@@ -100,6 +100,27 @@ class TsdbQueryableSpec extends SparkSpec {
     assert(q.select("2024-01-01", "2024-03-01", Nil, Nil).count() == 4L)
   }
 
+  test("materializedLabelsFilterCallback gates every query path") {
+    import org.apache.spark.sql.functions.col
+    // the tenancy seam: only job=api series are visible, on top of
+    // whatever matchers the caller sends
+    val gated = q.withMaterializedLabelsFilterCallback(col("job") === "api")
+    assert(gated.select("2024-01-01", "2024-03-01", Nil, Nil)
+      .collect().map(_.getString(0)).toSet == Set("api"))
+    assert(gated.selectSeries("2024-01-01", "2024-03-01", Nil)
+      .collect().map(_.getString(0)).toSet == Set("api"))
+    assert(gated.labelValues("job").collect().map(_.getString(0)).toSeq ==
+      Seq("api"))
+    assert(gated.labelCardinality()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("job" -> 1L, "instance" -> 2L))
+    // composes with matchers: an impossible matcher under the gate
+    assert(gated.select("2024-01-01", "2024-03-01",
+      Seq(Matcher.Eq("job", "web")), Nil).count() == 0L)
+    // the receiver is unchanged
+    assert(q.labelValues("job").count() == 2L)
+  }
+
   test("labelCardinality: exact counts under matchers; HLL within 5%") {
     val exact = q.labelCardinality(Seq(Matcher.Eq("job", "api")))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
