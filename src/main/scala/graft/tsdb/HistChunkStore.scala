@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.functions.{HistChunkDecode, HistChunkEncode}
+import graft.functions.{FloatHistChunkDecode, FloatHistChunkEncode, HistChunkDecode, HistChunkEncode}
 
 /** [[ChunkStore]]'s dual-file layout for NATIVE-histogram series —
   * the reference's chunked storage applied to its third encoding
@@ -40,7 +40,27 @@ object HistChunkStore {
       tsCol: String, zeroCol: String, idxCol: String, cntCol: String,
       sumCol: Option[String] = None, histSchema: Int = 0,
       colDuration: String = "1 day", samplesPerChunk: Int = 120,
-      compression: String = "zstd"): Unit = {
+      compression: String = "zstd"): Unit =
+    writeImpl(df, path, seriesCols, tsCol, zeroCol, idxCol, cntCol,
+      sumCol, histSchema, colDuration, samplesPerChunk, compression,
+      float = false)
+
+  /** [[write]] for FLOAT histograms (`zeroCol` double; `cntCol`
+    * array<double> — recording-rule output): same dual-file layout,
+    * EncFloatHistogram chunk cells. */
+  def writeFloat(df: DataFrame, path: String, seriesCols: Seq[String],
+      tsCol: String, zeroCol: String, idxCol: String, cntCol: String,
+      sumCol: Option[String] = None, histSchema: Int = 0,
+      colDuration: String = "1 day", samplesPerChunk: Int = 120,
+      compression: String = "zstd"): Unit =
+    writeImpl(df, path, seriesCols, tsCol, zeroCol, idxCol, cntCol,
+      sumCol, histSchema, colDuration, samplesPerChunk, compression,
+      float = true)
+
+  private def writeImpl(df: DataFrame, path: String, seriesCols: Seq[String],
+      tsCol: String, zeroCol: String, idxCol: String, cntCol: String,
+      sumCol: Option[String], histSchema: Int, colDuration: String,
+      samplesPerChunk: Int, compression: String, float: Boolean): Unit = {
     require(seriesCols.nonEmpty, "need at least one series label column")
     val withKey = withSeriesRef(df, seriesCols)
       .withColumn("bucket", TsdbConverter.bucketCol(tsCol, colDuration))
@@ -55,14 +75,16 @@ object HistChunkStore {
 
     val sample = struct(
       col("_ts_us").as("ts"),
-      col(zeroCol).cast("long").as("zero"),
+      col(zeroCol).cast(if (float) "double" else "long").as("zero"),
       col(idxCol).cast("array<int>").as("idx"),
-      col(cntCol).cast("array<bigint>").as("cnt"),
+      col(cntCol).cast(if (float) "array<double>" else "array<bigint>")
+        .as("cnt"),
       sumCol.map(c => col(c).cast("double"))
         .getOrElse(lit(null).cast("double")).as("sum"))
-    val enc = ColumnBridge.column(HistChunkEncode(
-      ColumnBridge.expression(sort_array(collect_list(sample))),
-      histSchema, samplesPerChunk))
+    val sorted = ColumnBridge.expression(sort_array(collect_list(sample)))
+    val enc = ColumnBridge.column(
+      if (float) FloatHistChunkEncode(sorted, histSchema, samplesPerChunk)
+      else HistChunkEncode(sorted, histSchema, samplesPerChunk))
     withKey.groupBy(refCols.map(col) :+ col("bucket"): _*)
       .agg(
         min(col("_ts_us")).as("mint"),
@@ -83,7 +105,25 @@ object HistChunkStore {
     */
   def select(spark: SparkSession, path: String, mint: String, maxt: String,
       matchers: Seq[Matcher], seriesCols: Seq[String], tsCol: String,
-      colDuration: String = "1 day"): DataFrame = {
+      colDuration: String = "1 day"): DataFrame =
+    selectImpl(spark, path, mint, maxt, matchers, seriesCols, tsCol,
+      colDuration, float = false)
+
+  /** [[select]] over a block written by [[writeFloat]]: identical
+    * plan contract (labels pushdown, broadcast ref join, bucket +
+    * mint/maxt pruning, frame-header skip); `zero_count`/`pos_counts`
+    * come back as doubles — the [[NativeHistogram]] analytics fold in
+    * double, so quantile/fraction/stats/rate run on this output
+    * unchanged. */
+  def selectFloat(spark: SparkSession, path: String, mint: String,
+      maxt: String, matchers: Seq[Matcher], seriesCols: Seq[String],
+      tsCol: String, colDuration: String = "1 day"): DataFrame =
+    selectImpl(spark, path, mint, maxt, matchers, seriesCols, tsCol,
+      colDuration, float = true)
+
+  private def selectImpl(spark: SparkSession, path: String, mint: String,
+      maxt: String, matchers: Seq[Matcher], seriesCols: Seq[String],
+      tsCol: String, colDuration: String, float: Boolean): DataFrame = {
     val labels = spark.read.parquet(s"$path/labels")
     val matched = Matcher.compile(matchers).map(labels.filter).getOrElse(labels)
 
@@ -103,10 +143,15 @@ object HistChunkStore {
       .filter(col("maxt") >= qmint && col("mint") < qmaxt)
       .join(broadcast(matched), refCols)
 
-    val decoded = ColumnBridge.column(HistChunkDecode(
-      ColumnBridge.expression(col("data")),
-      ColumnBridge.expression(qmint),
-      ColumnBridge.expression(qmaxt)))
+    val decoded = ColumnBridge.column(
+      if (float) FloatHistChunkDecode(
+        ColumnBridge.expression(col("data")),
+        ColumnBridge.expression(qmint),
+        ColumnBridge.expression(qmaxt))
+      else HistChunkDecode(
+        ColumnBridge.expression(col("data")),
+        ColumnBridge.expression(qmint),
+        ColumnBridge.expression(qmaxt)))
     chunks
       .select((seriesCols.map(col) :+ explode(decoded).as("_s")): _*)
       .filter(col("_s.ts") >= qmint && col("_s.ts") < qmaxt)
@@ -126,11 +171,27 @@ object HistChunkStore {
     */
   def mergeBlocks(spark: SparkSession, dirs: Seq[String], outPath: String,
       seriesCols: Seq[String], tsCol: String, histSchema: Int = 0,
-      colDuration: String = "1 day", samplesPerChunk: Int = 120): Unit = {
+      colDuration: String = "1 day", samplesPerChunk: Int = 120): Unit =
+    mergeImpl(spark, dirs, outPath, seriesCols, tsCol, histSchema,
+      colDuration, samplesPerChunk, float = false)
+
+  /** [[mergeBlocks]] over [[writeFloat]] blocks. */
+  def mergeFloatBlocks(spark: SparkSession, dirs: Seq[String],
+      outPath: String, seriesCols: Seq[String], tsCol: String,
+      histSchema: Int = 0, colDuration: String = "1 day",
+      samplesPerChunk: Int = 120): Unit =
+    mergeImpl(spark, dirs, outPath, seriesCols, tsCol, histSchema,
+      colDuration, samplesPerChunk, float = true)
+
+  private def mergeImpl(spark: SparkSession, dirs: Seq[String],
+      outPath: String, seriesCols: Seq[String], tsCol: String,
+      histSchema: Int, colDuration: String, samplesPerChunk: Int,
+      float: Boolean): Unit = {
     require(dirs.nonEmpty, "need at least one block directory")
     val full = ("1970-01-01 00:00:00", "2200-01-01 00:00:00")
     val tagged = dirs.zipWithIndex.map { case (d, i) =>
-      select(spark, d, full._1, full._2, Nil, seriesCols, tsCol, colDuration)
+      selectImpl(spark, d, full._1, full._2, Nil, seriesCols, tsCol,
+          colDuration, float)
         .withColumn("_block", lit(i))
     }
     val merged = tagged.reduce(_ unionByName _)
@@ -142,8 +203,8 @@ object HistChunkStore {
         col("_top.pos_idx").as("pos_idx") :+
         col("_top.pos_counts").as("pos_counts") :+
         col("_top.hist_sum").as("hist_sum")): _*)
-    write(merged, outPath, seriesCols, tsCol, "zero_count", "pos_idx",
+    writeImpl(merged, outPath, seriesCols, tsCol, "zero_count", "pos_idx",
       "pos_counts", Some("hist_sum"), histSchema, colDuration,
-      samplesPerChunk)
+      samplesPerChunk, "zstd", float)
   }
 }

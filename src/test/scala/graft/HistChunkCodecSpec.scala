@@ -315,4 +315,52 @@ class HistChunkCodecSpec extends SparkSpec {
     assert(row.getSeq[Int](2) == Seq(2) && row.getSeq[Double](3) == Seq(4.1))
     assert(row.getDouble(4) == 2.25)
   }
+
+  test("HistChunkStore float path: writeFloat -> selectFloat roundtrip and LWW merge") {
+    import graft.tsdb.{HistChunkStore, Matcher}
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val blockA = Seq(
+      ("api", ts(1), 0.5, Seq(1), Seq(10.25), 2.5),
+      ("api", ts(2), 1.1, Seq(1), Seq(20.75), 5.0),
+      ("web", ts(1), 0.0, Seq(2), Seq(Double.NaN), 1.0)
+    ).toDF("job", "ts", "zero_count", "pos_idx", "pos_counts", "hsum")
+    val blockB = Seq(
+      ("api", ts(2), 1.3, Seq(1, 2), Seq(21.0, 4.5), 9.0),
+      ("api", ts(3), 2.0, Seq(1, 2), Seq(25.5, 6.0), 12.0)
+    ).toDF("job", "ts", "zero_count", "pos_idx", "pos_counts", "hsum")
+    val dirA = "/tmp/graft_test_fhistblk_a"
+    val dirB = "/tmp/graft_test_fhistblk_b"
+    val out = "/tmp/graft_test_fhistblk_m"
+    HistChunkStore.writeFloat(blockA, dirA, Seq("job"), "ts",
+      "zero_count", "pos_idx", "pos_counts", Some("hsum"))
+    HistChunkStore.writeFloat(blockB, dirB, Seq("job"), "ts",
+      "zero_count", "pos_idx", "pos_counts", Some("hsum"))
+    val sel = HistChunkStore.selectFloat(spark, dirA,
+        "2024-01-01", "2024-01-03", Seq(Matcher.Eq("job", "api")),
+        Seq("job"), "ts")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1),
+        r.getDouble(2), r.getSeq[Int](3), r.getSeq[Double](4),
+        r.getDouble(5)))
+      .toSet
+    assert(sel == Set(
+      ("api", ts(1), 0.5, Seq(1), Seq(10.25), 2.5),
+      ("api", ts(2), 1.1, Seq(1), Seq(20.75), 5.0)))
+    // NaN bucket counts survive the store bit-exactly
+    val nan = HistChunkStore.selectFloat(spark, dirA,
+        "2024-01-01", "2024-02-01", Seq(Matcher.Eq("job", "web")),
+        Seq("job"), "ts")
+      .collect().map(_.getSeq[Double](4)).head
+    assert(nan.length == 1 && nan.head.isNaN)
+    HistChunkStore.mergeFloatBlocks(spark, Seq(dirA, dirB), out,
+      Seq("job"), "ts")
+    val merged = HistChunkStore.selectFloat(spark, out,
+        "2024-01-01", "2024-02-01", Nil, Seq("job"), "ts")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1),
+        r.getDouble(2), r.getSeq[Double](4).sum, r.getDouble(5)))
+      .filter(!_._4.isNaN).toSet
+    assert(merged == Set(
+      ("api", ts(1), 0.5, 10.25, 2.5),
+      ("api", ts(2), 1.3, 25.5, 9.0), // block B's revision
+      ("api", ts(3), 2.0, 31.5, 12.0)))
+  }
 }

@@ -202,4 +202,42 @@ class PromQLNativeHistSpec extends SparkSpec {
       PromQL.compile("histogram_count(reqs)", floatCtx).collect())
     assert(e.getMessage.contains("native-histogram vector"))
   }
+
+  // ===== FLOAT histograms (double zero/bucket counts) =====
+
+  test("float-count hist vectors run the same compiled paths") {
+    // the same shape with DOUBLE counts (recording-rule output):
+    // every fold accumulates in double, so the identical queries
+    // compile and the values scale linearly with the counts
+    val fhist = Seq(
+      ("api", "i1", ts("2024-01-01 00:00:00"), 0.5, Seq(1, 2),
+        Seq(1.0, 2.0), 10.0),
+      ("api", "i1", ts("2024-01-01 00:50:00"), 1.5, Seq(1, 2),
+        Seq(3.0, 5.0), 34.0),
+      ("web", "i1", ts("2024-01-01 00:40:00"), 0.0, Seq(1), Seq(5.5), 30.5)
+    ).toDF("job", "instance", "ts", "zero_count", "pos_idx",
+      "pos_counts", "hsum")
+    val fctx = ctx.copy(histMetrics =
+      Map("latency" -> HistTable(fhist, sumCol = Some("hsum"))))
+    def frows(q: String): Set[Seq[Any]] =
+      PromQL.compile(q, fctx).collect().map(_.toSeq).toSet
+    assert(frows("histogram_count(latency)") ==
+      Set(Seq("api", "i1", 9.5), Seq("web", "i1", 5.5)))
+    assert(frows("histogram_sum(latency)") ==
+      Set(Seq("api", "i1", 34.0), Seq("web", "i1", 30.5)))
+    // quantile: (api,i1) latest zero=1.5, b1=3 (1,2], b2=5 (2,4];
+    // total 9.5, rank 0.5*9.5=4.75; cum zero+b1=4.5 < 4.75 → b2:
+    // 2 + 2*((4.75-4.5)/5) = 2.1
+    val q = PromQL.compile("histogram_quantile(0.5, latency)", fctx)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2))).toSet
+    assert(q.contains(("api", "i1", 2.1)))
+    // bucket-wise sum-by then quantile (HistSumAgg path, double cnt)
+    val sq = PromQL.compile(
+        "histogram_quantile(0.5, sum by (instance) (latency))", fctx)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    // i1 summed: zero=1.5, b1=3+5.5=8.5, b2=5; total 15, rank 7.5;
+    // cum zero+b1 = 10 >= 7.5 → lands in b1: 1 + 1*((7.5-1.5)/8.5)
+    assert(sq == Set(("i1", 1.0 + (7.5 - 1.5) / 8.5)))
+  }
 }
