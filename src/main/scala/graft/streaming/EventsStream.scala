@@ -266,4 +266,21 @@ object EventsStream {
             seriesCols, "ts", "zero_count", "pos_idx", "pos_counts",
             sumCol, samplesPerChunk = samplesPerChunk)
       }
+
+  /** [[toHistChunkedBlocks]] for FLOAT-histogram streams (double
+    * zero/bucket counts — the EncFloatHistogram half): mini
+    * [[graft.tsdb.HistChunkStore.writeFloat]] blocks per micro-batch,
+    * compacted by [[graft.tsdb.HistChunkStore.mergeFloatBlocks]]. */
+  def toFloatHistChunkedBlocks(samples: DataFrame, root: String,
+      checkpoint: String, seriesCols: Seq[String],
+      sumCol: Option[String] = Some("hist_sum"),
+      samplesPerChunk: Int = 120) =
+    samples.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty)
+          graft.tsdb.HistChunkStore.writeFloat(batch, f"$root/batch_$id%09d",
+            seriesCols, "ts", "zero_count", "pos_idx", "pos_counts",
+            sumCol, samplesPerChunk = samplesPerChunk)
+      }
 }

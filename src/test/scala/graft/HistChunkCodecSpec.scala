@@ -363,4 +363,50 @@ class HistChunkCodecSpec extends SparkSpec {
       ("api", ts(2), 1.3, 25.5, 9.0), // block B's revision
       ("api", ts(3), 2.0, 31.5, 12.0)))
   }
+
+  test("property: random series roundtrip bit-exactly through both codec families") {
+    val rnd = new scala.util.Random(987654L)
+    def randDouble(): Double = rnd.nextInt(8) match {
+      case 0 => Double.NaN
+      case 1 => java.lang.Double.longBitsToDouble(rnd.nextLong()) // any payload: infs, subnormals, NaN variants
+      case 2 => -0.0
+      case 3 => rnd.nextInt(1000) * 0.1
+      case _ => rnd.nextDouble() * math.pow(10, rnd.nextInt(10) - 5)
+    }
+    def randLayout(): Array[Int] = {
+      val nb = rnd.nextInt(6)
+      var cur = rnd.nextInt(9) - 4
+      Array.fill(nb) { val v = cur; cur += 1 + rnd.nextInt(3); v }
+    }
+    for (trial <- 0 until 25) {
+      val n = 1 + rnd.nextInt(40)
+      var t = rnd.nextInt(1000000).toLong
+      val ts = Array.fill(n) { val v = t; t += rnd.nextInt(1 << 20); v }
+      val layouts = new Array[Array[Int]](n)
+      for (i <- 0 until n)
+        layouts(i) = if (i > 0 && rnd.nextInt(3) > 0) layouts(i - 1)
+          else randLayout()
+      val spc = 1 + rnd.nextInt(7)
+      val schema = rnd.nextInt(9) - 4
+      val hasSum = rnd.nextBoolean()
+      // integer family
+      val iz = Array.fill(n)(rnd.nextInt(1 << 20).toLong)
+      val ic = layouts.map(l => l.map(_ => rnd.nextInt(1 << 24).toLong))
+      val isums = if (hasSum) Array.fill(n)(randDouble()) else null
+      val is = Samples(ts, iz, layouts, ic, isums)
+      val iblob = HistChunkCodec.encodeBlob(is, schema, spc)
+      val (idec, isch) = HistChunkCodec.decodeBlob(iblob, 0L, Long.MaxValue)
+      assert(isch == schema, s"trial $trial int schema")
+      assertSame(is, idec)
+      // float family
+      val fz = Array.fill(n)(randDouble())
+      val fc = layouts.map(l => l.map(_ => randDouble()))
+      val fsums = if (hasSum) Array.fill(n)(randDouble()) else null
+      val fs = FloatSamples(ts, fz, layouts, fc, fsums)
+      val fblob = HistChunkCodec.encodeFloatBlob(fs, schema, spc)
+      val (fdec, fsch) = HistChunkCodec.decodeFloatBlob(fblob, 0L, Long.MaxValue)
+      assert(fsch == schema, s"trial $trial float schema")
+      assertSameF(fs, fdec)
+    }
+  }
 }

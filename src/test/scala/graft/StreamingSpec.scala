@@ -210,6 +210,43 @@ class StreamingSpec extends SparkSpec {
     assert(out(2)._1 == "web")
   }
 
+  test("toFloatHistChunkedBlocks: streaming FLOAT-hist ingest + compaction with LWW") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_fhchunk").toString
+    val mem = MemoryStream[(Timestamp, String, Double, Seq[Int], Seq[Double], Double)]
+    val samples = mem.toDF().toDF(
+      "ts", "job", "zero_count", "pos_idx", "pos_counts", "hist_sum")
+    val series = Seq("job")
+    val query = EventsStream.toFloatHistChunkedBlocks(
+      samples, s"$root/blocks", s"$root/ckpt", series).start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:00:00"), "api", 0.5, Seq(1), Seq(5.25), 2.0),
+        (ts("2024-01-01 11:00:00"), "api", 1.0, Seq(1), Seq(9.75), 4.5))
+      query.processAllAvailable()
+      mem.addData(
+        // revision of the 11:00 histogram: later batch must win
+        (ts("2024-01-01 11:00:00"), "api", 1.5, Seq(1, 2), Seq(10.5, 2.1), 6.0))
+      query.processAllAvailable()
+    } finally query.stop()
+    val dirs = new java.io.File(s"$root/blocks").listFiles()
+      .filter(_.getName.startsWith("batch_")).map(_.toString).sorted.toSeq
+    assert(dirs.size == 2)
+    graft.tsdb.HistChunkStore.mergeFloatBlocks(s, dirs, s"$root/compacted",
+      series, "ts")
+    val out = graft.tsdb.HistChunkStore.selectFloat(s, s"$root/compacted",
+        "2024-01-01 00:00:00", "2024-02-01 00:00:00", Nil, series, "ts")
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2),
+        r.getSeq[Int](3), r.getSeq[Double](4), r.getDouble(5)))
+      .sortBy(t => (t._1, t._2.getTime))
+    assert(out.toSeq == Seq(
+      ("api", ts("2024-01-01 10:00:00"), 0.5, Seq(1), Seq(5.25), 2.0),
+      ("api", ts("2024-01-01 11:00:00"), 1.5, Seq(1, 2), Seq(10.5, 2.1), 6.0)))
+  }
+
   test("runningIncrease accumulates counter deltas across batches with reset") {
     val s = spark
     import s.implicits._
