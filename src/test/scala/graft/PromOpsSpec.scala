@@ -111,6 +111,35 @@ class PromOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("api", 2L, 1L), ("api", 1L, 2L), ("web", 7L, 1L)))
   }
 
+  test("GLOBAL topKSeries (empty groupCols) uses TakeOrderedAndProject, same ranks and ties") {
+    import spark.implicits._
+    val data = Seq(
+      ("api", 1L, 10.0), ("api", 1L, 5.0), // (api,1) sum 15
+      ("api", 2L, 20.0),                   // (api,2) sum 20
+      ("web", 2L, 15.0),                   // (web,2) sum 15: ties (api,1)
+      ("web", 7L, 2.0),
+      ("api", 3L, 1.0)
+    ).toDF("job", "instance", "value")
+    val df = PromOps.topKSeries(data, Nil, Seq("job", "instance"), "value", 3)
+    // the global path must not plan ANY window (the old shape was a
+    // single-partition WindowExec); the k-row selection is
+    // TakeOrderedAndProject
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), plan)
+    val out = df.orderBy("rank")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3)))
+    // value desc, then (job, instance) asc on the 15.0 tie
+    assert(out.toSeq == Seq(
+      ("api", 2L, 20.0, 1L), ("api", 1L, 15.0, 2L), ("web", 2L, 15.0, 3L)))
+    val bot = PromOps.bottomKSeries(data, Nil, Seq("job", "instance"),
+        "value", 2)
+      .orderBy("rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(bot.toSeq == Seq(("api", 3L, 1L), ("web", 7L, 2L)))
+  }
+
   test("quantileOverTime interpolates between order statistics") {
     import spark.implicits._
     val data = Seq(
