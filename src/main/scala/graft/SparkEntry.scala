@@ -1536,6 +1536,49 @@ object SparkEntry {
       .orderBy("event_type", "user_id", "ts_us", "idx")
   }
 
+  private def floatHistChunkBlockPath(dir: String): String =
+    "/tmp/graft_fhistchunk_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+
+  private def floatHistChunkFixture(s: SparkSession, dir: String): Unit =
+    fixtureOnce(s"fhistchunk:$dir") {
+      HistChunkStore.writeFloat(
+        nativeHistCounterTable(s, dir)
+          .withColumn("zero_f",
+            (col("d") * (col("sseed") % 3)).cast("double") * 0.5)
+          .withColumn("cnt_f",
+            transform(col("pos_counts"), c => c.cast("double") * 0.25))
+          .withColumn("hsum",
+            (col("d") * ((col("sseed") % 7) + 1)).cast("double") * 0.25)
+          .withColumn("ts", timestamp_seconds(col("d") * 86400)),
+        floatHistChunkBlockPath(dir), Seq("event_type", "user_id"), "ts",
+        "zero_f", "pos_idx", "cnt_f", Some("hsum"), samplesPerChunk = 10)
+    }
+
+  /** Matcher + range select over the chunked FLOAT-histogram layout
+    * ([[tsdb.HistChunkStore.selectFloat]], EncFloatHistogram cells):
+    * the identical pushdown/broadcast/pruning plan as
+    * `ts_hist_chunk_select`, decoding double zero/bucket counts —
+    * ≡ the same filter on the raw float fixture (the oracle). Closes
+    * storage → query end-to-end for BOTH sides of the reference's
+    * third encoding family.
+    */
+  private def tsFloatHistSelect(s: SparkSession, dir: String): DataFrame = {
+    floatHistChunkFixture(s, dir)
+    HistChunkStore.selectFloat(s, floatHistChunkBlockPath(dir),
+        "2024-01-05", "2024-01-20",
+        Seq(Matcher.Eq("event_type", "view")),
+        Seq("event_type", "user_id"), "ts")
+      .select(col("event_type"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("zero_count"),
+        col("hist_sum").as("hsum"),
+        explode(zip_with(col("pos_idx"), col("pos_counts"),
+          (i, c) => struct(i.as("i"), c.as("c")))).as("b"))
+      .select(col("event_type"), col("user_id"), col("ts_us"),
+        col("zero_count"), col("hsum"),
+        col("b.i").as("idx"), col("b.c").as("cnt"))
+      .orderBy("event_type", "user_id", "ts_us", "idx")
+  }
+
   /** The FULL native-histogram stack in one query: the counter
     * fixture stored as a CHUNKED dual-file block
     * ([[tsdb.HistChunkStore]]), selected back through the pruned
@@ -2150,6 +2193,7 @@ object SparkEntry {
     "ts_hist_chunk_roundtrip" -> (tsHistChunkRoundtrip _),
     "ts_float_hist_roundtrip" -> (tsFloatHistRoundtrip _),
     "ts_hist_chunk_select" -> (tsHistChunkSelect _),
+    "ts_float_hist_select" -> (tsFloatHistSelect _),
     "ts_promql_nh_chunked" -> (tsPromqlNhChunked _),
     "ts_promql_nh_quantile_rate" -> (tsPromqlNhQuantileRate _),
     "ts_promql_nh_sum_quantile" -> (tsPromqlNhSumQuantile _),
@@ -3379,6 +3423,30 @@ object SparkEntry {
         |    user_id * 31 + length(event_type) AS sseed,
         |    CAST(d * 86400000000 AS BIGINT) AS ts_us
         |  FROM days)
+        |SELECT event_type, user_id, ts_us,
+        |  CAST(d * (sseed % 3) AS DOUBLE) * 0.5 AS zero_count,
+        |  CAST(d * ((sseed % 7) + 1) AS DOUBLE) * 0.25 AS hsum,
+        |  CAST(i AS INT) AS idx,
+        |  CAST(d*d*((sseed + i + 3) % 5) AS DOUBLE) * 0.25 AS cnt
+        |FROM base, unnest(range(-2, 6)) AS t(i)
+        |WHERE i <= (CASE WHEN d >= 19740 THEN 5 ELSE 4 END)
+        |ORDER BY event_type, user_id, ts_us, idx""".stripMargin,
+    // float-store select ≡ raw float fixture under the same matcher
+    // + day range: the chunked EncFloatHistogram layout must lose no
+    // double inside the window
+    "ts_float_hist_select" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |base AS (
+        |  SELECT event_type, user_id, d,
+        |    user_id * 31 + length(event_type) AS sseed,
+        |    CAST(d * 86400000000 AS BIGINT) AS ts_us
+        |  FROM days
+        |  WHERE event_type = 'view'
+        |    AND d >= CAST(floor(epoch(TIMESTAMP '2024-01-05 00:00:00') / 86400) AS BIGINT)
+        |    AND d < CAST(floor(epoch(TIMESTAMP '2024-01-20 00:00:00') / 86400) AS BIGINT))
         |SELECT event_type, user_id, ts_us,
         |  CAST(d * (sseed % 3) AS DOUBLE) * 0.5 AS zero_count,
         |  CAST(d * ((sseed % 7) + 1) AS DOUBLE) * 0.25 AS hsum,
