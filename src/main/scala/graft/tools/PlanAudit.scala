@@ -289,6 +289,19 @@ object PlanAudit {
         "no nested-loop join" -> "BroadcastNestedLoopJoin",
         "no cartesian product" -> "CartesianProduct"))
 
+    // FLOAT-histogram chunked select: the same plan contract as
+    // ts_hist_chunk_select over EncFloatHistogram cells.
+    audit("ts_float_hist_select",
+      SparkEntry.queries("ts_float_hist_select")(spark, dir),
+      Map(
+        "labels side broadcasts" -> "BroadcastHashJoin",
+        "matcher pushed to labels scan" -> "EqualTo(event_type,view)",
+        "bucket partition pruning" -> "PartitionFilters: [",
+        "mint/maxt metadata filter pushed" -> "GreaterThanOrEqual(maxt"),
+      forbid = Map(
+        "no shuffle of the chunks side" -> "Exchange hashpartitioning",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin"))
+
     // GLOBAL topk (no `by`): must plan TakeOrderedAndProject — each
     // task keeps its partial top-k and only k rows move — and no
     // window of any kind may appear (the old shape was a
