@@ -30,7 +30,7 @@ import org.apache.spark.sql.SparkSession
   * The DEFAULT (in-suite) mode additionally re-runs the
   * `SPARK_GRAFT_BENCH_ISOLATE_TOP` (default 10) heaviest queries
   * isolated and ships both columns in the one JSON line
-  * (`"queries"` = in-suite medians, `"isolated"` = child-JVM
+  * (`"queries"` = in-suite medians, `"isolated_medians"` = child-JVM
   * medians), flagging any query whose in-suite median exceeds 2× its
   * isolated one as a co-residency artifact on stderr.
   */
@@ -58,7 +58,7 @@ object Bench {
   /** One child JVM running a single query's bench (warm-up +
     * `passes` timed passes, fresh Spark session); returns its median.
     */
-  private def runChild(name: String, passes: Int): Option[Double] = {
+  private def runChild(name: String, passes: Int): Option[Double] = try {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val cp = System.getProperty("java.class.path")
     val pb = new ProcessBuilder(
@@ -73,13 +73,34 @@ object Bench {
     // pipe buffer) — the failure-diagnosis scenario this mode is for
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     val proc = pb.start()
-    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-    proc.waitFor()
-    // child prints one JSON line: {"..."queries":{"<name>":sec},...}
-    val re = ("\"" + java.util.regex.Pattern.quote(name) + "\":(-?[0-9.]+)").r
-    val t = re.findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse(-1.0)
-    System.err.println(f"[bench-isolate] $name%-24s ${t}%.3f s")
-    if (t >= 0) Some(t) else None
+    // stdout drained on a daemon thread with a hard deadline on the
+    // child: a hung child JVM must cost this query's column, never
+    // the whole results line
+    val outF = new java.util.concurrent.CompletableFuture[String]()
+    val drain = new Thread(() =>
+      outF.complete(
+        try new String(proc.getInputStream.readAllBytes(), "UTF-8")
+        catch { case _: Throwable => "" }))
+    drain.setDaemon(true)
+    drain.start()
+    val finished =
+      proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
+    if (!finished) {
+      proc.destroyForcibly()
+      System.err.println(s"[bench-isolate] $name timed out; killed child")
+      None
+    } else {
+      val out = outF.get(30, java.util.concurrent.TimeUnit.SECONDS)
+      // child prints one JSON line: {"..."queries":{"<name>":sec},...}
+      val re = ("\"" + java.util.regex.Pattern.quote(name) + "\":(-?[0-9.]+)").r
+      val t = re.findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse(-1.0)
+      System.err.println(f"[bench-isolate] $name%-24s ${t}%.3f s")
+      if (t >= 0) Some(t) else None
+    }
+  } catch {
+    case t: Throwable =>
+      System.err.println(s"[bench-isolate] $name child spawn failed: $t")
+      None
   }
 
   /** Isolated mode: one child JVM per query, merged results. */
@@ -162,7 +183,12 @@ object Bench {
     // disables (the child JVMs set it to 0 themselves).
     val isoTop = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE_TOP", "10")
       .toInt
-    val isoJson = if (isoTop <= 0) "" else {
+    // (key is isolated_medians, not the isolated-MODE boolean flag
+    // runIsolated prints — a JSON consumer never has to branch on a
+    // value's type). The whole block degrades to nothing on any
+    // failure: the diagnostic column must never cost the primary
+    // results line.
+    val isoJson = if (isoTop <= 0) "" else try {
       val heavy = results.collect { case (n, Some(t)) => (n, t) }
         .sortBy(-_._2).take(isoTop)
       val iso = heavy.map { case (n, _) =>
@@ -176,7 +202,11 @@ object Bench {
           s"[bench] in-suite > 2x isolated (pressure artifacts): ${pressured.mkString(", ")}")
       iso.map { case (k, m) =>
         "\"" + k + s"""\":${m.map(v => f"$v%.3f").getOrElse("-1")}"""
-      }.mkString(""","isolated":{""", ",", "}")
+      }.mkString(""","isolated_medians":{""", ",", "}")
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"[bench] isolated re-run skipped: $t")
+        ""
     }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"passes":$passes$isoJson,"sf":"$sfDir"}""")
   }

@@ -1,9 +1,9 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 
 /** One event of the long-format series model (SURVEY §3). */
 final case class SeriesEvent(
@@ -236,13 +236,27 @@ object EventsStream {
     * written.
     */
   def toChunkedBlocks(events: DataFrame, root: String, checkpoint: String,
-      seriesCols: Seq[String], samplesPerChunk: Int = 120) =
+      seriesCols: Seq[String], samplesPerChunk: Int = 120)
+      : DataStreamWriter[Row] =
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty)
           graft.tsdb.ChunkStore.write(batch, f"$root/batch_$id%09d",
             seriesCols, "ts", "value", samplesPerChunk = samplesPerChunk)
+      }
+
+  /** Shared micro-batch→mini-block sink for the two histogram chunk
+    * families; `writeBatch` is [[graft.tsdb.HistChunkStore.write]] or
+    * `writeFloat`, the only point where they differ.
+    */
+  private def histBlockSink(samples: DataFrame, root: String,
+      checkpoint: String,
+      writeBatch: (DataFrame, String) => Unit): DataStreamWriter[Row] =
+    samples.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) writeBatch(batch, f"$root/batch_$id%09d")
       }
 
   /** [[toChunkedBlocks]] for NATIVE-HISTOGRAM streams: each
@@ -257,15 +271,11 @@ object EventsStream {
   def toHistChunkedBlocks(samples: DataFrame, root: String,
       checkpoint: String, seriesCols: Seq[String],
       sumCol: Option[String] = Some("hist_sum"),
-      samplesPerChunk: Int = 120) =
-    samples.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty)
-          graft.tsdb.HistChunkStore.write(batch, f"$root/batch_$id%09d",
-            seriesCols, "ts", "zero_count", "pos_idx", "pos_counts",
-            sumCol, samplesPerChunk = samplesPerChunk)
-      }
+      samplesPerChunk: Int = 120): DataStreamWriter[Row] =
+    histBlockSink(samples, root, checkpoint, (batch, dir) =>
+      graft.tsdb.HistChunkStore.write(batch, dir,
+        seriesCols, "ts", "zero_count", "pos_idx", "pos_counts",
+        sumCol, samplesPerChunk = samplesPerChunk))
 
   /** [[toHistChunkedBlocks]] for FLOAT-histogram streams (double
     * zero/bucket counts — the EncFloatHistogram half): mini
@@ -274,13 +284,9 @@ object EventsStream {
   def toFloatHistChunkedBlocks(samples: DataFrame, root: String,
       checkpoint: String, seriesCols: Seq[String],
       sumCol: Option[String] = Some("hist_sum"),
-      samplesPerChunk: Int = 120) =
-    samples.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        if (!batch.isEmpty)
-          graft.tsdb.HistChunkStore.writeFloat(batch, f"$root/batch_$id%09d",
-            seriesCols, "ts", "zero_count", "pos_idx", "pos_counts",
-            sumCol, samplesPerChunk = samplesPerChunk)
-      }
+      samplesPerChunk: Int = 120): DataStreamWriter[Row] =
+    histBlockSink(samples, root, checkpoint, (batch, dir) =>
+      graft.tsdb.HistChunkStore.writeFloat(batch, dir,
+        seriesCols, "ts", "zero_count", "pos_idx", "pos_counts",
+        sumCol, samplesPerChunk = samplesPerChunk))
 }

@@ -123,35 +123,15 @@ object HistChunkCodec {
     }
   }
 
-  // ---------------------------------------------------------------
-  // single chunk
-  // ---------------------------------------------------------------
-
-  /** Encode one chunk. `ts` sorted ascending; per-sample `idx`
-    * strictly ascending with aligned `cnt`; `sums` may be null
-    * (no tracked sum). ≤ 0xffff samples.
-    */
-  def encodeChunk(ts: Array[Long], zero: Array[Long],
-      idx: Array[Array[Int]], cnt: Array[Array[Long]],
-      sums: Array[Double], schema: Int): Array[Byte] = {
-    val n = ts.length
-    require(zero.length == n && idx.length == n && cnt.length == n,
-      "parallel array length mismatch")
-    require(sums == null || sums.length == n, "sums length mismatch")
-    require(n <= 0xffff, s"chunk too large: $n")
-    val hasSum = sums != null
-    val w = new BitWriter()
-    w.writeBits(n.toLong, 16)
-    w.writeBits(if (hasSum) 1L else 0L, 8)
-    w.writeVarint(schema.toLong)
-    var prevT = 0L
-    var prevDelta = 0L
-    var prevSumBits = 0L
-    var winLeading = -1
-    var winTrailing = 0
-    var i = 0
-    while (i < n) {
-      val t = ts(i)
+  /** Delta-of-delta timestamp column (the [[ChunkCodec]] varbit
+    * buckets) with its run state, shared by the integer and float
+    * chunk encoders: raw varint at sample 0, uvarint delta at
+    * sample 1, then bucketed DoD. */
+  private final class TsWriter(w: BitWriter) {
+    private var prevT = 0L
+    private var prevDelta = 0L
+    private var i = 0
+    def write(t: Long): Unit = {
       if (i == 0) w.writeVarint(t)
       else if (i == 1) {
         prevDelta = t - prevT
@@ -174,6 +154,66 @@ object HistChunkCodec {
         }
       }
       prevT = t
+      i += 1
+    }
+  }
+
+  private final class TsReader(r: BitReader) {
+    private var prevT = 0L
+    private var prevDelta = 0L
+    private var i = 0
+    def read(): Long = {
+      if (i == 0) prevT = r.readVarint()
+      else {
+        if (i == 1) prevDelta = r.readUvarint()
+        else {
+          var width = 0
+          if (!r.readBit()) width = 0
+          else if (!r.readBit()) width = 14
+          else if (!r.readBit()) width = 17
+          else if (!r.readBit()) width = 20
+          else width = 64
+          if (width > 0) {
+            var dod = r.readBits(width)
+            if (width != 64 && dod > (1L << (width - 1)))
+              dod -= 1L << width
+            prevDelta += dod
+          }
+        }
+        prevT += prevDelta
+      }
+      i += 1
+      prevT
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // single chunk
+  // ---------------------------------------------------------------
+
+  /** Encode one chunk. `ts` sorted ascending; per-sample `idx`
+    * strictly ascending with aligned `cnt`; `sums` may be null
+    * (no tracked sum). ≤ 0xffff samples.
+    */
+  def encodeChunk(ts: Array[Long], zero: Array[Long],
+      idx: Array[Array[Int]], cnt: Array[Array[Long]],
+      sums: Array[Double], schema: Int): Array[Byte] = {
+    val n = ts.length
+    require(zero.length == n && idx.length == n && cnt.length == n,
+      "parallel array length mismatch")
+    require(sums == null || sums.length == n, "sums length mismatch")
+    require(n <= 0xffff, s"chunk too large: $n")
+    val hasSum = sums != null
+    val w = new BitWriter()
+    w.writeBits(n.toLong, 16)
+    w.writeBits(if (hasSum) 1L else 0L, 8)
+    w.writeVarint(schema.toLong)
+    val tw = new TsWriter(w)
+    val xs = new XorWriter(w)
+    var prevSumBits = 0L
+    var i = 0
+    while (i < n) {
+      tw.write(ts(i))
 
       val bi = idx(i)
       val bc = cnt(i)
@@ -199,28 +239,7 @@ object HistChunkCodec {
       if (hasSum) {
         val bits = java.lang.Double.doubleToRawLongBits(sums(i))
         if (i == 0) w.writeBits(bits, 64)
-        else {
-          val xor = bits ^ prevSumBits
-          if (xor == 0L) w.writeBit(false)
-          else {
-            w.writeBit(true)
-            val leading = math.min(java.lang.Long.numberOfLeadingZeros(xor), 31)
-            val trailing = java.lang.Long.numberOfTrailingZeros(xor)
-            if (winLeading != -1 && leading >= winLeading &&
-                trailing >= winTrailing) {
-              w.writeBit(false)
-              w.writeBits(xor >>> winTrailing, 64 - winLeading - winTrailing)
-            } else {
-              winLeading = leading
-              winTrailing = trailing
-              val sigbits = 64 - leading - trailing
-              w.writeBit(true)
-              w.writeBits(leading.toLong, 5)
-              w.writeBits(sigbits.toLong & 0x3f, 6) // 64 stored as 0
-              w.writeBits(xor >>> trailing, sigbits)
-            }
-          }
-        }
+        else xs.write(bits, prevSumBits)
         prevSumBits = bits
       }
       i += 1
@@ -257,33 +276,12 @@ object HistChunkCodec {
     val idx = new Array[Array[Int]](n)
     val cnt = new Array[Array[Long]](n)
     val sums = if (hasSum) new Array[Double](n) else null
-    var prevT = 0L
-    var prevDelta = 0L
+    val tr = new TsReader(r)
+    val xs = new XorReader(r)
     var prevSumBits = 0L
-    var winLeading = 0
-    var winTrailing = 0
     var i = 0
     while (i < n) {
-      if (i == 0) prevT = r.readVarint()
-      else {
-        if (i == 1) prevDelta = r.readUvarint()
-        else {
-          var width = 0
-          if (!r.readBit()) width = 0
-          else if (!r.readBit()) width = 14
-          else if (!r.readBit()) width = 17
-          else if (!r.readBit()) width = 20
-          else width = 64
-          if (width > 0) {
-            var dod = r.readBits(width)
-            if (width != 64 && dod > (1L << (width - 1)))
-              dod -= 1L << width
-            prevDelta += dod
-          }
-        }
-        prevT += prevDelta
-      }
-      ts(i) = prevT
+      ts(i) = tr.read()
 
       if (i == 0) {
         zero(0) = r.readUvarint()
@@ -305,18 +303,7 @@ object HistChunkCodec {
 
       if (hasSum) {
         if (i == 0) prevSumBits = r.readBits(64)
-        else if (r.readBit()) {
-          if (!r.readBit()) {
-            val sigbits = 64 - winLeading - winTrailing
-            prevSumBits ^= r.readBits(sigbits) << winTrailing
-          } else {
-            winLeading = r.readBits(5).toInt
-            var sigbits = r.readBits(6).toInt
-            if (sigbits == 0) sigbits = 64
-            winTrailing = 64 - winLeading - sigbits
-            prevSumBits ^= r.readBits(sigbits) << winTrailing
-          }
-        }
+        else prevSumBits = xs.read(prevSumBits)
         sums(i) = java.lang.Double.longBitsToDouble(prevSumBits)
       }
       i += 1
@@ -449,38 +436,15 @@ object HistChunkCodec {
     w.writeBits(n.toLong, 16)
     w.writeBits(if (hasSum) 1L else 0L, 8)
     w.writeVarint(schema.toLong)
+    val tw = new TsWriter(w)
     val xc = new XorWriter(w) // zero + bucket counts
     val xs = new XorWriter(w) // tracked sums (own window, as in the int chunk)
-    var prevT = 0L
-    var prevDelta = 0L
     var prevZeroBits = 0L
     var prevCntBits: Array[Long] = null
     var prevSumBits = 0L
     var i = 0
     while (i < n) {
-      val t = ts(i)
-      if (i == 0) w.writeVarint(t)
-      else if (i == 1) {
-        prevDelta = t - prevT
-        require(prevDelta >= 0, "timestamps must be sorted")
-        w.writeUvarint(prevDelta)
-      } else {
-        val delta = t - prevT
-        require(delta >= 0, "timestamps must be sorted")
-        val dod = delta - prevDelta
-        prevDelta = delta
-        if (dod == 0) w.writeBit(false)
-        else if (-8191 <= dod && dod <= 8192) {
-          w.writeBits(0x2, 2); w.writeBits(dod & 0x3fff, 14)
-        } else if (-65535 <= dod && dod <= 65536) {
-          w.writeBits(0x6, 3); w.writeBits(dod & 0x1ffff, 17)
-        } else if (-524287 <= dod && dod <= 524288) {
-          w.writeBits(0xe, 4); w.writeBits(dod & 0xfffff, 20)
-        } else {
-          w.writeBits(0xf, 4); w.writeBits(dod, 64)
-        }
-      }
-      prevT = t
+      tw.write(ts(i))
 
       val bi = idx(i)
       val bc = cnt(i)
@@ -555,35 +519,15 @@ object HistChunkCodec {
     val idx = new Array[Array[Int]](n)
     val cnt = new Array[Array[Double]](n)
     val sums = if (hasSum) new Array[Double](n) else null
+    val tr = new TsReader(r)
     val xc = new XorReader(r)
     val xs = new XorReader(r)
-    var prevT = 0L
-    var prevDelta = 0L
     var prevZeroBits = 0L
     var prevCntBits: Array[Long] = null
     var prevSumBits = 0L
     var i = 0
     while (i < n) {
-      if (i == 0) prevT = r.readVarint()
-      else {
-        if (i == 1) prevDelta = r.readUvarint()
-        else {
-          var width = 0
-          if (!r.readBit()) width = 0
-          else if (!r.readBit()) width = 14
-          else if (!r.readBit()) width = 17
-          else if (!r.readBit()) width = 20
-          else width = 64
-          if (width > 0) {
-            var dod = r.readBits(width)
-            if (width != 64 && dod > (1L << (width - 1)))
-              dod -= 1L << width
-            prevDelta += dod
-          }
-        }
-        prevT += prevDelta
-      }
-      ts(i) = prevT
+      ts(i) = tr.read()
 
       if (i == 0) {
         prevZeroBits = r.readBits(64)

@@ -442,10 +442,20 @@ object PromOps {
       // peer count (rank = #peers at-or-before in the total order),
       // so no "No Partition Defined" window ever appears.
       val top = perSeries.orderBy(ord +: seriesCols.map(col): _*).limit(k)
-      // struct asc ordering == (ord, seriesCols...) ranking order
-      val key = struct(
-        (if (largest) -col("sum_value") else col("sum_value")).as("_o") +:
-          seriesCols.map(col): _*)
+      // struct asc ordering == (ord, seriesCols...) ranking order.
+      // A bare negated value would misplace the two values negation
+      // can't flip: NULL (asc-first in a struct field, but desc sorts
+      // it last) and NaN (sorts largest in BOTH directions), so both
+      // get explicit flag fields mirroring the orderBy's placement
+      // (desc: NaN first, null last; asc: null first, NaN last).
+      val sv = col("sum_value")
+      val key =
+        if (largest)
+          struct(sv.isNull.as("_null") +: (!isnan(sv)).as("_nan") +:
+            (-sv).as("_o") +: seriesCols.map(col): _*)
+        else
+          struct(sv.isNotNull.as("_null") +: isnan(sv).as("_nan") +:
+            sv.as("_o") +: seriesCols.map(col): _*)
       val keyed = top.withColumn("_key", key)
       keyed.join(broadcast(keyed.select(col("_key").as("_peer"))),
           col("_peer") <= col("_key"))

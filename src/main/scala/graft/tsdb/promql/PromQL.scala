@@ -1362,10 +1362,13 @@ object PromQL {
       val guarded =
         if (on.isEmpty) {
           // on() matches the WHOLE vector: the cardinality guard is a
-          // global count — one partial (map-side) aggregation whose
-          // 1-row result broadcasts back, never a single-partition
-          // window over the full vector
-          df.crossJoin(broadcast(df.groupBy()
+          // global count whose 1-row result broadcasts back, never a
+          // single-partition window over the full vector. The guard
+          // only distinguishes ≤1 from >1, so limit(2) caps the
+          // second evaluation of the operand subplan: CollectLimit
+          // stops after two rows instead of re-running the whole
+          // upstream plan to count a vector the guard will reject
+          df.crossJoin(broadcast(df.limit(2).groupBy()
             .agg(count(lit(1)).as("_card"))))
         } else {
           val w = Window.partitionBy(on.map(col): _*)
