@@ -298,12 +298,30 @@ object TsdbBlockFormat {
   // index encode
   // ---------------------------------------------------------------
 
-  /** Serialize a complete index file. `series` must be sorted by
-    * label set; chunk refs already assigned. Returns the file bytes.
-    * Series ids handed to postings are positional (0..n-1) and are
-    * rewritten here to the on-disk offset/16 references.
+  /** Prometheus label-set ordering: pairwise by name then value,
+    * shorter prefix first. */
+  def compareLabels(a: Seq[(String, String)],
+      b: Seq[(String, String)]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c1 = a(i)._1.compareTo(b(i)._1)
+      if (c1 != 0) return c1
+      val c2 = a(i)._2.compareTo(b(i)._2)
+      if (c2 != 0) return c2
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Serialize a complete index file; chunk refs must already be
+    * assigned. Series are canonically re-sorted by label set here
+    * (the order the spec requires), so callers may pass entries in
+    * any order. Positional ids are rewritten to the on-disk
+    * offset/16 references.
     */
-  def encodeIndex(series: Seq[SeriesEntry]): Array[Byte] = {
+  def encodeIndex(seriesIn: Seq[SeriesEntry]): Array[Byte] = {
+    val series = seriesIn.sortWith((a, b) => compareLabels(a.labels, b.labels) < 0)
     val out = new ByteArrayOutputStream()
     out.write(be32(IndexMagic), 0, 4)
     out.write(IndexVersion)
@@ -314,7 +332,7 @@ object TsdbBlockFormat {
       .toArray.distinct.sorted
     val symIdx: Map[String, Int] = symbols.zipWithIndex.toMap
     val symbolsOff = out.size().toLong
-    {
+    locally {
       val c = new ByteArrayOutputStream()
       c.write(be32(symbols.length), 0, 4)
       symbols.foreach(putStr(c, _))
@@ -376,12 +394,18 @@ object TsdbBlockFormat {
     }
 
     // postings: all-postings under ("","") first, then per (name,value)
+    // — one inversion pass over the series, not a scan per pair
     val allIds = series.indices
-    val perPair: Seq[Postings] = byName.flatMap { case (n, values) =>
-      values.map { v =>
-        Postings(n, v, series.indices.filter(i =>
-          series(i).labels.contains((n, v))))
+    val inverted = scala.collection.mutable
+      .LinkedHashMap.empty[(String, String), scala.collection.mutable.ArrayBuffer[Int]]
+    series.zipWithIndex.foreach { case (se, i) =>
+      se.labels.foreach { p =>
+        inverted.getOrElseUpdate(p,
+          scala.collection.mutable.ArrayBuffer.empty[Int]) += i
       }
+    }
+    val perPair: Seq[Postings] = byName.flatMap { case (n, values) =>
+      values.map(v => Postings(n, v, inverted((n, v)).toSeq))
     }
     val postingsOff = out.size().toLong
     val postingsLists = Postings("", "", allIds) +: perPair
@@ -397,7 +421,7 @@ object TsdbBlockFormat {
 
     // label offset table
     val labelOffTableOff = out.size().toLong
-    {
+    locally {
       val c = new ByteArrayOutputStream()
       c.write(be32(byName.length), 0, 4)
       byName.zip(labelIdxEntryOff).foreach { case ((n, _), off) =>
@@ -411,7 +435,7 @@ object TsdbBlockFormat {
 
     // postings offset table
     val postingsOffTableOff = out.size().toLong
-    {
+    locally {
       val c = new ByteArrayOutputStream()
       c.write(be32(postingsLists.length), 0, 4)
       postingsLists.zip(postingsEntryOff).foreach { case (p, off) =>
