@@ -1761,6 +1761,63 @@ object SparkEntry {
         colDuration = "1 day", samplesPerChunk = 120)
     }
 
+  private def tsdbBlockPath(dir: String): String =
+    "/tmp/graft_tsdbblock_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+
+  private def tsdbBlockFixture(s: SparkSession, dir: String): Unit =
+    fixtureOnce(s"tsdbblock:$dir") {
+      // wipe any stale root first: write() skips ULIDs that already
+      // exist, so leftovers from an older fixture generation would
+      // otherwise sit next to the fresh blocks and double-count
+      val root = new java.io.File(tsdbBlockPath(dir))
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (root.exists()) rm(root)
+      graft.tsdb.block.TsdbBlockStore.write(
+        t(s, dir, "events").withColumn("ts_ms", unix_millis(col("ts"))),
+        tsdbBlockPath(dir), Seq("event_type", "user_id"), "ts_ms", "value",
+        blockDurationMs = 86400000L)
+    }
+
+  /** Byte-level TSDB block roundtrip
+    * ([[tsdb.block.TsdbBlockStore]]): the events table written as
+    * real Prometheus-format blocks — CRC32C'd index v2 (symbols,
+    * 16-aligned series, postings, TOC), chunkenc-layout XOR chunk
+    * segments, meta.json, one block per day — then read back
+    * distributed (one narrow task per block) and flattened to label
+    * columns. The hash match against the raw table proves the whole
+    * byte path (varbit timestamps, Gorilla value XOR, index refs)
+    * is lossless — the ingestion seam the reference reaches through
+    * tsdb.OpenBlock (convert/convert.go:348).
+    */
+  private def tsTsdbBlockRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    tsdbBlockFixture(s, dir)
+    graft.tsdb.block.TsdbBlockStore
+      .readLabels(s, tsdbBlockPath(dir), Seq("event_type", "user_id"))
+      .withColumnRenamed("ts", "ts_ms")
+      .orderBy("event_type", "user_id", "ts_ms", "value")
+  }
+
+  /** Matcher + range select over real TSDB block bytes: meta.json
+    * prunes whole blocks, the postings index resolves the equality
+    * and regex matchers BEFORE any chunk byte is read, chunk frame
+    * [mint, maxt] prunes inside the survivors, and the sharded read
+    * (4 shards per block) must agree with the raw-table filter. */
+  private def tsTsdbBlockSelect(s: SparkSession, dir: String): DataFrame = {
+    tsdbBlockFixture(s, dir)
+    graft.tsdb.block.TsdbBlockStore
+      .readLabels(s, tsdbBlockPath(dir), Seq("event_type", "user_id"),
+        mint = 1704412800000L, // 2024-01-05T00:00:00Z
+        maxt = 1705708799999L, // 2024-01-19T23:59:59.999Z
+        matchers = Seq(Matcher.Eq("event_type", "view"),
+          Matcher.Re("user_id", "1.*|2.*")),
+        shardsPerBlock = 4)
+      .withColumnRenamed("ts", "ts_ms")
+      .orderBy("ts_ms", "user_id", "value")
+  }
+
   // ===================== LLM-data-pipeline =====================
 
   private def ddExact(s: SparkSession, dir: String): DataFrame =
@@ -2194,6 +2251,8 @@ object SparkEntry {
     "ts_float_hist_roundtrip" -> (tsFloatHistRoundtrip _),
     "ts_hist_chunk_select" -> (tsHistChunkSelect _),
     "ts_float_hist_select" -> (tsFloatHistSelect _),
+    "ts_tsdb_block_roundtrip" -> (tsTsdbBlockRoundtrip _),
+    "ts_tsdb_block_select" -> (tsTsdbBlockSelect _),
     "ts_promql_nh_chunked" -> (tsPromqlNhChunked _),
     "ts_promql_nh_quantile_rate" -> (tsPromqlNhQuantileRate _),
     "ts_promql_nh_sum_quantile" -> (tsPromqlNhSumQuantile _),
@@ -3455,6 +3514,25 @@ object SparkEntry {
         |FROM base, unnest(range(-2, 6)) AS t(i)
         |WHERE i <= (CASE WHEN d >= 19740 THEN 5 ELSE 4 END)
         |ORDER BY event_type, user_id, ts_us, idx""".stripMargin,
+    // every sample back out of real Prometheus-format block bytes
+    // (index v2 + chunkenc XOR segments) — labels are strings in a
+    // TSDB block, hence the VARCHAR cast; ms-exact, value bit-exact
+    "ts_tsdb_block_roundtrip" ->
+      """SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+        |  epoch_ms(ts) AS ts_ms, value
+        |FROM events
+        |ORDER BY event_type, user_id, ts_ms, value""".stripMargin,
+    // matcher + range select resolved through the postings index and
+    // block/chunk time pruning; regexes are RE2-anchored like the
+    // engine's, replayed with regexp_full_match
+    "ts_tsdb_block_select" ->
+      """SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+        |  epoch_ms(ts) AS ts_ms, value
+        |FROM events
+        |WHERE event_type = 'view'
+        |  AND regexp_full_match(CAST(user_id AS VARCHAR), '1.*|2.*')
+        |  AND epoch_ms(ts) BETWEEN 1704412800000 AND 1705708799999
+        |ORDER BY ts_ms, user_id, value""".stripMargin,
     // full stack: chunked store → decode → PromQL string. Latest-day
     // histograms per series (instant selector over the chunk select),
     // bucket-wise sum by event_type, then the quantile walk —
