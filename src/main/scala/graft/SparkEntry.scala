@@ -1800,6 +1800,34 @@ object SparkEntry {
       .orderBy("event_type", "user_id", "ts_ms", "value")
   }
 
+  /** The full migration path in one plan — what replaces the
+    * reference's `ConvertTSDBBlock`: byte-level block read
+    * ([[tsdb.block.TsdbBlockStore.readLabels]]) → distributed
+    * sorted/bucketed conversion ([[tsdb.TsdbConverter.convert]]) →
+    * matcher select over the CONVERTED layout (partition pruning +
+    * pushdown). The oracle runs on the raw table, so the hash pins
+    * every stage: chunkenc decode, long-format bridge, convert
+    * write, converted-layout select.
+    */
+  private def tsTsdbBlockConvert(s: SparkSession, dir: String): DataFrame = {
+    tsdbBlockFixture(s, dir)
+    val path = "/tmp/graft_tsdbconv_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+    fixtureOnce(s"tsdbconv:$dir") {
+      val longDf = graft.tsdb.block.TsdbBlockStore
+        .readLabels(s, tsdbBlockPath(dir), Seq("event_type", "user_id"))
+        .withColumn("ts", timestamp_millis(col("ts")))
+      TsdbConverter.convert(longDf, path, "ts",
+        ConvertOptions(sortBy = Seq("event_type", "user_id"),
+          colDuration = "1 day", bloomFilterLabels = Seq("event_type"),
+          shards = 2))
+    }
+    val q = new TsdbQueryable(s.read.parquet(path),
+      Seq("event_type", "user_id"))
+    withTsMs(q.select("2024-01-05", "2024-01-20",
+        Matcher.Eq("event_type", "view")))
+      .orderBy("ts_ms", "user_id", "value")
+  }
+
   /** Matcher + range select over real TSDB block bytes: meta.json
     * prunes whole blocks, the postings index resolves the equality
     * and regex matchers BEFORE any chunk byte is read, chunk frame
@@ -2253,6 +2281,7 @@ object SparkEntry {
     "ts_float_hist_select" -> (tsFloatHistSelect _),
     "ts_tsdb_block_roundtrip" -> (tsTsdbBlockRoundtrip _),
     "ts_tsdb_block_select" -> (tsTsdbBlockSelect _),
+    "ts_tsdb_block_convert" -> (tsTsdbBlockConvert _),
     "ts_promql_nh_chunked" -> (tsPromqlNhChunked _),
     "ts_promql_nh_quantile_rate" -> (tsPromqlNhQuantileRate _),
     "ts_promql_nh_sum_quantile" -> (tsPromqlNhSumQuantile _),
@@ -3532,6 +3561,16 @@ object SparkEntry {
         |WHERE event_type = 'view'
         |  AND regexp_full_match(CAST(user_id AS VARCHAR), '1.*|2.*')
         |  AND epoch_ms(ts) BETWEEN 1704412800000 AND 1705708799999
+        |ORDER BY ts_ms, user_id, value""".stripMargin,
+    // the whole migration path (block bytes → convert → converted
+    // select) must answer exactly what the raw-table filter answers;
+    // labels become strings when they pass through block bytes
+    "ts_tsdb_block_convert" ->
+      """SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, value,
+        |  epoch_ms(ts) AS ts_ms
+        |FROM events
+        |WHERE event_type = 'view'
+        |  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
         |ORDER BY ts_ms, user_id, value""".stripMargin,
     // full stack: chunked store → decode → PromQL string. Latest-day
     // histograms per series (instant selector over the chunk select),

@@ -722,12 +722,53 @@ object TsdbBlockFormat {
     (num("minTime"), num("maxTime"))
   }
 
-  /** An empty tombstones file (header + zero entries + CRC). */
-  def writeEmptyTombstones(dir: java.io.File): Unit = {
+  /** One deletion interval: samples of the series at `ref` with
+    * mint ≤ ts ≤ maxt are deleted. */
+  final case class Tombstone(ref: Long, mint: Long, maxt: Long)
+
+  /** Tombstones file: magic, version, then per stone `uvarint ref |
+    * varint mint | varint maxt`, closed by a CRC32C of the stones
+    * region. */
+  def writeTombstones(dir: java.io.File, stones: Seq[Tombstone]): Unit = {
+    val body = new ByteArrayOutputStream()
+    stones.foreach { s =>
+      putUvarint(body, s.ref)
+      putVarint(body, s.mint)
+      putVarint(body, s.maxt)
+    }
+    val bodyBytes = body.toByteArray
     val out = new ByteArrayOutputStream()
     out.write(be32(TombstonesMagic), 0, 4)
     out.write(TombstonesVersion)
+    out.write(bodyBytes, 0, bodyBytes.length)
+    out.write(be32(crc32c(bodyBytes, 0, bodyBytes.length)), 0, 4)
     java.nio.file.Files.write(new java.io.File(dir, "tombstones").toPath,
       out.toByteArray)
+  }
+
+  /** An empty tombstones file (header + zero entries + CRC). */
+  def writeEmptyTombstones(dir: java.io.File): Unit =
+    writeTombstones(dir, Nil)
+
+  /** Deletion intervals grouped by series ref; a missing or
+    * header-only file means none. */
+  def readTombstones(dir: java.io.File): Map[Long, Seq[(Long, Long)]] = {
+    val f = new java.io.File(dir, "tombstones")
+    if (!f.isFile) return Map.empty
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    if (bytes.length <= 5) return Map.empty
+    val c = new ByteCursor(bytes, 0)
+    require(c.be32() == TombstonesMagic, "bad tombstones magic")
+    require((bytes(4) & 0xff) == TombstonesVersion,
+      s"unsupported tombstones version ${bytes(4)}")
+    val bodyEnd = bytes.length - 4
+    require(new ByteCursor(bytes, bodyEnd).be32() ==
+      crc32c(bytes, 5, bodyEnd - 5), "tombstones CRC mismatch")
+    c.pos = 5
+    val stones = Seq.newBuilder[Tombstone]
+    while (c.pos < bodyEnd)
+      stones += Tombstone(c.uvarint(), c.varint(), c.varint())
+    stones.result().groupBy(_.ref)
+      .map { case (r, ss) => (r, ss.map(s => (s.mint, s.maxt))) }
   }
 }

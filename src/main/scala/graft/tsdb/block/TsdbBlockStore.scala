@@ -339,6 +339,7 @@ object TsdbBlockStore {
     val ir = new IndexReader(java.nio.file.Files.readAllBytes(
       new java.io.File(dir, "index").toPath))
     val chunks = new ChunkSegmentReader(new java.io.File(dir, "chunks"))
+    val tombstones = readTombstones(dir)
     val refs = candidateRefs(ir, matchers).zipWithIndex
       .collect { case (r, i) if i % nShards == shard => r }
     refs.iterator.flatMap { ref =>
@@ -349,16 +350,20 @@ object TsdbBlockStore {
       val ok = matchers.forall(m =>
         valueMatches(m, labelMap.getOrElse(m.label, "")))
       if (!ok) Iterator.empty
-      else se.chunks.iterator
-        .filter(cm => cm.mint <= maxt && cm.maxt >= mint)
-        .flatMap { cm =>
-          val (enc, data) = chunks.chunk(cm.ref)
-          require(enc == EncXOR, s"unsupported chunk encoding $enc")
-          val (ts, vs) = decodeXorChunk(data, 0, data.length)
-          ts.indices.iterator
-            .filter(i => ts(i) >= mint && ts(i) <= maxt)
-            .map(i => TsdbSample(labelMap, ts(i), vs(i)))
-        }
+      else {
+        val deleted = tombstones.getOrElse(ref, Nil)
+        se.chunks.iterator
+          .filter(cm => cm.mint <= maxt && cm.maxt >= mint)
+          .flatMap { cm =>
+            val (enc, data) = chunks.chunk(cm.ref)
+            require(enc == EncXOR, s"unsupported chunk encoding $enc")
+            val (ts, vs) = decodeXorChunk(data, 0, data.length)
+            ts.indices.iterator
+              .filter(i => ts(i) >= mint && ts(i) <= maxt &&
+                !deleted.exists(d => d._1 <= ts(i) && ts(i) <= d._2))
+              .map(i => TsdbSample(labelMap, ts(i), vs(i)))
+          }
+      }
     }
   }
 }

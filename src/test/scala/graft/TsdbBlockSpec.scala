@@ -280,6 +280,37 @@ class TsdbBlockSpec extends AnyFunSuite {
     } finally deleteRec(root)
   }
 
+  test("tombstones roundtrip and delete exactly their [mint, maxt] intervals") {
+    val root = java.nio.file.Files.createTempDirectory("graft_tsdbd").toFile
+    try {
+      val dirs = TsdbBlockStore.write(mkSamples(), root.getPath,
+        Seq("job", "instance"), "ts", "value")
+      val before = TsdbBlockStore.read(spark, root.getPath).collect()
+      // delete one series' samples in [0, 1_000_000] in the first block
+      val bd = new java.io.File(root, dirs.head)
+      val ir = new F.IndexReader(java.nio.file.Files.readAllBytes(
+        new java.io.File(bd, "index").toPath))
+      val target = ir.allPostings.map(r => (r, ir.series(r).labels.toMap))
+        .find(_._2 == Map("job" -> "api", "instance" -> "b")).get._1
+      F.writeTombstones(bd, Seq(F.Tombstone(target, 0L, 1000000L)))
+      assert(F.readTombstones(bd) == Map(target -> Seq((0L, 1000000L))))
+      val after = TsdbBlockStore.read(spark, root.getPath).collect()
+      val expected = before.filterNot(s =>
+        s.labels == Map("job" -> "api", "instance" -> "b") &&
+          s.ts >= 0L && s.ts <= 1000000L)
+      assert(after.map(s => (s.labels, s.ts)).toSet ==
+        expected.map(s => (s.labels, s.ts)).toSet)
+      assert(after.length < before.length)
+      // corrupted tombstones fail loudly, not silently un-delete
+      val f = new java.io.File(bd, "tombstones")
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      bytes(6) = (bytes(6) ^ 0x01).toByte
+      java.nio.file.Files.write(f.toPath, bytes)
+      intercept[Exception](
+        TsdbBlockStore.read(spark, root.getPath).collect())
+    } finally deleteRec(root)
+  }
+
   test("readLabels flattens to columns with absent labels as empty string") {
     val root = java.nio.file.Files.createTempDirectory("graft_tsdbl").toFile
     try {
