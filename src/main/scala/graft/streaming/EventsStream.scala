@@ -277,6 +277,28 @@ object EventsStream {
         seriesCols, "ts", "zero_count", "pos_idx", "pos_counts",
         sumCol, samplesPerChunk = samplesPerChunk))
 
+  /** Streaming ingest into BYTE-LEVEL Prometheus TSDB blocks
+    * ([[graft.tsdb.block.TsdbBlockStore.write]]): each micro-batch's
+    * samples become spec-shaped block dirs (one per `blockDurationMs`
+    * window touched by the batch — the live analog of the Prometheus
+    * head block cutting on the block boundary). Because a batch's
+    * blocks land under content-hashed ULIDs and write() skips
+    * already-existing ULIDs, re-delivered batches are idempotent;
+    * periodic compaction across the accumulated per-batch blocks is
+    * the same `read` → `write` pass at a coarser duration.
+    */
+  def toTsdbBlocks(samples: DataFrame, root: String, checkpoint: String,
+      labelCols: Seq[String], tsCol: String = "ts",
+      valueCol: String = "value",
+      blockDurationMs: Long = 2 * 3600 * 1000L): DataStreamWriter[Row] =
+    samples.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.tsdb.block.TsdbBlockStore.write(batch, root, labelCols,
+            tsCol, valueCol, blockDurationMs): Unit
+      }
+
   /** [[toHistChunkedBlocks]] for FLOAT-histogram streams (double
     * zero/bucket counts — the EncFloatHistogram half): mini
     * [[graft.tsdb.HistChunkStore.writeFloat]] blocks per micro-batch,

@@ -617,6 +617,9 @@ object PromQL {
       case "sinh" => Right(mapValue(vec(one(c, "sinh"), "sinh"), sinh))
       case "cosh" => Right(mapValue(vec(one(c, "cosh"), "cosh"), cosh))
       case "tanh" => Right(mapValue(vec(one(c, "tanh"), "tanh"), tanh))
+      case "asinh" => Right(mapValue(vec(one(c, "asinh"), "asinh"), asinh))
+      case "acosh" => Right(mapValue(vec(one(c, "acosh"), "acosh"), acosh))
+      case "atanh" => Right(mapValue(vec(one(c, "atanh"), "atanh"), atanh))
       case "deg" => Right(mapValue(vec(one(c, "deg"), "deg"),
         _ * lit(180.0 / math.Pi)))
       case "rad" => Right(mapValue(vec(one(c, "rad"), "rad"),

@@ -226,6 +226,22 @@ class PromQLCompilerSpec extends SparkSpec {
       Set(Seq("api", "i1", math.sqrt(118.0)), Seq("api", "i2", math.sqrt(45.0))))
   }
 
+  test("inverse hyperbolic functions match Go math semantics") {
+    // asinh is defined everywhere; acosh(x<1) and atanh(|x|>1) are
+    // NaN in Go's math package, and must stay NaN here (ANSI mode
+    // would otherwise throw on the internal sqrt/log domain)
+    def f(expr: String): Map[String, Double] =
+      rows(expr).map(r => (r(1).toString, r(2).asInstanceOf[Double])).toMap
+    val a = f("asinh(http_requests_total / 118)")
+    assert(math.abs(a("i1") - 0.8813735870195429) < 1e-12) // asinh(1)
+    val c = f("acosh(http_requests_total / 118)")
+    assert(c("i1") == 0.0) // acosh(1) = 0
+    assert(c("i2").isNaN) // 45/118 < 1
+    val t = f("atanh(http_requests_total / 118)")
+    assert(t("i1").isInfinite || t("i1").isNaN) // atanh(1) = +Inf in Go
+    assert(math.abs(t("i2") - 0.5 * math.log((1 + 45.0 / 118) / (1 - 45.0 / 118))) < 1e-12)
+  }
+
   // ===== binary operators =====
 
   test("vector-scalar arithmetic and comparison filter") {
