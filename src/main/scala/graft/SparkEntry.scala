@@ -857,6 +857,7 @@ object SparkEntry {
           shards = 4))
     }
     val q = new TsdbQueryable(s.read.parquet(path), Seq("event_type", "user_id"))
+      .withBucketCol("bucket") // literal partition pruning from the range
     withTsMs(q.select("2024-01-05", "2024-01-20", Matcher.Eq("event_type", "view")))
       .orderBy("ts_ms", "user_id", "value")
   }
@@ -1823,6 +1824,7 @@ object SparkEntry {
     }
     val q = new TsdbQueryable(s.read.parquet(path),
       Seq("event_type", "user_id"))
+      .withBucketCol("bucket") // literal partition pruning from the range
     withTsMs(q.select("2024-01-05", "2024-01-20",
         Matcher.Eq("event_type", "view")))
       .orderBy("ts_ms", "user_id", "value")

@@ -444,6 +444,20 @@ object PlanAudit {
       if (!oneScan) failures ::= "ts_promql_range_one_scan: single scan"
     }
 
+    // TSDB-block migration path: the SELECT stage over the layout
+    // converted FROM block bytes must keep the same pushdown and
+    // partition-pruning contract as a native convert — the byte
+    // bridge cannot cost the converted layout its plan properties.
+    // (The block READ itself is a narrow per-(block,shard) RDD scan
+    // with index-level pruning, asserted by TsdbBlockSpec, not a
+    // Catalyst plan.)
+    audit("ts_tsdb_block_convert",
+      SparkEntry.queries("ts_tsdb_block_convert")(spark, dir),
+      Map(
+        "matcher pushed to the converted scan" -> "EqualTo(event_type,view)",
+        "time range pushed" -> "GreaterThanOrEqual(ts,",
+        "bucket partition pruning" -> "PartitionFilters: [isnotnull(bucket"))
+
     if (failures.nonEmpty) {
       println(s"\n[audit] FAILURES: ${failures.mkString("; ")}")
       sys.exit(1)

@@ -30,7 +30,22 @@ final class TsdbQueryable(
     valueCol: String = "value",
     materializedSeriesCallback: DataFrame => DataFrame = identity,
     selectionCache: Option[SelectionCache] = None,
-    labelsFilter: Option[Column] = None) {
+    labelsFilter: Option[Column] = None,
+    bucketCol: Option[String] = None,
+    bucketDuration: String = "1 day") {
+
+  /** Declare the layout's time-partition column (the
+    * [[TsdbConverter]] `bucket` column): every range select then
+    * also emits a LITERAL bucket-range predicate derived from
+    * [mint, maxt), so at 100 TB the scan prunes whole partition
+    * directories before any footer is read — a ts predicate alone
+    * cannot prune a derived partition column. Returns a NEW
+    * queryable. */
+  def withBucketCol(bucket: String,
+      duration: String = "1 day"): TsdbQueryable =
+    new TsdbQueryable(df, labelCols, tsCol, valueCol,
+      materializedSeriesCallback, selectionCache, labelsFilter,
+      Some(bucket), duration)
 
   /** Integrator seam on the select path — the analog of the
     * reference's `WithMaterializedSeriesCallback` option
@@ -42,7 +57,7 @@ final class TsdbQueryable(
     */
   def withMaterializedSeriesCallback(cb: DataFrame => DataFrame): TsdbQueryable =
     new TsdbQueryable(df, labelCols, tsCol, valueCol, cb, selectionCache,
-      labelsFilter)
+      labelsFilter, bucketCol, bucketDuration)
 
   /** The `WithMaterializedLabelsFilterCallback` analog
     * (queryable/parquet_queryable.go:104-110): a predicate over the
@@ -57,7 +72,8 @@ final class TsdbQueryable(
     */
   def withMaterializedLabelsFilterCallback(pred: Column): TsdbQueryable =
     new TsdbQueryable(df, labelCols, tsCol, valueCol,
-      materializedSeriesCallback, selectionCache, Some(pred))
+      materializedSeriesCallback, selectionCache, Some(pred), bucketCol,
+      bucketDuration)
 
   /** Attach a [[SelectionCache]] (the reference's
     * WithRowRangesForConstraintsCache option,
@@ -67,7 +83,8 @@ final class TsdbQueryable(
     */
   def withSelectionCache(cache: SelectionCache): TsdbQueryable =
     new TsdbQueryable(df, labelCols, tsCol, valueCol,
-      materializedSeriesCallback, Some(cache), labelsFilter)
+      materializedSeriesCallback, Some(cache), labelsFilter, bucketCol,
+      bucketDuration)
 
   /** Cache key — the constraintsCacheKey analog
     * (search/constraint_cache.go:24-33): there
@@ -90,9 +107,35 @@ final class TsdbQueryable(
     labelsFilter.map(matched.filter).getOrElse(matched)
   }
 
-  private def inRange(mint: String, maxt: String): Column =
-    col(tsCol) >= lit(mint).cast("timestamp") &&
+  private def inRange(mint: String, maxt: String): Column = {
+    val ts = col(tsCol) >= lit(mint).cast("timestamp") &&
       col(tsCol) < lit(maxt).cast("timestamp")
+    bucketCol match {
+      case Some(b) =>
+        // literal bucket range: partition-directory pruning the ts
+        // predicate alone cannot provide on a derived partition col.
+        // [mint, maxt) is semi-open, so maxt's own bucket is only
+        // needed when maxt is not exactly on a bucket boundary —
+        // keeping it is correct either way (ts still filters rows)
+        // UTC explicitly: the engine runs UTC sessions, and the JVM
+        // default zone must not leak into the literal bucket bounds
+        val secs = TsdbConverter.durationSeconds(bucketDuration)
+        val loMs = java.time.LocalDateTime.parse(normalize(mint))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        val hiMs = java.time.LocalDateTime.parse(normalize(maxt))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        val lo = Math.floorDiv(Math.floorDiv(loMs, 1000L), secs)
+        val hi = Math.floorDiv(Math.floorDiv(hiMs - 1, 1000L), secs)
+        ts && col(b) >= lo && col(b) <= hi
+      case None => ts
+    }
+  }
+
+  /** "2024-01-05" / "2024-01-05 06:00:00" → ISO LocalDateTime. */
+  private def normalize(s: String): String = {
+    val t = s.trim.replace(' ', 'T')
+    if (t.contains('T')) t else t + "T00:00:00"
+  }
 
   /** Select samples of all series matching `matchers` within
     * [mint, maxt), projected to `projection` label columns (the

@@ -268,6 +268,40 @@ object TsdbBlockStore {
       col("ts") :+ col("value")): _*)
   }
 
+  /** Vertical compaction (the Prometheus compactor's overlapping-
+    * block merge): read every block under `root`, deduplicate exact
+    * (series, ts) collisions — the sample from the lexicographically
+    * LAST block ULID wins, the deterministic analog of Prometheus
+    * merging its sorted block list — and rewrite as blocks of
+    * `blockDurationMs` under `outRoot`. One narrow read fan-in, one
+    * shuffle (the LWW groupBy doubles as the writer's
+    * repartition-by-window sort input). */
+  def compact(spark: SparkSession, root: String, outRoot: String,
+      labelCols: Seq[String], blockDurationMs: Long = 2 * 3600 * 1000L,
+      shardsPerBlock: Int = 1): Seq[String] = {
+    import spark.implicits._
+    val blocks = overlappingBlocks(root, Long.MinValue, Long.MaxValue)
+    val tasks = for (b <- blocks; s <- 0 until shardsPerBlock)
+      yield (b, s)
+    val cols = labelCols.toIndexedSeq
+    val rdd = spark.sparkContext
+      .parallelize(tasks, math.max(tasks.size, 1))
+      .flatMap { case (block, shard) =>
+        readBlockShard(new java.io.File(root, block), Long.MinValue,
+            Long.MaxValue, Nil, shard, shardsPerBlock)
+          .map(s => (block, cols.map(c => s.labels.getOrElse(c, "")),
+            s.ts, s.value))
+      }
+    val flat = rdd.toDF("_ulid", "_ls", "ts", "value")
+      .select((cols.zipWithIndex.map { case (c, i) =>
+        col("_ls")(i).as(c) } :+ col("_ulid") :+ col("ts") :+
+        col("value")): _*)
+    val lww = flat
+      .groupBy((cols.map(col) :+ col("ts")): _*)
+      .agg(max_by(col("value"), col("_ulid")).as("value"))
+    write(lww, outRoot, labelCols, "ts", "value", blockDurationMs)
+  }
+
   // Matcher is not Serializable-friendly across the closure (it
   // carries Catalyst Columns); ship the constructor fields instead.
   private def encodeMatcher(m: Matcher): (String, String, String) = m match {

@@ -325,6 +325,50 @@ class TsdbBlockSpec extends AnyFunSuite {
     } finally deleteRec(root)
   }
 
+  test("compact merges overlapping blocks with deterministic LWW and preserves disjoint samples") {
+    val root = java.nio.file.Files.createTempDirectory("graft_tsdbv").toFile
+    val out = java.nio.file.Files.createTempDirectory("graft_tsdbvo").toFile
+    try {
+      import spark.implicits._
+      // two writes into the same root → overlapping blocks for the
+      // shared window; ts=1000 collides with different values
+      TsdbBlockStore.write(
+        Seq((1000L, "api", 1.0), (2000L, "api", 2.0))
+          .toDF("ts", "job", "value"),
+        root.getPath, Seq("job"), "ts", "value")
+      TsdbBlockStore.write(
+        Seq((1000L, "api", 9.0), (3000L, "db", 3.0))
+          .toDF("ts", "job", "value"),
+        root.getPath, Seq("job"), "ts", "value")
+      val nIn = new java.io.File(root.getPath).listFiles()
+        .count(d => d.isDirectory && new java.io.File(d, "meta.json").isFile)
+      assert(nIn == 2)
+      val dirs = TsdbBlockStore.compact(spark, root.getPath, out.getPath,
+        Seq("job"))
+      assert(dirs.size == 1)
+      // both revisions of ts=1000 exist pre-compaction...
+      val pre = TsdbBlockStore.read(spark, root.getPath)
+        .filter(_.ts == 1000L).collect()
+      assert(pre.map(_.value).toSet == Set(1.0, 9.0))
+      // ...exactly one survives compaction; disjoint samples intact
+      val back = TsdbBlockStore.read(spark, out.getPath).collect()
+        .map(s => (s.labels("job"), s.ts, s.value)).toSet
+      assert(back.count(_._2 == 1000L) == 1)
+      assert(Set(1.0, 9.0).contains(back.find(_._2 == 1000L).get._3))
+      assert(back.filter(_._2 != 1000L) ==
+        Set(("api", 2000L, 2.0), ("db", 3000L, 3.0)))
+      // determinism: compacting again yields the identical value
+      val out2 = java.nio.file.Files.createTempDirectory("graft_tsdbv2").toFile
+      try {
+        TsdbBlockStore.compact(spark, root.getPath, out2.getPath, Seq("job"))
+        val v1 = back.find(_._2 == 1000L).get._3
+        val v2 = TsdbBlockStore.read(spark, out2.getPath).collect()
+          .find(_.ts == 1000L).get.value
+        assert(v1 == v2)
+      } finally deleteRec(out2)
+    } finally { deleteRec(root); deleteRec(out) }
+  }
+
   private def deleteRec(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRec)
     f.delete()
