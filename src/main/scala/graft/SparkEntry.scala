@@ -1244,6 +1244,32 @@ object SparkEntry {
       .select(col("user_id"), col("value").as("ratio"))
       .orderBy("user_id")
 
+  /** The full user story in one plan: a PromQL STRING evaluated
+    * directly against a Prometheus DATA DIRECTORY — block bytes →
+    * [[tsdb.block.TsdbBlockStore.readLabels]] → PromQL front-end
+    * (sum_over_time ratio with on() matching, an order-insensitive
+    * query: block bytes do not preserve intra-timestamp sample
+    * order). What a migrating user runs on day one, hash-pinned.
+    */
+  private def tsPromqlTsdbBlocks(s: SparkSession, dir: String): DataFrame = {
+    tsdbBlockFixture(s, dir)
+    val events = graft.tsdb.block.TsdbBlockStore
+      .readLabels(s, tsdbBlockPath(dir), Seq("event_type", "user_id"))
+      .withColumn("ts", timestamp_millis(col("ts")))
+    val ctx = graft.tsdb.promql.PromQLContext(
+      metrics = Map("events" -> events),
+      labelCols = Seq("event_type", "user_id"),
+      evalMs = 1706745600000L, // 2024-02-01T00:00:00Z
+      lookbackMs = 86400000L)
+    graft.tsdb.promql.PromQL.compile(
+        """sum by (user_id) (sum_over_time(events{event_type="click"}[31d]))
+          | / on(user_id)
+          |sum by (user_id) (sum_over_time(events{event_type="view"}[31d]))"""
+          .stripMargin, ctx)
+      .select(col("user_id"), col("value").as("ratio"))
+      .orderBy("user_id")
+  }
+
   /** `topk(5, ...)` over an `offset` range — selector offset
     * arithmetic plus the full-label topk with the documented
     * label-order tiebreak.
@@ -2284,6 +2310,7 @@ object SparkEntry {
     "ts_tsdb_block_roundtrip" -> (tsTsdbBlockRoundtrip _),
     "ts_tsdb_block_select" -> (tsTsdbBlockSelect _),
     "ts_tsdb_block_convert" -> (tsTsdbBlockConvert _),
+    "ts_promql_tsdb_blocks" -> (tsPromqlTsdbBlocks _),
     "ts_promql_nh_chunked" -> (tsPromqlNhChunked _),
     "ts_promql_nh_quantile_rate" -> (tsPromqlNhQuantileRate _),
     "ts_promql_nh_sum_quantile" -> (tsPromqlNhSumQuantile _),
@@ -3917,6 +3944,25 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'view'
         |    AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
         |  GROUP BY user_id)
+        |SELECT l.user_id, l.v / r.v AS ratio
+        |FROM l JOIN r USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    // the same ratio query, but the engine's input was a Prometheus
+    // DATA DIRECTORY (block bytes), so user_id is a block label —
+    // a string
+    "ts_promql_tsdb_blocks" ->
+      """WITH l AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS v
+        |  FROM events WHERE event_type = 'click'
+        |    AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS v
+        |  FROM events WHERE event_type = 'view'
+        |    AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |  GROUP BY 1)
         |SELECT l.user_id, l.v / r.v AS ratio
         |FROM l JOIN r USING (user_id)
         |ORDER BY user_id""".stripMargin,
