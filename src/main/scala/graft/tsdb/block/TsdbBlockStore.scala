@@ -220,18 +220,30 @@ object TsdbBlockStore {
   // read
   // ---------------------------------------------------------------
 
+  /** Past this many blocks the meta.json overlap filter runs as a
+    * Spark job instead of a sequential driver loop. */
+  private final val DriverMetaScanCap = 256
+
   /** All block dirs under `root` whose [minTime, maxTime) overlaps
     * [mint, maxt] — pruned on meta.json alone, before any index or
-    * chunk byte is read. */
-  private def overlappingBlocks(root: String, mint: Long,
-      maxt: Long): Seq[String] = {
+    * chunk byte is read. The directory listing itself is one driver
+    * syscall; the per-block meta READS distribute once the data dir
+    * is large (a year of 2h blocks is ~4 400 dirs — a sequential
+    * driver loop over shared storage would dominate query setup). */
+  private def overlappingBlocks(spark: SparkSession, root: String,
+      mint: Long, maxt: Long): Seq[String] = {
     val rootDir = new java.io.File(root)
     val dirs = Option(rootDir.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && new java.io.File(d, "meta.json").isFile)
-    dirs.filter { d =>
-      val (bMin, bMax) = readMetaTimes(d)
+      .map(_.getName).sorted.toSeq
+    def overlaps(name: String): Boolean = {
+      val (bMin, bMax) = readMetaTimes(new java.io.File(root, name))
       bMin <= maxt && bMax > mint
-    }.map(_.getName).sorted.toSeq
+    }
+    if (dirs.size <= DriverMetaScanCap) dirs.filter(overlaps)
+    else spark.sparkContext
+      .parallelize(dirs, math.max(1, dirs.size / 64))
+      .filter(overlaps).collect().sorted.toSeq
   }
 
   /** Read every sample matching `matchers` in [mint, maxt] from the
@@ -243,7 +255,7 @@ object TsdbBlockStore {
       shardsPerBlock: Int = 1): Dataset[TsdbSample] = {
     import spark.implicits._
     require(shardsPerBlock > 0, "shardsPerBlock must be positive")
-    val blocks = overlappingBlocks(root, mint, maxt)
+    val blocks = overlappingBlocks(spark, root, mint, maxt)
     val tasks = for (b <- blocks; s <- 0 until shardsPerBlock)
       yield (b, s)
     val matcherSpecs = matchers.map(encodeMatcher)
@@ -280,7 +292,7 @@ object TsdbBlockStore {
       labelCols: Seq[String], blockDurationMs: Long = 2 * 3600 * 1000L,
       shardsPerBlock: Int = 1): Seq[String] = {
     import spark.implicits._
-    val blocks = overlappingBlocks(root, Long.MinValue, Long.MaxValue)
+    val blocks = overlappingBlocks(spark, root, Long.MinValue, Long.MaxValue)
     val tasks = for (b <- blocks; s <- 0 until shardsPerBlock)
       yield (b, s)
     val cols = labelCols.toIndexedSeq
