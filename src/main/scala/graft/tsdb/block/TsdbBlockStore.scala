@@ -269,15 +269,57 @@ object TsdbBlockStore {
   }
 
   /** [[read]] flattened to one string column per label in
-    * `labelCols` (absent label → ""), ready for the converters. */
+    * `labelCols` (absent label → ""), ready for the converters.
+    * Projection happens INSIDE the block reader: one string array
+    * per series (not a Map per row through the encoder), because at
+    * 100 TB per-sample Map construction + Map serialization is pure
+    * allocation overhead the flattened schema never needed. */
   def readLabels(spark: SparkSession, root: String,
       labelCols: Seq[String], mint: Long = Long.MinValue,
       maxt: Long = Long.MaxValue, matchers: Seq[Matcher] = Nil,
       shardsPerBlock: Int = 1): DataFrame = {
-    val ds = read(spark, root, mint, maxt, matchers, shardsPerBlock)
-    ds.select((labelCols.map(c =>
-      coalesce(element_at(col("labels"), c), lit("")).as(c)) :+
-      col("ts") :+ col("value")): _*)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    require(shardsPerBlock > 0, "shardsPerBlock must be positive")
+    val blocks = overlappingBlocks(spark, root, mint, maxt)
+    val tasks = for (b <- blocks; s <- 0 until shardsPerBlock)
+      yield (b, s)
+    val matcherSpecs = matchers.map(encodeMatcher)
+    val cols = labelCols.toIndexedSeq
+    val rdd = spark.sparkContext
+      .parallelize(tasks, math.max(tasks.size, 1))
+      .flatMap { case (block, shard) =>
+        readBlockShardFlat(new java.io.File(root, block), mint, maxt,
+          matcherSpecs.map(decodeMatcher), shard, shardsPerBlock, cols)
+      }
+    val schema = StructType(
+      cols.map(c => StructField(c, StringType, nullable = false)) :+
+        StructField("ts", LongType, nullable = false) :+
+        StructField("value", DoubleType, nullable = false))
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** The flattened row iterator behind [[readLabels]]: identical
+    * pruning/verification to [[readBlockShard]], but each series
+    * projects its labels to the requested columns ONCE and emits
+    * plain Rows. */
+  private def readBlockShardFlat(dir: java.io.File, mint: Long,
+      maxt: Long, matchers: Seq[Matcher], shard: Int, nShards: Int,
+      cols: IndexedSeq[String]): Iterator[org.apache.spark.sql.Row] = {
+    val n = cols.length
+    readBlockSeries(dir, mint, maxt, matchers, shard, nShards)
+      .flatMap { case (labelMap, samples) =>
+        val proj = new Array[Any](n + 2)
+        var i = 0
+        while (i < n) { proj(i) = labelMap.getOrElse(cols(i), ""); i += 1 }
+        samples.map { case (ts, v) =>
+          val row = proj.clone()
+          row(n) = ts
+          row(n + 1) = v
+          org.apache.spark.sql.Row.fromSeq(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(row))
+        }
+      }
   }
 
   /** Vertical compaction (the Prometheus compactor's overlapping-
@@ -381,7 +423,20 @@ object TsdbBlockStore {
 
   private def readBlockShard(dir: java.io.File, mint: Long, maxt: Long,
       matchers: Seq[Matcher], shard: Int,
-      nShards: Int): Iterator[TsdbSample] = {
+      nShards: Int): Iterator[TsdbSample] =
+    readBlockSeries(dir, mint, maxt, matchers, shard, nShards)
+      .flatMap { case (labelMap, samples) =>
+        samples.map { case (ts, v) => TsdbSample(labelMap, ts, v) }
+      }
+
+  /** Shared per-shard series walk: candidate refs from the postings
+    * index, exact matcher re-verification, chunk-frame time pruning,
+    * tombstone application. Emits one (label map, sample iterator)
+    * pair per surviving series so callers project labels ONCE per
+    * series, not per sample. */
+  private def readBlockSeries(dir: java.io.File, mint: Long, maxt: Long,
+      matchers: Seq[Matcher], shard: Int, nShards: Int)
+      : Iterator[(Map[String, String], Iterator[(Long, Double)])] = {
     val ir = new IndexReader(java.nio.file.Files.readAllBytes(
       new java.io.File(dir, "index").toPath))
     val chunks = new ChunkSegmentReader(new java.io.File(dir, "chunks"))
@@ -398,7 +453,7 @@ object TsdbBlockStore {
       if (!ok) Iterator.empty
       else {
         val deleted = tombstones.getOrElse(ref, Nil)
-        se.chunks.iterator
+        val samples = se.chunks.iterator
           .filter(cm => cm.mint <= maxt && cm.maxt >= mint)
           .flatMap { cm =>
             val (enc, data) = chunks.chunk(cm.ref)
@@ -407,8 +462,9 @@ object TsdbBlockStore {
             ts.indices.iterator
               .filter(i => ts(i) >= mint && ts(i) <= maxt &&
                 !deleted.exists(d => d._1 <= ts(i) && ts(i) <= d._2))
-              .map(i => TsdbSample(labelMap, ts(i), vs(i)))
+              .map(i => (ts(i), vs(i)))
           }
+        Iterator.single((labelMap, samples))
       }
     }
   }
