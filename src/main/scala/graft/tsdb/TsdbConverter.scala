@@ -33,7 +33,15 @@ final case class ConvertOptions(
     bloomFilterLabels: Seq[String] = Nil,
     maxRecordsPerFile: Long = 0L,
     shards: Int = 0,
-    compression: String = "zstd")
+    compression: String = "zstd",
+    // the reference's WithRowGroupSize / WithPageBufferSize
+    // (convert/convert.go:226,179) — parquet row-group and page
+    // sizing in BYTES; 0 keeps the writer defaults. Row-group size
+    // bounds the unit of row-group pruning (smaller groups → finer
+    // mint/maxt skipping, more footer overhead); page size bounds
+    // the unit of page-level dictionary/stats reads.
+    rowGroupBytes: Long = 0L,
+    pageBytes: Long = 0L)
 
 object TsdbConverter {
 
@@ -70,6 +78,10 @@ object TsdbConverter {
       .partitionBy("bucket")
     if (opts.maxRecordsPerFile > 0)
       w = w.option("maxRecordsPerFile", opts.maxRecordsPerFile)
+    if (opts.rowGroupBytes > 0)
+      w = w.option("parquet.block.size", opts.rowGroupBytes)
+    if (opts.pageBytes > 0)
+      w = w.option("parquet.page.size", opts.pageBytes)
     opts.bloomFilterLabels.foreach { l =>
       w = w.option(s"parquet.bloom.filter.enabled#$l", "true")
     }

@@ -84,6 +84,40 @@ class TsdbConverterSpec extends SparkSpec {
     } finally reader.close()
   }
 
+  test("rowGroupBytes bounds parquet row groups (WithRowGroupSize analog)") {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    def rowGroups(dir: String): Int = {
+      val part = new java.io.File(dir).listFiles().filter(_.isDirectory).head
+        .listFiles().filter(_.getName.endsWith(".parquet")).head
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(part.getAbsolutePath),
+          new Configuration()))
+      try reader.getFooter.getBlocks.size()
+      finally reader.close()
+    }
+    // incompressible payload so byte sizing, not encoding, dominates
+    val rnd = new scala.util.Random(7)
+    val df = Seq.tabulate(20000)(i =>
+      (s"s_${rnd.nextLong()}_${rnd.nextLong()}",
+        ts("2024-01-01 10:00:00"), rnd.nextDouble()))
+      .toDF("series", "ts", "value")
+    val defDir = Files.createTempDirectory("graft_rg_def").toString + "/out"
+    TsdbConverter.convert(df.coalesce(1), defDir, "ts",
+      ConvertOptions(sortBy = Seq("series"), colDuration = "1 day"))
+    val smallDir = Files.createTempDirectory("graft_rg_small").toString + "/out"
+    TsdbConverter.convert(df.coalesce(1), smallDir, "ts",
+      ConvertOptions(sortBy = Seq("series"), colDuration = "1 day",
+        rowGroupBytes = 64 * 1024, pageBytes = 16 * 1024))
+    assert(rowGroups(defDir) == 1, "default sizing should fit one row group")
+    assert(rowGroups(smallDir) > 4,
+      "a 64 KiB row-group cap must split ~1 MB of data into many groups " +
+        "(finer mint/maxt row-group pruning)")
+  }
+
   test("convertWithLabels writes the wide l_* layout from a label map") {
     val dir = Files.createTempDirectory("graft_wide").toString + "/out"
     val df = Seq(
