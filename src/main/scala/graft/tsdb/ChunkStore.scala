@@ -59,8 +59,17 @@ object ChunkStore {
     */
   def write(df: DataFrame, path: String, seriesCols: Seq[String],
       tsCol: String, valueCol: String, colDuration: String = "1 day",
-      samplesPerChunk: Int = 120, compression: String = "zstd"): Unit = {
+      samplesPerChunk: Int = 120, compression: String = "zstd",
+      labelsCompression: Option[String] = None,
+      chunksCompression: Option[String] = None): Unit = {
     require(seriesCols.nonEmpty, "need at least one series label column")
+    // the reference compresses the two files independently
+    // (WithLabelsCompression / WithChunksCompression,
+    // convert/convert.go:306,322): label strings compress well under
+    // zstd, while chunk blobs are already XOR-compressed bits where a
+    // cheap codec (or none) can beat recompression CPU at scan time
+    val labelsComp = labelsCompression.getOrElse(compression)
+    val chunksComp = chunksCompression.getOrElse(compression)
     val withKey = withSeriesRef(df, seriesCols)
       .withColumn("bucket", TsdbConverter.bucketCol(tsCol, colDuration))
       .withColumn("_ts_us", tsUs(tsCol))
@@ -71,7 +80,7 @@ object ChunkStore {
       .distinct()
       .repartitionByRange(seriesCols.map(col): _*)
       .sortWithinPartitions(seriesCols.map(col): _*)
-      .write.mode(SaveMode.Overwrite).option("compression", compression)
+      .write.mode(SaveMode.Overwrite).option("compression", labelsComp)
       .parquet(s"$path/labels")
 
     val enc = ColumnBridge.column(ChunkEncode(
@@ -86,7 +95,7 @@ object ChunkStore {
         count(lit(1)).as("n_samples"),
         enc.as("data"))
       .sortWithinPartitions(col("bucket"), col("series_ref"))
-      .write.mode(SaveMode.Overwrite).option("compression", compression)
+      .write.mode(SaveMode.Overwrite).option("compression", chunksComp)
       .partitionBy("bucket")
       .parquet(s"$path/chunks")
   }

@@ -149,4 +149,34 @@ class ChunkStoreSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("labels and chunks files compress independently (WithLabels/ChunksCompression analog)") {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    import java.nio.file.Files
+    def codec(dir: java.io.File): String = {
+      def firstParquet(f: java.io.File): java.io.File =
+        if (f.isFile)
+          (if (f.getName.endsWith(".parquet")) f else null)
+        else f.listFiles().filterNot(_.getName.startsWith("_"))
+          .sortBy(_.getName).iterator.map(firstParquet)
+          .find(_ != null).orNull
+      val part = firstParquet(dir)
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(part.getAbsolutePath),
+          new Configuration()))
+      try reader.getFooter.getBlocks.asScala.head
+        .getColumns.asScala.head.getCodec.toString
+      finally reader.close()
+    }
+    val root = Files.createTempDirectory("graft_cscomp").toString + "/blk"
+    ChunkStore.write(eventsDF, root, Seq("event_type", "user_id"),
+      "ts", "value", labelsCompression = Some("zstd"),
+      chunksCompression = Some("uncompressed"))
+    assert(codec(new java.io.File(s"$root/labels")) == "ZSTD")
+    assert(codec(new java.io.File(s"$root/chunks")) == "UNCOMPRESSED")
+  }
 }
