@@ -78,7 +78,7 @@ object HistChunkCodec {
     * the sum-column scheme of the integer chunk, factored so the
     * float chunk can run EVERY double (zero count, bucket counts,
     * sums) through it. Bit-exact incl. NaN payloads. */
-  private final class XorWriter(w: BitWriter) {
+  private[tsdb] final class XorWriter(w: BitWriter) {
     private var winLeading = -1
     private var winTrailing = 0
     def write(bits: Long, prevBits: Long): Unit = {
@@ -105,7 +105,7 @@ object HistChunkCodec {
     }
   }
 
-  private final class XorReader(r: BitReader) {
+  private[tsdb] final class XorReader(r: BitReader) {
     private var winLeading = 0
     private var winTrailing = 0
     def read(prevBits: Long): Long = {
@@ -127,7 +127,7 @@ object HistChunkCodec {
     * buckets) with its run state, shared by the integer and float
     * chunk encoders: raw varint at sample 0, uvarint delta at
     * sample 1, then bucketed DoD. */
-  private final class TsWriter(w: BitWriter) {
+  private[tsdb] final class TsWriter(w: BitWriter) {
     private var prevT = 0L
     private var prevDelta = 0L
     private var i = 0
@@ -158,7 +158,7 @@ object HistChunkCodec {
     }
   }
 
-  private final class TsReader(r: BitReader) {
+  private[tsdb] final class TsReader(r: BitReader) {
     private var prevT = 0L
     private var prevDelta = 0L
     private var i = 0

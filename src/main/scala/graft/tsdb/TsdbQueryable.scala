@@ -112,29 +112,29 @@ final class TsdbQueryable(
       col(tsCol) < lit(maxt).cast("timestamp")
     bucketCol match {
       case Some(b) =>
-        // literal bucket range: partition-directory pruning the ts
-        // predicate alone cannot provide on a derived partition col.
-        // [mint, maxt) is semi-open, so maxt's own bucket is only
-        // needed when maxt is not exactly on a bucket boundary —
-        // keeping it is correct either way (ts still filters rows)
-        // UTC explicitly: the engine runs UTC sessions, and the JVM
-        // default zone must not leak into the literal bucket bounds
+        // bucket range: partition-directory pruning the ts predicate
+        // alone cannot provide on a derived partition column. The
+        // bounds are built from the SAME `lit(s).cast("timestamp")`
+        // the ts predicate uses — one parser, one session timezone —
+        // as constant-foldable expressions Catalyst reduces to
+        // literals before partition pruning runs. Integer µs math:
+        // bucket = floor(epoch_sec/width) and nested-floor gives
+        // floor(µs/widthµs) == it for positive epochs; maxt is
+        // exclusive at FULL µs precision, hence the -1 on micros,
+        // not on a millisecond truncation. Two-stage floor
+        // (µs→sec→bucket) instead of one µs/widthµs division: at
+        // each stage the unit gap (1µs vs 1e6; 1s vs width) is far
+        // above double epsilon at the quotient's magnitude, so the
+        // boundary cases floor exactly — a single division by
+        // width·1e6 can misround 1µs-off-boundary values.
         val secs = TsdbConverter.durationSeconds(bucketDuration)
-        val loMs = java.time.LocalDateTime.parse(normalize(mint))
-          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-        val hiMs = java.time.LocalDateTime.parse(normalize(maxt))
-          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-        val lo = Math.floorDiv(Math.floorDiv(loMs, 1000L), secs)
-        val hi = Math.floorDiv(Math.floorDiv(hiMs - 1, 1000L), secs)
+        val lo = floor(unix_timestamp(lit(mint).cast("timestamp")) / secs)
+        val hi = floor(
+          floor((unix_micros(lit(maxt).cast("timestamp")) - 1) / 1000000L)
+            / secs)
         ts && col(b) >= lo && col(b) <= hi
       case None => ts
     }
-  }
-
-  /** "2024-01-05" / "2024-01-05 06:00:00" → ISO LocalDateTime. */
-  private def normalize(s: String): String = {
-    val t = s.trim.replace(' ', 'T')
-    if (t.contains('T')) t else t + "T00:00:00"
   }
 
   /** Select samples of all series matching `matchers` within

@@ -5,6 +5,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 import java.util.zip.CRC32C
 
 import graft.tsdb.ChunkCodec.{BitReader, BitWriter}
+import graft.tsdb.HistChunkCodec
 
 /** Byte-level Prometheus TSDB BLOCK format — the layout the
   * reference ingests through `tsdb.IndexReader`/`tsdb.ChunkReader`
@@ -90,68 +91,27 @@ object TsdbBlockFormat {
   // XOR chunk (chunkenc layout)
   // ---------------------------------------------------------------
 
-  /** Encode one XOR chunk; `ts` sorted ascending, ≤ 0xffff samples. */
+  /** Encode one XOR chunk; `ts` sorted ascending, ≤ 0xffff samples.
+    * The timestamp DoD buckets and the Gorilla value window are the
+    * ONE shared implementation ([[HistChunkCodec.TsWriter]] /
+    * [[HistChunkCodec.XorWriter]]) — this file adds only the 2-byte
+    * count header and the sample-0 raw value word the chunkenc
+    * layout specifies. */
   def encodeXorChunk(ts: Array[Long], vs: Array[Double]): Array[Byte] = {
     val n = ts.length
     require(vs.length == n, "ts/vs length mismatch")
     require(n <= 0xffff, s"chunk too large: $n")
     val w = new BitWriter()
     w.writeBits(n.toLong, 16)
-    var prevT = 0L
-    var prevDelta = 0L
+    val tw = new HistChunkCodec.TsWriter(w)
+    val xw = new HistChunkCodec.XorWriter(w)
     var prevBits = 0L
-    var winLeading = -1
-    var winTrailing = 0
     var i = 0
     while (i < n) {
-      val t = ts(i)
-      if (i == 0) w.writeVarint(t)
-      else if (i == 1) {
-        prevDelta = t - prevT
-        require(prevDelta >= 0, "timestamps must be sorted")
-        w.writeUvarint(prevDelta)
-      } else {
-        val delta = t - prevT
-        require(delta >= 0, "timestamps must be sorted")
-        val dod = delta - prevDelta
-        prevDelta = delta
-        if (dod == 0) w.writeBit(false)
-        else if (-8191 <= dod && dod <= 8192) {
-          w.writeBits(0x2, 2); w.writeBits(dod & 0x3fff, 14)
-        } else if (-65535 <= dod && dod <= 65536) {
-          w.writeBits(0x6, 3); w.writeBits(dod & 0x1ffff, 17)
-        } else if (-524287 <= dod && dod <= 524288) {
-          w.writeBits(0xe, 4); w.writeBits(dod & 0xfffff, 20)
-        } else {
-          w.writeBits(0xf, 4); w.writeBits(dod, 64)
-        }
-      }
-      prevT = t
-
+      tw.write(ts(i))
       val bits = java.lang.Double.doubleToRawLongBits(vs(i))
       if (i == 0) w.writeBits(bits, 64)
-      else {
-        val xor = bits ^ prevBits
-        if (xor == 0L) w.writeBit(false)
-        else {
-          w.writeBit(true)
-          val leading = math.min(java.lang.Long.numberOfLeadingZeros(xor), 31)
-          val trailing = java.lang.Long.numberOfTrailingZeros(xor)
-          if (winLeading != -1 && leading >= winLeading &&
-              trailing >= winTrailing) {
-            w.writeBit(false)
-            w.writeBits(xor >>> winTrailing, 64 - winLeading - winTrailing)
-          } else {
-            winLeading = leading
-            winTrailing = trailing
-            val sigbits = 64 - leading - trailing
-            w.writeBit(true)
-            w.writeBits(leading.toLong, 5)
-            w.writeBits(sigbits.toLong & 0x3f, 6) // 64 stored as 0
-            w.writeBits(xor >>> trailing, sigbits)
-          }
-        }
-      }
+      else xw.write(bits, prevBits)
       prevBits = bits
       i += 1
     }
@@ -165,47 +125,14 @@ object TsdbBlockFormat {
     val n = r.readBits(16).toInt
     val ts = new Array[Long](n)
     val vs = new Array[Double](n)
-    var prevT = 0L
-    var prevDelta = 0L
+    val tr = new HistChunkCodec.TsReader(r)
+    val xr = new HistChunkCodec.XorReader(r)
     var prevBits = 0L
-    var winLeading = 0
-    var winTrailing = 0
     var i = 0
     while (i < n) {
-      if (i == 0) prevT = r.readVarint()
-      else {
-        if (i == 1) prevDelta = r.readUvarint()
-        else {
-          var width = 0
-          if (!r.readBit()) width = 0
-          else if (!r.readBit()) width = 14
-          else if (!r.readBit()) width = 17
-          else if (!r.readBit()) width = 20
-          else width = 64
-          if (width > 0) {
-            var dod = r.readBits(width)
-            if (width != 64 && dod > (1L << (width - 1)))
-              dod -= 1L << width
-            prevDelta += dod
-          }
-        }
-        prevT += prevDelta
-      }
-      ts(i) = prevT
-
+      ts(i) = tr.read()
       if (i == 0) prevBits = r.readBits(64)
-      else if (r.readBit()) {
-        if (!r.readBit()) {
-          val sigbits = 64 - winLeading - winTrailing
-          prevBits ^= r.readBits(sigbits) << winTrailing
-        } else {
-          winLeading = r.readBits(5).toInt
-          var sigbits = r.readBits(6).toInt
-          if (sigbits == 0) sigbits = 64
-          winTrailing = 64 - winLeading - sigbits
-          prevBits ^= r.readBits(sigbits) << winTrailing
-        }
-      }
+      else prevBits = xr.read(prevBits)
       vs(i) = java.lang.Double.longBitsToDouble(prevBits)
       i += 1
     }

@@ -76,8 +76,13 @@ object TsdbBlockStore {
         col(valueCol).cast("double").as("_v")): _*)
       .withColumn("_blk", floor(col("_ts") / blockDurationMs))
       .repartition(col("_blk"))
+      // _v closes the sort to a total order: without it, samples
+      // tied on (series, ts) arrive in shuffle-fetch order, the
+      // content hash folds them in that order, and a redelivered
+      // batch could mint a DIFFERENT ULID for identical data —
+      // breaking the idempotency the streaming sink relies on
       .sortWithinPartitions(
-        (col("_blk") +: sortedLabels.map(col) :+ col("_ts")): _*)
+        (col("_blk") +: sortedLabels.map(col) :+ col("_ts") :+ col("_v")): _*)
     val labelArr = sortedLabels.toArray
     // resolve ordinals OUTSIDE the closure: capturing `prepared`
     // itself would serialize the whole plan into every task
@@ -87,14 +92,43 @@ object TsdbBlockStore {
     val vIdx = schema.fieldIndex("_v")
     val blkIdx = schema.fieldIndex("_blk")
     val dirs = prepared.queryExecution.toRdd.mapPartitions { rows =>
-      // operate on InternalRow to avoid a Row conversion per sample
+      import org.apache.spark.unsafe.types.UTF8String
+      // operate on InternalRow, and materialize label Strings only
+      // when the series CHANGES (rows arrive series-sorted, so a new
+      // allocation every ~chunk, not every sample): the cached
+      // UTF8Strings are cloned because unsafe rows reuse buffers.
+      // Passing the SAME String array while the series is unchanged
+      // also lets BlockBuilder's Arrays.equals short-circuit on
+      // reference equality.
       val out = Seq.newBuilder[String]
       val b = new BlockBuilder(root, labelArr, blockDurationMs,
         samplesPerChunk, segmentBytes)
+      val n = labelIdx.length
+      var curU: Array[UTF8String] = null
+      var curS: Array[String] = null
       rows.foreach { r =>
-        val labels = labelIdx.map(i =>
-          if (r.isNullAt(i)) "" else r.getUTF8String(i).toString)
-        b.add(r.getLong(blkIdx), labels, r.getLong(tsIdx),
+        var same = curU != null
+        var i = 0
+        while (same && i < n) {
+          val u = if (r.isNullAt(labelIdx(i))) null
+            else r.getUTF8String(labelIdx(i))
+          val c = curU(i)
+          same = if (u == null) c == null else c != null && u.equals(c)
+          i += 1
+        }
+        if (!same) {
+          curU = new Array[UTF8String](n)
+          curS = new Array[String](n)
+          var j = 0
+          while (j < n) {
+            val u = if (r.isNullAt(labelIdx(j))) null
+              else r.getUTF8String(labelIdx(j))
+            curU(j) = if (u == null) null else u.clone()
+            curS(j) = if (u == null) "" else u.toString
+            j += 1
+          }
+        }
+        b.add(r.getLong(blkIdx), curS, r.getLong(tsIdx),
           r.getDouble(vIdx)).foreach(out += _)
       }
       b.finish().foreach(out += _)
@@ -233,8 +267,12 @@ object TsdbBlockStore {
   private def overlappingBlocks(spark: SparkSession, root: String,
       mint: Long, maxt: Long): Seq[String] = {
     val rootDir = new java.io.File(root)
+    // '.'-prefixed names are in-flight '.building-*' temp dirs (or a
+    // crashed writer's leftovers): never readable blocks — a partial
+    // dir can carry a valid meta.json before its rename
     val dirs = Option(rootDir.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && new java.io.File(d, "meta.json").isFile)
+      .filter(d => d.isDirectory && !d.getName.startsWith(".") &&
+        new java.io.File(d, "meta.json").isFile)
       .map(_.getName).sorted.toSeq
     def overlaps(name: String): Boolean = {
       val (bMin, bMax) = readMetaTimes(new java.io.File(root, name))
@@ -350,9 +388,14 @@ object TsdbBlockStore {
       .select((cols.zipWithIndex.map { case (c, i) =>
         col("_ls")(i).as(c) } :+ col("_ulid") :+ col("ts") :+
         col("value")): _*)
+    // (_ulid, value) as the max_by key: duplicate (series, ts)
+    // samples WITHIN one block tie on _ulid alone and max_by would
+    // pick arbitrarily — the value tiebreak keeps compaction
+    // deterministic end to end
     val lww = flat
       .groupBy((cols.map(col) :+ col("ts")): _*)
-      .agg(max_by(col("value"), col("_ulid")).as("value"))
+      .agg(max_by(col("value"),
+        struct(col("_ulid"), col("value"))).as("value"))
     write(lww, outRoot, labelCols, "ts", "value", blockDurationMs)
   }
 
@@ -395,10 +438,14 @@ object TsdbBlockStore {
     * open-ended complement); they apply in the per-series check. */
   private def candidateRefs(ir: IndexReader,
       matchers: Seq[Matcher]): Seq[Long] = {
+    // a matcher can prune via the index ONLY if it cannot match the
+    // absent label (== ""): a series lacking the label appears in NO
+    // postings list for it, so a regex like "a*" or "east|" that
+    // matches "" must fall through to the per-series exact re-check
     val positive = matchers.collect {
-      case m @ Matcher.Eq(l, v) if v.nonEmpty =>
+      case Matcher.Eq(l, v) if v.nonEmpty =>
         ir.postings(l, v)
-      case m @ Matcher.Re(l, p) if p != ".*" =>
+      case m @ Matcher.Re(l, p) if !valueMatches(m, "") =>
         ir.labelValues(l).filter(v => valueMatches(m, v))
           .flatMap(v => ir.postings(l, v)).distinct.sorted
     }

@@ -246,6 +246,26 @@ class TsdbBlockSpec extends AnyFunSuite {
       // absent label behaves as ""
       assert(count(Matcher.Eq("missing", "")) == 6 * 500)
       assert(count(Matcher.Neq("missing", "x")) == 6 * 500)
+      // a regex that MATCHES "" must not prune absent-label series
+      // at the postings stage (they sit in no postings list)
+      assert(count(Matcher.Re("missing", "x*")) == 6 * 500)
+      assert(count(Matcher.Re("missing", "east|")) == 6 * 500)
+      assert(count(Matcher.Re("missing", "x+")) == 0)
+      assert(count(Matcher.Re("instance", "a|")) == 2 * 500) // "" matches none that HAVE it
+    } finally deleteRec(root)
+  }
+
+  test("in-flight .building temp dirs are never listed as blocks") {
+    val root = java.nio.file.Files.createTempDirectory("graft_tsdbb").toFile
+    try {
+      TsdbBlockStore.write(mkSamples(), root.getPath,
+        Seq("job", "instance"), "ts", "value")
+      val n = TsdbBlockStore.read(spark, root.getPath).count()
+      // a crashed writer's leftover: meta.json present, index absent
+      val partial = new java.io.File(root, ".building-p9-1")
+      partial.mkdirs()
+      F.writeMeta(partial, "X" * 26, 0L, Long.MaxValue / 2, 1, 1, 1)
+      assert(TsdbBlockStore.read(spark, root.getPath).count() == n)
     } finally deleteRec(root)
   }
 
