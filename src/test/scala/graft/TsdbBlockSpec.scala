@@ -255,6 +255,41 @@ class TsdbBlockSpec extends AnyFunSuite {
     } finally deleteRec(root)
   }
 
+  test("absent labels drop from the index and match as empty string end to end") {
+    val root = java.nio.file.Files.createTempDirectory("graft_tsdba").toFile
+    try {
+      import spark.implicits._
+      // half the series have no 'zone' label (empty string on write)
+      TsdbBlockStore.write(
+        Seq(
+          (1000L, "api", "east", 1.0), (2000L, "api", "east", 2.0),
+          (1000L, "db", "", 3.0), (2000L, "db", "", 4.0))
+          .toDF("ts", "job", "zone", "value"),
+        root.getPath, Seq("job", "zone"), "ts", "value")
+      // the zone-less series' entry must carry only 'job'
+      val bd = new java.io.File(root,
+        new java.io.File(root.getPath).listFiles()
+          .filter(d => new java.io.File(d, "meta.json").isFile).head.getName)
+      val ir = new F.IndexReader(java.nio.file.Files.readAllBytes(
+        new java.io.File(bd, "index").toPath))
+      val labelSets = ir.allPostings.map(r => ir.series(r).labels.toMap)
+      assert(labelSets.toSet == Set(
+        Map("job" -> "api", "zone" -> "east"), Map("job" -> "db")))
+      assert(ir.labelValues("zone") == Seq("east")) // "" never indexed
+      def vals(ms: Matcher*) = TsdbBlockStore
+        .read(spark, root.getPath, matchers = ms).collect()
+        .map(_.value).toSet
+      assert(vals(Matcher.Eq("zone", "")) == Set(3.0, 4.0))
+      assert(vals(Matcher.Neq("zone", "east")) == Set(3.0, 4.0))
+      assert(vals(Matcher.Re("zone", "east")) == Set(1.0, 2.0))
+      assert(vals(Matcher.Nre("zone", "e.*")) == Set(3.0, 4.0))
+      // flattened read restores "" for the absent label
+      val flat = TsdbBlockStore.readLabels(spark, root.getPath,
+        Seq("job", "zone")).collect()
+      assert(flat.count(_.getString(1) == "") == 2)
+    } finally deleteRec(root)
+  }
+
   test("in-flight .building temp dirs are never listed as blocks") {
     val root = java.nio.file.Files.createTempDirectory("graft_tsdbb").toFile
     try {
