@@ -1270,6 +1270,36 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** The experimental `info()` function parsed from the string: a
+    * derived `target_info` metric (one series per user with a
+    * deterministic `tier` data label) enriches an aggregated vector
+    * on the identifying label, through the `{tier=~".+"}` data-label
+    * selector. The info side aggregates + broadcasts; the vector
+    * side never shuffles for the join.
+    */
+  private def tsPromqlInfo(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val evL = ev.withColumn("tier", lit(null).cast("string"))
+    val tinfo = ev.select(col("user_id")).distinct()
+      .withColumn("event_type", lit(null).cast("string"))
+      .withColumn("tier",
+        concat(lit("t"), (col("user_id") % 3).cast("string")))
+      .withColumn("ts", lit("2024-01-31 23:00:00").cast("timestamp"))
+      .withColumn("value", lit(1.0))
+    val ctx = graft.tsdb.promql.PromQLContext(
+      metrics = Map("events" -> evL, "target_info" -> tinfo),
+      labelCols = Seq("event_type", "user_id", "tier"),
+      evalMs = 1706745600000L, // 2024-02-01T00:00:00Z
+      lookbackMs = 86400000L,
+      infoIdentifying = Seq("user_id"))
+    graft.tsdb.promql.PromQL.compile(
+        """info(sum by (event_type, user_id) (sum_over_time(events[31d])),
+          |     {tier=~".+"})""".stripMargin, ctx)
+      .select(col("event_type"), col("user_id"), col("tier"),
+        col("value").as("sum_value"))
+      .orderBy("event_type", "user_id")
+  }
+
   /** `topk(5, ...)` over an `offset` range — selector offset
     * arithmetic plus the full-label topk with the documented
     * label-order tiebreak.
@@ -2311,6 +2341,7 @@ object SparkEntry {
     "ts_tsdb_block_select" -> (tsTsdbBlockSelect _),
     "ts_tsdb_block_convert" -> (tsTsdbBlockConvert _),
     "ts_promql_tsdb_blocks" -> (tsPromqlTsdbBlocks _),
+    "ts_promql_info" -> (tsPromqlInfo _),
     "ts_promql_nh_chunked" -> (tsPromqlNhChunked _),
     "ts_promql_nh_quantile_rate" -> (tsPromqlNhQuantileRate _),
     "ts_promql_nh_sum_quantile" -> (tsPromqlNhSumQuantile _),
@@ -3966,6 +3997,16 @@ object SparkEntry {
         |SELECT l.user_id, l.v / r.v AS ratio
         |FROM l JOIN r USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    // info(): the derived target_info tier label re-derived with the
+    // same integer arithmetic, joined on the identifying label
+    "ts_promql_info" ->
+      """SELECT event_type, user_id,
+        |  't' || CAST(user_id % 3 AS VARCHAR) AS tier,
+        |  CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |GROUP BY 1, 2
+        |ORDER BY event_type, user_id""".stripMargin,
     "ts_promql_topk_offset" ->
       """WITH s AS (
         |  SELECT event_type, user_id,

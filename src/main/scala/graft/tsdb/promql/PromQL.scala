@@ -46,7 +46,12 @@ final case class PromQLContext(
     bucketCol: Option[String] = None,
     bucketDuration: String = "1 day",
     subqueryStepMs: Long = 60000L,
-    histMetrics: Map[String, HistTable] = Map.empty)
+    histMetrics: Map[String, HistTable] = Map.empty,
+    // identifying labels for the experimental info() function —
+    // upstream hardcodes (instance, job) for OTel target_info; in
+    // graft's model the label universe is the table's, so the seam
+    // is configurable
+    infoIdentifying: Seq[String] = Seq("instance", "job"))
 
 /** A NATIVE-histogram metric for the PromQL front-end: one
   * exponential-bucket histogram SAMPLE per row in the
@@ -747,6 +752,66 @@ object PromQL {
             .agg(percentile(abs(col(ctx.valueCol) - col("_med")), lit(0.5))
               .as("value"))
         }))
+      case "info" =>
+        // Prometheus (experimental): enrich v with DATA labels from
+        // the info metric's series sharing v's IDENTIFYING labels
+        // (upstream: OTel target_info on (instance, job); here
+        // ctx.infoIdentifying). The optional {selector} filters info
+        // series and, when it names labels, restricts which data
+        // labels attach. The info side aggregates to one row per
+        // identifying set — exact-duplicate info series collapse,
+        // CONFLICTING ones raise (upstream's duplicate-series error)
+        // — and broadcasts (target metadata is low-cardinality), so
+        // the vector side never shuffles for the join.
+        if (c.args.isEmpty || c.args.length > 2)
+          fail("info(v[, {data-label-selector}]) expects 1 or 2 arguments")
+        val v = vec(c.args.head, "info")
+        val sel0 = c.args.drop(1) match {
+          case Seq() => None
+          case Seq(s: Expr.Selector) => Some(s)
+          case _ => fail("info() second argument must be a vector selector")
+        }
+        sel0.foreach { s =>
+          if (s.offsetMs != 0 || s.at.nonEmpty)
+            fail("info(): the data-label selector takes no offset/@ modifier")
+        }
+        val infoMetric = sel0.map(_.metric).filter(_.nonEmpty)
+          .getOrElse("target_info")
+        if (!ctx.metrics.contains(infoMetric))
+          fail(s"info(): info metric '$infoMetric' is not registered")
+        val id = ctx.infoIdentifying.filter(v.labels.contains)
+        if (id.isEmpty) fail(
+          s"info(): the vector carries none of the identifying labels " +
+            s"(${ctx.infoIdentifying.mkString(", ")})")
+        val matcherLabels = sel0.map(_.matchers.map(_.label).distinct)
+          .getOrElse(Nil).filterNot(ctx.infoIdentifying.contains)
+        val dataLabels =
+          if (matcherLabels.nonEmpty) matcherLabels
+          else ctx.labelCols.filterNot(ctx.infoIdentifying.contains)
+        dataLabels.find(v.labels.contains).foreach(l =>
+          fail(s"info(): data label '$l' already present on the vector"))
+        val infoVec = instant(
+          Expr.Selector(infoMetric, sel0.map(_.matchers).getOrElse(Nil)))
+        val k = keys(id)
+        val dataStruct = struct(dataLabels.map(l =>
+          coalesce(col(l), lit("")).as(l)): _*)
+        val infoOne = infoVec.df
+          .groupBy(k.map(col): _*)
+          .agg(countDistinct(dataStruct).as("_nd"), max(dataStruct).as("_data"))
+        val err = raise_error(concat(
+          lit("info(): conflicting info series for identifying labels ("),
+          lit(id.mkString(",")), lit(")")))
+        val joined = v.df.join(
+            broadcast(infoOne.select((k.map(col) :+ col("_nd") :+
+              col("_data")): _*)),
+            k, "left")
+          .withColumn("value", when(col("_nd") > 1, err).otherwise(col("value")))
+        // elements with no matching info series keep their original
+        // label set — in the flattened model, absent == ""
+        val out = dataLabels.foldLeft(joined)((d, l) =>
+            d.withColumn(l, coalesce(col("_data").getField(l), lit(""))))
+          .drop("_nd", "_data")
+        Right(Vec(out, v.labels ++ dataLabels))
       case fn if overTimeAggs(fn) => Right(overTime(c, fn))
       case other => fail(s"unsupported function '$other'")
     }

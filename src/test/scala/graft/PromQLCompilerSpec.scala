@@ -357,6 +357,65 @@ class PromQLCompilerSpec extends SparkSpec {
 
   // ===== compile errors =====
 
+  // ===== info() (experimental) =====
+
+  private lazy val infoCtx = {
+    val reqs = requests.withColumn("tier", lit(null).cast("string"))
+    val tinfo = Seq(
+      ("api", "i1", "gold", ts("2024-01-01 00:55:00"), 1.0, 20L),
+      ("api", "i2", "bronze", ts("2024-01-01 00:55:00"), 1.0, 21L)
+    ).toDF("job", "instance", "tier", "ts", "value", "seq")
+    ctx.copy(
+      metrics = Map("http_requests_total" -> reqs, "target_info" -> tinfo),
+      labelCols = Seq("job", "instance", "tier"))
+  }
+
+  test("info() attaches data labels from target_info on the identifying labels") {
+    val out = PromQL.compile(
+        "info(sum by (job, instance) (http_requests_total))", infoCtx)
+      .collect().map(_.toSeq).toSet
+    assert(out == Set(
+      Seq("api", "i1", "gold", 118.0),
+      Seq("api", "i2", "bronze", 45.0)))
+  }
+
+  test("info() selector filters info series; unmatched elements keep absent-as-empty") {
+    val out = PromQL.compile(
+        """info(sum by (job, instance) (http_requests_total), {tier=~"g.*"})""",
+        infoCtx)
+      .collect().map(_.toSeq).toSet
+    assert(out == Set(
+      Seq("api", "i1", "gold", 118.0),
+      Seq("api", "i2", "", 45.0)))
+  }
+
+  test("info() raises on conflicting info series and fails fast on misuse") {
+    import org.apache.spark.sql.Row
+    val dup = infoCtx.metrics("target_info").union(
+      Seq(("api", "i1", "silver", ts("2024-01-01 00:56:00"), 1.0, 22L))
+        .toDF("job", "instance", "tier", "ts", "value", "seq"))
+    val e = intercept[Exception] {
+      PromQL.compile("info(sum by (job, instance) (http_requests_total))",
+        infoCtx.copy(metrics = infoCtx.metrics + ("target_info" -> dup)))
+        .collect()
+    }
+    assert(e.getMessage.contains("conflicting info series") ||
+      Option(e.getCause).exists(_.getMessage.contains("conflicting info series")))
+    // vector without any identifying label
+    val e2 = intercept[PromQLCompileException](PromQL.compile(
+      "info(sum(http_requests_total))", infoCtx))
+    assert(e2.getMessage.contains("identifying"))
+    // data label already on the vector
+    val e3 = intercept[PromQLCompileException](PromQL.compile(
+      "info(http_requests_total)", infoCtx))
+    assert(e3.getMessage.contains("already present"))
+    // unregistered info metric
+    val e4 = intercept[PromQLCompileException](PromQL.compile(
+      "info(sum by (job, instance) (http_requests_total), other_info{})",
+      infoCtx))
+    assert(e4.getMessage.contains("not registered"))
+  }
+
   test("compile errors are loud and specific") {
     intercept[PromQLCompileException](run("unknown_metric"))
     intercept[PromQLCompileException](run("rate(http_requests_total)")) // needs range
