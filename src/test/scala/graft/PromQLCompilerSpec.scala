@@ -438,6 +438,19 @@ class PromQLCompilerSpec extends SparkSpec {
 
   private val HALF = 1800000L // 30m
 
+  test("range query: info() joins per step (the STEP-keyed path)") {
+    // target_info@00:55 is visible at the 01:00 step (lookback 10m)
+    // but NOT at 00:30 — the early step's elements keep tier=""
+    val out = PromQL.compileRange(
+        "info(sum by (job, instance) (http_requests_total), {tier=~\".+\"})",
+        infoCtx, T0 + HALF, T1, HALF)
+      .collect().map(_.toSeq).toSet
+    assert(out == Set(
+      Seq("web", "i1", "", T0 + HALF, 100.0),
+      Seq("api", "i1", "gold", T1, 118.0),
+      Seq("api", "i2", "bronze", T1, 45.0)))
+  }
+
   test("range query: instant selector per step with lookback") {
     // steps 00:30 and 01:00, lookback 10m
     assert(rowsRange("http_requests_total", T0 + HALF, T1, HALF) == Set(

@@ -102,6 +102,49 @@ class TsdbBlockSpec extends AnyFunSuite {
       fixtureSeries.map(e => (e.labels.toSet, e.chunks)).toSet)
   }
 
+  test("index roundtrips random series sets (property, fixed seeds)") {
+    val labelGen = for {
+      n <- Gen.choose(1, 4)
+      pairs <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("__name__", "job", "instance", "zone", "env")
+        v <- Gen.alphaNumStr.map(_.take(8)).suchThat(_.nonEmpty)
+      } yield (k, v))
+    } yield pairs.distinctBy(_._1).sortBy(_._1)
+    val seriesGen = for {
+      labels <- labelGen
+      nc <- Gen.choose(1, 5)
+      mints <- Gen.listOfN(nc, Gen.choose(0L, 100000L))
+    } yield {
+      var t = 0L
+      var ref = 8L
+      val chunks = mints.sorted.map { d =>
+        val mint = t + d + 1
+        val maxt = mint + 500
+        t = maxt
+        ref += 97
+        F.ChunkMeta(mint, maxt, (1L << 32) | ref)
+      }
+      F.SeriesEntry(labels, chunks)
+    }
+    val params = Gen.Parameters.default
+    (0 until 25).foreach { i =>
+      val entries = Gen.listOfN(12, seriesGen)
+        .apply(params, Seed(77L + i)).get
+        .distinctBy(_.labels) // duplicate label sets are invalid input
+      val ir = new F.IndexReader(F.encodeIndex(entries))
+      val decoded = ir.allPostings.map(ir.series)
+      assert(decoded.map(e => (e.labels, e.chunks)).toSet ==
+        entries.map(e => (e.labels, e.chunks)).toSet)
+      // postings membership exact for every (name, value)
+      entries.flatMap(_.labels).distinct.foreach { case (n, v) =>
+        val got = ir.postings(n, v).map(ir.series(_).labels).toSet
+        val want = entries.filter(_.labels.contains((n, v)))
+          .map(_.labels).toSet
+        assert(got == want, s"postings($n,$v)")
+      }
+    }
+  }
+
   test("series entries sit on 16-byte-aligned offsets (ref = offset/16)") {
     val idx = F.encodeIndex(fixtureSeries)
     val ir = new F.IndexReader(idx)
