@@ -76,7 +76,12 @@ object TsdbBlockFormat {
   final val ChunksVersion = 1
   final val TombstonesMagic = 0x0130BA30
   final val TombstonesVersion = 1
+  // chunkenc encoding ordinals (chunks.md): 1 = XOR floats, 2 =
+  // integer native histograms, 3 = float native histograms — the
+  // histogram bit layouts live in [[ChunkencHistogram]]
   final val EncXOR = 1
+  final val EncHistogram = 2
+  final val EncFloatHistogram = 3
 
   /** Default chunk-segment rollover, the documented 512 MiB cap. */
   final val DefaultSegmentBytes: Long = 512L * 1024 * 1024
@@ -176,6 +181,9 @@ object TsdbBlockFormat {
       while ((b & 0x80) != 0) {
         x |= (b & 0x7fL) << shift
         shift += 7
+        // a uint64 LEB128 is ≤ 10 bytes; past that the input is
+        // corrupt and an unbounded shift would loop reading garbage
+        require(shift <= 63, s"malformed uvarint at offset ${pos - 1}")
         b = bytes(pos) & 0xff
         pos += 1
       }
@@ -398,6 +406,13 @@ object TsdbBlockFormat {
       val c = new ByteCursor(bytes, tocOff)
       val vals = Array.fill(6)(c.be64())
       require(c.be32() == crc32c(bytes, tocOff, 48), "TOC CRC mismatch")
+      // this reader holds the index in one array, so every section
+      // offset must be an int; a valid >2 GiB index (the spec allows
+      // up to 64 GiB) fails HERE with a clear message instead of
+      // silently wrapping to a negative offset downstream
+      vals.foreach(v => require(v >= 0 && v <= bytes.length.toLong,
+        s"index section offset $v out of range (index ${bytes.length} B; " +
+          ">2 GiB indexes are not supported by this reader)"))
       vals
     }
     private def symbolsOff = toc(0)
@@ -637,16 +652,28 @@ object TsdbBlockFormat {
       json.getBytes(UTF_8))
   }
 
-  /** minTime/maxTime from meta.json (no full JSON parse needed). */
-  def readMetaTimes(dir: java.io.File): (Long, Long) = {
+  private def metaNum(dir: java.io.File, keys: Seq[String]): Seq[Long] = {
     val json = new String(java.nio.file.Files.readAllBytes(
       new java.io.File(dir, "meta.json").toPath), UTF_8)
-    def num(key: String): Long = {
+    keys.map { key =>
       val m = ("\"" + key + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(json)
       m.map(_.group(1).toLong).getOrElse(
         throw new IllegalArgumentException(s"meta.json missing $key"))
     }
-    (num("minTime"), num("maxTime"))
+  }
+
+  /** minTime/maxTime from meta.json (no full JSON parse needed). */
+  def readMetaTimes(dir: java.io.File): (Long, Long) = {
+    val Seq(mint, maxt) = metaNum(dir, Seq("minTime", "maxTime"))
+    (mint, maxt)
+  }
+
+  /** (numSeries, numSamples, numChunks) from meta.json — the
+    * duplicate-ULID sanity check's comparison key. */
+  def readMetaStats(dir: java.io.File): (Long, Long, Long) = {
+    val Seq(se, sa, ch) =
+      metaNum(dir, Seq("numSeries", "numSamples", "numChunks"))
+    (se, sa, ch)
   }
 
   /** One deletion interval: samples of the series at `ref` with

@@ -1,7 +1,9 @@
 package graft.tsdb.block
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.tsdb.Matcher
 import TsdbBlockFormat._
@@ -14,8 +16,13 @@ final case class TsdbSample(labels: Map[String, String], ts: Long,
   * ([[TsdbBlockFormat]]) — the ingestion seam the reference reaches
   * through `tsdb.OpenBlock` + `NewBlockChunkSeriesSet`
   * (convert/convert.go:348,500): a user migrating from the
-  * reference points [[read]] at a Prometheus data directory and
-  * gets the same DataFrame shape every graft converter accepts.
+  * reference points [[read]] / [[readHistLabels]] at a Prometheus
+  * data directory and gets the same DataFrame shapes every graft
+  * converter accepts. All three chunkenc families decode: XOR
+  * floats (encoding 1, [[TsdbBlockFormat.decodeXorChunk]]) and
+  * integer/float native histograms (encodings 2/3,
+  * [[ChunkencHistogram]]) — the same triple the reference's
+  * converter iterates (schema/encoder.go:75-196).
   *
   * Scale design (the 100 TB story):
   *   - The BLOCK is the parallel unit — a Prometheus data dir at
@@ -54,42 +61,323 @@ object TsdbBlockStore {
   // write
   // ---------------------------------------------------------------
 
+  /** Per-partition chunk buffer: extracts its columns from the
+    * sorted InternalRow stream, buffers one open chunk, encodes on
+    * flush. One instance per task, reused across series/blocks. */
+  private trait SampleBuf {
+    def encoding: Int
+    def ts(r: InternalRow): Long
+    /** 64-bit fold of the sample's VALUE content for the block's
+      * deterministic ULID hash (timestamps are mixed by the
+      * builder). */
+    def digest(r: InternalRow): Long
+    def add(r: InternalRow): Unit
+    def size: Int
+    /** Encode the buffered samples, reset; (data, mint, maxt). */
+    def flush(): (Array[Byte], Long, Long)
+  }
+
+  /** XOR float chunks (chunkenc encoding 1). */
+  private final class XorSampleBuf(tsIdx: Int, vIdx: Int,
+      cap: Int) extends SampleBuf {
+    private val tsBuf = new Array[Long](cap)
+    private val vBuf = new Array[Double](cap)
+    private var n = 0
+    def encoding: Int = EncXOR
+    def ts(r: InternalRow): Long = r.getLong(tsIdx)
+    def digest(r: InternalRow): Long =
+      java.lang.Double.doubleToRawLongBits(r.getDouble(vIdx))
+    def add(r: InternalRow): Unit = {
+      tsBuf(n) = r.getLong(tsIdx)
+      vBuf(n) = r.getDouble(vIdx)
+      n += 1
+    }
+    def size: Int = n
+    def flush(): (Array[Byte], Long, Long) = {
+      val data = encodeXorChunk(java.util.Arrays.copyOf(tsBuf, n),
+        java.util.Arrays.copyOf(vBuf, n))
+      val res = (data, tsBuf(0), tsBuf(n - 1))
+      n = 0
+      res
+    }
+  }
+
+  /** Integer native-histogram chunks (chunkenc encoding 2). The
+    * buffered samples' sparse (idx, count) rows are re-laid onto
+    * the chunk's UNION bucket layout at flush — absent buckets fill
+    * with absolute 0, exactly what chunkenc's recode produces when
+    * buckets appear mid-chunk, so one chunk keeps one span set (the
+    * format invariant). */
+  private final class HistSampleBuf(tsIdx: Int, zeroIdx: Int,
+      idxIdx: Int, cntIdx: Int, sumIdx: Int, schema: Int,
+      zeroThreshold: Double, flags: Int, cap: Int) extends SampleBuf {
+    private val tsB = new Array[Long](cap)
+    private val zeroB = new Array[Long](cap)
+    private val sumB = new Array[Double](cap)
+    private val idxB = new Array[Array[Int]](cap)
+    private val cntB = new Array[Array[Long]](cap)
+    private var n = 0
+    def encoding: Int = EncHistogram
+    def ts(r: InternalRow): Long = r.getLong(tsIdx)
+    def digest(r: InternalRow): Long = {
+      var h = r.getLong(zeroIdx)
+      h = h * 31 + java.lang.Double.doubleToRawLongBits(r.getDouble(sumIdx))
+      val idx = r.getArray(idxIdx)
+      val cnt = r.getArray(cntIdx)
+      var j = 0
+      while (j < idx.numElements()) {
+        h = h * 31 + idx.getInt(j)
+        h = h * 31 + cnt.getLong(j)
+        j += 1
+      }
+      h
+    }
+    def add(r: InternalRow): Unit = {
+      tsB(n) = r.getLong(tsIdx)
+      zeroB(n) = r.getLong(zeroIdx)
+      sumB(n) = r.getDouble(sumIdx)
+      idxB(n) = r.getArray(idxIdx).toIntArray()
+      cntB(n) = r.getArray(cntIdx).toLongArray()
+      n += 1
+    }
+    def size: Int = n
+    def flush(): (Array[Byte], Long, Long) = {
+      val union = unionIndexes(idxB, n)
+      val pos = new Array[Array[Long]](n)
+      val count = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val abs = new Array[Long](union.length)
+        var total = zeroB(i)
+        var j = 0
+        var k = 0
+        while (k < union.length) {
+          if (j < idxB(i).length && idxB(i)(j) == union(k)) {
+            abs(k) = cntB(i)(j); j += 1
+          }
+          total += abs(k)
+          k += 1
+        }
+        pos(i) = abs
+        count(i) = total
+        i += 1
+      }
+      val c = ChunkencHistogram.HistChunk(flags, schema, zeroThreshold,
+        ChunkencHistogram.spansFromIndexes(union), Vector.empty,
+        java.util.Arrays.copyOf(tsB, n), count,
+        java.util.Arrays.copyOf(zeroB, n),
+        java.util.Arrays.copyOf(sumB, n), pos,
+        Array.fill(n)(Array.empty[Long]))
+      val res = (ChunkencHistogram.encodeHistChunk(c), tsB(0), tsB(n - 1))
+      n = 0
+      res
+    }
+  }
+
+  /** Float native-histogram chunks (chunkenc encoding 3) — the
+    * same union-layout fill with double counts. */
+  private final class FloatHistSampleBuf(tsIdx: Int, zeroIdx: Int,
+      idxIdx: Int, cntIdx: Int, sumIdx: Int, schema: Int,
+      zeroThreshold: Double, flags: Int, cap: Int) extends SampleBuf {
+    private val tsB = new Array[Long](cap)
+    private val zeroB = new Array[Double](cap)
+    private val sumB = new Array[Double](cap)
+    private val idxB = new Array[Array[Int]](cap)
+    private val cntB = new Array[Array[Double]](cap)
+    private var n = 0
+    def encoding: Int = EncFloatHistogram
+    def ts(r: InternalRow): Long = r.getLong(tsIdx)
+    def digest(r: InternalRow): Long = {
+      var h = java.lang.Double.doubleToRawLongBits(r.getDouble(zeroIdx))
+      h = h * 31 + java.lang.Double.doubleToRawLongBits(r.getDouble(sumIdx))
+      val idx = r.getArray(idxIdx)
+      val cnt = r.getArray(cntIdx)
+      var j = 0
+      while (j < idx.numElements()) {
+        h = h * 31 + idx.getInt(j)
+        h = h * 31 + java.lang.Double.doubleToRawLongBits(cnt.getDouble(j))
+        j += 1
+      }
+      h
+    }
+    def add(r: InternalRow): Unit = {
+      tsB(n) = r.getLong(tsIdx)
+      zeroB(n) = r.getDouble(zeroIdx)
+      sumB(n) = r.getDouble(sumIdx)
+      idxB(n) = r.getArray(idxIdx).toIntArray()
+      cntB(n) = r.getArray(cntIdx).toDoubleArray()
+      n += 1
+    }
+    def size: Int = n
+    def flush(): (Array[Byte], Long, Long) = {
+      val union = unionIndexes(idxB, n)
+      val pos = new Array[Array[Double]](n)
+      val count = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val abs = new Array[Double](union.length)
+        var total = zeroB(i)
+        var j = 0
+        var k = 0
+        while (k < union.length) {
+          if (j < idxB(i).length && idxB(i)(j) == union(k)) {
+            abs(k) = cntB(i)(j); j += 1
+          }
+          total += abs(k)
+          k += 1
+        }
+        pos(i) = abs
+        count(i) = total
+        i += 1
+      }
+      val c = ChunkencHistogram.FloatHistChunk(flags, schema,
+        zeroThreshold, ChunkencHistogram.spansFromIndexes(union),
+        Vector.empty, java.util.Arrays.copyOf(tsB, n), count,
+        java.util.Arrays.copyOf(zeroB, n),
+        java.util.Arrays.copyOf(sumB, n), pos,
+        Array.fill(n)(Array.empty[Double]))
+      val res =
+        (ChunkencHistogram.encodeFloatHistChunk(c), tsB(0), tsB(n - 1))
+      n = 0
+      res
+    }
+  }
+
+  /** Sorted union of the first `n` (each already ascending) index
+    * arrays — the chunk's shared bucket layout. */
+  private def unionIndexes(idxB: Array[Array[Int]], n: Int): Array[Int] = {
+    val set = new java.util.TreeSet[Integer]()
+    var i = 0
+    while (i < n) {
+      idxB(i).foreach(v => set.add(v))
+      i += 1
+    }
+    val out = new Array[Int](set.size())
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+
   /** Write `df` (label columns + a millisecond timestamp column + a
     * double value column) as TSDB blocks of `blockDurationMs` under
-    * `root`, one block per time window. Returns the created block
-    * dir names (ULIDs), sorted.
+    * `root`, one block per time window, XOR chunks. Returns the
+    * created block dir names (ULIDs), sorted.
     */
   def write(df: DataFrame, root: String, labelCols: Seq[String],
       tsCol: String, valueCol: String,
       blockDurationMs: Long = 2 * 3600 * 1000L,
       samplesPerChunk: Int = DefaultSamplesPerChunk,
       segmentBytes: Long = DefaultSegmentBytes): Seq[String] = {
-    require(labelCols.nonEmpty, "at least one label column required")
-    require(blockDurationMs > 0, "blockDurationMs must be positive")
-    // Prometheus orders series lexicographically by label NAME then
-    // value; with one shared name set, sorting rows by the
-    // name-sorted columns yields exactly that order
-    val sortedLabels = labelCols.sorted
     val prepared = df
       .select((labelCols.map(c => col(c).cast("string").as(c)) :+
         col(tsCol).cast("long").as("_ts") :+
         col(valueCol).cast("double").as("_v")): _*)
+    // _v closes the sort to a total order: without it, samples tied
+    // on (series, ts) arrive in shuffle-fetch order, the content
+    // hash folds them in that order, and a redelivered batch could
+    // mint a DIFFERENT ULID for identical data — breaking the
+    // idempotency the streaming sink relies on
+    writeRows(prepared, root, labelCols, blockDurationMs,
+      Seq(col("_v")), sch => new XorSampleBuf(
+        sch.fieldIndex("_ts"), sch.fieldIndex("_v"), samplesPerChunk),
+      samplesPerChunk, segmentBytes)
+  }
+
+  /** Write an integer NATIVE-HISTOGRAM table (label columns, ms
+    * timestamp, `zero_count` long, ascending sparse `pos_idx`
+    * array&lt;int&gt; with aligned `pos_counts` array&lt;long&gt;, and the
+    * tracked observation `sum` double — chunkenc histograms always
+    * carry one) as TSDB blocks with chunkenc EncHistogram chunks.
+    * `gauge` sets the counter-reset hint to GaugeType. The `count`
+    * field is derived as zero_count + Σ buckets (every observation
+    * lands in a bucket at this seam). Negative-bucket series have
+    * no representation in graft's positive-only row model and are
+    * not written (the codec itself supports them; see
+    * [[ChunkencHistogram]]).
+    */
+  def writeHist(df: DataFrame, root: String, labelCols: Seq[String],
+      tsCol: String, zeroCountCol: String, posIdxCol: String,
+      posCountsCol: String, sumCol: String, schema: Int = 0,
+      zeroThreshold: Double = 0.0, gauge: Boolean = false,
+      blockDurationMs: Long = 2 * 3600 * 1000L,
+      samplesPerChunk: Int = DefaultSamplesPerChunk,
+      segmentBytes: Long = DefaultSegmentBytes): Seq[String] = {
+    val prepared = df
+      .select((labelCols.map(c => col(c).cast("string").as(c)) :+
+        col(tsCol).cast("long").as("_ts") :+
+        col(zeroCountCol).cast("long").as("_zero") :+
+        col(posIdxCol).cast("array<int>").as("_idx") :+
+        col(posCountsCol).cast("array<long>").as("_cnt") :+
+        col(sumCol).cast("double").as("_sum")): _*)
+    val flags = if (gauge) ChunkencHistogram.GaugeType
+      else ChunkencHistogram.UnknownCounterReset
+    writeRows(prepared, root, labelCols, blockDurationMs,
+      Seq(col("_zero"), col("_sum")), sch => new HistSampleBuf(
+        sch.fieldIndex("_ts"), sch.fieldIndex("_zero"),
+        sch.fieldIndex("_idx"), sch.fieldIndex("_cnt"),
+        sch.fieldIndex("_sum"), schema, zeroThreshold, flags,
+        samplesPerChunk),
+      samplesPerChunk, segmentBytes)
+  }
+
+  /** [[writeHist]] for FLOAT histograms (double zero/bucket counts,
+    * chunkenc EncFloatHistogram chunks) — what recording rules
+    * emit. */
+  def writeFloatHist(df: DataFrame, root: String, labelCols: Seq[String],
+      tsCol: String, zeroCountCol: String, posIdxCol: String,
+      posCountsCol: String, sumCol: String, schema: Int = 0,
+      zeroThreshold: Double = 0.0, gauge: Boolean = false,
+      blockDurationMs: Long = 2 * 3600 * 1000L,
+      samplesPerChunk: Int = DefaultSamplesPerChunk,
+      segmentBytes: Long = DefaultSegmentBytes): Seq[String] = {
+    val prepared = df
+      .select((labelCols.map(c => col(c).cast("string").as(c)) :+
+        col(tsCol).cast("long").as("_ts") :+
+        col(zeroCountCol).cast("double").as("_zero") :+
+        col(posIdxCol).cast("array<int>").as("_idx") :+
+        col(posCountsCol).cast("array<double>").as("_cnt") :+
+        col(sumCol).cast("double").as("_sum")): _*)
+    val flags = if (gauge) ChunkencHistogram.GaugeType
+      else ChunkencHistogram.UnknownCounterReset
+    writeRows(prepared, root, labelCols, blockDurationMs,
+      Seq(col("_zero"), col("_sum")), sch => new FloatHistSampleBuf(
+        sch.fieldIndex("_ts"), sch.fieldIndex("_zero"),
+        sch.fieldIndex("_idx"), sch.fieldIndex("_cnt"),
+        sch.fieldIndex("_sum"), schema, zeroThreshold, flags,
+        samplesPerChunk),
+      samplesPerChunk, segmentBytes)
+  }
+
+  /** The shared streaming write pass: window the prepared frame by
+    * `_blk`, shuffle once on it, sort each partition to (block,
+    * series, ts, tiebreaks) and run the per-partition block builder
+    * over InternalRows. `prepared` must carry the casted label
+    * columns plus `_ts`; `tiebreak` closes the sort to a total
+    * order for ULID determinism. */
+  private def writeRows(prepared0: DataFrame, root: String,
+      labelCols: Seq[String], blockDurationMs: Long,
+      tiebreak: Seq[org.apache.spark.sql.Column],
+      mkBuf: StructType => SampleBuf, samplesPerChunk: Int,
+      segmentBytes: Long): Seq[String] = {
+    require(labelCols.nonEmpty, "at least one label column required")
+    require(blockDurationMs > 0, "blockDurationMs must be positive")
+    require(samplesPerChunk > 0, "samplesPerChunk must be positive")
+    // Prometheus orders series lexicographically by label NAME then
+    // value; with one shared name set, sorting rows by the
+    // name-sorted columns yields exactly that order
+    val sortedLabels = labelCols.sorted
+    val prepared = prepared0
       .withColumn("_blk", floor(col("_ts") / blockDurationMs))
       .repartition(col("_blk"))
-      // _v closes the sort to a total order: without it, samples
-      // tied on (series, ts) arrive in shuffle-fetch order, the
-      // content hash folds them in that order, and a redelivered
-      // batch could mint a DIFFERENT ULID for identical data —
-      // breaking the idempotency the streaming sink relies on
       .sortWithinPartitions(
-        (col("_blk") +: sortedLabels.map(col) :+ col("_ts") :+ col("_v")): _*)
+        (col("_blk") +: sortedLabels.map(col) :+ col("_ts")) ++
+          tiebreak: _*)
     val labelArr = sortedLabels.toArray
     // resolve ordinals OUTSIDE the closure: capturing `prepared`
     // itself would serialize the whole plan into every task
     val schema = prepared.schema
     val labelIdx = labelArr.map(schema.fieldIndex)
-    val tsIdx = schema.fieldIndex("_ts")
-    val vIdx = schema.fieldIndex("_v")
     val blkIdx = schema.fieldIndex("_blk")
     val dirs = prepared.queryExecution.toRdd.mapPartitions { rows =>
       import org.apache.spark.unsafe.types.UTF8String
@@ -102,7 +390,7 @@ object TsdbBlockStore {
       // reference equality.
       val out = Seq.newBuilder[String]
       val b = new BlockBuilder(root, labelArr, blockDurationMs,
-        samplesPerChunk, segmentBytes)
+        mkBuf(schema), samplesPerChunk, segmentBytes)
       val n = labelIdx.length
       var curU: Array[UTF8String] = null
       var curS: Array[String] = null
@@ -128,8 +416,7 @@ object TsdbBlockStore {
             j += 1
           }
         }
-        b.add(r.getLong(blkIdx), curS, r.getLong(tsIdx),
-          r.getDouble(vIdx)).foreach(out += _)
+        b.add(r.getLong(blkIdx), curS, r).foreach(out += _)
       }
       b.finish().foreach(out += _)
       out.result().iterator
@@ -141,7 +428,8 @@ object TsdbBlockStore {
     * by (block, labels, ts). Holds one open chunk buffer plus the
     * current block's index metadata. */
   private final class BlockBuilder(root: String, labelNames: Array[String],
-      blockDurationMs: Long, samplesPerChunk: Int, segmentBytes: Long) {
+      blockDurationMs: Long, buf: SampleBuf, samplesPerChunk: Int,
+      segmentBytes: Long) {
     private var curBlk = Long.MinValue
     private var tmpDir: java.io.File = null
     private var segs: ChunkSegmentWriter = null
@@ -153,23 +441,17 @@ object TsdbBlockStore {
 
     private var curLabels: Array[String] = null
     private val chunkMetas = Seq.newBuilder[ChunkMeta]
-    private val tsBuf = new Array[Long](samplesPerChunk)
-    private val vBuf = new Array[Double](samplesPerChunk)
-    private var bufLen = 0
 
     private def mix(x: Long): Unit = {
       contentHash ^= x
       contentHash *= 0x100000001b3L
     }
 
-    private def flushChunk(): Unit = if (bufLen > 0) {
-      val data = encodeXorChunk(
-        java.util.Arrays.copyOf(tsBuf, bufLen),
-        java.util.Arrays.copyOf(vBuf, bufLen))
-      val ref = segs.append(data)
-      chunkMetas += ChunkMeta(tsBuf(0), tsBuf(bufLen - 1), ref)
+    private def flushChunk(): Unit = if (buf.size > 0) {
+      val (data, mint, maxt) = buf.flush()
+      val ref = segs.append(data, buf.encoding)
+      chunkMetas += ChunkMeta(mint, maxt, ref)
       nChunks += 1
-      bufLen = 0
     }
 
     private def flushSeries(): Unit = if (curLabels != null) {
@@ -197,8 +479,19 @@ object TsdbBlockStore {
       writeEmptyTombstones(tmpDir)
       val target = new java.io.File(root, ulid)
       val created =
-        if (target.exists()) { deleteRecursively(tmpDir); false }
-        else tmpDir.renameTo(target)
+        if (target.exists()) {
+          // same ULID = same maxt + same 64-bit content hash. Treat
+          // as an idempotent redelivery ONLY if the existing block's
+          // meta stats agree; a hash collision between DIFFERENT
+          // datasets must fail loudly, never silently drop a block
+          val (se, sa, ch) = readMetaStats(target)
+          require(se == nSeries && sa == nSamples && ch == nChunks,
+            s"ULID $ulid already exists with different stats " +
+              s"(existing series/samples/chunks $se/$sa/$ch vs " +
+              s"$nSeries/$nSamples/$nChunks): content-hash collision")
+          deleteRecursively(tmpDir)
+          false
+        } else tmpDir.renameTo(target)
       tmpDir = null
       nSeries = 0; nSamples = 0; nChunks = 0
       contentHash = 0xcbf29ce484222325L
@@ -207,8 +500,8 @@ object TsdbBlockStore {
 
     /** Add one sample; returns a completed block's ULID when this
       * sample rolls into a new block. */
-    def add(blk: Long, labels: Array[String], ts: Long,
-        v: Double): Option[String] = {
+    def add(blk: Long, labels: Array[String],
+        r: InternalRow): Option[String] = {
       var done: Option[String] = None
       if (blk != curBlk) {
         done = flushBlock()
@@ -232,13 +525,11 @@ object TsdbBlockStore {
         curLabels = labels
         labels.foreach(s => mix(s.hashCode.toLong))
       }
-      if (bufLen == samplesPerChunk) flushChunk()
-      tsBuf(bufLen) = ts
-      vBuf(bufLen) = v
-      bufLen += 1
+      if (buf.size == samplesPerChunk) flushChunk()
+      buf.add(r)
       nSamples += 1
-      mix(ts)
-      mix(java.lang.Double.doubleToRawLongBits(v))
+      mix(buf.ts(r))
+      mix(buf.digest(r))
       done
     }
 
@@ -246,7 +537,11 @@ object TsdbBlockStore {
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    // listFiles() returns null on I/O or permission errors; the
+    // null-guard keeps cleanup from masking the real failure with
+    // an NPE
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete()
   }
 
@@ -284,25 +579,26 @@ object TsdbBlockStore {
       .filter(overlaps).collect().sorted.toSeq
   }
 
-  /** Read every sample matching `matchers` in [mint, maxt] from the
-    * TSDB blocks under `root`, as a Dataset of [[TsdbSample]].
-    * One narrow task per (block, shard); no shuffle. */
+  /** Read every FLOAT sample matching `matchers` in [mint, maxt]
+    * from the TSDB blocks under `root`, as a Dataset of
+    * [[TsdbSample]]. One narrow task per (block, shard); no
+    * shuffle. Native-histogram chunks (encodings 2/3) are NOT float
+    * samples and are skipped here — [[readHistLabels]] /
+    * [[readFloatHistLabels]] serve them, mirroring the reference's
+    * per-family data columns (schema/encoder.go:75). */
   def read(spark: SparkSession, root: String,
       mint: Long = Long.MinValue, maxt: Long = Long.MaxValue,
       matchers: Seq[Matcher] = Nil,
       shardsPerBlock: Int = 1): Dataset[TsdbSample] = {
     import spark.implicits._
-    require(shardsPerBlock > 0, "shardsPerBlock must be positive")
-    val blocks = overlappingBlocks(spark, root, mint, maxt)
-    val tasks = for (b <- blocks; s <- 0 until shardsPerBlock)
-      yield (b, s)
-    val matcherSpecs = matchers.map(encodeMatcher)
-    val rdd = spark.sparkContext
-      .parallelize(tasks, math.max(tasks.size, 1))
-      .flatMap { case (block, shard) =>
-        readBlockShard(new java.io.File(root, block), mint, maxt,
-          matcherSpecs.map(decodeMatcher), shard, shardsPerBlock)
-      }
+    val rdd = taskRdd(spark, root, mint, maxt, shardsPerBlock,
+      matchers) { case (dir, shard, nShards, ms) =>
+      readBlockSeriesWith(dir, mint, maxt, ms, shard, nShards,
+        xorDecoder(mint, maxt))
+        .flatMap { case (labelMap, samples) =>
+          samples.map { case (ts, v) => TsdbSample(labelMap, ts, v) }
+        }
+    }
     spark.createDataset(rdd)
   }
 
@@ -316,20 +612,18 @@ object TsdbBlockStore {
       labelCols: Seq[String], mint: Long = Long.MinValue,
       maxt: Long = Long.MaxValue, matchers: Seq[Matcher] = Nil,
       shardsPerBlock: Int = 1): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
-    require(shardsPerBlock > 0, "shardsPerBlock must be positive")
-    val blocks = overlappingBlocks(spark, root, mint, maxt)
-    val tasks = for (b <- blocks; s <- 0 until shardsPerBlock)
-      yield (b, s)
-    val matcherSpecs = matchers.map(encodeMatcher)
     val cols = labelCols.toIndexedSeq
-    val rdd = spark.sparkContext
-      .parallelize(tasks, math.max(tasks.size, 1))
-      .flatMap { case (block, shard) =>
-        readBlockShardFlat(new java.io.File(root, block), mint, maxt,
-          matcherSpecs.map(decodeMatcher), shard, shardsPerBlock, cols)
-      }
+    val rdd = taskRdd(spark, root, mint, maxt, shardsPerBlock,
+      matchers) { case (dir, shard, nShards, ms) =>
+      readBlockSeriesWith(dir, mint, maxt, ms, shard, nShards,
+        xorDecoder(mint, maxt))
+        .flatMap { case (labelMap, samples) =>
+          val proj = projectLabels(labelMap, cols)
+          samples.map { case (ts, v) =>
+            org.apache.spark.sql.Row.fromSeq(proj :+ ts :+ v)
+          }
+        }
+    }
     val schema = StructType(
       cols.map(c => StructField(c, StringType, nullable = false)) :+
         StructField("ts", LongType, nullable = false) :+
@@ -337,53 +631,119 @@ object TsdbBlockStore {
     spark.createDataFrame(rdd, schema)
   }
 
-  /** The flattened row iterator behind [[readLabels]]: identical
-    * pruning/verification to [[readBlockShard]], but each series
-    * projects its labels to the requested columns ONCE and emits
-    * plain Rows. */
-  private def readBlockShardFlat(dir: java.io.File, mint: Long,
-      maxt: Long, matchers: Seq[Matcher], shard: Int, nShards: Int,
-      cols: IndexedSeq[String]): Iterator[org.apache.spark.sql.Row] = {
-    val n = cols.length
-    readBlockSeries(dir, mint, maxt, matchers, shard, nShards)
-      .flatMap { case (labelMap, samples) =>
-        val proj = new Array[Any](n + 2)
-        var i = 0
-        while (i < n) { proj(i) = labelMap.getOrElse(cols(i), ""); i += 1 }
-        samples.map { case (ts, v) =>
-          val row = proj.clone()
-          row(n) = ts
-          row(n + 1) = v
-          org.apache.spark.sql.Row.fromSeq(
-            scala.collection.immutable.ArraySeq.unsafeWrapArray(row))
+  /** Read every INTEGER native-histogram sample matching `matchers`
+    * in [mint, maxt], flattened to graft's positive-only row model:
+    * label columns, `ts` (ms), `schema`, `zero_count`, ascending
+    * `pos_idx`/`pos_counts`, `hist_sum`. Bucket positions chunkenc's
+    * recode filled with absolute 0 decode as explicit 0-count
+    * buckets, exactly as Prometheus's own iterator yields them.
+    * Same narrow one-task-per-(block, shard) plan as [[read]]. */
+  def readHistLabels(spark: SparkSession, root: String,
+      labelCols: Seq[String], mint: Long = Long.MinValue,
+      maxt: Long = Long.MaxValue, matchers: Seq[Matcher] = Nil,
+      shardsPerBlock: Int = 1): DataFrame = {
+    val cols = labelCols.toIndexedSeq
+    val rdd = taskRdd(spark, root, mint, maxt, shardsPerBlock,
+      matchers) { case (dir, shard, nShards, ms) =>
+      readBlockSeriesWith(dir, mint, maxt, ms, shard, nShards,
+        histDecoder(mint, maxt))
+        .flatMap { case (labelMap, samples) =>
+          val proj = projectLabels(labelMap, cols)
+          samples.map(tail => org.apache.spark.sql.Row.fromSeq(proj ++ tail))
         }
+    }
+    val schema = StructType(
+      cols.map(c => StructField(c, StringType, nullable = false)) ++ Seq(
+        StructField("ts", LongType, nullable = false),
+        StructField("schema", IntegerType, nullable = false),
+        StructField("zero_count", LongType, nullable = false),
+        StructField("pos_idx", ArrayType(IntegerType, false), nullable = false),
+        StructField("pos_counts", ArrayType(LongType, false), nullable = false),
+        StructField("hist_sum", DoubleType, nullable = false)))
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** [[readHistLabels]] for FLOAT histogram chunks (encoding 3):
+    * `zero_count` and `pos_counts` are doubles. */
+  def readFloatHistLabels(spark: SparkSession, root: String,
+      labelCols: Seq[String], mint: Long = Long.MinValue,
+      maxt: Long = Long.MaxValue, matchers: Seq[Matcher] = Nil,
+      shardsPerBlock: Int = 1): DataFrame = {
+    val cols = labelCols.toIndexedSeq
+    val rdd = taskRdd(spark, root, mint, maxt, shardsPerBlock,
+      matchers) { case (dir, shard, nShards, ms) =>
+      readBlockSeriesWith(dir, mint, maxt, ms, shard, nShards,
+        floatHistDecoder(mint, maxt))
+        .flatMap { case (labelMap, samples) =>
+          val proj = projectLabels(labelMap, cols)
+          samples.map(tail => org.apache.spark.sql.Row.fromSeq(proj ++ tail))
+        }
+    }
+    val schema = StructType(
+      cols.map(c => StructField(c, StringType, nullable = false)) ++ Seq(
+        StructField("ts", LongType, nullable = false),
+        StructField("schema", IntegerType, nullable = false),
+        StructField("zero_count", DoubleType, nullable = false),
+        StructField("pos_idx", ArrayType(IntegerType, false), nullable = false),
+        StructField("pos_counts", ArrayType(DoubleType, false), nullable = false),
+        StructField("hist_sum", DoubleType, nullable = false)))
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** One narrow task per (block, shard): resolve the overlapping
+    * blocks on the driver (meta.json only), parallelize the task
+    * list, run `f` per task. Matchers ship as plain tuples —
+    * [[Matcher]] carries Catalyst columns and is not
+    * closure-friendly. */
+  private def taskRdd[T: scala.reflect.ClassTag](spark: SparkSession,
+      root: String, mint: Long, maxt: Long, shardsPerBlock: Int,
+      matchers: Seq[Matcher])(
+      f: (java.io.File, Int, Int, Seq[Matcher]) => Iterator[T])
+      : org.apache.spark.rdd.RDD[T] = {
+    require(shardsPerBlock > 0, "shardsPerBlock must be positive")
+    val blocks = overlappingBlocks(spark, root, mint, maxt)
+    val tasks = for (b <- blocks; s <- 0 until shardsPerBlock)
+      yield (b, s)
+    val matcherSpecs = matchers.map(encodeMatcher)
+    spark.sparkContext
+      .parallelize(tasks, math.max(tasks.size, 1))
+      .flatMap { case (block, shard) =>
+        f(new java.io.File(root, block), shard, shardsPerBlock,
+          matcherSpecs.map(decodeMatcher))
       }
   }
 
+  private def projectLabels(labelMap: Map[String, String],
+      cols: IndexedSeq[String]): Vector[Any] =
+    cols.iterator.map(c => labelMap.getOrElse(c, "")).toVector
+
   /** Vertical compaction (the Prometheus compactor's overlapping-
-    * block merge): read every block under `root`, deduplicate exact
-    * (series, ts) collisions — the sample from the lexicographically
-    * LAST block ULID wins, the deterministic analog of Prometheus
-    * merging its sorted block list — and rewrite as blocks of
-    * `blockDurationMs` under `outRoot`. One narrow read fan-in, one
-    * shuffle (the LWW groupBy doubles as the writer's
-    * repartition-by-window sort input). */
+    * block merge) for FLOAT samples: read every block under `root`,
+    * deduplicate exact (series, ts) collisions — the sample from
+    * the lexicographically LAST block ULID wins, the deterministic
+    * analog of Prometheus merging its sorted block list — and
+    * rewrite as blocks of `blockDurationMs` under `outRoot`. One
+    * narrow read fan-in, one shuffle (the LWW groupBy doubles as
+    * the writer's repartition-by-window sort input). Histogram
+    * chunks are out of scope here (the float surface skips them;
+    * compact histogram directories via [[readHistLabels]] +
+    * [[writeHist]]). */
   def compact(spark: SparkSession, root: String, outRoot: String,
       labelCols: Seq[String], blockDurationMs: Long = 2 * 3600 * 1000L,
       shardsPerBlock: Int = 1): Seq[String] = {
     import spark.implicits._
-    val blocks = overlappingBlocks(spark, root, Long.MinValue, Long.MaxValue)
-    val tasks = for (b <- blocks; s <- 0 until shardsPerBlock)
-      yield (b, s)
     val cols = labelCols.toIndexedSeq
-    val rdd = spark.sparkContext
-      .parallelize(tasks, math.max(tasks.size, 1))
-      .flatMap { case (block, shard) =>
-        readBlockShard(new java.io.File(root, block), Long.MinValue,
-            Long.MaxValue, Nil, shard, shardsPerBlock)
-          .map(s => (block, cols.map(c => s.labels.getOrElse(c, "")),
-            s.ts, s.value))
-      }
+    val rdd = taskRdd(spark, root, Long.MinValue, Long.MaxValue,
+      shardsPerBlock, Nil) { case (dir, shard, nShards, ms) =>
+      val block = dir.getName
+      readBlockSeriesWith(dir, Long.MinValue, Long.MaxValue, ms,
+        shard, nShards, xorDecoder(Long.MinValue, Long.MaxValue))
+        .flatMap { case (labelMap, samples) =>
+          samples.map { case (ts, v) =>
+            (block, cols.map(c => labelMap.getOrElse(c, "")), ts, v)
+          }
+        }
+    }
     val flat = rdd.toDF("_ulid", "_ls", "ts", "value")
       .select((cols.zipWithIndex.map { case (c, i) =>
         col("_ls")(i).as(c) } :+ col("_ulid") :+ col("ts") :+
@@ -468,22 +828,78 @@ object TsdbBlockStore {
     out.result()
   }
 
-  private def readBlockShard(dir: java.io.File, mint: Long, maxt: Long,
-      matchers: Seq[Matcher], shard: Int,
-      nShards: Int): Iterator[TsdbSample] =
-    readBlockSeries(dir, mint, maxt, matchers, shard, nShards)
-      .flatMap { case (labelMap, samples) =>
-        samples.map { case (ts, v) => TsdbSample(labelMap, ts, v) }
-      }
+  /** Per-chunk decoder: (encoding, chunk bytes, deleted intervals)
+    * → samples. Chunks of OTHER families return empty — a float
+    * query over a mixed directory reads float chunks, a histogram
+    * query histogram chunks, like the reference's per-family data
+    * columns. */
+  private type ChunkDecoder[T] =
+    (Int, Array[Byte], Seq[(Long, Long)]) => Iterator[T]
+
+  private def keepTs(ts: Long, mint: Long, maxt: Long,
+      deleted: Seq[(Long, Long)]): Boolean =
+    ts >= mint && ts <= maxt &&
+      !deleted.exists(d => d._1 <= ts && ts <= d._2)
+
+  private def xorDecoder(mint: Long,
+      maxt: Long): ChunkDecoder[(Long, Double)] = {
+    case (EncXOR, data, deleted) =>
+      val (ts, vs) = decodeXorChunk(data, 0, data.length)
+      ts.indices.iterator
+        .filter(i => keepTs(ts(i), mint, maxt, deleted))
+        .map(i => (ts(i), vs(i)))
+    case (EncHistogram, _, _) | (EncFloatHistogram, _, _) =>
+      Iterator.empty
+    case (enc, _, _) =>
+      throw new IllegalArgumentException(s"unsupported chunk encoding $enc")
+  }
+
+  /** Sample tail for the flat hist row: (ts, schema, zero, idx,
+    * counts, sum). */
+  private def histDecoder(mint: Long,
+      maxt: Long): ChunkDecoder[Vector[Any]] = {
+    case (EncHistogram, data, deleted) =>
+      val c = ChunkencHistogram.decodeHistChunk(data, 0, data.length)
+      require(c.negSpans.isEmpty,
+        "negative-bucket histograms have no representation in the " +
+          "positive-only row model")
+      val idx = ChunkencHistogram.bucketIndexes(c.posSpans).toVector
+      c.ts.indices.iterator
+        .filter(i => keepTs(c.ts(i), mint, maxt, deleted))
+        .map(i => Vector[Any](c.ts(i), c.schema, c.zeroCount(i),
+          idx, c.posBuckets(i).toVector, c.sum(i)))
+    case (EncXOR, _, _) | (EncFloatHistogram, _, _) => Iterator.empty
+    case (enc, _, _) =>
+      throw new IllegalArgumentException(s"unsupported chunk encoding $enc")
+  }
+
+  private def floatHistDecoder(mint: Long,
+      maxt: Long): ChunkDecoder[Vector[Any]] = {
+    case (EncFloatHistogram, data, deleted) =>
+      val c = ChunkencHistogram.decodeFloatHistChunk(data, 0, data.length)
+      require(c.negSpans.isEmpty,
+        "negative-bucket histograms have no representation in the " +
+          "positive-only row model")
+      val idx = ChunkencHistogram.bucketIndexes(c.posSpans).toVector
+      c.ts.indices.iterator
+        .filter(i => keepTs(c.ts(i), mint, maxt, deleted))
+        .map(i => Vector[Any](c.ts(i), c.schema, c.zeroCount(i),
+          idx, c.posBuckets(i).toVector, c.sum(i)))
+    case (EncXOR, _, _) | (EncHistogram, _, _) => Iterator.empty
+    case (enc, _, _) =>
+      throw new IllegalArgumentException(s"unsupported chunk encoding $enc")
+  }
 
   /** Shared per-shard series walk: candidate refs from the postings
     * index, exact matcher re-verification, chunk-frame time pruning,
-    * tombstone application. Emits one (label map, sample iterator)
-    * pair per surviving series so callers project labels ONCE per
-    * series, not per sample. */
-  private def readBlockSeries(dir: java.io.File, mint: Long, maxt: Long,
-      matchers: Seq[Matcher], shard: Int, nShards: Int)
-      : Iterator[(Map[String, String], Iterator[(Long, Double)])] = {
+    * tombstone application, then the family-specific chunk decode.
+    * Emits one (label map, sample iterator) pair per surviving
+    * series so callers project labels ONCE per series, not per
+    * sample. */
+  private def readBlockSeriesWith[T](dir: java.io.File, mint: Long,
+      maxt: Long, matchers: Seq[Matcher], shard: Int, nShards: Int,
+      decode: ChunkDecoder[T])
+      : Iterator[(Map[String, String], Iterator[T])] = {
     val ir = new IndexReader(java.nio.file.Files.readAllBytes(
       new java.io.File(dir, "index").toPath))
     val chunks = new ChunkSegmentReader(new java.io.File(dir, "chunks"))
@@ -504,12 +920,7 @@ object TsdbBlockStore {
           .filter(cm => cm.mint <= maxt && cm.maxt >= mint)
           .flatMap { cm =>
             val (enc, data) = chunks.chunk(cm.ref)
-            require(enc == EncXOR, s"unsupported chunk encoding $enc")
-            val (ts, vs) = decodeXorChunk(data, 0, data.length)
-            ts.indices.iterator
-              .filter(i => ts(i) >= mint && ts(i) <= maxt &&
-                !deleted.exists(d => d._1 <= ts(i) && ts(i) <= d._2))
-              .map(i => (ts(i), vs(i)))
+            decode(enc, data, deleted)
           }
         Iterator.single((labelMap, samples))
       }

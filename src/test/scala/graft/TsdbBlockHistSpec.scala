@@ -1,0 +1,193 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tsdb.Matcher
+import graft.tsdb.block.{ChunkencHistogram, TsdbBlockFormat => F, TsdbBlockStore}
+
+/** Native-histogram TSDB block ingestion
+  * ([[graft.tsdb.block.TsdbBlockStore.writeHist]] /
+  * `readHistLabels` and the float variants): chunkenc encoding-2/3
+  * chunks inside real block dirs, the union-layout zero-fill (the
+  * chunkenc recode analog), matcher/range pruning, and the
+  * family-isolation contract over mixed directories. */
+class TsdbBlockHistSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete()
+  }
+
+  /** Counter-style NH samples: 2 series × 40 days, bucket index 4
+    * appears only from day 20 — exercises the mid-chunk layout
+    * union. Exact integers throughout. */
+  private def mkHistSamples() = {
+    import spark.implicits._
+    val rows = for {
+      job <- Seq("api", "db")
+      d <- 0 until 40
+    } yield {
+      val idx = if (d >= 20) Seq(-1, 0, 2, 4) else Seq(-1, 0, 2)
+      val cnt = idx.map(i => (d + 1).toLong * (i + 3))
+      (job, d.toLong * 86400000L, (d % 5).toLong, idx, cnt,
+        d.toDouble * 0.25)
+    }
+    rows.toDF("job", "ts", "zero", "idx", "cnt", "hsum")
+  }
+
+  private def nonzero(idx: Seq[Int], cnt: Seq[Long]): Set[(Int, Long)] =
+    idx.zip(cnt).filter(_._2 != 0L).toSet
+
+  test("writeHist/readHistLabels roundtrips samples bit-exactly") {
+    val root = java.nio.file.Files.createTempDirectory("graft_nhb").toFile
+    try {
+      val df = mkHistSamples()
+      val dirs = TsdbBlockStore.writeHist(df, root.getPath, Seq("job"),
+        "ts", "zero", "idx", "cnt", "hsum", schema = 0,
+        blockDurationMs = 10L * 86400000L, samplesPerChunk = 7)
+      assert(dirs.size == 4) // 40 days / 10-day blocks
+      val back = TsdbBlockStore
+        .readHistLabels(spark, root.getPath, Seq("job")).collect()
+      assert(back.length == 80)
+      val expected = df.collect().map { r =>
+        ((r.getString(0), r.getLong(1)),
+          (r.getLong(2), r.getDouble(5),
+            nonzero(r.getSeq[Int](3), r.getSeq[Long](4))))
+      }.toMap
+      back.foreach { r =>
+        val key = (r.getString(0), r.getLong(1))
+        val (zero, hsum, buckets) = expected(key)
+        assert(r.getInt(2) == 0, "schema")
+        assert(r.getLong(3) == zero, s"zero_count at $key")
+        assert(nonzero(r.getSeq[Int](4), r.getSeq[Long](5)) == buckets,
+          s"buckets at $key")
+        assert(r.getDouble(6) == hsum, s"hist_sum at $key")
+      }
+    } finally deleteRec(root)
+  }
+
+  test("union layout fills absent buckets with explicit zeros (recode analog)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_nhu").toFile
+    try {
+      // one series, 2 samples in ONE chunk; bucket 4 only in sample 2
+      import spark.implicits._
+      val df = Seq(
+        ("s", 0L, 1L, Seq(0, 1), Seq(5L, 6L), 1.0),
+        ("s", 1000L, 2L, Seq(0, 1, 4), Seq(7L, 8L, 9L), 2.0))
+        .toDF("job", "ts", "zero", "idx", "cnt", "hsum")
+      TsdbBlockStore.writeHist(df, root.getPath, Seq("job"), "ts",
+        "zero", "idx", "cnt", "hsum")
+      val back = TsdbBlockStore
+        .readHistLabels(spark, root.getPath, Seq("job"))
+        .orderBy("ts").collect()
+      // sample 1 decodes with the chunk's full layout, bucket 4 at 0
+      assert(back(0).getSeq[Int](4) == Seq(0, 1, 4))
+      assert(back(0).getSeq[Long](5) == Seq(5L, 6L, 0L))
+      assert(back(1).getSeq[Long](5) == Seq(7L, 8L, 9L))
+    } finally deleteRec(root)
+  }
+
+  test("hist chunks carry encoding 2, the flags byte and the layout") {
+    val root = java.nio.file.Files.createTempDirectory("graft_nhf").toFile
+    try {
+      TsdbBlockStore.writeHist(mkHistSamples(), root.getPath, Seq("job"),
+        "ts", "zero", "idx", "cnt", "hsum", schema = 3,
+        zeroThreshold = math.pow(2, -10), gauge = true)
+      val block = new java.io.File(root,
+        Option(root.list()).get.filter(!_.startsWith(".")).min)
+      val ir = new F.IndexReader(java.nio.file.Files.readAllBytes(
+        new java.io.File(block, "index").toPath))
+      val ref = ir.series(ir.allPostings.head).chunks.head.ref
+      val (enc, data) =
+        new F.ChunkSegmentReader(new java.io.File(block, "chunks")).chunk(ref)
+      assert(enc == F.EncHistogram)
+      val c = ChunkencHistogram.decodeHistChunk(data, 0, data.length)
+      assert(c.flags == ChunkencHistogram.GaugeType)
+      assert(c.schema == 3)
+      assert(c.zeroThreshold == math.pow(2, -10))
+      assert(c.negSpans.isEmpty)
+      // count is the derived total: zero + Σ buckets
+      assert(c.count(0) == c.zeroCount(0) + c.posBuckets(0).sum)
+    } finally deleteRec(root)
+  }
+
+  test("matchers and time range prune NH reads like the float path") {
+    val root = java.nio.file.Files.createTempDirectory("graft_nhm").toFile
+    try {
+      TsdbBlockStore.writeHist(mkHistSamples(), root.getPath, Seq("job"),
+        "ts", "zero", "idx", "cnt", "hsum",
+        blockDurationMs = 10L * 86400000L)
+      def count(mint: Long = Long.MinValue, maxt: Long = Long.MaxValue,
+          ms: Seq[Matcher] = Nil) =
+        TsdbBlockStore.readHistLabels(spark, root.getPath, Seq("job"),
+          mint, maxt, ms).count()
+      assert(count() == 80)
+      assert(count(ms = Seq(Matcher.Eq("job", "api"))) == 40)
+      assert(count(ms = Seq(Matcher.Re("job", "a.*"))) == 40)
+      assert(count(mint = 20L * 86400000L) == 40)
+      assert(count(mint = 5L * 86400000L, maxt = 9L * 86400000L) == 10)
+      assert(count(ms = Seq(Matcher.Eq("job", "nope"))) == 0)
+    } finally deleteRec(root)
+  }
+
+  test("float-histogram blocks roundtrip with double counts") {
+    val root = java.nio.file.Files.createTempDirectory("graft_nhfl").toFile
+    try {
+      import spark.implicits._
+      val rows = for (d <- 0 until 30) yield
+        ("m", d.toLong * 3600000L, d * 0.5, Seq(-2, 1),
+          Seq(d * 0.25, d * 1.25), d * 0.125)
+      val df = rows.toDF("job", "ts", "zero", "idx", "cnt", "hsum")
+      TsdbBlockStore.writeFloatHist(df, root.getPath, Seq("job"), "ts",
+        "zero", "idx", "cnt", "hsum", samplesPerChunk = 11)
+      val back = TsdbBlockStore
+        .readFloatHistLabels(spark, root.getPath, Seq("job"))
+        .orderBy("ts").collect()
+      assert(back.length == 30)
+      back.zipWithIndex.foreach { case (r, d) =>
+        assert(r.getLong(1) == d.toLong * 3600000L)
+        assert(r.getDouble(3) == d * 0.5)
+        assert(r.getSeq[Int](4) == Seq(-2, 1))
+        assert(r.getSeq[Double](5) == Seq(d * 0.25, d * 1.25))
+        assert(r.getDouble(6) == d * 0.125)
+      }
+      // segments carry ordinal 3
+      val block = new java.io.File(root,
+        Option(root.list()).get.filter(!_.startsWith(".")).min)
+      val ir = new F.IndexReader(java.nio.file.Files.readAllBytes(
+        new java.io.File(block, "index").toPath))
+      val ref = ir.series(ir.allPostings.head).chunks.head.ref
+      val (enc, _) =
+        new F.ChunkSegmentReader(new java.io.File(block, "chunks")).chunk(ref)
+      assert(enc == F.EncFloatHistogram)
+    } finally deleteRec(root)
+  }
+
+  test("mixed directories: each family's reader sees only its chunks") {
+    val root = java.nio.file.Files.createTempDirectory("graft_nhx").toFile
+    try {
+      import spark.implicits._
+      val floats = (0 until 50).map(i => ("f", i * 60000L, i * 1.5))
+        .toDF("job", "ts", "value")
+      TsdbBlockStore.write(floats, root.getPath, Seq("job"), "ts", "value")
+      TsdbBlockStore.writeHist(mkHistSamples(), root.getPath, Seq("job"),
+        "ts", "zero", "idx", "cnt", "hsum")
+      val intHist = mkHistSamples()
+        .withColumn("zero",
+          org.apache.spark.sql.functions.col("zero").cast("double"))
+      TsdbBlockStore.writeFloatHist(
+        intHist.withColumn("cnt", org.apache.spark.sql.functions
+          .transform(org.apache.spark.sql.functions.col("cnt"),
+            c => c.cast("double") * 0.5)),
+        root.getPath, Seq("job"), "ts", "zero", "idx", "cnt", "hsum")
+      assert(TsdbBlockStore.read(spark, root.getPath).count() == 50)
+      assert(TsdbBlockStore
+        .readHistLabels(spark, root.getPath, Seq("job")).count() == 80)
+      assert(TsdbBlockStore
+        .readFloatHistLabels(spark, root.getPath, Seq("job")).count() == 80)
+    } finally deleteRec(root)
+  }
+}
