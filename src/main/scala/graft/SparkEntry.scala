@@ -1904,6 +1904,197 @@ object SparkEntry {
       .orderBy("ts_ms", "user_id", "value")
   }
 
+  // ----- native-histogram TSDB blocks (chunkenc encodings 2/3) -----
+
+  private def nhBlockPath(dir: String): String =
+    "/tmp/graft_nhblock_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+
+  private def fhBlockPath(dir: String): String =
+    "/tmp/graft_fhblock_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+
+  private def rmRec(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRec)
+    f.delete()
+  }
+
+  /** The counter NH fixture with millisecond timestamps and the
+    * exact-quarter tracked sum — the [[tsdb.block.TsdbBlockStore
+    * .writeHist]] input shape. */
+  private def nhBlockInput(s: SparkSession, dir: String): DataFrame =
+    nativeHistCounterTable(s, dir)
+      .withColumn("hsum",
+        (col("d") * ((col("sseed") % 7) + 1)).cast("double") * 0.25)
+      .withColumn("ts_ms", col("d") * 86400000L)
+
+  private def nhBlockFixture(s: SparkSession, dir: String): Unit =
+    fixtureOnce(s"nhblock:$dir") {
+      val root = new java.io.File(nhBlockPath(dir))
+      if (root.exists()) rmRec(root) // stale ULIDs would double-count
+      graft.tsdb.block.TsdbBlockStore.writeHist(
+        nhBlockInput(s, dir), nhBlockPath(dir),
+        Seq("event_type", "user_id"), "ts_ms", "zero_count",
+        "pos_idx", "pos_counts", "hsum",
+        // 9-day blocks + 6-sample chunks: bucket 5's appearance at
+        // day 19740 lands MID-chunk (19740 % 9 ≠ 0), so the gate
+        // exercises the union-layout zero-fill, not just clean cuts
+        blockDurationMs = 9L * 86400000L, samplesPerChunk = 6)
+    }
+
+  /** Byte-level NATIVE-HISTOGRAM TSDB block roundtrip: the counter
+    * NH fixture written as real chunkenc `EncHistogram` (encoding 2)
+    * chunks inside spec-shaped block dirs
+    * ([[tsdb.block.ChunkencHistogram]] — varbit buckets, span
+    * layout, per-field delta/XOR streams), read back distributed
+    * and flattened per bucket. The reference ingests these chunks
+    * through `chunkenc.Iterator` (convert/convert.go:348,
+    * schema/encoder.go:160-196); this closes the r8 gap where
+    * non-XOR chunks hard-failed. Zero-count buckets (structural
+    * ones AND the union-layout zeros chunkenc's recode inserts when
+    * buckets appear mid-chunk) are dropped on both sides — the
+    * sparse nonzero content is the semantic payload.
+    */
+  private def tsTsdbBlockNhRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    nhBlockFixture(s, dir)
+    graft.tsdb.block.TsdbBlockStore
+      .readHistLabels(s, nhBlockPath(dir), Seq("event_type", "user_id"))
+      .select(col("event_type"), col("user_id"), col("ts").as("ts_ms"),
+        col("zero_count"), col("hist_sum").as("hsum"),
+        explode(zip_with(col("pos_idx"), col("pos_counts"),
+          (i, c) => struct(i.as("i"), c.as("c")))).as("b"))
+      .select(col("event_type"), col("user_id"), col("ts_ms"),
+        col("zero_count"), col("hsum"),
+        col("b.i").as("idx"), col("b.c").as("cnt"))
+      .filter(col("cnt") =!= 0)
+      .orderBy("event_type", "user_id", "ts_ms", "idx")
+  }
+
+  /** Matcher + range select over NATIVE-HISTOGRAM block bytes: the
+    * same postings-index pruning, exact re-verification, chunk
+    * frame time pruning and sharding as `ts_tsdb_block_select`,
+    * dispatching into the encoding-2 decoder — ≡ the filtered raw
+    * fixture. */
+  private def tsTsdbBlockNhSelect(s: SparkSession, dir: String): DataFrame = {
+    nhBlockFixture(s, dir)
+    graft.tsdb.block.TsdbBlockStore
+      .readHistLabels(s, nhBlockPath(dir), Seq("event_type", "user_id"),
+        mint = 1704412800000L, // 2024-01-05T00:00:00Z
+        maxt = 1705708799999L, // 2024-01-19T23:59:59.999Z
+        matchers = Seq(Matcher.Eq("event_type", "view"),
+          Matcher.Re("user_id", "1.*|2.*")),
+        shardsPerBlock = 3)
+      .select(col("event_type"), col("user_id"), col("ts").as("ts_ms"),
+        col("zero_count"), col("hist_sum").as("hsum"),
+        explode(zip_with(col("pos_idx"), col("pos_counts"),
+          (i, c) => struct(i.as("i"), c.as("c")))).as("b"))
+      .select(col("event_type"), col("user_id"), col("ts_ms"),
+        col("zero_count"), col("hsum"),
+        col("b.i").as("idx"), col("b.c").as("cnt"))
+      .filter(col("cnt") =!= 0)
+      .orderBy("event_type", "user_id", "ts_ms", "idx")
+  }
+
+  private def fhBlockFixture(s: SparkSession, dir: String): Unit =
+    fixtureOnce(s"fhblock:$dir") {
+      val root = new java.io.File(fhBlockPath(dir))
+      if (root.exists()) rmRec(root)
+      graft.tsdb.block.TsdbBlockStore.writeFloatHist(
+        nativeHistCounterTable(s, dir)
+          .withColumn("zero_f",
+            (col("d") * (col("sseed") % 3)).cast("double") * 0.5)
+          .withColumn("cnt_f",
+            transform(col("pos_counts"), c => c.cast("double") * 0.25))
+          .withColumn("hsum",
+            (col("d") * ((col("sseed") % 7) + 1)).cast("double") * 0.25)
+          .withColumn("ts_ms", col("d") * 86400000L),
+        fhBlockPath(dir), Seq("event_type", "user_id"), "ts_ms",
+        "zero_f", "pos_idx", "cnt_f", "hsum",
+        blockDurationMs = 9L * 86400000L, samplesPerChunk = 6)
+    }
+
+  /** FLOAT-histogram TSDB block roundtrip (chunkenc
+    * `EncFloatHistogram`, encoding 3 — recording-rule output): the
+    * per-field Gorilla-window XOR streams must return every double
+    * bit-exactly (the fixture's exact halves/quarters make the
+    * DuckDB oracle hash-equal). Completes all THREE chunkenc
+    * families through the block ingestion seam. */
+  private def tsTsdbBlockFhRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    fhBlockFixture(s, dir)
+    graft.tsdb.block.TsdbBlockStore
+      .readFloatHistLabels(s, fhBlockPath(dir), Seq("event_type", "user_id"))
+      .select(col("event_type"), col("user_id"), col("ts").as("ts_ms"),
+        col("zero_count"), col("hist_sum").as("hsum"),
+        explode(zip_with(col("pos_idx"), col("pos_counts"),
+          (i, c) => struct(i.as("i"), c.as("c")))).as("b"))
+      .select(col("event_type"), col("user_id"), col("ts_ms"),
+        col("zero_count"), col("hsum"),
+        col("b.i").as("idx"), col("b.c").as("cnt"))
+      .filter(col("cnt") =!= 0.0)
+      .orderBy("event_type", "user_id", "ts_ms", "idx")
+  }
+
+  /** The NH migration path in one plan — what replaces the
+    * reference's `ConvertTSDBBlock` for histogram series: block
+    * bytes (encoding-2 chunks) → [[tsdb.block.TsdbBlockStore
+    * .readHistLabels]] → [[tsdb.HistChunkStore]] converted layout →
+    * matcher + day-range select over the converted store. The
+    * oracle runs on the re-derived raw fixture, so the hash pins
+    * chunkenc decode, the NH bridge, the converted write and the
+    * pruned select together (the histogram mirror of
+    * `ts_tsdb_block_convert`). */
+  private def tsTsdbBlockNhConvert(s: SparkSession, dir: String): DataFrame = {
+    nhBlockFixture(s, dir)
+    val path = "/tmp/graft_nhconv_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+    fixtureOnce(s"nhconv:$dir") {
+      val nh = graft.tsdb.block.TsdbBlockStore
+        .readHistLabels(s, nhBlockPath(dir), Seq("event_type", "user_id"))
+        .withColumn("ts", timestamp_millis(col("ts")))
+      HistChunkStore.write(nh, path, Seq("event_type", "user_id"), "ts",
+        "zero_count", "pos_idx", "pos_counts", Some("hist_sum"),
+        samplesPerChunk = 10)
+    }
+    HistChunkStore.select(s, path, "2024-01-05", "2024-01-20",
+        Seq(Matcher.Eq("event_type", "view")),
+        Seq("event_type", "user_id"), "ts")
+      .select(col("event_type"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("zero_count"),
+        col("hist_sum").as("hsum"),
+        explode(zip_with(col("pos_idx"), col("pos_counts"),
+          (i, c) => struct(i.as("i"), c.as("c")))).as("b"))
+      .select(col("event_type"), col("user_id"), col("ts_us"),
+        col("zero_count"), col("hsum"),
+        col("b.i").as("idx"), col("b.c").as("cnt"))
+      .filter(col("cnt") =!= 0)
+      .orderBy("event_type", "user_id", "ts_us", "idx")
+  }
+
+  /** `histogram_quantile(0.9, rate(nh_requests[40d]))` evaluated
+    * FROM BLOCK BYTES: [[tsdb.block.TsdbBlockStore.readHistLabels]]
+    * registers the decoded encoding-2 chunks as a PromQL
+    * `histMetrics` table and the string front-end runs THE
+    * production native-histogram query on it — the NH analog of
+    * `ts_promql_tsdb_blocks`. Union-padded zero buckets rate to 0
+    * and never displace the quantile walk, so the oracle is the
+    * same replay as `ts_promql_nh_quantile_rate` (labels become
+    * strings through block bytes). */
+  private def tsPromqlNhBlocks(s: SparkSession, dir: String): DataFrame = {
+    nhBlockFixture(s, dir)
+    val nh = graft.tsdb.block.TsdbBlockStore
+      .readHistLabels(s, nhBlockPath(dir), Seq("event_type", "user_id"))
+      .withColumn("ts", timestamp_millis(col("ts")))
+    val ctx = graft.tsdb.promql.PromQLContext(
+      metrics = Map.empty,
+      labelCols = Seq("event_type", "user_id"),
+      evalMs = 1706745600000L, // 2024-02-01T00:00:00Z
+      lookbackMs = 40L * 86400000L,
+      histMetrics =
+        Map("nh_requests" -> graft.tsdb.promql.HistTable(nh)))
+    graft.tsdb.promql.PromQL.compile(
+        "histogram_quantile(0.9, rate(nh_requests[40d]))", ctx)
+      .select(col("event_type"), col("user_id"), col("value").as("phi90"))
+      .orderBy("event_type", "user_id")
+  }
+
   // ===================== LLM-data-pipeline =====================
 
   private def ddExact(s: SparkSession, dir: String): DataFrame =
@@ -2340,7 +2531,12 @@ object SparkEntry {
     "ts_tsdb_block_roundtrip" -> (tsTsdbBlockRoundtrip _),
     "ts_tsdb_block_select" -> (tsTsdbBlockSelect _),
     "ts_tsdb_block_convert" -> (tsTsdbBlockConvert _),
+    "ts_tsdb_block_nh_roundtrip" -> (tsTsdbBlockNhRoundtrip _),
+    "ts_tsdb_block_nh_select" -> (tsTsdbBlockNhSelect _),
+    "ts_tsdb_block_fh_roundtrip" -> (tsTsdbBlockFhRoundtrip _),
+    "ts_tsdb_block_nh_convert" -> (tsTsdbBlockNhConvert _),
     "ts_promql_tsdb_blocks" -> (tsPromqlTsdbBlocks _),
+    "ts_promql_nh_blocks" -> (tsPromqlNhBlocks _),
     "ts_promql_info" -> (tsPromqlInfo _),
     "ts_promql_nh_chunked" -> (tsPromqlNhChunked _),
     "ts_promql_nh_quantile_rate" -> (tsPromqlNhQuantileRate _),
@@ -2526,6 +2722,22 @@ object SparkEntry {
       |JOIN zr z USING (event_type, user_id)
       |LEFT JOIN pick p USING (event_type, user_id)
       |ORDER BY t.event_type, t.user_id""".stripMargin
+
+  /** [[nhQuantileRateSql]] for the BLOCK-backed variant
+    * (`ts_promql_nh_blocks`): labels travel through block bytes as
+    * strings, so user_id casts to VARCHAR and orders
+    * lexicographically. The rate/walk arithmetic is identical —
+    * union-padded zero buckets rate to 0 and never displace the
+    * walk. */
+  private val nhQuantileRateBlockSql: String = {
+    val s = nhQuantileRateSql
+      .replace("SELECT t.event_type, t.user_id,",
+        "SELECT t.event_type, CAST(t.user_id AS VARCHAR) AS user_id,")
+      .replace("ORDER BY t.event_type, t.user_id",
+        "ORDER BY t.event_type, CAST(t.user_id AS VARCHAR)")
+    require(s != nhQuantileRateSql, "oracle rewrite did not apply")
+    s
+  }
 
   private val phashCtes: String =
     """px AS (
@@ -3997,6 +4209,103 @@ object SparkEntry {
         |SELECT l.user_id, l.v / r.v AS ratio
         |FROM l JOIN r USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    // NH block roundtrip ≡ the re-derived counter fixture: every
+    // NONZERO bucket must survive the chunkenc encoding-2 byte path
+    // (zero-count buckets — structural and union-layout fills — are
+    // dropped on both sides; labels become strings in block bytes)
+    "ts_tsdb_block_nh_roundtrip" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |base AS (
+        |  SELECT event_type, user_id, d,
+        |    user_id * 31 + length(event_type) AS sseed,
+        |    d * 86400000 AS ts_ms
+        |  FROM days)
+        |SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, ts_ms,
+        |  d*d*(sseed % 3) AS zero_count,
+        |  CAST(d * ((sseed % 7) + 1) AS DOUBLE) * 0.25 AS hsum,
+        |  CAST(i AS INT) AS idx,
+        |  d*d*((sseed + i + 3) % 5) AS cnt
+        |FROM base, unnest(range(-2, 6)) AS t(i)
+        |WHERE i <= (CASE WHEN d >= 19740 THEN 5 ELSE 4 END)
+        |  AND d*d*((sseed + i + 3) % 5) != 0
+        |ORDER BY event_type, CAST(user_id AS VARCHAR), ts_ms, idx"""
+        .stripMargin,
+    // NH matcher + range select through the postings index and the
+    // encoding-2 decode — same filter replayed on the fixture
+    "ts_tsdb_block_nh_select" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |base AS (
+        |  SELECT event_type, user_id, d,
+        |    user_id * 31 + length(event_type) AS sseed,
+        |    d * 86400000 AS ts_ms
+        |  FROM days
+        |  WHERE event_type = 'view'
+        |    AND regexp_full_match(CAST(user_id AS VARCHAR), '1.*|2.*')
+        |    AND d * 86400000 BETWEEN 1704412800000 AND 1705708799999)
+        |SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, ts_ms,
+        |  d*d*(sseed % 3) AS zero_count,
+        |  CAST(d * ((sseed % 7) + 1) AS DOUBLE) * 0.25 AS hsum,
+        |  CAST(i AS INT) AS idx,
+        |  d*d*((sseed + i + 3) % 5) AS cnt
+        |FROM base, unnest(range(-2, 6)) AS t(i)
+        |WHERE i <= (CASE WHEN d >= 19740 THEN 5 ELSE 4 END)
+        |  AND d*d*((sseed + i + 3) % 5) != 0
+        |ORDER BY event_type, CAST(user_id AS VARCHAR), ts_ms, idx"""
+        .stripMargin,
+    // FLOAT-histogram block roundtrip: the per-field XOR windows
+    // must return the exact halves/quarters bit-for-bit
+    "ts_tsdb_block_fh_roundtrip" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |base AS (
+        |  SELECT event_type, user_id, d,
+        |    user_id * 31 + length(event_type) AS sseed,
+        |    d * 86400000 AS ts_ms
+        |  FROM days)
+        |SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, ts_ms,
+        |  CAST(d * (sseed % 3) AS DOUBLE) * 0.5 AS zero_count,
+        |  CAST(d * ((sseed % 7) + 1) AS DOUBLE) * 0.25 AS hsum,
+        |  CAST(i AS INT) AS idx,
+        |  CAST(d*d*((sseed + i + 3) % 5) AS DOUBLE) * 0.25 AS cnt
+        |FROM base, unnest(range(-2, 6)) AS t(i)
+        |WHERE i <= (CASE WHEN d >= 19740 THEN 5 ELSE 4 END)
+        |  AND d*d*((sseed + i + 3) % 5) != 0
+        |ORDER BY event_type, CAST(user_id AS VARCHAR), ts_ms, idx"""
+        .stripMargin,
+    // the NH migration path (block bytes → convert → converted
+    // select) must answer exactly what the fixture filter answers;
+    // ts returns as µs through the converted store's timestamp col
+    "ts_tsdb_block_nh_convert" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |base AS (
+        |  SELECT event_type, user_id, d,
+        |    user_id * 31 + length(event_type) AS sseed,
+        |    CAST(d * 86400000000 AS BIGINT) AS ts_us
+        |  FROM days
+        |  WHERE event_type = 'view'
+        |    AND d >= 19727 AND d < 19742)
+        |SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, ts_us,
+        |  d*d*(sseed % 3) AS zero_count,
+        |  CAST(d * ((sseed % 7) + 1) AS DOUBLE) * 0.25 AS hsum,
+        |  CAST(i AS INT) AS idx,
+        |  d*d*((sseed + i + 3) % 5) AS cnt
+        |FROM base, unnest(range(-2, 6)) AS t(i)
+        |WHERE i <= (CASE WHEN d >= 19740 THEN 5 ELSE 4 END)
+        |  AND d*d*((sseed + i + 3) % 5) != 0
+        |ORDER BY event_type, CAST(user_id AS VARCHAR), ts_us, idx"""
+        .stripMargin,
+    "ts_promql_nh_blocks" -> nhQuantileRateBlockSql,
     // info(): the derived target_info tier label re-derived with the
     // same integer arithmetic, joined on the identifying label
     "ts_promql_info" ->
