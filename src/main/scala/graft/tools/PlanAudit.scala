@@ -458,6 +458,38 @@ object PlanAudit {
         "time range pushed" -> "GreaterThanOrEqual(ts,",
         "bucket partition pruning" -> "PartitionFilters: [isnotnull(bucket"))
 
+    // NH migration path: the chunked-layout select stage AFTER the
+    // encoding-2 block bridge must keep the ts_hist_chunk_select
+    // plan contract — labels-file pushdown, broadcast ref join, no
+    // chunk-side shuffle.
+    audit("ts_tsdb_block_nh_convert",
+      SparkEntry.queries("ts_tsdb_block_nh_convert")(spark, dir),
+      Map(
+        "labels side broadcasts" -> "BroadcastHashJoin",
+        "matcher pushed to labels scan" -> "EqualTo(event_type,view)",
+        "bucket partition pruning" -> "PartitionFilters: [",
+        "mint/maxt metadata filter pushed" -> "GreaterThanOrEqual(maxt"),
+      forbid = Map(
+        "no shuffle of the chunks side" -> "Exchange hashpartitioning",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin"))
+
+    // PromQL from NH block bytes: the block read is a narrow
+    // per-(block, shard) RDD scan (no Catalyst exchange can appear
+    // for it); the whole quantile-over-rate plan may shuffle ONLY
+    // for the series-keyed rate aggregation and the output sort.
+    locally {
+      val df = SparkEntry.queries("ts_promql_nh_blocks")(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val nEx = "Exchange ".r.findAllIn(plan).size
+      val rddScan = plan.contains("Scan ExistingRDD")
+      val ok = rddScan && nEx <= 2
+      println(s"[audit] ts_promql_nh_blocks :: narrow block read + ≤2 " +
+        s"exchanges (rate agg + output sort): scansRDD=$rddScan " +
+        s"exchanges=$nEx -> ${if (ok) "OK" else "FAIL"}")
+      if (!ok) failures ::= "ts_promql_nh_blocks: read-path shape"
+    }
+
     if (failures.nonEmpty) {
       println(s"\n[audit] FAILURES: ${failures.mkString("; ")}")
       sys.exit(1)
