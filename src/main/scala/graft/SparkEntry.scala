@@ -1715,6 +1715,28 @@ object SparkEntry {
       .select(col("event_type"), col("user_id"), col("value").as("inv_share"))
       .orderBy("event_type", "user_id")
 
+  /** PromQL `sort_desc(sum by (event_type) (sum_over_time(...)))` —
+    * the presentation ordering IS the checked output here (the gate
+    * adds NO orderBy of its own): rows must arrive value-descending
+    * from the compiled plan. Value ties cannot occur (continuous
+    * decimal-exact sums per event type), so the order is total.
+    */
+  private def tsPromqlSort(s: SparkSession, dir: String): DataFrame =
+    graft.tsdb.promql.PromQL.compile(
+        "sort_desc(sum by (event_type) (sum_over_time(events[31d])))",
+        promCtx(s, dir))
+      .select(col("event_type"), col("value"))
+
+  /** PromQL `sort_by_label(v, "event_type")` — label-value ordering
+    * through the parser, again with the function's ordering as the
+    * checked output (unique string label values ⇒ total order).
+    */
+  private def tsPromqlSortByLabel(s: SparkSession, dir: String): DataFrame =
+    graft.tsdb.promql.PromQL.compile(
+        """sort_by_label(sum by (event_type) (sum_over_time(events[31d])),
+          | "event_type")""".stripMargin, promCtx(s, dir))
+      .select(col("event_type"), col("value"))
+
   /** PromQL context with NATIVE-histogram metrics registered
     * ([[graft.tsdb.promql.HistTable]]): `nh_gauge` is the
     * deterministic exponential-bucket fixture with the
@@ -2524,6 +2546,8 @@ object SparkEntry {
     "ts_promql_mad" -> (tsPromqlMad _),
     "ts_promql_ts_of" -> (tsPromqlTsOf _),
     "ts_promql_group_right" -> (tsPromqlGroupRight _),
+    "ts_promql_sort" -> (tsPromqlSort _),
+    "ts_promql_sort_by_label" -> (tsPromqlSortByLabel _),
     "ts_hist_chunk_roundtrip" -> (tsHistChunkRoundtrip _),
     "ts_float_hist_roundtrip" -> (tsFloatHistRoundtrip _),
     "ts_hist_chunk_select" -> (tsHistChunkSelect _),
@@ -3964,6 +3988,22 @@ object SparkEntry {
         |SELECT s.event_type, s.user_id, u.v / s.v AS inv_share
         |FROM s JOIN u USING (user_id)
         |ORDER BY s.event_type, s.user_id""".stripMargin,
+    // sort/sort_by_label: the FUNCTION's ordering is the compared
+    // output — the oracle's ORDER BY replays it (no gate-side sort)
+    "ts_promql_sort" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |GROUP BY 1
+        |ORDER BY value DESC""".stripMargin,
+    "ts_promql_sort_by_label" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |GROUP BY 1
+        |ORDER BY event_type""".stripMargin,
     "ts_native_hist_quantile_rate" -> nhQuantileRateSql,
     // the SAME query through the PromQL front-end must land on the
     // identical plan → identical oracle (hash-equal by construction)
