@@ -34,12 +34,18 @@ final case class ConvertOptions(
     maxRecordsPerFile: Long = 0L,
     shards: Int = 0,
     compression: String = "zstd",
-    // the reference's WithRowGroupSize / WithPageBufferSize
-    // (convert/convert.go:226,179) — parquet row-group and page
-    // sizing in BYTES; 0 keeps the writer defaults. Row-group size
-    // bounds the unit of row-group pruning (smaller groups → finer
-    // mint/maxt skipping, more footer overhead); page size bounds
-    // the unit of page-level dictionary/stats reads.
+    // the row-group / page sizing knobs the reference exposes as
+    // WithRowGroupSize / WithPageBufferSize (convert/convert.go:
+    // 226,179). NOT a 1:1 unit mapping: the reference's
+    // WithRowGroupSize targets ROWS per row group (default 1 M);
+    // Spark's parquet writer sizes row groups in BYTES
+    // (parquet.block.size), so this knob is byte-based — same lever
+    // (row-group grain), different unit. WithPageBufferSize is
+    // byte-sized on both sides. 0 keeps the writer defaults.
+    // Row-group size bounds the unit of row-group pruning (smaller
+    // groups → finer mint/maxt skipping, more footer overhead);
+    // page size bounds the unit of page-level dictionary/stats
+    // reads.
     rowGroupBytes: Long = 0L,
     pageBytes: Long = 0L)
 

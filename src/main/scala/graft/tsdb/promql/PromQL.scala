@@ -1008,7 +1008,15 @@ object PromQL {
             .select(ls.map(col) :+
               (-col("_m._nts") / lit(1000.0)).as("value"): _*)
           case "ts_of_max_over_time" => rows.groupBy(ls.map(col): _*)
-            .agg(max(struct(v.as("_v"), col(TS).as("_ts"))).as("_m"))
+            // NaN must not displace a real maximum (Spark orders NaN
+            // above every double; upstream's walk `f.F >= maxVal ||
+            // IsNaN(maxVal)` replaces a held NaN with ANY sample but
+            // never a real max with NaN): the leading not-NaN flag
+            // demotes NaN keys so they win only when every sample is
+            // NaN — then the latest ts, exactly like the walk
+            .agg(max(struct(
+              when(isnan(v), lit(0)).otherwise(lit(1)).as("_ok"),
+              v.as("_v"), col(TS).as("_ts"))).as("_m"))
             .select(ls.map(col) :+ (col("_m._ts") / lit(1000.0)).as("value"): _*)
           case "stddev_over_time" | "stdvar_over_time" =>
             PromOps.stdvarOverTime(rows, ls, ctx.valueCol)

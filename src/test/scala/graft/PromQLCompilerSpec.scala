@@ -147,6 +147,24 @@ class PromQLCompilerSpec extends SparkSpec {
       Set(Seq("a", "x", (T0 + 1800000L) / 1000.0)))
   }
 
+  test("ts_of_max_over_time: NaN never displaces a real maximum") {
+    // upstream walk (f.F >= maxVal || IsNaN(maxVal)): a held NaN is
+    // replaced by ANY sample, a real max never by NaN; all-NaN
+    // windows keep the LAST sample's ts
+    val mixed = Seq(
+      ("a", "x", ts("2024-01-01 00:00:00"), 7.0, 1L),
+      ("a", "x", ts("2024-01-01 00:10:00"), Double.NaN, 2L),
+      ("a", "x", ts("2024-01-01 00:20:00"), 5.0, 3L),
+      ("b", "x", ts("2024-01-01 00:05:00"), Double.NaN, 4L),
+      ("b", "x", ts("2024-01-01 00:15:00"), Double.NaN, 5L)
+    ).toDF("job", "instance", "ts", "value", "seq")
+    val tctx = ctx.copy(metrics = Map("m" -> mixed))
+    assert(PromQL.compile("ts_of_max_over_time(m[1h])", tctx)
+      .collect().map(_.toSeq).toSet ==
+      Set(Seq("a", "x", T0 / 1000.0),                 // the real 7.0, not the NaN
+        Seq("b", "x", (T0 + 900000L) / 1000.0)))      // all-NaN → last ts
+  }
+
   test("resets and changes") {
     assert(rows("resets(http_requests_total[1h])") ==
       Set(Seq("api", "i1", 0.0), Seq("api", "i2", 0.0), Seq("web", "i1", 1.0)))
