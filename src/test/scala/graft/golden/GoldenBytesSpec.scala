@@ -1,0 +1,119 @@
+package graft.golden
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.tsdb.{ChunkCodec, HistChunkCodec}
+import graft.tsdb.block.{ChunkencHistogram => CH, TsdbBlockFormat => F, TsdbBlockStore}
+
+/** Regression anchor against IMMUTABLE committed bytes
+  * (`src/test/resources/golden/`, generated once by [[GoldenGen]]):
+  * a writer and reader that drift in lockstep still roundtrip each
+  * other, but they cannot both match bytes frozen in git. Checks
+  * both directions per fixture — writer(values) == committed bytes,
+  * reader(committed bytes) == values — plus an end-to-end Spark
+  * read of the committed block dir. */
+class GoldenBytesSpec extends AnyFunSuite {
+
+  private val root = new java.io.File("src/test/resources/golden")
+
+  private def committed(name: String): Array[Byte] = {
+    val f = new java.io.File(root, name)
+    assert(f.isFile, s"missing committed golden fixture $name")
+    java.nio.file.Files.readAllBytes(f.toPath)
+  }
+
+  private def raw(a: Array[Double]) =
+    a.map(java.lang.Double.doubleToRawLongBits).toSeq
+
+  test("writer output is byte-identical to every committed fixture") {
+    assert(GoldenData.xorChunkBytes.toSeq == committed("xor_chunk.bin").toSeq)
+    assert(GoldenData.histChunkBytes.toSeq == committed("hist_chunk.bin").toSeq)
+    assert(GoldenData.floatHistChunkBytes.toSeq ==
+      committed("float_hist_chunk.bin").toSeq)
+    assert(GoldenData.chunkBlobBytes.toSeq == committed("chunk_blob.bin").toSeq)
+    assert(GoldenData.histBlobBytes.toSeq == committed("hist_blob.bin").toSeq)
+  }
+
+  test("XOR chunk decodes from committed bytes") {
+    val b = committed("xor_chunk.bin")
+    val (ts, vs) = F.decodeXorChunk(b, 0, b.length)
+    assert(ts.toSeq == GoldenData.xorTs.toSeq)
+    assert(raw(vs) == raw(GoldenData.xorVs))
+  }
+
+  test("chunkenc histogram chunk decodes from committed bytes") {
+    val b = committed("hist_chunk.bin")
+    val c = CH.decodeHistChunk(b, 0, b.length)
+    val e = GoldenData.histChunk
+    assert(c.flags == e.flags && c.schema == e.schema &&
+      c.zeroThreshold == e.zeroThreshold)
+    assert(c.posSpans == e.posSpans && c.negSpans == e.negSpans)
+    assert(c.ts.toSeq == e.ts.toSeq)
+    assert(c.count.toSeq == e.count.toSeq)
+    assert(c.zeroCount.toSeq == e.zeroCount.toSeq)
+    assert(raw(c.sum) == raw(e.sum))
+    assert(c.posBuckets.map(_.toSeq).toSeq == e.posBuckets.map(_.toSeq).toSeq)
+    assert(c.negBuckets.map(_.toSeq).toSeq == e.negBuckets.map(_.toSeq).toSeq)
+  }
+
+  test("chunkenc float histogram chunk decodes from committed bytes") {
+    val b = committed("float_hist_chunk.bin")
+    val c = CH.decodeFloatHistChunk(b, 0, b.length)
+    val e = GoldenData.floatHistChunk
+    assert(c.flags == e.flags && c.schema == e.schema &&
+      c.zeroThreshold == e.zeroThreshold)
+    assert(c.posSpans == e.posSpans && c.negSpans == e.negSpans)
+    assert(c.ts.toSeq == e.ts.toSeq)
+    assert(raw(c.count) == raw(e.count))
+    assert(raw(c.zeroCount) == raw(e.zeroCount))
+    assert(raw(c.sum) == raw(e.sum))
+    assert(c.posBuckets.map(raw).toSeq == e.posBuckets.map(raw).toSeq)
+  }
+
+  test("parquet-cell blobs decode from committed bytes") {
+    val (ts, vs) = ChunkCodec.decodeBlob(committed("chunk_blob.bin"),
+      Long.MinValue, Long.MaxValue)
+    assert(ts.toSeq == GoldenData.xorTs.toSeq)
+    assert(raw(vs) == raw(GoldenData.xorVs))
+    val (s, schema) = HistChunkCodec.decodeBlob(committed("hist_blob.bin"),
+      Long.MinValue, Long.MaxValue)
+    val e = GoldenData.histSamples
+    assert(schema == 0)
+    assert(s.ts.toSeq == e.ts.toSeq)
+    assert(s.zero.toSeq == e.zero.toSeq)
+    assert(s.idx.map(_.toSeq).toSeq == e.idx.map(_.toSeq).toSeq)
+    assert(s.cnt.map(_.toSeq).toSeq == e.cnt.map(_.toSeq).toSeq)
+    assert(raw(s.sums) == raw(e.sums))
+  }
+
+  test("committed block dir resolves through the index reader") {
+    val block = new java.io.File(root, "block")
+    val ir = new F.IndexReader(java.nio.file.Files.readAllBytes(
+      new java.io.File(block, "index").toPath))
+    assert(ir.labelValues("__name__") == Seq("golden_hist", "golden_total"))
+    val segs = new F.ChunkSegmentReader(new java.io.File(block, "chunks"))
+    val histRef = ir.postings("__name__", "golden_hist").head
+    val se = ir.series(histRef)
+    assert(se.labels.toMap.apply("job") == "api")
+    val (enc, data) = segs.chunk(se.chunks.head.ref)
+    assert(enc == F.EncHistogram)
+    val c = CH.decodeHistChunk(data, 0, data.length)
+    assert(c.ts.toSeq == GoldenData.histChunk.ts.toSeq)
+    assert(c.posBuckets.map(_.toSeq).toSeq ==
+      GoldenData.histChunk.posBuckets.map(_.toSeq).toSeq)
+  }
+
+  test("committed block dir reads end-to-end through the Spark reader") {
+    val spark = SparkTestBase.spark
+    val floats = TsdbBlockStore.read(spark, root.getPath).collect()
+    // the float surface sees ONLY the XOR series; the histogram
+    // chunk is skipped by family isolation
+    assert(floats.length == GoldenData.xorTs.length)
+    assert(floats.forall(_.labels("__name__") == "golden_total"))
+    val got = floats.map(s => (s.ts,
+      java.lang.Double.doubleToRawLongBits(s.value))).toSet
+    val want = GoldenData.xorTs.zip(raw(GoldenData.xorVs)).toSet
+    assert(got == want)
+  }
+}

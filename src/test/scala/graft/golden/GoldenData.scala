@@ -1,0 +1,137 @@
+package graft.golden
+
+import graft.tsdb.{ChunkCodec, HistChunkCodec}
+import graft.tsdb.block.{ChunkencHistogram => CH, TsdbBlockFormat => F}
+
+/** The ONE definition of every golden fixture's content AND its
+  * writer-produced bytes. The committed files under
+  * `src/test/resources/golden/` are frozen copies of [[bytes]]'s
+  * output from the round they were generated; [[GoldenBytesSpec]]
+  * asserts BOTH directions against those immutable bytes —
+  * writer(values) == committed bytes (writer drift) and
+  * reader(committed bytes) == values (reader drift) — so the codec
+  * pair can never drift in lockstep unnoticed. Regenerate
+  * deliberately with `Test/runMain graft.golden.GoldenGen` ONLY on
+  * an intentional, documented format change.
+  */
+object GoldenData {
+
+  // ---- XOR chunk (chunkenc encoding 1) ----
+  val xorTs: Array[Long] = {
+    val deltas = Array(0L, 15000L, 15000L, 15001L, 14999L, 15000L,
+      60000L, 1L, 15000L, 15000L)
+    deltas.scanLeft(1704067200000L)(_ + _).tail
+  }
+  val xorVs: Array[Double] = Array(1.5, 1.5, 2.25, -0.0, Double.NaN,
+    1e300, Double.MinPositiveValue, 42.0, 42.0, -17.125)
+
+  def xorChunkBytes: Array[Byte] = F.encodeXorChunk(xorTs, xorVs)
+
+  // ---- chunkenc integer histogram chunk (encoding 2) ----
+  val histChunk: CH.HistChunk = {
+    val posSpans = Vector(CH.Span(-2, 3), CH.Span(2, 2)) // idx -2,-1,0,3,4
+    val negSpans = Vector(CH.Span(1, 2))                 // idx 1,2
+    val ts = Array(1704067200000L, 1704067215000L, 1704067230000L,
+      1704067245123L)
+    val n = ts.length
+    val pos = Array.tabulate(n, 5)((i, j) => (i + 1L) * (j * j + 1L) * 3L)
+    val neg = Array.tabulate(n, 2)((i, j) => (i + 1L) * (j + 2L))
+    val zero = Array.tabulate(n)(i => 7L * i)
+    val count = Array.tabulate(n)(i => zero(i) + pos(i).sum + neg(i).sum)
+    val sum = Array(1.5, 2.75, Double.NaN, -0.0)
+    CH.HistChunk(CH.NotCounterReset, 3, math.pow(2, -128), posSpans,
+      negSpans, ts, count, zero, sum, pos, neg)
+  }
+
+  def histChunkBytes: Array[Byte] = CH.encodeHistChunk(histChunk)
+
+  // ---- chunkenc float histogram chunk (encoding 3) ----
+  val floatHistChunk: CH.FloatHistChunk = {
+    val posSpans = Vector(CH.Span(0, 3), CH.Span(1, 1)) // idx 0,1,2,4
+    val ts = Array(1704067200000L, 1704067215000L, 1704067230000L)
+    val n = ts.length
+    val pos = Array.tabulate(n, 4)((i, j) => (i + 1) * 0.25 * (j + 1))
+    val neg = Array.fill(n)(Array.empty[Double])
+    val zero = Array(0.5, 1.25, Double.NaN)
+    val count = Array(10.25, 20.5, 30.75)
+    val sum = Array(-0.0, 3.5, 1e300)
+    CH.FloatHistChunk(CH.GaugeType, -1, 0.001953125, posSpans,
+      Vector.empty, ts, count, zero, sum, pos, neg)
+  }
+
+  def floatHistChunkBytes: Array[Byte] = CH.encodeFloatHistChunk(floatHistChunk)
+
+  // ---- graft parquet-cell blobs (the converted-layout cell format) ----
+  def chunkBlobBytes: Array[Byte] =
+    ChunkCodec.encodeBlob(xorTs, xorVs, samplesPerChunk = 4)
+
+  val histSamples: HistChunkCodec.Samples = HistChunkCodec.Samples(
+    ts = Array(1000L, 2000L, 3000L, 4500L),
+    zero = Array(0L, 2L, 2L, 5L),
+    idx = Array(Array(-1, 2), Array(-1, 2), Array(-1, 2, 5), Array(-1, 2, 5)),
+    cnt = Array(Array(3L, 4L), Array(4L, 6L), Array(4L, 7L, 1L),
+      Array(9L, 7L, 3L)),
+    sums = Array(0.25, 0.5, Double.NaN, 8.0))
+
+  def histBlobBytes: Array[Byte] =
+    HistChunkCodec.encodeBlob(histSamples, schema = 0, samplesPerChunk = 2)
+
+  // ---- a complete TSDB block dir (index + segments + meta + tombstones) ----
+  /** Two series: one with two XOR chunks, one with a histogram
+    * chunk — built with the format primitives directly (no Spark),
+    * so the golden block is a pure function of this object. */
+  def writeGoldenBlock(dir: java.io.File): Unit = {
+    dir.mkdirs()
+    val segs = new F.ChunkSegmentWriter(new java.io.File(dir, "chunks"))
+    val r1a = segs.append(F.encodeXorChunk(xorTs.take(5), xorVs.take(5)))
+    val r1b = segs.append(F.encodeXorChunk(xorTs.drop(5), xorVs.drop(5)))
+    val r2 = segs.append(histChunkBytes, F.EncHistogram)
+    segs.close()
+    val series = Seq(
+      F.SeriesEntry(
+        Seq("__name__" -> "golden_total", "job" -> "api"),
+        Seq(F.ChunkMeta(xorTs.head, xorTs(4), r1a),
+          F.ChunkMeta(xorTs(5), xorTs.last, r1b))),
+      F.SeriesEntry(
+        Seq("__name__" -> "golden_hist", "job" -> "api"),
+        Seq(F.ChunkMeta(histChunk.ts.head, histChunk.ts.last, r2))))
+    java.nio.file.Files.write(new java.io.File(dir, "index").toPath,
+      F.encodeIndex(series))
+    F.writeMeta(dir, ulid = "GOLDEN0000000000000000000000".take(26),
+      mint = 1704067200000L, maxt = 1704153600000L,
+      numSeries = 2, numSamples = (xorTs.length + histChunk.ts.length).toLong,
+      numChunks = 3)
+    F.writeEmptyTombstones(dir)
+  }
+}
+
+/** Regenerates `src/test/resources/golden/` from [[GoldenData]].
+  * Run ONLY on an intentional format change; the committed bytes
+  * are the regression anchor. */
+object GoldenGen {
+  def main(args: Array[String]): Unit = {
+    val root = new java.io.File(
+      args.headOption.getOrElse("src/test/resources/golden"))
+    root.mkdirs()
+    def put(name: String, bytes: Array[Byte]): Unit = {
+      java.nio.file.Files.write(new java.io.File(root, name).toPath, bytes)
+      println(f"$name%-24s ${bytes.length}%6d B")
+    }
+    put("xor_chunk.bin", GoldenData.xorChunkBytes)
+    put("hist_chunk.bin", GoldenData.histChunkBytes)
+    put("float_hist_chunk.bin", GoldenData.floatHistChunkBytes)
+    put("chunk_blob.bin", GoldenData.chunkBlobBytes)
+    put("hist_blob.bin", GoldenData.histBlobBytes)
+    val block = new java.io.File(root, "block")
+    if (block.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(block)
+    }
+    GoldenData.writeGoldenBlock(block)
+    println("golden block dir written")
+  }
+}
