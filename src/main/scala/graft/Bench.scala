@@ -33,6 +33,14 @@ import org.apache.spark.sql.SparkSession
   * (`"queries"` = in-suite medians, `"isolated_medians"` = child-JVM
   * medians), flagging any query whose in-suite median exceeds 2× its
   * isolated one as a co-residency artifact on stderr.
+  *
+  * It also ships the SCALE-SLOPE column: `SPARK_GRAFT_SF1_TOP`
+  * (default 10) heaviest queries re-run in one fresh child JVM
+  * against a ×`SPARK_GRAFT_SF1_FACTOR` (default 10) replica of the
+  * bench SF built by [[graft.tools.ScaleUp]] under /tmp
+  * (marker-cached) → `"sf1_medians"`/`"sf1_factor"`. s/sf slopes
+  * worse than ~1.5× linear are scale smells for the round writeup.
+  * `SPARK_GRAFT_SF1_TOP=0` disables; children always disable it.
   */
 object Bench {
 
@@ -66,6 +74,7 @@ object Bench {
     pb.environment().put("SPARK_GRAFT_ONLY", name)
     pb.environment().put("SPARK_GRAFT_BENCH_PASSES", passes.toString)
     pb.environment().put("SPARK_GRAFT_BENCH_ISOLATE_TOP", "0")
+    pb.environment().put("SPARK_GRAFT_SF1_TOP", "0")
     pb.environment().remove("SPARK_GRAFT_BENCH_ISOLATE")
     // child stderr flows straight to ours: reading stdout to EOF
     // while stderr sits in a full pipe would deadlock exactly when
@@ -101,6 +110,52 @@ object Bench {
     case t: Throwable =>
       System.err.println(s"[bench-isolate] $name child spawn failed: $t")
       None
+  }
+
+  /** One child JVM benching SEVERAL queries against an alternate
+    * scale-factor dir (the sf1 scale-slope column): one spin-up,
+    * untimed warm-up, `passes` timed passes per query. Returns
+    * whatever medians the child reported before `timeoutMin`; a
+    * killed or failed child costs only this column. */
+  private def runChildBatch(names: Seq[String], passes: Int,
+      sfDir: String, timeoutMin: Int): Map[String, Double] = try {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val pb = new ProcessBuilder(
+      (Seq(javaBin) ++ childJvmFlags ++ Seq("-cp", cp, "graft.Bench")): _*)
+    pb.environment().put("SPARK_GRAFT_ONLY", names.mkString(","))
+    pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+    pb.environment().put("SPARK_GRAFT_BENCH_PASSES", passes.toString)
+    pb.environment().put("SPARK_GRAFT_BENCH_ISOLATE_TOP", "0")
+    pb.environment().put("SPARK_GRAFT_SF1_TOP", "0")
+    pb.environment().remove("SPARK_GRAFT_BENCH_ISOLATE")
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val proc = pb.start()
+    val outF = new java.util.concurrent.CompletableFuture[String]()
+    val drain = new Thread(() =>
+      outF.complete(
+        try new String(proc.getInputStream.readAllBytes(), "UTF-8")
+        catch { case _: Throwable => "" }))
+    drain.setDaemon(true)
+    drain.start()
+    val finished = proc.waitFor(timeoutMin.toLong,
+      java.util.concurrent.TimeUnit.MINUTES)
+    if (!finished) {
+      proc.destroyForcibly()
+      System.err.println(s"[bench-sf1] batch timed out after $timeoutMin min; killed child")
+      Map.empty
+    } else {
+      val out = outF.get(30, java.util.concurrent.TimeUnit.SECONDS)
+      names.flatMap { n =>
+        val re = ("\"" + java.util.regex.Pattern.quote(n) + "\":(-?[0-9.]+)").r
+        re.findFirstMatchIn(out).map(_.group(1).toDouble)
+          .filter(_ >= 0).map(n -> _)
+      }.toMap
+    }
+  } catch {
+    case t: Throwable =>
+      System.err.println(s"[bench-sf1] child spawn failed: $t")
+      Map.empty
   }
 
   /** Isolated mode: one child JVM per query, merged results. */
@@ -170,6 +225,22 @@ object Bench {
     val errors = results.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
+
+    // Scale-slope datapoint: replicate this SF ×10 into /tmp (once;
+    // marker-cached) while the session is still up. Generation is
+    // untimed harness work; failure disables only the sf1 column.
+    val sf1Top = sys.env.getOrElse("SPARK_GRAFT_SF1_TOP", "10").toInt
+    val sf1Factor = sys.env.getOrElse("SPARK_GRAFT_SF1_FACTOR", "10").toInt
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
+      "/tmp/graft_sf1_" + sfDir.replaceAll("[^0-9a-zA-Z]", "_"))
+    val sf1Ready = sf1Top > 0 && (try {
+      tools.ScaleUp.ensure(spark, sfDir, sf1Dir, sf1Factor)
+      true
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"[bench-sf1] scale-up generation failed: $t")
+        false
+    })
     spark.stop()
 
     // Shared-JVM pressure diagnosis (bench hygiene): the TOP-N
@@ -208,6 +279,25 @@ object Bench {
         System.err.println(s"[bench] isolated re-run skipped: $t")
         ""
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"passes":$passes$isoJson,"sf":"$sfDir"}""")
+
+    // The sf1 column: ONE fresh child JVM runs this round's TOP-N
+    // heaviest queries against the ×`sf1Factor` replica dir (2
+    // passes each — a slope datapoint, not a precision benchmark).
+    // s/sf worse than ~1.5× linear vs the in-suite median is a
+    // scale smell the round writeup must diagnose.
+    val sf1Json = if (!sf1Ready) "" else try {
+      val heavy = results.collect { case (n, Some(t)) => (n, t) }
+        .sortBy(-_._2).take(sf1Top).map(_._1)
+      val m = runChildBatch(heavy, passes = math.min(passes, 2),
+        sf1Dir, timeoutMin = 30)
+      if (m.isEmpty) "" else heavy.filter(m.contains).map { k =>
+        "\"" + k + f"""\":${m(k)}%.3f"""
+      }.mkString(s""","sf1_factor":$sf1Factor,"sf1_medians":{""", ",", "}")
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"[bench] sf1 column skipped: $t")
+        ""
+    }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"passes":$passes$isoJson$sf1Json,"sf":"$sfDir"}""")
   }
 }
