@@ -725,9 +725,8 @@ object TsdbBlockStore {
     * rewrite as blocks of `blockDurationMs` under `outRoot`. One
     * narrow read fan-in, one shuffle (the LWW groupBy doubles as
     * the writer's repartition-by-window sort input). Histogram
-    * chunks are out of scope here (the float surface skips them;
-    * compact histogram directories via [[readHistLabels]] +
-    * [[writeHist]]). */
+    * chunks are out of scope here (the float surface skips them);
+    * [[compactHist]] is the NH counterpart. */
   def compact(spark: SparkSession, root: String, outRoot: String,
       labelCols: Seq[String], blockDurationMs: Long = 2 * 3600 * 1000L,
       shardsPerBlock: Int = 1): Seq[String] = {
@@ -757,6 +756,58 @@ object TsdbBlockStore {
       .agg(max_by(col("value"),
         struct(col("_ulid"), col("value"))).as("value"))
     write(lww, outRoot, labelCols, "ts", "value", blockDurationMs)
+  }
+
+  /** [[compact]] for NATIVE-HISTOGRAM directories (encoding-2
+    * chunks): decode every block's NH samples, LWW-deduplicate
+    * exact (series, ts) collisions on the same lexicographically-
+    * last-ULID rule (whole-sample granularity — zero count, bucket
+    * arrays and sum travel as one struct), rewrite as blocks of
+    * `blockDurationMs`. All input chunks must share one exponential
+    * schema (mixed-schema dirs fail loudly — re-bucketing across
+    * schemas is a semantic change, not compaction). */
+  def compactHist(spark: SparkSession, root: String, outRoot: String,
+      labelCols: Seq[String], blockDurationMs: Long = 2 * 3600 * 1000L,
+      shardsPerBlock: Int = 1, gauge: Boolean = false): Seq[String] = {
+    import spark.implicits._
+    val cols = labelCols.toIndexedSeq
+    val rdd = taskRdd(spark, root, Long.MinValue, Long.MaxValue,
+      shardsPerBlock, Nil) { case (dir, shard, nShards, ms) =>
+      val block = dir.getName
+      readBlockSeriesWith(dir, Long.MinValue, Long.MaxValue, ms,
+        shard, nShards, histDecoder(Long.MinValue, Long.MaxValue))
+        .flatMap { case (labelMap, samples) =>
+          samples.map { tail =>
+            (block, cols.map(c => labelMap.getOrElse(c, "")),
+              tail(0).asInstanceOf[Long], tail(1).asInstanceOf[Int],
+              tail(2).asInstanceOf[Long],
+              tail(3).asInstanceOf[Vector[Int]],
+              tail(4).asInstanceOf[Vector[Long]],
+              tail(5).asInstanceOf[Double])
+          }
+        }
+    }
+    val flat = rdd
+      .toDF("_ulid", "_ls", "ts", "schema", "zero", "idx", "cnt", "hsum")
+      .select((cols.zipWithIndex.map { case (c, i) =>
+        col("_ls")(i).as(c) } :+ col("_ulid") :+ col("ts") :+
+        col("schema") :+ col("zero") :+ col("idx") :+ col("cnt") :+
+        col("hsum")): _*)
+    val schemas = flat.select(col("schema")).distinct().limit(2)
+      .collect().map(_.getInt(0))
+    if (schemas.isEmpty) return Nil
+    require(schemas.length == 1,
+      s"compactHist: mixed histogram schemas ${schemas.toSeq} in $root")
+    val snap = struct(col("zero"), col("idx"), col("cnt"), col("hsum"))
+    val lww = flat
+      .groupBy((cols.map(col) :+ col("ts")): _*)
+      .agg(max_by(snap, struct(col("_ulid"), snap)).as("_s"))
+      .select((cols.map(col) :+ col("ts") :+ col("_s.zero").as("zero") :+
+        col("_s.idx").as("idx") :+ col("_s.cnt").as("cnt") :+
+        col("_s.hsum").as("hsum")): _*)
+    writeHist(lww, outRoot, labelCols, "ts", "zero", "idx", "cnt",
+      "hsum", schema = schemas.head, gauge = gauge,
+      blockDurationMs = blockDurationMs)
   }
 
   // Matcher is not Serializable-friendly across the closure (it

@@ -166,6 +166,45 @@ class TsdbBlockHistSpec extends AnyFunSuite {
     } finally deleteRec(root)
   }
 
+  test("compactHist merges overlapping NH blocks with deterministic LWW") {
+    val root = java.nio.file.Files.createTempDirectory("graft_nhc").toFile
+    val out = java.nio.file.Files.createTempDirectory("graft_nhco").toFile
+    try {
+      import spark.implicits._
+      def mk(conflictCnt: Long, extraDay: Int) = {
+        val base = for (d <- 0 until 10) yield
+          ("s", d.toLong * 86400000L, d.toLong, Seq(0, 2),
+            Seq((d + 1).toLong, conflictCnt), d * 0.5)
+        val extra = ("s", extraDay.toLong * 86400000L, 99L, Seq(0, 2),
+          Seq(1L, 2L), 9.0)
+        (base :+ extra).toDF("job", "ts", "zero", "idx", "cnt", "hsum")
+      }
+      // two overlapping block sets over the same window, conflicting
+      // on days 0-9 (different bucket counts), each with one
+      // disjoint extra day
+      val u1 = TsdbBlockStore.writeHist(mk(100L, 20), root.getPath,
+        Seq("job"), "ts", "zero", "idx", "cnt", "hsum",
+        blockDurationMs = 30L * 86400000L)
+      val u2 = TsdbBlockStore.writeHist(mk(200L, 25), root.getPath,
+        Seq("job"), "ts", "zero", "idx", "cnt", "hsum",
+        blockDurationMs = 30L * 86400000L)
+      assert(u1.size == 1 && u2.size == 1 && u1 != u2)
+      val winner = if (u2.head > u1.head) 200L else 100L
+      TsdbBlockStore.compactHist(spark, root.getPath, out.getPath,
+        Seq("job"), blockDurationMs = 30L * 86400000L)
+      val back = TsdbBlockStore
+        .readHistLabels(spark, out.getPath, Seq("job"))
+        .orderBy("ts").collect()
+      assert(back.length == 12) // 10 merged days + 2 disjoint extras
+      back.take(10).zipWithIndex.foreach { case (r, d) =>
+        assert(r.getLong(1) == d.toLong * 86400000L)
+        // the whole SAMPLE from the winning ULID, not a field mix
+        assert(r.getSeq[Long](5) == Seq((d + 1).toLong, winner), s"day $d")
+      }
+      assert(back.map(_.getLong(3)).count(_ == 99L) == 2)
+    } finally { deleteRec(root); deleteRec(out) }
+  }
+
   test("mixed directories: each family's reader sees only its chunks") {
     val root = java.nio.file.Files.createTempDirectory("graft_nhx").toFile
     try {
