@@ -34,12 +34,15 @@ import org.apache.spark.sql.SparkSession
   * medians), flagging any query whose in-suite median exceeds 2× its
   * isolated one as a co-residency artifact on stderr.
   *
-  * It also ships the SCALE-SLOPE column: `SPARK_GRAFT_SF1_TOP`
-  * (default 10) heaviest queries re-run in one fresh child JVM
-  * against a ×`SPARK_GRAFT_SF1_FACTOR` (default 10) replica of the
-  * bench SF built by [[graft.tools.ScaleUp]] under /tmp
-  * (marker-cached) → `"sf1_medians"`/`"sf1_factor"`. s/sf slopes
-  * worse than ~1.5× linear are scale smells for the round writeup.
+  * It also ships the SCALE-SLOPE column: the `SPARK_GRAFT_SF1_TOP`
+  * (default 10) heaviest queries re-run one-per-child-JVM, heaviest
+  * first, against a ×`SPARK_GRAFT_SF1_FACTOR` (default 10) replica
+  * of the bench SF built by [[graft.tools.ScaleUp]] under /tmp
+  * (marker-cached) → `"sf1_medians"`/`"sf1_factor"`/`"sf1_skipped"`.
+  * Each child is capped at 8 min and the whole column at
+  * `SPARK_GRAFT_SF1_BUDGET_MIN` (default 20) — a pathological query
+  * costs its own cell, never the results line. s/sf slopes worse
+  * than ~1.5× linear are scale smells for the round writeup.
   * `SPARK_GRAFT_SF1_TOP=0` disables; children always disable it.
   */
 object Bench {
@@ -64,9 +67,13 @@ object Bench {
   }
 
   /** One child JVM running a single query's bench (warm-up +
-    * `passes` timed passes, fresh Spark session); returns its median.
+    * `passes` timed passes, fresh Spark session); returns its
+    * median. `sfDir` overrides the child's scale-factor dir (the
+    * sf1 scale-slope column); `timeoutMin` bounds the child.
     */
-  private def runChild(name: String, passes: Int): Option[Double] = try {
+  private def runChild(name: String, passes: Int,
+      sfDir: Option[String] = None, timeoutMin: Long = 10,
+      tag: String = "bench-isolate"): Option[Double] = try {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val cp = System.getProperty("java.class.path")
     val pb = new ProcessBuilder(
@@ -75,6 +82,7 @@ object Bench {
     pb.environment().put("SPARK_GRAFT_BENCH_PASSES", passes.toString)
     pb.environment().put("SPARK_GRAFT_BENCH_ISOLATE_TOP", "0")
     pb.environment().put("SPARK_GRAFT_SF1_TOP", "0")
+    sfDir.foreach(pb.environment().put("SPARK_GRAFT_SF_DIR", _))
     pb.environment().remove("SPARK_GRAFT_BENCH_ISOLATE")
     // child stderr flows straight to ours: reading stdout to EOF
     // while stderr sits in a full pipe would deadlock exactly when
@@ -93,69 +101,23 @@ object Bench {
     drain.setDaemon(true)
     drain.start()
     val finished =
-      proc.waitFor(10, java.util.concurrent.TimeUnit.MINUTES)
+      proc.waitFor(timeoutMin, java.util.concurrent.TimeUnit.MINUTES)
     if (!finished) {
       proc.destroyForcibly()
-      System.err.println(s"[bench-isolate] $name timed out; killed child")
+      System.err.println(s"[$tag] $name timed out after $timeoutMin min; killed child")
       None
     } else {
       val out = outF.get(30, java.util.concurrent.TimeUnit.SECONDS)
       // child prints one JSON line: {"..."queries":{"<name>":sec},...}
       val re = ("\"" + java.util.regex.Pattern.quote(name) + "\":(-?[0-9.]+)").r
       val t = re.findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse(-1.0)
-      System.err.println(f"[bench-isolate] $name%-24s ${t}%.3f s")
+      System.err.println(f"[$tag] $name%-24s ${t}%.3f s")
       if (t >= 0) Some(t) else None
     }
   } catch {
     case t: Throwable =>
-      System.err.println(s"[bench-isolate] $name child spawn failed: $t")
+      System.err.println(s"[$tag] $name child spawn failed: $t")
       None
-  }
-
-  /** One child JVM benching SEVERAL queries against an alternate
-    * scale-factor dir (the sf1 scale-slope column): one spin-up,
-    * untimed warm-up, `passes` timed passes per query. Returns
-    * whatever medians the child reported before `timeoutMin`; a
-    * killed or failed child costs only this column. */
-  private def runChildBatch(names: Seq[String], passes: Int,
-      sfDir: String, timeoutMin: Int): Map[String, Double] = try {
-    val javaBin = s"${System.getProperty("java.home")}/bin/java"
-    val cp = System.getProperty("java.class.path")
-    val pb = new ProcessBuilder(
-      (Seq(javaBin) ++ childJvmFlags ++ Seq("-cp", cp, "graft.Bench")): _*)
-    pb.environment().put("SPARK_GRAFT_ONLY", names.mkString(","))
-    pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
-    pb.environment().put("SPARK_GRAFT_BENCH_PASSES", passes.toString)
-    pb.environment().put("SPARK_GRAFT_BENCH_ISOLATE_TOP", "0")
-    pb.environment().put("SPARK_GRAFT_SF1_TOP", "0")
-    pb.environment().remove("SPARK_GRAFT_BENCH_ISOLATE")
-    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-    val proc = pb.start()
-    val outF = new java.util.concurrent.CompletableFuture[String]()
-    val drain = new Thread(() =>
-      outF.complete(
-        try new String(proc.getInputStream.readAllBytes(), "UTF-8")
-        catch { case _: Throwable => "" }))
-    drain.setDaemon(true)
-    drain.start()
-    val finished = proc.waitFor(timeoutMin.toLong,
-      java.util.concurrent.TimeUnit.MINUTES)
-    if (!finished) {
-      proc.destroyForcibly()
-      System.err.println(s"[bench-sf1] batch timed out after $timeoutMin min; killed child")
-      Map.empty
-    } else {
-      val out = outF.get(30, java.util.concurrent.TimeUnit.SECONDS)
-      names.flatMap { n =>
-        val re = ("\"" + java.util.regex.Pattern.quote(n) + "\":(-?[0-9.]+)").r
-        re.findFirstMatchIn(out).map(_.group(1).toDouble)
-          .filter(_ >= 0).map(n -> _)
-      }.toMap
-    }
-  } catch {
-    case t: Throwable =>
-      System.err.println(s"[bench-sf1] child spawn failed: $t")
-      Map.empty
   }
 
   /** Isolated mode: one child JVM per query, merged results. */
@@ -280,19 +242,36 @@ object Bench {
         ""
     }
 
-    // The sf1 column: ONE fresh child JVM runs this round's TOP-N
-    // heaviest queries against the ×`sf1Factor` replica dir (2
-    // passes each — a slope datapoint, not a precision benchmark).
-    // s/sf worse than ~1.5× linear vs the in-suite median is a
-    // scale smell the round writeup must diagnose.
+    // The sf1 column: this round's TOP-N heaviest queries re-run
+    // one-per-child-JVM against the ×`sf1Factor` replica dir
+    // (1 timed pass — a slope datapoint, not a precision
+    // benchmark), HEAVIEST FIRST under a global wall budget so a
+    // pathological query costs only its own cell plus a
+    // `sf1_skipped` mention, never the column. s/sf worse than
+    // ~1.5× linear vs the in-suite median is a scale smell the
+    // round writeup must diagnose.
     val sf1Json = if (!sf1Ready) "" else try {
       val heavy = results.collect { case (n, Some(t)) => (n, t) }
         .sortBy(-_._2).take(sf1Top).map(_._1)
-      val m = runChildBatch(heavy, passes = math.min(passes, 2),
-        sf1Dir, timeoutMin = 30)
-      if (m.isEmpty) "" else heavy.filter(m.contains).map { k =>
-        "\"" + k + f"""\":${m(k)}%.3f"""
-      }.mkString(s""","sf1_factor":$sf1Factor,"sf1_medians":{""", ",", "}")
+      val budgetMin = sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET_MIN",
+        "20").toLong
+      val deadline = System.nanoTime() + budgetMin * 60L * 1_000_000_000L
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+      heavy.foreach { n =>
+        if (System.nanoTime() > deadline) skipped += n
+        else runChild(n, passes = 1, sfDir = Some(sf1Dir),
+          timeoutMin = 8, tag = "bench-sf1").foreach(m(n) = _)
+      }
+      if (skipped.nonEmpty)
+        System.err.println(
+          s"[bench-sf1] $budgetMin-min budget exhausted, skipped: ${skipped.mkString(", ")}")
+      val skJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
+      if (m.isEmpty) "" else m.map { case (k, v) =>
+        "\"" + k + f"""\":$v%.3f"""
+      }.mkString(
+        s""","sf1_factor":$sf1Factor,"sf1_skipped":$skJson,"sf1_medians":{""",
+        ",", "}")
     } catch {
       case t: Throwable =>
         System.err.println(s"[bench] sf1 column skipped: $t")
