@@ -16,12 +16,19 @@ import org.apache.spark.sql.functions._
   *   - `events.user_id` shifts → 10× SERIES over the same time
   *     window, the monitoring scale-up shape;
   *   - `documents.text` is re-sequenced per replica with a
-  *     deterministic word permutation (sort by xxhash64(word, k)):
-  *     token statistics (df counts, lengths, languages) scale like
-  *     a real corpus, shingle sets across replicas diverge (new
-  *     content), while near/exact-dup structure WITHIN a replica is
-  *     preserved (shared word multisets sort identically). Replica
-  *     0 stays pristine;
+  *     deterministic PER-DOCUMENT word permutation (sort by
+  *     xxhash64(word, shifted doc_id)): token statistics (df
+  *     counts, lengths, languages) scale like a real corpus while
+  *     shingle sets diverge both across replicas AND across
+  *     documents — i.e. replicas are NEW content. (A per-replica
+  *     sort key was tried first and rejected: one shared sort order
+  *     CANONICALIZES every document in the replica onto the same
+  *     word ordering, so any two docs with overlapping vocabulary
+  *     share long sorted runs and the whole replica degenerates
+  *     into one giant near-dup cluster — a pathological duplicate
+  *     density no real 10× corpus has.) Replica 0 stays pristine,
+  *     so the natural dup/near-dup structure of the source corpus
+  *     is retained once;
   *   - `region`/`nation` are dimension tables and stay single-copy
   *     (their keys remain valid FK targets).
   */
@@ -83,15 +90,17 @@ object ScaleUp {
     write("embeddings", reps(tbl("embeddings"))
       .withColumn("vec_id", shift("vec_id", 10_000_000L)))
 
-    // documents: permuted word sequence per replica (see scaladoc)
+    // documents: per-document word permutation (see scaladoc — the
+    // shifted doc_id is unique per (doc, replica), so it is the
+    // whole permutation seed)
     val docs = reps(tbl("documents"))
       .withColumn("doc_id", shift("doc_id", 10_000_000L))
       .withColumn("text",
         when(col("_k") === 0, col("text")).otherwise(
           array_join(
             array_sort(split(col("text"), " "), (l, r) => {
-              val hl = xxhash64(l, col("_k"))
-              val hr = xxhash64(r, col("_k"))
+              val hl = xxhash64(l, col("doc_id"))
+              val hr = xxhash64(r, col("doc_id"))
               when(hl < hr, -1).when(hl > hr, 1).otherwise(0)
             }), " ")))
     write("documents", docs)
