@@ -148,9 +148,16 @@ object Bench {
         passes)
       return
     }
+    // Shuffle-partition count: defaults to the core count (the
+    // sf0.1 sweet spot), overridable for scale-slope profiling —
+    // at 10× the data a fixed count means 10× the rows per shuffle
+    // partition, exactly the straggler/spill shape a real cluster
+    // avoids by scaling partitions with input.
+    val shufflePartitions = sys.env
+      .getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))

@@ -16,19 +16,36 @@ import org.apache.spark.sql.functions._
   *   - `events.user_id` shifts → 10× SERIES over the same time
   *     window, the monitoring scale-up shape;
   *   - `documents.text` is re-sequenced per replica with a
-  *     deterministic PER-DOCUMENT word permutation (sort by
-  *     xxhash64(word, shifted doc_id)): token statistics (df
-  *     counts, lengths, languages) scale like a real corpus while
-  *     shingle sets diverge both across replicas AND across
-  *     documents — i.e. replicas are NEW content. (A per-replica
-  *     sort key was tried first and rejected: one shared sort order
-  *     CANONICALIZES every document in the replica onto the same
-  *     word ordering, so any two docs with overlapping vocabulary
-  *     share long sorted runs and the whole replica degenerates
-  *     into one giant near-dup cluster — a pathological duplicate
-  *     density no real 10× corpus has.) Replica 0 stays pristine,
-  *     so the natural dup/near-dup structure of the source corpus
-  *     is retained once;
+  *     deterministic PER-DOCUMENT, PER-POSITION word permutation
+  *     (sort by xxhash64(word, position, shifted doc_id)): token
+  *     statistics (df counts, lengths, languages) scale like a real
+  *     corpus while shingle sets diverge across replicas AND across
+  *     documents — i.e. replicas are NEW content. Two rejected
+  *     designs, both measured as pathological duplicate densities no
+  *     real 10× corpus has: (a) a per-replica sort key canonicalizes
+  *     every document in the replica onto one shared word ordering,
+  *     degenerating the replica into a single giant near-dup
+  *     cluster; (b) a per-document key WITHOUT the position
+  *     (xxhash64(word, doc_id)) gives equal words equal keys, so
+  *     repeated words sort ADJACENT — documents collapse into
+  *     degenerate run-shingles ("the the the the") whose tiny
+  *     homogeneous sets overlap across unrelated docs (348× the
+  *     linear candidate-pair count at ×10, est-Jaccard inflated
+  *     with no true similarity behind it). Seeding each POSITION
+  *     scatters repeats like a real Fisher–Yates shuffle. On top of
+  *     the permutation, 30% of word occurrences mutate into a
+  *     per-replica novel vocabulary (Heaps' law: real corpora grow
+  *     vocabulary ~corpus^β, so random-pair similarity stays ~0 as
+  *     the corpus grows; the driver's 31-word synthetic vocabulary
+  *     otherwise makes char-gram Jaccard between UNRELATED long
+  *     docs creep toward the LSH threshold at 10× density, turning
+  *     the true candidate set itself quadratic — a property of the
+  *     data, which no engine can scan around, not of the plan).
+  *     Replica 0 stays pristine, so the natural dup/near-dup
+  *     structure of the source corpus is retained once; and 20% of
+  *     replica docs keep their source text verbatim, because scaled
+  *     crawls are exact-duplicate-heavy — the slope measurement
+  *     must exercise the exact-dup-collapse guards, not dodge them;
   *   - `region`/`nation` are dimension tables and stay single-copy
   *     (their keys remain valid FK targets).
   */
@@ -90,19 +107,40 @@ object ScaleUp {
     write("embeddings", reps(tbl("embeddings"))
       .withColumn("vec_id", shift("vec_id", 10_000_000L)))
 
-    // documents: per-document word permutation (see scaladoc — the
-    // shifted doc_id is unique per (doc, replica), so it is the
-    // whole permutation seed)
+    // documents: per-document, per-position word permutation plus
+    // Heaps-law vocabulary growth (see scaladoc). The shifted doc_id
+    // is unique per (doc, replica) and the position term scatters
+    // repeated words instead of letting equal sort keys pile them
+    // into adjacent runs; 30% of word occurrences mutate into a
+    // per-replica novel vocabulary so cross-replica char-gram
+    // similarity decays the way a real growing corpus's does.
     val docs = reps(tbl("documents"))
       .withColumn("doc_id", shift("doc_id", 10_000_000L))
       .withColumn("text",
-        when(col("_k") === 0, col("text")).otherwise(
+        // 20% of replica docs keep their source text verbatim:
+        // scaled crawls are exact-duplicate-heavy (the reason dedup
+        // exists at 100 TB), and the exact-dup-collapse guards
+        // should be exercised by the slope measurement, not dodged
+        when(col("_k") === 0 ||
+            pmod(xxhash64(col("doc_id"), lit(13)), lit(100)) < 20,
+          col("text")).otherwise(
           array_join(
-            array_sort(split(col("text"), " "), (l, r) => {
-              val hl = xxhash64(l, col("doc_id"))
-              val hr = xxhash64(r, col("doc_id"))
-              when(hl < hr, -1).when(hl > hr, 1).otherwise(0)
-            }), " ")))
+            transform(
+              array_sort(zip_with(
+                split(col("text"), " "),
+                sequence(lit(0),
+                  greatest(size(split(col("text"), " ")) - 1, lit(0))),
+                (w, i) => {
+                  val h = xxhash64(w, i, col("doc_id"))
+                  struct(h.as("k"),
+                    when(pmod(h, lit(100)) < 30,
+                      concat(lit("v"), col("_k"), lit("w"),
+                        pmod(xxhash64(w, i, col("doc_id"), lit(7)),
+                          lit(300))))
+                      .otherwise(w).as("w"))
+                })),
+              s => s.getField("w")),
+            " ")))
     write("documents", docs)
 
     java.nio.file.Files.write(
