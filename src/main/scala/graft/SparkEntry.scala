@@ -2180,6 +2180,18 @@ object SparkEntry {
         maxHamming = 8, nBands = 4)
       .orderBy("id_a", "id_b")
 
+  /** Substring-span dedup ([[operators.Dedup.substringDedup]]):
+    * every duplicated token 8-gram span excised corpus-wide, first
+    * occurrence kept — the corpus-REWRITING dedup that catches
+    * boilerplate inside otherwise distinct documents. The oracle
+    * replays canonical-occurrence resolution and the span-union
+    * rewrite exactly (window rank per gram, covered-index set,
+    * list-filtered rebuild).
+    */
+  private def ddSubstring(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringDedup(t(s, dir, "documents"), "text", "doc_id", k = 8)
+      .orderBy("doc_id")
+
   private def ddEmbedNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDup(t(s, dir, "embeddings"), "embedding", "vec_id",
         threshold = 0.45)
@@ -2577,6 +2589,7 @@ object SparkEntry {
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_minhash_neardup" -> (ddMinhashNearDup _),
     "dd_simhash" -> (ddSimhash _),
+    "dd_substring" -> (ddSubstring _),
     "dd_embed_neardup" -> (ddEmbedNearDup _),
     "dd_embed_neardup_lsh" -> (ddEmbedNearDupLsh _),
     "ann_bruteforce" -> (annBruteForce _),
@@ -4661,6 +4674,41 @@ object SparkEntry {
       s"""WITH ${ngramPairCtes()}
         |SELECT id_a, id_b, jaccard FROM expanded
         |ORDER BY id_a, id_b""".stripMargin,
+    // substring-span dedup: canonical occurrence per duplicated token
+    // 8-gram via window rank, covered = union of [pos, pos+8) over
+    // non-canonical starts, rebuild from uncovered token indexes
+    "dd_substring" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |starts AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    array_to_string(ws[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')
+        |      AS gram
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i
+        |        FROM w WHERE len(ws) >= 8)),
+        |occ AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY gram) AS c
+        |  FROM starts),
+        |cov AS (
+        |  SELECT doc_id,
+        |    list_distinct(flatten(list(range(pos, pos + 8)))) AS covered
+        |  FROM occ WHERE c >= 2 AND rn >= 2 GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens,
+        |  CAST(coalesce(len(c.covered), 0) AS INT) AS n_removed,
+        |  CASE WHEN c.covered IS NULL THEN d.text
+        |    -- coalesce: DuckDB's array_to_string is NULL on the
+        |    -- empty list (fully-removed doc); Spark's concat_ws is ''
+        |    ELSE coalesce(array_to_string(list_transform(
+        |      list_filter(range(0, len(string_split(d.text, ' '))),
+        |        i -> NOT list_contains(c.covered, i)),
+        |      i -> string_split(d.text, ' ')[CAST(i + 1 AS INT)]), ' '), '')
+        |  END AS cleaned_text
+        |FROM documents d LEFT JOIN cov c USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // transitive closure over the SAME pair set the ngram oracle
     // emits: min-reachable-node labelling via a recursive CTE
     "dd_clusters" ->

@@ -687,4 +687,79 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
   }
+
+  /** Substring-level dedup — the corpus-REWRITING counterpart of the
+    * doc-level operators above (the "suffix-array dedup" of the
+    * training-data literature: Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"). Whole-document
+    * exact/near dedup misses repeated boilerplate INSIDE otherwise
+    * distinct documents (headers, license blocks, templated
+    * paragraphs); this operator excises every duplicated token span
+    * of length ≥ `k`, keeping exactly the corpus-wide FIRST
+    * occurrence.
+    *
+    * Semantics (deterministic, order-free): token `i` of doc `d` is
+    * removed iff some k-gram start `p` with `p ≤ i < p+k` is a
+    * NON-CANONICAL occurrence of its gram — canonical = the
+    * lexicographically smallest (doc, pos) among all occurrences of
+    * that exact token k-gram, corpus-wide. Within-doc repeats dedup
+    * the same way (second occurrence removed); overlapping duplicated
+    * grams merge into maximal spans via the union of their [p, p+k)
+    * windows. Removal decisions are all made against the ORIGINAL
+    * text (the published heuristic — no cascading re-analysis of the
+    * rewritten corpus).
+    *
+    * Returns (id, n_tokens, n_removed, cleaned_text) for every input
+    * row; docs shorter than `k` tokens pass through untouched.
+    *
+    * Shape at 100 TB (mirrors [[graft.operators.TextStats.dupNgramCoverage]]'s
+    * linear-cost contract): gram starts explode narrow (one row per
+    * token); canonical/duplicate resolution is ONE gram-keyed
+    * window-free aggregation (min-struct + count, partial map-side,
+    * corpus-cardinality key — no hot keys beyond gram df, and a
+    * df-hot gram is exactly a real duplicate to remove); the
+    * duplicate-start join is gram-keyed at the same cardinality
+    * (never a pair expansion); the removal-set roll-up re-aggregates
+    * at doc grain and the rewrite is a narrow per-row map. Grams are
+    * keyed by their exact token string for bit-exact oracle parity —
+    * at petabyte scale key on xxhash64(gram) instead to halve the
+    * shuffle width (collision odds are ~n²/2⁶⁵).
+    */
+  def substringDedup(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val words = split(col(textCol), " ")
+    // one row per k-gram start: (gram, id, pos), pos 0-based
+    val starts = df.filter(size(words) >= k)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(1), size(words) - (k - 1)),
+          i => concat_ws(" ", slice(words, i, lit(k))))))
+      .select(col("col").as("gram"), col(idCol), col("pos"))
+    // canonical occurrence per gram + its occurrence count, one
+    // map-side-partial aggregation; only duplicated grams survive
+    val canon = starts.groupBy("gram")
+      .agg(min(struct(col(idCol), col("pos"))).as("first"),
+        count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+    // non-canonical duplicate starts, rolled up to one row per doc
+    val dupStarts = starts.join(canon, Seq("gram"))
+      .filter(struct(col(idCol), col("pos")) =!= col("first"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("_starts"))
+    // narrow rewrite: covered = union of [p, p+k) over dup starts
+    df.join(dupStarts, Seq(idCol), "left")
+      .select(col(idCol), col(textCol),
+        coalesce(col("_starts"), array().cast("array<int>")).as("_starts"))
+      .select(col(idCol),
+        size(split(col(textCol), " ")).as("n_tokens"),
+        array_distinct(flatten(transform(col("_starts"),
+          p => sequence(p, p + (k - 1))))).as("_covered"),
+        split(col(textCol), " ").as("_ws"))
+      .select(col(idCol), col("n_tokens"),
+        size(col("_covered")).as("n_removed"),
+        concat_ws(" ",
+          filter(col("_ws"), (_, i) =>
+            !array_contains(col("_covered"), i.cast("int"))))
+          .as("cleaned_text"))
+  }
 }

@@ -149,6 +149,24 @@ object PlanAudit {
       Map("no cartesian product" -> "CartesianProduct",
         "no nested-loop self-join" -> "BroadcastNestedLoopJoin"))
 
+    // Substring-span dedup: the canonical-occurrence resolution must
+    // be a gram-keyed hash aggregation with a map-side partial (the
+    // one corpus-cardinality shuffle), the duplicate-start join stays
+    // gram-keyed (equi-join — never a pair expansion or cartesian),
+    // and the documents scan reads only (doc_id, text).
+    audit("dd_substring",
+      SparkEntry.queries("dd_substring")(spark, dir),
+      Map(
+        "documents scan pruned" -> "struct<doc_id:bigint,text:string>",
+        "gram agg has map-side partial" -> "partial_min",
+        // duplicated grams are RARE by construction, so AQE
+        // broadcasts that side (BroadcastHashJoin); at petabyte dup
+        // density it degrades gracefully to a shuffled hash join —
+        // either way a hash EQUI-join, never a pair expansion
+        "gram-keyed hash equi-join" -> "HashJoin"),
+      Map("no cartesian product" -> "CartesianProduct",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin"))
+
     // IVF-PQ: the ADC scan joins the corpus codes against the
     // BROADCAST probe list (cell keys) and the exact rerank joins
     // the broadcast candidate ids back — the corpus side never
