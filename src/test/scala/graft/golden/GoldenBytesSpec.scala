@@ -116,4 +116,73 @@ class GoldenBytesSpec extends AnyFunSuite {
     val want = GoldenData.xorTs.zip(raw(GoldenData.xorVs)).toSet
     assert(got == want)
   }
+
+  test("NH block writer output is byte-identical to the committed dir") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("golden_nh_regen").toFile
+    try {
+      GoldenData.writeGoldenNhBlock(tmp)
+      for (name <- Seq("index", "meta.json", "tombstones",
+          "chunks/000001")) {
+        val want = committed(s"nhblock/block/$name")
+        val got = java.nio.file.Files.readAllBytes(
+          new java.io.File(tmp, name).toPath)
+        assert(got.toSeq == want.toSeq, s"writer drift in $name")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
+  test("committed NH block reads end-to-end through readHistLabels") {
+    val spark = SparkTestBase.spark
+    val nhRoot = new java.io.File(root, "nhblock").getPath
+    val rows = TsdbBlockStore
+      .readHistLabels(spark, nhRoot, Seq("__name__", "job"))
+      .collect().sortBy(_.getLong(2))
+    val e = GoldenData.nhHistChunk
+    assert(rows.length == e.ts.length)
+    val idx = graft.tsdb.block.ChunkencHistogram
+      .bucketIndexes(e.posSpans).toSeq
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getString(0) == "golden_nh" && r.getString(1) == "api")
+      assert(r.getLong(2) == e.ts(i))
+      assert(r.getInt(3) == e.schema)
+      assert(r.getLong(4) == e.zeroCount(i))
+      assert(r.getSeq[Int](5) == idx)
+      assert(r.getSeq[Long](6) == e.posBuckets(i).toSeq)
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(7)) ==
+        java.lang.Double.doubleToRawLongBits(e.sum(i)))
+    }
+  }
+
+  test("committed NH block reads end-to-end through readFloatHistLabels") {
+    val spark = SparkTestBase.spark
+    val nhRoot = new java.io.File(root, "nhblock").getPath
+    val rows = TsdbBlockStore
+      .readFloatHistLabels(spark, nhRoot, Seq("__name__"))
+      .collect().sortBy(_.getLong(1))
+    val e = GoldenData.floatHistChunk
+    assert(rows.length == e.ts.length)
+    val idx = graft.tsdb.block.ChunkencHistogram
+      .bucketIndexes(e.posSpans).toSeq
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getString(0) == "golden_nh_float")
+      assert(r.getLong(1) == e.ts(i))
+      assert(r.getInt(2) == e.schema)
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(3)) ==
+        java.lang.Double.doubleToRawLongBits(e.zeroCount(i)))
+      assert(r.getSeq[Int](4) == idx)
+      assert(r.getSeq[Double](5).map(
+        java.lang.Double.doubleToRawLongBits) ==
+        e.posBuckets(i).toSeq.map(java.lang.Double.doubleToRawLongBits))
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(6)) ==
+        java.lang.Double.doubleToRawLongBits(e.sum(i)))
+    }
+  }
 }

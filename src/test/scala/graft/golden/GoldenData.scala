@@ -103,6 +103,55 @@ object GoldenData {
       numChunks = 3)
     F.writeEmptyTombstones(dir)
   }
+
+  // ---- a native-histogram block dir readable by the Spark NH path ----
+
+  /** Positive-only integer-histogram chunk: the [[histChunk]] layout
+    * carries negative spans (full codec coverage), which the
+    * positive-only Spark row model rejects by design — this one is
+    * what a real native-histogram ingest produces. */
+  val nhHistChunk: CH.HistChunk = {
+    val posSpans = Vector(CH.Span(0, 2), CH.Span(3, 3)) // idx 0,1,5,6,7
+    val ts = Array(1704067200000L, 1704067215000L, 1704067230000L)
+    val n = ts.length
+    val pos = Array.tabulate(n, 5)((i, j) => (i + 1L) * (2L * j + 1L))
+    val zero = Array.tabulate(n)(i => 2L * i)
+    val count = Array.tabulate(n)(i => zero(i) + pos(i).sum)
+    val sum = Array(0.5, 12.25, 99.75)
+    CH.HistChunk(CH.NotCounterReset, 2, 0.0, posSpans, Vector.empty,
+      ts, count, zero, sum, pos, Array.fill(n)(Array.empty[Long]))
+  }
+
+  /** One block dir holding an EncHistogram series and an
+    * EncFloatHistogram series — the committed anchor for the Spark
+    * NH read path end-to-end (`readHistLabels` /
+    * `readFloatHistLabels` over frozen bytes). Written under its own
+    * root (`nhblock/block`) so family-specific reads can target it
+    * without tripping over [[writeGoldenBlock]]'s negative-span
+    * codec-coverage chunk. */
+  def writeGoldenNhBlock(dir: java.io.File): Unit = {
+    dir.mkdirs()
+    val segs = new F.ChunkSegmentWriter(new java.io.File(dir, "chunks"))
+    val rh = segs.append(CH.encodeHistChunk(nhHistChunk), F.EncHistogram)
+    val rf = segs.append(CH.encodeFloatHistChunk(floatHistChunk),
+      F.EncFloatHistogram)
+    segs.close()
+    val series = Seq(
+      F.SeriesEntry(
+        Seq("__name__" -> "golden_nh", "job" -> "api"),
+        Seq(F.ChunkMeta(nhHistChunk.ts.head, nhHistChunk.ts.last, rh))),
+      F.SeriesEntry(
+        Seq("__name__" -> "golden_nh_float", "job" -> "api"),
+        Seq(F.ChunkMeta(floatHistChunk.ts.head, floatHistChunk.ts.last, rf))))
+    java.nio.file.Files.write(new java.io.File(dir, "index").toPath,
+      F.encodeIndex(series))
+    F.writeMeta(dir, ulid = "GOLDENNH00000000000000000000".take(26),
+      mint = 1704067200000L, maxt = 1704153600000L,
+      numSeries = 2,
+      numSamples = (nhHistChunk.ts.length + floatHistChunk.ts.length).toLong,
+      numChunks = 2)
+    F.writeEmptyTombstones(dir)
+  }
 }
 
 /** Regenerates `src/test/resources/golden/` from [[GoldenData]].
@@ -133,5 +182,17 @@ object GoldenGen {
     }
     GoldenData.writeGoldenBlock(block)
     println("golden block dir written")
+    val nhRoot = new java.io.File(root, "nhblock")
+    val nhBlock = new java.io.File(nhRoot, "block")
+    if (nhRoot.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete()
+      }
+      rm(nhRoot)
+    }
+    GoldenData.writeGoldenNhBlock(nhBlock)
+    println("golden nh block dir written")
   }
 }
