@@ -1849,11 +1849,7 @@ object SparkEntry {
       // exist, so leftovers from an older fixture generation would
       // otherwise sit next to the fresh blocks and double-count
       val root = new java.io.File(tsdbBlockPath(dir))
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      if (root.exists()) rm(root)
+      if (root.exists()) tools.Fs.deleteRecursively(root)
       graft.tsdb.block.TsdbBlockStore.write(
         t(s, dir, "events").withColumn("ts_ms", unix_millis(col("ts"))),
         tsdbBlockPath(dir), Seq("event_type", "user_id"), "ts_ms", "value",

@@ -44,9 +44,11 @@ object MinhashScaleProbe {
     time("bucket histogram") {
       val top = hist.orderBy(desc("count")).limit(12)
         .collect().map(_.getLong(2))
-      val pairs = hist.agg(
-        sum(col("count") * (col("count") - 1) / 2).cast("long"))
-        .first.getLong(0)
+      // coalesce: sum over zero rows is NULL (empty/short-doc dirs
+      // are exactly what a slope investigation may feed this tool)
+      val pairs = hist.agg(coalesce(
+        sum(col("count") * (col("count") - 1) / 2).cast("long"),
+        lit(0L))).first().getLong(0)
       println(s"  buckets=${hist.count()}  top=${top.mkString(",")}")
       println(s"  implied pre-cap candidate pairs=$pairs")
     }

@@ -53,21 +53,30 @@ object ScaleUp {
 
   /** Marker file: generation is atomic-enough for the bench (the
     * marker is written last; a half-built dir without it is
-    * regenerated). */
+    * regenerated). The marker CONTENT is a fingerprint of (generator
+    * version, source dir, factor): a dir built by an older generator
+    * design, from a different source, or at a different factor is
+    * stale and silently reusing it would attribute the measured
+    * slopes to data this code no longer produces — bump
+    * [[GenVersion]] on ANY change to the synthesis. */
   private val Marker = "_GRAFT_SCALEUP_DONE"
+
+  /** v3: positional permutation + Heaps mutation + verbatim layer
+    * (v1 per-replica sort and v2 per-doc word sort were rejected —
+    * see the scaladoc). */
+  private val GenVersion = 3
+
+  private def fingerprint(src: String, factor: Int): String =
+    s"v$GenVersion src=$src factor=$factor"
 
   def ensure(spark: SparkSession, src: String, dst: String,
       factor: Int): Unit = {
     val root = new java.io.File(dst)
-    if (new java.io.File(root, Marker).isFile) return
-    if (root.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete()
-      }
-      rm(root)
-    }
+    val marker = new java.io.File(root, Marker)
+    if (marker.isFile && new String(
+        java.nio.file.Files.readAllBytes(marker.toPath),
+        "UTF-8") == fingerprint(src, factor)) return
+    if (root.exists()) Fs.deleteRecursively(root)
     root.mkdirs()
     val t0 = System.nanoTime()
 
@@ -143,8 +152,8 @@ object ScaleUp {
             " ")))
     write("documents", docs)
 
-    java.nio.file.Files.write(
-      new java.io.File(root, Marker).toPath, Array.emptyByteArray)
+    java.nio.file.Files.write(marker.toPath,
+      fingerprint(src, factor).getBytes("UTF-8"))
     System.err.println(
       f"[scaleup] $src ×$factor → $dst in ${(System.nanoTime() - t0) / 1e9}%.1f s")
   }

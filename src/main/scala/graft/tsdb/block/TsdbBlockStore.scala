@@ -536,14 +536,8 @@ object TsdbBlockStore {
     def finish(): Option[String] = flushBlock()
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    // listFiles() returns null on I/O or permission errors; the
-    // null-guard keeps cleanup from masking the real failure with
-    // an NPE
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete()
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    graft.tools.Fs.deleteRecursively(f)
 
   // ---------------------------------------------------------------
   // read

@@ -104,10 +104,13 @@ object ScaleUpSpec {
   private def buildOnce(
       spark: org.apache.spark.sql.SparkSession): (String, String, Int) = {
     val src = "/root/testdata/sf0.001"
-    val dst = java.nio.file.Files
-      .createTempDirectory("graft_scaleup_spec").toString
+    val dstFile = java.nio.file.Files
+      .createTempDirectory("graft_scaleup_spec").toFile
+    // a full replica corpus per test run must not accumulate in /tmp
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => graft.tools.Fs.deleteRecursively(dstFile)))
     val factor = 3
-    graft.tools.ScaleUp.ensure(spark, src, dst, factor)
-    (src, dst, factor)
+    graft.tools.ScaleUp.ensure(spark, src, dstFile.toString, factor)
+    (src, dstFile.toString, factor)
   }
 }

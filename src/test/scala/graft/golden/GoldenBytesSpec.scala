@@ -129,14 +129,7 @@ class GoldenBytesSpec extends AnyFunSuite {
           new java.io.File(tmp, name).toPath)
         assert(got.toSeq == want.toSeq, s"writer drift in $name")
       }
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete()
-      }
-      rm(tmp)
-    }
+    } finally graft.tools.Fs.deleteRecursively(tmp)
   }
 
   test("committed NH block reads end-to-end through readHistLabels") {

@@ -172,27 +172,12 @@ object GoldenGen {
     put("chunk_blob.bin", GoldenData.chunkBlobBytes)
     put("hist_blob.bin", GoldenData.histBlobBytes)
     val block = new java.io.File(root, "block")
-    if (block.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete()
-      }
-      rm(block)
-    }
+    if (block.exists()) graft.tools.Fs.deleteRecursively(block)
     GoldenData.writeGoldenBlock(block)
     println("golden block dir written")
     val nhRoot = new java.io.File(root, "nhblock")
-    val nhBlock = new java.io.File(nhRoot, "block")
-    if (nhRoot.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete()
-      }
-      rm(nhRoot)
-    }
-    GoldenData.writeGoldenNhBlock(nhBlock)
+    if (nhRoot.exists()) graft.tools.Fs.deleteRecursively(nhRoot)
+    GoldenData.writeGoldenNhBlock(new java.io.File(nhRoot, "block"))
     println("golden nh block dir written")
   }
 }
