@@ -721,19 +721,25 @@ object Dedup {
     * duplicate-start join is gram-keyed at the same cardinality
     * (never a pair expansion); the removal-set roll-up re-aggregates
     * at doc grain and the rewrite is a narrow per-row map. Grams are
-    * keyed by their exact token string for bit-exact oracle parity —
-    * at petabyte scale key on xxhash64(gram) instead to halve the
-    * shuffle width (collision odds are ~n²/2⁶⁵).
+    * keyed by their exact token string by default (bit-exact oracle
+    * parity); `hashGramKey = true` keys on xxhash64(gram) instead —
+    * the petabyte configuration, where shuffling a fixed 8 bytes per
+    * start beats shuffling k tokens of text (collision odds over n
+    * distinct grams are ~n²/2⁶⁵; a collision merges two gram
+    * classes, i.e. at most k spurious removed tokens — see
+    * SubstringDedupSpec's equivalence pin on the gate corpus).
     */
   def substringDedup(df: DataFrame, textCol: String, idCol: String,
-      k: Int): DataFrame = {
+      k: Int, hashGramKey: Boolean = false): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     val words = split(col(textCol), " ")
     // one row per k-gram start: (gram, id, pos), pos 0-based
+    val gramKey: Column => Column =
+      if (hashGramKey) xxhash64(_) else identity
     val starts = df.filter(size(words) >= k)
       .select(col(idCol),
         posexplode(transform(sequence(lit(1), size(words) - (k - 1)),
-          i => concat_ws(" ", slice(words, i, lit(k))))))
+          i => gramKey(concat_ws(" ", slice(words, i, lit(k)))))))
       .select(col("col").as("gram"), col(idCol), col("pos"))
     // canonical occurrence per gram + its occurrence count, one
     // map-side-partial aggregation; only duplicated grams survive

@@ -86,4 +86,15 @@ class SubstringDedupSpec extends SparkSpec {
     assert(out(2L)._3 === "")
     assert(out(2L)._2 === 4)
   }
+
+  test("hashGramKey (the petabyte shuffle-width config) is output-identical on the gate corpus") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Dedup.substringDedup(docs, "text", "doc_id", k = 8)
+      .orderBy("doc_id").collect().toSeq
+    val hashed = Dedup.substringDedup(docs, "text", "doc_id", k = 8,
+        hashGramKey = true)
+      .orderBy("doc_id").collect().toSeq
+    assert(hashed == exact)
+  }
 }
