@@ -17,6 +17,8 @@ import graft.tsdb.HistChunkCodec.{XorReader, XorWriter}
   *
   * {{{
   *   num_samples: uint16 BE
+  *   (a fresh never-appended chunk is JUST this 2-byte zero count —
+  *    flags and layout appear with the first sample)
   *   flags: 1 byte — counter-reset hint in the two MSB
   *     (00 unknown, 01 not-reset, 10 reset, 11 gauge)
   *   layout (shared by every sample in the chunk — chunkenc recodes
@@ -62,10 +64,31 @@ import graft.tsdb.HistChunkCodec.{XorReader, XorWriter}
   * 2^n when the payload exceeds 2^(n-1)). varbit_uint uses the
   * same prefixes with unsigned payloads ≤ 2^n - 1.
   *
-  * The custom-bucket schema (-53, NHCB) is rejected explicitly:
-  * its bound-list encoding cannot be verified in this sandbox, and
-  * a guessed layout would corrupt silently. Exponential schemas
-  * (the native-histogram production path) are complete.
+  * The custom-bucket schema (-53, NHCB — classic histograms
+  * converted to the native representation) appends its bound list
+  * to the layout, directly after the negative spans:
+  *
+  * {{{
+  *   custom_values (present IFF schema == -53):
+  *     num_values varbit_uint, then per value:
+  *       value·1000 as varbit_uint when value·1000 is an integer in
+  *       [0, 33554430] (bounds are overwhelmingly millisecond-ish
+  *       decimals, so ≤25 payload bits); otherwise the 8-one-bit
+  *       prefix 11111111 followed by the 64 raw IEEE bits. The
+  *       escape is unambiguous because a regular value never needs
+  *       more than the 25-bit bucket (33554430 < 2^25), so the
+  *       56-bit prefix 11111110 is never emitted and 11111111 is
+  *       free to mean "raw float64".
+  * }}}
+  *
+  * Custom-bucket chunks carry no negative buckets and no zero
+  * bucket (threshold 0); bucket index `i` addresses
+  * `custom_values(i)` as its inclusive upper bound, with index
+  * `num_values` denoting the +Inf overflow bucket — index
+  * semantics live in the query layer, the codec persists indexes
+  * and bounds verbatim. Encode enforces the structural invariants
+  * (bounds present, strictly ascending, indexes within
+  * [0, num_values], no negative spans, zero threshold 0) loudly.
   *
   * Verification scope is the same honest one as
   * [[TsdbBlockFormat]]: every constant follows the published spec
@@ -83,7 +106,8 @@ object ChunkencHistogram {
   final val NotCounterReset = 0x40
   final val GaugeType = 0xc0
 
-  /** The NHCB schema ordinal — rejected (see object doc). */
+  /** The NHCB schema ordinal — bucket layout defined by the
+    * chunk's custom-values bound list (see object doc). */
   final val CustomBucketsSchema = -53
 
   /** One run of consecutive buckets: `offset` is the index gap from
@@ -98,7 +122,8 @@ object ChunkencHistogram {
       zeroThreshold: Double, posSpans: Vector[Span],
       negSpans: Vector[Span], ts: Array[Long], count: Array[Long],
       zeroCount: Array[Long], sum: Array[Double],
-      posBuckets: Array[Array[Long]], negBuckets: Array[Array[Long]])
+      posBuckets: Array[Array[Long]], negBuckets: Array[Array[Long]],
+      customValues: Array[Double] = Array.empty)
 
   /** Float-histogram chunk: counts are doubles, buckets absolute. */
   final case class FloatHistChunk(flags: Int, schema: Int,
@@ -106,7 +131,8 @@ object ChunkencHistogram {
       negSpans: Vector[Span], ts: Array[Long], count: Array[Double],
       zeroCount: Array[Double], sum: Array[Double],
       posBuckets: Array[Array[Double]],
-      negBuckets: Array[Array[Double]])
+      negBuckets: Array[Array[Double]],
+      customValues: Array[Double] = Array.empty)
 
   // ---------------------------------------------------------------
   // varbit
@@ -268,10 +294,71 @@ object ChunkencHistogram {
     out.result()
   }
 
-  private def checkSchema(schema: Int): Unit =
-    require(schema != CustomBucketsSchema,
-      "custom-bucket (NHCB) chunk layouts are not supported: the " +
-        "bound-list encoding cannot be verified here (see scaladoc)")
+  // ---------------------------------------------------------------
+  // custom values (NHCB bound list, schema -53)
+  // ---------------------------------------------------------------
+
+  /** Largest value·1000 the compact form carries — 2^25 - 2, so the
+    * compact form never needs a bucket past 25 payload bits and the
+    * all-ones prefix stays free for the raw-float escape. */
+  private final val MaxCompactBound = 33554430L
+
+  private[block] def putCustomBound(w: BitWriter, f: Double): Unit = {
+    val tf = f * 1000.0
+    // NaN fails every comparison and falls through to the escape
+    if (tf >= 0.0 && tf <= MaxCompactBound.toDouble &&
+        tf == Math.floor(tf))
+      putVarbitUint(w, tf.toLong)
+    else {
+      w.writeBits(0xff, 8)
+      w.writeBits(java.lang.Double.doubleToRawLongBits(f), 64)
+    }
+  }
+
+  private[block] def readCustomBound(r: BitReader): Double = {
+    val sz = readBucket(r)
+    if (sz == 64) java.lang.Double.longBitsToDouble(r.readBits(64))
+    else if (sz == 0) 0.0
+    else r.readBits(sz) / 1000.0
+  }
+
+  private def putCustomValues(w: BitWriter, vals: Array[Double]): Unit = {
+    putVarbitUint(w, vals.length.toLong)
+    vals.foreach(putCustomBound(w, _))
+  }
+
+  private def readCustomValues(r: BitReader): Array[Double] = {
+    val n = readVarbitUint(r).toInt
+    Array.fill(n)(readCustomBound(r))
+  }
+
+  /** Structural invariants the encoder enforces loudly: NHCB chunks
+    * carry an ascending bound list, positive buckets only (indexes
+    * addressing [0, num_values] — num_values is the +Inf overflow),
+    * no zero bucket; exponential chunks carry NO bound list. */
+  private def checkCustom(schema: Int, customValues: Array[Double],
+      posSpans: Seq[Span], negSpans: Seq[Span],
+      zeroThreshold: Double): Unit = {
+    if (schema == CustomBucketsSchema) {
+      require(customValues.nonEmpty,
+        "custom-bucket (NHCB) chunks require a non-empty bound list")
+      var i = 1
+      while (i < customValues.length) {
+        require(customValues(i - 1) < customValues(i),
+          "custom bounds must be strictly ascending")
+        i += 1
+      }
+      require(negSpans.isEmpty,
+        "custom-bucket histograms have no negative buckets")
+      require(zeroThreshold == 0.0,
+        "custom-bucket histograms have no zero bucket")
+      val idx = bucketIndexes(posSpans)
+      require(idx.isEmpty ||
+        (idx.head >= 0 && idx.last <= customValues.length),
+        s"custom bucket index out of range [0, ${customValues.length}]")
+    } else require(customValues.isEmpty,
+      "only the custom-bucket schema (-53) carries custom values")
+  }
 
   // ---------------------------------------------------------------
   // integer histogram chunk (EncHistogram, ordinal 2)
@@ -288,17 +375,23 @@ object ChunkencHistogram {
     require(c.count.length == n && c.zeroCount.length == n &&
       c.sum.length == n && c.posBuckets.length == n &&
       c.negBuckets.length == n, "parallel array length mismatch")
-    checkSchema(c.schema)
     val nPos = c.posSpans.iterator.map(_.length).sum
     val nNeg = c.negSpans.iterator.map(_.length).sum
     val w = new BitWriter()
     w.writeBits(n.toLong, 16)
+    // a fresh chunkenc chunk is the bare count — no flags, no layout
+    if (n == 0) return w.toBytes
+    checkCustom(c.schema, c.customValues, c.posSpans, c.negSpans,
+      c.zeroThreshold)
+    if (c.schema == CustomBucketsSchema)
+      require(c.zeroCount.forall(_ == 0L),
+        "custom-bucket histograms have no zero bucket")
     w.writeBits(c.flags.toLong & 0xff, 8)
     putZeroThreshold(w, c.zeroThreshold)
     putVarbitInt(w, c.schema.toLong)
     putSpans(w, c.posSpans)
     putSpans(w, c.negSpans)
-    if (n == 0) return w.toBytes
+    if (c.schema == CustomBucketsSchema) putCustomValues(w, c.customValues)
     val xs = new XorWriter(w)
     // wire state: intra-histogram delta form of the previous sample
     var prevT = 0L
@@ -364,12 +457,18 @@ object ChunkencHistogram {
       len: Int): HistChunk = {
     val r = new BitReader(bytes, start, start + len)
     val n = r.readBits(16).toInt
+    if (n == 0)
+      return HistChunk(UnknownCounterReset, 0, 0.0, Vector.empty,
+        Vector.empty, Array.empty, Array.empty, Array.empty,
+        Array.empty, Array.empty, Array.empty)
     val flags = r.readBits(8).toInt
     val zeroThreshold = readZeroThreshold(r)
     val schema = readVarbitInt(r).toInt
-    checkSchema(schema)
     val posSpans = readSpans(r)
     val negSpans = readSpans(r)
+    val customValues =
+      if (schema == CustomBucketsSchema) readCustomValues(r)
+      else Array.empty[Double]
     val nPos = posSpans.iterator.map(_.length).sum
     val nNeg = negSpans.iterator.map(_.length).sum
     val ts = new Array[Long](n)
@@ -404,7 +503,7 @@ object ChunkencHistogram {
       i += 1
     }
     HistChunk(flags, schema, zeroThreshold, posSpans, negSpans,
-      ts, count, zeroCount, sum, posBuckets, negBuckets)
+      ts, count, zeroCount, sum, posBuckets, negBuckets, customValues)
   }
 
   /** Inverse of [[writeBucketLine]]: roll the delta-form state and
@@ -435,17 +534,23 @@ object ChunkencHistogram {
     require(c.count.length == n && c.zeroCount.length == n &&
       c.sum.length == n && c.posBuckets.length == n &&
       c.negBuckets.length == n, "parallel array length mismatch")
-    checkSchema(c.schema)
     val nPos = c.posSpans.iterator.map(_.length).sum
     val nNeg = c.negSpans.iterator.map(_.length).sum
     val w = new BitWriter()
     w.writeBits(n.toLong, 16)
+    // a fresh chunkenc chunk is the bare count — no flags, no layout
+    if (n == 0) return w.toBytes
+    checkCustom(c.schema, c.customValues, c.posSpans, c.negSpans,
+      c.zeroThreshold)
+    if (c.schema == CustomBucketsSchema)
+      require(c.zeroCount.forall(_ == 0.0),
+        "custom-bucket histograms have no zero bucket")
     w.writeBits(c.flags.toLong & 0xff, 8)
     putZeroThreshold(w, c.zeroThreshold)
     putVarbitInt(w, c.schema.toLong)
     putSpans(w, c.posSpans)
     putSpans(w, c.negSpans)
-    if (n == 0) return w.toBytes
+    if (c.schema == CustomBucketsSchema) putCustomValues(w, c.customValues)
     // one Gorilla window per tracked field
     val xCnt = new XorWriter(w)
     val xZero = new XorWriter(w)
@@ -510,12 +615,18 @@ object ChunkencHistogram {
       len: Int): FloatHistChunk = {
     val r = new BitReader(bytes, start, start + len)
     val n = r.readBits(16).toInt
+    if (n == 0)
+      return FloatHistChunk(UnknownCounterReset, 0, 0.0, Vector.empty,
+        Vector.empty, Array.empty, Array.empty, Array.empty,
+        Array.empty, Array.empty, Array.empty)
     val flags = r.readBits(8).toInt
     val zeroThreshold = readZeroThreshold(r)
     val schema = readVarbitInt(r).toInt
-    checkSchema(schema)
     val posSpans = readSpans(r)
     val negSpans = readSpans(r)
+    val customValues =
+      if (schema == CustomBucketsSchema) readCustomValues(r)
+      else Array.empty[Double]
     val nPos = posSpans.iterator.map(_.length).sum
     val nNeg = negSpans.iterator.map(_.length).sum
     val ts = new Array[Long](n)
@@ -567,6 +678,6 @@ object ChunkencHistogram {
       i += 1
     }
     FloatHistChunk(flags, schema, zeroThreshold, posSpans, negSpans,
-      ts, count, zeroCount, sum, posBuckets, negBuckets)
+      ts, count, zeroCount, sum, posBuckets, negBuckets, customValues)
   }
 }

@@ -110,7 +110,8 @@ object TsdbBlockStore {
     * format invariant). */
   private final class HistSampleBuf(tsIdx: Int, zeroIdx: Int,
       idxIdx: Int, cntIdx: Int, sumIdx: Int, schema: Int,
-      zeroThreshold: Double, flags: Int, cap: Int) extends SampleBuf {
+      zeroThreshold: Double, flags: Int, cap: Int,
+      customVals: Array[Double]) extends SampleBuf {
     private val tsB = new Array[Long](cap)
     private val zeroB = new Array[Long](cap)
     private val sumB = new Array[Double](cap)
@@ -138,6 +139,7 @@ object TsdbBlockStore {
       sumB(n) = r.getDouble(sumIdx)
       idxB(n) = r.getArray(idxIdx).toIntArray()
       cntB(n) = r.getArray(cntIdx).toLongArray()
+      requireAscending(idxB(n))
       n += 1
     }
     def size: Int = n
@@ -167,7 +169,7 @@ object TsdbBlockStore {
         java.util.Arrays.copyOf(tsB, n), count,
         java.util.Arrays.copyOf(zeroB, n),
         java.util.Arrays.copyOf(sumB, n), pos,
-        Array.fill(n)(Array.empty[Long]))
+        Array.fill(n)(Array.empty[Long]), customVals)
       val res = (ChunkencHistogram.encodeHistChunk(c), tsB(0), tsB(n - 1))
       n = 0
       res
@@ -178,7 +180,8 @@ object TsdbBlockStore {
     * same union-layout fill with double counts. */
   private final class FloatHistSampleBuf(tsIdx: Int, zeroIdx: Int,
       idxIdx: Int, cntIdx: Int, sumIdx: Int, schema: Int,
-      zeroThreshold: Double, flags: Int, cap: Int) extends SampleBuf {
+      zeroThreshold: Double, flags: Int, cap: Int,
+      customVals: Array[Double]) extends SampleBuf {
     private val tsB = new Array[Long](cap)
     private val zeroB = new Array[Double](cap)
     private val sumB = new Array[Double](cap)
@@ -206,6 +209,7 @@ object TsdbBlockStore {
       sumB(n) = r.getDouble(sumIdx)
       idxB(n) = r.getArray(idxIdx).toIntArray()
       cntB(n) = r.getArray(cntIdx).toDoubleArray()
+      requireAscending(idxB(n))
       n += 1
     }
     def size: Int = n
@@ -235,11 +239,25 @@ object TsdbBlockStore {
         Vector.empty, java.util.Arrays.copyOf(tsB, n), count,
         java.util.Arrays.copyOf(zeroB, n),
         java.util.Arrays.copyOf(sumB, n), pos,
-        Array.fill(n)(Array.empty[Double]))
+        Array.fill(n)(Array.empty[Double]), customVals)
       val res =
         (ChunkencHistogram.encodeFloatHistChunk(c), tsB(0), tsB(n - 1))
       n = 0
       res
+    }
+  }
+
+  /** The flush merge cursor assumes each sample's index array is
+    * strictly ascending — an unsorted or duplicated array would
+    * silently drop bucket counts (the cursor never matches), so the
+    * bufs fail loudly at add() instead, mirroring
+    * `spansFromIndexes`' require. */
+  private def requireAscending(idx: Array[Int]): Unit = {
+    var j = 1
+    while (j < idx.length) {
+      require(idx(j) > idx(j - 1),
+        "bucket index arrays must be strictly ascending")
+      j += 1
     }
   }
 
@@ -294,7 +312,12 @@ object TsdbBlockStore {
     * lands in a bucket at this seam). Negative-bucket series have
     * no representation in graft's positive-only row model and are
     * not written (the codec itself supports them; see
-    * [[ChunkencHistogram]]).
+    * [[ChunkencHistogram]]). For CUSTOM-BUCKET histograms (NHCB,
+    * schema -53 — classic histograms converted to the native
+    * representation) pass `customValues` (the ascending inclusive
+    * upper bounds; bucket index i addresses customValues(i), index
+    * customValues.length the +Inf overflow) and a zero `zeroCountCol`
+    * — NHCB has no zero bucket.
     */
   def writeHist(df: DataFrame, root: String, labelCols: Seq[String],
       tsCol: String, zeroCountCol: String, posIdxCol: String,
@@ -302,7 +325,8 @@ object TsdbBlockStore {
       zeroThreshold: Double = 0.0, gauge: Boolean = false,
       blockDurationMs: Long = 2 * 3600 * 1000L,
       samplesPerChunk: Int = DefaultSamplesPerChunk,
-      segmentBytes: Long = DefaultSegmentBytes): Seq[String] = {
+      segmentBytes: Long = DefaultSegmentBytes,
+      customValues: Seq[Double] = Nil): Seq[String] = {
     val prepared = df
       .select((labelCols.map(c => col(c).cast("string").as(c)) :+
         col(tsCol).cast("long").as("_ts") :+
@@ -312,12 +336,18 @@ object TsdbBlockStore {
         col(sumCol).cast("double").as("_sum")): _*)
     val flags = if (gauge) ChunkencHistogram.GaugeType
       else ChunkencHistogram.UnknownCounterReset
+    val cv = customValues.toArray
+    // _idx/_cnt join the tiebreak: two samples tied on (series, ts,
+    // zero, sum) but with different buckets must sort deterministically
+    // or the content hash — which folds bucket arrays — and hence the
+    // ULID would depend on shuffle-fetch order
     writeRows(prepared, root, labelCols, blockDurationMs,
-      Seq(col("_zero"), col("_sum")), sch => new HistSampleBuf(
+      Seq(col("_zero"), col("_sum"), col("_idx"), col("_cnt")),
+      sch => new HistSampleBuf(
         sch.fieldIndex("_ts"), sch.fieldIndex("_zero"),
         sch.fieldIndex("_idx"), sch.fieldIndex("_cnt"),
         sch.fieldIndex("_sum"), schema, zeroThreshold, flags,
-        samplesPerChunk),
+        samplesPerChunk, cv),
       samplesPerChunk, segmentBytes)
   }
 
@@ -330,7 +360,8 @@ object TsdbBlockStore {
       zeroThreshold: Double = 0.0, gauge: Boolean = false,
       blockDurationMs: Long = 2 * 3600 * 1000L,
       samplesPerChunk: Int = DefaultSamplesPerChunk,
-      segmentBytes: Long = DefaultSegmentBytes): Seq[String] = {
+      segmentBytes: Long = DefaultSegmentBytes,
+      customValues: Seq[Double] = Nil): Seq[String] = {
     val prepared = df
       .select((labelCols.map(c => col(c).cast("string").as(c)) :+
         col(tsCol).cast("long").as("_ts") :+
@@ -340,12 +371,16 @@ object TsdbBlockStore {
         col(sumCol).cast("double").as("_sum")): _*)
     val flags = if (gauge) ChunkencHistogram.GaugeType
       else ChunkencHistogram.UnknownCounterReset
+    val cv = customValues.toArray
+    // _idx/_cnt in the tiebreak for the same ULID-determinism reason
+    // as writeHist
     writeRows(prepared, root, labelCols, blockDurationMs,
-      Seq(col("_zero"), col("_sum")), sch => new FloatHistSampleBuf(
+      Seq(col("_zero"), col("_sum"), col("_idx"), col("_cnt")),
+      sch => new FloatHistSampleBuf(
         sch.fieldIndex("_ts"), sch.fieldIndex("_zero"),
         sch.fieldIndex("_idx"), sch.fieldIndex("_cnt"),
         sch.fieldIndex("_sum"), schema, zeroThreshold, flags,
-        samplesPerChunk),
+        samplesPerChunk, cv),
       samplesPerChunk, segmentBytes)
   }
 
@@ -628,7 +663,9 @@ object TsdbBlockStore {
   /** Read every INTEGER native-histogram sample matching `matchers`
     * in [mint, maxt], flattened to graft's positive-only row model:
     * label columns, `ts` (ms), `schema`, `zero_count`, ascending
-    * `pos_idx`/`pos_counts`, `hist_sum`. Bucket positions chunkenc's
+    * `pos_idx`/`pos_counts`, `hist_sum`, and `custom_values` (the
+    * NHCB bound list — empty for exponential schemas). Bucket
+    * positions chunkenc's
     * recode filled with absolute 0 decode as explicit 0-count
     * buckets, exactly as Prometheus's own iterator yields them.
     * Same narrow one-task-per-(block, shard) plan as [[read]]. */
@@ -653,7 +690,9 @@ object TsdbBlockStore {
         StructField("zero_count", LongType, nullable = false),
         StructField("pos_idx", ArrayType(IntegerType, false), nullable = false),
         StructField("pos_counts", ArrayType(LongType, false), nullable = false),
-        StructField("hist_sum", DoubleType, nullable = false)))
+        StructField("hist_sum", DoubleType, nullable = false),
+        StructField("custom_values", ArrayType(DoubleType, false),
+          nullable = false)))
     spark.createDataFrame(rdd, schema)
   }
 
@@ -680,7 +719,9 @@ object TsdbBlockStore {
         StructField("zero_count", DoubleType, nullable = false),
         StructField("pos_idx", ArrayType(IntegerType, false), nullable = false),
         StructField("pos_counts", ArrayType(DoubleType, false), nullable = false),
-        StructField("hist_sum", DoubleType, nullable = false)))
+        StructField("hist_sum", DoubleType, nullable = false),
+        StructField("custom_values", ArrayType(DoubleType, false),
+          nullable = false)))
     spark.createDataFrame(rdd, schema)
   }
 
@@ -900,7 +941,7 @@ object TsdbBlockStore {
   }
 
   /** Sample tail for the flat hist row: (ts, schema, zero, idx,
-    * counts, sum). */
+    * counts, sum, custom_values — empty for exponential schemas). */
   private def histDecoder(mint: Long,
       maxt: Long): ChunkDecoder[Vector[Any]] = {
     case (EncHistogram, data, deleted) =>
@@ -909,10 +950,11 @@ object TsdbBlockStore {
         "negative-bucket histograms have no representation in the " +
           "positive-only row model")
       val idx = ChunkencHistogram.bucketIndexes(c.posSpans).toVector
+      val cv = c.customValues.toVector
       c.ts.indices.iterator
         .filter(i => keepTs(c.ts(i), mint, maxt, deleted))
         .map(i => Vector[Any](c.ts(i), c.schema, c.zeroCount(i),
-          idx, c.posBuckets(i).toVector, c.sum(i)))
+          idx, c.posBuckets(i).toVector, c.sum(i), cv))
     case (EncXOR, _, _) | (EncFloatHistogram, _, _) => Iterator.empty
     case (enc, _, _) =>
       throw new IllegalArgumentException(s"unsupported chunk encoding $enc")
@@ -926,10 +968,11 @@ object TsdbBlockStore {
         "negative-bucket histograms have no representation in the " +
           "positive-only row model")
       val idx = ChunkencHistogram.bucketIndexes(c.posSpans).toVector
+      val cv = c.customValues.toVector
       c.ts.indices.iterator
         .filter(i => keepTs(c.ts(i), mint, maxt, deleted))
         .map(i => Vector[Any](c.ts(i), c.schema, c.zeroCount(i),
-          idx, c.posBuckets(i).toVector, c.sum(i)))
+          idx, c.posBuckets(i).toVector, c.sum(i), cv))
     case (EncXOR, _, _) | (EncHistogram, _, _) => Iterator.empty
     case (enc, _, _) =>
       throw new IllegalArgumentException(s"unsupported chunk encoding $enc")

@@ -134,23 +134,128 @@ final class ChunkencHistogramSpec extends AnyFunSuite {
     assertHistEqual(c, decodeHistChunk(bytes, 0, bytes.length))
   }
 
-  test("single-sample and empty chunks roundtrip") {
+  test("single-sample chunks roundtrip") {
     val c = mkHist()
     val one = c.copy(ts = c.ts.take(1), count = c.count.take(1),
       zeroCount = c.zeroCount.take(1), sum = c.sum.take(1),
       posBuckets = c.posBuckets.take(1), negBuckets = c.negBuckets.take(1))
     val b1 = encodeHistChunk(one)
     assertHistEqual(one, decodeHistChunk(b1, 0, b1.length))
+  }
+
+  test("an empty chunk is the bare 2-byte count, like a fresh chunkenc chunk") {
+    val c = mkHist()
     val empty = c.copy(ts = Array.empty, count = Array.empty,
       zeroCount = Array.empty, sum = Array.empty,
       posBuckets = Array.empty, negBuckets = Array.empty)
     val b0 = encodeHistChunk(empty)
-    assertHistEqual(empty, decodeHistChunk(b0, 0, b0.length))
+    assert(b0.toSeq === Seq[Byte](0, 0)) // no flags, no layout
+    val d = decodeHistChunk(b0, 0, b0.length)
+    assert(d.ts.isEmpty && d.posSpans.isEmpty && d.negSpans.isEmpty)
+    val fe = mkFloat()
+    val fempty = fe.copy(ts = Array.empty, count = Array.empty,
+      zeroCount = Array.empty, sum = Array.empty,
+      posBuckets = Array.empty, negBuckets = Array.empty)
+    val fb = encodeFloatHistChunk(fempty)
+    assert(fb.toSeq === Seq[Byte](0, 0))
+    assert(decodeFloatHistChunk(fb, 0, fb.length).ts.isEmpty)
   }
 
-  test("custom-bucket schema (-53) is rejected, not guessed") {
-    val c = mkHist(schema = CustomBucketsSchema)
-    assertThrows[IllegalArgumentException](encodeHistChunk(c))
+  // ---- NHCB custom-bucket schema (-53) ----
+
+  private def mkNhcb(): HistChunk = {
+    val posSpans = Vector(Span(0, 3), Span(1, 2)) // idx 0,1,2,4,5
+    val ts = Array(1704067200000L, 1704067215000L, 1704067230000L)
+    val n = ts.length
+    val pos = Array.tabulate(n, 5)((i, j) => (i + 1L) * (j + 1L))
+    val zero = Array.fill(n)(0L)
+    val count = Array.tabulate(n)(i => pos(i).sum)
+    val sum = Array(1.25, 2.5, 3.75)
+    // mixed bound encodings: exact millis (compact varbit), a
+    // non-multiple-of-0.001 (raw escape), a huge bound (raw escape)
+    val bounds = Array(0.005, 0.1, 1.0 / 3.0, 2.5, 50000.0)
+    HistChunk(UnknownCounterReset, CustomBucketsSchema, 0.0, posSpans,
+      Vector.empty, ts, count, zero, sum, pos,
+      Array.fill(n)(Array.empty[Long]), bounds)
+  }
+
+  test("NHCB chunk roundtrips with the bound list, raw escapes included") {
+    val c = mkNhcb()
+    val bytes = encodeHistChunk(c)
+    val d = decodeHistChunk(bytes, 0, bytes.length)
+    assertHistEqual(c, d)
+    assert(d.customValues.map(java.lang.Double.doubleToRawLongBits).toSeq ===
+      c.customValues.map(java.lang.Double.doubleToRawLongBits).toSeq)
+  }
+
+  test("NHCB float chunk roundtrips with the bound list") {
+    val base = mkFloat()
+    val c = base.copy(schema = CustomBucketsSchema, zeroThreshold = 0.0,
+      zeroCount = Array.fill(base.ts.length)(0.0),
+      customValues = Array(0.25, 0.5, 1.0, 2.5, 10.0))
+    val bytes = encodeFloatHistChunk(c)
+    val d = decodeFloatHistChunk(bytes, 0, bytes.length)
+    assert(d.schema === CustomBucketsSchema)
+    assert(d.customValues.toSeq === c.customValues.toSeq)
+    def raw(a: Array[Double]) = a.map(java.lang.Double.doubleToRawLongBits).toSeq
+    assert(d.posBuckets.map(raw).toSeq === c.posBuckets.map(raw).toSeq)
+  }
+
+  test("custom bounds use the compact form only for exact 0.001 multiples") {
+    def enc(f: Double): Array[Byte] = {
+      val w = new BitWriter(); putCustomBound(w, f); w.toBytes
+    }
+    def rt(f: Double): Double = {
+      val b = enc(f)
+      readCustomBound(new BitReader(b, 0, b.length))
+    }
+    // compact: value·1000 integral and ≤ 33554430 → at most 4 bytes
+    for (f <- Seq(0.0, 0.001, 0.005, 0.25, 1.0, 33554.43)) {
+      assert(rt(f) === f, s"bound $f")
+      assert(enc(f).length <= 4, s"bound $f should take the compact form")
+    }
+    // raw escape: negative, too large, sub-millisecond precision, NaN
+    for (f <- Seq(-1.0, 33554.431, 1.0 / 3.0, 1e300, 0.0001)) {
+      assert(java.lang.Double.doubleToRawLongBits(rt(f)) ===
+        java.lang.Double.doubleToRawLongBits(f), s"bound $f")
+      assert(enc(f).length === 9, s"bound $f should take the raw escape")
+    }
+    assert(java.lang.Double.isNaN(rt(Double.NaN)))
+  }
+
+  test("NHCB structural invariants are enforced loudly") {
+    val c = mkNhcb()
+    // bounds must be present
+    assertThrows[IllegalArgumentException](
+      encodeHistChunk(c.copy(customValues = Array.empty)))
+    // and strictly ascending
+    assertThrows[IllegalArgumentException](
+      encodeHistChunk(c.copy(customValues = Array(1.0, 1.0, 2.0))))
+    // no negative buckets
+    assertThrows[IllegalArgumentException](encodeHistChunk(c.copy(
+      negSpans = Vector(Span(0, 1)),
+      negBuckets = Array.fill(c.ts.length)(Array(1L)))))
+    // no zero bucket (threshold or counts)
+    assertThrows[IllegalArgumentException](
+      encodeHistChunk(c.copy(zeroThreshold = 0.5)))
+    assertThrows[IllegalArgumentException](
+      encodeHistChunk(c.copy(zeroCount = Array.fill(c.ts.length)(1L))))
+    // indexes within [0, num_values] (num_values = +Inf overflow)
+    assertThrows[IllegalArgumentException](
+      encodeHistChunk(c.copy(posSpans = Vector(Span(-1, 5)))))
+    assertThrows[IllegalArgumentException](
+      encodeHistChunk(c.copy(posSpans = Vector(Span(2, 5)))))
+    // exponential schemas must NOT carry a bound list
+    assertThrows[IllegalArgumentException](
+      encodeHistChunk(mkHist().copy(customValues = Array(1.0))))
+  }
+
+  test("the +Inf overflow index (== num_values) is accepted") {
+    val c = mkNhcb()
+    val inf = c.copy(posSpans = Vector(Span(1, 5))) // idx 1..5, 5 == len
+    val bytes = encodeHistChunk(inf)
+    val d = decodeHistChunk(bytes, 0, bytes.length)
+    assert(d.posSpans === inf.posSpans)
   }
 
   private def mkFloat(): FloatHistChunk = {
