@@ -2086,6 +2086,97 @@ object SparkEntry {
       .orderBy("event_type", "user_id", "ts_us", "idx")
   }
 
+  // ----- NHCB custom-bucket blocks (schema -53) -----
+
+  private def nhcbBlockPath(dir: String): String =
+    "/tmp/graft_nhcbblock_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+
+  /** The NHCB bound list: quarter-step inclusive upper bounds —
+    * exact doubles whose ·1000 form is integral, so every bound
+    * takes the compact varbit form AND the DuckDB oracle re-derives
+    * them exactly as `(i+1)·0.25`. */
+  private val NhcbBounds: Seq[Double] = (1 to 6).map(_ * 0.25)
+
+  /** Custom-bucket variant of the counter fixture: the same
+    * `d²`-cumulative counts, but indexes 0..4/5 addressing
+    * [[NhcbBounds]] and NO zero bucket (zero_count 0, threshold 0)
+    * — what Prometheus 3.x's classic-to-NHCB conversion persists. */
+  private def nhcbBlockFixture(s: SparkSession, dir: String): Unit =
+    fixtureOnce(s"nhcbblock:$dir") {
+      val root = new java.io.File(nhcbBlockPath(dir))
+      if (root.exists()) rmRec(root) // stale ULIDs would double-count
+      val in = t(s, dir, "events")
+        .select(col("event_type"), col("user_id"),
+          floor(unix_timestamp(col("ts")) / 86400).cast("long").as("d"))
+        .distinct()
+        .withColumn("sseed", col("user_id") * 31 + length(col("event_type")))
+        .withColumn("zero_count", lit(0L))
+        .withColumn("pos_idx",
+          sequence(lit(0), when(col("d") >= 19740, lit(5)).otherwise(lit(4))))
+        .withColumn("pos_counts",
+          transform(col("pos_idx"),
+            i => col("d") * col("d") * ((col("sseed") + i + 3) % 5)))
+        .withColumn("hsum",
+          (col("d") * ((col("sseed") % 7) + 1)).cast("double") * 0.25)
+        .withColumn("ts_ms", col("d") * 86400000L)
+      graft.tsdb.block.TsdbBlockStore.writeHist(
+        in, nhcbBlockPath(dir), Seq("event_type", "user_id"), "ts_ms",
+        "zero_count", "pos_idx", "pos_counts", "hsum",
+        schema = graft.tsdb.block.ChunkencHistogram.CustomBucketsSchema,
+        customValues = NhcbBounds,
+        blockDurationMs = 9L * 86400000L, samplesPerChunk = 6)
+    }
+
+  /** NHCB (custom-bucket, schema -53) TSDB block roundtrip — the
+    * last chunkenc layout family: the bound list rides the chunk
+    * layout (compact varbit form), decodes bit-exactly, and every
+    * bucket row resolves its inclusive upper `bound` through the
+    * decoded `custom_values` — so the oracle hash pins schema,
+    * bounds AND counts through the byte path. Mid-chunk appearance
+    * of index 5 exercises the union-layout fill exactly like the
+    * exponential gate. */
+  private def tsTsdbBlockNhcbRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    nhcbBlockFixture(s, dir)
+    graft.tsdb.block.TsdbBlockStore
+      .readHistLabels(s, nhcbBlockPath(dir), Seq("event_type", "user_id"))
+      .select(col("event_type"), col("user_id"), col("ts").as("ts_ms"),
+        col("schema").as("hschema"), col("hist_sum").as("hsum"),
+        explode(zip_with(col("pos_idx"), col("pos_counts"),
+          (i, c) => struct(i.as("i"), c.as("c")))).as("b"),
+        col("custom_values"))
+      .select(col("event_type"), col("user_id"), col("ts_ms"),
+        col("hschema"), col("hsum"), col("b.i").as("idx"),
+        col("b.c").as("cnt"),
+        element_at(col("custom_values"), col("b.i") + 1).as("bound"))
+      .filter(col("cnt") =!= 0)
+      .orderBy("event_type", "user_id", "ts_ms", "idx")
+  }
+
+  /** Matcher + range select over NHCB block bytes: postings-index
+    * pruning and chunk-frame time pruning dispatching into the
+    * schema -53 decode (sharded ×3) ≡ the filtered fixture. */
+  private def tsTsdbBlockNhcbSelect(s: SparkSession, dir: String): DataFrame = {
+    nhcbBlockFixture(s, dir)
+    graft.tsdb.block.TsdbBlockStore
+      .readHistLabels(s, nhcbBlockPath(dir), Seq("event_type", "user_id"),
+        mint = 1704412800000L, // 2024-01-05T00:00:00Z
+        maxt = 1705708799999L, // 2024-01-19T23:59:59.999Z
+        matchers = Seq(Matcher.Eq("event_type", "view"),
+          Matcher.Re("user_id", "1.*|2.*")),
+        shardsPerBlock = 3)
+      .select(col("event_type"), col("user_id"), col("ts").as("ts_ms"),
+        col("schema").as("hschema"), col("hist_sum").as("hsum"),
+        explode(zip_with(col("pos_idx"), col("pos_counts"),
+          (i, c) => struct(i.as("i"), c.as("c")))).as("b"),
+        col("custom_values"))
+      .select(col("event_type"), col("user_id"), col("ts_ms"),
+        col("hschema"), col("hsum"), col("b.i").as("idx"),
+        col("b.c").as("cnt"),
+        element_at(col("custom_values"), col("b.i") + 1).as("bound"))
+      .filter(col("cnt") =!= 0)
+      .orderBy("event_type", "user_id", "ts_ms", "idx")
+  }
+
   /** `histogram_quantile(0.9, rate(nh_requests[40d]))` evaluated
     * FROM BLOCK BYTES: [[tsdb.block.TsdbBlockStore.readHistLabels]]
     * registers the decoded encoding-2 chunks as a PromQL
@@ -2567,6 +2658,8 @@ object SparkEntry {
     "ts_tsdb_block_nh_select" -> (tsTsdbBlockNhSelect _),
     "ts_tsdb_block_fh_roundtrip" -> (tsTsdbBlockFhRoundtrip _),
     "ts_tsdb_block_nh_convert" -> (tsTsdbBlockNhConvert _),
+    "ts_tsdb_block_nhcb_roundtrip" -> (tsTsdbBlockNhcbRoundtrip _),
+    "ts_tsdb_block_nhcb_select" -> (tsTsdbBlockNhcbSelect _),
     "ts_promql_tsdb_blocks" -> (tsPromqlTsdbBlocks _),
     "ts_promql_nh_blocks" -> (tsPromqlNhBlocks _),
     "ts_promql_info" -> (tsPromqlInfo _),
@@ -4353,6 +4446,57 @@ object SparkEntry {
         |WHERE i <= (CASE WHEN d >= 19740 THEN 5 ELSE 4 END)
         |  AND d*d*((sseed + i + 3) % 5) != 0
         |ORDER BY event_type, CAST(user_id AS VARCHAR), ts_us, idx"""
+        .stripMargin,
+    // NHCB (custom-bucket, schema -53) block roundtrip: the bound
+    // list re-derived as (i+1)·0.25 — bit-exact through the compact
+    // varbit bound form — plus the constant schema and the nonzero
+    // counts, all through real chunkenc bytes
+    "ts_tsdb_block_nhcb_roundtrip" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |base AS (
+        |  SELECT event_type, user_id, d,
+        |    user_id * 31 + length(event_type) AS sseed,
+        |    d * 86400000 AS ts_ms
+        |  FROM days)
+        |SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, ts_ms,
+        |  -53 AS hschema,
+        |  CAST(d * ((sseed % 7) + 1) AS DOUBLE) * 0.25 AS hsum,
+        |  CAST(i AS INT) AS idx,
+        |  d*d*((sseed + i + 3) % 5) AS cnt,
+        |  CAST(i + 1 AS DOUBLE) * 0.25 AS bound
+        |FROM base, unnest(range(0, 6)) AS t(i)
+        |WHERE i <= (CASE WHEN d >= 19740 THEN 5 ELSE 4 END)
+        |  AND d*d*((sseed + i + 3) % 5) != 0
+        |ORDER BY event_type, CAST(user_id AS VARCHAR), ts_ms, idx"""
+        .stripMargin,
+    // NHCB matcher + range select through the postings index and the
+    // schema -53 decode — same filter replayed on the fixture
+    "ts_tsdb_block_nhcb_select" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |base AS (
+        |  SELECT event_type, user_id, d,
+        |    user_id * 31 + length(event_type) AS sseed,
+        |    d * 86400000 AS ts_ms
+        |  FROM days
+        |  WHERE event_type = 'view'
+        |    AND regexp_full_match(CAST(user_id AS VARCHAR), '1.*|2.*')
+        |    AND d * 86400000 BETWEEN 1704412800000 AND 1705708799999)
+        |SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, ts_ms,
+        |  -53 AS hschema,
+        |  CAST(d * ((sseed % 7) + 1) AS DOUBLE) * 0.25 AS hsum,
+        |  CAST(i AS INT) AS idx,
+        |  d*d*((sseed + i + 3) % 5) AS cnt,
+        |  CAST(i + 1 AS DOUBLE) * 0.25 AS bound
+        |FROM base, unnest(range(0, 6)) AS t(i)
+        |WHERE i <= (CASE WHEN d >= 19740 THEN 5 ELSE 4 END)
+        |  AND d*d*((sseed + i + 3) % 5) != 0
+        |ORDER BY event_type, CAST(user_id AS VARCHAR), ts_ms, idx"""
         .stripMargin,
     "ts_promql_nh_blocks" -> nhQuantileRateBlockSql,
     // info(): the derived target_info tier label re-derived with the

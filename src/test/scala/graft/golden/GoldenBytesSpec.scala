@@ -31,8 +31,50 @@ class GoldenBytesSpec extends AnyFunSuite {
     assert(GoldenData.histChunkBytes.toSeq == committed("hist_chunk.bin").toSeq)
     assert(GoldenData.floatHistChunkBytes.toSeq ==
       committed("float_hist_chunk.bin").toSeq)
+    assert(GoldenData.nhcbChunkBytes.toSeq == committed("nhcb_chunk.bin").toSeq)
+    assert(GoldenData.advHistChunkBytes.toSeq ==
+      committed("adv_hist_chunk.bin").toSeq)
+    assert(GoldenData.advFloatHistChunkBytes.toSeq ==
+      committed("adv_float_hist_chunk.bin").toSeq)
     assert(GoldenData.chunkBlobBytes.toSeq == committed("chunk_blob.bin").toSeq)
     assert(GoldenData.histBlobBytes.toSeq == committed("hist_blob.bin").toSeq)
+  }
+
+  private def assertHistEqual(c: CH.HistChunk, e: CH.HistChunk): Unit = {
+    assert(c.flags == e.flags && c.schema == e.schema &&
+      c.zeroThreshold == e.zeroThreshold)
+    assert(c.posSpans == e.posSpans && c.negSpans == e.negSpans)
+    assert(c.ts.toSeq == e.ts.toSeq)
+    assert(c.count.toSeq == e.count.toSeq)
+    assert(c.zeroCount.toSeq == e.zeroCount.toSeq)
+    assert(raw(c.sum) == raw(e.sum))
+    assert(c.posBuckets.map(_.toSeq).toSeq == e.posBuckets.map(_.toSeq).toSeq)
+    assert(c.negBuckets.map(_.toSeq).toSeq == e.negBuckets.map(_.toSeq).toSeq)
+    assert(raw(c.customValues) == raw(e.customValues))
+  }
+
+  test("NHCB chunk decodes from committed bytes, bound list bit-exact") {
+    val b = committed("nhcb_chunk.bin")
+    assertHistEqual(CH.decodeHistChunk(b, 0, b.length), GoldenData.nhcbChunk)
+  }
+
+  test("adversarial integer chunk decodes from committed bytes") {
+    val b = committed("adv_hist_chunk.bin")
+    assertHistEqual(CH.decodeHistChunk(b, 0, b.length),
+      GoldenData.advHistChunk)
+  }
+
+  test("adversarial float chunk decodes from committed bytes") {
+    val b = committed("adv_float_hist_chunk.bin")
+    val c = CH.decodeFloatHistChunk(b, 0, b.length)
+    val e = GoldenData.advFloatHistChunk
+    assert(c.flags == e.flags && c.schema == e.schema)
+    assert(c.posSpans == e.posSpans && c.negSpans == e.negSpans)
+    assert(c.ts.toSeq == e.ts.toSeq)
+    assert(raw(c.count) == raw(e.count))
+    assert(raw(c.zeroCount) == raw(e.zeroCount))
+    assert(raw(c.sum) == raw(e.sum))
+    assert(c.posBuckets.map(raw).toSeq == e.posBuckets.map(raw).toSeq)
   }
 
   test("XOR chunk decodes from committed bytes") {
@@ -152,6 +194,37 @@ class GoldenBytesSpec extends AnyFunSuite {
       assert(java.lang.Double.doubleToRawLongBits(r.getDouble(7)) ==
         java.lang.Double.doubleToRawLongBits(e.sum(i)))
     }
+  }
+
+  test("tombstoned block writer output is byte-identical to the committed dirs") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("golden_tomb_regen").toFile
+    try {
+      GoldenData.writeGoldenTombBlocks(tmp)
+      val names = Option(new java.io.File(root, "tombblock").listFiles())
+        .getOrElse(Array.empty).map(_.getName).sorted
+      assert(names.length == 2)
+      for (block <- names;
+           f <- Seq("index", "meta.json", "tombstones", "chunks/000001")) {
+        val want = committed(s"tombblock/$block/$f")
+        val got = java.nio.file.Files.readAllBytes(
+          new java.io.File(tmp, s"$block/$f").toPath)
+        assert(got.toSeq == want.toSeq, s"writer drift in $block/$f")
+      }
+    } finally graft.tools.Fs.deleteRecursively(tmp)
+  }
+
+  test("committed tombstones are applied by the Spark block reader") {
+    val spark = SparkTestBase.spark
+    val tombRoot = new java.io.File(root, "tombblock").getPath
+    val got = TsdbBlockStore.read(spark, tombRoot).collect()
+      .map(s => (s.ts, java.lang.Double.doubleToRawLongBits(s.value))).toSet
+    val (delA, delB) = GoldenData.tombDeleted
+    val want = GoldenData.xorTs.zip(raw(GoldenData.xorVs))
+      .filterNot { case (ts, _) => ts >= delA && ts <= delB }.toSet
+    assert(got == want)
+    // sanity: the carve-out removed exactly two samples
+    assert(got.size == GoldenData.xorTs.length - 2)
   }
 
   test("committed NH block reads end-to-end through readFloatHistLabels") {

@@ -76,6 +76,83 @@ object GoldenData {
   def histBlobBytes: Array[Byte] =
     HistChunkCodec.encodeBlob(histSamples, schema = 0, samplesPerChunk = 2)
 
+  // ---- NHCB custom-bucket chunk (schema -53) ----
+
+  /** Custom-bucket chunk exercising BOTH bound encodings (compact
+    * varbit for exact 0.001-multiples, the 8-one-bit raw escape for
+    * 1/3 and 50000 > 33554.43), the +Inf overflow index (5 ==
+    * num_values), and a bucket that is zero until sample 2 — the
+    * union-layout fill shape chunkenc's recode produces. */
+  val nhcbChunk: CH.HistChunk = {
+    val bounds = Array(0.005, 0.1, 1.0 / 3.0, 2.5, 50000.0)
+    val posSpans = Vector(CH.Span(0, 3), CH.Span(1, 2)) // idx 0,1,2,4,5
+    val ts = Array(1704067200000L, 1704067215000L, 1704067230000L,
+      1704067245000L)
+    val n = ts.length
+    val pos = Array.tabulate(n, 5)((i, j) =>
+      if (j == 3 && i < 2) 0L else (i + 1L) * (j + 1L) * 2L)
+    val zero = Array.fill(n)(0L)
+    val count = Array.tabulate(n)(i => pos(i).sum)
+    val sum = Array(0.25, 1.5, 3.0, 10.5)
+    CH.HistChunk(CH.NotCounterReset, CH.CustomBucketsSchema, 0.0,
+      posSpans, Vector.empty, ts, count, zero, sum, pos,
+      Array.fill(n)(Array.empty[Long]), bounds)
+  }
+
+  def nhcbChunkBytes: Array[Byte] = CH.encodeHistChunk(nhcbChunk)
+
+  // ---- adversarial chunkenc fixtures (hostile cases frozen now) ----
+
+  /** Integer chunk stacking the hard parts: negative spans, the
+    * counter-RESET hint, a positive bucket that stays zero for two
+    * samples then jumps by 2^55 (forcing the 56-bit and raw-64
+    * varbit buckets through the delta-of-delta path), and a NaN
+    * tracked sum mid-chunk. */
+  val advHistChunk: CH.HistChunk = {
+    val posSpans = Vector(CH.Span(-1, 2), CH.Span(3, 1)) // idx -1,0,4
+    val negSpans = Vector(CH.Span(2, 2))                 // idx 2,3
+    val ts = Array(1704067200000L, 1704067201000L, 1704067262000L,
+      1704067262001L)
+    val n = ts.length
+    val pos = Array.tabulate(n, 3) { (i, j) =>
+      if (j == 2) { if (i < 2) 0L else (1L << 55) + i }
+      else (i + 1L) * (j + 5L)
+    }
+    val neg = Array.tabulate(n, 2)((i, j) => (i + 2L) * (j + 1L) * 7L)
+    val zero = Array(3L, 3L, 0L, 9L) // dips: reset semantics, gauge-free
+    val count = Array.tabulate(n)(i => zero(i) + pos(i).sum + neg(i).sum)
+    val sum = Array(2.5, Double.NaN, -1e308, 0.125)
+    CH.HistChunk(CH.CounterReset, -4, math.pow(2, -243), posSpans,
+      negSpans, ts, count, zero, sum, pos, neg)
+  }
+
+  def advHistChunkBytes: Array[Byte] = CH.encodeHistChunk(advHistChunk)
+
+  /** Float chunk with the IEEE specials on every tracked field: NaN
+    * count, -0.0 and +Inf buckets, NaN zero count, ±Inf sums — each
+    * must survive its own Gorilla window bit-exactly. */
+  val advFloatHistChunk: CH.FloatHistChunk = {
+    val posSpans = Vector(CH.Span(0, 2), CH.Span(2, 1)) // idx 0,1,3
+    val ts = Array(1704067200000L, 1704067215000L, 1704067230000L,
+      1704067245000L)
+    val n = ts.length
+    val pos = Array(
+      Array(0.5, -0.0, 1.25),
+      Array(0.5, Double.PositiveInfinity, 1.25),
+      Array(Double.NaN, 2.0, -0.0),
+      Array(4.0, 2.0, Double.MinPositiveValue))
+    val neg = Array.fill(n)(Array.empty[Double])
+    val zero = Array(0.0, Double.NaN, 0.0, -0.0)
+    val count = Array(2.25, Double.NaN, 7.0, 8.5)
+    val sum = Array(Double.NegativeInfinity, 1.5,
+      Double.PositiveInfinity, Double.NaN)
+    CH.FloatHistChunk(CH.UnknownCounterReset, 1, 0.0, posSpans,
+      Vector.empty, ts, count, zero, sum, pos, neg)
+  }
+
+  def advFloatHistChunkBytes: Array[Byte] =
+    CH.encodeFloatHistChunk(advFloatHistChunk)
+
   // ---- a complete TSDB block dir (index + segments + meta + tombstones) ----
   /** Two series: one with two XOR chunks, one with a histogram
     * chunk — built with the format primitives directly (no Spark),
@@ -102,6 +179,47 @@ object GoldenData {
       numSeries = 2, numSamples = (xorTs.length + histChunk.ts.length).toLong,
       numChunks = 3)
     F.writeEmptyTombstones(dir)
+  }
+
+  // ---- a multi-block dir with LIVE tombstones ----
+
+  /** The deletion interval block A's tombstones carve out of the
+    * golden_tomb series: [xorTs(1), xorTs(2)] inclusive. */
+  def tombDeleted: (Long, Long) = (xorTs(1), xorTs(2))
+
+  /** Two blocks over one series, the FIRST carrying a non-empty
+    * tombstones file — the committed anchor for deletion-interval
+    * decode + application (every other fixture's tombstones are
+    * empty, so a reader that ignored them entirely would still pass
+    * those). Block A holds samples 0-4 with [ts1, ts2] deleted;
+    * block B holds samples 5-9 untouched. */
+  def writeGoldenTombBlocks(root: java.io.File): Unit = {
+    def one(name: String, ts: Array[Long], vs: Array[Double],
+        del: Seq[(Long, Long)]): Unit = {
+      val dir = new java.io.File(root, name)
+      dir.mkdirs()
+      val segs = new F.ChunkSegmentWriter(new java.io.File(dir, "chunks"))
+      val ref = segs.append(F.encodeXorChunk(ts, vs))
+      segs.close()
+      val idxBytes = F.encodeIndex(Seq(F.SeriesEntry(
+        Seq("__name__" -> "golden_tomb", "job" -> "api"),
+        Seq(F.ChunkMeta(ts.head, ts.last, ref)))))
+      java.nio.file.Files.write(new java.io.File(dir, "index").toPath,
+        idxBytes)
+      F.writeMeta(dir, ulid = name, mint = ts.head, maxt = ts.last + 1,
+        numSeries = 1, numSamples = ts.length.toLong, numChunks = 1)
+      if (del.isEmpty) F.writeEmptyTombstones(dir)
+      else {
+        val sref = new F.IndexReader(idxBytes)
+          .postings("__name__", "golden_tomb").head
+        F.writeTombstones(dir,
+          del.map { case (a, b) => F.Tombstone(sref, a, b) })
+      }
+    }
+    one("GOLDENTOMBA00000000000000A".take(26), xorTs.take(5),
+      xorVs.take(5), Seq(tombDeleted))
+    one("GOLDENTOMBB00000000000000B".take(26), xorTs.drop(5),
+      xorVs.drop(5), Nil)
   }
 
   // ---- a native-histogram block dir readable by the Spark NH path ----
@@ -169,6 +287,9 @@ object GoldenGen {
     put("xor_chunk.bin", GoldenData.xorChunkBytes)
     put("hist_chunk.bin", GoldenData.histChunkBytes)
     put("float_hist_chunk.bin", GoldenData.floatHistChunkBytes)
+    put("nhcb_chunk.bin", GoldenData.nhcbChunkBytes)
+    put("adv_hist_chunk.bin", GoldenData.advHistChunkBytes)
+    put("adv_float_hist_chunk.bin", GoldenData.advFloatHistChunkBytes)
     put("chunk_blob.bin", GoldenData.chunkBlobBytes)
     put("hist_blob.bin", GoldenData.histBlobBytes)
     val block = new java.io.File(root, "block")
@@ -179,5 +300,9 @@ object GoldenGen {
     if (nhRoot.exists()) graft.tools.Fs.deleteRecursively(nhRoot)
     GoldenData.writeGoldenNhBlock(new java.io.File(nhRoot, "block"))
     println("golden nh block dir written")
+    val tombRoot = new java.io.File(root, "tombblock")
+    if (tombRoot.exists()) graft.tools.Fs.deleteRecursively(tombRoot)
+    GoldenData.writeGoldenTombBlocks(tombRoot)
+    println("golden tombstoned block dirs written")
   }
 }
