@@ -722,12 +722,19 @@ object Dedup {
     * (never a pair expansion); the removal-set roll-up re-aggregates
     * at doc grain and the rewrite is a narrow per-row map. Grams are
     * keyed by their exact token string by default (bit-exact oracle
-    * parity); `hashGramKey = true` keys on xxhash64(gram) instead —
-    * the petabyte configuration, where shuffling a fixed 8 bytes per
-    * start beats shuffling k tokens of text (collision odds over n
-    * distinct grams are ~n²/2⁶⁵; a collision merges two gram
-    * classes, i.e. at most k spurious removed tokens — see
-    * SubstringDedupSpec's equivalence pin on the gate corpus).
+    * parity); `hashGramKey = true` keys on a 128-BIT struct of two
+    * independently-derived xxhash64 lanes (the second lane hashes
+    * the gram behind a constant prefix column, i.e. from a different
+    * internal state) — the petabyte configuration, where shuffling a
+    * fixed 16 bytes per start beats shuffling k tokens of text.
+    * Collision analysis: merging two gram classes (which would mark
+    * unique spans duplicated and DELETE real content) now requires
+    * the same pair to collide in BOTH lanes — odds over n distinct
+    * grams ~n²/2¹²⁹, i.e. ~10⁻¹⁸ even at n = 2⁴⁰ grams (a ~PB-scale
+    * corpus), versus ~n²/2⁶⁵ for a single 64-bit key which is
+    * EXPECTED to collide past ~2³² grams. SubstringDedupSpec pins
+    * hashed ≡ exact on the gate corpus and on a synthetic
+    * high-cardinality one.
     */
   def substringDedup(df: DataFrame, textCol: String, idCol: String,
       k: Int, hashGramKey: Boolean = false): DataFrame = {
@@ -735,7 +742,8 @@ object Dedup {
     val words = split(col(textCol), " ")
     // one row per k-gram start: (gram, id, pos), pos 0-based
     val gramKey: Column => Column =
-      if (hashGramKey) xxhash64(_) else identity
+      if (hashGramKey) g => struct(xxhash64(g), xxhash64(lit(0x9e3779b9L), g))
+      else identity
     val starts = df.filter(size(words) >= k)
       .select(col(idCol),
         posexplode(transform(sequence(lit(1), size(words) - (k - 1)),

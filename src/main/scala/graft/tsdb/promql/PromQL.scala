@@ -665,19 +665,28 @@ object PromQL {
           }).cast("double")
         }))
       case fn @ ("sort" | "sort_desc") =>
-        // presentation-only in PromQL; harmless pass-through order
+        // presentation-only in PromQL. DOCUMENTED TIEBREAK: elements
+        // tied on value order by their label values ascending, label
+        // names in lexicographic order — a total order, so the output
+        // can never depend on partition fetch order
         val v = vec(one(c, fn), fn)
+        val tie = v.labels.sorted.map(col(_).asc)
         Right(Vec(v.df.orderBy(
-          if (fn == "sort") col("value").asc else col("value").desc), v.labels))
+          (if (fn == "sort") col("value").asc else col("value").desc) +: tie: _*),
+          v.labels))
       case fn @ ("sort_by_label" | "sort_by_label_desc") =>
-        // presentation-only: order elements by the given label values
+        // presentation-only: order elements by the given label values.
+        // DOCUMENTED TIEBREAK: the remaining labels ascending (names
+        // lexicographic), then value ascending — again a total order
         if (c.args.length < 2) fail(s"$fn(v, label, ...) needs at least one label")
         val v = vec(c.args.head, fn)
         val ls = c.args.tail.map(strArg(_, s"$fn label"))
         ls.find(l => !v.labels.contains(l)).foreach(l =>
           fail(s"$fn: vector has no label '$l'"))
         val ord = ls.map(l => if (fn == "sort_by_label") col(l).asc else col(l).desc)
-        Right(Vec(v.df.orderBy(ord: _*), v.labels))
+        val tie = (v.labels.sorted.filterNot(ls.contains).map(col(_).asc) :+
+          col("value").asc)
+        Right(Vec(v.df.orderBy(ord ++ tie: _*), v.labels))
       case "absent_over_time" =>
         val rv = rangeVec(one(c, c.fn), c.fn)
         grid match {

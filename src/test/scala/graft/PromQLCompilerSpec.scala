@@ -717,6 +717,35 @@ class PromQLCompilerSpec extends SparkSpec {
       run("""sort_by_label(http_requests_total, "nope")"""))
   }
 
+  test("sort ties break on label values — documented, partition-independent") {
+    // three elements tied at 7.0, spread over 8 partitions so any
+    // fetch-order dependence would surface; the documented tiebreak
+    // is label values ascending with label NAMES in lexicographic
+    // order (instance before job)
+    val tied = Seq(
+      ("b", "x", ts("2024-01-01 00:59:00"), 7.0, 1L),
+      ("a", "y", ts("2024-01-01 00:59:00"), 7.0, 2L),
+      ("a", "x", ts("2024-01-01 00:59:00"), 7.0, 3L),
+      ("c", "x", ts("2024-01-01 00:59:00"), 3.0, 4L)
+    ).toDF("job", "instance", "ts", "value", "seq").repartition(8)
+    val tctx = ctx.copy(metrics = Map("tied_metric" -> tied))
+    val s = PromQL.compile("sort(tied_metric)", tctx)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .toSeq
+    assert(s == Seq(("c", "x", 3.0),
+      ("a", "x", 7.0), ("b", "x", 7.0), ("a", "y", 7.0)))
+    val sd = PromQL.compile("sort_desc(tied_metric)", tctx)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .toSeq
+    assert(sd == Seq(("a", "x", 7.0), ("b", "x", 7.0), ("a", "y", 7.0),
+      ("c", "x", 3.0)))
+    // sort_by_label ties on the named label break on the REMAINING
+    // labels (names lexicographic), then value
+    val sl = PromQL.compile("""sort_by_label(tied_metric, "instance")""", tctx)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(sl == Seq(("a", "x"), ("b", "x"), ("c", "x"), ("a", "y")))
+  }
+
   test("holt_winters / deriv / predict_linear compile to the PromOps plans") {
     val hw = rows("double_exponential_smoothing(http_requests_total[1h], 0.5, 0.5)")
     assert(hw.map(_.take(2)) ==

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.Dedup
 
 /** Semantics of [[Dedup.substringDedup]] — the corpus-rewriting
@@ -96,5 +98,29 @@ class SubstringDedupSpec extends SparkSpec {
         hashGramKey = true)
       .orderBy("doc_id").collect().toSeq
     assert(hashed == exact)
+  }
+
+  test("hashGramKey ≡ exact on a high-cardinality synthetic corpus") {
+    // ~40k docs of 12 tokens, mostly-unique vocabulary with planted
+    // cross-doc duplicate spans every 7th doc — tens of thousands of
+    // distinct 3-grams push far past the gate corpus' cardinality
+    // while staying collision-free for the 128-bit key by design
+    import spark.implicits._
+    val docs = spark.range(40000).select(col("id").as("doc_id"),
+      concat_ws(" ",
+        (0 until 12).map(j =>
+          when(col("id") % 7 === 0 && j >= 4 && j < 9,
+            concat(lit("dup"), lit(j)))
+          .otherwise(concat(lit("w"), col("id") * 12 + j))): _*)
+        .as("text"))
+    val exact = Dedup.substringDedup(docs, "text", "doc_id", k = 3)
+      .orderBy("doc_id").collect().toSeq
+    val hashed = Dedup.substringDedup(docs, "text", "doc_id", k = 3,
+        hashGramKey = true)
+      .orderBy("doc_id").collect().toSeq
+    assert(hashed == exact)
+    // sanity: the planted spans actually deduplicated
+    val removed = exact.map(r => r.getAs[Int]("n_removed").toLong).sum
+    assert(removed > 20000)
   }
 }
