@@ -34,16 +34,28 @@ import org.apache.spark.sql.SparkSession
   * medians), flagging any query whose in-suite median exceeds 2× its
   * isolated one as a co-residency artifact on stderr.
   *
-  * It also ships the SCALE-SLOPE column: the `SPARK_GRAFT_SF1_TOP`
-  * (default 10) heaviest queries re-run one-per-child-JVM, heaviest
+  * It also ships the SCALE-SLOPE columns: the `SPARK_GRAFT_SF1_TOP`
+  * (default 10) heaviest queries PLUS the family representatives in
+  * `SPARK_GRAFT_SF1_EXTRA` (default: a PromQL range-grid query, an
+  * NH block ingestion query and a wide-schema select — families the
+  * heaviest-N set never samples) re-run one-per-child-JVM, heaviest
   * first, against a ×`SPARK_GRAFT_SF1_FACTOR` (default 10) replica
   * of the bench SF built by [[graft.tools.ScaleUp]] under /tmp
-  * (marker-cached) → `"sf1_medians"`/`"sf1_factor"`/`"sf1_skipped"`.
-  * Each child is capped at 8 min and the whole column at
-  * `SPARK_GRAFT_SF1_BUDGET_MIN` (default 20) — a pathological query
-  * costs its own cell, never the results line. s/sf slopes worse
-  * than ~1.5× linear are scale smells for the round writeup.
-  * `SPARK_GRAFT_SF1_TOP=0` disables; children always disable it.
+  * (marker-cached) → `"sf1_medians"`/`"sf1_factor"`/`"sf1_skipped"`
+  * /`"sf1_timeout"`; then the `SPARK_GRAFT_SF3X_TOP` (default 5)
+  * heaviest re-run against a ×`SPARK_GRAFT_SF3X_FACTOR` (default
+  * 30) replica → the same four keys under `sf3x_*`, so the
+  * concavity claim (is the curve bending down between ×10 and ×30?)
+  * is machine-recorded every round instead of hand-probed. Each
+  * child is capped at 8 min and each column at
+  * `SPARK_GRAFT_SF1_BUDGET_MIN` / `SPARK_GRAFT_SF3X_BUDGET_MIN`
+  * (default 20 each) — a pathological query costs its own cell,
+  * never the results line, and lands VISIBLY in `*_timeout` (child
+  * cap) or `*_skipped` (column budget): an absent cell is always
+  * explained by one of the two lists. s/sf slopes worse than ~1.5×
+  * linear are scale smells for the round writeup.
+  * `SPARK_GRAFT_SF1_TOP=0` disables both; `SPARK_GRAFT_SF3X_TOP=0`
+  * only the ×30 column; children always disable them.
   */
 object Bench {
 
@@ -199,21 +211,31 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
 
-    // Scale-slope datapoint: replicate this SF ×10 into /tmp (once;
-    // marker-cached) while the session is still up. Generation is
-    // untimed harness work; failure disables only the sf1 column.
+    // Scale-slope datapoints: replicate this SF ×10 and ×30 into
+    // /tmp (once each; marker-cached) while the session is still up.
+    // Generation is untimed harness work; a failure disables only
+    // its own column.
     val sf1Top = sys.env.getOrElse("SPARK_GRAFT_SF1_TOP", "10").toInt
     val sf1Factor = sys.env.getOrElse("SPARK_GRAFT_SF1_FACTOR", "10").toInt
+    val sf3xTop = if (sf1Top <= 0) 0
+      else sys.env.getOrElse("SPARK_GRAFT_SF3X_TOP", "5").toInt
+    val sf3xFactor = sys.env.getOrElse("SPARK_GRAFT_SF3X_FACTOR", "30").toInt
+    def replicaDir(factor: Int): String =
+      s"/tmp/graft_sf${factor}x_" + sfDir.replaceAll("[^0-9a-zA-Z]", "_")
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
       "/tmp/graft_sf1_" + sfDir.replaceAll("[^0-9a-zA-Z]", "_"))
-    val sf1Ready = sf1Top > 0 && (try {
-      tools.ScaleUp.ensure(spark, sfDir, sf1Dir, sf1Factor)
-      true
-    } catch {
-      case t: Throwable =>
-        System.err.println(s"[bench-sf1] scale-up generation failed: $t")
-        false
-    })
+    val sf3xDir = sys.env.getOrElse("SPARK_GRAFT_SF3X_DIR",
+      replicaDir(sf3xFactor))
+    def ensureReplica(dir: String, factor: Int, tag: String): Boolean =
+      try { tools.ScaleUp.ensure(spark, sfDir, dir, factor); true }
+      catch {
+        case t: Throwable =>
+          System.err.println(s"[$tag] scale-up generation failed: $t")
+          false
+      }
+    val sf1Ready = sf1Top > 0 && ensureReplica(sf1Dir, sf1Factor, "bench-sf1")
+    val sf3xReady = sf3xTop > 0 &&
+      ensureReplica(sf3xDir, sf3xFactor, "bench-sf3x")
     spark.stop()
 
     // Shared-JVM pressure diagnosis (bench hygiene): the TOP-N
@@ -253,51 +275,78 @@ object Bench {
         ""
     }
 
-    // The sf1 column: this round's TOP-N heaviest queries re-run
-    // one-per-child-JVM against the ×`sf1Factor` replica dir
-    // (1 timed pass — a slope datapoint, not a precision
-    // benchmark), HEAVIEST FIRST under a global wall budget so a
-    // pathological query costs only its own cell plus a
-    // `sf1_skipped` mention, never the column. s/sf worse than
-    // ~1.5× linear vs the in-suite median is a scale smell the
-    // round writeup must diagnose.
-    val sf1Json = if (!sf1Ready) "" else try {
-      val heavy = results.collect { case (n, Some(t)) => (n, t) }
-        .sortBy(-_._2).take(sf1Top).map(_._1)
-      val budgetMin = sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET_MIN",
-        "20").toLong
+    // Optional SF1-ONLY shuffle-partition override: perturbs the
+    // ×N children without touching the 1× baseline medians the
+    // slope ratios divide by. (Measured at ×10 on local[32], a
+    // higher count was NOT an improvement — 256 partitions ran
+    // 23% slower than 32 — so the default inherits the suite's;
+    // the knob exists for profiling other shapes, not as a fix.)
+    val slopeEnv = sys.env.get("SPARK_GRAFT_SF1_SHUFFLE_PARTITIONS")
+      .map(p => Map("SPARK_GRAFT_SHUFFLE_PARTITIONS" -> p))
+      .getOrElse(Map.empty)
+
+    // One scale-slope column: the given queries re-run
+    // one-per-child-JVM against the ×`factor` replica dir (1 timed
+    // pass — a slope datapoint, not a precision benchmark) under a
+    // global wall budget, so a pathological query costs only its own
+    // cell — and that absence is ALWAYS explained in the JSON: a
+    // child that hits the 8-min per-query cap (or dies) lands in
+    // `<key>_timeout`, a query the column budget never reached in
+    // `<key>_skipped`. s/sf worse than ~1.5× linear vs the in-suite
+    // median is a scale smell the round writeup must diagnose.
+    def slopeColumn(key: String, factor: Int, dir: String,
+        names: Seq[String], budgetMin: Long): String = try {
       val deadline = System.nanoTime() + budgetMin * 60L * 1_000_000_000L
       val m = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
-      // Optional SF1-ONLY shuffle-partition override: perturbs the
-      // ×N children without touching the 1× baseline medians the
-      // slope ratios divide by. (Measured at ×10 on local[32], a
-      // higher count was NOT an improvement — 256 partitions ran
-      // 23% slower than 32 — so the default inherits the suite's;
-      // the knob exists for profiling other shapes, not as a fix.)
-      val sf1Env = sys.env.get("SPARK_GRAFT_SF1_SHUFFLE_PARTITIONS")
-        .map(p => Map("SPARK_GRAFT_SHUFFLE_PARTITIONS" -> p))
-        .getOrElse(Map.empty)
-      heavy.foreach { n =>
+      val timedOut = scala.collection.mutable.ArrayBuffer.empty[String]
+      names.foreach { n =>
         if (System.nanoTime() > deadline) skipped += n
-        else runChild(n, passes = 1, sfDir = Some(sf1Dir),
-          timeoutMin = 8, tag = "bench-sf1", extraEnv = sf1Env)
-          .foreach(m(n) = _)
+        else runChild(n, passes = 1, sfDir = Some(dir),
+          timeoutMin = 8, tag = s"bench-$key", extraEnv = slopeEnv) match {
+          case Some(t) => m(n) = t
+          case None => timedOut += n
+        }
       }
       if (skipped.nonEmpty)
         System.err.println(
-          s"[bench-sf1] $budgetMin-min budget exhausted, skipped: ${skipped.mkString(", ")}")
+          s"[bench-$key] $budgetMin-min budget exhausted, skipped: ${skipped.mkString(", ")}")
+      if (timedOut.nonEmpty)
+        System.err.println(
+          s"[bench-$key] per-query cap hit (or child died): ${timedOut.mkString(", ")}")
       val skJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-      if (m.isEmpty) "" else m.map { case (k, v) =>
-        "\"" + k + f"""\":$v%.3f"""
-      }.mkString(
-        s""","sf1_factor":$sf1Factor,"sf1_skipped":$skJson,"sf1_medians":{""",
+      val toJson = timedOut.map("\"" + _ + "\"").mkString("[", ",", "]")
+      if (m.isEmpty && skipped.isEmpty && timedOut.isEmpty) ""
+      else m.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString(
+        s""","${key}_factor":$factor,"${key}_skipped":$skJson,"${key}_timeout":$toJson,"${key}_medians":{""",
         ",", "}")
     } catch {
       case t: Throwable =>
-        System.err.println(s"[bench] sf1 column skipped: $t")
+        System.err.println(s"[bench] $key column skipped: $t")
         ""
     }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"passes":$passes$isoJson$sf1Json,"sf":"$sfDir"}""")
+
+    val heavyAll = results.collect { case (n, Some(t)) => (n, t) }
+      .sortBy(-_._2)
+    // breadth: family representatives the heaviest-N set never
+    // samples ride along in the ×10 column (appended after the
+    // heavy set so the budget spends on the slope-critical cells
+    // first)
+    val sf1Extra = sys.env.getOrElse("SPARK_GRAFT_SF1_EXTRA",
+        "ts_promql_range_rate,ts_tsdb_block_nh_select,ts_wide_select")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      .filter(n => results.exists { case (q, t) => q == n && t.isDefined })
+    val sf1Names = {
+      val heavy = heavyAll.take(sf1Top).map(_._1)
+      heavy ++ sf1Extra.filterNot(heavy.contains)
+    }
+    val sf1Json = if (!sf1Ready) ""
+      else slopeColumn("sf1", sf1Factor, sf1Dir, sf1Names,
+        sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET_MIN", "20").toLong)
+    val sf3xJson = if (!sf3xReady) ""
+      else slopeColumn("sf3x", sf3xFactor, sf3xDir,
+        heavyAll.take(sf3xTop).map(_._1),
+        sys.env.getOrElse("SPARK_GRAFT_SF3X_BUDGET_MIN", "20").toLong)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"passes":$passes$isoJson$sf1Json$sf3xJson,"sf":"$sfDir"}""")
   }
 }
