@@ -2177,6 +2177,62 @@ object SparkEntry {
       .orderBy("event_type", "user_id", "ts_ms", "idx")
   }
 
+  /** The NHCB migration path in one plan — block bytes (schema -53
+    * chunks) → [[tsdb.block.TsdbBlockStore.readHistLabels]] →
+    * [[tsdb.HistChunkStore]] converted layout (the bound list rides
+    * the LABELS file: per-series metadata, zero per-chunk bytes) →
+    * matcher + day-range select. Each returned bucket re-resolves
+    * its upper bound through the custom_values that crossed BOTH
+    * storage seams, so the oracle hash pins chunkenc decode, the
+    * bridge, the converted write and the pruned select together —
+    * the custom-bucket mirror of `ts_tsdb_block_nh_convert`. */
+  private def tsTsdbBlockNhcbConvert(s: SparkSession, dir: String): DataFrame = {
+    nhcbBlockFixture(s, dir)
+    val path = "/tmp/graft_nhcbconv_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+    fixtureOnce(s"nhcbconv:$dir") {
+      val nh = graft.tsdb.block.TsdbBlockStore
+        .readHistLabels(s, nhcbBlockPath(dir), Seq("event_type", "user_id"))
+        .withColumn("ts", timestamp_millis(col("ts")))
+      HistChunkStore.write(nh, path, Seq("event_type", "user_id"), "ts",
+        "zero_count", "pos_idx", "pos_counts", Some("hist_sum"),
+        histSchema = graft.tsdb.block.ChunkencHistogram.CustomBucketsSchema,
+        customValues = NhcbBounds, samplesPerChunk = 10)
+    }
+    HistChunkStore.select(s, path, "2024-01-05", "2024-01-20",
+        Seq(Matcher.Eq("event_type", "view")),
+        Seq("event_type", "user_id"), "ts")
+      .select(col("event_type"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("hist_sum").as("hsum"),
+        explode(zip_with(col("pos_idx"), col("pos_counts"),
+          (i, c) => struct(i.as("i"), c.as("c")))).as("b"),
+        col("custom_values"))
+      .select(col("event_type"), col("user_id"), col("ts_us"),
+        col("hsum"), col("b.i").as("idx"), col("b.c").as("cnt"),
+        element_at(col("custom_values"), col("b.i") + 1).as("bound"))
+      .filter(col("cnt") =!= 0)
+      .orderBy("event_type", "user_id", "ts_us", "idx")
+  }
+
+  /** `histogram_quantile(0.9, h)` over CUSTOM-BUCKET histograms
+    * decoded from block bytes
+    * ([[tsdb.NativeHistogram.histogramQuantileCustom]]): the classic
+    * bucketQuantile walk (first-bucket lower bound 0, linear
+    * interpolation against the custom bound list, +Inf → highest
+    * finite bound) as a narrow per-row fold — map-side at any scale,
+    * union-fill zero buckets never catch the rank. The oracle
+    * replays the walk with the same FP association. */
+  private def tsNhcbQuantile(s: SparkSession, dir: String): DataFrame = {
+    nhcbBlockFixture(s, dir)
+    graft.tsdb.block.TsdbBlockStore
+      .readHistLabels(s, nhcbBlockPath(dir), Seq("event_type", "user_id"))
+      .select(col("event_type"), col("user_id"), col("ts").as("ts_ms"),
+        graft.tsdb.NativeHistogram.histogramQuantileCustom(0.9,
+          col("pos_idx"), col("pos_counts"), col("custom_values"))
+          .as("phi90"))
+      .orderBy("event_type", "user_id", "ts_ms")
+  }
+
   /** `histogram_quantile(0.9, rate(nh_requests[40d]))` evaluated
     * FROM BLOCK BYTES: [[tsdb.block.TsdbBlockStore.readHistLabels]]
     * registers the decoded encoding-2 chunks as a PromQL
@@ -2660,6 +2716,8 @@ object SparkEntry {
     "ts_tsdb_block_nh_convert" -> (tsTsdbBlockNhConvert _),
     "ts_tsdb_block_nhcb_roundtrip" -> (tsTsdbBlockNhcbRoundtrip _),
     "ts_tsdb_block_nhcb_select" -> (tsTsdbBlockNhcbSelect _),
+    "ts_tsdb_block_nhcb_convert" -> (tsTsdbBlockNhcbConvert _),
+    "ts_nhcb_quantile" -> (tsNhcbQuantile _),
     "ts_promql_tsdb_blocks" -> (tsPromqlTsdbBlocks _),
     "ts_promql_nh_blocks" -> (tsPromqlNhBlocks _),
     "ts_promql_info" -> (tsPromqlInfo _),
@@ -4497,6 +4555,63 @@ object SparkEntry {
         |WHERE i <= (CASE WHEN d >= 19740 THEN 5 ELSE 4 END)
         |  AND d*d*((sseed + i + 3) % 5) != 0
         |ORDER BY event_type, CAST(user_id AS VARCHAR), ts_ms, idx"""
+        .stripMargin,
+    // the NHCB migration path (block bytes → converted layout with
+    // the bound list in the labels file → pruned select) must answer
+    // exactly what the fixture filter answers, bounds included
+    "ts_tsdb_block_nhcb_convert" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |base AS (
+        |  SELECT event_type, user_id, d,
+        |    user_id * 31 + length(event_type) AS sseed,
+        |    CAST(d * 86400000000 AS BIGINT) AS ts_us
+        |  FROM days
+        |  WHERE event_type = 'view'
+        |    AND d >= 19727 AND d < 19742)
+        |SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, ts_us,
+        |  CAST(d * ((sseed % 7) + 1) AS DOUBLE) * 0.25 AS hsum,
+        |  CAST(i AS INT) AS idx,
+        |  d*d*((sseed + i + 3) % 5) AS cnt,
+        |  CAST(i + 1 AS DOUBLE) * 0.25 AS bound
+        |FROM base, unnest(range(0, 6)) AS t(i)
+        |WHERE i <= (CASE WHEN d >= 19740 THEN 5 ELSE 4 END)
+        |  AND d*d*((sseed + i + 3) % 5) != 0
+        |ORDER BY event_type, CAST(user_id AS VARCHAR), ts_us, idx"""
+        .stripMargin,
+    // the classic bucketQuantile walk over custom bounds, replayed
+    // with the same FP association: cum/total exact integers in
+    // double, phi = 0.25·i + 0.25·((rank − cumBefore)/cnt)
+    "ts_nhcb_quantile" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |base AS (
+        |  SELECT event_type, user_id, d,
+        |    user_id * 31 + length(event_type) AS sseed,
+        |    d * 86400000 AS ts_ms
+        |  FROM days),
+        |buckets AS (
+        |  SELECT event_type, user_id, ts_ms, i,
+        |    d*d*((sseed + i + 3) % 5) AS cnt
+        |  FROM base, unnest(range(0, 6)) AS t(i)
+        |  WHERE i <= (CASE WHEN d >= 19740 THEN 5 ELSE 4 END)),
+        |cum AS (
+        |  SELECT *, CAST(sum(cnt) OVER (PARTITION BY event_type, user_id,
+        |      ts_ms ORDER BY i) AS DOUBLE) AS cumc,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type, user_id,
+        |      ts_ms) AS DOUBLE) AS total
+        |  FROM buckets),
+        |hit AS (
+        |  SELECT * FROM cum WHERE cnt > 0 AND cumc >= 0.9 * total)
+        |SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, ts_ms,
+        |  min_by(0.25 * i + 0.25 * (((0.9 * total) - (cumc - cnt)) / cnt),
+        |    i) AS phi90
+        |FROM hit GROUP BY 1, 2, 3
+        |ORDER BY event_type, CAST(user_id AS VARCHAR), ts_ms"""
         .stripMargin,
     "ts_promql_nh_blocks" -> nhQuantileRateBlockSql,
     // info(): the derived target_info tier label re-derived with the

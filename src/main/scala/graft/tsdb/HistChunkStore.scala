@@ -34,16 +34,22 @@ object HistChunkStore {
 
   /** Write a native-histogram table (`tsCol` timestamp; `zeroCol`
     * long; `idxCol` array<int> ascending; `cntCol` array<long>;
-    * `sumCol` optional double) as a chunked dual-file block.
+    * `sumCol` optional double) as a chunked dual-file block. For
+    * CUSTOM-BUCKET histograms (NHCB, `histSchema` -53) pass
+    * `customValues` — the block's shared ascending bound list; it is
+    * per-series METADATA, not per-sample data, so it lives in the
+    * (tiny) labels file and [[select]] surfaces it as a
+    * `custom_values` column without a byte of per-chunk overhead.
     */
   def write(df: DataFrame, path: String, seriesCols: Seq[String],
       tsCol: String, zeroCol: String, idxCol: String, cntCol: String,
       sumCol: Option[String] = None, histSchema: Int = 0,
       colDuration: String = "1 day", samplesPerChunk: Int = 120,
-      compression: String = "zstd"): Unit =
+      compression: String = "zstd",
+      customValues: Seq[Double] = Nil): Unit =
     writeImpl(df, path, seriesCols, tsCol, zeroCol, idxCol, cntCol,
       sumCol, histSchema, colDuration, samplesPerChunk, compression,
-      float = false)
+      float = false, customValues = customValues)
 
   /** [[write]] for FLOAT histograms (`zeroCol` double; `cntCol`
     * array<double> — recording-rule output): same dual-file layout,
@@ -52,22 +58,31 @@ object HistChunkStore {
       tsCol: String, zeroCol: String, idxCol: String, cntCol: String,
       sumCol: Option[String] = None, histSchema: Int = 0,
       colDuration: String = "1 day", samplesPerChunk: Int = 120,
-      compression: String = "zstd"): Unit =
+      compression: String = "zstd",
+      customValues: Seq[Double] = Nil): Unit =
     writeImpl(df, path, seriesCols, tsCol, zeroCol, idxCol, cntCol,
       sumCol, histSchema, colDuration, samplesPerChunk, compression,
-      float = true)
+      float = true, customValues = customValues)
 
   private def writeImpl(df: DataFrame, path: String, seriesCols: Seq[String],
       tsCol: String, zeroCol: String, idxCol: String, cntCol: String,
       sumCol: Option[String], histSchema: Int, colDuration: String,
-      samplesPerChunk: Int, compression: String, float: Boolean): Unit = {
+      samplesPerChunk: Int, compression: String, float: Boolean,
+      customValues: Seq[Double] = Nil): Unit = {
     require(seriesCols.nonEmpty, "need at least one series label column")
+    require((histSchema ==
+        graft.tsdb.block.ChunkencHistogram.CustomBucketsSchema) ==
+      customValues.nonEmpty,
+      "customValues required iff histSchema is the custom-bucket " +
+        "schema (-53)")
     val withKey = withSeriesRef(df, seriesCols)
       .withColumn("bucket", TsdbConverter.bucketCol(tsCol, colDuration))
       .withColumn("_ts_us", unix_micros(col(tsCol)))
 
     withKey.select((seriesCols ++ refCols).map(col): _*)
       .distinct()
+      .withColumn("custom_values",
+        array(customValues.map(lit): _*).cast("array<double>"))
       .repartitionByRange(seriesCols.map(col): _*)
       .sortWithinPartitions(seriesCols.map(col): _*)
       .write.mode(SaveMode.Overwrite).option("compression", compression)
@@ -124,7 +139,11 @@ object HistChunkStore {
   private def selectImpl(spark: SparkSession, path: String, mint: String,
       maxt: String, matchers: Seq[Matcher], seriesCols: Seq[String],
       tsCol: String, colDuration: String, float: Boolean): DataFrame = {
-    val labels = spark.read.parquet(s"$path/labels")
+    val labels0 = spark.read.parquet(s"$path/labels")
+    // blocks written before the NHCB column existed read as empty
+    // bound lists — schema evolution without a rewrite
+    val labels = if (labels0.columns.contains("custom_values")) labels0
+      else labels0.withColumn("custom_values", array().cast("array<double>"))
     val matched = Matcher.compile(matchers).map(labels.filter).getOrElse(labels)
 
     val qmint = unix_micros(lit(mint).cast("timestamp"))
@@ -153,14 +172,16 @@ object HistChunkStore {
         ColumnBridge.expression(qmint),
         ColumnBridge.expression(qmaxt)))
     chunks
-      .select((seriesCols.map(col) :+ explode(decoded).as("_s")): _*)
+      .select((seriesCols.map(col) :+ col("custom_values") :+
+        explode(decoded).as("_s")): _*)
       .filter(col("_s.ts") >= qmint && col("_s.ts") < qmaxt)
       .select((seriesCols.map(col) :+
         timestamp_micros(col("_s.ts")).as(tsCol) :+
         col("_s.zero").as("zero_count") :+
         col("_s.idx").as("pos_idx") :+
         col("_s.cnt").as("pos_counts") :+
-        col("_s.sum").as("hist_sum")): _*)
+        col("_s.sum").as("hist_sum") :+
+        col("custom_values")): _*)
   }
 
   /** Compact N overlapping hist-chunk blocks into one: decode every
@@ -171,22 +192,23 @@ object HistChunkStore {
     */
   def mergeBlocks(spark: SparkSession, dirs: Seq[String], outPath: String,
       seriesCols: Seq[String], tsCol: String, histSchema: Int = 0,
-      colDuration: String = "1 day", samplesPerChunk: Int = 120): Unit =
+      colDuration: String = "1 day", samplesPerChunk: Int = 120,
+      customValues: Seq[Double] = Nil): Unit =
     mergeImpl(spark, dirs, outPath, seriesCols, tsCol, histSchema,
-      colDuration, samplesPerChunk, float = false)
+      colDuration, samplesPerChunk, float = false, customValues)
 
   /** [[mergeBlocks]] over [[writeFloat]] blocks. */
   def mergeFloatBlocks(spark: SparkSession, dirs: Seq[String],
       outPath: String, seriesCols: Seq[String], tsCol: String,
       histSchema: Int = 0, colDuration: String = "1 day",
-      samplesPerChunk: Int = 120): Unit =
+      samplesPerChunk: Int = 120, customValues: Seq[Double] = Nil): Unit =
     mergeImpl(spark, dirs, outPath, seriesCols, tsCol, histSchema,
-      colDuration, samplesPerChunk, float = true)
+      colDuration, samplesPerChunk, float = true, customValues)
 
   private def mergeImpl(spark: SparkSession, dirs: Seq[String],
       outPath: String, seriesCols: Seq[String], tsCol: String,
       histSchema: Int, colDuration: String, samplesPerChunk: Int,
-      float: Boolean): Unit = {
+      float: Boolean, customValues: Seq[Double] = Nil): Unit = {
     require(dirs.nonEmpty, "need at least one block directory")
     val full = ("1970-01-01 00:00:00", "2200-01-01 00:00:00")
     val tagged = dirs.zipWithIndex.map { case (d, i) =>
@@ -205,6 +227,6 @@ object HistChunkStore {
         col("_top.hist_sum").as("hist_sum")): _*)
     writeImpl(merged, outPath, seriesCols, tsCol, "zero_count", "pos_idx",
       "pos_counts", Some("hist_sum"), histSchema, colDuration,
-      samplesPerChunk, "zstd", float)
+      samplesPerChunk, "zstd", float, customValues)
   }
 }

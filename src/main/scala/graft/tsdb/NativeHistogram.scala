@@ -86,6 +86,53 @@ object NativeHistogram {
         upperBound(element_at(posIdx, -1), schema)))
   }
 
+  /** [[histogramQuantile]] for CUSTOM-BUCKET histograms (NHCB,
+    * schema -53): bucket index `i` covers
+    * `(bounds(i-1), bounds(i)]` with the per-row `bounds` array the
+    * chunk layout's custom_values list (ascending inclusive upper
+    * bounds); index `bounds.length` is the +Inf overflow bucket.
+    * The walk is promql/quantile.go's CLASSIC `bucketQuantile`
+    * rules on the sparse non-cumulative row model: first bucket's
+    * lower bound is 0 (a quantile landing there with a non-positive
+    * upper bound returns the upper bound itself), a quantile landing
+    * in +Inf returns the highest finite bound, linear interpolation
+    * otherwise. NHCB has no zero bucket, so there is no zeroCount
+    * argument. Same narrow per-row fold — map-side at any scale. */
+  def histogramQuantileCustom(q: Double, posIdx: Column,
+      posCounts: Column, bounds: Column): Column = {
+    require(q >= 0.0 && q <= 1.0, s"q must be in [0,1], got $q")
+    val total = coalesce(aggregate(posCounts, lit(0.0),
+      (a, c) => a + c.cast("double")), lit(0.0))
+    val rank = lit(q) * total
+    val nb = size(bounds)
+    val folded = aggregate(
+      zip_with(posIdx, posCounts, (i, c) => struct(i.as("i"), c.as("c"))),
+      struct(lit(0.0).as("cum"), lit(null).cast("double").as("res")),
+      (acc, b) => {
+        val i = b.getField("i")
+        val c = b.getField("c").cast("double")
+        val cumNext = acc.getField("cum") + c
+        val upper = element_at(bounds, i + 1) // 1-based element_at
+        val lower = when(i === 0, lit(0.0))
+          .otherwise(element_at(bounds, i))
+        val inBucket =
+          when(i >= nb, element_at(bounds, -1)) // +Inf → last finite
+          .when(i === 0 && upper <= 0, upper)   // classic rule
+          .otherwise(lower + (upper - lower) *
+            ((rank - acc.getField("cum")) / c))
+        when(acc.getField("res").isNotNull, acc)
+          .when(cumNext >= rank && c > 0,
+            struct(cumNext.as("cum"), inBucket.as("res")))
+          .otherwise(struct(cumNext.as("cum"),
+            lit(null).cast("double").as("res")))
+      },
+      acc => acc.getField("res"))
+    when(total === 0, lit(Double.NaN))
+      // FP-slack guard as in the exponential walk: rank beyond the
+      // last populated bucket resolves to the highest finite bound
+      .otherwise(coalesce(folded, element_at(bounds, -1)))
+  }
+
   /** PromQL `histogram_count`/`histogram_sum` are plain column
     * reads in this model; `histogram_avg` is their ratio. */
   def histogramCount(zeroCount: Column, posCounts: Column): Column =

@@ -798,9 +798,11 @@ object TsdbBlockStore {
     * exact (series, ts) collisions on the same lexicographically-
     * last-ULID rule (whole-sample granularity — zero count, bucket
     * arrays and sum travel as one struct), rewrite as blocks of
-    * `blockDurationMs`. All input chunks must share one exponential
-    * schema (mixed-schema dirs fail loudly — re-bucketing across
-    * schemas is a semantic change, not compaction). */
+    * `blockDurationMs`. All input chunks must share one schema
+    * (mixed-schema dirs fail loudly — re-bucketing across schemas
+    * is a semantic change, not compaction); custom-bucket dirs
+    * (schema -53) additionally require ONE shared bound list, which
+    * rides through to the rewritten chunks. */
   def compactHist(spark: SparkSession, root: String, outRoot: String,
       labelCols: Seq[String], blockDurationMs: Long = 2 * 3600 * 1000L,
       shardsPerBlock: Int = 1, gauge: Boolean = false): Seq[String] = {
@@ -818,21 +820,33 @@ object TsdbBlockStore {
               tail(2).asInstanceOf[Long],
               tail(3).asInstanceOf[Vector[Int]],
               tail(4).asInstanceOf[Vector[Long]],
-              tail(5).asInstanceOf[Double])
+              tail(5).asInstanceOf[Double],
+              tail(6).asInstanceOf[Vector[Double]])
           }
         }
     }
     val flat = rdd
-      .toDF("_ulid", "_ls", "ts", "schema", "zero", "idx", "cnt", "hsum")
+      .toDF("_ulid", "_ls", "ts", "schema", "zero", "idx", "cnt",
+        "hsum", "_cv")
       .select((cols.zipWithIndex.map { case (c, i) =>
         col("_ls")(i).as(c) } :+ col("_ulid") :+ col("ts") :+
         col("schema") :+ col("zero") :+ col("idx") :+ col("cnt") :+
-        col("hsum")): _*)
+        col("hsum") :+ col("_cv")): _*)
     val schemas = flat.select(col("schema")).distinct().limit(2)
       .collect().map(_.getInt(0))
     if (schemas.isEmpty) return Nil
     require(schemas.length == 1,
       s"compactHist: mixed histogram schemas ${schemas.toSeq} in $root")
+    val customValues: Seq[Double] =
+      if (schemas.head != ChunkencHistogram.CustomBucketsSchema) Nil
+      else {
+        val cvs = flat.select(col("_cv")).distinct().limit(2)
+          .collect().map(_.getSeq[Double](0))
+        require(cvs.length == 1,
+          s"compactHist: mixed custom-bucket bound lists in $root — " +
+            "re-bucketing is a semantic change, not compaction")
+        cvs.head
+      }
     val snap = struct(col("zero"), col("idx"), col("cnt"), col("hsum"))
     val lww = flat
       .groupBy((cols.map(col) :+ col("ts")): _*)
@@ -842,7 +856,7 @@ object TsdbBlockStore {
         col("_s.hsum").as("hsum")): _*)
     writeHist(lww, outRoot, labelCols, "ts", "zero", "idx", "cnt",
       "hsum", schema = schemas.head, gauge = gauge,
-      blockDurationMs = blockDurationMs)
+      blockDurationMs = blockDurationMs, customValues = customValues)
   }
 
   // Matcher is not Serializable-friendly across the closure (it

@@ -196,4 +196,62 @@ class NativeHistogramSpec extends SparkSpec {
       r.getAs[Seq[Double]]("pos_rate")).toMap
     assert(rates == Map(1 -> 0.2, 2 -> 0.0, 3 -> 0.07))
   }
+
+  // ===== NHCB custom-bucket quantile =====
+
+  /** Scalar reference: promql/quantile.go's CLASSIC bucketQuantile
+    * rules on the sparse non-cumulative model. */
+  private def refQuantileCustom(q: Double, idx: Seq[Int],
+      counts: Seq[Long], bounds: Seq[Double]): Double = {
+    val total = counts.sum
+    if (total == 0) return Double.NaN
+    val rank = q * total
+    var cum = 0.0
+    idx.zip(counts).foreach { case (i, c) =>
+      if (c > 0 && cum + c >= rank) {
+        if (i >= bounds.length) return bounds.last // +Inf bucket
+        val upper = bounds(i)
+        if (i == 0 && upper <= 0) return upper
+        val lower = if (i == 0) 0.0 else bounds(i - 1)
+        return lower + (upper - lower) * ((rank - cum) / c)
+      }
+      cum += c
+    }
+    bounds.last
+  }
+
+  private def quantileCustomOf(q: Double, idx: Seq[Int],
+      counts: Seq[Long], bounds: Seq[Double]): Double =
+    Seq((idx, counts, bounds)).toDF("i", "c", "b")
+      .select(NativeHistogram.histogramQuantileCustom(q, col("i"),
+        col("c"), col("b")).as("v"))
+      .head().getDouble(0)
+
+  test("histogramQuantileCustom matches the scalar classic walk") {
+    val bounds = Seq(0.1, 0.5, 1.0, 2.5, 10.0)
+    val idx = Seq(0, 1, 3, 4)
+    val counts = Seq(4L, 10L, 0L, 6L)
+    for (q <- Seq(0.0, 0.1, 0.5, 0.9, 0.99, 1.0)) {
+      val got = quantileCustomOf(q, idx, counts, bounds)
+      val want = refQuantileCustom(q, idx, counts, bounds)
+      assert(java.lang.Double.compare(got, want) == 0,
+        s"q=$q: got $got want $want")
+    }
+  }
+
+  test("histogramQuantileCustom edges: +Inf bucket, non-positive first bound, empty") {
+    val bounds = Seq(0.5, 1.0, 2.0)
+    // quantile landing in the +Inf overflow (index == bounds.length)
+    // returns the highest finite bound, like classic PromQL
+    assert(quantileCustomOf(0.99, Seq(0, 3), Seq(1L, 9L), bounds) == 2.0)
+    // a NON-POSITIVE first upper bound returns the bound itself
+    assert(quantileCustomOf(0.5, Seq(0, 1), Seq(10L, 1L),
+      Seq(-0.5, 1.0)) == -0.5)
+    // interpolation from 0 in the first bucket
+    assert(quantileCustomOf(0.5, Seq(0), Seq(10L), bounds) == 0.25)
+    // empty histogram → NaN
+    assert(quantileCustomOf(0.5, Seq(0, 1), Seq(0L, 0L), bounds).isNaN)
+    // union-fill zero buckets never catch the rank
+    assert(quantileCustomOf(1.0, Seq(0, 1, 2), Seq(5L, 0L, 5L), bounds) == 2.0)
+  }
 }

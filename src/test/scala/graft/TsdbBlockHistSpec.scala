@@ -205,6 +205,55 @@ class TsdbBlockHistSpec extends AnyFunSuite {
     } finally { deleteRec(root); deleteRec(out) }
   }
 
+  test("NHCB blocks roundtrip and compact with the bound list preserved") {
+    val root = java.nio.file.Files.createTempDirectory("graft_nhcb").toFile
+    val out = java.nio.file.Files.createTempDirectory("graft_nhcbo").toFile
+    try {
+      import spark.implicits._
+      val bounds = Seq(0.1, 0.5, 2.5, 10.0)
+      def mk(cnt0: Long, extraDay: Int) = {
+        val base = for (d <- 0 until 8) yield
+          ("s", d.toLong * 86400000L, 0L, Seq(0, 2, 4),
+            Seq(cnt0 + d, d.toLong * 2, 1L), d * 0.5)
+        val extra = ("s", extraDay.toLong * 86400000L, 0L, Seq(1),
+          Seq(7L), 9.0)
+        (base :+ extra).toDF("job", "ts", "zero", "idx", "cnt", "hsum")
+      }
+      val u1 = TsdbBlockStore.writeHist(mk(10L, 20), root.getPath,
+        Seq("job"), "ts", "zero", "idx", "cnt", "hsum",
+        schema = graft.tsdb.block.ChunkencHistogram.CustomBucketsSchema,
+        customValues = bounds, blockDurationMs = 30L * 86400000L)
+      val u2 = TsdbBlockStore.writeHist(mk(50L, 25), root.getPath,
+        Seq("job"), "ts", "zero", "idx", "cnt", "hsum",
+        schema = graft.tsdb.block.ChunkencHistogram.CustomBucketsSchema,
+        customValues = bounds, blockDurationMs = 30L * 86400000L)
+      assert(u1.size == 1 && u2.size == 1 && u1 != u2)
+      // read back: schema -53 and the bound list on every row
+      val direct = TsdbBlockStore
+        .readHistLabels(spark, root.getPath, Seq("job")).collect()
+      assert(direct.nonEmpty)
+      direct.foreach { r =>
+        assert(r.getInt(2) ==
+          graft.tsdb.block.ChunkencHistogram.CustomBucketsSchema)
+        assert(r.getSeq[Double](7) == bounds)
+      }
+      // compaction keeps schema AND bounds; LWW per whole sample
+      val winner = if (u2.head > u1.head) 50L else 10L
+      TsdbBlockStore.compactHist(spark, root.getPath, out.getPath,
+        Seq("job"), blockDurationMs = 30L * 86400000L)
+      val back = TsdbBlockStore
+        .readHistLabels(spark, out.getPath, Seq("job"))
+        .orderBy("ts").collect()
+      assert(back.length == 10) // 8 merged days + 2 disjoint extras
+      back.take(8).zipWithIndex.foreach { case (r, d) =>
+        assert(r.getSeq[Long](5).head == winner + d, s"day $d")
+        assert(r.getInt(2) ==
+          graft.tsdb.block.ChunkencHistogram.CustomBucketsSchema)
+        assert(r.getSeq[Double](7) == bounds)
+      }
+    } finally { deleteRec(root); deleteRec(out) }
+  }
+
   test("mixed directories: each family's reader sees only its chunks") {
     val root = java.nio.file.Files.createTempDirectory("graft_nhx").toFile
     try {
