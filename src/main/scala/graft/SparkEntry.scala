@@ -2233,6 +2233,83 @@ object SparkEntry {
       .orderBy("event_type", "user_id", "ts_ms")
   }
 
+  // ----- negative-bucket (signed) native histograms -----
+
+  private def negBlockPath(dir: String): String =
+    "/tmp/graft_negblock_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+
+  /** The counter NH fixture extended with a NEGATIVE bucket side
+    * (a distribution observing negative values — e.g. a gauge of
+    * temperature deltas): mirror indexes `-1..2`, gaining bucket 3
+    * from day 19735 so the union-layout fill is exercised on the
+    * NEGATIVE layout mid-chunk as well (19735 % 9 ≠ 0). Counts stay
+    * exact integers. */
+  private def negBlockInput(s: SparkSession, dir: String): DataFrame =
+    nhBlockInput(s, dir)
+      .withColumn("neg_idx",
+        sequence(lit(-1), when(col("d") >= 19735, lit(3)).otherwise(lit(2))))
+      .withColumn("neg_counts",
+        transform(col("neg_idx"),
+          i => col("d") * col("d") * ((col("sseed") + i + 7) % 4)))
+
+  private def negBlockFixture(s: SparkSession, dir: String): Unit =
+    fixtureOnce(s"negblock:$dir") {
+      val root = new java.io.File(negBlockPath(dir))
+      if (root.exists()) rmRec(root)
+      graft.tsdb.block.TsdbBlockStore.writeHist(
+        negBlockInput(s, dir), negBlockPath(dir),
+        Seq("event_type", "user_id"), "ts_ms", "zero_count",
+        "pos_idx", "pos_counts", "hsum",
+        blockDurationMs = 9L * 86400000L, samplesPerChunk = 6,
+        negIdxCol = Some("neg_idx"), negCountsCol = Some("neg_counts"))
+    }
+
+  /** Signed (negative-bucket) NH block roundtrip: both bucket sides
+    * travel the chunkenc encoding-2 byte loop — the negative spans/
+    * delta streams the format interleaves with the positive ones
+    * (chunks.md layout; the r9 reader rejected these chunks, closing
+    * the last row-model limit). Both sides explode with a side
+    * marker; zero-count union-fill positions drop on both sides. */
+  private def tsTsdbBlockNegRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    negBlockFixture(s, dir)
+    graft.tsdb.block.TsdbBlockStore
+      .readHistLabels(s, negBlockPath(dir), Seq("event_type", "user_id"))
+      .select(col("event_type"), col("user_id"), col("ts").as("ts_ms"),
+        col("zero_count"), col("hist_sum").as("hsum"),
+        explode(concat(
+          zip_with(col("pos_idx"), col("pos_counts"),
+            (i, c) => struct(lit("p").as("side"), i.as("i"), c.as("c"))),
+          zip_with(col("neg_idx"), col("neg_counts"),
+            (i, c) => struct(lit("n").as("side"), i.as("i"), c.as("c")))))
+          .as("b"))
+      .select(col("event_type"), col("user_id"), col("ts_ms"),
+        col("zero_count"), col("hsum"), col("b.side").as("side"),
+        col("b.i").as("idx"), col("b.c").as("cnt"))
+      .filter(col("cnt") =!= 0)
+      .orderBy("event_type", "user_id", "ts_ms", "side", "idx")
+  }
+
+  /** `histogram_quantile(0.9, h)` over SIGNED histograms decoded
+    * from block bytes ([[tsdb.NativeHistogram
+    * .histogramQuantileSigned]]): promql's AllBucketIterator walk —
+    * negative buckets from the most negative value upward, the zero
+    * bucket, then positive — with linear interpolation in whichever
+    * bucket catches the rank. The oracle replays the walk over a
+    * phase-ordered union with identical FP association. */
+  private def tsNhNegQuantile(s: SparkSession, dir: String): DataFrame = {
+    negBlockFixture(s, dir)
+    graft.tsdb.block.TsdbBlockStore
+      .readHistLabels(s, negBlockPath(dir), Seq("event_type", "user_id"))
+      .select(col("event_type"), col("user_id"), col("ts").as("ts_ms"),
+        graft.tsdb.NativeHistogram.histogramQuantileSigned(0.1,
+          col("zero_count"), col("pos_idx"), col("pos_counts"),
+          col("neg_idx"), col("neg_counts")).as("phi10"),
+        graft.tsdb.NativeHistogram.histogramQuantileSigned(0.9,
+          col("zero_count"), col("pos_idx"), col("pos_counts"),
+          col("neg_idx"), col("neg_counts")).as("phi90"))
+      .orderBy("event_type", "user_id", "ts_ms")
+  }
+
   /** `histogram_quantile(0.9, rate(nh_requests[40d]))` evaluated
     * FROM BLOCK BYTES: [[tsdb.block.TsdbBlockStore.readHistLabels]]
     * registers the decoded encoding-2 chunks as a PromQL
@@ -2718,6 +2795,8 @@ object SparkEntry {
     "ts_tsdb_block_nhcb_select" -> (tsTsdbBlockNhcbSelect _),
     "ts_tsdb_block_nhcb_convert" -> (tsTsdbBlockNhcbConvert _),
     "ts_nhcb_quantile" -> (tsNhcbQuantile _),
+    "ts_tsdb_block_neg_roundtrip" -> (tsTsdbBlockNegRoundtrip _),
+    "ts_nh_neg_quantile" -> (tsNhNegQuantile _),
     "ts_promql_tsdb_blocks" -> (tsPromqlTsdbBlocks _),
     "ts_promql_nh_blocks" -> (tsPromqlNhBlocks _),
     "ts_promql_info" -> (tsPromqlInfo _),
@@ -4611,6 +4690,110 @@ object SparkEntry {
         |  min_by(0.25 * i + 0.25 * (((0.9 * total) - (cumc - cnt)) / cnt),
         |    i) AS phi90
         |FROM hit GROUP BY 1, 2, 3
+        |ORDER BY event_type, CAST(user_id AS VARCHAR), ts_ms"""
+        .stripMargin,
+    // both bucket sides re-derived with a side marker; the union-fill
+    // zeros drop on both engines
+    "ts_tsdb_block_neg_roundtrip" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |base AS (
+        |  SELECT event_type, user_id, d,
+        |    user_id * 31 + length(event_type) AS sseed,
+        |    d * 86400000 AS ts_ms
+        |  FROM days),
+        |pos AS (
+        |  SELECT event_type, user_id, ts_ms, d, sseed, 'p' AS side, i,
+        |    d*d*((sseed + i + 3) % 5) AS cnt
+        |  FROM base, unnest(range(-2, 6)) AS t(i)
+        |  WHERE i <= (CASE WHEN d >= 19740 THEN 5 ELSE 4 END)),
+        |neg AS (
+        |  SELECT event_type, user_id, ts_ms, d, sseed, 'n' AS side, i,
+        |    d*d*((sseed + i + 7) % 4) AS cnt
+        |  FROM base, unnest(range(-1, 4)) AS t(i)
+        |  WHERE i <= (CASE WHEN d >= 19735 THEN 3 ELSE 2 END))
+        |SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, ts_ms,
+        |  d*d*(sseed % 3) AS zero_count,
+        |  CAST(d * ((sseed % 7) + 1) AS DOUBLE) * 0.25 AS hsum,
+        |  side, CAST(i AS INT) AS idx, cnt
+        |FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+        |WHERE cnt != 0
+        |ORDER BY event_type, CAST(user_id AS VARCHAR), ts_ms, side, idx"""
+        .stripMargin,
+    // the AllBucketIterator walk replayed over a phase-ordered union
+    // (0 = negative side descending index, 1 = zero bucket, 2 =
+    // positive ascending) with the same FP association: cum/total
+    // exact integers in double, linear interpolation
+    // lower + (upper-lower)·((rank − cumBefore)/cnt)
+    "ts_nh_neg_quantile" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |base AS (
+        |  SELECT event_type, user_id, d,
+        |    user_id * 31 + length(event_type) AS sseed,
+        |    d * 86400000 AS ts_ms
+        |  FROM days),
+        |allb AS (
+        |  SELECT event_type, user_id, ts_ms, 0 AS phase, -i AS ord,
+        |    d*d*((sseed + i + 7) % 4) AS cnt,
+        |    -power(2.0, i) AS lower, -power(2.0, i - 1) AS upper
+        |  FROM base, unnest(range(-1, 4)) AS t(i)
+        |  WHERE i <= (CASE WHEN d >= 19735 THEN 3 ELSE 2 END)
+        |  UNION ALL
+        |  SELECT event_type, user_id, ts_ms, 1 AS phase, 0 AS ord,
+        |    d*d*(sseed % 3) AS cnt, 0.0 AS lower, 0.0 AS upper
+        |  FROM base
+        |  UNION ALL
+        |  SELECT event_type, user_id, ts_ms, 2 AS phase, i AS ord,
+        |    d*d*((sseed + i + 3) % 5) AS cnt,
+        |    power(2.0, i - 1) AS lower, power(2.0, i) AS upper
+        |  FROM base, unnest(range(-2, 6)) AS t(i)
+        |  WHERE i <= (CASE WHEN d >= 19740 THEN 5 ELSE 4 END)),
+        |cum AS (
+        |  SELECT *,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type, user_id, ts_ms
+        |      ORDER BY phase, ord) AS DOUBLE) AS cumc,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type, user_id,
+        |      ts_ms) AS DOUBLE) AS total,
+        |    CAST(sum(CASE WHEN phase = 0 THEN cnt ELSE 0 END)
+        |      OVER (PARTITION BY event_type, user_id, ts_ms)
+        |      AS DOUBLE) AS negtot,
+        |    CAST(sum(CASE WHEN phase = 1 THEN cnt ELSE 0 END)
+        |      OVER (PARTITION BY event_type, user_id, ts_ms)
+        |      AS DOUBLE) AS zerotot
+        |  FROM allb),
+        |scored AS (
+        |  SELECT event_type, user_id, ts_ms, total, negtot, zerotot,
+        |    min_by(lower + (upper - lower) *
+        |        (((0.1 * total) - (cumc - cnt)) / cnt), ord)
+        |      FILTER (WHERE phase = 0 AND cnt > 0
+        |        AND cumc >= 0.1 * total) AS negres10,
+        |    min_by(lower + (upper - lower) *
+        |        (((0.1 * total) - (cumc - cnt)) / cnt), ord)
+        |      FILTER (WHERE phase = 2 AND cnt > 0
+        |        AND cumc >= 0.1 * total) AS posres10,
+        |    min_by(lower + (upper - lower) *
+        |        (((0.9 * total) - (cumc - cnt)) / cnt), ord)
+        |      FILTER (WHERE phase = 0 AND cnt > 0
+        |        AND cumc >= 0.9 * total) AS negres90,
+        |    min_by(lower + (upper - lower) *
+        |        (((0.9 * total) - (cumc - cnt)) / cnt), ord)
+        |      FILTER (WHERE phase = 2 AND cnt > 0
+        |        AND cumc >= 0.9 * total) AS posres90
+        |  FROM cum
+        |  GROUP BY 1, 2, 3, 4, 5, 6)
+        |SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, ts_ms,
+        |  CASE WHEN negtot > 0 AND 0.1 * total <= negtot THEN negres10
+        |       WHEN negtot + zerotot >= 0.1 * total THEN 0.0
+        |       ELSE posres10 END AS phi10,
+        |  CASE WHEN negtot > 0 AND 0.9 * total <= negtot THEN negres90
+        |       WHEN negtot + zerotot >= 0.9 * total THEN 0.0
+        |       ELSE posres90 END AS phi90
+        |FROM scored
         |ORDER BY event_type, CAST(user_id AS VARCHAR), ts_ms"""
         .stripMargin,
     "ts_promql_nh_blocks" -> nhQuantileRateBlockSql,

@@ -86,6 +86,78 @@ object NativeHistogram {
         upperBound(element_at(posIdx, -1), schema)))
   }
 
+  /** [[histogramQuantile]] for histograms that also carry NEGATIVE
+    * buckets (`neg_idx`/`neg_counts` — ascending mirror indexes:
+    * negative bucket i covers [-base^i, -base^(i-1)), the positive
+    * boundaries reflected about 0). promql/quantile.go's
+    * `histogramQuantile` walks `AllBucketIterator` order — negative
+    * buckets from the most negative value upward (DESCENDING index),
+    * then the zero bucket, then positive ascending — with the same
+    * linear interpolation in whichever bucket catches the rank.
+    * Positive-only rows (empty neg arrays) reduce exactly to
+    * [[histogramQuantile]]. Still one narrow per-row fold. */
+  def histogramQuantileSigned(q: Double, zeroCount: Column,
+      posIdx: Column, posCounts: Column, negIdx: Column,
+      negCounts: Column, schema: Int = 0): Column = {
+    require(q >= 0.0 && q <= 1.0, s"q must be in [0,1], got $q")
+    val sumOf = (c: Column) => coalesce(aggregate(c, lit(0.0),
+      (a, x) => a + x.cast("double")), lit(0.0))
+    val negTotal = sumOf(negCounts)
+    val posTotal = sumOf(posCounts)
+    val zeroD = zeroCount.cast("double")
+    val total = negTotal + zeroD + posTotal
+    val rank = lit(q) * total
+    // negative region: iterate REVERSED (highest index = most
+    // negative value first); bucket i covers [-base^i, -base^(i-1))
+    val negFolded = aggregate(
+      reverse(zip_with(negIdx, negCounts,
+        (i, c) => struct(i.as("i"), c.as("c")))),
+      struct(lit(0.0).as("cum"), lit(null).cast("double").as("res")),
+      (acc, b) => {
+        val c = b.getField("c").cast("double")
+        val cumNext = acc.getField("cum") + c
+        val lower = lit(-1.0) * upperBound(b.getField("i"), schema)
+        val upper = lit(-1.0) * upperBound(b.getField("i") - 1, schema)
+        val inBucket = lower + (upper - lower) *
+          ((rank - acc.getField("cum")) / c)
+        when(acc.getField("res").isNotNull, acc)
+          .when(cumNext >= rank && c > 0,
+            struct(cumNext.as("cum"), inBucket.as("res")))
+          .otherwise(struct(cumNext.as("cum"),
+            lit(null).cast("double").as("res")))
+      },
+      acc => acc.getField("res"))
+    // positive region: the ordinary ascending walk, cumulative seeded
+    // past everything below it (neg total + zero bucket)
+    val posFolded = aggregate(
+      zip_with(posIdx, posCounts, (i, c) => struct(i.as("i"), c.as("c"))),
+      struct((negTotal + zeroD).as("cum"),
+        lit(null).cast("double").as("res")),
+      (acc, b) => {
+        val c = b.getField("c").cast("double")
+        val cumNext = acc.getField("cum") + c
+        val lower = upperBound(b.getField("i") - 1, schema)
+        val upper = upperBound(b.getField("i"), schema)
+        val inBucket = lower + (upper - lower) *
+          ((rank - acc.getField("cum")) / c)
+        when(acc.getField("res").isNotNull, acc)
+          .when(cumNext >= rank && c > 0,
+            struct(cumNext.as("cum"), inBucket.as("res")))
+          .otherwise(struct(cumNext.as("cum"),
+            lit(null).cast("double").as("res")))
+      },
+      acc => acc.getField("res"))
+    when(total === 0, lit(Double.NaN))
+      .when(negTotal > 0 && rank <= negTotal,
+        // FP-slack guard mirroring the positive walk: the negative
+        // region's highest value is -lowerBound(min index)
+        coalesce(negFolded,
+          lit(-1.0) * upperBound(element_at(negIdx, 1) - 1, schema)))
+      .when(negTotal + zeroD >= rank, lit(0.0))
+      .otherwise(coalesce(posFolded,
+        upperBound(element_at(posIdx, -1), schema)))
+  }
+
   /** [[histogramQuantile]] for CUSTOM-BUCKET histograms (NHCB,
     * schema -53): bucket index `i` covers
     * `(bounds(i-1), bounds(i)]` with the per-row `bounds` array the

@@ -111,12 +111,16 @@ object TsdbBlockStore {
   private final class HistSampleBuf(tsIdx: Int, zeroIdx: Int,
       idxIdx: Int, cntIdx: Int, sumIdx: Int, schema: Int,
       zeroThreshold: Double, flags: Int, cap: Int,
-      customVals: Array[Double]) extends SampleBuf {
+      customVals: Array[Double], negIdxIdx: Int = -1,
+      negCntIdx: Int = -1) extends SampleBuf {
     private val tsB = new Array[Long](cap)
     private val zeroB = new Array[Long](cap)
     private val sumB = new Array[Double](cap)
     private val idxB = new Array[Array[Int]](cap)
     private val cntB = new Array[Array[Long]](cap)
+    private val hasNeg = negIdxIdx >= 0
+    private val nIdxB = if (hasNeg) new Array[Array[Int]](cap) else null
+    private val nCntB = if (hasNeg) new Array[Array[Long]](cap) else null
     private var n = 0
     def encoding: Int = EncHistogram
     def ts(r: InternalRow): Long = r.getLong(tsIdx)
@@ -131,6 +135,16 @@ object TsdbBlockStore {
         h = h * 31 + cnt.getLong(j)
         j += 1
       }
+      if (hasNeg) {
+        val ni = r.getArray(negIdxIdx)
+        val nc = r.getArray(negCntIdx)
+        var k = 0
+        while (k < ni.numElements()) {
+          h = h * 31 + ni.getInt(k)
+          h = h * 31 + nc.getLong(k)
+          k += 1
+        }
+      }
       h
     }
     def add(r: InternalRow): Unit = {
@@ -140,40 +154,70 @@ object TsdbBlockStore {
       idxB(n) = r.getArray(idxIdx).toIntArray()
       cntB(n) = r.getArray(cntIdx).toLongArray()
       requireAscending(idxB(n))
+      if (hasNeg) {
+        nIdxB(n) = r.getArray(negIdxIdx).toIntArray()
+        nCntB(n) = r.getArray(negCntIdx).toLongArray()
+        requireAscending(nIdxB(n))
+      }
       n += 1
     }
     def size: Int = n
     def flush(): (Array[Byte], Long, Long) = {
       val union = unionIndexes(idxB, n)
+      val nUnion = if (hasNeg) unionIndexes(nIdxB, n) else Array.empty[Int]
       val pos = new Array[Array[Long]](n)
+      val neg = new Array[Array[Long]](n)
       val count = new Array[Long](n)
       var i = 0
       while (i < n) {
-        val abs = new Array[Long](union.length)
+        val abs = fillUnion(idxB(i), cntB(i), union)
+        val nAbs = if (hasNeg) fillUnion(nIdxB(i), nCntB(i), nUnion)
+          else Array.empty[Long]
         var total = zeroB(i)
-        var j = 0
-        var k = 0
-        while (k < union.length) {
-          if (j < idxB(i).length && idxB(i)(j) == union(k)) {
-            abs(k) = cntB(i)(j); j += 1
-          }
-          total += abs(k)
-          k += 1
-        }
+        abs.foreach(total += _)
+        nAbs.foreach(total += _)
         pos(i) = abs
+        neg(i) = nAbs
         count(i) = total
         i += 1
       }
       val c = ChunkencHistogram.HistChunk(flags, schema, zeroThreshold,
-        ChunkencHistogram.spansFromIndexes(union), Vector.empty,
+        ChunkencHistogram.spansFromIndexes(union),
+        ChunkencHistogram.spansFromIndexes(nUnion),
         java.util.Arrays.copyOf(tsB, n), count,
         java.util.Arrays.copyOf(zeroB, n),
-        java.util.Arrays.copyOf(sumB, n), pos,
-        Array.fill(n)(Array.empty[Long]), customVals)
+        java.util.Arrays.copyOf(sumB, n), pos, neg, customVals)
       val res = (ChunkencHistogram.encodeHistChunk(c), tsB(0), tsB(n - 1))
       n = 0
       res
     }
+  }
+
+  /** Re-lay one sample's sparse (idx, count) pair onto the chunk's
+    * union layout — absent positions fill with absolute 0, chunkenc's
+    * recode behavior. */
+  private def fillUnion(idx: Array[Int], cnt: Array[Long],
+      union: Array[Int]): Array[Long] = {
+    val abs = new Array[Long](union.length)
+    var j = 0
+    var k = 0
+    while (k < union.length) {
+      if (j < idx.length && idx(j) == union(k)) { abs(k) = cnt(j); j += 1 }
+      k += 1
+    }
+    abs
+  }
+
+  private def fillUnionD(idx: Array[Int], cnt: Array[Double],
+      union: Array[Int]): Array[Double] = {
+    val abs = new Array[Double](union.length)
+    var j = 0
+    var k = 0
+    while (k < union.length) {
+      if (j < idx.length && idx(j) == union(k)) { abs(k) = cnt(j); j += 1 }
+      k += 1
+    }
+    abs
   }
 
   /** Float native-histogram chunks (chunkenc encoding 3) — the
@@ -181,12 +225,16 @@ object TsdbBlockStore {
   private final class FloatHistSampleBuf(tsIdx: Int, zeroIdx: Int,
       idxIdx: Int, cntIdx: Int, sumIdx: Int, schema: Int,
       zeroThreshold: Double, flags: Int, cap: Int,
-      customVals: Array[Double]) extends SampleBuf {
+      customVals: Array[Double], negIdxIdx: Int = -1,
+      negCntIdx: Int = -1) extends SampleBuf {
     private val tsB = new Array[Long](cap)
     private val zeroB = new Array[Double](cap)
     private val sumB = new Array[Double](cap)
     private val idxB = new Array[Array[Int]](cap)
     private val cntB = new Array[Array[Double]](cap)
+    private val hasNeg = negIdxIdx >= 0
+    private val nIdxB = if (hasNeg) new Array[Array[Int]](cap) else null
+    private val nCntB = if (hasNeg) new Array[Array[Double]](cap) else null
     private var n = 0
     def encoding: Int = EncFloatHistogram
     def ts(r: InternalRow): Long = r.getLong(tsIdx)
@@ -201,6 +249,16 @@ object TsdbBlockStore {
         h = h * 31 + java.lang.Double.doubleToRawLongBits(cnt.getDouble(j))
         j += 1
       }
+      if (hasNeg) {
+        val ni = r.getArray(negIdxIdx)
+        val nc = r.getArray(negCntIdx)
+        var k = 0
+        while (k < ni.numElements()) {
+          h = h * 31 + ni.getInt(k)
+          h = h * 31 + java.lang.Double.doubleToRawLongBits(nc.getDouble(k))
+          k += 1
+        }
+      }
       h
     }
     def add(r: InternalRow): Unit = {
@@ -210,36 +268,39 @@ object TsdbBlockStore {
       idxB(n) = r.getArray(idxIdx).toIntArray()
       cntB(n) = r.getArray(cntIdx).toDoubleArray()
       requireAscending(idxB(n))
+      if (hasNeg) {
+        nIdxB(n) = r.getArray(negIdxIdx).toIntArray()
+        nCntB(n) = r.getArray(negCntIdx).toDoubleArray()
+        requireAscending(nIdxB(n))
+      }
       n += 1
     }
     def size: Int = n
     def flush(): (Array[Byte], Long, Long) = {
       val union = unionIndexes(idxB, n)
+      val nUnion = if (hasNeg) unionIndexes(nIdxB, n) else Array.empty[Int]
       val pos = new Array[Array[Double]](n)
+      val neg = new Array[Array[Double]](n)
       val count = new Array[Double](n)
       var i = 0
       while (i < n) {
-        val abs = new Array[Double](union.length)
+        val abs = fillUnionD(idxB(i), cntB(i), union)
+        val nAbs = if (hasNeg) fillUnionD(nIdxB(i), nCntB(i), nUnion)
+          else Array.empty[Double]
         var total = zeroB(i)
-        var j = 0
-        var k = 0
-        while (k < union.length) {
-          if (j < idxB(i).length && idxB(i)(j) == union(k)) {
-            abs(k) = cntB(i)(j); j += 1
-          }
-          total += abs(k)
-          k += 1
-        }
+        abs.foreach(total += _)
+        nAbs.foreach(total += _)
         pos(i) = abs
+        neg(i) = nAbs
         count(i) = total
         i += 1
       }
       val c = ChunkencHistogram.FloatHistChunk(flags, schema,
         zeroThreshold, ChunkencHistogram.spansFromIndexes(union),
-        Vector.empty, java.util.Arrays.copyOf(tsB, n), count,
+        ChunkencHistogram.spansFromIndexes(nUnion),
+        java.util.Arrays.copyOf(tsB, n), count,
         java.util.Arrays.copyOf(zeroB, n),
-        java.util.Arrays.copyOf(sumB, n), pos,
-        Array.fill(n)(Array.empty[Double]), customVals)
+        java.util.Arrays.copyOf(sumB, n), pos, neg, customVals)
       val res =
         (ChunkencHistogram.encodeFloatHistChunk(c), tsB(0), tsB(n - 1))
       n = 0
@@ -309,10 +370,12 @@ object TsdbBlockStore {
     * carry one) as TSDB blocks with chunkenc EncHistogram chunks.
     * `gauge` sets the counter-reset hint to GaugeType. The `count`
     * field is derived as zero_count + Σ buckets (every observation
-    * lands in a bucket at this seam). Negative-bucket series have
-    * no representation in graft's positive-only row model and are
-    * not written (the codec itself supports them; see
-    * [[ChunkencHistogram]]). For CUSTOM-BUCKET histograms (NHCB,
+    * lands in a bucket at this seam). Series observing NEGATIVE
+    * values pass `negIdxCol`/`negCountsCol` (ascending mirror-bucket
+    * indexes: negative bucket i covers [-base^i, -base^(i-1)), the
+    * positive boundaries reflected about 0); omitted → positive-only
+    * chunks, byte-identical to before. For CUSTOM-BUCKET histograms
+    * (NHCB,
     * schema -53 — classic histograms converted to the native
     * representation) pass `customValues` (the ascending inclusive
     * upper bounds; bucket index i addresses customValues(i), index
@@ -326,28 +389,43 @@ object TsdbBlockStore {
       blockDurationMs: Long = 2 * 3600 * 1000L,
       samplesPerChunk: Int = DefaultSamplesPerChunk,
       segmentBytes: Long = DefaultSegmentBytes,
-      customValues: Seq[Double] = Nil): Seq[String] = {
+      customValues: Seq[Double] = Nil,
+      negIdxCol: Option[String] = None,
+      negCountsCol: Option[String] = None): Seq[String] = {
+    require(negIdxCol.isDefined == negCountsCol.isDefined,
+      "negIdxCol and negCountsCol must be passed together")
+    require(negIdxCol.isEmpty || customValues.isEmpty,
+      "custom-bucket (NHCB) histograms cannot carry negative buckets")
+    val negCols = negIdxCol.map(c =>
+      Seq(col(c).cast("array<int>").as("_nidx"),
+        col(negCountsCol.get).cast("array<long>").as("_ncnt")))
+      .getOrElse(Nil)
     val prepared = df
       .select((labelCols.map(c => col(c).cast("string").as(c)) :+
         col(tsCol).cast("long").as("_ts") :+
         col(zeroCountCol).cast("long").as("_zero") :+
         col(posIdxCol).cast("array<int>").as("_idx") :+
         col(posCountsCol).cast("array<long>").as("_cnt") :+
-        col(sumCol).cast("double").as("_sum")): _*)
+        col(sumCol).cast("double").as("_sum")) ++ negCols: _*)
     val flags = if (gauge) ChunkencHistogram.GaugeType
       else ChunkencHistogram.UnknownCounterReset
     val cv = customValues.toArray
-    // _idx/_cnt join the tiebreak: two samples tied on (series, ts,
-    // zero, sum) but with different buckets must sort deterministically
-    // or the content hash — which folds bucket arrays — and hence the
-    // ULID would depend on shuffle-fetch order
+    val hasNeg = negIdxCol.isDefined
+    // _idx/_cnt (and the negative side when present) join the
+    // tiebreak: two samples tied on (series, ts, zero, sum) but with
+    // different buckets must sort deterministically or the content
+    // hash — which folds bucket arrays — and hence the ULID would
+    // depend on shuffle-fetch order
     writeRows(prepared, root, labelCols, blockDurationMs,
-      Seq(col("_zero"), col("_sum"), col("_idx"), col("_cnt")),
+      Seq(col("_zero"), col("_sum"), col("_idx"), col("_cnt")) ++
+        (if (hasNeg) Seq(col("_nidx"), col("_ncnt")) else Nil),
       sch => new HistSampleBuf(
         sch.fieldIndex("_ts"), sch.fieldIndex("_zero"),
         sch.fieldIndex("_idx"), sch.fieldIndex("_cnt"),
         sch.fieldIndex("_sum"), schema, zeroThreshold, flags,
-        samplesPerChunk, cv),
+        samplesPerChunk, cv,
+        if (hasNeg) sch.fieldIndex("_nidx") else -1,
+        if (hasNeg) sch.fieldIndex("_ncnt") else -1),
       samplesPerChunk, segmentBytes)
   }
 
@@ -361,26 +439,40 @@ object TsdbBlockStore {
       blockDurationMs: Long = 2 * 3600 * 1000L,
       samplesPerChunk: Int = DefaultSamplesPerChunk,
       segmentBytes: Long = DefaultSegmentBytes,
-      customValues: Seq[Double] = Nil): Seq[String] = {
+      customValues: Seq[Double] = Nil,
+      negIdxCol: Option[String] = None,
+      negCountsCol: Option[String] = None): Seq[String] = {
+    require(negIdxCol.isDefined == negCountsCol.isDefined,
+      "negIdxCol and negCountsCol must be passed together")
+    require(negIdxCol.isEmpty || customValues.isEmpty,
+      "custom-bucket (NHCB) histograms cannot carry negative buckets")
+    val negCols = negIdxCol.map(c =>
+      Seq(col(c).cast("array<int>").as("_nidx"),
+        col(negCountsCol.get).cast("array<double>").as("_ncnt")))
+      .getOrElse(Nil)
     val prepared = df
       .select((labelCols.map(c => col(c).cast("string").as(c)) :+
         col(tsCol).cast("long").as("_ts") :+
         col(zeroCountCol).cast("double").as("_zero") :+
         col(posIdxCol).cast("array<int>").as("_idx") :+
         col(posCountsCol).cast("array<double>").as("_cnt") :+
-        col(sumCol).cast("double").as("_sum")): _*)
+        col(sumCol).cast("double").as("_sum")) ++ negCols: _*)
     val flags = if (gauge) ChunkencHistogram.GaugeType
       else ChunkencHistogram.UnknownCounterReset
     val cv = customValues.toArray
-    // _idx/_cnt in the tiebreak for the same ULID-determinism reason
-    // as writeHist
+    val hasNeg = negIdxCol.isDefined
+    // _idx/_cnt (+ neg side) in the tiebreak for the same
+    // ULID-determinism reason as writeHist
     writeRows(prepared, root, labelCols, blockDurationMs,
-      Seq(col("_zero"), col("_sum"), col("_idx"), col("_cnt")),
+      Seq(col("_zero"), col("_sum"), col("_idx"), col("_cnt")) ++
+        (if (hasNeg) Seq(col("_nidx"), col("_ncnt")) else Nil),
       sch => new FloatHistSampleBuf(
         sch.fieldIndex("_ts"), sch.fieldIndex("_zero"),
         sch.fieldIndex("_idx"), sch.fieldIndex("_cnt"),
         sch.fieldIndex("_sum"), schema, zeroThreshold, flags,
-        samplesPerChunk, cv),
+        samplesPerChunk, cv,
+        if (hasNeg) sch.fieldIndex("_nidx") else -1,
+        if (hasNeg) sch.fieldIndex("_ncnt") else -1),
       samplesPerChunk, segmentBytes)
   }
 
@@ -661,10 +753,14 @@ object TsdbBlockStore {
   }
 
   /** Read every INTEGER native-histogram sample matching `matchers`
-    * in [mint, maxt], flattened to graft's positive-only row model:
+    * in [mint, maxt], flattened to graft's row model:
     * label columns, `ts` (ms), `schema`, `zero_count`, ascending
-    * `pos_idx`/`pos_counts`, `hist_sum`, and `custom_values` (the
-    * NHCB bound list — empty for exponential schemas). Bucket
+    * `pos_idx`/`pos_counts`, `hist_sum`, `custom_values` (the
+    * NHCB bound list — empty for exponential schemas), and the
+    * NEGATIVE side `neg_idx`/`neg_counts` (ascending mirror-bucket
+    * indexes — empty for positive-only series, which is every
+    * counter histogram a client library emits; observed-negative
+    * distributions and gauge histograms carry them). Bucket
     * positions chunkenc's
     * recode filled with absolute 0 decode as explicit 0-count
     * buckets, exactly as Prometheus's own iterator yields them.
@@ -692,12 +788,15 @@ object TsdbBlockStore {
         StructField("pos_counts", ArrayType(LongType, false), nullable = false),
         StructField("hist_sum", DoubleType, nullable = false),
         StructField("custom_values", ArrayType(DoubleType, false),
+          nullable = false),
+        StructField("neg_idx", ArrayType(IntegerType, false), nullable = false),
+        StructField("neg_counts", ArrayType(LongType, false),
           nullable = false)))
     spark.createDataFrame(rdd, schema)
   }
 
   /** [[readHistLabels]] for FLOAT histogram chunks (encoding 3):
-    * `zero_count` and `pos_counts` are doubles. */
+    * `zero_count` and `pos_counts`/`neg_counts` are doubles. */
   def readFloatHistLabels(spark: SparkSession, root: String,
       labelCols: Seq[String], mint: Long = Long.MinValue,
       maxt: Long = Long.MaxValue, matchers: Seq[Matcher] = Nil,
@@ -721,6 +820,9 @@ object TsdbBlockStore {
         StructField("pos_counts", ArrayType(DoubleType, false), nullable = false),
         StructField("hist_sum", DoubleType, nullable = false),
         StructField("custom_values", ArrayType(DoubleType, false),
+          nullable = false),
+        StructField("neg_idx", ArrayType(IntegerType, false), nullable = false),
+        StructField("neg_counts", ArrayType(DoubleType, false),
           nullable = false)))
     spark.createDataFrame(rdd, schema)
   }
@@ -821,17 +923,19 @@ object TsdbBlockStore {
               tail(3).asInstanceOf[Vector[Int]],
               tail(4).asInstanceOf[Vector[Long]],
               tail(5).asInstanceOf[Double],
-              tail(6).asInstanceOf[Vector[Double]])
+              tail(6).asInstanceOf[Vector[Double]],
+              tail(7).asInstanceOf[Vector[Int]],
+              tail(8).asInstanceOf[Vector[Long]])
           }
         }
     }
     val flat = rdd
       .toDF("_ulid", "_ls", "ts", "schema", "zero", "idx", "cnt",
-        "hsum", "_cv")
+        "hsum", "_cv", "nidx", "ncnt")
       .select((cols.zipWithIndex.map { case (c, i) =>
         col("_ls")(i).as(c) } :+ col("_ulid") :+ col("ts") :+
         col("schema") :+ col("zero") :+ col("idx") :+ col("cnt") :+
-        col("hsum") :+ col("_cv")): _*)
+        col("hsum") :+ col("_cv") :+ col("nidx") :+ col("ncnt")): _*)
     val schemas = flat.select(col("schema")).distinct().limit(2)
       .collect().map(_.getInt(0))
     if (schemas.isEmpty) return Nil
@@ -847,16 +951,23 @@ object TsdbBlockStore {
             "re-bucketing is a semantic change, not compaction")
         cvs.head
       }
-    val snap = struct(col("zero"), col("idx"), col("cnt"), col("hsum"))
+    // whole-sample LWW granularity: the negative side travels in the
+    // same snap struct, so pos and neg buckets can never mix across
+    // two colliding samples
+    val snap = struct(col("zero"), col("idx"), col("cnt"), col("hsum"),
+      col("nidx"), col("ncnt"))
     val lww = flat
       .groupBy((cols.map(col) :+ col("ts")): _*)
       .agg(max_by(snap, struct(col("_ulid"), snap)).as("_s"))
       .select((cols.map(col) :+ col("ts") :+ col("_s.zero").as("zero") :+
         col("_s.idx").as("idx") :+ col("_s.cnt").as("cnt") :+
-        col("_s.hsum").as("hsum")): _*)
+        col("_s.hsum").as("hsum") :+ col("_s.nidx").as("nidx") :+
+        col("_s.ncnt").as("ncnt")): _*)
     writeHist(lww, outRoot, labelCols, "ts", "zero", "idx", "cnt",
       "hsum", schema = schemas.head, gauge = gauge,
-      blockDurationMs = blockDurationMs, customValues = customValues)
+      blockDurationMs = blockDurationMs, customValues = customValues,
+      negIdxCol = if (customValues.nonEmpty) None else Some("nidx"),
+      negCountsCol = if (customValues.nonEmpty) None else Some("ncnt"))
   }
 
   // Matcher is not Serializable-friendly across the closure (it
@@ -955,20 +1066,20 @@ object TsdbBlockStore {
   }
 
   /** Sample tail for the flat hist row: (ts, schema, zero, idx,
-    * counts, sum, custom_values — empty for exponential schemas). */
+    * counts, sum, custom_values — empty for exponential schemas,
+    * neg_idx, neg_counts — empty for positive-only series). */
   private def histDecoder(mint: Long,
       maxt: Long): ChunkDecoder[Vector[Any]] = {
     case (EncHistogram, data, deleted) =>
       val c = ChunkencHistogram.decodeHistChunk(data, 0, data.length)
-      require(c.negSpans.isEmpty,
-        "negative-bucket histograms have no representation in the " +
-          "positive-only row model")
       val idx = ChunkencHistogram.bucketIndexes(c.posSpans).toVector
+      val nidx = ChunkencHistogram.bucketIndexes(c.negSpans).toVector
       val cv = c.customValues.toVector
       c.ts.indices.iterator
         .filter(i => keepTs(c.ts(i), mint, maxt, deleted))
         .map(i => Vector[Any](c.ts(i), c.schema, c.zeroCount(i),
-          idx, c.posBuckets(i).toVector, c.sum(i), cv))
+          idx, c.posBuckets(i).toVector, c.sum(i), cv,
+          nidx, c.negBuckets(i).toVector))
     case (EncXOR, _, _) | (EncFloatHistogram, _, _) => Iterator.empty
     case (enc, _, _) =>
       throw new IllegalArgumentException(s"unsupported chunk encoding $enc")
@@ -978,15 +1089,14 @@ object TsdbBlockStore {
       maxt: Long): ChunkDecoder[Vector[Any]] = {
     case (EncFloatHistogram, data, deleted) =>
       val c = ChunkencHistogram.decodeFloatHistChunk(data, 0, data.length)
-      require(c.negSpans.isEmpty,
-        "negative-bucket histograms have no representation in the " +
-          "positive-only row model")
       val idx = ChunkencHistogram.bucketIndexes(c.posSpans).toVector
+      val nidx = ChunkencHistogram.bucketIndexes(c.negSpans).toVector
       val cv = c.customValues.toVector
       c.ts.indices.iterator
         .filter(i => keepTs(c.ts(i), mint, maxt, deleted))
         .map(i => Vector[Any](c.ts(i), c.schema, c.zeroCount(i),
-          idx, c.posBuckets(i).toVector, c.sum(i), cv))
+          idx, c.posBuckets(i).toVector, c.sum(i), cv,
+          nidx, c.negBuckets(i).toVector))
     case (EncXOR, _, _) | (EncHistogram, _, _) => Iterator.empty
     case (enc, _, _) =>
       throw new IllegalArgumentException(s"unsupported chunk encoding $enc")

@@ -254,4 +254,101 @@ class NativeHistogramSpec extends SparkSpec {
     // union-fill zero buckets never catch the rank
     assert(quantileCustomOf(1.0, Seq(0, 1, 2), Seq(5L, 0L, 5L), bounds) == 2.0)
   }
+
+  // ===== signed (negative-bucket) quantile =====
+
+  /** Scalar reference: promql/quantile.go's AllBucketIterator walk —
+    * negative buckets from the most negative value (descending
+    * index), zero bucket, positive ascending. */
+  private def refQuantileSigned(q: Double, zero: Long, idx: Seq[Int],
+      counts: Seq[Long], nIdx: Seq[Int], nCnt: Seq[Long],
+      schema: Int = 0): Double = {
+    def ub(i: Int): Double = StrictMath.pow(2.0, math.pow(2.0, -schema) * i)
+    val negTotal = nCnt.sum.toDouble
+    val total = negTotal + zero + counts.sum
+    if (total == 0) return Double.NaN
+    val rank = q * total
+    if (negTotal > 0 && rank <= negTotal) {
+      var cum = 0.0
+      nIdx.zip(nCnt).reverse.foreach { case (i, c) =>
+        if (c > 0 && cum + c >= rank) {
+          val lower = -ub(i); val upper = -ub(i - 1)
+          return lower + (upper - lower) * ((rank - cum) / c)
+        }
+        cum += c
+      }
+      return -ub(nIdx.head - 1)
+    }
+    if (negTotal + zero >= rank) return 0.0
+    var cum = negTotal + zero
+    idx.zip(counts).foreach { case (i, c) =>
+      if (c > 0 && cum + c >= rank) {
+        val lower = ub(i - 1); val upper = ub(i)
+        return lower + (upper - lower) * ((rank - cum) / c)
+      }
+      cum += c
+    }
+    ub(idx.last)
+  }
+
+  private def quantileSignedOf(q: Double, zero: Long, idx: Seq[Int],
+      counts: Seq[Long], nIdx: Seq[Int], nCnt: Seq[Long],
+      schema: Int = 0): Double =
+    Seq((zero, idx, counts, nIdx, nCnt)).toDF("z", "i", "c", "ni", "nc")
+      .select(NativeHistogram.histogramQuantileSigned(q, col("z"),
+        col("i"), col("c"), col("ni"), col("nc"), schema).as("v"))
+      .head().getDouble(0)
+
+  test("histogramQuantileSigned matches the scalar AllBucketIterator walk") {
+    val idx = Seq(0, 1, 3)
+    val counts = Seq(4L, 10L, 2L)
+    val nIdx = Seq(-1, 0, 2)
+    val nCnt = Seq(3L, 6L, 5L)
+    for (q <- Seq(0.0, 0.1, 0.3, 0.5, 0.7, 0.9, 0.99, 1.0);
+         zero <- Seq(0L, 7L)) {
+      val got = quantileSignedOf(q, zero, idx, counts, nIdx, nCnt)
+      val want = refQuantileSigned(q, zero, idx, counts, nIdx, nCnt)
+      assert(java.lang.Double.compare(got, want) == 0,
+        s"q=$q zero=$zero: got $got want $want")
+    }
+  }
+
+  test("histogramQuantileSigned edges and positive-only reduction") {
+    // empty → NaN
+    assert(quantileSignedOf(0.5, 0L, Nil, Nil, Nil, Nil).isNaN)
+    // all-negative histogram: q=1 reaches the highest negative value
+    assert(quantileSignedOf(1.0, 0L, Nil, Nil, Seq(1, 2), Seq(3L, 5L))
+      == -1.0) // upper of bucket 1 = -2^0
+    // q=0 lands at the most negative bound
+    assert(quantileSignedOf(0.0, 0L, Nil, Nil, Seq(1, 2), Seq(3L, 5L))
+      == -4.0) // lower of bucket 2 = -2^2
+    // rank inside the zero bucket between the sides
+    assert(quantileSignedOf(0.5, 10L, Seq(1), Seq(2L), Seq(1), Seq(2L))
+      == 0.0)
+    // empty neg arrays reduce exactly to the positive-only walk
+    val idx = Seq(-2, 0, 2)
+    val cnt = Seq(1L, 5L, 3L)
+    for (q <- Seq(0.0, 0.25, 0.5, 0.9, 1.0)) {
+      val a = quantileSignedOf(q, 4L, idx, cnt, Nil, Nil)
+      val b = quantileOf(q, 4L, idx, cnt)
+      assert(java.lang.Double.compare(a, b) == 0, s"q=$q: $a vs $b")
+    }
+  }
+
+  test("histogramQuantileSigned at schema 2: randomized vs scalar walk") {
+    val rnd = new scala.util.Random(23)
+    for (_ <- 0 until 30) {
+      val nIdx = (-3 to rnd.nextInt(4)).toSeq
+      val nCnt = nIdx.map(_ => rnd.nextInt(6).toLong)
+      val idx = (-2 to rnd.nextInt(5)).toSeq
+      val cnt = idx.map(_ => rnd.nextInt(6).toLong)
+      val zero = rnd.nextInt(5).toLong
+      val q = rnd.nextDouble()
+      val got = quantileSignedOf(q, zero, idx, cnt, nIdx, nCnt, 2)
+      val want = refQuantileSigned(q, zero, idx, cnt, nIdx, nCnt, 2)
+      assert(java.lang.Double.compare(got, want) == 0 ||
+        (got.isNaN && want.isNaN),
+        s"q=$q z=$zero i=$idx c=$cnt ni=$nIdx nc=$nCnt: got $got want $want")
+    }
+  }
 }

@@ -254,6 +254,67 @@ class TsdbBlockHistSpec extends AnyFunSuite {
     } finally { deleteRec(root); deleteRec(out) }
   }
 
+  test("negative-bucket histograms roundtrip, union-fill and compact") {
+    val root = java.nio.file.Files.createTempDirectory("graft_nhn").toFile
+    val out = java.nio.file.Files.createTempDirectory("graft_nhno").toFile
+    try {
+      import spark.implicits._
+      // 2 series × 12 days; the negative side gains bucket 3
+      // mid-chunk (day >= 6) to exercise the union-fill on the
+      // NEGATIVE layout as well
+      def mk(base: Long) = (for {
+        job <- Seq("api", "db")
+        d <- 0 until 12
+      } yield {
+        val nIdx = if (d >= 6) Seq(-2, 1, 3) else Seq(-2, 1)
+        val nCnt = nIdx.map(i => base + (d + 1).toLong * (i + 4))
+        (job, d.toLong * 86400000L, d.toLong % 3, Seq(0, 2),
+          Seq(d + 1L, d + 2L), d * 0.5, nIdx, nCnt)
+      }).toDF("job", "ts", "zero", "idx", "cnt", "hsum", "nidx", "ncnt")
+      val df = mk(0L)
+      TsdbBlockStore.writeHist(df, root.getPath, Seq("job"), "ts",
+        "zero", "idx", "cnt", "hsum", blockDurationMs = 6L * 86400000L,
+        samplesPerChunk = 7, negIdxCol = Some("nidx"),
+        negCountsCol = Some("ncnt"))
+      val back = TsdbBlockStore
+        .readHistLabels(spark, root.getPath, Seq("job")).collect()
+      assert(back.length == 24)
+      val expected = df.collect().map { r =>
+        ((r.getString(0), r.getLong(1)),
+          nonzero(r.getSeq[Int](6), r.getSeq[Long](7)))
+      }.toMap
+      back.foreach { r =>
+        val key = (r.getString(0), r.getLong(1))
+        assert(nonzero(r.getSeq[Int](8), r.getSeq[Long](9)) ==
+          expected(key), s"neg buckets at $key")
+        // strictly ascending neg layout, zero-filled where absent
+        val nIdx = r.getSeq[Int](8)
+        assert(nIdx == nIdx.sorted.distinct, s"neg layout at $key")
+      }
+      // compaction threads the negative side through LWW + rewrite
+      TsdbBlockStore.compactHist(spark, root.getPath, out.getPath,
+        Seq("job"), blockDurationMs = 12L * 86400000L)
+      val compacted = TsdbBlockStore
+        .readHistLabels(spark, out.getPath, Seq("job")).collect()
+      assert(compacted.length == 24)
+      compacted.foreach { r =>
+        val key = (r.getString(0), r.getLong(1))
+        assert(nonzero(r.getSeq[Int](8), r.getSeq[Long](9)) ==
+          expected(key), s"compacted neg buckets at $key")
+      }
+      // positive-only writes keep emitting EMPTY neg arrays
+      val root2 = java.nio.file.Files.createTempDirectory("graft_nhp").toFile
+      try {
+        TsdbBlockStore.writeHist(mkHistSamples(), root2.getPath,
+          Seq("job"), "ts", "zero", "idx", "cnt", "hsum")
+        val posOnly = TsdbBlockStore
+          .readHistLabels(spark, root2.getPath, Seq("job")).collect()
+        assert(posOnly.forall(r => r.getSeq[Int](8).isEmpty &&
+          r.getSeq[Long](9).isEmpty))
+      } finally deleteRec(root2)
+    } finally { deleteRec(root); deleteRec(out) }
+  }
+
   test("mixed directories: each family's reader sees only its chunks") {
     val root = java.nio.file.Files.createTempDirectory("graft_nhx").toFile
     try {
