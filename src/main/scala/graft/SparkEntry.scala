@@ -2310,6 +2310,47 @@ object SparkEntry {
       .orderBy("event_type", "user_id", "ts_ms")
   }
 
+  /** The SIGNED migration path — block bytes (negative spans
+    * included) → [[tsdb.block.TsdbBlockStore.readHistLabels]] →
+    * [[tsdb.HistChunkStore]] converted layout (both sides as ONE
+    * even/odd-interleaved index stream: pos i → 2i, neg i → 2i+1 —
+    * delta compression and layout reuse intact, zero codec changes,
+    * a `signed` flag in the labels file drives the parity split on
+    * select) → matcher + day-range select. Both sides explode with
+    * a side marker, so the oracle hash pins the chunkenc decode,
+    * the interleave, the converted write and the split select
+    * together. */
+  private def tsTsdbBlockNegConvert(s: SparkSession, dir: String): DataFrame = {
+    negBlockFixture(s, dir)
+    val path = "/tmp/graft_negconv_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+    fixtureOnce(s"negconv:$dir") {
+      val nh = graft.tsdb.block.TsdbBlockStore
+        .readHistLabels(s, negBlockPath(dir), Seq("event_type", "user_id"))
+        .withColumn("ts", timestamp_millis(col("ts")))
+      HistChunkStore.write(nh, path, Seq("event_type", "user_id"), "ts",
+        "zero_count", "pos_idx", "pos_counts", Some("hist_sum"),
+        samplesPerChunk = 10,
+        negIdxCol = Some("neg_idx"), negCountsCol = Some("neg_counts"))
+    }
+    HistChunkStore.select(s, path, "2024-01-05", "2024-01-20",
+        Seq(Matcher.Eq("event_type", "view")),
+        Seq("event_type", "user_id"), "ts")
+      .select(col("event_type"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("zero_count"),
+        col("hist_sum").as("hsum"),
+        explode(concat(
+          zip_with(col("pos_idx"), col("pos_counts"),
+            (i, c) => struct(lit("p").as("side"), i.as("i"), c.as("c"))),
+          zip_with(col("neg_idx"), col("neg_counts"),
+            (i, c) => struct(lit("n").as("side"), i.as("i"), c.as("c")))))
+          .as("b"))
+      .select(col("event_type"), col("user_id"), col("ts_us"),
+        col("zero_count"), col("hsum"), col("b.side").as("side"),
+        col("b.i").as("idx"), col("b.c").as("cnt"))
+      .filter(col("cnt") =!= 0)
+      .orderBy("event_type", "user_id", "ts_us", "side", "idx")
+  }
+
   /** `histogram_quantile(0.9, rate(nh_requests[40d]))` evaluated
     * FROM BLOCK BYTES: [[tsdb.block.TsdbBlockStore.readHistLabels]]
     * registers the decoded encoding-2 chunks as a PromQL
@@ -2797,6 +2838,7 @@ object SparkEntry {
     "ts_nhcb_quantile" -> (tsNhcbQuantile _),
     "ts_tsdb_block_neg_roundtrip" -> (tsTsdbBlockNegRoundtrip _),
     "ts_nh_neg_quantile" -> (tsNhNegQuantile _),
+    "ts_tsdb_block_neg_convert" -> (tsTsdbBlockNegConvert _),
     "ts_promql_tsdb_blocks" -> (tsPromqlTsdbBlocks _),
     "ts_promql_nh_blocks" -> (tsPromqlNhBlocks _),
     "ts_promql_info" -> (tsPromqlInfo _),
@@ -4721,6 +4763,38 @@ object SparkEntry {
         |FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
         |WHERE cnt != 0
         |ORDER BY event_type, CAST(user_id AS VARCHAR), ts_ms, side, idx"""
+        .stripMargin,
+    // the signed migration path: both sides re-derived under the
+    // same matcher + day-range restriction as the NH convert gate
+    "ts_tsdb_block_neg_convert" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |base AS (
+        |  SELECT event_type, user_id, d,
+        |    user_id * 31 + length(event_type) AS sseed,
+        |    CAST(d * 86400000000 AS BIGINT) AS ts_us
+        |  FROM days
+        |  WHERE event_type = 'view'
+        |    AND d >= 19727 AND d < 19742),
+        |pos AS (
+        |  SELECT event_type, user_id, ts_us, d, sseed, 'p' AS side, i,
+        |    d*d*((sseed + i + 3) % 5) AS cnt
+        |  FROM base, unnest(range(-2, 6)) AS t(i)
+        |  WHERE i <= (CASE WHEN d >= 19740 THEN 5 ELSE 4 END)),
+        |neg AS (
+        |  SELECT event_type, user_id, ts_us, d, sseed, 'n' AS side, i,
+        |    d*d*((sseed + i + 7) % 4) AS cnt
+        |  FROM base, unnest(range(-1, 4)) AS t(i)
+        |  WHERE i <= (CASE WHEN d >= 19735 THEN 3 ELSE 2 END))
+        |SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, ts_us,
+        |  d*d*(sseed % 3) AS zero_count,
+        |  CAST(d * ((sseed % 7) + 1) AS DOUBLE) * 0.25 AS hsum,
+        |  side, CAST(i AS INT) AS idx, cnt
+        |FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+        |WHERE cnt != 0
+        |ORDER BY event_type, CAST(user_id AS VARCHAR), ts_us, side, idx"""
         .stripMargin,
     // the AllBucketIterator walk replayed over a phase-ordered union
     // (0 = negative side descending index, 1 = zero bucket, 2 =

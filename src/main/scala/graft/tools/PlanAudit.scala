@@ -491,6 +491,37 @@ object PlanAudit {
         "no shuffle of the chunks side" -> "Exchange hashpartitioning",
         "no nested-loop join" -> "BroadcastNestedLoopJoin"))
 
+    // SIGNED migration path: the even/odd interleave + parity split
+    // are narrow per-row transforms, so the converted select must
+    // keep the identical plan contract — the signed flag must not
+    // introduce a shuffle or degrade the broadcast.
+    audit("ts_tsdb_block_neg_convert",
+      SparkEntry.queries("ts_tsdb_block_neg_convert")(spark, dir),
+      Map(
+        "labels side broadcasts" -> "BroadcastHashJoin",
+        "matcher pushed to labels scan" -> "EqualTo(event_type,view)",
+        "bucket partition pruning" -> "PartitionFilters: [",
+        "mint/maxt metadata filter pushed" -> "GreaterThanOrEqual(maxt"),
+      forbid = Map(
+        "no shuffle of the chunks side" -> "Exchange hashpartitioning",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin"))
+
+    // Signed quantile from block bytes: one narrow per-row fold over
+    // the per-(block, shard) RDD scan — the ONLY exchange allowed is
+    // the output sort.
+    locally {
+      val df = SparkEntry.queries("ts_nh_neg_quantile")(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val nEx = "Exchange ".r.findAllIn(plan).size
+      val rddScan = plan.contains("Scan ExistingRDD")
+      val ok = rddScan && nEx <= 1
+      println(s"[audit] ts_nh_neg_quantile :: narrow block read + ≤1 " +
+        s"exchange (output sort): scansRDD=$rddScan " +
+        s"exchanges=$nEx -> ${if (ok) "OK" else "FAIL"}")
+      if (!ok) failures ::= "ts_nh_neg_quantile: read-path shape"
+    }
+
     // PromQL from NH block bytes: the block read is a narrow
     // per-(block, shard) RDD scan (no Catalyst exchange can appear
     // for it); the whole quantile-over-rate plan may shuffle ONLY

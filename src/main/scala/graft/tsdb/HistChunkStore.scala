@@ -40,16 +40,25 @@ object HistChunkStore {
     * per-series METADATA, not per-sample data, so it lives in the
     * (tiny) labels file and [[select]] surfaces it as a
     * `custom_values` column without a byte of per-chunk overhead.
+    * SIGNED histograms pass `negIdxCol`/`negCountsCol`: the two
+    * sides store as one EVEN/ODD-interleaved index stream (pos i →
+    * 2i, neg i → 2i+1 — still ascending, still layout-reused, delta
+    * compression intact; the chunk codec treats indexes as opaque
+    * ints) plus a `signed` flag in the labels file; [[select]]
+    * splits them back by parity. Zero codec or frame changes.
     */
   def write(df: DataFrame, path: String, seriesCols: Seq[String],
       tsCol: String, zeroCol: String, idxCol: String, cntCol: String,
       sumCol: Option[String] = None, histSchema: Int = 0,
       colDuration: String = "1 day", samplesPerChunk: Int = 120,
       compression: String = "zstd",
-      customValues: Seq[Double] = Nil): Unit =
+      customValues: Seq[Double] = Nil,
+      negIdxCol: Option[String] = None,
+      negCountsCol: Option[String] = None): Unit =
     writeImpl(df, path, seriesCols, tsCol, zeroCol, idxCol, cntCol,
       sumCol, histSchema, colDuration, samplesPerChunk, compression,
-      float = false, customValues = customValues)
+      float = false, customValues = customValues,
+      negIdxCol = negIdxCol, negCountsCol = negCountsCol)
 
   /** [[write]] for FLOAT histograms (`zeroCol` double; `cntCol`
     * array<double> — recording-rule output): same dual-file layout,
@@ -59,23 +68,52 @@ object HistChunkStore {
       sumCol: Option[String] = None, histSchema: Int = 0,
       colDuration: String = "1 day", samplesPerChunk: Int = 120,
       compression: String = "zstd",
-      customValues: Seq[Double] = Nil): Unit =
+      customValues: Seq[Double] = Nil,
+      negIdxCol: Option[String] = None,
+      negCountsCol: Option[String] = None): Unit =
     writeImpl(df, path, seriesCols, tsCol, zeroCol, idxCol, cntCol,
       sumCol, histSchema, colDuration, samplesPerChunk, compression,
-      float = true, customValues = customValues)
+      float = true, customValues = customValues,
+      negIdxCol = negIdxCol, negCountsCol = negCountsCol)
 
   private def writeImpl(df: DataFrame, path: String, seriesCols: Seq[String],
       tsCol: String, zeroCol: String, idxCol: String, cntCol: String,
       sumCol: Option[String], histSchema: Int, colDuration: String,
       samplesPerChunk: Int, compression: String, float: Boolean,
-      customValues: Seq[Double] = Nil): Unit = {
+      customValues: Seq[Double] = Nil,
+      negIdxCol: Option[String] = None,
+      negCountsCol: Option[String] = None): Unit = {
     require(seriesCols.nonEmpty, "need at least one series label column")
     require((histSchema ==
         graft.tsdb.block.ChunkencHistogram.CustomBucketsSchema) ==
       customValues.nonEmpty,
       "customValues required iff histSchema is the custom-bucket " +
         "schema (-53)")
-    val withKey = withSeriesRef(df, seriesCols)
+    require(negIdxCol.isDefined == negCountsCol.isDefined,
+      "negIdxCol and negCountsCol must be passed together")
+    require(negIdxCol.isEmpty || customValues.isEmpty,
+      "custom-bucket (NHCB) histograms cannot carry negative buckets")
+    val signed = negIdxCol.isDefined
+    val cntType = if (float) "array<double>" else "array<bigint>"
+    // the signed merge: ascending even/odd interleave of both sides
+    val dfEff =
+      if (!signed) df
+        .withColumn("_eff_idx", col(idxCol).cast("array<int>"))
+        .withColumn("_eff_cnt", col(cntCol).cast(cntType))
+      else {
+        val merged = array_sort(concat(
+          zip_with(col(idxCol).cast("array<int>"),
+            col(cntCol).cast(cntType),
+            (i, c) => struct((i * 2).as("k"), c.as("c"))),
+          zip_with(col(negIdxCol.get).cast("array<int>"),
+            col(negCountsCol.get).cast(cntType),
+            (i, c) => struct((i * 2 + 1).as("k"), c.as("c")))))
+        df.withColumn("_m", merged)
+          .withColumn("_eff_idx", transform(col("_m"), b => b.getField("k")))
+          .withColumn("_eff_cnt", transform(col("_m"), b => b.getField("c")))
+          .drop("_m")
+      }
+    val withKey = withSeriesRef(dfEff, seriesCols)
       .withColumn("bucket", TsdbConverter.bucketCol(tsCol, colDuration))
       .withColumn("_ts_us", unix_micros(col(tsCol)))
 
@@ -83,6 +121,7 @@ object HistChunkStore {
       .distinct()
       .withColumn("custom_values",
         array(customValues.map(lit): _*).cast("array<double>"))
+      .withColumn("signed", lit(signed))
       .repartitionByRange(seriesCols.map(col): _*)
       .sortWithinPartitions(seriesCols.map(col): _*)
       .write.mode(SaveMode.Overwrite).option("compression", compression)
@@ -91,9 +130,8 @@ object HistChunkStore {
     val sample = struct(
       col("_ts_us").as("ts"),
       col(zeroCol).cast(if (float) "double" else "long").as("zero"),
-      col(idxCol).cast("array<int>").as("idx"),
-      col(cntCol).cast(if (float) "array<double>" else "array<bigint>")
-        .as("cnt"),
+      col("_eff_idx").as("idx"),
+      col("_eff_cnt").as("cnt"),
       sumCol.map(c => col(c).cast("double"))
         .getOrElse(lit(null).cast("double")).as("sum"))
     val sorted = ColumnBridge.expression(sort_array(collect_list(sample)))
@@ -140,10 +178,13 @@ object HistChunkStore {
       maxt: String, matchers: Seq[Matcher], seriesCols: Seq[String],
       tsCol: String, colDuration: String, float: Boolean): DataFrame = {
     val labels0 = spark.read.parquet(s"$path/labels")
-    // blocks written before the NHCB column existed read as empty
-    // bound lists — schema evolution without a rewrite
-    val labels = if (labels0.columns.contains("custom_values")) labels0
+    // blocks written before the NHCB / signed columns existed read
+    // as empty bound lists / unsigned — schema evolution without a
+    // rewrite
+    val labels1 = if (labels0.columns.contains("custom_values")) labels0
       else labels0.withColumn("custom_values", array().cast("array<double>"))
+    val labels = if (labels1.columns.contains("signed")) labels1
+      else labels1.withColumn("signed", lit(false))
     val matched = Matcher.compile(matchers).map(labels.filter).getOrElse(labels)
 
     val qmint = unix_micros(lit(mint).cast("timestamp"))
@@ -171,17 +212,33 @@ object HistChunkStore {
         ColumnBridge.expression(col("data")),
         ColumnBridge.expression(qmint),
         ColumnBridge.expression(qmaxt)))
+    // signed blocks split the even/odd-interleaved stream back into
+    // the two sides (narrow per-row transforms; the unsigned branch
+    // passes the arrays through untouched)
+    val zipped = zip_with(col("_s.idx"), col("_s.cnt"),
+      (k, c) => struct(k.as("k"), c.as("c")))
+    val posPairs = filter(zipped, b => b.getField("k") % 2 === 0)
+    val negPairs = filter(zipped, b => b.getField("k") % 2 =!= 0)
+    val cntType = if (float) "array<double>" else "array<bigint>"
     chunks
       .select((seriesCols.map(col) :+ col("custom_values") :+
-        explode(decoded).as("_s")): _*)
+        col("signed") :+ explode(decoded).as("_s")): _*)
       .filter(col("_s.ts") >= qmint && col("_s.ts") < qmaxt)
       .select((seriesCols.map(col) :+
         timestamp_micros(col("_s.ts")).as(tsCol) :+
         col("_s.zero").as("zero_count") :+
-        col("_s.idx").as("pos_idx") :+
-        col("_s.cnt").as("pos_counts") :+
+        when(col("signed"), transform(posPairs,
+            b => (b.getField("k") / 2).cast("int")))
+          .otherwise(col("_s.idx")).as("pos_idx") :+
+        when(col("signed"), transform(posPairs, b => b.getField("c")))
+          .otherwise(col("_s.cnt")).as("pos_counts") :+
         col("_s.sum").as("hist_sum") :+
-        col("custom_values")): _*)
+        col("custom_values") :+
+        when(col("signed"), transform(negPairs,
+            b => ((b.getField("k") - 1) / 2).cast("int")))
+          .otherwise(array().cast("array<int>")).as("neg_idx") :+
+        when(col("signed"), transform(negPairs, b => b.getField("c")))
+          .otherwise(array().cast(cntType)).as("neg_counts")): _*)
   }
 
   /** Compact N overlapping hist-chunk blocks into one: decode every
@@ -210,23 +267,38 @@ object HistChunkStore {
       histSchema: Int, colDuration: String, samplesPerChunk: Int,
       float: Boolean, customValues: Seq[Double] = Nil): Unit = {
     require(dirs.nonEmpty, "need at least one block directory")
+    // driver-sized metadata probe: any signed input dir makes the
+    // merged block signed (unsigned rows carry empty neg arrays and
+    // interleave losslessly)
+    val anySigned = dirs.exists { d =>
+      val l = spark.read.parquet(s"$d/labels")
+      l.columns.contains("signed") &&
+        l.filter(col("signed")).limit(1).count() > 0
+    }
     val full = ("1970-01-01 00:00:00", "2200-01-01 00:00:00")
     val tagged = dirs.zipWithIndex.map { case (d, i) =>
       selectImpl(spark, d, full._1, full._2, Nil, seriesCols, tsCol,
           colDuration, float)
         .withColumn("_block", lit(i))
     }
+    // the whole sample — both bucket sides — travels in one LWW
+    // struct, so pos and neg can never mix across colliding samples
     val merged = tagged.reduce(_ unionByName _)
       .groupBy((seriesCols.map(col) :+ col(tsCol)): _*)
       .agg(max(struct(col("_block"), col("zero_count"), col("pos_idx"),
-        col("pos_counts"), col("hist_sum"))).as("_top"))
+        col("pos_counts"), col("hist_sum"), col("neg_idx"),
+        col("neg_counts"))).as("_top"))
       .select((seriesCols.map(col) :+ col(tsCol) :+
         col("_top.zero_count").as("zero_count") :+
         col("_top.pos_idx").as("pos_idx") :+
         col("_top.pos_counts").as("pos_counts") :+
-        col("_top.hist_sum").as("hist_sum")): _*)
+        col("_top.hist_sum").as("hist_sum") :+
+        col("_top.neg_idx").as("neg_idx") :+
+        col("_top.neg_counts").as("neg_counts")): _*)
     writeImpl(merged, outPath, seriesCols, tsCol, "zero_count", "pos_idx",
       "pos_counts", Some("hist_sum"), histSchema, colDuration,
-      samplesPerChunk, "zstd", float, customValues)
+      samplesPerChunk, "zstd", float, customValues,
+      negIdxCol = if (anySigned) Some("neg_idx") else None,
+      negCountsCol = if (anySigned) Some("neg_counts") else None)
   }
 }

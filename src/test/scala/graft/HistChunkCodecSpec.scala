@@ -188,6 +188,52 @@ class HistChunkCodecSpec extends SparkSpec {
       ("web", ts(1), 0L, 7L, 1.0)))
   }
 
+  test("HistChunkStore signed: even/odd interleave roundtrips both sides and merges") {
+    import graft.tsdb.HistChunkStore
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // negative indexes on BOTH sides (pos -1 → k=-2, neg -1 → k=-1)
+    // pin the parity split's behavior on negative ints
+    val signedDf = Seq(
+      ("api", ts(1), 1L, Seq(-1, 1), Seq(10L, 3L), Seq(-1, 0), Seq(4L, 6L), 2.5),
+      ("api", ts(2), 2L, Seq(-1, 1, 2), Seq(11L, 5L, 1L), Seq(0), Seq(9L), 5.0),
+      ("web", ts(1), 0L, Seq(2), Seq(7L), Seq(-2, 3), Seq(1L, 2L), 1.0)
+    ).toDF("job", "ts", "zero_count", "pos_idx", "pos_counts",
+      "neg_idx", "neg_counts", "hsum")
+    val dirS = "/tmp/graft_test_histblk_s"
+    val dirU = "/tmp/graft_test_histblk_u"
+    val outS = "/tmp/graft_test_histblk_sm"
+    HistChunkStore.write(signedDf, dirS, Seq("job"), "ts",
+      "zero_count", "pos_idx", "pos_counts", Some("hsum"),
+      negIdxCol = Some("neg_idx"), negCountsCol = Some("neg_counts"))
+    val back = HistChunkStore.select(spark, dirS,
+        "2024-01-01", "2024-02-01", Nil, Seq("job"), "ts")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1),
+        r.getLong(2), r.getSeq[Int](3), r.getSeq[Long](4),
+        r.getDouble(5), r.getSeq[Int](7), r.getSeq[Long](8)))
+      .toSet
+    assert(back == Set(
+      ("api", ts(1), 1L, Seq(-1, 1), Seq(10L, 3L), 2.5, Seq(-1, 0), Seq(4L, 6L)),
+      ("api", ts(2), 2L, Seq(-1, 1, 2), Seq(11L, 5L, 1L), 5.0, Seq(0), Seq(9L)),
+      ("web", ts(1), 0L, Seq(2), Seq(7L), 1.0, Seq(-2, 3), Seq(1L, 2L))))
+    // an UNSIGNED block merges with a signed one: merged block is
+    // signed, unsigned rows read back with empty neg arrays
+    val unsignedDf = Seq(
+      ("api", ts(3), 4L, Seq(1), Seq(25L), 12.0)
+    ).toDF("job", "ts", "zero_count", "pos_idx", "pos_counts", "hsum")
+    HistChunkStore.write(unsignedDf, dirU, Seq("job"), "ts",
+      "zero_count", "pos_idx", "pos_counts", Some("hsum"))
+    HistChunkStore.mergeBlocks(spark, Seq(dirS, dirU), outS, Seq("job"), "ts")
+    val merged = HistChunkStore.select(spark, outS,
+        "2024-01-01", "2024-02-01", Nil, Seq("job"), "ts")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1),
+        r.getSeq[Int](3), r.getSeq[Int](7), r.getSeq[Long](8))).toSet
+    assert(merged == Set(
+      ("api", ts(1), Seq(-1, 1), Seq(-1, 0), Seq(4L, 6L)),
+      ("api", ts(2), Seq(-1, 1, 2), Seq(0), Seq(9L)),
+      ("api", ts(3), Seq(1), Seq(), Seq()),
+      ("web", ts(1), Seq(2), Seq(-2, 3), Seq(1L, 2L))))
+  }
+
   test("SQL registration: graft_hist_chunk_encode/decode work from SQL") {
     graft.GraftFunctions.register(spark)
     val row = spark.sql(

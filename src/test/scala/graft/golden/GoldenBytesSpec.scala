@@ -196,6 +196,37 @@ class GoldenBytesSpec extends AnyFunSuite {
     }
   }
 
+  test("committed SIGNED hist chunk reads both bucket sides through readHistLabels") {
+    // golden/block's golden_hist series was frozen in r9 WITH
+    // negative spans, when readHistLabels still rejected them — so
+    // these bytes pin the signed read path against a fixture that
+    // predates the reader, the closest available thing to
+    // foreign-written bytes
+    val spark = SparkTestBase.spark
+    val rows = TsdbBlockStore
+      .readHistLabels(spark, root.getPath, Seq("__name__"),
+        matchers = Seq(graft.tsdb.Matcher.Eq("__name__", "golden_hist")))
+      .collect().sortBy(_.getLong(1))
+    val e = GoldenData.histChunk
+    assert(rows.length == e.ts.length)
+    val pIdx = graft.tsdb.block.ChunkencHistogram
+      .bucketIndexes(e.posSpans).toSeq
+    val nIdx = graft.tsdb.block.ChunkencHistogram
+      .bucketIndexes(e.negSpans).toSeq
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getString(0) == "golden_hist")
+      assert(r.getLong(1) == e.ts(i))
+      assert(r.getInt(2) == e.schema)
+      assert(r.getLong(3) == e.zeroCount(i))
+      assert(r.getSeq[Int](4) == pIdx)
+      assert(r.getSeq[Long](5) == e.posBuckets(i).toSeq)
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(6)) ==
+        java.lang.Double.doubleToRawLongBits(e.sum(i)))
+      assert(r.getSeq[Int](8) == nIdx, "neg layout")
+      assert(r.getSeq[Long](9) == e.negBuckets(i).toSeq, "neg counts")
+    }
+  }
+
   test("tombstoned block writer output is byte-identical to the committed dirs") {
     val tmp = java.nio.file.Files
       .createTempDirectory("golden_tomb_regen").toFile
