@@ -2310,6 +2310,34 @@ object SparkEntry {
       .orderBy("event_type", "user_id", "ts_ms")
   }
 
+  /** The PromQL histogram STATS consumers over SIGNED histograms
+    * from block bytes: `histogram_count` (both sides count),
+    * `histogram_avg` (tracked sum over the signed count),
+    * `histogram_stdvar` (bucket-middle deviations with negative
+    * middles reflected about 0, summation order
+    * ((zero + posFold) + negFold) pinned for the oracle replay) and
+    * `histogram_fraction(-2, 2)` (bounds on bucket boundaries →
+    * every per-bucket overlap share exactly 0 or 1 — FP-exact on
+    * both engines). All narrow per-row folds. */
+  private def tsNhNegStats(s: SparkSession, dir: String): DataFrame = {
+    negBlockFixture(s, dir)
+    val nh = graft.tsdb.NativeHistogram
+    graft.tsdb.block.TsdbBlockStore
+      .readHistLabels(s, negBlockPath(dir), Seq("event_type", "user_id"))
+      .select(col("event_type"), col("user_id"), col("ts").as("ts_ms"),
+        nh.histogramCountSigned(col("zero_count"), col("pos_counts"),
+          col("neg_counts")).as("h_count"),
+        nh.histogramAvgSigned(col("hist_sum"), col("zero_count"),
+          col("pos_counts"), col("neg_counts")).as("h_avg"),
+        nh.histogramStdvarSigned(col("hist_sum"), col("zero_count"),
+          col("pos_idx"), col("pos_counts"), col("neg_idx"),
+          col("neg_counts")).as("h_stdvar"),
+        nh.histogramFractionSigned(-2.0, 2.0, col("zero_count"),
+          col("pos_idx"), col("pos_counts"), col("neg_idx"),
+          col("neg_counts")).as("frac"))
+      .orderBy("event_type", "user_id", "ts_ms")
+  }
+
   /** The SIGNED migration path — block bytes (negative spans
     * included) → [[tsdb.block.TsdbBlockStore.readHistLabels]] →
     * [[tsdb.HistChunkStore]] converted layout (both sides as ONE
@@ -2839,6 +2867,7 @@ object SparkEntry {
     "ts_tsdb_block_neg_roundtrip" -> (tsTsdbBlockNegRoundtrip _),
     "ts_nh_neg_quantile" -> (tsNhNegQuantile _),
     "ts_tsdb_block_neg_convert" -> (tsTsdbBlockNegConvert _),
+    "ts_nh_neg_stats" -> (tsNhNegStats _),
     "ts_promql_tsdb_blocks" -> (tsPromqlTsdbBlocks _),
     "ts_promql_nh_blocks" -> (tsPromqlNhBlocks _),
     "ts_promql_info" -> (tsPromqlInfo _),
@@ -4795,6 +4824,83 @@ object SparkEntry {
         |FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
         |WHERE cnt != 0
         |ORDER BY event_type, CAST(user_id AS VARCHAR), ts_us, side, idx"""
+        .stripMargin,
+    // signed stats: count/avg exact-integer arithmetic; stdvar
+    // replays the ((zero + posFold) + negFold) association with two
+    // ordered cumulative windows; fraction bounds sit on bucket
+    // boundaries so every share is exactly 0 or 1
+    "ts_nh_neg_stats" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |base AS (
+        |  SELECT event_type, user_id, d,
+        |    user_id * 31 + length(event_type) AS sseed,
+        |    d * 86400000 AS ts_ms
+        |  FROM days),
+        |pos AS (
+        |  SELECT event_type, user_id, ts_ms, i,
+        |    d*d*((sseed + i + 3) % 5) AS cnt
+        |  FROM base, unnest(range(-2, 6)) AS t(i)
+        |  WHERE i <= (CASE WHEN d >= 19740 THEN 5 ELSE 4 END)),
+        |neg AS (
+        |  SELECT event_type, user_id, ts_ms, i,
+        |    d*d*((sseed + i + 7) % 4) AS cnt
+        |  FROM base, unnest(range(-1, 4)) AS t(i)
+        |  WHERE i <= (CASE WHEN d >= 19735 THEN 3 ELSE 2 END)),
+        |pt AS (
+        |  SELECT event_type, user_id, ts_ms, sum(cnt) AS psum,
+        |    sum(CASE WHEN i <= 1 THEN cnt ELSE 0 END) AS pin
+        |  FROM pos GROUP BY 1, 2, 3),
+        |nt AS (
+        |  SELECT event_type, user_id, ts_ms, sum(cnt) AS nsum,
+        |    sum(CASE WHEN i <= 1 THEN cnt ELSE 0 END) AS nin
+        |  FROM neg GROUP BY 1, 2, 3),
+        |m AS (
+        |  SELECT b.event_type, b.user_id, b.ts_ms,
+        |    d*d*(sseed % 3) AS zc,
+        |    CAST(d * ((sseed % 7) + 1) AS DOUBLE) * 0.25 AS hsum,
+        |    pt.pin, nt.nin,
+        |    CAST(d*d*(sseed % 3) + pt.psum + nt.nsum AS DOUBLE) AS n
+        |  FROM base b
+        |  JOIN pt USING (event_type, user_id, ts_ms)
+        |  JOIN nt USING (event_type, user_id, ts_ms)),
+        |m2 AS (SELECT *, hsum / n AS mean FROM m),
+        |pw AS (
+        |  SELECT p.event_type, p.user_id, p.ts_ms,
+        |    sum(CAST(p.cnt AS DOUBLE) *
+        |        ((pow(2.0, p.i - 1) + pow(2.0, p.i)) / 2.0 - m2.mean) *
+        |        ((pow(2.0, p.i - 1) + pow(2.0, p.i)) / 2.0 - m2.mean))
+        |      OVER (PARTITION BY p.event_type, p.user_id, p.ts_ms
+        |            ORDER BY p.i ROWS UNBOUNDED PRECEDING) AS posdev
+        |  FROM pos p JOIN m2 USING (event_type, user_id, ts_ms)
+        |  QUALIFY row_number() OVER (PARTITION BY p.event_type,
+        |    p.user_id, p.ts_ms ORDER BY p.i DESC) = 1),
+        |nw AS (
+        |  SELECT g.event_type, g.user_id, g.ts_ms,
+        |    sum(CAST(g.cnt AS DOUBLE) *
+        |        (-((pow(2.0, g.i - 1) + pow(2.0, g.i)) / 2.0) - m2.mean) *
+        |        (-((pow(2.0, g.i - 1) + pow(2.0, g.i)) / 2.0) - m2.mean))
+        |      OVER (PARTITION BY g.event_type, g.user_id, g.ts_ms
+        |            ORDER BY g.i ROWS UNBOUNDED PRECEDING) AS negdev
+        |  FROM neg g JOIN m2 USING (event_type, user_id, ts_ms)
+        |  QUALIFY row_number() OVER (PARTITION BY g.event_type,
+        |    g.user_id, g.ts_ms ORDER BY g.i DESC) = 1)
+        |SELECT m2.event_type, CAST(m2.user_id AS VARCHAR) AS user_id,
+        |  m2.ts_ms, m2.n AS h_count,
+        |  CASE WHEN m2.n = 0 THEN CAST('nan' AS DOUBLE)
+        |       ELSE m2.hsum / m2.n END AS h_avg,
+        |  CASE WHEN m2.n = 0 THEN CAST('nan' AS DOUBLE)
+        |       ELSE ((CAST(m2.zc AS DOUBLE) * m2.mean * m2.mean
+        |              + pw.posdev) + nw.negdev) / m2.n END AS h_stdvar,
+        |  CASE WHEN m2.n = 0 THEN CAST('nan' AS DOUBLE)
+        |       ELSE CAST(m2.zc + m2.pin + m2.nin AS DOUBLE) / m2.n
+        |       END AS frac
+        |FROM m2
+        |JOIN pw USING (event_type, user_id, ts_ms)
+        |JOIN nw USING (event_type, user_id, ts_ms)
+        |ORDER BY m2.event_type, CAST(m2.user_id AS VARCHAR), m2.ts_ms"""
         .stripMargin,
     // the AllBucketIterator walk replayed over a phase-ordered union
     // (0 = negative side descending index, 1 = zero bucket, 2 =

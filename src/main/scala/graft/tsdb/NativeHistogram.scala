@@ -230,6 +230,21 @@ object NativeHistogram {
       .otherwise(sumCol.cast("double") / n)
   }
 
+  /** [[histogramCountD]] for SIGNED histograms: the negative side's
+    * observations count like any other bucket's. */
+  def histogramCountSigned(zeroCount: Column, posCounts: Column,
+      negCounts: Column): Column =
+    histogramCountD(zeroCount, posCounts) + coalesce(
+      aggregate(negCounts, lit(0.0), (a, c) => a + c.cast("double")), lit(0.0))
+
+  /** [[histogramAvg]] for SIGNED histograms. */
+  def histogramAvgSigned(sumCol: Column, zeroCount: Column,
+      posCounts: Column, negCounts: Column): Column = {
+    val n = histogramCountSigned(zeroCount, posCounts, negCounts)
+    when(n === 0, lit(Double.NaN))
+      .otherwise(sumCol.cast("double") / n)
+  }
+
   /** PromQL `histogram_stddev`/`histogram_stdvar` (promql/quantile.go
     * histogramStdDev): mean = sum/count; each bucket contributes
     * `count_b · (mid_b − mean)²` with `mid_b` the arithmetic middle
@@ -255,6 +270,31 @@ object NativeHistogram {
       })
     when(n === 0, lit(Double.NaN))
       .otherwise((zeroDev + coalesce(posDev, lit(0.0))) / n.cast("double"))
+  }
+
+  /** [[histogramStdvar]] for SIGNED histograms: negative bucket i's
+    * middle is the positive middle reflected about 0. Summation
+    * order is ((zeroDev + posFold) + negFold), each side's fold
+    * left-to-right ascending index — pinned so an oracle can replay
+    * the FP association with ordered cumulative windows. */
+  def histogramStdvarSigned(sumCol: Column, zeroCount: Column,
+      posIdx: Column, posCounts: Column, negIdx: Column,
+      negCounts: Column, schema: Int = 0): Column = {
+    val n = histogramCountSigned(zeroCount, posCounts, negCounts)
+    val mean = sumCol.cast("double") / n
+    val zeroDev = zeroCount.cast("double") * mean * mean
+    def devFold(idx: Column, counts: Column, sign: Double): Column =
+      aggregate(
+        zip_with(idx, counts, (i, c) => struct(i.as("i"), c.as("c"))),
+        lit(0.0),
+        (acc, b) => {
+          val mid = lit(sign) * (upperBound(b.getField("i") - 1, schema) +
+            upperBound(b.getField("i"), schema)) / 2.0
+          acc + b.getField("c").cast("double") * (mid - mean) * (mid - mean)
+        })
+    when(n === 0, lit(Double.NaN))
+      .otherwise(((zeroDev + coalesce(devFold(posIdx, posCounts, 1.0),
+        lit(0.0))) + coalesce(devFold(negIdx, negCounts, -1.0), lit(0.0))) / n)
   }
 
   /** PromQL `rate(native_histogram[range])`: the bucket-wise counter
@@ -336,6 +376,37 @@ object NativeHistogram {
     when(total === 0, lit(Double.NaN))
       .otherwise((zeroContrib + coalesce(inBuckets, lit(0.0))) /
         total.cast("double"))
+  }
+
+  /** [[histogramFraction]] for SIGNED histograms: negative bucket
+    * i's interval is [-base^i, -base^(i-1)], the positive bounds
+    * reflected; the same linear-overlap share applies. Summation
+    * order ((zero + posFold) + negFold), folds ascending index. */
+  def histogramFractionSigned(lower: Double, upper: Double,
+      zeroCount: Column, posIdx: Column, posCounts: Column,
+      negIdx: Column, negCounts: Column, schema: Int = 0): Column = {
+    require(lower <= upper, s"lower ($lower) must be ≤ upper ($upper)")
+    val total = histogramCountSigned(zeroCount, posCounts, negCounts)
+    val zeroContrib =
+      if (lower <= 0.0 && 0.0 <= upper) zeroCount.cast("double") else lit(0.0)
+    def shareFold(idx: Column, counts: Column, neg: Boolean): Column =
+      aggregate(
+        zip_with(idx, counts, (i, c) => struct(i.as("i"), c.as("c"))),
+        lit(0.0),
+        (acc, b) => {
+          val u1 = upperBound(b.getField("i") - 1, schema)
+          val u2 = upperBound(b.getField("i"), schema)
+          val bl = if (neg) lit(-1.0) * u2 else u1
+          val bu = if (neg) lit(-1.0) * u1 else u2
+          val share = greatest(
+            least(lit(upper), bu) - greatest(lit(lower), bl), lit(0.0)) /
+            (bu - bl)
+          acc + b.getField("c").cast("double") * share
+        })
+    when(total === 0, lit(Double.NaN))
+      .otherwise(((zeroContrib +
+        coalesce(shareFold(posIdx, posCounts, neg = false), lit(0.0))) +
+        coalesce(shareFold(negIdx, negCounts, neg = true), lit(0.0))) / total)
   }
 
   /** Bucket-wise aggregation of native histograms across series

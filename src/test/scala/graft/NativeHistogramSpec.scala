@@ -335,6 +335,71 @@ class NativeHistogramSpec extends SparkSpec {
     }
   }
 
+  test("signed stats: count/avg/stdvar/fraction vs scalar references") {
+    def ub(i: Int, schema: Int): Double =
+      StrictMath.pow(2.0, math.pow(2.0, -schema) * i)
+    val rnd = new scala.util.Random(31)
+    for (_ <- 0 until 25) {
+      val schema = rnd.nextInt(3)
+      val nIdx = (-2 to rnd.nextInt(4)).toList
+      val nCnt = nIdx.map(_ => rnd.nextInt(7).toLong)
+      val idx = (-1 to rnd.nextInt(5)).toList
+      val cnt = idx.map(_ => rnd.nextInt(7).toLong)
+      val zero = rnd.nextInt(4).toLong
+      val hsum = rnd.nextDouble() * 40 - 10
+      val (lo, hi) = (-1.5, 2.5) // interpolated shares, not just 0/1
+      val row = Seq((zero, idx, cnt, nIdx, nCnt, hsum))
+        .toDF("z", "i", "c", "ni", "nc", "s")
+      val nh = NativeHistogram
+      val got = row.select(
+        nh.histogramCountSigned(col("z"), col("c"), col("nc")).as("n"),
+        nh.histogramAvgSigned(col("s"), col("z"), col("c"), col("nc"))
+          .as("avg"),
+        nh.histogramStdvarSigned(col("s"), col("z"), col("i"), col("c"),
+          col("ni"), col("nc"), schema).as("sv"),
+        nh.histogramFractionSigned(lo, hi, col("z"), col("i"), col("c"),
+          col("ni"), col("nc"), schema).as("fr")).head()
+      // scalar references with the SAME summation order
+      val n = (zero + cnt.sum + nCnt.sum).toDouble
+      val wantAvg = if (n == 0) Double.NaN else hsum / n
+      // association pinned to the column fns: each side's fold starts
+      // at 0.0, then ((zeroTerm + posFold) + negFold)
+      val mean = hsum / n
+      var posDev = 0.0
+      idx.zip(cnt).foreach { case (i, c) =>
+        val mid = 1.0 * (ub(i - 1, schema) + ub(i, schema)) / 2.0
+        posDev += c * (mid - mean) * (mid - mean)
+      }
+      var negDev = 0.0
+      nIdx.zip(nCnt).foreach { case (i, c) =>
+        val mid = -1.0 * (ub(i - 1, schema) + ub(i, schema)) / 2.0
+        negDev += c * (mid - mean) * (mid - mean)
+      }
+      val wantSv = if (n == 0) Double.NaN
+        else ((zero.toDouble * mean * mean + posDev) + negDev) / n
+      var fr = 0.0
+      idx.zip(cnt).foreach { case (i, c) =>
+        val (bl, bu) = (ub(i - 1, schema), ub(i, schema))
+        fr += c * (math.max(0.0,
+          math.min(hi, bu) - math.max(lo, bl)) / (bu - bl))
+      }
+      var nfr = 0.0
+      nIdx.zip(nCnt).foreach { case (i, c) =>
+        val (bl, bu) = (-ub(i, schema), -ub(i - 1, schema))
+        nfr += c * (math.max(0.0,
+          math.min(hi, bu) - math.max(lo, bl)) / (bu - bl))
+      }
+      val wantFr = if (n == 0) Double.NaN
+        else ((zero.toDouble + fr) + nfr) / n
+      def eq(a: Double, b: Double) =
+        java.lang.Double.compare(a, b) == 0 || (a.isNaN && b.isNaN)
+      assert(got.getDouble(0) == n, "count")
+      assert(eq(got.getDouble(1), wantAvg), s"avg: ${got.getDouble(1)} vs $wantAvg")
+      assert(eq(got.getDouble(2), wantSv), s"stdvar: ${got.getDouble(2)} vs $wantSv")
+      assert(eq(got.getDouble(3), wantFr), s"frac: ${got.getDouble(3)} vs $wantFr")
+    }
+  }
+
   test("histogramQuantileSigned at schema 2: randomized vs scalar walk") {
     val rnd = new scala.util.Random(23)
     for (_ <- 0 until 30) {
