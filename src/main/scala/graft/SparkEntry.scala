@@ -2310,6 +2310,55 @@ object SparkEntry {
       .orderBy("event_type", "user_id", "ts_ms")
   }
 
+  /** SIGNED histograms through the PromQL STRING front-end:
+    * `histogram_quantile(0.1, neg_requests)` — a [[tsdb.promql
+    * .HistTable]] registered with `negIdxCol`/`negCountsCol` from
+    * block bytes; q=0.1 lands in the NEGATIVE region on the gate
+    * vector, so the compiled plan's signed AllBucketIterator walk is
+    * what hash-pins. Instant semantics: latest sample per series in
+    * the lookback. */
+  private def tsPromqlNegQuantile(s: SparkSession, dir: String): DataFrame = {
+    negBlockFixture(s, dir)
+    val nh = graft.tsdb.block.TsdbBlockStore
+      .readHistLabels(s, negBlockPath(dir), Seq("event_type", "user_id"))
+      .withColumn("ts", timestamp_millis(col("ts")))
+    val ctx = graft.tsdb.promql.PromQLContext(
+      metrics = Map.empty,
+      labelCols = Seq("event_type", "user_id"),
+      evalMs = 1706745600000L, // 2024-02-01T00:00:00Z
+      lookbackMs = 40L * 86400000L,
+      histMetrics = Map("neg_requests" -> graft.tsdb.promql.HistTable(nh,
+        negIdxCol = Some("neg_idx"), negCountsCol = Some("neg_counts"))))
+    graft.tsdb.promql.PromQL.compile(
+        "histogram_quantile(0.1, neg_requests)", ctx)
+      .select(col("event_type"), col("user_id"), col("value").as("phi10"))
+      .orderBy("event_type", "user_id")
+  }
+
+  /** `histogram_count(rate(neg_requests[40d]))` from the string:
+    * [[tsdb.NativeHistogram.rateBySigned]] rates BOTH bucket sides
+    * off one whole-sample first/last snapshot pair, and the count
+    * consumer folds them back together — the negative side visibly
+    * changes the answer, so the hash pins the signed rate path
+    * end-to-end. */
+  private def tsPromqlNegCountRate(s: SparkSession, dir: String): DataFrame = {
+    negBlockFixture(s, dir)
+    val nh = graft.tsdb.block.TsdbBlockStore
+      .readHistLabels(s, negBlockPath(dir), Seq("event_type", "user_id"))
+      .withColumn("ts", timestamp_millis(col("ts")))
+    val ctx = graft.tsdb.promql.PromQLContext(
+      metrics = Map.empty,
+      labelCols = Seq("event_type", "user_id"),
+      evalMs = 1706745600000L,
+      lookbackMs = 40L * 86400000L,
+      histMetrics = Map("neg_requests" -> graft.tsdb.promql.HistTable(nh,
+        negIdxCol = Some("neg_idx"), negCountsCol = Some("neg_counts"))))
+    graft.tsdb.promql.PromQL.compile(
+        "histogram_count(rate(neg_requests[40d]))", ctx)
+      .select(col("event_type"), col("user_id"), col("value").as("crate"))
+      .orderBy("event_type", "user_id")
+  }
+
   /** The PromQL histogram STATS consumers over SIGNED histograms
     * from block bytes: `histogram_count` (both sides count),
     * `histogram_avg` (tracked sum over the signed count),
@@ -2868,6 +2917,8 @@ object SparkEntry {
     "ts_nh_neg_quantile" -> (tsNhNegQuantile _),
     "ts_tsdb_block_neg_convert" -> (tsTsdbBlockNegConvert _),
     "ts_nh_neg_stats" -> (tsNhNegStats _),
+    "ts_promql_neg_quantile" -> (tsPromqlNegQuantile _),
+    "ts_promql_neg_count_rate" -> (tsPromqlNegCountRate _),
     "ts_promql_tsdb_blocks" -> (tsPromqlTsdbBlocks _),
     "ts_promql_nh_blocks" -> (tsPromqlNhBlocks _),
     "ts_promql_info" -> (tsPromqlInfo _),
@@ -4792,6 +4843,119 @@ object SparkEntry {
         |FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
         |WHERE cnt != 0
         |ORDER BY event_type, CAST(user_id AS VARCHAR), ts_ms, side, idx"""
+        .stripMargin,
+    // the signed walk through the STRING front-end at instant
+    // semantics: latest day per series, q=0.1 in the negative region
+    "ts_promql_neg_quantile" ->
+      """WITH days0 AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |days AS (
+        |  SELECT event_type, user_id, max(d) AS d
+        |  FROM days0 GROUP BY 1, 2),
+        |base AS (
+        |  SELECT event_type, user_id, d,
+        |    user_id * 31 + length(event_type) AS sseed
+        |  FROM days),
+        |allb AS (
+        |  SELECT event_type, user_id, 0 AS phase, -i AS ord,
+        |    d*d*((sseed + i + 7) % 4) AS cnt,
+        |    -power(2.0, i) AS lower, -power(2.0, i - 1) AS upper
+        |  FROM base, unnest(range(-1, 4)) AS t(i)
+        |  WHERE i <= (CASE WHEN d >= 19735 THEN 3 ELSE 2 END)
+        |  UNION ALL
+        |  SELECT event_type, user_id, 1 AS phase, 0 AS ord,
+        |    d*d*(sseed % 3) AS cnt, 0.0 AS lower, 0.0 AS upper
+        |  FROM base
+        |  UNION ALL
+        |  SELECT event_type, user_id, 2 AS phase, i AS ord,
+        |    d*d*((sseed + i + 3) % 5) AS cnt,
+        |    power(2.0, i - 1) AS lower, power(2.0, i) AS upper
+        |  FROM base, unnest(range(-2, 6)) AS t(i)
+        |  WHERE i <= (CASE WHEN d >= 19740 THEN 5 ELSE 4 END)),
+        |cum AS (
+        |  SELECT *,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type, user_id
+        |      ORDER BY phase, ord) AS DOUBLE) AS cumc,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type, user_id)
+        |      AS DOUBLE) AS total,
+        |    CAST(sum(CASE WHEN phase = 0 THEN cnt ELSE 0 END)
+        |      OVER (PARTITION BY event_type, user_id) AS DOUBLE) AS negtot,
+        |    CAST(sum(CASE WHEN phase = 1 THEN cnt ELSE 0 END)
+        |      OVER (PARTITION BY event_type, user_id) AS DOUBLE) AS zerotot
+        |  FROM allb),
+        |scored AS (
+        |  SELECT event_type, user_id, total, negtot, zerotot,
+        |    min_by(lower + (upper - lower) *
+        |        (((0.1 * total) - (cumc - cnt)) / cnt), ord)
+        |      FILTER (WHERE phase = 0 AND cnt > 0
+        |        AND cumc >= 0.1 * total) AS negres,
+        |    min_by(lower + (upper - lower) *
+        |        (((0.1 * total) - (cumc - cnt)) / cnt), ord)
+        |      FILTER (WHERE phase = 2 AND cnt > 0
+        |        AND cumc >= 0.1 * total) AS posres
+        |  FROM cum GROUP BY 1, 2, 3, 4, 5)
+        |SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+        |  CASE WHEN negtot > 0 AND 0.1 * total <= negtot THEN negres
+        |       WHEN negtot + zerotot >= 0.1 * total THEN 0.0
+        |       ELSE posres END AS phi10
+        |FROM scored
+        |ORDER BY event_type, CAST(user_id AS VARCHAR)"""
+        .stripMargin,
+    // signed rate through the front-end: whole-sample first/last per
+    // series (min/max day), clamped bucket deltas over dt seconds,
+    // count = ((zero_rate + posFold) + negFold) replayed with
+    // ordered cumulative windows
+    "ts_promql_neg_count_rate" ->
+      """WITH days0 AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |rng AS (
+        |  SELECT event_type, user_id,
+        |    user_id * 31 + length(event_type) AS sseed,
+        |    min(d) AS d0, max(d) AS d1
+        |  FROM days0 GROUP BY 1, 2, 3
+        |  HAVING count(*) >= 2),
+        |pos AS (
+        |  SELECT event_type, user_id, i,
+        |    CAST(d1*d1*((sseed + i + 3) % 5)
+        |      - (CASE WHEN i <= (CASE WHEN d0 >= 19740 THEN 5 ELSE 4 END)
+        |         THEN d0*d0*((sseed + i + 3) % 5) ELSE 0 END) AS DOUBLE)
+        |      / CAST((d1 - d0) * 86400 AS DOUBLE) AS r
+        |  FROM rng, unnest(range(-2, 6)) AS t(i)
+        |  WHERE i <= (CASE WHEN d1 >= 19740 THEN 5 ELSE 4 END)),
+        |neg AS (
+        |  SELECT event_type, user_id, i,
+        |    CAST(d1*d1*((sseed + i + 7) % 4)
+        |      - (CASE WHEN i <= (CASE WHEN d0 >= 19735 THEN 3 ELSE 2 END)
+        |         THEN d0*d0*((sseed + i + 7) % 4) ELSE 0 END) AS DOUBLE)
+        |      / CAST((d1 - d0) * 86400 AS DOUBLE) AS r
+        |  FROM rng, unnest(range(-1, 4)) AS t(i)
+        |  WHERE i <= (CASE WHEN d1 >= 19735 THEN 3 ELSE 2 END)),
+        |pw AS (
+        |  SELECT event_type, user_id,
+        |    sum(r) OVER (PARTITION BY event_type, user_id
+        |      ORDER BY i ROWS UNBOUNDED PRECEDING) AS s
+        |  FROM pos
+        |  QUALIFY row_number() OVER (PARTITION BY event_type, user_id
+        |    ORDER BY i DESC) = 1),
+        |nw AS (
+        |  SELECT event_type, user_id,
+        |    sum(r) OVER (PARTITION BY event_type, user_id
+        |      ORDER BY i ROWS UNBOUNDED PRECEDING) AS s
+        |  FROM neg
+        |  QUALIFY row_number() OVER (PARTITION BY event_type, user_id
+        |    ORDER BY i DESC) = 1)
+        |SELECT r.event_type, CAST(r.user_id AS VARCHAR) AS user_id,
+        |  ((CAST(greatest(d1*d1*(sseed % 3) - d0*d0*(sseed % 3), 0)
+        |      AS DOUBLE) / CAST((d1 - d0) * 86400 AS DOUBLE)
+        |    + pw.s) + nw.s) AS crate
+        |FROM rng r
+        |JOIN pw USING (event_type, user_id)
+        |JOIN nw USING (event_type, user_id)
+        |ORDER BY r.event_type, CAST(r.user_id AS VARCHAR)"""
         .stripMargin,
     // the signed migration path: both sides re-derived under the
     // same matcher + day-range restriction as the NH convert gate

@@ -343,6 +343,42 @@ object NativeHistogram {
           .cast("double") / dt).as("pos_rate")): _*)
   }
 
+  /** [[rateBy]] for SIGNED histograms: the negative side rides the
+    * SAME first/last snapshot struct (whole-sample granularity — a
+    * ts tie can never pick the positive side from one sample and the
+    * negative from another) and rates bucket-wise with the identical
+    * missing-first-reads-0 / decrease-clamps rules. Positive-only
+    * input (empty neg arrays) produces the exact [[rateBy]] columns
+    * plus empty `neg_idx`/`neg_rate`. */
+  def rateBySigned(df: DataFrame, seriesCols: Seq[String], tsSecCol: String,
+      zeroCountCol: String, posIdxCol: String, posCountsCol: String,
+      negIdxCol: String, negCountsCol: String): DataFrame = {
+    val keys = seriesCols.map(col)
+    val snap = struct(col(tsSecCol).cast("long").as("t"),
+      col(zeroCountCol).cast("double").as("z"),
+      col(posIdxCol).as("i"), col(posCountsCol).as("c"),
+      col(negIdxCol).as("ni"), col(negCountsCol).as("nc"))
+    val ends = df.groupBy(keys: _*)
+      .agg(min(snap).as("first"), max(snap).as("last"),
+        count(lit(1)).as("_n"))
+      .filter(col("_n") >= 2)
+    val dt = (col("last.t") - col("first.t")).cast("double")
+    val firstMap = map_from_arrays(col("first.i"), col("first.c"))
+    val firstNegMap = map_from_arrays(col("first.ni"), col("first.nc"))
+    ends.select(keys ++ Seq(
+      dt.as("dt_sec"),
+      (greatest(col("last.z") - col("first.z"), lit(0.0)).cast("double") / dt)
+        .as("zero_rate"),
+      col("last.i").as("pos_idx"),
+      zip_with(col("last.i"), col("last.c"), (i, c) =>
+        greatest(c - coalesce(element_at(firstMap, i), lit(0L)), lit(0L))
+          .cast("double") / dt).as("pos_rate"),
+      col("last.ni").as("neg_idx"),
+      zip_with(col("last.ni"), col("last.nc"), (i, c) =>
+        greatest(c - coalesce(element_at(firstNegMap, i), lit(0L)), lit(0L))
+          .cast("double") / dt).as("neg_rate")): _*)
+  }
+
   /** PromQL `histogram_fraction(lower, upper, h)`: estimated
     * fraction of observations in [lower, upper] — per bucket, the
     * linear-overlap share `max(0, min(upper,bu) − max(lower,bl)) /

@@ -75,7 +75,12 @@ final case class HistTable(
     posIdxCol: String = "pos_idx",
     posCountsCol: String = "pos_counts",
     sumCol: Option[String] = None,
-    schema: Int = 0)
+    schema: Int = 0,
+    negIdxCol: Option[String] = None,
+    negCountsCol: Option[String] = None) {
+  require(negIdxCol.isDefined == negCountsCol.isDefined,
+    "negIdxCol and negCountsCol must be passed together")
+}
 
 /** A range-query step grid: evaluation timestamps `startMs,
   * startMs + stepMs, ..., lastStepMs` (every multiple of `stepMs`
@@ -548,23 +553,29 @@ object PromQL {
           s"$fn needs a histogram metric with a tracked observation sum " +
             "(HistTable.sumCol) — rate vectors never carry one")
         val NH = graft.tsdb.NativeHistogram
+        // signed variants throughout — FP-identical on empty neg
+        // arrays (positive-only metrics), both-sides on signed ones
         Right(histConsume(h, fn match {
-          case "histogram_count" => NH.histogramCountD(col(HZ), col(HC))
+          case "histogram_count" =>
+            NH.histogramCountSigned(col(HZ), col(HC), col(HNC))
           case "histogram_sum" => needSum(); col(HS)
           case "histogram_avg" => needSum()
-            NH.histogramAvg(col(HS), col(HZ), col(HC))
+            NH.histogramAvgSigned(col(HS), col(HZ), col(HC), col(HNC))
           case "histogram_stddev" => needSum()
-            sqrt(NH.histogramStdvar(col(HS), col(HZ), col(HI), col(HC), h.schema))
+            sqrt(NH.histogramStdvarSigned(col(HS), col(HZ), col(HI),
+              col(HC), col(HNI), col(HNC), h.schema))
           case "histogram_stdvar" => needSum()
-            NH.histogramStdvar(col(HS), col(HZ), col(HI), col(HC), h.schema)
+            NH.histogramStdvarSigned(col(HS), col(HZ), col(HI), col(HC),
+              col(HNI), col(HNC), h.schema)
         }))
       case "histogram_fraction" =>
         val Seq(lo, hi, ve) = argN(c, 3)
         val h = histArg(ve, "histogram_fraction")
-        Right(histConsume(h, graft.tsdb.NativeHistogram.histogramFraction(
-          scalarArg(lo, "histogram_fraction lower"),
-          scalarArg(hi, "histogram_fraction upper"),
-          col(HZ), col(HI), col(HC), h.schema)))
+        Right(histConsume(h,
+          graft.tsdb.NativeHistogram.histogramFractionSigned(
+            scalarArg(lo, "histogram_fraction lower"),
+            scalarArg(hi, "histogram_fraction upper"),
+            col(HZ), col(HI), col(HC), col(HNI), col(HNC), h.schema)))
       case "label_replace" =>
         val Seq(ve, dst, repl, src, regex) = argN(c, 5)
         val v = vec(ve, "label_replace")
@@ -1047,8 +1058,11 @@ object PromQL {
       val q = scalarArg(qe, "histogram_quantile q")
       histEval(ve) match {
         case Some(h) =>
-          return histConsume(h, graft.tsdb.NativeHistogram.histogramQuantile(
-            q, col(HZ), col(HI), col(HC), h.schema))
+          // the signed walk; FP-identical to the unsigned one when
+          // the neg arrays are empty (every positive-only metric)
+          return histConsume(h,
+            graft.tsdb.NativeHistogram.histogramQuantileSigned(
+              q, col(HZ), col(HI), col(HC), col(HNI), col(HNC), h.schema))
         case None => ()
       }
       val v = vec(ve, "histogram_quantile")
@@ -1079,6 +1093,12 @@ object PromQL {
     private val HI = "_h_idx"
     private val HC = "_h_cnt"
     private val HS = "_h_sum"
+    // the SIGNED (negative-bucket) side — empty arrays on
+    // positive-only metrics, so every consumer below runs the signed
+    // walk unconditionally (FP-identical to the unsigned one when
+    // the arrays are empty; NativeHistogramSpec pins that)
+    private val HNI = "_h_nidx"
+    private val HNC = "_h_ncnt"
 
     /** Evaluate the histogram-typed sub-grammar: a hist-metric
       * selector, `rate`/`increase` over a hist range selector, and
@@ -1116,7 +1136,11 @@ object PromQL {
           col(ht.posIdxCol).cast("array<int>").as(HI) :+
           col(ht.posCountsCol).cast("array<double>").as(HC) :+
           ht.sumCol.map(c => col(c).cast("double"))
-            .getOrElse(lit(null).cast("double")).as(HS): _*)
+            .getOrElse(lit(null).cast("double")).as(HS) :+
+          ht.negIdxCol.map(c => col(c).cast("array<int>"))
+            .getOrElse(array().cast("array<int>")).as(HNI) :+
+          ht.negCountsCol.map(c => col(c).cast("array<double>"))
+            .getOrElse(array().cast("array<double>")).as(HNC): _*)
 
     /** Instant hist selector: latest histogram sample per series in
       * the lookback window — the float [[instant]] shape; the max
@@ -1129,10 +1153,12 @@ object PromQL {
       val k = keys(ctx.labelCols)
       val df = rows
         .groupBy(k.map(col): _*)
-        .agg(max(struct(col(TS), col(HZ), col(HI), col(HC), col(HS))).as("_top"))
+        .agg(max(struct(col(TS), col(HZ), col(HI), col(HC), col(HS),
+          col(HNI), col(HNC))).as("_top"))
         .select(k.map(col) :+ col(s"_top.$TS").as(TS) :+
           col(s"_top.$HZ").as(HZ) :+ col(s"_top.$HI").as(HI) :+
-          col(s"_top.$HC").as(HC) :+ col(s"_top.$HS").as(HS): _*)
+          col(s"_top.$HC").as(HC) :+ col(s"_top.$HS").as(HS) :+
+          col(s"_top.$HNI").as(HNI) :+ col(s"_top.$HNC").as(HNC): _*)
       HVec(df, ctx.labelCols, ht.sumCol.isDefined, ht.schema)
     }
 
@@ -1151,14 +1177,16 @@ object PromQL {
       val rows = rangeRowsBy(sel, rangeMs, scanHistRows(sel, ht, _, _))
         .withColumn("_h_tsec", col(TS) / lit(1000.0))
       val k = keys(ctx.labelCols)
-      val rated = graft.tsdb.NativeHistogram.rateBy(rows, k, "_h_tsec",
-        HZ, HI, HC)
+      val rated = graft.tsdb.NativeHistogram.rateBySigned(rows, k,
+        "_h_tsec", HZ, HI, HC, HNI, HNC)
       val scale = if (increase) col("dt_sec") else lit(1.0)
       val df = rated.select(k.map(col) :+
         (col("zero_rate") * scale).as(HZ) :+
         col("pos_idx").as(HI) :+
         transform(col("pos_rate"), r => r * scale).as(HC) :+
-        lit(null).cast("double").as(HS): _*)
+        lit(null).cast("double").as(HS) :+
+        col("neg_idx").as(HNI) :+
+        transform(col("neg_rate"), r => r * scale).as(HNC): _*)
       HVec(stampedDf(df), ctx.labelCols, hasSum = false, ht.schema)
     }
 
@@ -1183,13 +1211,22 @@ object PromQL {
       val aggCol = bridge.column(graft.functions.HistSumAgg(
         bridge.expression(struct(col(HZ), col(HI), col(HC), col(HS))))
         .toAggregateExpression())
+      // the negative side merges through a SECOND instance of the
+      // same sparse-merge aggregate (zero/sum slots unused) — still
+      // ONE group-grain shuffle, two buffers
+      val negAggCol = bridge.column(graft.functions.HistSumAgg(
+        bridge.expression(struct(lit(0.0).as("zero"), col(HNI).as("idx"),
+          col(HNC).as("cnt"), lit(null).cast("double").as("sum"))))
+        .toAggregateExpression())
       val grouped =
         if (k.isEmpty) h.df.groupBy() else h.df.groupBy(k.map(col): _*)
-      val out = grouped.agg(aggCol.as("_hs"), count(lit(1)).as("_n"))
+      val out = grouped.agg(aggCol.as("_hs"), negAggCol.as("_hn"),
+          count(lit(1)).as("_n"))
         .filter(col("_n") > 0).drop("_n")
         .select((k.map(col) :+
           col("_hs.zero").as(HZ) :+ col("_hs.idx").as(HI) :+
-          col("_hs.cnt").as(HC) :+ col("_hs.sum").as(HS)): _*)
+          col("_hs.cnt").as(HC) :+ col("_hs.sum").as(HS) :+
+          col("_hn.idx").as(HNI) :+ col("_hn.cnt").as(HNC)): _*)
       HVec(stampedDf(out), g, h.hasSum, h.schema)
     }
 
@@ -1204,7 +1241,7 @@ object PromQL {
       * per row with a narrow fold over the component columns, drop
       * the components. */
     private def histConsume(h: HVec, value: Column): Vec =
-      Vec(h.df.withColumn("value", value).drop(HZ, HI, HC, HS),
+      Vec(h.df.withColumn("value", value).drop(HZ, HI, HC, HS, HNI, HNC),
         h.labels)
 
     // ---- aggregation operators ----

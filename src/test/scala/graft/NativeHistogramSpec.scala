@@ -335,6 +335,36 @@ class NativeHistogramSpec extends SparkSpec {
     }
   }
 
+  test("rateBySigned: both sides from ONE snapshot pair; pos-only reduction") {
+    val df = Seq(
+      // series a: both sides grow; neg bucket 2 appears at t=100
+      ("a", 0L, 1L, Seq(1), Seq(10L), Seq(0), Seq(4L)),
+      ("a", 100L, 3L, Seq(1), Seq(30L), Seq(0, 2), Seq(9L, 7L)),
+      // series b: single sample → drops
+      ("b", 0L, 0L, Seq(1), Seq(5L), Seq(0), Seq(1L))
+    ).toDF("lbl", "t", "z", "i", "c", "ni", "nc")
+    val out = NativeHistogram.rateBySigned(df, Seq("lbl"), "t",
+      "z", "i", "c", "ni", "nc").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "a" && r.getDouble(1) == 100.0)
+    assert(r.getDouble(2) == 0.02) // zero: (3-1)/100
+    assert(r.getSeq[Int](3) == Seq(1) &&
+      r.getSeq[Double](4) == Seq(0.2)) // pos: (30-10)/100
+    assert(r.getSeq[Int](5) == Seq(0, 2))
+    assert(r.getSeq[Double](6) == Seq(0.05, 0.07)) // (9-4)/100, (7-0)/100
+    // positive-only input ≡ rateBy, plus empty neg output
+    val dfp = df.withColumn("ni", array().cast("array<int>"))
+      .withColumn("nc", array().cast("array<bigint>"))
+    val a = NativeHistogram.rateBySigned(dfp, Seq("lbl"), "t",
+      "z", "i", "c", "ni", "nc").collect().head
+    val b = NativeHistogram.rateBy(dfp, Seq("lbl"), "t", "z", "i", "c")
+      .collect().head
+    assert(a.getDouble(1) == b.getDouble(1) && a.getDouble(2) == b.getDouble(2))
+    assert(a.getSeq[Double](4) == b.getSeq[Double](4))
+    assert(a.getSeq[Int](5).isEmpty && a.getSeq[Double](6).isEmpty)
+  }
+
   test("signed stats: count/avg/stdvar/fraction vs scalar references") {
     def ub(i: Int, schema: Int): Double =
       StrictMath.pow(2.0, math.pow(2.0, -schema) * i)
