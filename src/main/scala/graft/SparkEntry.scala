@@ -2359,6 +2359,30 @@ object SparkEntry {
       .orderBy("event_type", "user_id")
   }
 
+  /** `histogram_count(delta(neg_requests[40d]))` — the GAUGE range
+    * function over native histograms: bucket-wise last − first with
+    * NO clamp on either side ([[tsdb.NativeHistogram
+    * .deltaBySigned]]), no extrapolation, count folding both sides
+    * back together. Exact integer deltas, so the hash is
+    * order-free. */
+  private def tsPromqlNegDelta(s: SparkSession, dir: String): DataFrame = {
+    negBlockFixture(s, dir)
+    val nh = graft.tsdb.block.TsdbBlockStore
+      .readHistLabels(s, negBlockPath(dir), Seq("event_type", "user_id"))
+      .withColumn("ts", timestamp_millis(col("ts")))
+    val ctx = graft.tsdb.promql.PromQLContext(
+      metrics = Map.empty,
+      labelCols = Seq("event_type", "user_id"),
+      evalMs = 1706745600000L,
+      lookbackMs = 40L * 86400000L,
+      histMetrics = Map("neg_requests" -> graft.tsdb.promql.HistTable(nh,
+        negIdxCol = Some("neg_idx"), negCountsCol = Some("neg_counts"))))
+    graft.tsdb.promql.PromQL.compile(
+        "histogram_count(delta(neg_requests[40d]))", ctx)
+      .select(col("event_type"), col("user_id"), col("value").as("cdelta"))
+      .orderBy("event_type", "user_id")
+  }
+
   /** The PromQL histogram STATS consumers over SIGNED histograms
     * from block bytes: `histogram_count` (both sides count),
     * `histogram_avg` (tracked sum over the signed count),
@@ -2919,6 +2943,7 @@ object SparkEntry {
     "ts_nh_neg_stats" -> (tsNhNegStats _),
     "ts_promql_neg_quantile" -> (tsPromqlNegQuantile _),
     "ts_promql_neg_count_rate" -> (tsPromqlNegCountRate _),
+    "ts_promql_neg_delta" -> (tsPromqlNegDelta _),
     "ts_promql_tsdb_blocks" -> (tsPromqlTsdbBlocks _),
     "ts_promql_nh_blocks" -> (tsPromqlNhBlocks _),
     "ts_promql_info" -> (tsPromqlInfo _),
@@ -4955,6 +4980,43 @@ object SparkEntry {
         |FROM rng r
         |JOIN pw USING (event_type, user_id)
         |JOIN nw USING (event_type, user_id)
+        |ORDER BY r.event_type, CAST(r.user_id AS VARCHAR)"""
+        .stripMargin,
+    // gauge delta over a signed histogram: unclamped last - first on
+    // every component, exact integer arithmetic end to end
+    "ts_promql_neg_delta" ->
+      """WITH days0 AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |rng AS (
+        |  SELECT event_type, user_id,
+        |    user_id * 31 + length(event_type) AS sseed,
+        |    min(d) AS d0, max(d) AS d1
+        |  FROM days0 GROUP BY 1, 2, 3
+        |  HAVING count(*) >= 2),
+        |pos AS (
+        |  SELECT event_type, user_id,
+        |    sum(d1*d1*((sseed + i + 3) % 5)
+        |      - (CASE WHEN i <= (CASE WHEN d0 >= 19740 THEN 5 ELSE 4 END)
+        |         THEN d0*d0*((sseed + i + 3) % 5) ELSE 0 END)) AS s
+        |  FROM rng, unnest(range(-2, 6)) AS t(i)
+        |  WHERE i <= (CASE WHEN d1 >= 19740 THEN 5 ELSE 4 END)
+        |  GROUP BY 1, 2),
+        |neg AS (
+        |  SELECT event_type, user_id,
+        |    sum(d1*d1*((sseed + i + 7) % 4)
+        |      - (CASE WHEN i <= (CASE WHEN d0 >= 19735 THEN 3 ELSE 2 END)
+        |         THEN d0*d0*((sseed + i + 7) % 4) ELSE 0 END)) AS s
+        |  FROM rng, unnest(range(-1, 4)) AS t(i)
+        |  WHERE i <= (CASE WHEN d1 >= 19735 THEN 3 ELSE 2 END)
+        |  GROUP BY 1, 2)
+        |SELECT r.event_type, CAST(r.user_id AS VARCHAR) AS user_id,
+        |  CAST((d1*d1 - d0*d0) * (sseed % 3) + pos.s + neg.s AS DOUBLE)
+        |    AS cdelta
+        |FROM rng r
+        |JOIN pos USING (event_type, user_id)
+        |JOIN neg USING (event_type, user_id)
         |ORDER BY r.event_type, CAST(r.user_id AS VARCHAR)"""
         .stripMargin,
     // the signed migration path: both sides re-derived under the

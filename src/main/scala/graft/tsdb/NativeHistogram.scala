@@ -379,6 +379,41 @@ object NativeHistogram {
           .cast("double") / dt).as("neg_rate")): _*)
   }
 
+  /** PromQL `delta(gauge_histogram[range])` — the GAUGE range
+    * function ([[rateBy]]'s counter semantics don't apply: gauges
+    * move both ways, so bucket deltas do NOT clamp and the result
+    * may be negative on any component). Plain last − first like
+    * graft's float `delta` (no extrapolation), missing-first buckets
+    * read 0, both sides off ONE whole-sample snapshot pair. Series
+    * with <2 samples drop. */
+  def deltaBySigned(df: DataFrame, seriesCols: Seq[String], tsSecCol: String,
+      zeroCountCol: String, posIdxCol: String, posCountsCol: String,
+      negIdxCol: String, negCountsCol: String): DataFrame = {
+    val keys = seriesCols.map(col)
+    val snap = struct(col(tsSecCol).cast("long").as("t"),
+      col(zeroCountCol).cast("double").as("z"),
+      col(posIdxCol).as("i"), col(posCountsCol).as("c"),
+      col(negIdxCol).as("ni"), col(negCountsCol).as("nc"))
+    val ends = df.groupBy(keys: _*)
+      .agg(min(snap).as("first"), max(snap).as("last"),
+        count(lit(1)).as("_n"))
+      .filter(col("_n") >= 2)
+    val dt = (col("last.t") - col("first.t")).cast("double")
+    val firstMap = map_from_arrays(col("first.i"), col("first.c"))
+    val firstNegMap = map_from_arrays(col("first.ni"), col("first.nc"))
+    ends.select(keys ++ Seq(
+      dt.as("dt_sec"),
+      (col("last.z") - col("first.z")).cast("double").as("zero_delta"),
+      col("last.i").as("pos_idx"),
+      zip_with(col("last.i"), col("last.c"), (i, c) =>
+        (c - coalesce(element_at(firstMap, i), lit(0L))).cast("double"))
+        .as("pos_delta"),
+      col("last.ni").as("neg_idx"),
+      zip_with(col("last.ni"), col("last.nc"), (i, c) =>
+        (c - coalesce(element_at(firstNegMap, i), lit(0L))).cast("double"))
+        .as("neg_delta")): _*)
+  }
+
   /** PromQL `histogram_fraction(lower, upper, h)`: estimated
     * fraction of observations in [lower, upper] — per bucket, the
     * linear-overlap share `max(0, min(upper,bu) − max(lower,bl)) /

@@ -1113,6 +1113,9 @@ object PromQL {
       case Expr.Call(fn @ ("rate" | "increase"), Seq(r: Expr.Range)) =>
         ctx.histMetrics.get(r.sel.metric)
           .map(histRate(r.sel, _, r.rangeMs, increase = fn == "increase"))
+      case Expr.Call("delta", Seq(r: Expr.Range)) =>
+        ctx.histMetrics.get(r.sel.metric)
+          .map(histDelta(r.sel, _, r.rangeMs))
       case a: Expr.Agg if a.op == "sum" =>
         histEval(a.body).map(histSum(a, _))
       case _ => None
@@ -1187,6 +1190,29 @@ object PromQL {
         lit(null).cast("double").as(HS) :+
         col("neg_idx").as(HNI) :+
         transform(col("neg_rate"), r => r * scale).as(HNC): _*)
+      HVec(stampedDf(df), ctx.labelCols, hasSum = false, ht.schema)
+    }
+
+    /** `delta(h[r])` over a GAUGE native histogram: bucket-wise
+      * last − first with NO clamp (gauges move both ways — every
+      * component may go negative), both sides off one whole-sample
+      * snapshot pair ([[graft.tsdb.NativeHistogram.deltaBySigned]]),
+      * no extrapolation — the float `delta` contract applied
+      * histogram-wise. The delta vector carries no sum. */
+    private def histDelta(sel: Expr.Selector, ht: HistTable,
+        rangeMs: Long): HVec = {
+      val rows = rangeRowsBy(sel, rangeMs, scanHistRows(sel, ht, _, _))
+        .withColumn("_h_tsec", col(TS) / lit(1000.0))
+      val k = keys(ctx.labelCols)
+      val d = graft.tsdb.NativeHistogram.deltaBySigned(rows, k,
+        "_h_tsec", HZ, HI, HC, HNI, HNC)
+      val df = d.select(k.map(col) :+
+        col("zero_delta").as(HZ) :+
+        col("pos_idx").as(HI) :+
+        col("pos_delta").as(HC) :+
+        lit(null).cast("double").as(HS) :+
+        col("neg_idx").as(HNI) :+
+        col("neg_delta").as(HNC): _*)
       HVec(stampedDf(df), ctx.labelCols, hasSum = false, ht.schema)
     }
 

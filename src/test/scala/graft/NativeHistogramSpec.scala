@@ -365,6 +365,20 @@ class NativeHistogramSpec extends SparkSpec {
     assert(a.getSeq[Int](5).isEmpty && a.getSeq[Double](6).isEmpty)
   }
 
+  test("deltaBySigned: gauge semantics — unclamped, components go negative") {
+    val df = Seq(
+      // gauge moves DOWN on pos bucket 1 and zero, UP on neg bucket 0
+      ("g", 0L, 5L, Seq(1), Seq(10L), Seq(0), Seq(4L)),
+      ("g", 50L, 2L, Seq(1, 2), Seq(7L, 3L), Seq(0), Seq(9L))
+    ).toDF("lbl", "t", "z", "i", "c", "ni", "nc")
+    val r = NativeHistogram.deltaBySigned(df, Seq("lbl"), "t",
+      "z", "i", "c", "ni", "nc").collect().head
+    assert(r.getDouble(1) == 50.0)
+    assert(r.getDouble(2) == -3.0)                 // zero: 2 - 5
+    assert(r.getSeq[Double](4) == Seq(-3.0, 3.0))  // pos: 7-10, 3-0
+    assert(r.getSeq[Double](6) == Seq(5.0))        // neg: 9 - 4
+  }
+
   test("signed stats: count/avg/stdvar/fraction vs scalar references") {
     def ub(i: Int, schema: Int): Double =
       StrictMath.pow(2.0, math.pow(2.0, -schema) * i)
