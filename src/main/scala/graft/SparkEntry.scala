@@ -1119,6 +1119,86 @@ object SparkEntry {
       .orderBy("event_type", "user_id")
   }
 
+  /** [[nativeHistCounterTable]] with a COUNTER RESET at day 19740:
+    * the process restarted, so cumulative counts drop to the
+    * restarted counter's `(d − 19739)² · k` curve (strictly monotone
+    * within each regime, a hard decrease across the boundary —
+    * every series that straddles it resets exactly once). Bucket
+    * sets stay fixed (`-2..4` / `-1..2`) so the reset is the ONLY
+    * discontinuity the fold sees. */
+  private def nativeHistResetTable(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        floor(unix_timestamp(col("ts")) / 86400).cast("long").as("d"))
+      .distinct()
+      .withColumn("sseed", col("user_id") * 31 + length(col("event_type")))
+      .withColumn("t_sec", col("d") * 86400)
+      .withColumn("dd",
+        when(col("d") < 19740, col("d")).otherwise(col("d") - 19739))
+      .withColumn("zero_count", col("dd") * col("dd") * (col("sseed") % 3))
+      .withColumn("pos_idx", sequence(lit(-2), lit(4)))
+      .withColumn("pos_counts",
+        transform(col("pos_idx"),
+          i => col("dd") * col("dd") * ((col("sseed") + i + 3) % 5)))
+      .withColumn("neg_idx", sequence(lit(-1), lit(2)))
+      .withColumn("neg_counts",
+        transform(col("neg_idx"),
+          i => col("dd") * col("dd") * ((col("sseed") + i + 7) % 4)))
+
+  /** RESET-AWARE `increase` over native histograms
+    * ([[tsdb.NativeHistogram.increaseBySignedResets]]): the
+    * per-step walk detects the day-19740 counter restart (every
+    * component drops) and adds the post-reset histogram whole —
+    * Prometheus's counter contract, which the first/last snapshot
+    * pair would silently under-count (it clamps the drop to 0 and
+    * loses the pre-reset accumulation). The oracle replays the
+    * closed form per regime: `(cnt(dpre) − cnt(d0)) + cnt(d1)` for
+    * straddling series, plain `cnt(d1) − cnt(d0)` otherwise. Exact
+    * integers end to end; both bucket sides exercised.
+    */
+  private def tsNhResetIncrease(s: SparkSession, dir: String): DataFrame = {
+    val inc = graft.tsdb.NativeHistogram.increaseBySignedResets(
+      nativeHistResetTable(s, dir), Seq("event_type", "user_id"),
+      "t_sec", "zero_count", "pos_idx", "pos_counts",
+      "neg_idx", "neg_counts")
+    inc.select(col("event_type"), col("user_id"), col("dt_sec"),
+        col("zero_inc"),
+        explode(concat(
+          zip_with(col("pos_idx"), col("pos_inc"),
+            (i, v) => struct(lit("p").as("side"), i.as("i"), v.as("v"))),
+          zip_with(col("neg_idx"), col("neg_inc"),
+            (i, v) => struct(lit("n").as("side"), i.as("i"), v.as("v")))))
+          .as("b"))
+      .select(col("event_type"), col("user_id"), col("dt_sec"),
+        col("zero_inc"), col("b.side").as("side"), col("b.i").as("idx"),
+        col("b.v").as("inc"))
+      .orderBy("event_type", "user_id", "side", "idx")
+  }
+
+  /** `histogram_count(rate(nh_reset[40d]))` through the PromQL
+    * STRING front-end over the resetting fixture: the compiled plan
+    * runs the reset-aware fold ([[tsdb.promql.PromQL]]'s histRate →
+    * increaseBySignedResets), so the count visibly includes each
+    * straddling series' pre-reset accumulation — a first/last
+    * snapshot regression would under-count and hash-mismatch. */
+  private def tsPromqlNhResetRate(s: SparkSession, dir: String): DataFrame = {
+    val nh = nativeHistResetTable(s, dir)
+      .withColumn("ts", timestamp_seconds(col("t_sec")))
+    val ctx = graft.tsdb.promql.PromQLContext(
+      metrics = Map.empty,
+      labelCols = Seq("event_type", "user_id"),
+      evalMs = 1706745600000L, // 2024-02-01T00:00:00Z
+      lookbackMs = 40L * 86400000L,
+      histMetrics = Map("nh_reset" -> graft.tsdb.promql.HistTable(nh,
+        negIdxCol = Some("neg_idx"), negCountsCol = Some("neg_counts"))))
+    graft.tsdb.promql.PromQL.compile(
+        "histogram_count(rate(nh_reset[40d]))", ctx)
+      .select(col("event_type"),
+        col("user_id").cast("string").as("user_id"),
+        col("value").as("crate"))
+      .orderBy("event_type", "user_id")
+  }
+
   /** PromQL `count by` / `group by` aggregators
     * ([[tsdb.PromOps.aggregateBy]] family completion): `count by
     * (event_type)` counts SERIES (distinct label sets), `group`
@@ -2899,6 +2979,8 @@ object SparkEntry {
     "ts_native_hist_stats" -> (tsNativeHistStats _),
     "ts_native_hist_rate" -> (tsNativeHistRate _),
     "ts_native_hist_quantile_rate" -> (tsNativeHistQuantileRate _),
+    "ts_nh_reset_increase" -> (tsNhResetIncrease _),
+    "ts_promql_nh_reset_rate" -> (tsPromqlNhResetRate _),
     "ts_agg_count_group" -> (tsAggCountGroup _),
     "ts_set_ops" -> (tsSetOps _),
     "ts_absent_over_time" -> (tsAbsentOverTime _),
@@ -4391,6 +4473,89 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY event_type""".stripMargin,
     "ts_native_hist_quantile_rate" -> nhQuantileRateSql,
+    // reset-aware increase: the closed form per regime — straddling
+    // series add the pre-reset accumulation (cnt(dpre) − cnt(d0))
+    // to the restarted counter's cnt(d1); single-regime series are
+    // the plain monotone delta. Exact integers scaled per bucket.
+    "ts_nh_reset_increase" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |series AS (
+        |  SELECT event_type, user_id,
+        |    user_id * 31 + length(event_type) AS sseed,
+        |    min(d) AS d0, max(d) AS d1,
+        |    max(CASE WHEN d < 19740 THEN d END) AS dpre
+        |  FROM days GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+        |base AS (
+        |  SELECT *,
+        |    CASE WHEN d0 < 19740 AND d1 >= 19740
+        |         THEN dpre*dpre - d0*d0 + (d1-19739)*(d1-19739)
+        |         WHEN d1 < 19740 THEN d1*d1 - d0*d0
+        |         ELSE (d1-19739)*(d1-19739) - (d0-19739)*(d0-19739)
+        |    END AS b
+        |  FROM series),
+        |buckets AS (
+        |  SELECT e.*, s.side, CAST(s.i AS INT) AS idx,
+        |    CASE WHEN s.side = 'p' THEN (sseed + s.i + 3) % 5
+        |         ELSE (sseed + s.i + 7) % 4 END AS k
+        |  FROM base e,
+        |    (SELECT 'p' AS side, i FROM unnest(range(-2, 5)) AS t(i)
+        |     UNION ALL
+        |     SELECT 'n' AS side, i FROM unnest(range(-1, 3)) AS t(i)) s)
+        |SELECT event_type, user_id,
+        |  CAST((d1 - d0) * 86400 AS DOUBLE) AS dt_sec,
+        |  CAST(b * (sseed % 3) AS DOUBLE) AS zero_inc,
+        |  side, idx, CAST(b * k AS DOUBLE) AS inc
+        |FROM buckets
+        |ORDER BY event_type, user_id, side, idx""".stripMargin,
+    // count of the reset-aware rate: same closed form, each bucket's
+    // increase / dt folded in ascending-index cumulative order with
+    // the consumer's ((zero + posFold) + negFold) association
+    "ts_promql_nh_reset_rate" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |series AS (
+        |  SELECT event_type, user_id,
+        |    user_id * 31 + length(event_type) AS sseed,
+        |    min(d) AS d0, max(d) AS d1,
+        |    max(CASE WHEN d < 19740 THEN d END) AS dpre
+        |  FROM days GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+        |base AS (
+        |  SELECT *,
+        |    CASE WHEN d0 < 19740 AND d1 >= 19740
+        |         THEN dpre*dpre - d0*d0 + (d1-19739)*(d1-19739)
+        |         WHEN d1 < 19740 THEN d1*d1 - d0*d0
+        |         ELSE (d1-19739)*(d1-19739) - (d0-19739)*(d0-19739)
+        |    END AS b,
+        |    CAST((d1 - d0) * 86400 AS DOUBLE) AS dt
+        |  FROM series),
+        |pw AS (
+        |  SELECT event_type, user_id,
+        |    sum(CAST(b * ((sseed + i + 3) % 5) AS DOUBLE) / dt)
+        |      OVER (PARTITION BY event_type, user_id
+        |        ORDER BY i ROWS UNBOUNDED PRECEDING) AS s
+        |  FROM base, unnest(range(-2, 5)) AS t(i)
+        |  QUALIFY row_number() OVER (PARTITION BY event_type, user_id
+        |    ORDER BY i DESC) = 1),
+        |nw AS (
+        |  SELECT event_type, user_id,
+        |    sum(CAST(b * ((sseed + i + 7) % 4) AS DOUBLE) / dt)
+        |      OVER (PARTITION BY event_type, user_id
+        |        ORDER BY i ROWS UNBOUNDED PRECEDING) AS s
+        |  FROM base, unnest(range(-1, 3)) AS t(i)
+        |  QUALIFY row_number() OVER (PARTITION BY event_type, user_id
+        |    ORDER BY i DESC) = 1)
+        |SELECT b.event_type, CAST(b.user_id AS VARCHAR) AS user_id,
+        |  ((CAST(b.b * (b.sseed % 3) AS DOUBLE) / b.dt + pw.s) + nw.s)
+        |    AS crate
+        |FROM base b
+        |JOIN pw USING (event_type, user_id)
+        |JOIN nw USING (event_type, user_id)
+        |ORDER BY b.event_type, CAST(b.user_id AS VARCHAR)""".stripMargin,
     // the SAME query through the PromQL front-end must land on the
     // identical plan → identical oracle (hash-equal by construction)
     "ts_promql_nh_quantile_rate" -> nhQuantileRateSql,

@@ -414,6 +414,111 @@ object NativeHistogram {
         .as("neg_delta")): _*)
   }
 
+  /** RESET-AWARE `increase(native_histogram[range])` — the
+    * Prometheus counter contract the first/last snapshot of
+    * [[rateBySigned]] approximates: walk each series' samples in
+    * time order, detect a COUNTER RESET between consecutive samples
+    * (the zero bucket or ANY bucket on either side decreased —
+    * promql's histogram reset detection; a bucket vanishing reads 0,
+    * so disappearance is a decrease too), and on reset add the
+    * post-reset histogram whole (the counter restarted from it)
+    * instead of the prev-relative delta. Over reset-free data the
+    * per-step deltas telescope to exactly last − first, so this is
+    * value-identical to the snapshot pair there (integer counts ride
+    * exact in double) — the existing hash-pinned gates double as the
+    * no-reset equivalence pin.
+    *
+    * Shape at scale: ONE series-keyed aggregation collecting the
+    * range's samples (`sort_array(collect_list)` — bounded by
+    * range/scrape-interval samples per series, e.g. ~20 for 5m@15s,
+    * NOT corpus-sized), then a NARROW `aggregate` fold over
+    * sparse-map accumulators — no second shuffle, no explode, no
+    * window function. Prefer [[rateBySigned]] when reset-freedom is
+    * known (downsampled rollups): its min/max buffer is O(1) per
+    * series instead of O(samples-in-range).
+    *
+    * Returns: series cols, `dt_sec`, `zero_inc`, `pos_idx`/`pos_inc`
+    * (ascending union of bucket indexes seen in the range, with
+    * reset-corrected increases), `neg_idx`/`neg_inc`. Series with <2
+    * samples drop, like PromQL.
+    */
+  def increaseBySignedResets(df: DataFrame, seriesCols: Seq[String],
+      tsSecCol: String, zeroCountCol: String, posIdxCol: String,
+      posCountsCol: String, negIdxCol: String,
+      negCountsCol: String): DataFrame = {
+    val keys = seriesCols.map(col)
+    val snap = struct(col(tsSecCol).cast("long").as("t"),
+      col(zeroCountCol).cast("double").as("z"),
+      col(posIdxCol).cast("array<int>").as("i"),
+      col(posCountsCol).cast("array<double>").as("c"),
+      col(negIdxCol).cast("array<int>").as("ni"),
+      col(negCountsCol).cast("array<double>").as("nc"))
+    val series = df.groupBy(keys: _*)
+      .agg(sort_array(collect_list(snap)).as("_ss"))
+      .filter(size(col("_ss")) >= 2)
+
+    def asMap(i: Column, c: Column): Column = map_from_arrays(i, c)
+    val emptyMap = map_from_arrays(
+      array().cast("array<int>"), array().cast("array<double>"))
+    // a component decreased vs prev (missing cur key reads 0)
+    def decreased(prevM: Column, curM: Column): Column =
+      exists(map_keys(prevM), k =>
+        coalesce(element_at(curM, k), lit(0.0)) < element_at(prevM, k))
+    def mergeSum(a: Column, b: Column): Column =
+      map_zip_with(a, b, (_, x, y) =>
+        coalesce(x, lit(0.0)) + coalesce(y, lit(0.0)))
+    // one side's per-step contribution: the whole cur histogram on
+    // reset, else cur − prev over cur's keys (no-reset ⇒ prev's keys
+    // all survive in cur, so cur's key set covers every delta)
+    def stepDelta(curI: Column, curC: Column, prevM: Column,
+        reset: Column): Column =
+      map_from_arrays(curI,
+        when(reset, curC).otherwise(zip_with(curI, curC,
+          (ik, ck) => ck - coalesce(element_at(prevM, ik), lit(0.0)))))
+
+    val first = element_at(col("_ss"), 1)
+    val init = struct(
+      lit(0.0).as("z"), emptyMap.as("p"), emptyMap.as("n"),
+      struct(first.getField("z").as("z"),
+        asMap(first.getField("i"), first.getField("c")).as("p"),
+        asMap(first.getField("ni"), first.getField("nc")).as("n"))
+        .as("prev"))
+    val folded = aggregate(
+      slice(col("_ss"), lit(2), size(col("_ss")) - 1), init,
+      (acc, cur) => {
+        val prev = acc.getField("prev")
+        val curP = asMap(cur.getField("i"), cur.getField("c"))
+        val curN = asMap(cur.getField("ni"), cur.getField("nc"))
+        val reset = (cur.getField("z") < prev.getField("z")) ||
+          decreased(prev.getField("p"), curP) ||
+          decreased(prev.getField("n"), curN)
+        val dz = when(reset, cur.getField("z"))
+          .otherwise(cur.getField("z") - prev.getField("z"))
+        struct(
+          (acc.getField("z") + dz).as("z"),
+          mergeSum(acc.getField("p"),
+            stepDelta(cur.getField("i"), cur.getField("c"),
+              prev.getField("p"), reset)).as("p"),
+          mergeSum(acc.getField("n"),
+            stepDelta(cur.getField("ni"), cur.getField("nc"),
+              prev.getField("n"), reset)).as("n"),
+          struct(cur.getField("z").as("z"), curP.as("p"), curN.as("n"))
+            .as("prev"))
+      })
+    val withF = series.withColumn("_f", folded)
+    val dt = (element_at(col("_ss"), -1).getField("t") -
+      element_at(col("_ss"), 1).getField("t")).cast("double")
+    val posIdx = array_sort(map_keys(col("_f.p")))
+    val negIdx = array_sort(map_keys(col("_f.n")))
+    withF.select(keys ++ Seq(
+      dt.as("dt_sec"),
+      col("_f.z").as("zero_inc"),
+      posIdx.as("pos_idx"),
+      transform(posIdx, k => element_at(col("_f.p"), k)).as("pos_inc"),
+      negIdx.as("neg_idx"),
+      transform(negIdx, k => element_at(col("_f.n"), k)).as("neg_inc")): _*)
+  }
+
   /** PromQL `histogram_fraction(lower, upper, h)`: estimated
     * fraction of observations in [lower, upper] — per bucket, the
     * linear-overlap share `max(0, min(upper,bu) − max(lower,bl)) /

@@ -1166,30 +1166,33 @@ object PromQL {
     }
 
     /** `rate(h[r])` / `increase(h[r])` over a native-histogram
-      * counter: bucket-wise first/last delta per series (clamped,
-      * missing-first buckets read 0) via
-      * [[graft.tsdb.NativeHistogram.rateBy]] — ONE series-keyed
-      * aggregation, narrow zip_with subtraction, per (series, step)
-      * in grid mode. `increase` multiplies the rates back by the
-      * sampled span (the clamped bucket delta). The rate vector
-      * carries no sum (rateBy's contract), so histogram_sum/avg/
-      * stddev over a rate fail loudly.
+      * counter: the RESET-AWARE per-step walk
+      * ([[graft.tsdb.NativeHistogram.increaseBySignedResets]] — a
+      * mid-range counter reset adds the post-reset histogram whole,
+      * Prometheus's counter contract; over reset-free data the steps
+      * telescope to exactly the first/last delta, so the pre-existing
+      * hash-pinned gates double as the equivalence pin). ONE
+      * series-keyed aggregation (samples-in-range bounded buffer),
+      * narrow sparse-map fold, per (series, step) in grid mode.
+      * `rate` divides the increases by the sampled span. The rate
+      * vector carries no sum, so histogram_sum/avg/stddev over a
+      * rate fail loudly.
       */
     private def histRate(sel: Expr.Selector, ht: HistTable, rangeMs: Long,
         increase: Boolean): HVec = {
       val rows = rangeRowsBy(sel, rangeMs, scanHistRows(sel, ht, _, _))
         .withColumn("_h_tsec", col(TS) / lit(1000.0))
       val k = keys(ctx.labelCols)
-      val rated = graft.tsdb.NativeHistogram.rateBySigned(rows, k,
+      val inc = graft.tsdb.NativeHistogram.increaseBySignedResets(rows, k,
         "_h_tsec", HZ, HI, HC, HNI, HNC)
-      val scale = if (increase) col("dt_sec") else lit(1.0)
-      val df = rated.select(k.map(col) :+
-        (col("zero_rate") * scale).as(HZ) :+
+      def sc(c: Column): Column = if (increase) c else c / col("dt_sec")
+      val df = inc.select(k.map(col) :+
+        sc(col("zero_inc")).as(HZ) :+
         col("pos_idx").as(HI) :+
-        transform(col("pos_rate"), r => r * scale).as(HC) :+
+        transform(col("pos_inc"), r => sc(r)).as(HC) :+
         lit(null).cast("double").as(HS) :+
         col("neg_idx").as(HNI) :+
-        transform(col("neg_rate"), r => r * scale).as(HNC): _*)
+        transform(col("neg_inc"), r => sc(r)).as(HNC): _*)
       HVec(stampedDf(df), ctx.labelCols, hasSum = false, ht.schema)
     }
 

@@ -379,6 +379,63 @@ class NativeHistogramSpec extends SparkSpec {
     assert(r.getSeq[Double](6) == Seq(5.0))        // neg: 9 - 4
   }
 
+  test("increaseBySignedResets: a mid-range reset adds the post-reset histogram") {
+    // series with 3 samples: monotone step, then a RESET (bucket 1
+    // drops 9→2 and bucket 2 VANISHES — disappearance reads 0, a
+    // decrease), then the counter grows again on the last step
+    val df = Seq(
+      ("a", 0L, 1L, Seq(1, 2), Seq(4L, 6L), Seq(0), Seq(2L)),
+      ("a", 10L, 3L, Seq(1, 2), Seq(9L, 7L), Seq(0), Seq(5L)),
+      ("a", 20L, 1L, Seq(1), Seq(2L), Seq(0), Seq(1L)),   // reset
+      ("a", 30L, 2L, Seq(1, 3), Seq(5L, 4L), Seq(0), Seq(6L))
+    ).toDF("lbl", "t", "z", "i", "c", "ni", "nc")
+    val r = NativeHistogram.increaseBySignedResets(df, Seq("lbl"), "t",
+      "z", "i", "c", "ni", "nc").collect().head
+    assert(r.getDouble(1) == 30.0)
+    // zero: (3-1) + 1 + (2-1) = 4
+    assert(r.getDouble(2) == 4.0)
+    // pos b1: (9-4) + 2 + (5-2) = 10; b2: (7-6) + 0 + 0 = 1 (vanished
+    // at the reset — union keys keep it); b3: appears post-reset → 4
+    assert(r.getSeq[Int](3) == Seq(1, 2, 3))
+    assert(r.getSeq[Double](4) == Seq(10.0, 1.0, 4.0))
+    // neg b0: (5-2) + 1 + (6-1) = 9
+    assert(r.getSeq[Int](5) == Seq(0))
+    assert(r.getSeq[Double](6) == Seq(9.0))
+  }
+
+  test("increaseBySignedResets ≡ first/last snapshot pair on reset-free data") {
+    // monotone counters incl. a mid-range bucket appearance: the
+    // per-step walk must telescope to exactly rateBySigned's
+    // last − first (the production gates ride this equivalence)
+    val df = Seq(
+      ("s1", 0L, 2L, Seq(-1, 1), Seq(3L, 8L), Seq(2), Seq(1L)),
+      ("s1", 60L, 5L, Seq(-1, 1), Seq(7L, 8L), Seq(2), Seq(4L)),
+      ("s1", 120L, 9L, Seq(-1, 1, 4), Seq(12L, 9L, 2L), Seq(2, 3), Seq(6L, 5L)),
+      ("s2", 0L, 0L, Seq(0), Seq(5L), Seq.empty[Int], Seq.empty[Long]),
+      ("s2", 30L, 1L, Seq(0), Seq(11L), Seq.empty[Int], Seq.empty[Long])
+    ).toDF("lbl", "t", "z", "i", "c", "ni", "nc")
+    val inc = NativeHistogram.increaseBySignedResets(df, Seq("lbl"), "t",
+      "z", "i", "c", "ni", "nc")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val rated = NativeHistogram.rateBySigned(df, Seq("lbl"), "t",
+      "z", "i", "c", "ni", "nc")
+      .collect().map(r => r.getString(0) -> r).toMap
+    for ((k, i) <- inc) {
+      val ra = rated(k)
+      val dt = ra.getDouble(1)
+      // compare on the rate grain (inc/dt reruns the identical IEEE
+      // division rateBySigned applied to the same exact integer
+      // deltas — bit-equal; inc vs rate*dt would round-trip an ulp)
+      assert(i.getDouble(1) == dt)
+      assert(i.getDouble(2) / dt == ra.getDouble(2))           // zero
+      assert(i.getSeq[Int](3) == ra.getSeq[Int](3))            // pos idx
+      assert(i.getSeq[Double](4).map(_ / dt) ==
+        ra.getSeq[Double](4))                                  // pos
+      assert(i.getSeq[Int](5) == ra.getSeq[Int](5))            // neg idx
+      assert(i.getSeq[Double](6).map(_ / dt) == ra.getSeq[Double](6))
+    }
+  }
+
   test("signed stats: count/avg/stdvar/fraction vs scalar references") {
     def ub(i: Int, schema: Int): Double =
       StrictMath.pow(2.0, math.pow(2.0, -schema) * i)
