@@ -1199,6 +1199,29 @@ object SparkEntry {
       .orderBy("event_type", "user_id")
   }
 
+  /** `resets(nh_reset[40d])` — PromQL `resets` over NATIVE
+    * histograms ([[tsdb.NativeHistogram.resetsBySigned]]): the
+    * histogram reset detector (any component decreased between
+    * consecutive samples) counting restarts instead of correcting
+    * for them. On the fixture every series that straddles day 19740
+    * counts exactly 1; single-regime series count 0. */
+  private def tsPromqlNhResets(s: SparkSession, dir: String): DataFrame = {
+    val nh = nativeHistResetTable(s, dir)
+      .withColumn("ts", timestamp_seconds(col("t_sec")))
+    val ctx = graft.tsdb.promql.PromQLContext(
+      metrics = Map.empty,
+      labelCols = Seq("event_type", "user_id"),
+      evalMs = 1706745600000L,
+      lookbackMs = 40L * 86400000L,
+      histMetrics = Map("nh_reset" -> graft.tsdb.promql.HistTable(nh,
+        negIdxCol = Some("neg_idx"), negCountsCol = Some("neg_counts"))))
+    graft.tsdb.promql.PromQL.compile("resets(nh_reset[40d])", ctx)
+      .select(col("event_type"),
+        col("user_id").cast("string").as("user_id"),
+        col("value").as("n_resets"))
+      .orderBy("event_type", "user_id")
+  }
+
   /** PromQL `count by` / `group by` aggregators
     * ([[tsdb.PromOps.aggregateBy]] family completion): `count by
     * (event_type)` counts SERIES (distinct label sets), `group`
@@ -2981,6 +3004,7 @@ object SparkEntry {
     "ts_native_hist_quantile_rate" -> (tsNativeHistQuantileRate _),
     "ts_nh_reset_increase" -> (tsNhResetIncrease _),
     "ts_promql_nh_reset_rate" -> (tsPromqlNhResetRate _),
+    "ts_promql_nh_resets" -> (tsPromqlNhResets _),
     "ts_agg_count_group" -> (tsAggCountGroup _),
     "ts_set_ops" -> (tsSetOps _),
     "ts_absent_over_time" -> (tsAbsentOverTime _),
@@ -4510,6 +4534,18 @@ object SparkEntry {
         |  side, idx, CAST(b * k AS DOUBLE) AS inc
         |FROM buckets
         |ORDER BY event_type, user_id, side, idx""".stripMargin,
+    // resets over native histograms: exactly one restart per series
+    // straddling day 19740, none otherwise (single-sample series
+    // included, at 0 — no <2-sample drop for resets)
+    "ts_promql_nh_resets" ->
+      """SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+        |  CAST(CASE WHEN min(d) < 19740 AND max(d) >= 19740
+        |       THEN 1 ELSE 0 END AS DOUBLE) AS n_resets
+        |FROM (SELECT DISTINCT event_type, user_id,
+        |        CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |      FROM events)
+        |GROUP BY event_type, user_id
+        |ORDER BY event_type, CAST(user_id AS VARCHAR)""".stripMargin,
     // count of the reset-aware rate: same closed form, each bucket's
     // increase / dt folded in ascending-index cumulative order with
     // the consumer's ((zero + posFold) + negFold) association

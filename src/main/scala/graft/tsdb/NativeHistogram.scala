@@ -519,6 +519,54 @@ object NativeHistogram {
       transform(negIdx, k => element_at(col("_f.n"), k)).as("neg_inc")): _*)
   }
 
+  /** PromQL `resets(native_histogram[range])`: count of counter
+    * resets between consecutive samples, detected exactly as
+    * [[increaseBySignedResets]] does (zero bucket or ANY bucket on
+    * either side decreased; a vanishing bucket reads 0). Same
+    * bounded collect + narrow fold shape; single-sample series emit
+    * 0 like the float `resets`. */
+  def resetsBySigned(df: DataFrame, seriesCols: Seq[String],
+      tsSecCol: String, zeroCountCol: String, posIdxCol: String,
+      posCountsCol: String, negIdxCol: String,
+      negCountsCol: String): DataFrame = {
+    val keys = seriesCols.map(col)
+    val snap = struct(col(tsSecCol).cast("long").as("t"),
+      col(zeroCountCol).cast("double").as("z"),
+      col(posIdxCol).cast("array<int>").as("i"),
+      col(posCountsCol).cast("array<double>").as("c"),
+      col(negIdxCol).cast("array<int>").as("ni"),
+      col(negCountsCol).cast("array<double>").as("nc"))
+    val series = df.groupBy(keys: _*)
+      .agg(sort_array(collect_list(snap)).as("_ss"))
+    def asMap(i: Column, c: Column): Column = map_from_arrays(i, c)
+    def decreased(prevM: Column, curM: Column): Column =
+      exists(map_keys(prevM), k =>
+        coalesce(element_at(curM, k), lit(0.0)) < element_at(prevM, k))
+    val first = element_at(col("_ss"), 1)
+    val init = struct(lit(0L).as("n"),
+      struct(first.getField("z").as("z"),
+        asMap(first.getField("i"), first.getField("c")).as("p"),
+        asMap(first.getField("ni"), first.getField("nc")).as("n"))
+        .as("prev"))
+    val folded = aggregate(
+      slice(col("_ss"), lit(2), size(col("_ss")) - 1), init,
+      (acc, cur) => {
+        val prev = acc.getField("prev")
+        val curP = asMap(cur.getField("i"), cur.getField("c"))
+        val curN = asMap(cur.getField("ni"), cur.getField("nc"))
+        val reset = (cur.getField("z") < prev.getField("z")) ||
+          decreased(prev.getField("p"), curP) ||
+          decreased(prev.getField("n"), curN)
+        struct(
+          (acc.getField("n") + when(reset, lit(1L)).otherwise(lit(0L)))
+            .as("n"),
+          struct(cur.getField("z").as("z"), curP.as("p"), curN.as("n"))
+            .as("prev"))
+      })
+    series.select(keys :+
+      folded.getField("n").cast("double").as("resets"): _*)
+  }
+
   /** PromQL `histogram_fraction(lower, upper, h)`: estimated
     * fraction of observations in [lower, upper] — per bucket, the
     * linear-overlap share `max(0, min(upper,bu) − max(lower,bl)) /

@@ -726,9 +726,24 @@ object PromQL {
       case "irate" => Right(overRange(c, (df, ls, _) =>
         PromOps.irate(df, ls, ctx.tsCol, ctx.valueCol, ctx.tieBreak)
           .withColumnRenamed("irate", "value")))
-      case "resets" => Right(overRange(c, (df, ls, _) =>
-        PromOps.resets(df, ls, ctx.tsCol, ctx.valueCol, ctx.tieBreak)
-          .withColumn("value", col("resets").cast("double")).drop("resets")))
+      case "resets" => c.args match {
+        // resets over a NATIVE-HISTOGRAM range: the histogram reset
+        // detector (any component decreased — the same walk the
+        // reset-aware rate runs), emitting a float vector
+        case Seq(r: Expr.Range) if ctx.histMetrics.contains(r.sel.metric) =>
+          val ht = ctx.histMetrics(r.sel.metric)
+          val rows = rangeRowsBy(r.sel, r.rangeMs,
+              scanHistRows(r.sel, ht, _, _))
+            .withColumn("_h_tsec", col(TS) / lit(1000.0))
+          val d = graft.tsdb.NativeHistogram.resetsBySigned(rows,
+            keys(ctx.labelCols), "_h_tsec", HZ, HI, HC, HNI, HNC)
+          Right(stamped(d.withColumnRenamed("resets", "value"),
+            ctx.labelCols))
+        case _ => Right(overRange(c, (df, ls, _) =>
+          PromOps.resets(df, ls, ctx.tsCol, ctx.valueCol, ctx.tieBreak)
+            .withColumn("value", col("resets").cast("double"))
+            .drop("resets")))
+      }
       case "changes" => Right(overRange(c, (df, ls, _) =>
         PromOps.changes(df, ls, ctx.tsCol, ctx.valueCol, ctx.tieBreak)
           .withColumn("value", col("changes").cast("double")).drop("changes")))

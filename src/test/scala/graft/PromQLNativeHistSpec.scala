@@ -156,6 +156,43 @@ class PromQLNativeHistSpec extends SparkSpec {
     assert(close(out.head._2, 12.0 / 3000.0 + 10.0 / 1800.0))
   }
 
+  // ===== counter resets =====
+
+  test("rate/increase add the post-reset histogram across a counter reset") {
+    // (api,i1) gains a third RESETTING sample: every bucket drops at
+    // 00:55 → reset; increase = (pre-reset deltas) + (post-reset
+    // histogram whole). zero: (3-1) + 1 = 3; b1: (6-2) + 1 = 5;
+    // b2: (10-4) + 2 = 8 → count(increase) = 16 over dt=3300s
+    val withReset = hist.union(Seq(
+      ("api", "i1", ts("2024-01-01 00:55:00"), 1L, Seq(1, 2), Seq(1L, 2L), 2.0)
+    ).toDF("job", "instance", "ts", "zero_count", "pos_idx", "pos_counts",
+      "hsum"))
+    val rctx = ctx.copy(histMetrics =
+      Map("latency" -> HistTable(withReset, sumCol = Some("hsum"))))
+    val inc = PromQL.compile("histogram_count(increase(latency[1h]))", rctx)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(close(inc("api"), 16.0))
+    assert(close(inc("web"), 10.0)) // unchanged, reset-free
+    val rate = PromQL.compile("histogram_count(rate(latency[1h]))", rctx)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(close(rate("api"), 16.0 / 3300.0))
+  }
+
+  test("resets() over a native-histogram range counts restarts") {
+    val withReset = hist.union(Seq(
+      ("api", "i1", ts("2024-01-01 00:55:00"), 1L, Seq(1, 2), Seq(1L, 2L), 2.0)
+    ).toDF("job", "instance", "ts", "zero_count", "pos_idx", "pos_counts",
+      "hsum"))
+    val rctx = ctx.copy(histMetrics =
+      Map("latency" -> HistTable(withReset, sumCol = Some("hsum"))))
+    assert(byJobQ("resets(latency[1h])", rctx) ==
+      Map("api" -> 1.0, "web" -> 0.0))
+  }
+
+  private def byJobQ(q: String, c: PromQLContext): Map[String, Double] =
+    PromQL.compile(q, c).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).toMap
+
   // ===== range (grid) mode =====
 
   test("range mode: bucket-wise sum aggregates per step (HistSumAgg grid keys)") {
