@@ -539,6 +539,26 @@ object PlanAudit {
       if (!ok) failures ::= "ts_promql_nh_blocks: read-path shape"
     }
 
+    // Reset-aware NH rate: the per-step fold must stay ONE
+    // series-keyed aggregation (collect_list buffer, bounded by
+    // samples-in-range) — no window function (which would add a
+    // sort-heavy per-row pass), no join, ≤3 exchanges total (the
+    // fixture's own distinct + the series agg + the output sort).
+    locally {
+      val df = SparkEntry.queries("ts_promql_nh_reset_rate")(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val nEx = "Exchange ".r.findAllIn(plan).size
+      val noWin = !plan.contains("Window")
+      val noJoin = !plan.contains("Join")
+      val ok = noWin && noJoin && nEx <= 3
+      println(s"[audit] ts_promql_nh_reset_rate :: one fold agg, no " +
+        s"window/join, ≤3 exchanges (fixture distinct + agg + sort): " +
+        s"window=${!noWin} join=${!noJoin} " +
+        s"exchanges=$nEx -> ${if (ok) "OK" else "FAIL"}")
+      if (!ok) failures ::= "ts_promql_nh_reset_rate: fold shape"
+    }
+
     if (failures.nonEmpty) {
       println(s"\n[audit] FAILURES: ${failures.mkString("; ")}")
       sys.exit(1)
