@@ -1199,6 +1199,43 @@ object SparkEntry {
       .orderBy("event_type", "user_id")
   }
 
+  private def resetBlockPath(dir: String): String =
+    "/tmp/graft_resetblock_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+
+  private def resetBlockFixture(s: SparkSession, dir: String): Unit =
+    fixtureOnce(s"resetblock:$dir") {
+      val root = new java.io.File(resetBlockPath(dir))
+      if (root.exists()) rmRec(root)
+      graft.tsdb.block.TsdbBlockStore.writeHist(
+        nativeHistResetTable(s, dir)
+          .withColumn("ts_ms", col("d") * 86400000L)
+          .withColumn("hsum",
+            (col("dd") * ((col("sseed") % 7) + 1)).cast("double") * 0.25),
+        resetBlockPath(dir), Seq("event_type", "user_id"), "ts_ms",
+        "zero_count", "pos_idx", "pos_counts", "hsum",
+        blockDurationMs = 9L * 86400000L, samplesPerChunk = 6,
+        negIdxCol = Some("neg_idx"), negCountsCol = Some("neg_counts"))
+    }
+
+  /** The Prometheus appender's chunk-cut ladder pinned at the BYTE
+    * level: writing the resetting counter fixture must cut a new
+    * chunk at the day-19740 restart marked `counter_reset`, cut at
+    * the 6-sample cap marked `not_counter_reset`, and start every
+    * (series, block) stream `unknown`
+    * ([[tsdb.block.TsdbBlockStore.histChunkHeaders]] decodes the
+    * headers back out of the chunk bytes). The oracle replays the
+    * ladder arithmetically: segment by reset day, 6-sample chunks
+    * within each segment, header by (block-first, segment-first)
+    * position. */
+  private def tsTsdbBlockResetCut(s: SparkSession, dir: String): DataFrame = {
+    resetBlockFixture(s, dir)
+    graft.tsdb.block.TsdbBlockStore
+      .histChunkHeaders(s, resetBlockPath(dir), Seq("event_type", "user_id"))
+      .select(col("event_type"), col("user_id"), col("chunk_mint"),
+        col("chunk_maxt"), col("n_samples"), col("reset_hint"))
+      .orderBy("event_type", "user_id", "chunk_mint")
+  }
+
   /** `resets(nh_reset[40d])` — PromQL `resets` over NATIVE
     * histograms ([[tsdb.NativeHistogram.resetsBySigned]]): the
     * histogram reset detector (any component decreased between
@@ -3005,6 +3042,7 @@ object SparkEntry {
     "ts_nh_reset_increase" -> (tsNhResetIncrease _),
     "ts_promql_nh_reset_rate" -> (tsPromqlNhResetRate _),
     "ts_promql_nh_resets" -> (tsPromqlNhResets _),
+    "ts_tsdb_block_reset_cut" -> (tsTsdbBlockResetCut _),
     "ts_agg_count_group" -> (tsAggCountGroup _),
     "ts_set_ops" -> (tsSetOps _),
     "ts_absent_over_time" -> (tsAbsentOverTime _),
@@ -4534,6 +4572,39 @@ object SparkEntry {
         |  side, idx, CAST(b * k AS DOUBLE) AS inc
         |FROM buckets
         |ORDER BY event_type, user_id, side, idx""".stripMargin,
+    // the appender's chunk-cut ladder replayed arithmetically:
+    // 9-day blocks, segments split at the reset day, 6-sample chunks
+    // within each segment; header = unknown at block start,
+    // counter_reset at a segment start, not_counter_reset at cap cuts
+    "ts_tsdb_block_reset_cut" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |s AS (
+        |  SELECT event_type, user_id, d,
+        |    CAST(floor(d / 9) AS BIGINT) AS blk,
+        |    CASE WHEN d >= 19740 THEN 1 ELSE 0 END AS seg
+        |  FROM days),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type, user_id,
+        |    blk, seg ORDER BY d) - 1 AS rn
+        |  FROM s),
+        |c AS (
+        |  SELECT event_type, user_id, blk, seg,
+        |    CAST(floor(rn / 6) AS BIGINT) AS cord,
+        |    min(d) AS dmin, max(d) AS dmax, count(*) AS n
+        |  FROM r GROUP BY 1, 2, 3, 4, 5)
+        |SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+        |  dmin * 86400000 AS chunk_mint, dmax * 86400000 AS chunk_maxt,
+        |  CAST(n AS INT) AS n_samples,
+        |  CASE WHEN row_number() OVER (PARTITION BY event_type, user_id,
+        |         blk ORDER BY dmin) = 1 THEN 'unknown'
+        |       WHEN seg = 1 AND cord = 0 THEN 'counter_reset'
+        |       ELSE 'not_counter_reset' END AS reset_hint
+        |FROM c
+        |ORDER BY event_type, CAST(user_id AS VARCHAR), chunk_mint"""
+        .stripMargin,
     // resets over native histograms: exactly one restart per series
     // straddling day 19740, none otherwise (single-sample series
     // included, at 0 — no <2-sample drop for resets)

@@ -75,6 +75,19 @@ object TsdbBlockStore {
     def size: Int
     /** Encode the buffered samples, reset; (data, mint, maxt). */
     def flush(): (Array[Byte], Long, Long)
+    /** True when `r` is a COUNTER RESET vs the last sample appended
+      * in this series (any histogram component decreased — the
+      * Prometheus appender's cut trigger). False for float/gauge
+      * bufs and at series start. */
+    def wouldReset(r: InternalRow): Boolean = false
+    /** Counter-reset header for the NEXT chunk this buf encodes
+      * (no-op for float/gauge bufs — gauge chunks keep GaugeType on
+      * every chunk). */
+    def markNextChunk(flags: Int): Unit = {}
+    /** Forget cross-chunk reset state at a series (or block)
+      * boundary: the next chunk starts UnknownCounterReset with no
+      * prior sample, like a fresh Prometheus head chunk. */
+    def resetSeriesState(): Unit = {}
   }
 
   /** XOR float chunks (chunkenc encoding 1). */
@@ -122,6 +135,32 @@ object TsdbBlockStore {
     private val nIdxB = if (hasNeg) new Array[Array[Int]](cap) else null
     private val nCntB = if (hasNeg) new Array[Array[Long]](cap) else null
     private var n = 0
+    // counter-reset bookkeeping (the Prometheus appender's): header
+    // of the chunk being built + the last APPENDED sample (surviving
+    // chunk flushes — a reset straddling a cap cut must still be
+    // seen), both cleared at series/block boundaries
+    private val isGauge = flags == ChunkencHistogram.GaugeType
+    private var curFlags = flags
+    private var lastZero = -1L
+    private var lastIdx: Array[Int] = null
+    private var lastCnt: Array[Long] = null
+    private var lastNIdx: Array[Int] = null
+    private var lastNCnt: Array[Long] = null
+    override def markNextChunk(f: Int): Unit = if (!isGauge) curFlags = f
+    override def resetSeriesState(): Unit = {
+      curFlags = flags
+      lastIdx = null; lastCnt = null; lastNIdx = null; lastNCnt = null
+    }
+    override def wouldReset(r: InternalRow): Boolean = {
+      if (isGauge || lastIdx == null) return false
+      if (r.getLong(zeroIdx) < lastZero) return true
+      if (sparseDecreased(lastIdx, lastCnt,
+        r.getArray(idxIdx).toIntArray(),
+        r.getArray(cntIdx).toLongArray())) return true
+      hasNeg && sparseDecreased(lastNIdx, lastNCnt,
+        r.getArray(negIdxIdx).toIntArray(),
+        r.getArray(negCntIdx).toLongArray())
+    }
     def encoding: Int = EncHistogram
     def ts(r: InternalRow): Long = r.getLong(tsIdx)
     def digest(r: InternalRow): Long = {
@@ -159,6 +198,9 @@ object TsdbBlockStore {
         nCntB(n) = r.getArray(negCntIdx).toLongArray()
         requireAscending(nIdxB(n))
       }
+      lastZero = zeroB(n)
+      lastIdx = idxB(n); lastCnt = cntB(n)
+      if (hasNeg) { lastNIdx = nIdxB(n); lastNCnt = nCntB(n) }
       n += 1
     }
     def size: Int = n
@@ -181,7 +223,7 @@ object TsdbBlockStore {
         count(i) = total
         i += 1
       }
-      val c = ChunkencHistogram.HistChunk(flags, schema, zeroThreshold,
+      val c = ChunkencHistogram.HistChunk(curFlags, schema, zeroThreshold,
         ChunkencHistogram.spansFromIndexes(union),
         ChunkencHistogram.spansFromIndexes(nUnion),
         java.util.Arrays.copyOf(tsB, n), count,
@@ -236,6 +278,29 @@ object TsdbBlockStore {
     private val nIdxB = if (hasNeg) new Array[Array[Int]](cap) else null
     private val nCntB = if (hasNeg) new Array[Array[Double]](cap) else null
     private var n = 0
+    // counter-reset bookkeeping — see HistSampleBuf
+    private val isGauge = flags == ChunkencHistogram.GaugeType
+    private var curFlags = flags
+    private var lastZero = Double.NegativeInfinity
+    private var lastIdx: Array[Int] = null
+    private var lastCnt: Array[Double] = null
+    private var lastNIdx: Array[Int] = null
+    private var lastNCnt: Array[Double] = null
+    override def markNextChunk(f: Int): Unit = if (!isGauge) curFlags = f
+    override def resetSeriesState(): Unit = {
+      curFlags = flags
+      lastIdx = null; lastCnt = null; lastNIdx = null; lastNCnt = null
+    }
+    override def wouldReset(r: InternalRow): Boolean = {
+      if (isGauge || lastIdx == null) return false
+      if (r.getDouble(zeroIdx) < lastZero) return true
+      if (sparseDecreasedD(lastIdx, lastCnt,
+        r.getArray(idxIdx).toIntArray(),
+        r.getArray(cntIdx).toDoubleArray())) return true
+      hasNeg && sparseDecreasedD(lastNIdx, lastNCnt,
+        r.getArray(negIdxIdx).toIntArray(),
+        r.getArray(negCntIdx).toDoubleArray())
+    }
     def encoding: Int = EncFloatHistogram
     def ts(r: InternalRow): Long = r.getLong(tsIdx)
     def digest(r: InternalRow): Long = {
@@ -273,6 +338,9 @@ object TsdbBlockStore {
         nCntB(n) = r.getArray(negCntIdx).toDoubleArray()
         requireAscending(nIdxB(n))
       }
+      lastZero = zeroB(n)
+      lastIdx = idxB(n); lastCnt = cntB(n)
+      if (hasNeg) { lastNIdx = nIdxB(n); lastNCnt = nCntB(n) }
       n += 1
     }
     def size: Int = n
@@ -295,7 +363,7 @@ object TsdbBlockStore {
         count(i) = total
         i += 1
       }
-      val c = ChunkencHistogram.FloatHistChunk(flags, schema,
+      val c = ChunkencHistogram.FloatHistChunk(curFlags, schema,
         zeroThreshold, ChunkencHistogram.spansFromIndexes(union),
         ChunkencHistogram.spansFromIndexes(nUnion),
         java.util.Arrays.copyOf(tsB, n), count,
@@ -306,6 +374,38 @@ object TsdbBlockStore {
       n = 0
       res
     }
+  }
+
+  /** True when any prev bucket's count exceeds cur's at the same
+    * index (a missing cur bucket reads 0) — the histogram counter-
+    * reset test over two ascending sparse layouts, two-pointer, no
+    * allocation. A bucket APPEARING in cur is growth, not a reset. */
+  private def sparseDecreased(prevIdx: Array[Int], prevCnt: Array[Long],
+      curIdx: Array[Int], curCnt: Array[Long]): Boolean = {
+    var j = 0
+    var k = 0
+    while (j < prevIdx.length) {
+      while (k < curIdx.length && curIdx(k) < prevIdx(j)) k += 1
+      val cur = if (k < curIdx.length && curIdx(k) == prevIdx(j))
+        curCnt(k) else 0L
+      if (cur < prevCnt(j)) return true
+      j += 1
+    }
+    false
+  }
+
+  private def sparseDecreasedD(prevIdx: Array[Int], prevCnt: Array[Double],
+      curIdx: Array[Int], curCnt: Array[Double]): Boolean = {
+    var j = 0
+    var k = 0
+    while (j < prevIdx.length) {
+      while (k < curIdx.length && curIdx(k) < prevIdx(j)) k += 1
+      val cur = if (k < curIdx.length && curIdx(k) == prevIdx(j))
+        curCnt(k) else 0.0
+      if (cur < prevCnt(j)) return true
+      j += 1
+    }
+    false
   }
 
   /** The flush merge cursor assumes each sample's index array is
@@ -583,6 +683,7 @@ object TsdbBlockStore {
 
     private def flushSeries(): Unit = if (curLabels != null) {
       flushChunk()
+      buf.resetSeriesState()
       series += SeriesEntry(
         labelNames.zip(curLabels).toSeq.filter(_._2.nonEmpty),
         chunkMetas.result())
@@ -652,7 +753,18 @@ object TsdbBlockStore {
         curLabels = labels
         labels.foreach(s => mix(s.hashCode.toLong))
       }
-      if (buf.size == samplesPerChunk) flushChunk()
+      // the Prometheus appender's chunk-cut ladder: a counter reset
+      // cuts a new chunk marked CounterReset (checked FIRST — a
+      // reset landing exactly on a cap boundary must not be filed as
+      // a continuation); a cap cut continues the counter, so the new
+      // chunk is NotCounterReset. Float/gauge bufs no-op both.
+      if (buf.wouldReset(r)) {
+        flushChunk()
+        buf.markNextChunk(ChunkencHistogram.CounterReset)
+      } else if (buf.size == samplesPerChunk) {
+        flushChunk()
+        buf.markNextChunk(ChunkencHistogram.NotCounterReset)
+      }
       buf.add(r)
       nSamples += 1
       mix(buf.ts(r))
@@ -1100,6 +1212,57 @@ object TsdbBlockStore {
     case (EncXOR, _, _) | (EncHistogram, _, _) => Iterator.empty
     case (enc, _, _) =>
       throw new IllegalArgumentException(s"unsupported chunk encoding $enc")
+  }
+
+  /** One row per native-histogram chunk (either encoding) under
+    * `root`: labels projected to `labelCols`, the chunk's sample
+    * span and count, and its COUNTER-RESET HEADER decoded to a
+    * string (`unknown` / `counter_reset` / `not_counter_reset` /
+    * `gauge`). The write path's reset-cut behavior (a counter reset
+    * cuts a chunk marked CounterReset, a cap cut one marked
+    * NotCounterReset — head_append's ladder) is invisible at the
+    * sample row model; specs, gates and operational tooling read it
+    * here. Same narrow per-(block, shard) scan as the sample
+    * readers; one output row per CHUNK, so the result is
+    * metadata-sized. */
+  def histChunkHeaders(spark: SparkSession, root: String,
+      labelCols: Seq[String], shardsPerBlock: Int = 1): DataFrame = {
+    import spark.implicits._
+    val cols = labelCols.toIndexedSeq
+    val decoder: ChunkDecoder[(Int, Long, Long, Int)] = {
+      case (EncHistogram, data, _) =>
+        val c = ChunkencHistogram.decodeHistChunk(data, 0, data.length)
+        if (c.ts.isEmpty) Iterator.empty
+        else Iterator.single((c.flags, c.ts.head, c.ts.last, c.ts.length))
+      case (EncFloatHistogram, data, _) =>
+        val c = ChunkencHistogram.decodeFloatHistChunk(data, 0, data.length)
+        if (c.ts.isEmpty) Iterator.empty
+        else Iterator.single((c.flags, c.ts.head, c.ts.last, c.ts.length))
+      case (EncXOR, _, _) => Iterator.empty
+      case (enc, _, _) =>
+        throw new IllegalArgumentException(s"unsupported chunk encoding $enc")
+    }
+    val rdd = taskRdd(spark, root, Long.MinValue, Long.MaxValue,
+      shardsPerBlock, Nil) { case (dir, shard, nShards, ms) =>
+      readBlockSeriesWith(dir, Long.MinValue, Long.MaxValue, ms,
+        shard, nShards, decoder)
+        .flatMap { case (labelMap, chunks) =>
+          val ls = cols.map(c => labelMap.getOrElse(c, ""))
+          chunks.map { case (fl, mint, maxt, n) => (ls, fl, mint, maxt, n) }
+        }
+    }
+    val hintCol = {
+      val h = col("_flags").bitwiseAND(lit(0xc0))
+      when(h === ChunkencHistogram.CounterReset, "counter_reset")
+        .when(h === ChunkencHistogram.NotCounterReset, "not_counter_reset")
+        .when(h === ChunkencHistogram.GaugeType, "gauge")
+        .otherwise("unknown")
+    }
+    rdd.toDF("_ls", "_flags", "chunk_mint", "chunk_maxt", "n_samples")
+      .select(cols.zipWithIndex.map { case (c, i) =>
+        col("_ls")(i).as(c) } :+
+        col("chunk_mint") :+ col("chunk_maxt") :+ col("n_samples") :+
+        hintCol.as("reset_hint"): _*)
   }
 
   /** Shared per-shard series walk: candidate refs from the postings

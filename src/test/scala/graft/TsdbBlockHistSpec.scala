@@ -315,6 +315,113 @@ class TsdbBlockHistSpec extends AnyFunSuite {
     } finally { deleteRec(root); deleteRec(out) }
   }
 
+  test("counter resets cut chunks with CounterReset headers (appender ladder)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_nhr").toFile
+    try {
+      import spark.implicits._
+      // one series, 10 samples, cap 4: bucket 0 RESETS at sample 6
+      // (mid-chunk) — expected chunks [0..3] (cap) [4..5] (reset cut)
+      // [6..9], headers unknown / not_counter_reset / counter_reset
+      val rows = (0 until 10).map { i =>
+        val c = if (i >= 6) (i - 5).toLong else (i + 1).toLong
+        ("api", i * 60000L, 0L, Seq(0), Seq(c * 10), 0.0)
+      }
+      TsdbBlockStore.writeHist(rows.toDF("job", "ts", "zero", "idx",
+          "cnt", "hsum"), root.getPath, Seq("job"),
+        "ts", "zero", "idx", "cnt", "hsum", samplesPerChunk = 4)
+      val got = TsdbBlockStore
+        .histChunkHeaders(spark, root.getPath, Seq("job"))
+        .orderBy("chunk_mint")
+        .collect()
+        .map(r => (r.getLong(1) / 60000L, r.getLong(2) / 60000L,
+          r.getInt(3), r.getString(4)))
+      assert(got.toSeq == Seq(
+        (0L, 3L, 4, "unknown"),
+        (4L, 5L, 2, "not_counter_reset"),
+        (6L, 9L, 4, "counter_reset")))
+    } finally deleteRec(root)
+  }
+
+  test("a reset landing exactly on a cap boundary is still CounterReset") {
+    val root = java.nio.file.Files.createTempDirectory("graft_nhr2").toFile
+    try {
+      import spark.implicits._
+      // cap 3, reset at sample 3 — the cut coincides with the cap,
+      // and the reset classification must win (the new chunk's first
+      // sample restarts the counter)
+      val rows = (0 until 6).map { i =>
+        val c = if (i >= 3) (i - 2).toLong else (i + 1).toLong
+        ("api", i * 60000L, 0L, Seq(1), Seq(c), 0.0)
+      }
+      TsdbBlockStore.writeHist(rows.toDF("job", "ts", "zero", "idx",
+          "cnt", "hsum"), root.getPath, Seq("job"),
+        "ts", "zero", "idx", "cnt", "hsum", samplesPerChunk = 3)
+      val hints = TsdbBlockStore
+        .histChunkHeaders(spark, root.getPath, Seq("job"))
+        .orderBy("chunk_mint").collect().map(_.getString(4)).toSeq
+      assert(hints == Seq("unknown", "counter_reset"))
+    } finally deleteRec(root)
+  }
+
+  test("reset triggers: zero-count drop and bucket disappearance both cut") {
+    val root = java.nio.file.Files.createTempDirectory("graft_nhr3").toFile
+    try {
+      import spark.implicits._
+      val rows = Seq(
+        // zero drops at s1; bucket 2 VANISHES at s3 (reads 0 < 7)
+        ("api", 0L, 5L, Seq(2), Seq(7L), 0.0),
+        ("api", 60000L, 2L, Seq(2), Seq(7L), 0.0),
+        ("api", 120000L, 2L, Seq(2), Seq(7L), 0.0),
+        ("api", 180000L, 2L, Seq(3), Seq(1L), 0.0))
+      TsdbBlockStore.writeHist(rows.toDF("job", "ts", "zero", "idx",
+          "cnt", "hsum"), root.getPath, Seq("job"),
+        "ts", "zero", "idx", "cnt", "hsum", samplesPerChunk = 120)
+      val hints = TsdbBlockStore
+        .histChunkHeaders(spark, root.getPath, Seq("job"))
+        .orderBy("chunk_mint").collect().map(_.getString(4)).toSeq
+      assert(hints == Seq("unknown", "counter_reset", "counter_reset"))
+    } finally deleteRec(root)
+  }
+
+  test("gauge histograms never reset-cut and keep GaugeType everywhere") {
+    val root = java.nio.file.Files.createTempDirectory("graft_nhr4").toFile
+    try {
+      import spark.implicits._
+      // wildly non-monotone gauge: one chunk per cap only
+      val rows = (0 until 8).map { i =>
+        ("api", i * 60000L, (8 - i).toLong, Seq(0), Seq((i % 3 + 1).toLong),
+          0.0)
+      }
+      TsdbBlockStore.writeHist(rows.toDF("job", "ts", "zero", "idx",
+          "cnt", "hsum"), root.getPath, Seq("job"),
+        "ts", "zero", "idx", "cnt", "hsum", gauge = true,
+        samplesPerChunk = 5)
+      val got = TsdbBlockStore
+        .histChunkHeaders(spark, root.getPath, Seq("job"))
+        .orderBy("chunk_mint").collect()
+        .map(r => (r.getInt(3), r.getString(4))).toSeq
+      assert(got == Seq((5, "gauge"), (3, "gauge")))
+    } finally deleteRec(root)
+  }
+
+  test("float-histogram writer runs the same reset-cut ladder") {
+    val root = java.nio.file.Files.createTempDirectory("graft_nhr5").toFile
+    try {
+      import spark.implicits._
+      val rows = (0 until 6).map { i =>
+        val c = if (i >= 3) (i - 2) * 0.5 else (i + 1) * 0.5
+        ("api", i * 60000L, 0.0, Seq(1), Seq(c), 0.0)
+      }
+      TsdbBlockStore.writeFloatHist(rows.toDF("job", "ts", "zero", "idx",
+          "cnt", "hsum"), root.getPath, Seq("job"),
+        "ts", "zero", "idx", "cnt", "hsum", samplesPerChunk = 120)
+      val hints = TsdbBlockStore
+        .histChunkHeaders(spark, root.getPath, Seq("job"))
+        .orderBy("chunk_mint").collect().map(_.getString(4)).toSeq
+      assert(hints == Seq("unknown", "counter_reset"))
+    } finally deleteRec(root)
+  }
+
   test("mixed directories: each family's reader sees only its chunks") {
     val root = java.nio.file.Files.createTempDirectory("graft_nhx").toFile
     try {
