@@ -1236,6 +1236,38 @@ object SparkEntry {
       .orderBy("event_type", "user_id", "chunk_mint")
   }
 
+  /** `histogram_count(rate(nh_reset[40d]))` evaluated off BLOCK
+    * BYTES with counter-reset HEADERS driving the reset ladder: the
+    * fixture block's reset cut marked its chunk `counter_reset`
+    * ([[tsTsdbBlockResetCut]]), `readHistLabels(withResetHint)`
+    * surfaces the header per sample (chunk-first = header, in-chunk
+    * = not_counter_reset), and the fold TRUSTS it —
+    * `counter_reset` forces the reset, `not_counter_reset`
+    * suppresses detection. On this fixture headers and value
+    * detection agree, so the same closed-form oracle pins that the
+    * header path and the detection path compute the same counter
+    * contract end to end (writer marking → reader surfacing →
+    * hint-trusting fold). */
+  private def tsPromqlNhHintedRate(s: SparkSession, dir: String): DataFrame = {
+    resetBlockFixture(s, dir)
+    val nh = graft.tsdb.block.TsdbBlockStore
+      .readHistLabels(s, resetBlockPath(dir), Seq("event_type", "user_id"),
+        withResetHint = true)
+      .withColumn("ts", timestamp_millis(col("ts")))
+    val ctx = graft.tsdb.promql.PromQLContext(
+      metrics = Map.empty,
+      labelCols = Seq("event_type", "user_id"),
+      evalMs = 1706745600000L,
+      lookbackMs = 40L * 86400000L,
+      histMetrics = Map("nh_reset" -> graft.tsdb.promql.HistTable(nh,
+        negIdxCol = Some("neg_idx"), negCountsCol = Some("neg_counts"),
+        resetHintCol = Some("reset_hint"))))
+    graft.tsdb.promql.PromQL.compile(
+        "histogram_count(rate(nh_reset[40d]))", ctx)
+      .select(col("event_type"), col("user_id"), col("value").as("crate"))
+      .orderBy("event_type", "user_id")
+  }
+
   /** `resets(nh_reset[40d])` — PromQL `resets` over NATIVE
     * histograms ([[tsdb.NativeHistogram.resetsBySigned]]): the
     * histogram reset detector (any component decreased between
@@ -3043,6 +3075,7 @@ object SparkEntry {
     "ts_promql_nh_reset_rate" -> (tsPromqlNhResetRate _),
     "ts_promql_nh_resets" -> (tsPromqlNhResets _),
     "ts_tsdb_block_reset_cut" -> (tsTsdbBlockResetCut _),
+    "ts_promql_nh_hinted_rate" -> (tsPromqlNhHintedRate _),
     "ts_agg_count_group" -> (tsAggCountGroup _),
     "ts_set_ops" -> (tsSetOps _),
     "ts_absent_over_time" -> (tsAbsentOverTime _),
@@ -3215,6 +3248,59 @@ object SparkEntry {
     * front-end (`ts_promql_nh_quantile_rate`) entries: both plans
     * must land on identical FP ops.
     */
+  /** Closed-form oracle for the reset-aware NH rate gates: segment
+    * the counter at the day-19740 restart — straddling series add
+    * the pre-reset accumulation `(cnt(dpre) − cnt(d0))` to the
+    * restarted counter's `cnt(d1)` — then count-of-rate folds each
+    * bucket's increase / dt in ascending-index cumulative order with
+    * the consumer's ((zero + posFold) + negFold) association. Shared
+    * by the value-detection gate (`ts_promql_nh_reset_rate`, direct
+    * DataFrame) and the header-driven one (`ts_promql_nh_hinted_rate`,
+    * block bytes + withResetHint). */
+  private val nhResetRateSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT event_type, user_id,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+      |  FROM events),
+      |series AS (
+      |  SELECT event_type, user_id,
+      |    user_id * 31 + length(event_type) AS sseed,
+      |    min(d) AS d0, max(d) AS d1,
+      |    max(CASE WHEN d < 19740 THEN d END) AS dpre
+      |  FROM days GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+      |base AS (
+      |  SELECT *,
+      |    CASE WHEN d0 < 19740 AND d1 >= 19740
+      |         THEN dpre*dpre - d0*d0 + (d1-19739)*(d1-19739)
+      |         WHEN d1 < 19740 THEN d1*d1 - d0*d0
+      |         ELSE (d1-19739)*(d1-19739) - (d0-19739)*(d0-19739)
+      |    END AS b,
+      |    CAST((d1 - d0) * 86400 AS DOUBLE) AS dt
+      |  FROM series),
+      |pw AS (
+      |  SELECT event_type, user_id,
+      |    sum(CAST(b * ((sseed + i + 3) % 5) AS DOUBLE) / dt)
+      |      OVER (PARTITION BY event_type, user_id
+      |        ORDER BY i ROWS UNBOUNDED PRECEDING) AS s
+      |  FROM base, unnest(range(-2, 5)) AS t(i)
+      |  QUALIFY row_number() OVER (PARTITION BY event_type, user_id
+      |    ORDER BY i DESC) = 1),
+      |nw AS (
+      |  SELECT event_type, user_id,
+      |    sum(CAST(b * ((sseed + i + 7) % 4) AS DOUBLE) / dt)
+      |      OVER (PARTITION BY event_type, user_id
+      |        ORDER BY i ROWS UNBOUNDED PRECEDING) AS s
+      |  FROM base, unnest(range(-1, 3)) AS t(i)
+      |  QUALIFY row_number() OVER (PARTITION BY event_type, user_id
+      |    ORDER BY i DESC) = 1)
+      |SELECT b.event_type, CAST(b.user_id AS VARCHAR) AS user_id,
+      |  ((CAST(b.b * (b.sseed % 3) AS DOUBLE) / b.dt + pw.s) + nw.s)
+      |    AS crate
+      |FROM base b
+      |JOIN pw USING (event_type, user_id)
+      |JOIN nw USING (event_type, user_id)
+      |ORDER BY b.event_type, CAST(b.user_id AS VARCHAR)""".stripMargin
+
   private val nhQuantileRateSql: String =
     """WITH days AS (
       |  SELECT DISTINCT event_type, user_id,
@@ -4620,49 +4706,12 @@ object SparkEntry {
     // count of the reset-aware rate: same closed form, each bucket's
     // increase / dt folded in ascending-index cumulative order with
     // the consumer's ((zero + posFold) + negFold) association
-    "ts_promql_nh_reset_rate" ->
-      """WITH days AS (
-        |  SELECT DISTINCT event_type, user_id,
-        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
-        |  FROM events),
-        |series AS (
-        |  SELECT event_type, user_id,
-        |    user_id * 31 + length(event_type) AS sseed,
-        |    min(d) AS d0, max(d) AS d1,
-        |    max(CASE WHEN d < 19740 THEN d END) AS dpre
-        |  FROM days GROUP BY 1, 2, 3 HAVING count(*) >= 2),
-        |base AS (
-        |  SELECT *,
-        |    CASE WHEN d0 < 19740 AND d1 >= 19740
-        |         THEN dpre*dpre - d0*d0 + (d1-19739)*(d1-19739)
-        |         WHEN d1 < 19740 THEN d1*d1 - d0*d0
-        |         ELSE (d1-19739)*(d1-19739) - (d0-19739)*(d0-19739)
-        |    END AS b,
-        |    CAST((d1 - d0) * 86400 AS DOUBLE) AS dt
-        |  FROM series),
-        |pw AS (
-        |  SELECT event_type, user_id,
-        |    sum(CAST(b * ((sseed + i + 3) % 5) AS DOUBLE) / dt)
-        |      OVER (PARTITION BY event_type, user_id
-        |        ORDER BY i ROWS UNBOUNDED PRECEDING) AS s
-        |  FROM base, unnest(range(-2, 5)) AS t(i)
-        |  QUALIFY row_number() OVER (PARTITION BY event_type, user_id
-        |    ORDER BY i DESC) = 1),
-        |nw AS (
-        |  SELECT event_type, user_id,
-        |    sum(CAST(b * ((sseed + i + 7) % 4) AS DOUBLE) / dt)
-        |      OVER (PARTITION BY event_type, user_id
-        |        ORDER BY i ROWS UNBOUNDED PRECEDING) AS s
-        |  FROM base, unnest(range(-1, 3)) AS t(i)
-        |  QUALIFY row_number() OVER (PARTITION BY event_type, user_id
-        |    ORDER BY i DESC) = 1)
-        |SELECT b.event_type, CAST(b.user_id AS VARCHAR) AS user_id,
-        |  ((CAST(b.b * (b.sseed % 3) AS DOUBLE) / b.dt + pw.s) + nw.s)
-        |    AS crate
-        |FROM base b
-        |JOIN pw USING (event_type, user_id)
-        |JOIN nw USING (event_type, user_id)
-        |ORDER BY b.event_type, CAST(b.user_id AS VARCHAR)""".stripMargin,
+    "ts_promql_nh_reset_rate" -> nhResetRateSql,
+    // the same counter contract driven by the chunk HEADERS instead
+    // of value detection (block bytes → withResetHint → hint-
+    // trusting fold): headers and detection agree on this fixture by
+    // construction, so the oracle is shared
+    "ts_promql_nh_hinted_rate" -> nhResetRateSql,
     // the SAME query through the PromQL front-end must land on the
     // identical plan → identical oracle (hash-equal by construction)
     "ts_promql_nh_quantile_rate" -> nhQuantileRateSql,

@@ -441,18 +441,29 @@ object NativeHistogram {
     * (ascending union of bucket indexes seen in the range, with
     * reset-corrected increases), `neg_idx`/`neg_inc`. Series with <2
     * samples drop, like PromQL.
+    *
+    * `hintCol` (optional) carries a per-sample COUNTER-RESET HINT
+    * string as chunkenc iterators surface it
+    * ([[graft.tsdb.block.TsdbBlockStore.readHistLabels]] with
+    * `withResetHint`): `counter_reset` forces a reset at that step
+    * even when no component decreased (a restart that re-accumulated
+    * PAST the old values between scrapes is invisible to value
+    * comparison — only the header knows); `not_counter_reset` /
+    * `gauge` suppress detection; `unknown` (or no hint column) falls
+    * back to the component-decrease walk, Prometheus's own ladder.
     */
   def increaseBySignedResets(df: DataFrame, seriesCols: Seq[String],
       tsSecCol: String, zeroCountCol: String, posIdxCol: String,
       posCountsCol: String, negIdxCol: String,
-      negCountsCol: String): DataFrame = {
+      negCountsCol: String, hintCol: Option[String] = None): DataFrame = {
     val keys = seriesCols.map(col)
     val snap = struct(col(tsSecCol).cast("long").as("t"),
       col(zeroCountCol).cast("double").as("z"),
       col(posIdxCol).cast("array<int>").as("i"),
       col(posCountsCol).cast("array<double>").as("c"),
       col(negIdxCol).cast("array<int>").as("ni"),
-      col(negCountsCol).cast("array<double>").as("nc"))
+      col(negCountsCol).cast("array<double>").as("nc"),
+      hintCol.map(col).getOrElse(lit("unknown")).as("h"))
     val series = df.groupBy(keys: _*)
       .agg(sort_array(collect_list(snap)).as("_ss"))
       .filter(size(col("_ss")) >= 2)
@@ -489,9 +500,14 @@ object NativeHistogram {
         val prev = acc.getField("prev")
         val curP = asMap(cur.getField("i"), cur.getField("c"))
         val curN = asMap(cur.getField("ni"), cur.getField("nc"))
-        val reset = (cur.getField("z") < prev.getField("z")) ||
+        val detected = (cur.getField("z") < prev.getField("z")) ||
           decreased(prev.getField("p"), curP) ||
           decreased(prev.getField("n"), curN)
+        // hint ladder: an explicit header beats value comparison
+        val reset = when(cur.getField("h") === "counter_reset", lit(true))
+          .when(cur.getField("h") === "not_counter_reset" ||
+            cur.getField("h") === "gauge", lit(false))
+          .otherwise(detected)
         val dz = when(reset, cur.getField("z"))
           .otherwise(cur.getField("z") - prev.getField("z"))
         struct(
@@ -522,20 +538,22 @@ object NativeHistogram {
   /** PromQL `resets(native_histogram[range])`: count of counter
     * resets between consecutive samples, detected exactly as
     * [[increaseBySignedResets]] does (zero bucket or ANY bucket on
-    * either side decreased; a vanishing bucket reads 0). Same
+    * either side decreased; a vanishing bucket reads 0; an optional
+    * `hintCol` header overrides detection the same way). Same
     * bounded collect + narrow fold shape; single-sample series emit
     * 0 like the float `resets`. */
   def resetsBySigned(df: DataFrame, seriesCols: Seq[String],
       tsSecCol: String, zeroCountCol: String, posIdxCol: String,
       posCountsCol: String, negIdxCol: String,
-      negCountsCol: String): DataFrame = {
+      negCountsCol: String, hintCol: Option[String] = None): DataFrame = {
     val keys = seriesCols.map(col)
     val snap = struct(col(tsSecCol).cast("long").as("t"),
       col(zeroCountCol).cast("double").as("z"),
       col(posIdxCol).cast("array<int>").as("i"),
       col(posCountsCol).cast("array<double>").as("c"),
       col(negIdxCol).cast("array<int>").as("ni"),
-      col(negCountsCol).cast("array<double>").as("nc"))
+      col(negCountsCol).cast("array<double>").as("nc"),
+      hintCol.map(col).getOrElse(lit("unknown")).as("h"))
     val series = df.groupBy(keys: _*)
       .agg(sort_array(collect_list(snap)).as("_ss"))
     def asMap(i: Column, c: Column): Column = map_from_arrays(i, c)
@@ -554,9 +572,13 @@ object NativeHistogram {
         val prev = acc.getField("prev")
         val curP = asMap(cur.getField("i"), cur.getField("c"))
         val curN = asMap(cur.getField("ni"), cur.getField("nc"))
-        val reset = (cur.getField("z") < prev.getField("z")) ||
+        val detected = (cur.getField("z") < prev.getField("z")) ||
           decreased(prev.getField("p"), curP) ||
           decreased(prev.getField("n"), curN)
+        val reset = when(cur.getField("h") === "counter_reset", lit(true))
+          .when(cur.getField("h") === "not_counter_reset" ||
+            cur.getField("h") === "gauge", lit(false))
+          .otherwise(detected)
         struct(
           (acc.getField("n") + when(reset, lit(1L)).otherwise(lit(0L)))
             .as("n"),

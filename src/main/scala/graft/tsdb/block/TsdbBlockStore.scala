@@ -880,12 +880,12 @@ object TsdbBlockStore {
   def readHistLabels(spark: SparkSession, root: String,
       labelCols: Seq[String], mint: Long = Long.MinValue,
       maxt: Long = Long.MaxValue, matchers: Seq[Matcher] = Nil,
-      shardsPerBlock: Int = 1): DataFrame = {
+      shardsPerBlock: Int = 1, withResetHint: Boolean = false): DataFrame = {
     val cols = labelCols.toIndexedSeq
     val rdd = taskRdd(spark, root, mint, maxt, shardsPerBlock,
       matchers) { case (dir, shard, nShards, ms) =>
       readBlockSeriesWith(dir, mint, maxt, ms, shard, nShards,
-        histDecoder(mint, maxt))
+        histDecoder(mint, maxt, withResetHint))
         .flatMap { case (labelMap, samples) =>
           val proj = projectLabels(labelMap, cols)
           samples.map(tail => org.apache.spark.sql.Row.fromSeq(proj ++ tail))
@@ -903,7 +903,10 @@ object TsdbBlockStore {
           nullable = false),
         StructField("neg_idx", ArrayType(IntegerType, false), nullable = false),
         StructField("neg_counts", ArrayType(LongType, false),
-          nullable = false)))
+          nullable = false)) ++
+      (if (withResetHint)
+        Seq(StructField("reset_hint", StringType, nullable = false))
+      else Nil))
     spark.createDataFrame(rdd, schema)
   }
 
@@ -912,12 +915,12 @@ object TsdbBlockStore {
   def readFloatHistLabels(spark: SparkSession, root: String,
       labelCols: Seq[String], mint: Long = Long.MinValue,
       maxt: Long = Long.MaxValue, matchers: Seq[Matcher] = Nil,
-      shardsPerBlock: Int = 1): DataFrame = {
+      shardsPerBlock: Int = 1, withResetHint: Boolean = false): DataFrame = {
     val cols = labelCols.toIndexedSeq
     val rdd = taskRdd(spark, root, mint, maxt, shardsPerBlock,
       matchers) { case (dir, shard, nShards, ms) =>
       readBlockSeriesWith(dir, mint, maxt, ms, shard, nShards,
-        floatHistDecoder(mint, maxt))
+        floatHistDecoder(mint, maxt, withResetHint))
         .flatMap { case (labelMap, samples) =>
           val proj = projectLabels(labelMap, cols)
           samples.map(tail => org.apache.spark.sql.Row.fromSeq(proj ++ tail))
@@ -935,7 +938,10 @@ object TsdbBlockStore {
           nullable = false),
         StructField("neg_idx", ArrayType(IntegerType, false), nullable = false),
         StructField("neg_counts", ArrayType(DoubleType, false),
-          nullable = false)))
+          nullable = false)) ++
+      (if (withResetHint)
+        Seq(StructField("reset_hint", StringType, nullable = false))
+      else Nil))
     spark.createDataFrame(rdd, schema)
   }
 
@@ -1177,11 +1183,29 @@ object TsdbBlockStore {
       throw new IllegalArgumentException(s"unsupported chunk encoding $enc")
   }
 
+  /** Per-SAMPLE counter-reset hint, chunkenc's iterator contract:
+    * the chunk-FIRST sample carries the chunk header (its relation
+    * to the previous chunk); samples after it are NotCounterReset —
+    * within one chunk the appender never crossed a reset (it would
+    * have cut). Gauge chunks hint gauge on every sample. Hints are
+    * assigned by position BEFORE time/tombstone filtering, exactly
+    * like an iterator that walks the chunk from its start. */
+  private def sampleHint(flags: Int, i: Int): String = {
+    val h = flags & 0xc0
+    if (h == ChunkencHistogram.GaugeType) "gauge"
+    else if (i > 0) "not_counter_reset"
+    else if (h == ChunkencHistogram.CounterReset) "counter_reset"
+    else if (h == ChunkencHistogram.NotCounterReset) "not_counter_reset"
+    else "unknown"
+  }
+
   /** Sample tail for the flat hist row: (ts, schema, zero, idx,
     * counts, sum, custom_values — empty for exponential schemas,
-    * neg_idx, neg_counts — empty for positive-only series). */
-  private def histDecoder(mint: Long,
-      maxt: Long): ChunkDecoder[Vector[Any]] = {
+    * neg_idx, neg_counts — empty for positive-only series,
+    * [reset_hint when `withHint`] — appended LAST so positional
+    * consumers stay stable). */
+  private def histDecoder(mint: Long, maxt: Long,
+      withHint: Boolean = false): ChunkDecoder[Vector[Any]] = {
     case (EncHistogram, data, deleted) =>
       val c = ChunkencHistogram.decodeHistChunk(data, 0, data.length)
       val idx = ChunkencHistogram.bucketIndexes(c.posSpans).toVector
@@ -1191,14 +1215,15 @@ object TsdbBlockStore {
         .filter(i => keepTs(c.ts(i), mint, maxt, deleted))
         .map(i => Vector[Any](c.ts(i), c.schema, c.zeroCount(i),
           idx, c.posBuckets(i).toVector, c.sum(i), cv,
-          nidx, c.negBuckets(i).toVector))
+          nidx, c.negBuckets(i).toVector) ++
+          (if (withHint) Vector(sampleHint(c.flags, i)) else Vector.empty))
     case (EncXOR, _, _) | (EncFloatHistogram, _, _) => Iterator.empty
     case (enc, _, _) =>
       throw new IllegalArgumentException(s"unsupported chunk encoding $enc")
   }
 
-  private def floatHistDecoder(mint: Long,
-      maxt: Long): ChunkDecoder[Vector[Any]] = {
+  private def floatHistDecoder(mint: Long, maxt: Long,
+      withHint: Boolean = false): ChunkDecoder[Vector[Any]] = {
     case (EncFloatHistogram, data, deleted) =>
       val c = ChunkencHistogram.decodeFloatHistChunk(data, 0, data.length)
       val idx = ChunkencHistogram.bucketIndexes(c.posSpans).toVector
@@ -1208,7 +1233,8 @@ object TsdbBlockStore {
         .filter(i => keepTs(c.ts(i), mint, maxt, deleted))
         .map(i => Vector[Any](c.ts(i), c.schema, c.zeroCount(i),
           idx, c.posBuckets(i).toVector, c.sum(i), cv,
-          nidx, c.negBuckets(i).toVector))
+          nidx, c.negBuckets(i).toVector) ++
+          (if (withHint) Vector(sampleHint(c.flags, i)) else Vector.empty))
     case (EncXOR, _, _) | (EncHistogram, _, _) => Iterator.empty
     case (enc, _, _) =>
       throw new IllegalArgumentException(s"unsupported chunk encoding $enc")

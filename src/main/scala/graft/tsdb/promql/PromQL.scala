@@ -77,7 +77,11 @@ final case class HistTable(
     sumCol: Option[String] = None,
     schema: Int = 0,
     negIdxCol: Option[String] = None,
-    negCountsCol: Option[String] = None) {
+    negCountsCol: Option[String] = None,
+    // per-sample counter-reset hint (chunkenc header strings, e.g.
+    // readHistLabels(withResetHint = true)): rate/increase/resets
+    // trust an explicit header over value comparison
+    resetHintCol: Option[String] = None) {
   require(negIdxCol.isDefined == negCountsCol.isDefined,
     "negIdxCol and negCountsCol must be passed together")
 }
@@ -736,7 +740,8 @@ object PromQL {
               scanHistRows(r.sel, ht, _, _))
             .withColumn("_h_tsec", col(TS) / lit(1000.0))
           val d = graft.tsdb.NativeHistogram.resetsBySigned(rows,
-            keys(ctx.labelCols), "_h_tsec", HZ, HI, HC, HNI, HNC)
+            keys(ctx.labelCols), "_h_tsec", HZ, HI, HC, HNI, HNC,
+            hintCol = Some(HH))
           Right(stamped(d.withColumnRenamed("resets", "value"),
             ctx.labelCols))
         case _ => Right(overRange(c, (df, ls, _) =>
@@ -1114,6 +1119,9 @@ object PromQL {
     // the arrays are empty; NativeHistogramSpec pins that)
     private val HNI = "_h_nidx"
     private val HNC = "_h_ncnt"
+    // per-sample counter-reset hint ("unknown" when the table
+    // carries none — the value-detection fallback)
+    private val HH = "_h_hint"
 
     /** Evaluate the histogram-typed sub-grammar: a hist-metric
       * selector, `rate`/`increase` over a hist range selector, and
@@ -1158,7 +1166,9 @@ object PromQL {
           ht.negIdxCol.map(c => col(c).cast("array<int>"))
             .getOrElse(array().cast("array<int>")).as(HNI) :+
           ht.negCountsCol.map(c => col(c).cast("array<double>"))
-            .getOrElse(array().cast("array<double>")).as(HNC): _*)
+            .getOrElse(array().cast("array<double>")).as(HNC) :+
+          ht.resetHintCol.map(c => col(c).cast("string"))
+            .getOrElse(lit("unknown")).as(HH): _*)
 
     /** Instant hist selector: latest histogram sample per series in
       * the lookback window — the float [[instant]] shape; the max
@@ -1199,7 +1209,7 @@ object PromQL {
         .withColumn("_h_tsec", col(TS) / lit(1000.0))
       val k = keys(ctx.labelCols)
       val inc = graft.tsdb.NativeHistogram.increaseBySignedResets(rows, k,
-        "_h_tsec", HZ, HI, HC, HNI, HNC)
+        "_h_tsec", HZ, HI, HC, HNI, HNC, hintCol = Some(HH))
       def sc(c: Column): Column = if (increase) c else c / col("dt_sec")
       val df = inc.select(k.map(col) :+
         sc(col("zero_inc")).as(HZ) :+

@@ -422,6 +422,80 @@ class TsdbBlockHistSpec extends AnyFunSuite {
     } finally deleteRec(root)
   }
 
+  /** Hand-assembled block whose SECOND chunk carries a CounterReset
+    * header while its values all EXCEED the first chunk's — the
+    * restart-that-re-accumulated-past-the-old-values case no value
+    * comparison can see; only the header knows. */
+  private def writeHintedBlock(root: java.io.File): Unit = {
+    val dir = new java.io.File(root, "01HINTEDRESET0000000000000".take(26))
+    dir.mkdirs()
+    val segs = new F.ChunkSegmentWriter(new java.io.File(dir, "chunks"))
+    def chunk(flags: Int, ts: Array[Long], zero: Array[Long],
+        b0: Array[Long], b1: Array[Long]): F.ChunkMeta = {
+      val pos = ts.indices.map(i => Array(b0(i), b1(i))).toArray
+      val count = ts.indices.map(i => zero(i) + b0(i) + b1(i)).toArray
+      val c = ChunkencHistogram.HistChunk(flags, 0, 0.0,
+        ChunkencHistogram.spansFromIndexes(Array(0, 1)), Vector.empty,
+        ts, count, zero, ts.map(_ => 0.0), pos,
+        ts.map(_ => Array.empty[Long]))
+      F.ChunkMeta(ts.head, ts.last,
+        segs.append(ChunkencHistogram.encodeHistChunk(c), F.EncHistogram))
+    }
+    val m1 = chunk(ChunkencHistogram.UnknownCounterReset,
+      Array(0L, 60000L), Array(1L, 2L), Array(2L, 4L), Array(3L, 5L))
+    val m2 = chunk(ChunkencHistogram.CounterReset,
+      Array(120000L), Array(5L), Array(10L), Array(11L))
+    segs.close()
+    java.nio.file.Files.write(new java.io.File(dir, "index").toPath,
+      F.encodeIndex(Seq(F.SeriesEntry(Seq("job" -> "api"), Seq(m1, m2)))))
+    F.writeMeta(dir, ulid = dir.getName, mint = 0L, maxt = 120001L,
+      numSeries = 1, numSamples = 3L, numChunks = 2)
+    F.writeEmptyTombstones(dir)
+  }
+
+  test("chunk counter-reset headers surface per sample (withResetHint)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_nhh").toFile
+    try {
+      writeHintedBlock(root)
+      val got = TsdbBlockStore
+        .readHistLabels(spark, root.getPath, Seq("job"),
+          withResetHint = true)
+        .orderBy("ts").collect()
+        .map(r => (r.getLong(1), r.getAs[String]("reset_hint"))).toSeq
+      assert(got == Seq((0L, "unknown"), (60000L, "not_counter_reset"),
+        (120000L, "counter_reset")))
+      // default read keeps the 9+label column row model unchanged
+      assert(!TsdbBlockStore.readHistLabels(spark, root.getPath, Seq("job"))
+        .columns.contains("reset_hint"))
+    } finally deleteRec(root)
+  }
+
+  test("an undetectable reset (restart past old values) is honored via the header") {
+    val root = java.nio.file.Files.createTempDirectory("graft_nhh2").toFile
+    try {
+      writeHintedBlock(root)
+      import org.apache.spark.sql.functions.{col, timestamp_millis}
+      val nh = TsdbBlockStore
+        .readHistLabels(spark, root.getPath, Seq("job"),
+          withResetHint = true)
+        .withColumn("ts", timestamp_millis(col("ts")))
+      def ctx(hinted: Boolean) = graft.tsdb.promql.PromQLContext(
+        metrics = Map.empty, labelCols = Seq("job"),
+        evalMs = 3600000L, lookbackMs = 3600000L,
+        histMetrics = Map("m" -> graft.tsdb.promql.HistTable(nh,
+          resetHintCol = if (hinted) Some("reset_hint") else None)))
+      def one(q: String, hinted: Boolean): Double =
+        graft.tsdb.promql.PromQL.compile(q, ctx(hinted))
+          .collect().head.getAs[Double]("value")
+      // hinted: steps (1+2+2) then RESET adds (5+10+11) whole → 31;
+      // unhinted value-detection sees only monotone growth → 20
+      assert(one("histogram_count(increase(m[1h]))", hinted = true) == 31.0)
+      assert(one("histogram_count(increase(m[1h]))", hinted = false) == 20.0)
+      assert(one("resets(m[1h])", hinted = true) == 1.0)
+      assert(one("resets(m[1h])", hinted = false) == 0.0)
+    } finally deleteRec(root)
+  }
+
   test("mixed directories: each family's reader sees only its chunks") {
     val root = java.nio.file.Files.createTempDirectory("graft_nhx").toFile
     try {
