@@ -125,7 +125,7 @@ object TsdbBlockStore {
       idxIdx: Int, cntIdx: Int, sumIdx: Int, schema: Int,
       zeroThreshold: Double, flags: Int, cap: Int,
       customVals: Array[Double], negIdxIdx: Int = -1,
-      negCntIdx: Int = -1) extends SampleBuf {
+      negCntIdx: Int = -1, hintIdx: Int = -1) extends SampleBuf {
     private val tsB = new Array[Long](cap)
     private val zeroB = new Array[Long](cap)
     private val sumB = new Array[Double](cap)
@@ -153,6 +153,14 @@ object TsdbBlockStore {
     }
     override def wouldReset(r: InternalRow): Boolean = {
       if (isGauge || lastIdx == null) return false
+      // an explicit per-sample hint (compaction re-writing hinted
+      // reads) beats value comparison — the same ladder the query
+      // fold runs, so header-only resets survive a rewrite
+      if (hintIdx >= 0) {
+        val h = r.getUTF8String(hintIdx).toString
+        if (h == "counter_reset") return true
+        if (h == "not_counter_reset" || h == "gauge") return false
+      }
       if (r.getLong(zeroIdx) < lastZero) return true
       if (sparseDecreased(lastIdx, lastCnt,
         r.getArray(idxIdx).toIntArray(),
@@ -268,7 +276,7 @@ object TsdbBlockStore {
       idxIdx: Int, cntIdx: Int, sumIdx: Int, schema: Int,
       zeroThreshold: Double, flags: Int, cap: Int,
       customVals: Array[Double], negIdxIdx: Int = -1,
-      negCntIdx: Int = -1) extends SampleBuf {
+      negCntIdx: Int = -1, hintIdx: Int = -1) extends SampleBuf {
     private val tsB = new Array[Long](cap)
     private val zeroB = new Array[Double](cap)
     private val sumB = new Array[Double](cap)
@@ -293,6 +301,11 @@ object TsdbBlockStore {
     }
     override def wouldReset(r: InternalRow): Boolean = {
       if (isGauge || lastIdx == null) return false
+      if (hintIdx >= 0) {
+        val h = r.getUTF8String(hintIdx).toString
+        if (h == "counter_reset") return true
+        if (h == "not_counter_reset" || h == "gauge") return false
+      }
       if (r.getDouble(zeroIdx) < lastZero) return true
       if (sparseDecreasedD(lastIdx, lastCnt,
         r.getArray(idxIdx).toIntArray(),
@@ -491,7 +504,8 @@ object TsdbBlockStore {
       segmentBytes: Long = DefaultSegmentBytes,
       customValues: Seq[Double] = Nil,
       negIdxCol: Option[String] = None,
-      negCountsCol: Option[String] = None): Seq[String] = {
+      negCountsCol: Option[String] = None,
+      resetHintCol: Option[String] = None): Seq[String] = {
     require(negIdxCol.isDefined == negCountsCol.isDefined,
       "negIdxCol and negCountsCol must be passed together")
     require(negIdxCol.isEmpty || customValues.isEmpty,
@@ -500,32 +514,38 @@ object TsdbBlockStore {
       Seq(col(c).cast("array<int>").as("_nidx"),
         col(negCountsCol.get).cast("array<long>").as("_ncnt")))
       .getOrElse(Nil)
+    val hintCols = resetHintCol.map(c =>
+      Seq(col(c).cast("string").as("_hint"))).getOrElse(Nil)
     val prepared = df
       .select((labelCols.map(c => col(c).cast("string").as(c)) :+
         col(tsCol).cast("long").as("_ts") :+
         col(zeroCountCol).cast("long").as("_zero") :+
         col(posIdxCol).cast("array<int>").as("_idx") :+
         col(posCountsCol).cast("array<long>").as("_cnt") :+
-        col(sumCol).cast("double").as("_sum")) ++ negCols: _*)
+        col(sumCol).cast("double").as("_sum")) ++ negCols ++ hintCols: _*)
     val flags = if (gauge) ChunkencHistogram.GaugeType
       else ChunkencHistogram.UnknownCounterReset
     val cv = customValues.toArray
     val hasNeg = negIdxCol.isDefined
+    val hasHint = resetHintCol.isDefined
     // _idx/_cnt (and the negative side when present) join the
     // tiebreak: two samples tied on (series, ts, zero, sum) but with
     // different buckets must sort deterministically or the content
     // hash — which folds bucket arrays — and hence the ULID would
-    // depend on shuffle-fetch order
+    // depend on shuffle-fetch order. _hint joins for the same
+    // reason: it drives chunk cuts.
     writeRows(prepared, root, labelCols, blockDurationMs,
       Seq(col("_zero"), col("_sum"), col("_idx"), col("_cnt")) ++
-        (if (hasNeg) Seq(col("_nidx"), col("_ncnt")) else Nil),
+        (if (hasNeg) Seq(col("_nidx"), col("_ncnt")) else Nil) ++
+        (if (hintCols.nonEmpty) Seq(col("_hint")) else Nil),
       sch => new HistSampleBuf(
         sch.fieldIndex("_ts"), sch.fieldIndex("_zero"),
         sch.fieldIndex("_idx"), sch.fieldIndex("_cnt"),
         sch.fieldIndex("_sum"), schema, zeroThreshold, flags,
         samplesPerChunk, cv,
         if (hasNeg) sch.fieldIndex("_nidx") else -1,
-        if (hasNeg) sch.fieldIndex("_ncnt") else -1),
+        if (hasNeg) sch.fieldIndex("_ncnt") else -1,
+        if (hasHint) sch.fieldIndex("_hint") else -1),
       samplesPerChunk, segmentBytes)
   }
 
@@ -541,7 +561,8 @@ object TsdbBlockStore {
       segmentBytes: Long = DefaultSegmentBytes,
       customValues: Seq[Double] = Nil,
       negIdxCol: Option[String] = None,
-      negCountsCol: Option[String] = None): Seq[String] = {
+      negCountsCol: Option[String] = None,
+      resetHintCol: Option[String] = None): Seq[String] = {
     require(negIdxCol.isDefined == negCountsCol.isDefined,
       "negIdxCol and negCountsCol must be passed together")
     require(negIdxCol.isEmpty || customValues.isEmpty,
@@ -550,29 +571,34 @@ object TsdbBlockStore {
       Seq(col(c).cast("array<int>").as("_nidx"),
         col(negCountsCol.get).cast("array<double>").as("_ncnt")))
       .getOrElse(Nil)
+    val hintCols = resetHintCol.map(c =>
+      Seq(col(c).cast("string").as("_hint"))).getOrElse(Nil)
     val prepared = df
       .select((labelCols.map(c => col(c).cast("string").as(c)) :+
         col(tsCol).cast("long").as("_ts") :+
         col(zeroCountCol).cast("double").as("_zero") :+
         col(posIdxCol).cast("array<int>").as("_idx") :+
         col(posCountsCol).cast("array<double>").as("_cnt") :+
-        col(sumCol).cast("double").as("_sum")) ++ negCols: _*)
+        col(sumCol).cast("double").as("_sum")) ++ negCols ++ hintCols: _*)
     val flags = if (gauge) ChunkencHistogram.GaugeType
       else ChunkencHistogram.UnknownCounterReset
     val cv = customValues.toArray
     val hasNeg = negIdxCol.isDefined
-    // _idx/_cnt (+ neg side) in the tiebreak for the same
-    // ULID-determinism reason as writeHist
+    val hasHint = resetHintCol.isDefined
+    // _idx/_cnt (+ neg side, + _hint — it drives chunk cuts) in the
+    // tiebreak for the same ULID-determinism reason as writeHist
     writeRows(prepared, root, labelCols, blockDurationMs,
       Seq(col("_zero"), col("_sum"), col("_idx"), col("_cnt")) ++
-        (if (hasNeg) Seq(col("_nidx"), col("_ncnt")) else Nil),
+        (if (hasNeg) Seq(col("_nidx"), col("_ncnt")) else Nil) ++
+        (if (hintCols.nonEmpty) Seq(col("_hint")) else Nil),
       sch => new FloatHistSampleBuf(
         sch.fieldIndex("_ts"), sch.fieldIndex("_zero"),
         sch.fieldIndex("_idx"), sch.fieldIndex("_cnt"),
         sch.fieldIndex("_sum"), schema, zeroThreshold, flags,
         samplesPerChunk, cv,
         if (hasNeg) sch.fieldIndex("_nidx") else -1,
-        if (hasNeg) sch.fieldIndex("_ncnt") else -1),
+        if (hasNeg) sch.fieldIndex("_ncnt") else -1,
+        if (hasHint) sch.fieldIndex("_hint") else -1),
       samplesPerChunk, segmentBytes)
   }
 
@@ -1032,7 +1058,8 @@ object TsdbBlockStore {
       shardsPerBlock, Nil) { case (dir, shard, nShards, ms) =>
       val block = dir.getName
       readBlockSeriesWith(dir, Long.MinValue, Long.MaxValue, ms,
-        shard, nShards, histDecoder(Long.MinValue, Long.MaxValue))
+        shard, nShards,
+        histDecoder(Long.MinValue, Long.MaxValue, withHint = true))
         .flatMap { case (labelMap, samples) =>
           samples.map { tail =>
             (block, cols.map(c => labelMap.getOrElse(c, "")),
@@ -1043,17 +1070,19 @@ object TsdbBlockStore {
               tail(5).asInstanceOf[Double],
               tail(6).asInstanceOf[Vector[Double]],
               tail(7).asInstanceOf[Vector[Int]],
-              tail(8).asInstanceOf[Vector[Long]])
+              tail(8).asInstanceOf[Vector[Long]],
+              tail(9).asInstanceOf[String])
           }
         }
     }
     val flat = rdd
       .toDF("_ulid", "_ls", "ts", "schema", "zero", "idx", "cnt",
-        "hsum", "_cv", "nidx", "ncnt")
+        "hsum", "_cv", "nidx", "ncnt", "hint")
       .select((cols.zipWithIndex.map { case (c, i) =>
         col("_ls")(i).as(c) } :+ col("_ulid") :+ col("ts") :+
         col("schema") :+ col("zero") :+ col("idx") :+ col("cnt") :+
-        col("hsum") :+ col("_cv") :+ col("nidx") :+ col("ncnt")): _*)
+        col("hsum") :+ col("_cv") :+ col("nidx") :+ col("ncnt") :+
+        col("hint")): _*)
     val schemas = flat.select(col("schema")).distinct().limit(2)
       .collect().map(_.getInt(0))
     if (schemas.isEmpty) return Nil
@@ -1069,23 +1098,29 @@ object TsdbBlockStore {
             "re-bucketing is a semantic change, not compaction")
         cvs.head
       }
-    // whole-sample LWW granularity: the negative side travels in the
+    // whole-sample LWW granularity: the negative side (and the
+    // counter-reset hint — it rides with its sample) travels in the
     // same snap struct, so pos and neg buckets can never mix across
     // two colliding samples
     val snap = struct(col("zero"), col("idx"), col("cnt"), col("hsum"),
-      col("nidx"), col("ncnt"))
+      col("nidx"), col("ncnt"), col("hint"))
     val lww = flat
       .groupBy((cols.map(col) :+ col("ts")): _*)
       .agg(max_by(snap, struct(col("_ulid"), snap)).as("_s"))
       .select((cols.map(col) :+ col("ts") :+ col("_s.zero").as("zero") :+
         col("_s.idx").as("idx") :+ col("_s.cnt").as("cnt") :+
         col("_s.hsum").as("hsum") :+ col("_s.nidx").as("nidx") :+
-        col("_s.ncnt").as("ncnt")): _*)
+        col("_s.ncnt").as("ncnt") :+ col("_s.hint").as("hint")): _*)
+    // hints ride through the rewrite so a HEADER-ONLY reset (marked
+    // counter_reset but value-undetectable) still cuts + re-marks in
+    // the compacted chunks instead of silently degrading to a
+    // continuation
     writeHist(lww, outRoot, labelCols, "ts", "zero", "idx", "cnt",
       "hsum", schema = schemas.head, gauge = gauge,
       blockDurationMs = blockDurationMs, customValues = customValues,
       negIdxCol = if (customValues.nonEmpty) None else Some("nidx"),
-      negCountsCol = if (customValues.nonEmpty) None else Some("ncnt"))
+      negCountsCol = if (customValues.nonEmpty) None else Some("ncnt"),
+      resetHintCol = Some("hint"))
   }
 
   // Matcher is not Serializable-friendly across the closure (it

@@ -496,6 +496,38 @@ class TsdbBlockHistSpec extends AnyFunSuite {
     } finally deleteRec(root)
   }
 
+  test("compaction preserves header-only resets (hint rides the rewrite)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_nhh3").toFile
+    val out = java.nio.file.Files.createTempDirectory("graft_nhh3o").toFile
+    try {
+      writeHintedBlock(root)
+      TsdbBlockStore.compactHist(spark, root.getPath, out.getPath,
+        Seq("job"), blockDurationMs = 86400000L)
+      // the rewritten chunks must carry the reset cut + header even
+      // though the values alone never decrease
+      val hints = TsdbBlockStore
+        .histChunkHeaders(spark, out.getPath, Seq("job"))
+        .orderBy("chunk_mint").collect().map(_.getString(4)).toSeq
+      assert(hints == Seq("unknown", "counter_reset"))
+      // and the hinted rate over the COMPACTED directory still
+      // counts the restart (31, not the value-blind 20)
+      import org.apache.spark.sql.functions.{col, timestamp_millis}
+      val nh = TsdbBlockStore
+        .readHistLabels(spark, out.getPath, Seq("job"),
+          withResetHint = true)
+        .withColumn("ts", timestamp_millis(col("ts")))
+      val ctx = graft.tsdb.promql.PromQLContext(
+        metrics = Map.empty, labelCols = Seq("job"),
+        evalMs = 3600000L, lookbackMs = 3600000L,
+        histMetrics = Map("m" -> graft.tsdb.promql.HistTable(nh,
+          resetHintCol = Some("reset_hint"))))
+      val v = graft.tsdb.promql.PromQL
+        .compile("histogram_count(increase(m[1h]))", ctx)
+        .collect().head.getAs[Double]("value")
+      assert(v == 31.0)
+    } finally { deleteRec(root); deleteRec(out) }
+  }
+
   test("mixed directories: each family's reader sees only its chunks") {
     val root = java.nio.file.Files.createTempDirectory("graft_nhx").toFile
     try {
