@@ -2405,6 +2405,36 @@ object SparkEntry {
       .orderBy("event_type", "user_id", "ts_ms")
   }
 
+  /** NHCB through the PromQL STRING front-end:
+    * `histogram_quantile(0.9, sum by (event_type) (nhcb_req))` — a
+    * custom-bucket (schema −53) metric registered with its literal
+    * bound list ([[tsdb.promql.HistTable]] `customValues`; constant
+    * per metric, so it rides the plan instead of every row). The
+    * compiled plan runs the instant selector, the bucket-wise sparse
+    * SUM over custom indexes, and the CLASSIC-bucket quantile walk
+    * ([[tsdb.NativeHistogram.histogramQuantileCustom]]) — closing
+    * the front-end gap where a Prometheus 3.x NHCB user could
+    * ingest but not query from the string. */
+  private def tsPromqlNhcbQuantile(s: SparkSession, dir: String): DataFrame = {
+    nhcbBlockFixture(s, dir)
+    val nh = graft.tsdb.block.TsdbBlockStore
+      .readHistLabels(s, nhcbBlockPath(dir), Seq("event_type", "user_id"))
+      .withColumn("ts", timestamp_millis(col("ts")))
+    val ctx = graft.tsdb.promql.PromQLContext(
+      metrics = Map.empty,
+      labelCols = Seq("event_type", "user_id"),
+      evalMs = 1706745600000L,
+      lookbackMs = 40L * 86400000L,
+      histMetrics = Map("nhcb_req" -> graft.tsdb.promql.HistTable(nh,
+        sumCol = Some("hist_sum"),
+        schema = graft.tsdb.block.ChunkencHistogram.CustomBucketsSchema,
+        customValues = NhcbBounds)))
+    graft.tsdb.promql.PromQL.compile(
+        "histogram_quantile(0.9, sum by (event_type) (nhcb_req))", ctx)
+      .select(col("event_type"), col("value").as("phi90"))
+      .orderBy("event_type")
+  }
+
   // ----- negative-bucket (signed) native histograms -----
 
   private def negBlockPath(dir: String): String =
@@ -3114,6 +3144,7 @@ object SparkEntry {
     "ts_tsdb_block_nhcb_select" -> (tsTsdbBlockNhcbSelect _),
     "ts_tsdb_block_nhcb_convert" -> (tsTsdbBlockNhcbConvert _),
     "ts_nhcb_quantile" -> (tsNhcbQuantile _),
+    "ts_promql_nhcb_quantile" -> (tsPromqlNhcbQuantile _),
     "ts_tsdb_block_neg_roundtrip" -> (tsTsdbBlockNegRoundtrip _),
     "ts_nh_neg_quantile" -> (tsNhNegQuantile _),
     "ts_tsdb_block_neg_convert" -> (tsTsdbBlockNegConvert _),
@@ -5160,6 +5191,41 @@ object SparkEntry {
         |FROM hit GROUP BY 1, 2, 3
         |ORDER BY event_type, CAST(user_id AS VARCHAR), ts_ms"""
         .stripMargin,
+    // NHCB from the string: latest day per series, bucket counts
+    // sparse-summed at (event_type, i) grain, then the classic walk
+    // with the (i+1)·0.25 bound list — same cumulative-window
+    // association as the direct gate
+    "ts_promql_nhcb_quantile" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |latest AS (
+        |  SELECT event_type, user_id, max(d) AS d
+        |  FROM days GROUP BY 1, 2),
+        |base AS (
+        |  SELECT event_type, user_id, d,
+        |    user_id * 31 + length(event_type) AS sseed
+        |  FROM latest),
+        |buckets AS (
+        |  SELECT event_type, i,
+        |    sum(d*d*((sseed + i + 3) % 5)) AS cnt
+        |  FROM base, unnest(range(0, 6)) AS t(i)
+        |  WHERE i <= (CASE WHEN d >= 19740 THEN 5 ELSE 4 END)
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT *, CAST(sum(cnt) OVER (PARTITION BY event_type
+        |      ORDER BY i) AS DOUBLE) AS cumc,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS DOUBLE)
+        |      AS total
+        |  FROM buckets),
+        |hit AS (
+        |  SELECT * FROM cum WHERE cnt > 0 AND cumc >= 0.9 * total)
+        |SELECT event_type,
+        |  min_by(0.25 * i + 0.25 * (((0.9 * total) - (cumc - cnt)) / cnt),
+        |    i) AS phi90
+        |FROM hit GROUP BY 1
+        |ORDER BY event_type""".stripMargin,
     // both bucket sides re-derived with a side marker; the union-fill
     // zeros drop on both engines
     "ts_tsdb_block_neg_roundtrip" ->

@@ -81,9 +81,18 @@ final case class HistTable(
     // per-sample counter-reset hint (chunkenc header strings, e.g.
     // readHistLabels(withResetHint = true)): rate/increase/resets
     // trust an explicit header over value comparison
-    resetHintCol: Option[String] = None) {
+    resetHintCol: Option[String] = None,
+    // NHCB (custom-bucket, schema -53) metrics: the ascending
+    // inclusive upper bounds, as PLAN LITERALS — the bound list is
+    // constant per metric (compactHist enforces one list per dir),
+    // so it rides the expressions instead of every row. Bucket
+    // index i addresses customValues(i); there is no zero bucket
+    // and no negative side.
+    customValues: Seq[Double] = Nil) {
   require(negIdxCol.isDefined == negCountsCol.isDefined,
     "negIdxCol and negCountsCol must be passed together")
+  require(customValues.isEmpty || negIdxCol.isEmpty,
+    "custom-bucket (NHCB) histograms cannot carry negative buckets")
 }
 
 /** A range-query step grid: evaluation timestamps `startMs,
@@ -556,6 +565,15 @@ object PromQL {
         def needSum(): Unit = if (!h.hasSum) fail(
           s"$fn needs a histogram metric with a tracked observation sum " +
             "(HistTable.sumCol) — rate vectors never carry one")
+        // count/sum/avg are bound-agnostic folds (NHCB zero counts
+        // are 0 and neg arrays empty); the midpoint-based moments
+        // would need the classic-bucket arithmetic-mean convention —
+        // reject loudly rather than walk exponential bounds that
+        // don't exist
+        if (h.custom.nonEmpty &&
+            (fn == "histogram_stddev" || fn == "histogram_stdvar")) fail(
+          s"$fn over a custom-bucket (NHCB) metric is not supported — " +
+            "exponential bucket midpoints don't exist for schema -53")
         val NH = graft.tsdb.NativeHistogram
         // signed variants throughout — FP-identical on empty neg
         // arrays (positive-only metrics), both-sides on signed ones
@@ -575,6 +593,10 @@ object PromQL {
       case "histogram_fraction" =>
         val Seq(lo, hi, ve) = argN(c, 3)
         val h = histArg(ve, "histogram_fraction")
+        if (h.custom.nonEmpty) fail(
+          "histogram_fraction over a custom-bucket (NHCB) metric is not " +
+            "supported — the overlap interpolation walks exponential " +
+            "bounds that don't exist for schema -53")
         Right(histConsume(h,
           graft.tsdb.NativeHistogram.histogramFractionSigned(
             scalarArg(lo, "histogram_fraction lower"),
@@ -1077,6 +1099,12 @@ object PromQL {
       val Seq(qe, ve) = argN(c, 2)
       val q = scalarArg(qe, "histogram_quantile q")
       histEval(ve) match {
+        case Some(h) if h.custom.nonEmpty =>
+          // NHCB: the classic-bucket walk over the metric's literal
+          // bound list (no zero bucket, no negative side)
+          return histConsume(h,
+            graft.tsdb.NativeHistogram.histogramQuantileCustom(
+              q, col(HI), col(HC), typedLit(h.custom)))
         case Some(h) =>
           // the signed walk; FP-identical to the unsigned one when
           // the neg arrays are empty (every positive-only metric)
@@ -1107,7 +1135,9 @@ object PromQL {
       * observation sum (required by histogram_sum/avg/stddev/stdvar).
       */
     private final case class HVec(df: DataFrame, labels: Seq[String],
-        hasSum: Boolean, schema: Int)
+        hasSum: Boolean, schema: Int,
+        // NHCB bound-list literal (empty = exponential schema)
+        custom: Seq[Double] = Nil)
 
     private val HZ = "_h_zero"
     private val HI = "_h_idx"
@@ -1187,7 +1217,8 @@ object PromQL {
           col(s"_top.$HZ").as(HZ) :+ col(s"_top.$HI").as(HI) :+
           col(s"_top.$HC").as(HC) :+ col(s"_top.$HS").as(HS) :+
           col(s"_top.$HNI").as(HNI) :+ col(s"_top.$HNC").as(HNC): _*)
-      HVec(df, ctx.labelCols, ht.sumCol.isDefined, ht.schema)
+      HVec(df, ctx.labelCols, ht.sumCol.isDefined, ht.schema,
+        ht.customValues)
     }
 
     /** `rate(h[r])` / `increase(h[r])` over a native-histogram
@@ -1218,7 +1249,8 @@ object PromQL {
         lit(null).cast("double").as(HS) :+
         col("neg_idx").as(HNI) :+
         transform(col("neg_inc"), r => sc(r)).as(HNC): _*)
-      HVec(stampedDf(df), ctx.labelCols, hasSum = false, ht.schema)
+      HVec(stampedDf(df), ctx.labelCols, hasSum = false, ht.schema,
+        ht.customValues)
     }
 
     /** `delta(h[r])` over a GAUGE native histogram: bucket-wise
@@ -1241,7 +1273,8 @@ object PromQL {
         lit(null).cast("double").as(HS) :+
         col("neg_idx").as(HNI) :+
         col("neg_delta").as(HNC): _*)
-      HVec(stampedDf(df), ctx.labelCols, hasSum = false, ht.schema)
+      HVec(stampedDf(df), ctx.labelCols, hasSum = false, ht.schema,
+        ht.customValues)
     }
 
     /** Bucket-wise `sum by/without` over a hist vector
@@ -1281,7 +1314,7 @@ object PromQL {
           col("_hs.zero").as(HZ) :+ col("_hs.idx").as(HI) :+
           col("_hs.cnt").as(HC) :+ col("_hs.sum").as(HS) :+
           col("_hn.idx").as(HNI) :+ col("_hn.cnt").as(HNC)): _*)
-      HVec(stampedDf(out), g, h.hasSum, h.schema)
+      HVec(stampedDf(out), g, h.hasSum, h.schema, h.custom)
     }
 
     /** Attach the evaluation-time TS column (the step's own time in

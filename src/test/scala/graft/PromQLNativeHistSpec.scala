@@ -156,6 +156,42 @@ class PromQLNativeHistSpec extends SparkSpec {
     assert(close(out.head._2, 12.0 / 3000.0 + 10.0 / 1800.0))
   }
 
+  // ===== NHCB (custom-bucket) metrics =====
+
+  private lazy val nhcbCtx = {
+    // bounds (1.0, 2.0, 4.0]; one series, one sample: b0=2 b1=6 b2=2
+    val df = Seq(
+      ("api", "i1", ts("2024-01-01 00:50:00"), 0L, Seq(0, 1, 2),
+        Seq(2L, 6L, 2L), 14.0)
+    ).toDF("job", "instance", "ts", "zero_count", "pos_idx",
+      "pos_counts", "hsum")
+    ctx.copy(histMetrics = Map("lat_nhcb" -> HistTable(df,
+      sumCol = Some("hsum"), schema = -53,
+      customValues = Seq(1.0, 2.0, 4.0))))
+  }
+
+  test("NHCB metrics run the classic-bucket walk from the string") {
+    // total 10, rank 5; cum after b0 = 2 < 5 → b1: 1 + 1*((5-2)/6)
+    val q = PromQL.compile("histogram_quantile(0.5, lat_nhcb)", nhcbCtx)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSet
+    assert(q == Set(("api", 1.0 + 3.0 / 6.0)))
+    // bound-agnostic folds work unchanged
+    assert(PromQL.compile("histogram_count(lat_nhcb)", nhcbCtx)
+      .collect().head.getDouble(2) == 10.0)
+    assert(PromQL.compile("histogram_avg(lat_nhcb)", nhcbCtx)
+      .collect().head.getDouble(2) == 1.4)
+  }
+
+  test("NHCB: midpoint-based consumers fail loudly (schema -53)") {
+    val e1 = intercept[PromQLCompileException](
+      PromQL.compile("histogram_stdvar(lat_nhcb)", nhcbCtx).collect())
+    assert(e1.getMessage.contains("custom-bucket"))
+    val e2 = intercept[PromQLCompileException](
+      PromQL.compile("histogram_fraction(1, 2, lat_nhcb)", nhcbCtx)
+        .collect())
+    assert(e2.getMessage.contains("custom-bucket"))
+  }
+
   // ===== counter resets =====
 
   test("rate/increase add the post-reset histogram across a counter reset") {
