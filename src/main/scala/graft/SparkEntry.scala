@@ -2435,6 +2435,31 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** `histogram_count(increase(nhcb_req[40d]))` — the COUNTER path
+    * over NHCB from the string: the reset-aware fold runs index-wise
+    * (custom bucket indexes are positions, so nothing changes), the
+    * count consumer is bound-agnostic, and the mid-range appearance
+    * of index 5 exercises missing-first-reads-0 on the custom
+    * layout. Exact integers end to end. */
+  private def tsPromqlNhcbCountIncrease(s: SparkSession, dir: String): DataFrame = {
+    nhcbBlockFixture(s, dir)
+    val nh = graft.tsdb.block.TsdbBlockStore
+      .readHistLabels(s, nhcbBlockPath(dir), Seq("event_type", "user_id"))
+      .withColumn("ts", timestamp_millis(col("ts")))
+    val ctx = graft.tsdb.promql.PromQLContext(
+      metrics = Map.empty,
+      labelCols = Seq("event_type", "user_id"),
+      evalMs = 1706745600000L,
+      lookbackMs = 40L * 86400000L,
+      histMetrics = Map("nhcb_req" -> graft.tsdb.promql.HistTable(nh,
+        schema = graft.tsdb.block.ChunkencHistogram.CustomBucketsSchema,
+        customValues = NhcbBounds)))
+    graft.tsdb.promql.PromQL.compile(
+        "histogram_count(increase(nhcb_req[40d]))", ctx)
+      .select(col("event_type"), col("user_id"), col("value").as("cinc"))
+      .orderBy("event_type", "user_id")
+  }
+
   // ----- negative-bucket (signed) native histograms -----
 
   private def negBlockPath(dir: String): String =
@@ -3145,6 +3170,7 @@ object SparkEntry {
     "ts_tsdb_block_nhcb_convert" -> (tsTsdbBlockNhcbConvert _),
     "ts_nhcb_quantile" -> (tsNhcbQuantile _),
     "ts_promql_nhcb_quantile" -> (tsPromqlNhcbQuantile _),
+    "ts_promql_nhcb_count_increase" -> (tsPromqlNhcbCountIncrease _),
     "ts_tsdb_block_neg_roundtrip" -> (tsTsdbBlockNegRoundtrip _),
     "ts_nh_neg_quantile" -> (tsNhNegQuantile _),
     "ts_tsdb_block_neg_convert" -> (tsTsdbBlockNegConvert _),
@@ -5226,6 +5252,28 @@ object SparkEntry {
         |    i) AS phi90
         |FROM hit GROUP BY 1
         |ORDER BY event_type""".stripMargin,
+    // counter increase over NHCB: monotone fixture, so the fold
+    // telescopes to last − first (missing-first index 5 reads 0);
+    // exact integers, zero bucket structurally 0
+    "ts_promql_nhcb_count_increase" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |rng AS (
+        |  SELECT event_type, user_id,
+        |    user_id * 31 + length(event_type) AS sseed,
+        |    min(d) AS d0, max(d) AS d1
+        |  FROM days GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+        |SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+        |  CAST(sum(d1*d1*((sseed + i + 3) % 5)
+        |    - (CASE WHEN i <= (CASE WHEN d0 >= 19740 THEN 5 ELSE 4 END)
+        |       THEN d0*d0*((sseed + i + 3) % 5) ELSE 0 END)) AS DOUBLE)
+        |    AS cinc
+        |FROM rng, unnest(range(0, 6)) AS t(i)
+        |WHERE i <= (CASE WHEN d1 >= 19740 THEN 5 ELSE 4 END)
+        |GROUP BY 1, 2
+        |ORDER BY event_type, CAST(user_id AS VARCHAR)""".stripMargin,
     // both bucket sides re-derived with a side marker; the union-fill
     // zeros drop on both engines
     "ts_tsdb_block_neg_roundtrip" ->
