@@ -1870,6 +1870,23 @@ object SparkEntry {
       .orderBy("event_type", "user_id")
   }
 
+  /** Experimental `first_over_time`/`ts_of_first_over_time`
+    * (Prometheus 3.6, promql/functions.go funcFirstOverTime): the
+    * earliest sample's value and epoch-seconds timestamp in the
+    * range — the symmetric closer of the `last_over_time`/`ts_of_*`
+    * family. Both lower to one min-struct / min-ts aggregation at
+    * series grain.
+    */
+  private def tsPromqlFirstOverTime(s: SparkSession, dir: String): DataFrame = {
+    val ctx = promCtx(s, dir)
+    def q(fn: String, as: String): DataFrame =
+      graft.tsdb.promql.PromQL.compile(s"$fn(events[31d])", ctx)
+        .select(col("event_type"), col("user_id"), col("value").as(as))
+    q("first_over_time", "first_v")
+      .join(q("ts_of_first_over_time", "ts_of_first"), Seq("event_type", "user_id"))
+      .orderBy("event_type", "user_id")
+  }
+
   /** `group_right` many-to-one vector matching parsed from the
     * string: the RIGHT side keeps its full label set, each right
     * element divided by the single left element sharing its
@@ -3151,6 +3168,7 @@ object SparkEntry {
     "ts_promql_limit_ratio" -> (tsPromqlLimitRatio _),
     "ts_promql_mad" -> (tsPromqlMad _),
     "ts_promql_ts_of" -> (tsPromqlTsOf _),
+    "ts_promql_first_over_time" -> (tsPromqlFirstOverTime _),
     "ts_promql_group_right" -> (tsPromqlGroupRight _),
     "ts_promql_sort" -> (tsPromqlSort _),
     "ts_promql_sort_by_label" -> (tsPromqlSortByLabel _),
@@ -4642,6 +4660,23 @@ object SparkEntry {
         |  max(w.ms) / 1000.0 AS ts_of_last
         |FROM w JOIN m USING (event_type, user_id)
         |GROUP BY w.event_type, w.user_id
+        |ORDER BY w.event_type, w.user_id""".stripMargin,
+    // first_over_time: the value at the series' min ts in range
+    // (min value among ts ties, matching the min-struct tiebreak);
+    // ts_of_first = min ts. Epoch SECONDS = ms / 1000.0.
+    "ts_promql_first_over_time" ->
+      """WITH w AS (
+        |  SELECT event_type, user_id, value, epoch_ms(ts) AS ms
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'),
+        |m AS (
+        |  SELECT event_type, user_id, min(ms) AS mn
+        |  FROM w GROUP BY 1, 2)
+        |SELECT w.event_type, w.user_id,
+        |  min(CASE WHEN w.ms = m.mn THEN w.value END) AS first_v,
+        |  m.mn / 1000.0 AS ts_of_first
+        |FROM w JOIN m USING (event_type, user_id)
+        |GROUP BY w.event_type, w.user_id, m.mn
         |ORDER BY w.event_type, w.user_id""".stripMargin,
     // group_right: result at the many (right) side's label grain,
     // the op keeping its written orientation — user total divided

@@ -502,8 +502,9 @@ object PromQL {
 
     private val overTimeAggs = Set("avg_over_time", "sum_over_time",
       "min_over_time", "max_over_time", "count_over_time", "last_over_time",
-      "stddev_over_time", "stdvar_over_time",
-      "ts_of_min_over_time", "ts_of_max_over_time", "ts_of_last_over_time")
+      "first_over_time", "stddev_over_time", "stdvar_over_time",
+      "ts_of_min_over_time", "ts_of_max_over_time", "ts_of_last_over_time",
+      "ts_of_first_over_time")
 
     private def call(c: Expr.Call): Either[Sc, Vec] = c.fn match {
       case "vector" =>
@@ -1052,6 +1053,15 @@ object PromQL {
           case "last_over_time" => rows.groupBy(ls.map(col): _*)
             .agg(max(struct(col(TS), v.as("_v"))).as("_top"))
             .select(ls.map(col) :+ col("_top._v").as("value"): _*)
+          // Experimental `first_over_time` (Prometheus 3.6,
+          // promql/functions.go funcFirstOverTime): the EARLIEST
+          // sample's value in the range. TSDB timestamps are unique
+          // per series, but the min-struct still pins a
+          // deterministic tiebreak (smallest value) should a merged
+          // input carry duplicates.
+          case "first_over_time" => rows.groupBy(ls.map(col): _*)
+            .agg(min(struct(col(TS), v.as("_v"))).as("_bot"))
+            .select(ls.map(col) :+ col("_bot._v").as("value"): _*)
           // Experimental `ts_of_*` family (Prometheus 3.x,
           // promql/functions.go funcTsOfMinOverTime and friends):
           // the epoch SECONDS of the extreme/last sample. Ties on
@@ -1063,6 +1073,8 @@ object PromQL {
           // iteration-order-dependent.
           case "ts_of_last_over_time" => rows.groupBy(ls.map(col): _*)
             .agg((max(col(TS)) / lit(1000.0)).as("value"))
+          case "ts_of_first_over_time" => rows.groupBy(ls.map(col): _*)
+            .agg((min(col(TS)) / lit(1000.0)).as("value"))
           case "ts_of_min_over_time" => rows.groupBy(ls.map(col): _*)
             // min struct picks the smallest value, then the smallest
             // NEGATED ts = the largest ts among the tied minima

@@ -118,6 +118,18 @@ class PromQLCompilerSpec extends SparkSpec {
       Set(Seq("web", "i1", 90.0)))
   }
 
+  test("first_over_time / ts_of_first_over_time: the earliest sample") {
+    // (api,i1) first in [00:00,01:00) is 0 @00:00; (api,i2) 5 @00:10
+    assert(rows("""first_over_time(http_requests_total{job="api"}[1h])""") ==
+      Set(Seq("api", "i1", 0.0), Seq("api", "i2", 5.0)))
+    assert(rows("""ts_of_first_over_time(http_requests_total{job="api"}[1h])""") ==
+      Set(Seq("api", "i1", T0 / 1000.0),
+        Seq("api", "i2", (T0 + 600000L) / 1000.0)))
+    // a 30m range excludes (api,i1)'s 00:00 sample → first is 60 @00:30
+    assert(rows("""first_over_time(http_requests_total{instance="i1"}[30m])""") ==
+      Set(Seq("api", "i1", 60.0), Seq("web", "i1", 90.0)))
+  }
+
   test("ts_of_min/max/last_over_time return epoch seconds of the extreme") {
     assert(rows("""ts_of_last_over_time(http_requests_total{job="api"}[1h])""") ==
       Set(Seq("api", "i1", (T0 + 3540000L) / 1000.0),
