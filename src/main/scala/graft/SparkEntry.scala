@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.operators.{Ann, Dedup}
-import graft.tsdb.{ChunkStore, ConvertOptions, HistChunkStore, Matcher, PromOps, TsdbConverter, TsdbQueryable}
+import graft.tsdb.{ChunkStore, ConvertOptions, HistChunkStore, Matcher, PromOps, RollupStore, TsdbConverter, TsdbQueryable}
 
 /** Driver contract: every operator from SURVEY.md §2 registered as a
   * runnable query plus (where SQL-expressible) a DuckDB oracle.
@@ -399,6 +399,73 @@ object SparkEntry {
       .select(col("event_type"), col("user_id"), ms(col("bucket")).as("bucket_ms"),
         col("avg_value"), col("max_value"), col("n_samples"))
       .orderBy("event_type", "user_id", "bucket_ms")
+
+  // ---- materialized rollup layers ([[tsdb.RollupStore]]) ----
+
+  private def rollupPath(dir: String, res: String): String =
+    s"/tmp/graft_rollup_${res}_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+
+  private def rollupFixture(s: SparkSession, dir: String): Unit =
+    fixtureOnce(s"rollup_layers:$dir") {
+      val ev = t(s, dir, "events")
+      RollupStore.write(ev, rollupPath(dir, "1h"),
+        Seq("event_type", "user_id"), "ts", "value", 3600000L)
+      RollupStore.write(ev, rollupPath(dir, "1d"),
+        Seq("event_type", "user_id"), "ts", "value", 86400000L)
+    }
+
+  /** Full read-back of the 1-day rollup layer: every per-(series,
+    * window) column — count, decimal-exact sum, min/max, boundary
+    * samples with deterministic (ts, value) tiebreaks, and the
+    * reset-aware within-window counter increase. The oracle replays
+    * the identical lag-delta fold over raw events, so a hash match
+    * proves the materialization is EXACT, not approximate.
+    */
+  private def tsRollupRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    rollupFixture(s, dir)
+    RollupStore.read(s, rollupPath(dir, "1d"))
+      .select(col("event_type"), col("user_id"), col("window_ms"),
+        col("n"), col("vsum").cast("double").as("sum_v"),
+        col("vmin").as("min_v"), col("vmax").as("max_v"),
+        col("first_ts_ms"), col("first_v"),
+        col("last_ts_ms"), col("last_v"),
+        col("increase").cast("double").as("inc"))
+      .orderBy("event_type", "user_id", "window_ms")
+  }
+
+  /** Counter increase over [Jan 5, Jan 25) reassembled from 1-day
+    * rollups ([[tsdb.RollupStore.stitchedIncrease]]): Σ within-window
+    * increases + reset-aware boundary terms — the consecutive-pair
+    * decomposition, so the result must equal (bitwise) the same fold
+    * run directly over the raw samples, which is what the oracle
+    * computes. At 100 TB this is the long-range-rate path: windows-
+    * in-range rows per series instead of every raw sample.
+    */
+  private def tsRollupIncrease(s: SparkSession, dir: String): DataFrame = {
+    rollupFixture(s, dir)
+    RollupStore.stitchedIncrease(s, rollupPath(dir, "1d"),
+        Seq("event_type", "user_id"),
+        mintMs = 1704412800000L, maxtMs = 1706140800000L)
+      .orderBy("event_type", "user_id")
+  }
+
+  /** Resolution routing ([[tsdb.RollupStore.route]], Thanos's
+    * step/5 auto-downsampling rule): a 5-day step over [Jan 1,
+    * Jan 31) routes to the COARSEST eligible layer (1 d here; the
+    * 1 h layer also qualifies and — by the exact-rollup invariant —
+    * would return the identical answer at 24× the bytes). The oracle
+    * computes straight from raw, so the hash match proves layer
+    * choice affects cost only, never results.
+    */
+  private def tsRollupRoute(s: SparkSession, dir: String): DataFrame = {
+    rollupFixture(s, dir)
+    val layers = Seq(
+      RollupStore.RollupLayer(rollupPath(dir, "1h"), 3600000L),
+      RollupStore.RollupLayer(rollupPath(dir, "1d"), 86400000L))
+    RollupStore.downsampleAt(s, layers, Seq("event_type"),
+        stepMs = 432000000L, mintMs = 1704067200000L, maxtMs = 1706659200000L)
+      .orderBy("event_type", "step_ms")
+  }
 
   private def tsTopkSeries(s: SparkSession, dir: String): DataFrame =
     PromOps.topKSeries(t(s, dir, "events"), Seq("event_type"),
@@ -3104,6 +3171,9 @@ object SparkEntry {
     "ts_resets" -> (tsResets _),
     "ts_delta" -> (tsDelta _),
     "ts_downsample" -> (tsDownsample _),
+    "ts_rollup_roundtrip" -> (tsRollupRoundtrip _),
+    "ts_rollup_increase" -> (tsRollupIncrease _),
+    "ts_rollup_route" -> (tsRollupRoute _),
     "ts_topk_series" -> (tsTopkSeries _),
     "ts_count_values" -> (tsCountValues _),
     "ts_quantile" -> (tsQuantile _),
@@ -3915,6 +3985,68 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2, 3
         |ORDER BY event_type, user_id, bucket_ms""".stripMargin,
+    // rollup roundtrip: the identical per-(series, day) fold over raw
+    // — lag deltas under reset semantics ordered (ts, value), decimal
+    // -exact sums, boundary samples by the same (ts, value) tiebreak
+    "ts_rollup_roundtrip" ->
+      """WITH w AS (
+        |  SELECT event_type, user_id, ts, value,
+        |    (epoch_ms(ts) // 86400000) * 86400000 AS window_ms
+        |  FROM events),
+        |d AS (
+        |  SELECT *, lag(value) OVER (
+        |    PARTITION BY event_type, user_id, window_ms
+        |    ORDER BY ts, value) AS pv
+        |  FROM w),
+        |m AS (
+        |  SELECT event_type, user_id, window_ms,
+        |    min(ts) AS mnts, max(ts) AS mxts
+        |  FROM w GROUP BY 1, 2, 3)
+        |SELECT d.event_type, d.user_id, d.window_ms,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(d.value AS DECIMAL(30,8))) AS DOUBLE) AS sum_v,
+        |  min(d.value) AS min_v, max(d.value) AS max_v,
+        |  epoch_ms(m.mnts) AS first_ts_ms,
+        |  min(CASE WHEN d.ts = m.mnts THEN d.value END) AS first_v,
+        |  epoch_ms(m.mxts) AS last_ts_ms,
+        |  max(CASE WHEN d.ts = m.mxts THEN d.value END) AS last_v,
+        |  CAST(sum(CAST(CASE WHEN d.pv IS NULL THEN 0
+        |    WHEN d.value >= d.pv THEN d.value - d.pv
+        |    ELSE d.value END AS DECIMAL(30,8))) AS DOUBLE) AS inc
+        |FROM d JOIN m USING (event_type, user_id, window_ms)
+        |GROUP BY d.event_type, d.user_id, d.window_ms, m.mnts, m.mxts
+        |ORDER BY d.event_type, d.user_id, d.window_ms""".stripMargin,
+    // stitched increase ≡ the same reset-aware lag fold over the raw
+    // range (consecutive pairs = within-window + boundary pairs);
+    // windows = distinct days with samples
+    "ts_rollup_increase" ->
+      """WITH w AS (
+        |  SELECT event_type, user_id, ts, value
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'),
+        |d AS (
+        |  SELECT *, lag(value) OVER (
+        |    PARTITION BY event_type, user_id ORDER BY ts, value) AS pv
+        |  FROM w)
+        |SELECT event_type, user_id,
+        |  CAST(sum(CAST(CASE WHEN pv IS NULL THEN 0
+        |    WHEN value >= pv THEN value - pv
+        |    ELSE value END AS DECIMAL(30,8))) AS DOUBLE) AS increase,
+        |  count(DISTINCT (epoch_ms(ts) // 86400000)) AS windows
+        |FROM d GROUP BY 1, 2
+        |ORDER BY event_type, user_id""".stripMargin,
+    // routed downsample: straight from raw — the layer choice (1d
+    // here) must be invisible in the values, only in bytes read
+    "ts_rollup_route" ->
+      """SELECT event_type,
+        |  (epoch_ms(ts) // 432000000) * 432000000 AS step_ms,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) / count(*) AS avg_v,
+        |  min(value) AS min_v, max(value) AS max_v
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
+        |GROUP BY 1, 2
+        |ORDER BY event_type, step_ms""".stripMargin,
     "ts_topk_series" ->
       """SELECT event_type, user_id, round(sum_value, 4) AS sum_value, "rank"
         |FROM (

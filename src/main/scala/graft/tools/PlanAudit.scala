@@ -559,6 +559,45 @@ object PlanAudit {
       if (!ok) failures ::= "ts_promql_nh_reset_rate: fold shape"
     }
 
+    // Rollup-layer routing: the 5-day-step query must scan ONLY the
+    // routed 1-day layer — the 1-hour layer (also correct, 24× the
+    // bytes) must be absent from the plan — with the window range
+    // pruned at the bucket partition level before any file opens.
+    locally {
+      val df = SparkEntry.queries("ts_rollup_route")(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val on1d = plan.contains("graft_rollup_1d_")
+      val no1h = !plan.contains("graft_rollup_1h_")
+      val pruned = plan.contains("PartitionFilters: [")
+      val ok = on1d && no1h && pruned
+      println(s"[audit] ts_rollup_route :: routed to the 1d layer only, " +
+        s"bucket-pruned: 1d=$on1d 1h_absent=$no1h pruned=$pruned " +
+        s"-> ${if (ok) "OK" else "FAIL"}")
+      if (!ok) failures ::= "ts_rollup_route: layer routing"
+    }
+
+    // Stitched increase: read-side must be ONE series-keyed
+    // aggregation over windows-in-range (collect_list buffer bounded
+    // by range/resolution) — no window function, no join, ≤2
+    // exchanges (series agg + output sort) — and the range must
+    // prune at the bucket partition level.
+    locally {
+      val df = SparkEntry.queries("ts_rollup_increase")(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val nEx = "Exchange ".r.findAllIn(plan).size
+      val noWin = !plan.contains("Window")
+      val noJoin = !plan.contains("Join")
+      val pruned = plan.contains("PartitionFilters: [")
+      val ok = noWin && noJoin && nEx <= 2 && pruned
+      println(s"[audit] ts_rollup_increase :: one stitch agg, no " +
+        s"window/join, ≤2 exchanges, bucket-pruned: window=${!noWin} " +
+        s"join=${!noJoin} exchanges=$nEx pruned=$pruned " +
+        s"-> ${if (ok) "OK" else "FAIL"}")
+      if (!ok) failures ::= "ts_rollup_increase: stitch shape"
+    }
+
     if (failures.nonEmpty) {
       println(s"\n[audit] FAILURES: ${failures.mkString("; ")}")
       sys.exit(1)

@@ -1,0 +1,205 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Materialized downsampled rollup layers over a long-format series
+  * table — the long-range-query lever the raw layout cannot provide
+  * at 100 TB: a 30-day dashboard query over 15-second scrapes reads
+  * ~1/240th the bytes from a 1-hour rollup layer, and the layers are
+  * EXACT, not approximate (see the invariants below).
+  *
+  * The reference stores raw chunks only (schema/encoder.go); its
+  * deployments layer downsampling on top (the Thanos compactor's 5m/
+  * 1h aggr chunks — docs/components/compact.md, public design). This
+  * module is that idea re-expressed as Spark batch materialization:
+  * one window pass + one aggregation per layer at write time, plain
+  * parquet scans at query time, no custom iterator machinery.
+  *
+  * Per (series, window) the layer stores:
+  *   - `n`, `vmin`, `vmax`            — count/min/max, trivially exact
+  *   - `vsum` DECIMAL(30,8)           — the house exact accumulator:
+  *     each raw double quantized once at 8 dp, summed losslessly, so
+  *     any regrouping of windows (coarser steps, cross-layer checks)
+  *     reproduces the direct raw-scan sum BITWISE after one final
+  *     decimal→double conversion — rollup results are
+  *     layer-independent, which is what makes the router free to
+  *     choose resolution by cost alone
+  *   - `first_ts_ms`/`first_v`, `last_ts_ms`/`last_v` — the window's
+  *     boundary samples (deterministic (ts, value) tiebreak)
+  *   - `increase` DECIMAL(30,8)       — the within-window counter
+  *     increase under Prometheus reset semantics (a decrease between
+  *     adjacent samples restarts accumulation at the new value).
+  *     Because consecutive-pair deltas partition exactly into
+  *     within-window pairs plus window-boundary pairs, the range
+  *     increase over ANY window-aligned span reassembles exactly:
+  *     Σ window.increase + Σ boundary terms from (last_v, next
+  *     first_v) — see [[stitchedIncrease]].
+  *
+  * Scale shape: the write is one lag-window pass partitioned by
+  * (series, window) — state is a single previous sample, the sort is
+  * within natural scrape order — followed by one partial-aggregating
+  * shuffle to (series, window) grain, then the bucketed sorted write
+  * [[TsdbConverter.convert]] uses for every layout (time-bucket
+  * directory pruning + label-sorted row groups). Query-side reads
+  * prune to the window range's buckets and push matchers into the
+  * scan; [[stitchedIncrease]] is ONE series-keyed aggregation whose
+  * buffer is bounded by windows-in-range (720 for 30d @ 1h), never
+  * corpus size.
+  */
+object RollupStore {
+
+  private val D = "decimal(30,8)"
+
+  /** Materialize one rollup layer at `resolutionMs` window width.
+    *
+    * `tieBreak` columns order samples within equal timestamps (the
+    * raw `valueCol` is always appended last) so the lag deltas and
+    * boundary samples are deterministic under any partitioning — the
+    * same discipline as [[PromOps.extrapolatedRateAt]].
+    */
+  def write(df: DataFrame, path: String, seriesCols: Seq[String],
+      tsCol: String, valueCol: String, resolutionMs: Long,
+      tieBreak: Seq[String] = Nil,
+      opts: ConvertOptions = ConvertOptions(Nil)): Unit = {
+    require(resolutionMs > 0, s"resolution must be positive, got $resolutionMs")
+    val v = col(valueCol)
+    val order = (col(tsCol) +: tieBreak.map(col)) :+ v
+    val w = Window
+      .partitionBy((seriesCols.map(col) :+ col("_win")): _*)
+      .orderBy(order: _*)
+    // boundary-sample pick keyed on the FULL-RESOLUTION ts (+ the
+    // same tiebreak as the lag order), ms only carried as payload
+    val sampleKey = (c: Column) => struct(order :+
+      unix_millis(col(tsCol).cast("timestamp")).as("_ms") :+ c.as("_v"): _*)
+    val rolled = df
+      .withColumn("_win",
+        (floor(unix_millis(col(tsCol).cast("timestamp")) / resolutionMs) *
+          resolutionMs).cast("long"))
+      .withColumn("_prev", lag(v, 1).over(w))
+      .withColumn("_delta",
+        when(col("_prev").isNull, lit(0.0))
+          .when(v >= col("_prev"), v - col("_prev"))
+          .otherwise(v)) // counter reset: restart at the new value
+      .groupBy((seriesCols.map(col) :+ col("_win").as("window_ms")): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(v.cast(D)).cast(D).as("vsum"),
+        min(v).as("vmin"),
+        max(v).as("vmax"),
+        min(sampleKey(v)).as("_f"),
+        max(sampleKey(v)).as("_l"),
+        sum(col("_delta").cast(D)).cast(D).as("increase"))
+      .select((seriesCols.map(col) :+ col("window_ms") :+ col("n") :+
+        col("vsum") :+ col("vmin") :+ col("vmax") :+
+        col("_f._ms").as("first_ts_ms") :+ col("_f._v").as("first_v") :+
+        col("_l._ms").as("last_ts_ms") :+ col("_l._v").as("last_v") :+
+        col("increase") :+
+        timestamp_millis(col("window_ms")).as(tsCol)): _*)
+    TsdbConverter.convert(rolled, path, tsCol,
+      if (opts.sortBy.nonEmpty) opts else opts.copy(sortBy = seriesCols))
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Rollup rows whose window lies in `[mintMs, maxtMs)`, matcher
+    * predicates pushed into the scan and the time range turned into
+    * a LITERAL filter on the layer's bucket partition column so
+    * whole day-directories prune before any file is opened.
+    */
+  def select(spark: SparkSession, path: String, mintMs: Long, maxtMs: Long,
+      matchers: Seq[Matcher] = Nil,
+      bucketDuration: String = "1 day"): DataFrame = {
+    require(maxtMs > mintMs, s"empty range [$mintMs, $maxtMs)")
+    val width = TsdbConverter.durationSeconds(bucketDuration) * 1000L
+    val pred = matchers.flatMap(_.toPredicate)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    read(spark, path)
+      .filter(col("bucket").between(mintMs / width, (maxtMs - 1) / width))
+      .filter(col("window_ms") >= mintMs && col("window_ms") < maxtMs)
+      .filter(pred)
+  }
+
+  /** Counter increase over the window-aligned range `[mintMs,
+    * maxtMs)` reassembled from a rollup layer: per series, the
+    * ordered windows fold as Σ within-window `increase` plus the
+    * reset-aware boundary term between each window's `last_v` and
+    * the next window's `first_v` — exactly the consecutive-pair
+    * decomposition, so the result equals the same fold over raw
+    * samples BITWISE (every term is the identical IEEE double
+    * quantized once at 8 dp; the decimal accumulation is
+    * order-exact).
+    *
+    * One aggregation at series grain; the collect_list buffer holds
+    * one small struct per window in range (range/resolution entries
+    * — 720 for 30 d @ 1 h), independent of corpus size.
+    */
+  def stitchedIncrease(spark: SparkSession, path: String,
+      seriesCols: Seq[String], mintMs: Long, maxtMs: Long,
+      matchers: Seq[Matcher] = Nil): DataFrame = {
+    val rows = select(spark, path, mintMs, maxtMs, matchers)
+    val win = struct(col("window_ms"), col("first_v"), col("last_v"),
+      col("increase"))
+    rows.groupBy(seriesCols.map(col): _*)
+      .agg(sort_array(collect_list(win)).as("_w"),
+        count(lit(1)).as("windows"))
+      .withColumn("increase",
+        aggregate(col("_w"),
+          struct(lit(null).cast("double").as("prev"),
+            lit(0).cast(D).as("acc")),
+          (s, x) => struct(
+            x.getField("last_v").as("prev"),
+            (s.getField("acc") + x.getField("increase") +
+              when(s.getField("prev").isNull, lit(0.0))
+                .when(x.getField("first_v") >= s.getField("prev"),
+                  x.getField("first_v") - s.getField("prev"))
+                .otherwise(x.getField("first_v"))
+                .cast(D)).cast(D).as("acc")),
+          s => s.getField("acc").cast("double")))
+      .select((seriesCols.map(col) :+ col("increase") :+ col("windows")): _*)
+  }
+
+  /** One materialized layer: its storage path and window width. */
+  final case class RollupLayer(path: String, resolutionMs: Long)
+
+  /** Thanos's auto-downsampling selection rule (docs/components/
+    * query.md: use a resolution ≤ step/5 so every step still
+    * aggregates ≥5 windows): the COARSEST eligible layer, or None
+    * when even the finest layer is too coarse — the caller then
+    * scans raw. Pure cost routing: the exact-rollup invariants make
+    * every eligible layer return identical answers, so resolution
+    * choice affects bytes read, never results.
+    */
+  def route(layers: Seq[RollupLayer], stepMs: Long): Option[RollupLayer] =
+    layers.filter(l => l.resolutionMs * 5 <= stepMs)
+      .sortBy(-_.resolutionMs).headOption
+
+  /** Step-bucketed aggregates over `[mintMs, maxtMs)` served from
+    * the routed layer: per (`by` labels, step window) the exact
+    * count / decimal-exact average / min / max reassembled from the
+    * layer's per-window columns. Returns the finest-layer answer
+    * routed purely by cost; `route` returning None raises — the
+    * caller owns the raw fallback (it needs the raw table, which
+    * this store does not hold).
+    */
+  def downsampleAt(spark: SparkSession, layers: Seq[RollupLayer],
+      by: Seq[String], stepMs: Long, mintMs: Long, maxtMs: Long,
+      matchers: Seq[Matcher] = Nil): DataFrame = {
+    val layer = route(layers, stepMs).getOrElse(
+      throw new IllegalArgumentException(
+        s"no layer eligible at step $stepMs ms — scan raw instead"))
+    require(stepMs % layer.resolutionMs == 0,
+      s"step $stepMs not aligned to layer resolution ${layer.resolutionMs}")
+    select(spark, layer.path, mintMs, maxtMs, matchers)
+      .withColumn("step_ms",
+        (floor(col("window_ms") / stepMs) * stepMs).cast("long"))
+      .groupBy((by.map(col) :+ col("step_ms")): _*)
+      .agg(
+        sum(col("n")).as("n"),
+        (sum(col("vsum")).cast("double") / sum(col("n"))).as("avg_v"),
+        min(col("vmin")).as("min_v"),
+        max(col("vmax")).as("max_v"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.tsdb.{Matcher, RollupStore}
+import graft.tsdb.RollupStore.RollupLayer
+
+/** [[graft.tsdb.RollupStore]]: exactness of the materialized layers,
+  * the consecutive-pair decomposition behind stitchedIncrease, and
+  * the Thanos step/5 routing rule. The oracle gates (ts_rollup_*)
+  * pin the layers against DuckDB on the driver's events table; these
+  * specs pin the algebra on crafted reset shapes the synthetic table
+  * may not contain — a reset exactly AT a window boundary, one
+  * mid-window, and a series confined to a single window.
+  */
+class RollupStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private val HOUR = 3600000L
+  private val DAY = 86400000L
+
+  // one counter series, hourly windows; values chosen so every
+  // interesting pair lands somewhere specific:
+  //   00:10→00:40 +20 | 00:40→[boundary]→01:05 RESET to 5
+  //   01:05→01:20 +3  | 01:20→01:50 RESET to 2
+  //   [02:xx empty] 03:30 lone sample, boundary 1:50→3:30 +28
+  private lazy val counter = Seq(
+    ("a", ts("2024-01-01 00:10:00"), 10.0),
+    ("a", ts("2024-01-01 00:40:00"), 30.0),
+    ("a", ts("2024-01-01 01:05:00"), 5.0),
+    ("a", ts("2024-01-01 01:20:00"), 8.0),
+    ("a", ts("2024-01-01 01:50:00"), 2.0),
+    ("a", ts("2024-01-01 03:30:00"), 30.0),
+    ("b", ts("2024-01-01 00:30:00"), 7.0)
+  ).toDF("series", "ts", "value")
+
+  private val base = 1704067200000L // 2024-01-01 00:00:00 UTC
+
+  private def layer(res: Long, tag: String): String = {
+    val p = s"/tmp/graft_rollupspec_${tag}_$res"
+    RollupStore.write(counter, p, Seq("series"), "ts", "value", res)
+    p
+  }
+
+  test("per-window columns: reset-aware increase, boundaries, exact sum") {
+    val rows = RollupStore.read(spark, layer(HOUR, "cols"))
+      .filter(col("series") === "a")
+      .orderBy("window_ms")
+      .select("window_ms", "n", "first_v", "last_v")
+      .as[(Long, Long, Double, Double)].collect.toSeq
+    assert(rows == Seq(
+      (base, 2L, 10.0, 30.0),
+      (base + HOUR, 3L, 5.0, 2.0),
+      (base + 3 * HOUR, 1L, 30.0, 30.0)))
+    val inc = RollupStore.read(spark, layer(HOUR, "cols"))
+      .filter(col("series") === "a").orderBy("window_ms")
+      .select(col("increase").cast("double")).as[Double].collect.toSeq
+    // w0: +20; w1: +3 then reset→2 (adds 2) = 5; w3: lone sample = 0
+    assert(inc == Seq(20.0, 5.0, 0.0))
+  }
+
+  test("stitchedIncrease ≡ the direct raw fold, and is layer-independent") {
+    // direct fold over all consecutive pairs of series a:
+    // +20, reset→5, +3, reset→2, +28 = 58
+    val oneHour = RollupStore.stitchedIncrease(spark, layer(HOUR, "stitch"),
+      Seq("series"), base, base + DAY)
+    val got = oneHour.filter(col("series") === "a")
+      .select("increase").as[Double].head()
+    assert(got == 58.0)
+    // a single day-window holds the whole series: same answer, no
+    // boundary terms at all
+    val oneDay = RollupStore.stitchedIncrease(spark, layer(DAY, "stitch"),
+      Seq("series"), base, base + DAY)
+    assert(oneDay.filter(col("series") === "a")
+      .select("increase").as[Double].head() == 58.0)
+    // the lone-sample series: zero increase, present in both layers
+    assert(oneHour.filter(col("series") === "b")
+      .select("increase").as[Double].head() == 0.0)
+  }
+
+  test("matchers push into the rollup select") {
+    val sel = RollupStore.select(spark, layer(HOUR, "match"),
+      base, base + DAY, Seq(Matcher.Eq("series", "b")))
+    assert(sel.select("series").distinct.as[String].collect.toSeq == Seq("b"))
+  }
+
+  test("route: coarsest layer with resolution*5 <= step, else None") {
+    val layers = Seq(RollupLayer("h", HOUR), RollupLayer("d", DAY))
+    assert(RollupStore.route(layers, 5 * HOUR).map(_.path) == Some("h"))
+    assert(RollupStore.route(layers, 5 * HOUR - 1).isEmpty)
+    assert(RollupStore.route(layers, 5 * DAY).map(_.path) == Some("d"))
+    assert(RollupStore.route(layers, 4 * DAY).map(_.path) == Some("h"))
+  }
+
+  test("downsampleAt: exact count/avg/min/max from the routed layer") {
+    val layers = Seq(RollupLayer(layer(HOUR, "ds"), HOUR))
+    val out = RollupStore.downsampleAt(spark, layers, Seq("series"),
+        stepMs = 12 * HOUR, mintMs = base, maxtMs = base + DAY)
+      .filter(col("series") === "a")
+      .select("n", "avg_v", "min_v", "max_v")
+      .as[(Long, Double, Double, Double)].head()
+    // all 6 samples of series a land in the first 12h step
+    assert(out == ((6L, (10.0 + 30 + 5 + 8 + 2 + 30) / 6, 2.0, 30.0)))
+    intercept[IllegalArgumentException] {
+      RollupStore.downsampleAt(spark, layers, Seq("series"),
+        stepMs = 4 * HOUR, mintMs = base, maxtMs = base + DAY)
+    }
+  }
+}
