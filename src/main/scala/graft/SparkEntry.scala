@@ -467,6 +467,53 @@ object SparkEntry {
       .orderBy("event_type", "step_ms")
   }
 
+  /** [[promCtx]] with the rollup layers registered: the PromQL
+    * front-end routes aligned range arguments to the coarsest
+    * eligible layer ([[graft.tsdb.promql.PromQLContext.rollups]]).
+    * Existing gates keep the raw context, so routing can never mask
+    * a raw-path regression.
+    */
+  private def promCtxRollup(s: SparkSession, dir: String): graft.tsdb.promql.PromQLContext = {
+    rollupFixture(s, dir)
+    promCtx(s, dir).copy(rollups = Map("events" -> Seq(
+      RollupStore.RollupLayer(rollupPath(dir, "1h"), 3600000L),
+      RollupStore.RollupLayer(rollupPath(dir, "1d"), 86400000L))))
+  }
+
+  /** `query_range` production `rate()` served FROM THE 1-DAY ROLLUP
+    * LAYER (range/step/start all day-aligned, 1d×5 ≤ 5d → the 1d
+    * layer wins routing): the ladder's inputs reconstruct exactly
+    * from the layer, so the oracle — the same raw-sample DuckDB
+    * extrapolation replay the un-routed gates use — must hash-match
+    * while the plan reads ~1/100th the rows (PlanAudit asserts the
+    * raw table is absent from the scan).
+    */
+  private def tsPromqlRollupRangeRate(s: SparkSession, dir: String): DataFrame =
+    graft.tsdb.promql.PromQL.compileRange(
+        "sum by (event_type) (round(rate(events[5d]), 0.00000001))",
+        promCtxRollup(s, dir),
+        startMs = 1704844800000L, // 2024-01-10T00:00Z
+        endMs = 1706572800000L,   // 2024-01-30T00:00Z
+        stepMs = 432000000L)      // 5d
+      .select(col("event_type"), col("step_ms"), col("value").as("rate_sum"))
+      .orderBy("event_type", "step_ms")
+
+  /** `query_range` `avg_over_time` served from the 1-day layer: the
+    * decimal-exact (vsum, n) pair reconstructs the average bitwise
+    * (Σvsum is the same per-value-quantized decimal sum the raw scan
+    * would produce), composed under a `sum by` — oracle straight
+    * from raw samples.
+    */
+  private def tsPromqlRollupOverTime(s: SparkSession, dir: String): DataFrame =
+    graft.tsdb.promql.PromQL.compileRange(
+        "sum by (event_type) (avg_over_time(events[5d]))",
+        promCtxRollup(s, dir),
+        startMs = 1704844800000L,
+        endMs = 1706572800000L,
+        stepMs = 432000000L)
+      .select(col("event_type"), col("step_ms"), col("value").as("avg_sum"))
+      .orderBy("event_type", "step_ms")
+
   private def tsTopkSeries(s: SparkSession, dir: String): DataFrame =
     PromOps.topKSeries(t(s, dir, "events"), Seq("event_type"),
         Seq("user_id"), "value", k = 3)
@@ -3174,6 +3221,8 @@ object SparkEntry {
     "ts_rollup_roundtrip" -> (tsRollupRoundtrip _),
     "ts_rollup_increase" -> (tsRollupIncrease _),
     "ts_rollup_route" -> (tsRollupRoute _),
+    "ts_promql_rollup_range_rate" -> (tsPromqlRollupRangeRate _),
+    "ts_promql_rollup_over_time" -> (tsPromqlRollupOverTime _),
     "ts_topk_series" -> (tsTopkSeries _),
     "ts_count_values" -> (tsCountValues _),
     "ts_quantile" -> (tsQuantile _),
@@ -4035,6 +4084,75 @@ object SparkEntry {
         |  count(DISTINCT (epoch_ms(ts) // 86400000)) AS windows
         |FROM d GROUP BY 1, 2
         |ORDER BY event_type, user_id""".stripMargin,
+    // rollup-SERVED range rate: the oracle replays the raw-sample
+    // extrapolation ladder (same replay the un-routed range_rate
+    // gate uses, 5d windows) — the routed plan must reproduce it
+    // from the 1-day layer alone
+    "ts_promql_rollup_range_rate" ->
+      """WITH steps AS (
+        |  SELECT range AS step_ms
+        |  FROM range(1704844800000, 1706572800001, 432000000)),
+        |d AS (
+        |  SELECT s.step_ms, e.event_type, e.user_id, e.value,
+        |    epoch_ms(e.ts) AS ts_ms,
+        |    lag(e.value) OVER w AS prev,
+        |    row_number() OVER w AS rn
+        |  FROM steps s JOIN events e
+        |    ON e.ts >= epoch_ms(s.step_ms - 432000000)
+        |   AND e.ts < epoch_ms(s.step_ms)
+        |  WINDOW w AS (PARTITION BY s.step_ms, e.event_type, e.user_id
+        |               ORDER BY e.ts, e.event_id)),
+        |agg AS (
+        |  SELECT step_ms, event_type, user_id,
+        |    CAST(sum(CAST(CASE WHEN prev IS NULL THEN 0.0
+        |                       WHEN value >= prev THEN value - prev
+        |                       ELSE value END AS DECIMAL(30,8))) AS DOUBLE) AS inc,
+        |    min(ts_ms) AS first_ms, max(ts_ms) AS last_ms,
+        |    max(CASE WHEN rn = 1 THEN value END) AS first_v,
+        |    count(*) AS n
+        |  FROM d GROUP BY step_ms, event_type, user_id
+        |  HAVING count(*) >= 2 AND max(ts_ms) > min(ts_ms)),
+        |ext AS (
+        |  SELECT step_ms, event_type, inc, n, first_v,
+        |    CAST(last_ms - first_ms AS DOUBLE) AS sampled,
+        |    CAST(last_ms - first_ms AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS avg_sp,
+        |    CAST(first_ms - (step_ms - 432000000) AS DOUBLE) AS to_start_raw,
+        |    CAST(step_ms - last_ms AS DOUBLE) AS to_end
+        |  FROM agg),
+        |fin AS (
+        |  SELECT step_ms, event_type, inc, sampled, avg_sp, to_end,
+        |    avg_sp * 1.1 AS threshold,
+        |    least(CASE WHEN inc > 0 AND first_v >= 0
+        |               THEN sampled * (first_v / inc)
+        |               ELSE to_start_raw END, to_start_raw) AS to_start
+        |  FROM ext),
+        |rates AS (
+        |  SELECT step_ms, event_type,
+        |    floor((inc * ((sampled
+        |        + (CASE WHEN to_start < threshold THEN to_start ELSE avg_sp / 2 END)
+        |        + (CASE WHEN to_end < threshold THEN to_end ELSE avg_sp / 2 END))
+        |      / sampled) / 432000.0) / 0.00000001 + 0.5) * 0.00000001 AS rate
+        |  FROM fin)
+        |SELECT event_type, step_ms,
+        |  CAST(sum(CAST(rate AS DECIMAL(30,8))) AS DOUBLE) AS rate_sum
+        |FROM rates GROUP BY event_type, step_ms
+        |ORDER BY event_type, step_ms""".stripMargin,
+    // rollup-served avg_over_time under sum by: straight from raw
+    "ts_promql_rollup_over_time" ->
+      """WITH steps AS (
+        |  SELECT range AS step_ms
+        |  FROM range(1704844800000, 1706572800001, 432000000)),
+        |p AS (
+        |  SELECT s.step_ms, e.event_type, e.user_id,
+        |    CAST(sum(CAST(e.value AS DECIMAL(30,8))) AS DOUBLE) / count(*) AS avg_v
+        |  FROM steps s JOIN events e
+        |    ON e.ts >= epoch_ms(s.step_ms - 432000000)
+        |   AND e.ts < epoch_ms(s.step_ms)
+        |  GROUP BY 1, 2, 3)
+        |SELECT event_type, step_ms,
+        |  CAST(sum(CAST(avg_v AS DECIMAL(30,8))) AS DOUBLE) AS avg_sum
+        |FROM p GROUP BY 1, 2
+        |ORDER BY event_type, step_ms""".stripMargin,
     // routed downsample: straight from raw — the layer choice (1d
     // here) must be invisible in the values, only in bytes read
     "ts_rollup_route" ->

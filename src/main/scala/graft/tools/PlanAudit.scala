@@ -598,6 +598,27 @@ object PlanAudit {
       if (!ok) failures ::= "ts_rollup_increase: stitch shape"
     }
 
+    // PromQL rollup routing: the day-aligned query_range rate must be
+    // served ENTIRELY from the 1-day layer — the raw events table
+    // must not appear in the plan at all (the whole point: ~1/100th
+    // the rows at identical answers), the 1-hour layer loses the
+    // coarsest-eligible contest, and no window function sneaks in
+    // (the stitch is an aggregation fold, not a per-row sort pass).
+    locally {
+      val df = SparkEntry.queries("ts_promql_rollup_range_rate")(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val on1d = plan.contains("graft_rollup_1d_")
+      val noRaw = !plan.contains("events.parquet")
+      val no1h = !plan.contains("graft_rollup_1h_")
+      val noWin = !plan.contains("Window")
+      val ok = on1d && noRaw && no1h && noWin
+      println(s"[audit] ts_promql_rollup_range_rate :: rate served from " +
+        s"the 1d layer only: 1d=$on1d raw_absent=$noRaw 1h_absent=$no1h " +
+        s"window=${!noWin} -> ${if (ok) "OK" else "FAIL"}")
+      if (!ok) failures ::= "ts_promql_rollup_range_rate: routing"
+    }
+
     if (failures.nonEmpty) {
       println(s"\n[audit] FAILURES: ${failures.mkString("; ")}")
       sys.exit(1)

@@ -120,10 +120,21 @@ object PromOps {
           col(valueCol).as("_v"): _*)).getField("_v").as("_first_v"),
         count(lit(1)).as("_n"))
       .filter(col("_n") >= 2 && col("_last_ms") > col("_first_ms"))
-    // the extrapolation ladder, exactly Prometheus's op order (all ms
-    // as doubles from here; each step is one IEEE op both engines run
-    // identically). startCol/endCol evaluate over the group keys, so
-    // the same ladder serves one global range or a per-step window.
+    extrapolationLadder(perSeries, seriesCols, startCol, endCol)
+  }
+
+  /** Prometheus's production boundary-extrapolation ladder over an
+    * already-aggregated per-element frame carrying `_inc` (the
+    * reset-aware raw increase), `_first_ms`/`_last_ms` (boundary
+    * sample times), `_first_v` and `_n` — exactly the op order of
+    * upstream extrapolatedRate (all ms as doubles from here; each
+    * step is one IEEE op any engine runs identically). Factored out
+    * so ROLLUP-served range vectors ([[RollupStore]]) reuse the
+    * identical ladder: every input column is exactly reconstructible
+    * from rollup layers, so the routed rate is bitwise the raw rate.
+    */
+  def extrapolationLadder(perSeries: DataFrame, seriesCols: Seq[String],
+      startCol: Column, endCol: Column): DataFrame = {
     val sampled = (col("_last_ms") - col("_first_ms")).cast("double")
     val avgSpacing = sampled / (col("_n") - 1).cast("double")
     val threshold = avgSpacing * lit(1.1)

@@ -51,7 +51,14 @@ final case class PromQLContext(
     // upstream hardcodes (instance, job) for OTel target_info; in
     // graft's model the label universe is the table's, so the seam
     // is configurable
-    infoIdentifying: Seq[String] = Seq("instance", "job"))
+    infoIdentifying: Seq[String] = Seq("instance", "job"),
+    // materialized rollup layers per metric ([[RollupStore]]): when a
+    // range selector's window boundaries align to a layer's windows
+    // (and the layer passes the resolution/5 eligibility rule), the
+    // served *_over_time / rate / increase reads the layer instead of
+    // raw samples — exactly (see [[RollupStore]]'s invariants), at a
+    // fraction of the bytes. Empty map = always raw.
+    rollups: Map[String, Seq[graft.tsdb.RollupStore.RollupLayer]] = Map.empty)
 
 /** A NATIVE-histogram metric for the PromQL front-end: one
   * exponential-bucket histogram SAMPLE per row in the
@@ -912,6 +919,138 @@ object PromQL {
       case _ => fail(s"$what expects a range vector")
     }
 
+    /** A rollup-served range vector: `rows` hold one WINDOW per
+      * (series, element) — the [[graft.tsdb.RollupStore]] columns
+      * (window_ms, n, vsum, vmin, vmax, first_ts_ms, first_v,
+      * last_ts_ms, last_v, increase) with `_ts` = window_ms so the
+      * shared grid plumbing (step-explode, `@` pinning) applies
+      * verbatim. Alignment makes window membership exact: every
+      * element window [t-off-range, t-off) is a whole number of
+      * layer windows.
+      */
+    private final case class RollupRangeVec(rows: DataFrame,
+        labels: Seq[String], rangeMs: Long, offsetMs: Long,
+        anchorMs: Option[Long])
+
+    /** Try to serve a range argument from a materialized rollup
+      * layer: the metric must have layers registered, the COARSEST
+      * layer passing (a) Thanos's eligibility rule resolution*5 ≤
+      * range and (b) exact grid alignment — range, step, and every
+      * element end all multiples of the resolution — wins. Returns
+      * None (→ raw scan) otherwise. Routing never changes results
+      * (the exact-rollup invariant); it only changes bytes read, so
+      * the choice is pure cost.
+      */
+    private def rollupRangeVec(e: Expr): Option[RollupRangeVec] = e match {
+      case r: Expr.Range =>
+        ctx.rollups.get(r.sel.metric).flatMap { layers =>
+          val at = resolveAt(r.sel.at)
+          def aligned(res: Long): Boolean =
+            r.rangeMs % res == 0 && ((grid, at) match {
+              case (Some(g), None) =>
+                (g.startMs - r.sel.offsetMs) % res == 0 && g.stepMs % res == 0
+              case (_, a) =>
+                (a.getOrElse(ctx.evalMs) - r.sel.offsetMs) % res == 0
+            })
+          layers
+            .filter(l => l.resolutionMs * 5 <= r.rangeMs &&
+              aligned(l.resolutionMs))
+            .sortBy(-_.resolutionMs).headOption
+            .map { layer =>
+              val wins = rangeRowsBy(r.sel, r.rangeMs, (s, e2) =>
+                graft.tsdb.RollupStore
+                  .select(sparkOf, layer.path, s, e2, r.sel.matchers)
+                  .withColumn(TS, col("window_ms")))
+              RollupRangeVec(wins, ctx.labelCols, r.rangeMs,
+                r.sel.offsetMs, at)
+            }
+        }
+      case _ => None
+    }
+
+    /** The `*_over_time` aggregates a rollup layer reconstructs
+      * EXACTLY (sum/avg from the decimal-exact vsum; count from n;
+      * min/max from vmin/vmax; first/last and their timestamps from
+      * the boundary samples). stddev/stdvar need Σv² — not stored —
+      * and stay on raw.
+      */
+    private val rollupServable = Set("sum_over_time", "avg_over_time",
+      "count_over_time", "min_over_time", "max_over_time",
+      "first_over_time", "last_over_time", "ts_of_first_over_time",
+      "ts_of_last_over_time")
+
+    private def rollupOverTime(rv: RollupRangeVec, fn: String): Vec = {
+      val k = keys(rv.labels)
+      val g = rv.rows.groupBy(k.map(col): _*)
+      val out = fn match {
+        case "sum_over_time" =>
+          g.agg(sum(col("vsum")).cast("double").as("value"))
+        case "count_over_time" =>
+          g.agg(sum(col("n")).cast("double").as("value"))
+        case "avg_over_time" =>
+          g.agg((sum(col("vsum")).cast("double") / sum(col("n"))).as("value"))
+        case "min_over_time" => g.agg(min(col("vmin")).as("value"))
+        case "max_over_time" => g.agg(max(col("vmax")).as("value"))
+        case "first_over_time" =>
+          g.agg(min(struct(col("window_ms"), col("first_v").as("_v")))
+            .getField("_v").as("value"))
+        case "last_over_time" =>
+          g.agg(max(struct(col("window_ms"), col("last_v").as("_v")))
+            .getField("_v").as("value"))
+        case "ts_of_first_over_time" =>
+          g.agg((min(col("first_ts_ms")) / lit(1000.0)).as("value"))
+        case "ts_of_last_over_time" =>
+          g.agg((max(col("last_ts_ms")) / lit(1000.0)).as("value"))
+      }
+      stamped(out.select(k.map(col) :+ col("value"): _*), rv.labels)
+    }
+
+    /** `rate`/`increase` served from a rollup layer: the ladder's
+      * inputs — sample count, boundary samples, and the reset-aware
+      * raw increase — are all exactly reconstructible (the increase
+      * by the stitch fold: Σ within-window increases + reset-aware
+      * boundary terms, [[graft.tsdb.RollupStore.stitchedIncrease]]'s
+      * decomposition), then [[PromOps.extrapolationLadder]] runs the
+      * identical production op order — bitwise the raw-path answer,
+      * at windows-in-range rows per element instead of samples.
+      */
+    private def rollupExtrapolated(c: Expr.Call, rv: RollupRangeVec): Vec = {
+      val k = keys(rv.labels)
+      val dec = "decimal(30,8)"
+      val win = struct(col("window_ms"), col("first_v"), col("last_v"),
+        col("increase"))
+      val perElem = rv.rows.groupBy(k.map(col): _*)
+        .agg(
+          sum(col("n")).as("_n"),
+          min(struct(col("window_ms"), col("first_ts_ms").as("_ms"),
+            col("first_v").as("_v"))).as("_f"),
+          max(struct(col("window_ms"), col("last_ts_ms").as("_ms"),
+            col("last_v").as("_v"))).as("_l"),
+          sort_array(collect_list(win)).as("_w"))
+        .withColumn("_inc",
+          aggregate(col("_w"),
+            struct(lit(null).cast("double").as("prev"),
+              lit(0).cast(dec).as("acc")),
+            (s, x) => struct(
+              x.getField("last_v").as("prev"),
+              (s.getField("acc") + x.getField("increase") +
+                when(s.getField("prev").isNull, lit(0.0))
+                  .when(x.getField("first_v") >= s.getField("prev"),
+                    x.getField("first_v") - s.getField("prev"))
+                  .otherwise(x.getField("first_v"))
+                  .cast(dec)).cast(dec).as("acc")),
+            s => s.getField("acc").cast("double")))
+        .select(k.map(col) :+ col("_inc") :+
+          col("_f._ms").as("_first_ms") :+ col("_f._v").as("_first_v") :+
+          col("_l._ms").as("_last_ms") :+ col("_n"): _*)
+        .filter(col("_n") >= 2 && col("_last_ms") > col("_first_ms"))
+      val (startCol, endCol) = windowBounds(
+        RangeVec(rv.rows, rv.labels, rv.rangeMs, rv.offsetMs, rv.anchorMs))
+      val out = PromOps.extrapolationLadder(perElem, k, startCol, endCol)
+        .withColumn("value", col(if (c.fn == "rate") "rate" else "increase"))
+      stamped(out.select(k.map(col) :+ col("value"): _*), rv.labels)
+    }
+
     /** Per-element window bounds in epoch ms: literal for an instant
       * query or an `@`-pinned argument, the step's own trailing
       * window otherwise.
@@ -1021,7 +1160,13 @@ object PromQL {
       * extrapolation ([[PromOps.extrapolatedRateAt]]) — per-step
       * window bounds in grid mode, one literal window otherwise.
       */
-    private def extrapolated(c: Expr.Call): Vec = {
+    private def extrapolated(c: Expr.Call): Vec =
+      rollupRangeVec(one(c, c.fn)) match {
+        case Some(rrv) => rollupExtrapolated(c, rrv)
+        case None => extrapolatedRaw(c)
+      }
+
+    private def extrapolatedRaw(c: Expr.Call): Vec = {
       val rv = rangeVec(one(c, c.fn), c.fn)
       val (startCol, endCol) = windowBounds(rv)
       val k = keys(rv.labels)
@@ -1036,6 +1181,12 @@ object PromQL {
       * decimal (order-independent on any cluster size).
       */
     private def overTime(c: Expr.Call, fn: String): Vec =
+      rollupRangeVec(one(c, c.fn)) match {
+        case Some(rv) if rollupServable(fn) => rollupOverTime(rv, fn)
+        case _ => overTimeRaw(c, fn)
+      }
+
+    private def overTimeRaw(c: Expr.Call, fn: String): Vec =
       overRange(c, (rows, ls, _) => {
         val v = col(ctx.valueCol)
         fn match {

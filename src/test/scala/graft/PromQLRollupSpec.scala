@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.tsdb.RollupStore
+import graft.tsdb.RollupStore.RollupLayer
+import graft.tsdb.promql.{PromQL, PromQLContext}
+
+/** PromQL rollup routing ([[PromQLContext.rollups]]): a routed query
+  * must return BITWISE the raw-path answer (the exact-rollup
+  * invariant), route only under exact alignment + the res*5 ≤ range
+  * rule, and fall back to raw silently otherwise. The gate pair
+  * (ts_promql_rollup_*) pins routed-vs-DuckDB on driver data;
+  * these specs pin routed-vs-RAW equality per function and the
+  * fallback edges on a reset-bearing fixture.
+  */
+class PromQLRollupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private val base = 1704067200000L // 2024-01-01T00:00Z
+  private val HOUR = 3600000L
+
+  // two counter series over 12h, hourly-ish samples, one reset each
+  private lazy val m: DataFrame = {
+    val rows = for {
+      (series, phase) <- Seq(("a", 0), ("b", 17))
+      i <- 0 until 24
+    } yield {
+      val t = new Timestamp(base + i * 1800000L + phase * 60000L)
+      // resets at i==13: drop back near zero
+      val v = if (i < 13) 3.0 * i + phase else 2.5 * (i - 13) + 1
+      (series, t, v)
+    }
+    rows.toDF("series", "ts", "value")
+  }
+
+  private val layerPath = "/tmp/graft_promql_rollup_spec_1h"
+  private lazy val layers: Seq[RollupLayer] = {
+    RollupStore.write(m, layerPath, Seq("series"), "ts", "value", HOUR)
+    Seq(RollupLayer(layerPath, HOUR))
+  }
+
+  private def ctxAt(evalMs: Long, routed: Boolean) = PromQLContext(
+    metrics = Map("m" -> m),
+    labelCols = Seq("series"),
+    evalMs = evalMs,
+    lookbackMs = 300000L,
+    rollups = if (routed) Map("m" -> layers) else Map.empty)
+
+  private def collectBoth(q: String, evalMs: Long): (Seq[Row2], Seq[Row2]) = {
+    def get(routed: Boolean) =
+      PromQL.compile(q, ctxAt(evalMs, routed))
+        .select("series", "value").as[(String, Double)]
+        .collect.toSeq.sortBy(_._1)
+    (get(true), get(false))
+  }
+  private type Row2 = (String, Double)
+
+  private val alignedEval = base + 12 * HOUR
+
+  test("routed rate/increase are bitwise the raw answers") {
+    layers
+    for (fn <- Seq("rate", "increase")) {
+      val (routed, raw) = collectBoth(s"$fn(m[6h])", alignedEval)
+      assert(routed == raw, s"$fn diverged")
+      assert(routed.nonEmpty)
+    }
+  }
+
+  test("routed *_over_time family is bitwise the raw answers") {
+    layers
+    for (fn <- Seq("sum_over_time", "avg_over_time", "count_over_time",
+        "min_over_time", "max_over_time", "first_over_time",
+        "last_over_time", "ts_of_first_over_time", "ts_of_last_over_time")) {
+      val (routed, raw) = collectBoth(s"$fn(m[6h])", alignedEval)
+      assert(routed == raw, s"$fn diverged")
+      assert(routed.nonEmpty)
+    }
+  }
+
+  test("routing requires alignment and eligibility; fallback is silent") {
+    layers
+    def plansRollup(q: String, evalMs: Long): Boolean =
+      PromQL.compile(q, ctxAt(evalMs, routed = true))
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        .contains("graft_promql_rollup_spec")
+    // aligned + eligible (1h*5 <= 6h): routed
+    assert(plansRollup("rate(m[6h])", alignedEval))
+    // misaligned eval instant: raw
+    assert(!plansRollup("rate(m[6h])", alignedEval + 1))
+    // too-short range (1h*5 > 4h): raw
+    assert(!plansRollup("rate(m[4h])", alignedEval))
+    // misaligned range: raw
+    assert(!plansRollup("rate(m[90m])", alignedEval))
+    // and the fallbacks still answer
+    assert(PromQL.compile("rate(m[4h])", ctxAt(alignedEval, routed = true))
+      .count() > 0)
+    // stddev needs Σv² — never routed even when aligned
+    assert(!plansRollup("stddev_over_time(m[6h])", alignedEval))
+  }
+
+  test("grid mode: routed query_range matches raw step for step") {
+    layers
+    def grid(routed: Boolean) =
+      PromQL.compileRange("sum by (series) (rate(m[6h]))",
+          ctxAt(alignedEval, routed), base + 6 * HOUR, base + 12 * HOUR, HOUR)
+        .select("series", "step_ms", "value").as[(String, Long, Double)]
+        .collect.toSeq.sortBy(r => (r._1, r._2))
+    assert(grid(true) == grid(false))
+    assert(grid(true).nonEmpty)
+  }
+}
