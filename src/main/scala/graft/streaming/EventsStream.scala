@@ -151,9 +151,7 @@ object EventsStream {
   def windowedIncrease(events: Dataset[SeriesEvent], windowLenMs: Long,
       watermarkDelay: String): Dataset[WindowIncrease] = {
     import events.sparkSession.implicits._
-    require(windowLenMs > 0, "windowLenMs must be positive")
-
-    def seal(key: (String, Long), buf: WindowBuf): WindowIncrease = {
+    sealedWindows(events, windowLenMs, watermarkDelay) { (key, buf) =>
       // sort by (ts, value), not ts alone: samples sharing a timestamp
       // would otherwise keep ARRIVAL order, making the computed
       // increase nondeterministic across replays — and the batch
@@ -169,7 +167,19 @@ object EventsStream {
       WindowIncrease(key._1, key._2, new Timestamp(buf.windowStartMs),
         samples.length.toLong, increase, increase / (windowLenMs / 1000.0))
     }
+  }
 
+  /** The shared watermark-buffer-seal engine behind
+    * [[windowedIncrease]] and [[windowedRollup]]: buffer samples per
+    * (series, window) until the watermark passes the window end,
+    * then hand the buffer to `seal` exactly once.
+    */
+  private def sealedWindows[T: org.apache.spark.sql.Encoder](
+      events: Dataset[SeriesEvent], windowLenMs: Long,
+      watermarkDelay: String)(
+      seal: ((String, Long), WindowBuf) => T): Dataset[T] = {
+    import events.sparkSession.implicits._
+    require(windowLenMs > 0, "windowLenMs must be positive")
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(e => (e.event_type, e.user_id))
@@ -209,6 +219,84 @@ object EventsStream {
           }
         })
   }
+
+  /** One finalized rollup window of a series: the STREAMING form of
+    * [[graft.tsdb.RollupStore]]'s per-(series, window) row. `vsum`
+    * and `increase` accumulate exactly like the batch writer — each
+    * double quantized once at 8 dp (HALF_UP, Spark's double→decimal
+    * cast), summed losslessly — so a sealed window is BITWISE the
+    * row the batch rollup would produce from the same samples.
+    */
+  final case class RollupWindow(
+      event_type: String, user_id: Long, window_ms: Long, n: Long,
+      vsum: BigDecimal, vmin: Double, vmax: Double,
+      first_ts_ms: Long, first_v: Double, last_ts_ms: Long, last_v: Double,
+      increase: BigDecimal)
+
+  /** Watermarked per-series rollup maintenance — the streaming form
+    * of [[graft.tsdb.RollupStore.write]]: windows seal once when the
+    * watermark passes, with their samples replayed in (ts, value)
+    * order, so late-but-within-watermark arrivals land in the right
+    * place in the delta chain. Same bounded state as
+    * [[windowedIncrease]] (they share the buffer-seal engine).
+    */
+  def windowedRollup(events: Dataset[SeriesEvent], windowLenMs: Long,
+      watermarkDelay: String): Dataset[RollupWindow] = {
+    import events.sparkSession.implicits._
+    sealedWindows(events, windowLenMs, watermarkDelay) { (key, buf) =>
+      val samples = buf.tsMs.zip(buf.vals).sorted
+      def q(d: Double) = java.math.BigDecimal.valueOf(d)
+        .setScale(8, java.math.RoundingMode.HALF_UP)
+      var vsum = java.math.BigDecimal.ZERO
+      var inc = java.math.BigDecimal.ZERO
+      var vmin = Double.PositiveInfinity
+      var vmax = Double.NegativeInfinity
+      var i = 0
+      while (i < samples.length) {
+        val v = samples(i)._2
+        vsum = vsum.add(q(v))
+        if (v < vmin) vmin = v
+        if (v > vmax) vmax = v
+        if (i > 0) {
+          val prev = samples(i - 1)._2
+          inc = inc.add(q(if (v >= prev) v - prev else v))
+        }
+        i += 1
+      }
+      RollupWindow(key._1, key._2, buf.windowStartMs, samples.length.toLong,
+        BigDecimal(vsum), vmin, vmax,
+        samples.head._1, samples.head._2, samples.last._1, samples.last._2,
+        BigDecimal(inc))
+    }
+  }
+
+  /** Streaming sink maintaining a [[graft.tsdb.RollupStore]] layer:
+    * sealed windows append into the same bucketed decimal(30,8)
+    * layout the batch writer produces, so
+    * [[graft.tsdb.RollupStore.select]]/[[graft.tsdb.RollupStore.stitchedIncrease]]
+    * — and the PromQL front-end's rollup routing — read a live,
+    * continuously-growing layer with no rewrite step. Windows are
+    * immutable once sealed (append mode), the exactly-once contract
+    * parquet + checkpointing give every streaming sink here.
+    */
+  def toRollupLayer(events: Dataset[SeriesEvent], path: String,
+      checkpoint: String, windowLenMs: Long,
+      watermarkDelay: String): DataStreamWriter[Row] =
+    windowedRollup(events, windowLenMs, watermarkDelay).toDF()
+      .select(col("event_type"), col("user_id"), col("window_ms"),
+        col("n"),
+        col("vsum").cast("decimal(30,8)").as("vsum"),
+        col("vmin"), col("vmax"),
+        col("first_ts_ms"), col("first_v"),
+        col("last_ts_ms"), col("last_v"),
+        col("increase").cast("decimal(30,8)").as("increase"),
+        timestamp_millis(col("window_ms")).as("ts"))
+      .withColumn("bucket", graft.tsdb.TsdbConverter.bucketCol("ts", "1 day"))
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("bucket")
 
   /** Append-mode sink into the converter's bucketed layout. */
   def toBucketedParquet(events: DataFrame, path: String, checkpoint: String) =

@@ -310,4 +310,55 @@ class StreamingSpec extends SparkSpec {
       assert(cum == 23.0)
     } finally query.stop()
   }
+
+  test("toRollupLayer: streamed layer ≡ the batch RollupStore layer") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = s.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_rollup").toString
+    val fixture = Seq(
+      // hour 10: 1 -> 4 (+3); hour 11: reset 2 -> 9 (+7);
+      // a LATE 10:40 sample (3.0: +2 in-window, reorders the chain)
+      SeriesEvent(ts("2024-01-01 10:10:00"), "req", 1L, 1.0),
+      SeriesEvent(ts("2024-01-01 10:50:00"), "req", 1L, 4.0),
+      SeriesEvent(ts("2024-01-01 10:40:00"), "req", 1L, 3.0),
+      SeriesEvent(ts("2024-01-01 11:05:00"), "req", 1L, 2.0),
+      SeriesEvent(ts("2024-01-01 11:45:00"), "req", 1L, 9.0),
+      SeriesEvent(ts("2024-01-01 11:30:00"), "view", 2L, 5.0))
+    val mem = MemoryStream[SeriesEvent]
+    val query = EventsStream.toRollupLayer(mem.toDS(),
+      s"$root/layer", s"$root/ckpt",
+      windowLenMs = 3600000L, watermarkDelay = "10 minutes").start()
+    try {
+      mem.addData(fixture: _*)
+      query.processAllAvailable()
+      // advance the watermark far past every window end → all sealed
+      mem.addData(SeriesEvent(ts("2024-01-02 00:00:00"), "req", 1L, 0.0))
+      query.processAllAvailable()
+    } finally query.stop()
+    // batch layer over the SAME rows
+    graft.tsdb.RollupStore.write(fixture.toDS().toDF(),
+      s"$root/batch", Seq("event_type", "user_id"), "ts", "value", 3600000L)
+    val cols = Seq("event_type", "user_id", "window_ms", "n", "vsum",
+      "vmin", "vmax", "first_ts_ms", "first_v", "last_ts_ms", "last_v",
+      "increase")
+    def canon(path: String) = s.read.parquet(path)
+      // the 2024-01-02 watermark-advancer window only exists streamed
+      .filter(col("window_ms") < 1704153600000L)
+      .select(cols.head, cols.tail: _*)
+      .withColumn("vsum", col("vsum").cast("decimal(30,8)"))
+      .withColumn("increase", col("increase").cast("decimal(30,8)"))
+      .collect().map(_.toSeq).toSet
+    val streamed = canon(s"$root/layer")
+    assert(streamed == canon(s"$root/batch"))
+    assert(streamed.size == 3)
+    // and the streamed layer serves the standard read path
+    val inc = graft.tsdb.RollupStore.stitchedIncrease(s, s"$root/layer",
+        Seq("event_type", "user_id"), 1704096000000L, 1704153600000L)
+      .filter(col("event_type") === "req")
+      .select(col("increase")).as[Double].head()
+    // 1→3→4 (+3) | boundary 4→2 reset (+2) | 2→9 (+7) = 12
+    assert(inc == 12.0)
+  }
 }
