@@ -37,8 +37,10 @@ import org.apache.spark.sql.SparkSession
   * It also ships the SCALE-SLOPE columns: the `SPARK_GRAFT_SF1_TOP`
   * (default 10) heaviest queries PLUS the family representatives in
   * `SPARK_GRAFT_SF1_EXTRA` (default: a PromQL range-grid query, an
-  * NH block ingestion query, a wide-schema select and the reset-
-  * aware NH rate fold — families the heaviest-N set never samples)
+  * NH block ingestion query, a wide-schema select, the reset-aware
+  * NH rate fold, and the two rollup-layer paths — routed range rate
+  * and stitched increase — families the heaviest-N set never
+  * samples)
   * re-run one-per-child-JVM, heaviest
   * first, against a ×`SPARK_GRAFT_SF1_FACTOR` (default 10) replica
   * of the bench SF built by [[graft.tools.ScaleUp]] under /tmp
@@ -335,7 +337,8 @@ object Bench {
     // first)
     val sf1Extra = sys.env.getOrElse("SPARK_GRAFT_SF1_EXTRA",
         "ts_promql_range_rate,ts_tsdb_block_nh_select,ts_wide_select," +
-          "ts_promql_nh_reset_rate")
+          "ts_promql_nh_reset_rate,ts_promql_rollup_range_rate," +
+          "ts_rollup_increase")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
       .filter(n => results.exists { case (q, t) => q == n && t.isDefined })
     val sf1Names = {

@@ -429,7 +429,8 @@ object SparkEntry {
         col("vmin").as("min_v"), col("vmax").as("max_v"),
         col("first_ts_ms"), col("first_v"),
         col("last_ts_ms"), col("last_v"),
-        col("increase").cast("double").as("inc"))
+        col("increase").cast("double").as("inc"),
+        col("resets"), col("changes"))
       .orderBy("event_type", "user_id", "window_ms")
   }
 
@@ -513,6 +514,20 @@ object SparkEntry {
         stepMs = 432000000L)
       .select(col("event_type"), col("step_ms"), col("value").as("avg_sum"))
       .orderBy("event_type", "step_ms")
+
+  /** Routed `resets()`/`changes()`: the layer's stored per-window
+    * pair counts plus one boundary comparison per seam reproduce the
+    * raw lag fold's counts exactly — the oracle runs that raw fold.
+    */
+  private def tsPromqlRollupResets(s: SparkSession, dir: String): DataFrame = {
+    val ctx = promCtxRollup(s, dir)
+    def q(fn: String, as: String): DataFrame =
+      graft.tsdb.promql.PromQL.compile(s"$fn(events[5d])", ctx)
+        .select(col("event_type"), col("user_id"), col("value").as(as))
+    q("resets", "resets")
+      .join(q("changes", "changes"), Seq("event_type", "user_id"))
+      .orderBy("event_type", "user_id")
+  }
 
   private def tsTopkSeries(s: SparkSession, dir: String): DataFrame =
     PromOps.topKSeries(t(s, dir, "events"), Seq("event_type"),
@@ -3223,6 +3238,7 @@ object SparkEntry {
     "ts_rollup_route" -> (tsRollupRoute _),
     "ts_promql_rollup_range_rate" -> (tsPromqlRollupRangeRate _),
     "ts_promql_rollup_over_time" -> (tsPromqlRollupOverTime _),
+    "ts_promql_rollup_resets" -> (tsPromqlRollupResets _),
     "ts_topk_series" -> (tsTopkSeries _),
     "ts_count_values" -> (tsCountValues _),
     "ts_quantile" -> (tsQuantile _),
@@ -4061,7 +4077,11 @@ object SparkEntry {
         |  max(CASE WHEN d.ts = m.mxts THEN d.value END) AS last_v,
         |  CAST(sum(CAST(CASE WHEN d.pv IS NULL THEN 0
         |    WHEN d.value >= d.pv THEN d.value - d.pv
-        |    ELSE d.value END AS DECIMAL(30,8))) AS DOUBLE) AS inc
+        |    ELSE d.value END AS DECIMAL(30,8))) AS DOUBLE) AS inc,
+        |  CAST(sum(CASE WHEN d.pv IS NOT NULL AND d.value < d.pv
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS resets,
+        |  CAST(sum(CASE WHEN d.pv IS NOT NULL AND d.value <> d.pv
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS changes
         |FROM d JOIN m USING (event_type, user_id, window_ms)
         |GROUP BY d.event_type, d.user_id, d.window_ms, m.mnts, m.mxts
         |ORDER BY d.event_type, d.user_id, d.window_ms""".stripMargin,
@@ -4153,6 +4173,24 @@ object SparkEntry {
         |  CAST(sum(CAST(avg_v AS DECIMAL(30,8))) AS DOUBLE) AS avg_sum
         |FROM p GROUP BY 1, 2
         |ORDER BY event_type, step_ms""".stripMargin,
+    // routed resets/changes: the raw lag-fold counts over the same
+    // range the rollup path serves from stored pair counts + seams
+    "ts_promql_rollup_resets" ->
+      """WITH w AS (
+        |  SELECT event_type, user_id, ts, value
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-27' AND ts < TIMESTAMP '2024-02-01'),
+        |d AS (
+        |  SELECT *, lag(value) OVER (
+        |    PARTITION BY event_type, user_id ORDER BY ts, value) AS pv
+        |  FROM w)
+        |SELECT event_type, user_id,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND value < pv
+        |    THEN 1 ELSE 0 END) AS DOUBLE) AS resets,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND value <> pv
+        |    THEN 1 ELSE 0 END) AS DOUBLE) AS changes
+        |FROM d GROUP BY 1, 2
+        |ORDER BY event_type, user_id""".stripMargin,
     // routed downsample: straight from raw — the layer choice (1d
     // here) must be invisible in the values, only in bytes read
     "ts_rollup_route" ->

@@ -231,7 +231,7 @@ object EventsStream {
       event_type: String, user_id: Long, window_ms: Long, n: Long,
       vsum: BigDecimal, vmin: Double, vmax: Double,
       first_ts_ms: Long, first_v: Double, last_ts_ms: Long, last_v: Double,
-      increase: BigDecimal)
+      increase: BigDecimal, resets: Long, changes: Long)
 
   /** Watermarked per-series rollup maintenance — the streaming form
     * of [[graft.tsdb.RollupStore.write]]: windows seal once when the
@@ -251,6 +251,8 @@ object EventsStream {
       var inc = java.math.BigDecimal.ZERO
       var vmin = Double.PositiveInfinity
       var vmax = Double.NegativeInfinity
+      var resets = 0L
+      var changes = 0L
       var i = 0
       while (i < samples.length) {
         val v = samples(i)._2
@@ -260,13 +262,16 @@ object EventsStream {
         if (i > 0) {
           val prev = samples(i - 1)._2
           inc = inc.add(q(if (v >= prev) v - prev else v))
+          if (v < prev) resets += 1
+          // Spark-side `=!=` treats NaN==NaN as equal; mirror it
+          if (v != prev && !(v.isNaN && prev.isNaN)) changes += 1
         }
         i += 1
       }
       RollupWindow(key._1, key._2, buf.windowStartMs, samples.length.toLong,
         BigDecimal(vsum), vmin, vmax,
         samples.head._1, samples.head._2, samples.last._1, samples.last._2,
-        BigDecimal(inc))
+        BigDecimal(inc), resets, changes)
     }
   }
 
@@ -290,6 +295,7 @@ object EventsStream {
         col("first_ts_ms"), col("first_v"),
         col("last_ts_ms"), col("last_v"),
         col("increase").cast("decimal(30,8)").as("increase"),
+        col("resets"), col("changes"),
         timestamp_millis(col("window_ms")).as("ts"))
       .withColumn("bucket", graft.tsdb.TsdbConverter.bucketCol("ts", "1 day"))
       .writeStream

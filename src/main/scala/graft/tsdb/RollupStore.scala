@@ -82,6 +82,15 @@ object RollupStore {
         when(col("_prev").isNull, lit(0.0))
           .when(v >= col("_prev"), v - col("_prev"))
           .otherwise(v)) // counter reset: restart at the new value
+      // PromQL resets()/changes() pair predicates, stored per window
+      // so the routed functions reassemble exactly (same consecutive-
+      // pair decomposition as `increase`). `=!=` keeps Spark's
+      // NaN==NaN convention — the one upstream changes() uses (a
+      // NaN→NaN step is NOT a change).
+      .withColumn("_reset",
+        when(col("_prev").isNotNull && v < col("_prev"), 1L).otherwise(0L))
+      .withColumn("_chg",
+        when(col("_prev").isNotNull && v =!= col("_prev"), 1L).otherwise(0L))
       .groupBy((seriesCols.map(col) :+ col("_win").as("window_ms")): _*)
       .agg(
         count(lit(1)).as("n"),
@@ -90,12 +99,14 @@ object RollupStore {
         max(v).as("vmax"),
         min(sampleKey(v)).as("_f"),
         max(sampleKey(v)).as("_l"),
-        sum(col("_delta").cast(D)).cast(D).as("increase"))
+        sum(col("_delta").cast(D)).cast(D).as("increase"),
+        sum(col("_reset")).as("resets"),
+        sum(col("_chg")).as("changes"))
       .select((seriesCols.map(col) :+ col("window_ms") :+ col("n") :+
         col("vsum") :+ col("vmin") :+ col("vmax") :+
         col("_f._ms").as("first_ts_ms") :+ col("_f._v").as("first_v") :+
         col("_l._ms").as("last_ts_ms") :+ col("_l._v").as("last_v") :+
-        col("increase") :+
+        col("increase") :+ col("resets") :+ col("changes") :+
         timestamp_millis(col("window_ms")).as(tsCol)): _*)
     TsdbConverter.convert(rolled, path, tsCol,
       if (opts.sortBy.nonEmpty) opts else opts.copy(sortBy = seriesCols))
@@ -140,26 +151,72 @@ object RollupStore {
       seriesCols: Seq[String], mintMs: Long, maxtMs: Long,
       matchers: Seq[Matcher] = Nil): DataFrame = {
     val rows = select(spark, path, mintMs, maxtMs, matchers)
-    val win = struct(col("window_ms"), col("first_v"), col("last_v"),
-      col("increase"))
     rows.groupBy(seriesCols.map(col): _*)
-      .agg(sort_array(collect_list(win)).as("_w"),
+      .agg(sort_array(collect_list(windowStruct)).as("_w"),
         count(lit(1)).as("windows"))
-      .withColumn("increase",
-        aggregate(col("_w"),
-          struct(lit(null).cast("double").as("prev"),
-            lit(0).cast(D).as("acc")),
-          (s, x) => struct(
-            x.getField("last_v").as("prev"),
-            (s.getField("acc") + x.getField("increase") +
-              when(s.getField("prev").isNull, lit(0.0))
-                .when(x.getField("first_v") >= s.getField("prev"),
-                  x.getField("first_v") - s.getField("prev"))
-                .otherwise(x.getField("first_v"))
-                .cast(D)).cast(D).as("acc")),
-          s => s.getField("acc").cast("double")))
+      .withColumn("increase", increaseFold(col("_w")))
       .select((seriesCols.map(col) :+ col("increase") :+ col("windows")): _*)
   }
+
+  /** The window payload every stitch fold consumes — collect with
+    * `sort_array(collect_list(windowStruct))` so the fold walks
+    * windows in time order.
+    */
+  def windowStruct: Column = struct(col("window_ms"), col("first_v"),
+    col("last_v"), col("increase"), col("resets"), col("changes"))
+
+  /** The stitched-increase fold over a sorted [[windowStruct]]
+    * array: Σ within-window `increase` + the reset-aware boundary
+    * term per seam, decimal-accumulated, one final double cast.
+    */
+  def increaseFold(wins: Column): Column =
+    aggregate(wins,
+      struct(lit(null).cast("double").as("prev"),
+        lit(0).cast(D).as("acc")),
+      (s, x) => struct(
+        x.getField("last_v").as("prev"),
+        (s.getField("acc") + x.getField("increase") +
+          when(s.getField("prev").isNull, lit(0.0))
+            .when(x.getField("first_v") >= s.getField("prev"),
+              x.getField("first_v") - s.getField("prev"))
+            .otherwise(x.getField("first_v"))
+            .cast(D)).cast(D).as("acc")),
+      s => s.getField("acc").cast("double"))
+
+  /** The stitched resets/changes fold over a sorted [[windowStruct]]
+    * array: Σ within-window counts + one boundary comparison per
+    * seam. Returns struct(r, c) as longs.
+    */
+  def countsFold(wins: Column): Column =
+    aggregate(wins,
+      struct(lit(null).cast("double").as("prev"),
+        lit(0L).as("r"), lit(0L).as("c")),
+      (s, x) => struct(
+        x.getField("last_v").as("prev"),
+        (s.getField("r") + x.getField("resets") +
+          when(s.getField("prev").isNotNull &&
+            x.getField("first_v") < s.getField("prev"), 1L)
+            .otherwise(0L)).as("r"),
+        (s.getField("c") + x.getField("changes") +
+          when(s.getField("prev").isNotNull &&
+            x.getField("first_v") =!= s.getField("prev"), 1L)
+            .otherwise(0L)).as("c")))
+
+  /** PromQL `resets()`/`changes()` over the window-aligned range,
+    * reassembled from a rollup layer by the same consecutive-pair
+    * decomposition as [[stitchedIncrease]]: Σ within-window counts +
+    * one boundary comparison per window seam. Exact — the pair set
+    * is identical to the raw fold's.
+    */
+  def stitchedCounts(spark: SparkSession, path: String,
+      seriesCols: Seq[String], mintMs: Long, maxtMs: Long,
+      matchers: Seq[Matcher] = Nil): DataFrame =
+    select(spark, path, mintMs, maxtMs, matchers)
+      .groupBy(seriesCols.map(col): _*)
+      .agg(sort_array(collect_list(windowStruct)).as("_w"))
+      .withColumn("_acc", countsFold(col("_w")))
+      .select((seriesCols.map(col) :+ col("_acc.r").as("resets") :+
+        col("_acc.c").as("changes")): _*)
 
   /** One materialized layer: its storage path and window width. */
   final case class RollupLayer(path: String, resolutionMs: Long)

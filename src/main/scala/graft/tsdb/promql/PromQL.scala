@@ -774,14 +774,21 @@ object PromQL {
             hintCol = Some(HH))
           Right(stamped(d.withColumnRenamed("resets", "value"),
             ctx.labelCols))
-        case _ => Right(overRange(c, (df, ls, _) =>
-          PromOps.resets(df, ls, ctx.tsCol, ctx.valueCol, ctx.tieBreak)
-            .withColumn("value", col("resets").cast("double"))
-            .drop("resets")))
+        case _ => Right(rollupRangeVec(one(c, c.fn)) match {
+          case Some(rv) => rollupCounts(rv, "r")
+          case None => overRange(c, (df, ls, _) =>
+            PromOps.resets(df, ls, ctx.tsCol, ctx.valueCol, ctx.tieBreak)
+              .withColumn("value", col("resets").cast("double"))
+              .drop("resets"))
+        })
       }
-      case "changes" => Right(overRange(c, (df, ls, _) =>
-        PromOps.changes(df, ls, ctx.tsCol, ctx.valueCol, ctx.tieBreak)
-          .withColumn("value", col("changes").cast("double")).drop("changes")))
+      case "changes" => Right(rollupRangeVec(one(c, c.fn)) match {
+        case Some(rv) => rollupCounts(rv, "c")
+        case None => overRange(c, (df, ls, _) =>
+          PromOps.changes(df, ls, ctx.tsCol, ctx.valueCol, ctx.tieBreak)
+            .withColumn("value", col("changes").cast("double"))
+            .drop("changes"))
+      })
       case "deriv" => Right(overRange(c, (df, ls, start) =>
         PromOps.deriv(df, ls, ctx.tsCol, ctx.valueCol, originMs = start)
           .withColumnRenamed("deriv", "value")))
@@ -1014,11 +1021,24 @@ object PromQL {
       * identical production op order — bitwise the raw-path answer,
       * at windows-in-range rows per element instead of samples.
       */
+    /** Routed `resets()`/`changes()`: the stored per-window pair
+      * counts plus one boundary comparison per seam
+      * ([[graft.tsdb.RollupStore.countsFold]]) — the identical pair
+      * set the raw lag fold counts.
+      */
+    private def rollupCounts(rv: RollupRangeVec, field: String): Vec = {
+      val k = keys(rv.labels)
+      val out = rv.rows.groupBy(k.map(col): _*)
+        .agg(sort_array(collect_list(graft.tsdb.RollupStore.windowStruct))
+          .as("_w"))
+        .withColumn("value",
+          graft.tsdb.RollupStore.countsFold(col("_w"))
+            .getField(field).cast("double"))
+      stamped(out.select(k.map(col) :+ col("value"): _*), rv.labels)
+    }
+
     private def rollupExtrapolated(c: Expr.Call, rv: RollupRangeVec): Vec = {
       val k = keys(rv.labels)
-      val dec = "decimal(30,8)"
-      val win = struct(col("window_ms"), col("first_v"), col("last_v"),
-        col("increase"))
       val perElem = rv.rows.groupBy(k.map(col): _*)
         .agg(
           sum(col("n")).as("_n"),
@@ -1026,20 +1046,9 @@ object PromQL {
             col("first_v").as("_v"))).as("_f"),
           max(struct(col("window_ms"), col("last_ts_ms").as("_ms"),
             col("last_v").as("_v"))).as("_l"),
-          sort_array(collect_list(win)).as("_w"))
-        .withColumn("_inc",
-          aggregate(col("_w"),
-            struct(lit(null).cast("double").as("prev"),
-              lit(0).cast(dec).as("acc")),
-            (s, x) => struct(
-              x.getField("last_v").as("prev"),
-              (s.getField("acc") + x.getField("increase") +
-                when(s.getField("prev").isNull, lit(0.0))
-                  .when(x.getField("first_v") >= s.getField("prev"),
-                    x.getField("first_v") - s.getField("prev"))
-                  .otherwise(x.getField("first_v"))
-                  .cast(dec)).cast(dec).as("acc")),
-            s => s.getField("acc").cast("double")))
+          sort_array(collect_list(graft.tsdb.RollupStore.windowStruct))
+            .as("_w"))
+        .withColumn("_inc", graft.tsdb.RollupStore.increaseFold(col("_w")))
         .select(k.map(col) :+ col("_inc") :+
           col("_f._ms").as("_first_ms") :+ col("_f._v").as("_first_v") :+
           col("_l._ms").as("_last_ms") :+ col("_n"): _*)

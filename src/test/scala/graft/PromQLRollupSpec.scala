@@ -60,9 +60,9 @@ class PromQLRollupSpec extends SparkSpec {
 
   private val alignedEval = base + 12 * HOUR
 
-  test("routed rate/increase are bitwise the raw answers") {
+  test("routed rate/increase/resets/changes are bitwise the raw answers") {
     layers
-    for (fn <- Seq("rate", "increase")) {
+    for (fn <- Seq("rate", "increase", "resets", "changes")) {
       val (routed, raw) = collectBoth(s"$fn(m[6h])", alignedEval)
       assert(routed == raw, s"$fn diverged")
       assert(routed.nonEmpty)

@@ -342,7 +342,7 @@ class StreamingSpec extends SparkSpec {
       s"$root/batch", Seq("event_type", "user_id"), "ts", "value", 3600000L)
     val cols = Seq("event_type", "user_id", "window_ms", "n", "vsum",
       "vmin", "vmax", "first_ts_ms", "first_v", "last_ts_ms", "last_v",
-      "increase")
+      "increase", "resets", "changes")
     def canon(path: String) = s.read.parquet(path)
       // the 2024-01-02 watermark-advancer window only exists streamed
       .filter(col("window_ms") < 1704153600000L)
