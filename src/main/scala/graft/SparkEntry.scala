@@ -1285,11 +1285,11 @@ object SparkEntry {
     * straddling series, plain `cnt(d1) − cnt(d0)` otherwise. Exact
     * integers end to end; both bucket sides exercised.
     */
-  private def tsNhResetIncrease(s: SparkSession, dir: String): DataFrame = {
-    val inc = graft.tsdb.NativeHistogram.increaseBySignedResets(
-      nativeHistResetTable(s, dir), Seq("event_type", "user_id"),
-      "t_sec", "zero_count", "pos_idx", "pos_counts",
-      "neg_idx", "neg_counts")
+  /** Long-format explode of a signed NH increase frame — shared by
+    * the raw-walk gate and the rollup-stitched gate so both compare
+    * against the identical closed-form oracle shape.
+    */
+  private def explodeNhIncrease(inc: DataFrame): DataFrame =
     inc.select(col("event_type"), col("user_id"), col("dt_sec"),
         col("zero_inc"),
         explode(concat(
@@ -1302,6 +1302,33 @@ object SparkEntry {
         col("zero_inc"), col("b.side").as("side"), col("b.i").as("idx"),
         col("b.v").as("inc"))
       .orderBy("event_type", "user_id", "side", "idx")
+
+  private def tsNhResetIncrease(s: SparkSession, dir: String): DataFrame =
+    explodeNhIncrease(graft.tsdb.NativeHistogram.increaseBySignedResets(
+      nativeHistResetTable(s, dir), Seq("event_type", "user_id"),
+      "t_sec", "zero_count", "pos_idx", "pos_counts",
+      "neg_idx", "neg_counts"))
+
+  /** The same reset-aware NH increase REASSEMBLED from a 7-day NH
+    * rollup layer ([[tsdb.HistRollupStore.stitchedIncrease]]): the
+    * oracle is the identical closed form the raw-walk gate replays,
+    * so a hash match proves the within-window + boundary-step
+    * decomposition loses nothing — including the day-19740 restart,
+    * which lands INSIDE a window for some series and ON a boundary
+    * for others. At 100 TB this is the long-range NH rate path:
+    * windows-in-range rows per series instead of every sample.
+    */
+  private def tsNhRollupIncrease(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_nh_rollup_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+    fixtureOnce(s"nh_rollup:$dir") {
+      graft.tsdb.HistRollupStore.write(nativeHistResetTable(s, dir), path,
+        Seq("event_type", "user_id"), "t_sec", "zero_count",
+        "pos_idx", "pos_counts", "neg_idx", "neg_counts",
+        resolutionSec = 7L * 86400)
+    }
+    explodeNhIncrease(graft.tsdb.HistRollupStore.stitchedIncrease(
+      s, path, Seq("event_type", "user_id"),
+      mintSec = 19600L * 86400, maxtSec = 19800L * 86400))
   }
 
   /** `histogram_count(rate(nh_reset[40d]))` through the PromQL
@@ -3279,6 +3306,7 @@ object SparkEntry {
     "ts_native_hist_rate" -> (tsNativeHistRate _),
     "ts_native_hist_quantile_rate" -> (tsNativeHistQuantileRate _),
     "ts_nh_reset_increase" -> (tsNhResetIncrease _),
+    "ts_nh_rollup_increase" -> (tsNhRollupIncrease _),
     "ts_promql_nh_reset_rate" -> (tsPromqlNhResetRate _),
     "ts_promql_nh_resets" -> (tsPromqlNhResets _),
     "ts_tsdb_block_reset_cut" -> (tsTsdbBlockResetCut _),
@@ -5006,6 +5034,41 @@ object SparkEntry {
     // to the restarted counter's cnt(d1); single-regime series are
     // the plain monotone delta. Exact integers scaled per bucket.
     "ts_nh_reset_increase" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |series AS (
+        |  SELECT event_type, user_id,
+        |    user_id * 31 + length(event_type) AS sseed,
+        |    min(d) AS d0, max(d) AS d1,
+        |    max(CASE WHEN d < 19740 THEN d END) AS dpre
+        |  FROM days GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+        |base AS (
+        |  SELECT *,
+        |    CASE WHEN d0 < 19740 AND d1 >= 19740
+        |         THEN dpre*dpre - d0*d0 + (d1-19739)*(d1-19739)
+        |         WHEN d1 < 19740 THEN d1*d1 - d0*d0
+        |         ELSE (d1-19739)*(d1-19739) - (d0-19739)*(d0-19739)
+        |    END AS b
+        |  FROM series),
+        |buckets AS (
+        |  SELECT e.*, s.side, CAST(s.i AS INT) AS idx,
+        |    CASE WHEN s.side = 'p' THEN (sseed + s.i + 3) % 5
+        |         ELSE (sseed + s.i + 7) % 4 END AS k
+        |  FROM base e,
+        |    (SELECT 'p' AS side, i FROM unnest(range(-2, 5)) AS t(i)
+        |     UNION ALL
+        |     SELECT 'n' AS side, i FROM unnest(range(-1, 3)) AS t(i)) s)
+        |SELECT event_type, user_id,
+        |  CAST((d1 - d0) * 86400 AS DOUBLE) AS dt_sec,
+        |  CAST(b * (sseed % 3) AS DOUBLE) AS zero_inc,
+        |  side, idx, CAST(b * k AS DOUBLE) AS inc
+        |FROM buckets
+        |ORDER BY event_type, user_id, side, idx""".stripMargin,
+    // stitched-from-rollups NH increase: the SAME closed form —
+    // the decomposition must be invisible in the values
+    "ts_nh_rollup_increase" ->
       """WITH days AS (
         |  SELECT DISTINCT event_type, user_id,
         |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d

@@ -452,6 +452,37 @@ object NativeHistogram {
     * `gauge` suppress detection; `unknown` (or no hint column) falls
     * back to the component-decrease walk, Prometheus's own ladder.
     */
+  // ---- shared snapshot-walk primitives (the increase/resets folds
+  // and the rollup stitch all run the same per-step ladder) ----
+
+  private[tsdb] def hfAsMap(i: Column, c: Column): Column =
+    map_from_arrays(i, c)
+  private[tsdb] def hfEmptyMap: Column = map_from_arrays(
+    array().cast("array<int>"), array().cast("array<double>"))
+  /** A component decreased vs prev (missing cur key reads 0). */
+  private[tsdb] def hfDecreased(prevM: Column, curM: Column): Column =
+    exists(map_keys(prevM), k =>
+      coalesce(element_at(curM, k), lit(0.0)) < element_at(prevM, k))
+  private[tsdb] def hfMergeSum(a: Column, b: Column): Column =
+    map_zip_with(a, b, (_, x, y) =>
+      coalesce(x, lit(0.0)) + coalesce(y, lit(0.0)))
+  /** One side's per-step contribution: the whole cur histogram on
+    * reset, else cur − prev over cur's keys (no-reset ⇒ prev's keys
+    * all survive in cur, so cur's key set covers every delta).
+    */
+  private[tsdb] def hfStepDelta(curI: Column, curC: Column, prevM: Column,
+      reset: Column): Column =
+    map_from_arrays(curI,
+      when(reset, curC).otherwise(zip_with(curI, curC,
+        (ik, ck) => ck - coalesce(element_at(prevM, ik), lit(0.0)))))
+  /** The hint ladder: an explicit chunk header beats value
+    * comparison; `unknown` falls back to the detector.
+    */
+  private[tsdb] def hfResetFlag(hint: Column, detected: Column): Column =
+    when(hint === "counter_reset", lit(true))
+      .when(hint === "not_counter_reset" || hint === "gauge", lit(false))
+      .otherwise(detected)
+
   def increaseBySignedResets(df: DataFrame, seriesCols: Seq[String],
       tsSecCol: String, zeroCountCol: String, posIdxCol: String,
       posCountsCol: String, negIdxCol: String,
@@ -468,24 +499,13 @@ object NativeHistogram {
       .agg(sort_array(collect_list(snap)).as("_ss"))
       .filter(size(col("_ss")) >= 2)
 
-    def asMap(i: Column, c: Column): Column = map_from_arrays(i, c)
-    val emptyMap = map_from_arrays(
-      array().cast("array<int>"), array().cast("array<double>"))
-    // a component decreased vs prev (missing cur key reads 0)
+    def asMap(i: Column, c: Column): Column = hfAsMap(i, c)
+    val emptyMap = hfEmptyMap
     def decreased(prevM: Column, curM: Column): Column =
-      exists(map_keys(prevM), k =>
-        coalesce(element_at(curM, k), lit(0.0)) < element_at(prevM, k))
-    def mergeSum(a: Column, b: Column): Column =
-      map_zip_with(a, b, (_, x, y) =>
-        coalesce(x, lit(0.0)) + coalesce(y, lit(0.0)))
-    // one side's per-step contribution: the whole cur histogram on
-    // reset, else cur − prev over cur's keys (no-reset ⇒ prev's keys
-    // all survive in cur, so cur's key set covers every delta)
+      hfDecreased(prevM, curM)
+    def mergeSum(a: Column, b: Column): Column = hfMergeSum(a, b)
     def stepDelta(curI: Column, curC: Column, prevM: Column,
-        reset: Column): Column =
-      map_from_arrays(curI,
-        when(reset, curC).otherwise(zip_with(curI, curC,
-          (ik, ck) => ck - coalesce(element_at(prevM, ik), lit(0.0)))))
+        reset: Column): Column = hfStepDelta(curI, curC, prevM, reset)
 
     val first = element_at(col("_ss"), 1)
     val init = struct(
@@ -503,11 +523,7 @@ object NativeHistogram {
         val detected = (cur.getField("z") < prev.getField("z")) ||
           decreased(prev.getField("p"), curP) ||
           decreased(prev.getField("n"), curN)
-        // hint ladder: an explicit header beats value comparison
-        val reset = when(cur.getField("h") === "counter_reset", lit(true))
-          .when(cur.getField("h") === "not_counter_reset" ||
-            cur.getField("h") === "gauge", lit(false))
-          .otherwise(detected)
+        val reset = hfResetFlag(cur.getField("h"), detected)
         val dz = when(reset, cur.getField("z"))
           .otherwise(cur.getField("z") - prev.getField("z"))
         struct(
@@ -575,10 +591,7 @@ object NativeHistogram {
         val detected = (cur.getField("z") < prev.getField("z")) ||
           decreased(prev.getField("p"), curP) ||
           decreased(prev.getField("n"), curN)
-        val reset = when(cur.getField("h") === "counter_reset", lit(true))
-          .when(cur.getField("h") === "not_counter_reset" ||
-            cur.getField("h") === "gauge", lit(false))
-          .otherwise(detected)
+        val reset = hfResetFlag(cur.getField("h"), detected)
         struct(
           (acc.getField("n") + when(reset, lit(1L)).otherwise(lit(0L)))
             .as("n"),

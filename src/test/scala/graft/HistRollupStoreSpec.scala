@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.tsdb.{HistRollupStore, NativeHistogram}
+
+/** [[graft.tsdb.HistRollupStore]]: the stitched NH increase must
+  * equal the raw [[NativeHistogram.increaseBySignedResets]] walk on
+  * shapes the driver fixture cannot produce — a reset exactly ON a
+  * window boundary, a HINT-forced reset on a boundary (strictly
+  * increasing values, invisible to any value comparison), and
+  * single-sample windows whose stored increase is empty.
+  */
+class HistRollupStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val W = 100L // window seconds
+
+  // (series, t, z, i[], c[], ni[], nc[], hint)
+  private type Row8 = (String, Long, Double, Seq[Int], Seq[Double],
+    Seq[Int], Seq[Double], String)
+
+  private def df(rows: Seq[Row8]): DataFrame =
+    rows.toDF("series", "t_sec", "zero_count", "pos_idx", "pos_counts",
+      "neg_idx", "neg_counts", "hint")
+
+  private def raw(d: DataFrame): Set[Seq[Any]] =
+    NativeHistogram.increaseBySignedResets(d, Seq("series"), "t_sec",
+        "zero_count", "pos_idx", "pos_counts", "neg_idx", "neg_counts",
+        hintCol = Some("hint"))
+      .collect().map(_.toSeq).toSet
+
+  private def stitched(d: DataFrame, tag: String): Set[Seq[Any]] = {
+    val path = s"/tmp/graft_nh_rollup_spec_$tag"
+    HistRollupStore.write(d, path, Seq("series"), "t_sec", "zero_count",
+      "pos_idx", "pos_counts", "neg_idx", "neg_counts", W,
+      hintCol = Some("hint"))
+    HistRollupStore.stitchedIncrease(spark, path, Seq("series"), 0L, 1000L)
+      .collect().map(_.toSeq).toSet
+  }
+
+  test("value-visible reset ON a window boundary stitches exactly") {
+    // w0: grows 2→5 on bucket 0; w1 FIRST sample resets (bucket drops)
+    val rows: Seq[Row8] = Seq(
+      ("a", 10L, 1.0, Seq(0), Seq(2.0), Seq(), Seq(), "unknown"),
+      ("a", 60L, 1.0, Seq(0), Seq(5.0), Seq(), Seq(), "unknown"),
+      ("a", 110L, 0.0, Seq(0), Seq(1.0), Seq(), Seq(), "unknown"),
+      ("a", 160L, 2.0, Seq(0, 2), Seq(4.0, 3.0), Seq(), Seq(), "unknown"))
+    assert(stitched(df(rows), "boundary") == raw(df(rows)))
+  }
+
+  test("hint-forced reset on a boundary (values strictly increasing)") {
+    // w1's first sample carries counter_reset though every component
+    // GREW — only the header knows; a value-blind stitch under-counts
+    val rows: Seq[Row8] = Seq(
+      ("a", 10L, 0.0, Seq(1), Seq(4.0), Seq(), Seq(), "unknown"),
+      ("a", 110L, 0.0, Seq(1), Seq(9.0), Seq(), Seq(), "counter_reset"),
+      ("a", 160L, 0.0, Seq(1), Seq(11.0), Seq(), Seq(), "unknown"))
+    val r = raw(df(rows))
+    assert(stitched(df(rows), "hinted") == r)
+    // and the hint genuinely changed the answer: 4→9 reset adds 9
+    // whole, then +2 → 11 (a value-blind fold would say 7)
+    // row: (series, dt_sec, zero_inc, pos_idx, pos_inc, neg_idx, neg_inc)
+    val inc = r.head
+    assert(inc(4).asInstanceOf[scala.collection.Seq[Double]] == Seq(11.0))
+  }
+
+  test("single-sample windows carry empty increases but real boundaries") {
+    // every window holds ONE sample: all increase comes from seams
+    val rows: Seq[Row8] = Seq(
+      ("a", 10L, 0.0, Seq(0), Seq(3.0), Seq(-1), Seq(1.0), "unknown"),
+      ("a", 110L, 0.0, Seq(0), Seq(7.0), Seq(-1), Seq(2.0), "unknown"),
+      ("a", 210L, 0.0, Seq(0), Seq(2.0), Seq(-1), Seq(5.0), "unknown"))
+    assert(stitched(df(rows), "sparse") == raw(df(rows)))
+    // series with a lone sample overall must drop, like the raw walk
+    val lone: Seq[Row8] = rows :+
+      (("b", 10L, 0.0, Seq(0), Seq(1.0), Seq(), Seq(), "unknown"): Row8)
+    val st = stitched(df(lone), "lone")
+    assert(st == raw(df(lone)))
+    assert(!st.exists(_.head == "b"))
+  }
+}
