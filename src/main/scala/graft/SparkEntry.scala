@@ -1355,6 +1355,40 @@ object SparkEntry {
       .orderBy("event_type", "user_id")
   }
 
+  /** The same NH counter rate served FROM A 7-DAY ROLLUP LAYER
+    * through the string front-end ([[tsdb.HistRollupStore]] routing
+    * via `HistTable.rollups`): the 35d range/eval align to the 7d
+    * windows, so the stitched fold replaces the sample walk — and
+    * the oracle is the SAME closed form as the raw-walk gate, so
+    * the hash match proves routing is invisible in the values.
+    */
+  private def tsPromqlNhRollupRate(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_nh_rollup_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+    fixtureOnce(s"nh_rollup:$dir") {
+      graft.tsdb.HistRollupStore.write(nativeHistResetTable(s, dir), path,
+        Seq("event_type", "user_id"), "t_sec", "zero_count",
+        "pos_idx", "pos_counts", "neg_idx", "neg_counts",
+        resolutionSec = 7L * 86400)
+    }
+    val nh = nativeHistResetTable(s, dir)
+      .withColumn("ts", timestamp_seconds(col("t_sec")))
+    val ctx = graft.tsdb.promql.PromQLContext(
+      metrics = Map.empty,
+      labelCols = Seq("event_type", "user_id"),
+      evalMs = 1706745600000L, // 2024-02-01T00:00Z — a 7d multiple
+      lookbackMs = 40L * 86400000L,
+      histMetrics = Map("nh_reset" -> graft.tsdb.promql.HistTable(nh,
+        negIdxCol = Some("neg_idx"), negCountsCol = Some("neg_counts"),
+        rollups = Seq(graft.tsdb.RollupStore.RollupLayer(
+          path, 7L * 86400000L)))))
+    graft.tsdb.promql.PromQL.compile(
+        "histogram_count(rate(nh_reset[35d]))", ctx)
+      .select(col("event_type"),
+        col("user_id").cast("string").as("user_id"),
+        col("value").as("crate"))
+      .orderBy("event_type", "user_id")
+  }
+
   private def resetBlockPath(dir: String): String =
     "/tmp/graft_resetblock_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
 
@@ -3308,6 +3342,7 @@ object SparkEntry {
     "ts_nh_reset_increase" -> (tsNhResetIncrease _),
     "ts_nh_rollup_increase" -> (tsNhRollupIncrease _),
     "ts_promql_nh_reset_rate" -> (tsPromqlNhResetRate _),
+    "ts_promql_nh_rollup_rate" -> (tsPromqlNhRollupRate _),
     "ts_promql_nh_resets" -> (tsPromqlNhResets _),
     "ts_tsdb_block_reset_cut" -> (tsTsdbBlockResetCut _),
     "ts_promql_nh_hinted_rate" -> (tsPromqlNhHintedRate _),
@@ -5150,6 +5185,9 @@ object SparkEntry {
     // increase / dt folded in ascending-index cumulative order with
     // the consumer's ((zero + posFold) + negFold) association
     "ts_promql_nh_reset_rate" -> nhResetRateSql,
+    // rollup-routed NH rate: data-determined dt makes the closed
+    // form range-width-independent — shared oracle, layer invisible
+    "ts_promql_nh_rollup_rate" -> nhResetRateSql,
     // the same counter contract driven by the chunk HEADERS instead
     // of value detection (block bytes → withResetHint → hint-
     // trusting fold): headers and detection agree on this fixture by

@@ -619,6 +619,23 @@ object PlanAudit {
       if (!ok) failures ::= "ts_promql_rollup_range_rate: routing"
     }
 
+    // NH rollup routing: the aligned 35d NH rate must read the 7d NH
+    // rollup layer, never the raw events-derived sample table, and
+    // the stitch must stay a windowless aggregation fold.
+    locally {
+      val df = SparkEntry.queries("ts_promql_nh_rollup_rate")(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val onLayer = plan.contains("graft_nh_rollup_")
+      val noRaw = !plan.contains("events.parquet")
+      val noWin = !plan.contains("Window")
+      val ok = onLayer && noRaw && noWin
+      println(s"[audit] ts_promql_nh_rollup_rate :: NH rate served from " +
+        s"the 7d layer only: layer=$onLayer raw_absent=$noRaw " +
+        s"window=${!noWin} -> ${if (ok) "OK" else "FAIL"}")
+      if (!ok) failures ::= "ts_promql_nh_rollup_rate: routing"
+    }
+
     if (failures.nonEmpty) {
       println(s"\n[audit] FAILURES: ${failures.mkString("; ")}")
       sys.exit(1)

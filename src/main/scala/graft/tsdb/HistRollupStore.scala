@@ -123,9 +123,17 @@ object HistRollupStore {
     */
   def stitchedIncrease(spark: SparkSession, path: String,
       seriesCols: Seq[String], mintSec: Long, maxtSec: Long,
-      matchers: Seq[Matcher] = Nil): DataFrame = {
-    import NativeHistogram.{hfAsMap, hfDecreased, hfEmptyMap, hfMergeSum, hfResetFlag, hfStepDelta}
-    val rows = select(spark, path, mintSec, maxtSec, matchers)
+      matchers: Seq[Matcher] = Nil): DataFrame =
+    stitchedIncreaseOf(
+      select(spark, path, mintSec, maxtSec, matchers), seriesCols)
+
+  /** [[stitchedIncrease]] over an already-selected windows frame,
+    * grouped by arbitrary key columns — the PromQL front-end routes
+    * grid queries through this with the step key appended.
+    */
+  def stitchedIncreaseOf(rows: DataFrame,
+      seriesCols: Seq[String]): DataFrame = {
+    import NativeHistogram.{hfAsMap, hfDecreased, hfMergeSum, hfResetFlag, hfStepDelta}
     val winStruct = struct(col("window_sec"), col("n"),
       struct(col("f_t").as("t"), col("f_z").as("z"), col("f_i").as("i"),
         col("f_c").as("c"), col("f_ni").as("ni"), col("f_nc").as("nc"),

@@ -95,7 +95,12 @@ final case class HistTable(
     // so it rides the expressions instead of every row. Bucket
     // index i addresses customValues(i); there is no zero bucket
     // and no negative side.
-    customValues: Seq[Double] = Nil) {
+    customValues: Seq[Double] = Nil,
+    // materialized NH rollup layers ([[graft.tsdb.HistRollupStore]]):
+    // aligned rate/increase ranges are served from the coarsest
+    // eligible layer's stitched fold instead of raw samples — same
+    // routing/alignment rules as [[PromQLContext.rollups]].
+    rollups: Seq[graft.tsdb.RollupStore.RollupLayer] = Nil) {
   require(negIdxCol.isDefined == negCountsCol.isDefined,
     "negIdxCol and negCountsCol must be passed together")
   require(customValues.isEmpty || negIdxCol.isEmpty,
@@ -1406,13 +1411,45 @@ object PromQL {
       * vector carries no sum, so histogram_sum/avg/stddev over a
       * rate fail loudly.
       */
+    /** NH rollup routing (the [[rollupRangeVec]] rules with the
+      * layer's resolution in ms): windows-in-range rows from the
+      * coarsest aligned eligible layer, or None → raw samples.
+      */
+    private def histRollupWins(sel: Expr.Selector, ht: HistTable,
+        rangeMs: Long): Option[DataFrame] = {
+      if (ht.rollups.isEmpty) return None
+      val at = resolveAt(sel.at)
+      def aligned(res: Long): Boolean =
+        rangeMs % res == 0 && ((grid, at) match {
+          case (Some(g), None) =>
+            (g.startMs - sel.offsetMs) % res == 0 && g.stepMs % res == 0
+          case (_, a) =>
+            (a.getOrElse(ctx.evalMs) - sel.offsetMs) % res == 0
+        })
+      ht.rollups
+        .filter(l => l.resolutionMs * 5 <= rangeMs && aligned(l.resolutionMs))
+        .sortBy(-_.resolutionMs).headOption
+        .map { layer =>
+          rangeRowsBy(sel, rangeMs, (s, e) =>
+            graft.tsdb.HistRollupStore
+              .select(sparkOf, layer.path, s / 1000L, e / 1000L,
+                sel.matchers)
+              .withColumn(TS, col("window_sec") * 1000L))
+        }
+    }
+
     private def histRate(sel: Expr.Selector, ht: HistTable, rangeMs: Long,
         increase: Boolean): HVec = {
-      val rows = rangeRowsBy(sel, rangeMs, scanHistRows(sel, ht, _, _))
-        .withColumn("_h_tsec", col(TS) / lit(1000.0))
       val k = keys(ctx.labelCols)
-      val inc = graft.tsdb.NativeHistogram.increaseBySignedResets(rows, k,
-        "_h_tsec", HZ, HI, HC, HNI, HNC, hintCol = Some(HH))
+      val inc = histRollupWins(sel, ht, rangeMs) match {
+        case Some(wins) =>
+          graft.tsdb.HistRollupStore.stitchedIncreaseOf(wins, k)
+        case None =>
+          val rows = rangeRowsBy(sel, rangeMs, scanHistRows(sel, ht, _, _))
+            .withColumn("_h_tsec", col(TS) / lit(1000.0))
+          graft.tsdb.NativeHistogram.increaseBySignedResets(rows, k,
+            "_h_tsec", HZ, HI, HC, HNI, HNC, hintCol = Some(HH))
+      }
       def sc(c: Column): Column = if (increase) c else c / col("dt_sec")
       val df = inc.select(k.map(col) :+
         sc(col("zero_inc")).as(HZ) :+

@@ -65,6 +65,43 @@ class HistRollupStoreSpec extends SparkSpec {
     assert(inc(4).asInstanceOf[scala.collection.Seq[Double]] == Seq(11.0))
   }
 
+  test("PromQL NH rollup routing: routed ≡ raw, misaligned falls back") {
+    import graft.tsdb.promql.{HistTable, PromQL, PromQLContext}
+    val rows: Seq[Row8] = Seq(
+      ("a", 10L, 0.0, Seq(0), Seq(2.0), Seq(), Seq(), "unknown"),
+      ("a", 110L, 0.0, Seq(0), Seq(5.0), Seq(), Seq(), "unknown"),
+      ("a", 310L, 0.0, Seq(0), Seq(1.0), Seq(), Seq(), "unknown"),
+      ("a", 410L, 0.0, Seq(0), Seq(4.0), Seq(), Seq(), "unknown"))
+    val d = df(rows).withColumn("ts", timestamp_seconds(col("t_sec")))
+    val path = "/tmp/graft_nh_rollup_spec_promql"
+    HistRollupStore.write(df(rows), path, Seq("series"), "t_sec",
+      "zero_count", "pos_idx", "pos_counts", "neg_idx", "neg_counts", W,
+      hintCol = Some("hint"))
+    def ctx(layers: Boolean) = PromQLContext(
+      metrics = Map.empty, labelCols = Seq("series"),
+      evalMs = 1000L * 1000L, lookbackMs = 2000000L,
+      histMetrics = Map("m" -> HistTable(d,
+        negIdxCol = Some("neg_idx"), negCountsCol = Some("neg_counts"),
+        rollups = if (layers)
+          Seq(graft.tsdb.RollupStore.RollupLayer(path, W * 1000L))
+        else Nil)))
+    def run(q: String, layers: Boolean) =
+      PromQL.compile(q, ctx(layers)).collect().map(_.toSeq).toSet
+    // eval 1000s, range 1000s: aligned to 100s windows, 5×100 ≤ 1000
+    val q = "histogram_count(increase(m[1000s]))"
+    assert(run(q, true) == run(q, false))
+    assert(run(q, true).nonEmpty)
+    def plan(q2: String) = PromQL.compile(q2, ctx(true))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(plan(q).contains("graft_nh_rollup_spec_promql"))
+    // misaligned range (150s % 100s ≠ 0) and too-short range fall back
+    assert(!plan("histogram_count(increase(m[150s]))")
+      .contains("graft_nh_rollup_spec_promql"))
+    assert(!plan("histogram_count(increase(m[400s]))")
+      .contains("graft_nh_rollup_spec_promql"))
+  }
+
   test("single-sample windows carry empty increases but real boundaries") {
     // every window holds ONE sample: all increase comes from seams
     val rows: Seq[Row8] = Seq(
