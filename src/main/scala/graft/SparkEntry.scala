@@ -468,6 +468,35 @@ object SparkEntry {
       .orderBy("event_type", "step_ms")
   }
 
+  /** The 1-day layer built FROM THE 1-HOUR LAYER instead of raw —
+    * the layer cascade ([[tsdb.RollupStore.writeFrom]], Thanos
+    * compact's 5m→1h maintenance shape: coarser layers never rescan
+    * raw). The oracle is the SAME raw lag-fold replay the direct
+    * roundtrip gate uses, so a hash match proves the cascade loses
+    * nothing: decimal sums re-associate exactly, boundary samples
+    * carry over from the seam windows, and increase/resets/changes
+    * reassemble from within-fine-window terms + seam pairs — the
+    * identical pair set the raw fold walks.
+    */
+  private def tsRollupCascade(s: SparkSession, dir: String): DataFrame = {
+    rollupFixture(s, dir)
+    val p = rollupPath(dir, "1d_cascade")
+    fixtureOnce(s"rollup_cascade:$dir") {
+      RollupStore.writeFrom(s, rollupPath(dir, "1h"), p,
+        Seq("event_type", "user_id"), "ts",
+        fineResolutionMs = 3600000L, resolutionMs = 86400000L)
+    }
+    RollupStore.read(s, p)
+      .select(col("event_type"), col("user_id"), col("window_ms"),
+        col("n"), col("vsum").cast("double").as("sum_v"),
+        col("vmin").as("min_v"), col("vmax").as("max_v"),
+        col("first_ts_ms"), col("first_v"),
+        col("last_ts_ms"), col("last_v"),
+        col("increase").cast("double").as("inc"),
+        col("resets"), col("changes"))
+      .orderBy("event_type", "user_id", "window_ms")
+  }
+
   /** [[promCtx]] with the rollup layers registered: the PromQL
     * front-end routes aligned range arguments to the coarsest
     * eligible layer ([[graft.tsdb.promql.PromQLContext.rollups]]).
@@ -1329,6 +1358,35 @@ object SparkEntry {
     explodeNhIncrease(graft.tsdb.HistRollupStore.stitchedIncrease(
       s, path, Seq("event_type", "user_id"),
       mintSec = 19600L * 86400, maxtSec = 19800L * 86400))
+  }
+
+  /** A 14-day NH layer CASCADED from the 7-day one
+    * ([[tsdb.HistRollupStore.writeFrom]] — coarser layers never
+    * rescan raw), then stitched over a 14d-aligned range covering
+    * every sample. The oracle is the identical closed form the raw
+    * walk and the 7d-stitched gate replay, so a hash match proves
+    * the cascade composes the increase maps, boundary snapshots and
+    * hints losslessly — including the day-19740 restart, which the
+    * 7d→14d regrouping moves from a window seam INTO a coarse
+    * window for some series.
+    */
+  private def tsNhRollupCascade(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_nh_rollup_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+    fixtureOnce(s"nh_rollup:$dir") {
+      graft.tsdb.HistRollupStore.write(nativeHistResetTable(s, dir), path,
+        Seq("event_type", "user_id"), "t_sec", "zero_count",
+        "pos_idx", "pos_counts", "neg_idx", "neg_counts",
+        resolutionSec = 7L * 86400)
+    }
+    val casc = path + "_14d"
+    fixtureOnce(s"nh_rollup_cascade:$dir") {
+      graft.tsdb.HistRollupStore.writeFrom(s, path, casc,
+        Seq("event_type", "user_id"),
+        fineResolutionSec = 7L * 86400, resolutionSec = 14L * 86400)
+    }
+    explodeNhIncrease(graft.tsdb.HistRollupStore.stitchedIncrease(
+      s, casc, Seq("event_type", "user_id"),
+      mintSec = 19600L * 86400, maxtSec = 19796L * 86400))
   }
 
   /** `histogram_count(rate(nh_reset[40d]))` through the PromQL
@@ -3297,6 +3355,7 @@ object SparkEntry {
     "ts_rollup_roundtrip" -> (tsRollupRoundtrip _),
     "ts_rollup_increase" -> (tsRollupIncrease _),
     "ts_rollup_route" -> (tsRollupRoute _),
+    "ts_rollup_cascade" -> (tsRollupCascade _),
     "ts_promql_rollup_range_rate" -> (tsPromqlRollupRangeRate _),
     "ts_promql_rollup_over_time" -> (tsPromqlRollupOverTime _),
     "ts_promql_rollup_resets" -> (tsPromqlRollupResets _),
@@ -3341,6 +3400,7 @@ object SparkEntry {
     "ts_native_hist_quantile_rate" -> (tsNativeHistQuantileRate _),
     "ts_nh_reset_increase" -> (tsNhResetIncrease _),
     "ts_nh_rollup_increase" -> (tsNhRollupIncrease _),
+    "ts_nh_rollup_cascade" -> (tsNhRollupCascade _),
     "ts_promql_nh_reset_rate" -> (tsPromqlNhResetRate _),
     "ts_promql_nh_rollup_rate" -> (tsPromqlNhRollupRate _),
     "ts_promql_nh_resets" -> (tsPromqlNhResets _),
@@ -4117,6 +4177,41 @@ object SparkEntry {
     // — lag deltas under reset semantics ordered (ts, value), decimal
     // -exact sums, boundary samples by the same (ts, value) tiebreak
     "ts_rollup_roundtrip" ->
+      """WITH w AS (
+        |  SELECT event_type, user_id, ts, value,
+        |    (epoch_ms(ts) // 86400000) * 86400000 AS window_ms
+        |  FROM events),
+        |d AS (
+        |  SELECT *, lag(value) OVER (
+        |    PARTITION BY event_type, user_id, window_ms
+        |    ORDER BY ts, value) AS pv
+        |  FROM w),
+        |m AS (
+        |  SELECT event_type, user_id, window_ms,
+        |    min(ts) AS mnts, max(ts) AS mxts
+        |  FROM w GROUP BY 1, 2, 3)
+        |SELECT d.event_type, d.user_id, d.window_ms,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(d.value AS DECIMAL(30,8))) AS DOUBLE) AS sum_v,
+        |  min(d.value) AS min_v, max(d.value) AS max_v,
+        |  epoch_ms(m.mnts) AS first_ts_ms,
+        |  min(CASE WHEN d.ts = m.mnts THEN d.value END) AS first_v,
+        |  epoch_ms(m.mxts) AS last_ts_ms,
+        |  max(CASE WHEN d.ts = m.mxts THEN d.value END) AS last_v,
+        |  CAST(sum(CAST(CASE WHEN d.pv IS NULL THEN 0
+        |    WHEN d.value >= d.pv THEN d.value - d.pv
+        |    ELSE d.value END AS DECIMAL(30,8))) AS DOUBLE) AS inc,
+        |  CAST(sum(CASE WHEN d.pv IS NOT NULL AND d.value < d.pv
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS resets,
+        |  CAST(sum(CASE WHEN d.pv IS NOT NULL AND d.value <> d.pv
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS changes
+        |FROM d JOIN m USING (event_type, user_id, window_ms)
+        |GROUP BY d.event_type, d.user_id, d.window_ms, m.mnts, m.mxts
+        |ORDER BY d.event_type, d.user_id, d.window_ms""".stripMargin,
+    // the CASCADED 1d layer (built from the 1h layer, raw never
+    // rescanned) must replay the identical raw lag fold — same SQL
+    // as the direct roundtrip gate by design
+    "ts_rollup_cascade" ->
       """WITH w AS (
         |  SELECT event_type, user_id, ts, value,
         |    (epoch_ms(ts) // 86400000) * 86400000 AS window_ms
@@ -5104,6 +5199,41 @@ object SparkEntry {
     // stitched-from-rollups NH increase: the SAME closed form —
     // the decomposition must be invisible in the values
     "ts_nh_rollup_increase" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |series AS (
+        |  SELECT event_type, user_id,
+        |    user_id * 31 + length(event_type) AS sseed,
+        |    min(d) AS d0, max(d) AS d1,
+        |    max(CASE WHEN d < 19740 THEN d END) AS dpre
+        |  FROM days GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+        |base AS (
+        |  SELECT *,
+        |    CASE WHEN d0 < 19740 AND d1 >= 19740
+        |         THEN dpre*dpre - d0*d0 + (d1-19739)*(d1-19739)
+        |         WHEN d1 < 19740 THEN d1*d1 - d0*d0
+        |         ELSE (d1-19739)*(d1-19739) - (d0-19739)*(d0-19739)
+        |    END AS b
+        |  FROM series),
+        |buckets AS (
+        |  SELECT e.*, s.side, CAST(s.i AS INT) AS idx,
+        |    CASE WHEN s.side = 'p' THEN (sseed + s.i + 3) % 5
+        |         ELSE (sseed + s.i + 7) % 4 END AS k
+        |  FROM base e,
+        |    (SELECT 'p' AS side, i FROM unnest(range(-2, 5)) AS t(i)
+        |     UNION ALL
+        |     SELECT 'n' AS side, i FROM unnest(range(-1, 3)) AS t(i)) s)
+        |SELECT event_type, user_id,
+        |  CAST((d1 - d0) * 86400 AS DOUBLE) AS dt_sec,
+        |  CAST(b * (sseed % 3) AS DOUBLE) AS zero_inc,
+        |  side, idx, CAST(b * k AS DOUBLE) AS inc
+        |FROM buckets
+        |ORDER BY event_type, user_id, side, idx""".stripMargin,
+    // cascaded 14d-from-7d layer, stitched: the SAME closed form
+    // again — the cascade must be invisible in the values
+    "ts_nh_rollup_cascade" ->
       """WITH days AS (
         |  SELECT DISTINCT event_type, user_id,
         |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d

@@ -127,35 +127,39 @@ object HistRollupStore {
     stitchedIncreaseOf(
       select(spark, path, mintSec, maxtSec, matchers), seriesCols)
 
-  /** [[stitchedIncrease]] over an already-selected windows frame,
-    * grouped by arbitrary key columns — the PromQL front-end routes
-    * grid queries through this with the step key appended.
+  /** The per-window payload every stitch and cascade consumes —
+    * collect with `sort_array(collect_list(winStruct))` so folds
+    * walk windows in time order (window_sec leads and is unique per
+    * (series, window) group).
     */
-  def stitchedIncreaseOf(rows: DataFrame,
-      seriesCols: Seq[String]): DataFrame = {
+  private def winStruct: Column = struct(col("window_sec"), col("n"),
+    struct(col("f_t").as("t"), col("f_z").as("z"), col("f_i").as("i"),
+      col("f_c").as("c"), col("f_ni").as("ni"), col("f_nc").as("nc"),
+      col("f_h").as("h")).as("f"),
+    struct(col("l_t").as("t"), col("l_z").as("z"), col("l_i").as("i"),
+      col("l_c").as("c"), col("l_ni").as("ni"), col("l_nc").as("nc"))
+      .as("l"),
+    col("zero_inc"), col("pos_idx"), col("pos_inc"),
+    col("neg_idx"), col("neg_inc"))
+
+  /** The stitched fold over a sorted [[winStruct]] array: seed with
+    * window 1's stored increase maps, then per window add the
+    * boundary step (previous window's LAST snapshot → this window's
+    * FIRST, the identical detect-or-hint ladder the raw walk runs)
+    * plus the window's stored maps. Returns struct(z, p, n, prev).
+    * Exact for integral bucket counts; float histograms re-associate
+    * double additions across windows (module-doc caveat).
+    */
+  private def foldWindows(warr: Column): Column = {
     import NativeHistogram.{hfAsMap, hfDecreased, hfMergeSum, hfResetFlag, hfStepDelta}
-    val winStruct = struct(col("window_sec"), col("n"),
-      struct(col("f_t").as("t"), col("f_z").as("z"), col("f_i").as("i"),
-        col("f_c").as("c"), col("f_ni").as("ni"), col("f_nc").as("nc"),
-        col("f_h").as("h")).as("f"),
-      struct(col("l_t").as("t"), col("l_z").as("z"), col("l_i").as("i"),
-        col("l_c").as("c"), col("l_ni").as("ni"), col("l_nc").as("nc"))
-        .as("l"),
-      col("zero_inc"), col("pos_idx"), col("pos_inc"),
-      col("neg_idx"), col("neg_inc"))
-    val series = rows.groupBy(seriesCols.map(col): _*)
-      .agg(sort_array(collect_list(winStruct)).as("_w"),
-        sum(col("n")).as("_n"))
-      .filter(col("_n") >= 2)
-    val first = element_at(col("_w"), 1)
-    // seed with window 1's stored increase; prev = its last snapshot
+    val first = element_at(warr, 1)
     val init = struct(
       first.getField("zero_inc").as("z"),
       hfAsMap(first.getField("pos_idx"), first.getField("pos_inc")).as("p"),
       hfAsMap(first.getField("neg_idx"), first.getField("neg_inc")).as("n"),
       first.getField("l").as("prev"))
-    val folded = aggregate(
-      slice(col("_w"), lit(2), size(col("_w")) - 1), init,
+    aggregate(
+      slice(warr, lit(2), size(warr) - 1), init,
       (acc, w) => {
         val prev = acc.getField("prev")
         val f = w.getField("f")
@@ -181,7 +185,81 @@ object HistRollupStore {
             hfAsMap(w.getField("neg_idx"), w.getField("neg_inc"))).as("n"),
           w.getField("l").as("prev"))
       })
-    val withF = series.withColumn("_f2", folded)
+  }
+
+  /** Build a COARSER NH rollup layer from a finer one — the layer
+    * cascade ([[RollupStore.writeFrom]]'s NH twin; Thanos compact
+    * never rescans raw to build 1h from 5m). All stored columns
+    * compose: `n` sums, the coarse boundary snapshots are the
+    * earliest/latest fine windows' snapshots (windows partition
+    * time), and the increase maps reassemble as window 1's stored
+    * maps ⊕ (boundary step ⊕ stored maps) per subsequent fine window
+    * — exactly [[foldWindows]], the same decomposition
+    * [[stitchedIncrease]] already proves against the raw walk.
+    * Exact for integral bucket counts (standard native histograms);
+    * float histograms re-associate double additions across fine
+    * windows — the module-doc caveat, inherited unchanged.
+    *
+    * One narrow map + one partial-aggregating shuffle at coarse
+    * (series, window) grain; the fold buffer holds fine-windows-per-
+    * coarse-window structs, never corpus size.
+    */
+  def writeFrom(spark: SparkSession, finePath: String, path: String,
+      seriesCols: Seq[String], fineResolutionSec: Long,
+      resolutionSec: Long, opts: ConvertOptions = ConvertOptions(Nil)): Unit = {
+    require(fineResolutionSec > 0 && resolutionSec > fineResolutionSec,
+      s"coarse resolution $resolutionSec must exceed fine $fineResolutionSec")
+    require(resolutionSec % fineResolutionSec == 0,
+      s"coarse resolution $resolutionSec must be a multiple of " +
+        s"$fineResolutionSec or fine windows would straddle coarse seams")
+    val fSnap = struct(col("f_t").as("t"), col("f_z").as("z"),
+      col("f_i").as("i"), col("f_c").as("c"), col("f_ni").as("ni"),
+      col("f_nc").as("nc"), col("f_h").as("h"))
+    val lSnap = struct(col("l_t").as("t"), col("l_z").as("z"),
+      col("l_i").as("i"), col("l_c").as("c"), col("l_ni").as("ni"),
+      col("l_nc").as("nc"))
+    val grouped = spark.read.parquet(finePath)
+      .withColumn("_cw",
+        (floor(col("window_sec") / resolutionSec) * resolutionSec)
+          .cast("long"))
+      .groupBy((seriesCols.map(col) :+ col("_cw")): _*)
+      .agg(sum(col("n")).as("n"),
+        min(fSnap).as("_f"), max(lSnap).as("_l"),
+        sort_array(collect_list(winStruct)).as("_w"))
+      .withColumn("_f2", foldWindows(col("_w")))
+    val posIdx = array_sort(map_keys(col("_f2.p")))
+    val negIdx = array_sort(map_keys(col("_f2.n")))
+    val rolled = grouped.select((seriesCols.map(col) :+
+      col("_cw").as("window_sec") :+ col("n") :+
+      col("_f.t").as("f_t") :+ col("_f.z").as("f_z") :+
+      col("_f.i").as("f_i") :+ col("_f.c").as("f_c") :+
+      col("_f.ni").as("f_ni") :+ col("_f.nc").as("f_nc") :+
+      col("_f.h").as("f_h") :+
+      col("_l.t").as("l_t") :+ col("_l.z").as("l_z") :+
+      col("_l.i").as("l_i") :+ col("_l.c").as("l_c") :+
+      col("_l.ni").as("l_ni") :+ col("_l.nc").as("l_nc") :+
+      col("_f2.z").as("zero_inc") :+
+      posIdx.as("pos_idx") :+
+      transform(posIdx, k => element_at(col("_f2.p"), k)).as("pos_inc") :+
+      negIdx.as("neg_idx") :+
+      transform(negIdx, k => element_at(col("_f2.n"), k)).as("neg_inc") :+
+      timestamp_seconds(col("_cw")).as("ts")): _*)
+    TsdbConverter.convert(rolled, path, "ts",
+      if (opts.sortBy.nonEmpty) opts else opts.copy(sortBy = seriesCols))
+  }
+
+  /** [[stitchedIncrease]] over an already-selected windows frame,
+    * grouped by arbitrary key columns — the PromQL front-end routes
+    * grid queries through this with the step key appended.
+    */
+  def stitchedIncreaseOf(rows: DataFrame,
+      seriesCols: Seq[String]): DataFrame = {
+    val series = rows.groupBy(seriesCols.map(col): _*)
+      .agg(sort_array(collect_list(winStruct)).as("_w"),
+        sum(col("n")).as("_n"))
+      .filter(col("_n") >= 2)
+    val first = element_at(col("_w"), 1)
+    val withF = series.withColumn("_f2", foldWindows(col("_w")))
     val dt = (element_at(col("_w"), -1).getField("l").getField("t") -
       first.getField("f").getField("t")).cast("double")
     val posIdx = array_sort(map_keys(col("_f2.p")))

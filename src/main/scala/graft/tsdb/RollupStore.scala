@@ -115,6 +115,68 @@ object RollupStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Build a COARSER rollup layer from a finer one — the layer
+    * cascade (Thanos compact builds 1h aggr chunks from the 5m ones,
+    * never rescanning raw; docs/components/compact.md). At 100 TB
+    * this is the only sane maintenance shape: the 1h build reads the
+    * 5m layer (~1/20th of raw at 15 s scrapes), and every coarser
+    * layer gets cheaper still.
+    *
+    * The cascade is EXACT — bitwise the layer a direct raw build
+    * produces — because every stored column composes losslessly:
+    * `n`/`vmin`/`vmax` trivially; `vsum` is the order-exact decimal
+    * accumulator; the boundary samples of the coarse window are the
+    * first/last of its earliest/latest nonempty fine windows (fine
+    * windows partition time, so no cross-window ties exist); and
+    * `increase`/`resets`/`changes` obey the consecutive-pair
+    * decomposition — pairs within the coarse window = pairs within
+    * fine windows + one boundary pair per interior seam, each
+    * boundary term the identical IEEE double the raw lag fold
+    * computes, decimal-accumulated. [[CascadeSpec]] pins
+    * cascade ≡ direct on collected rows; the `ts_rollup_cascade`
+    * gate pins cascade ≡ the raw-fold DuckDB oracle.
+    *
+    * One narrow map + one partial-aggregating shuffle at coarse
+    * (series, window) grain; the fold buffer holds fine-windows-per-
+    * coarse-window structs (24 for 1h→1d), never corpus size.
+    */
+  def writeFrom(spark: SparkSession, finePath: String, path: String,
+      seriesCols: Seq[String], tsCol: String, fineResolutionMs: Long,
+      resolutionMs: Long, opts: ConvertOptions = ConvertOptions(Nil)): Unit = {
+    require(fineResolutionMs > 0 && resolutionMs > fineResolutionMs,
+      s"coarse resolution $resolutionMs must exceed fine $fineResolutionMs")
+    require(resolutionMs % fineResolutionMs == 0,
+      s"coarse resolution $resolutionMs must be a multiple of " +
+        s"$fineResolutionMs or fine windows would straddle coarse seams")
+    val fine = read(spark, finePath)
+    val rolled = fine
+      .withColumn("_cw",
+        (floor(col("window_ms") / resolutionMs) * resolutionMs).cast("long"))
+      .groupBy((seriesCols.map(col) :+ col("_cw")): _*)
+      .agg(
+        sum(col("n")).as("n"),
+        sum(col("vsum")).cast(D).as("vsum"),
+        min(col("vmin")).as("vmin"),
+        max(col("vmax")).as("vmax"),
+        min(struct(col("window_ms"), col("first_ts_ms"), col("first_v")))
+          .as("_f"),
+        max(struct(col("window_ms"), col("last_ts_ms"), col("last_v")))
+          .as("_l"),
+        sort_array(collect_list(windowStruct)).as("_w"))
+      .withColumn("_rc", countsFold(col("_w")))
+      .select((seriesCols.map(col) :+ col("_cw").as("window_ms") :+
+        col("n") :+ col("vsum") :+ col("vmin") :+ col("vmax") :+
+        col("_f.first_ts_ms").as("first_ts_ms") :+
+        col("_f.first_v").as("first_v") :+
+        col("_l.last_ts_ms").as("last_ts_ms") :+
+        col("_l.last_v").as("last_v") :+
+        increaseFoldDec(col("_w")).as("increase") :+
+        col("_rc.r").as("resets") :+ col("_rc.c").as("changes") :+
+        timestamp_millis(col("_cw")).as(tsCol)): _*)
+    TsdbConverter.convert(rolled, path, tsCol,
+      if (opts.sortBy.nonEmpty) opts else opts.copy(sortBy = seriesCols))
+  }
+
   /** Rollup rows whose window lies in `[mintMs, maxtMs)`, matcher
     * predicates pushed into the scan and the time range turned into
     * a LITERAL filter on the layer's bucket partition column so
@@ -170,6 +232,13 @@ object RollupStore {
     * term per seam, decimal-accumulated, one final double cast.
     */
   def increaseFold(wins: Column): Column =
+    increaseFoldDec(wins).cast("double")
+
+  /** [[increaseFold]] keeping the exact decimal accumulator — what
+    * the cascade ([[writeFrom]]) stores so coarser layers stay
+    * bitwise-exact instead of re-quantizing a double.
+    */
+  def increaseFoldDec(wins: Column): Column =
     aggregate(wins,
       struct(lit(null).cast("double").as("prev"),
         lit(0).cast(D).as("acc")),
@@ -181,7 +250,7 @@ object RollupStore {
               x.getField("first_v") - s.getField("prev"))
             .otherwise(x.getField("first_v"))
             .cast(D)).cast(D).as("acc")),
-      s => s.getField("acc").cast("double"))
+      s => s.getField("acc").cast(D))
 
   /** The stitched resets/changes fold over a sorted [[windowStruct]]
     * array: Σ within-window counts + one boundary comparison per

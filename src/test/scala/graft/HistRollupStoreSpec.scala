@@ -102,6 +102,45 @@ class HistRollupStoreSpec extends SparkSpec {
       .contains("graft_nh_rollup_spec_promql"))
   }
 
+  test("cascade writeFrom ≡ direct build, incl. hint-forced seam resets") {
+    // 100s fine windows → 200s coarse: the hint-forced reset at
+    // t=110 lands on a COARSE-INTERIOR fine seam (inside coarse
+    // window 0 if t<200), the value-visible reset at t=210 on a
+    // coarse seam, and window 3 holds a lone sample
+    val rows: Seq[Row8] = Seq(
+      ("a", 10L, 1.0, Seq(0), Seq(2.0), Seq(-1), Seq(1.0), "unknown"),
+      ("a", 110L, 1.0, Seq(0), Seq(9.0), Seq(-1), Seq(2.0), "counter_reset"),
+      ("a", 160L, 2.0, Seq(0, 2), Seq(10.0, 3.0), Seq(-1), Seq(2.0), "unknown"),
+      ("a", 210L, 0.0, Seq(0), Seq(1.0), Seq(), Seq(), "unknown"),
+      ("a", 310L, 0.0, Seq(0), Seq(4.0), Seq(), Seq(), "unknown"),
+      ("b", 350L, 0.0, Seq(1), Seq(6.0), Seq(), Seq(), "unknown"))
+    val d = df(rows)
+    val fine = "/tmp/graft_nh_rollup_spec_cascfine"
+    HistRollupStore.write(d, fine, Seq("series"), "t_sec", "zero_count",
+      "pos_idx", "pos_counts", "neg_idx", "neg_counts", W,
+      hintCol = Some("hint"))
+    val casc = "/tmp/graft_nh_rollup_spec_casc"
+    HistRollupStore.writeFrom(spark, fine, casc, Seq("series"),
+      fineResolutionSec = W, resolutionSec = 2 * W)
+    val direct = "/tmp/graft_nh_rollup_spec_cascdirect"
+    HistRollupStore.write(d, direct, Seq("series"), "t_sec", "zero_count",
+      "pos_idx", "pos_counts", "neg_idx", "neg_counts", 2 * W,
+      hintCol = Some("hint"))
+    def layerRows(p: String): Set[Seq[Any]] =
+      spark.read.parquet(p).drop("ts", "bucket")
+        .collect().map(_.toSeq).toSet
+    assert(layerRows(casc) == layerRows(direct))
+    // and stitching the cascaded layer reproduces the raw walk —
+    // incl. the hinted reset that no value comparison can see
+    val st = HistRollupStore.stitchedIncrease(spark, casc, Seq("series"),
+      0L, 1000L).collect().map(_.toSeq).toSet
+    assert(st == raw(d))
+    intercept[IllegalArgumentException] {
+      HistRollupStore.writeFrom(spark, fine, "/tmp/never", Seq("series"),
+        fineResolutionSec = W, resolutionSec = 150L)
+    }
+  }
+
   test("single-sample windows carry empty increases but real boundaries") {
     // every window holds ONE sample: all increase comes from seams
     val rows: Seq[Row8] = Seq(

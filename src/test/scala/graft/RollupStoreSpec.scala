@@ -93,6 +93,36 @@ class RollupStoreSpec extends SparkSpec {
     assert(RollupStore.route(layers, 4 * DAY).map(_.path) == Some("h"))
   }
 
+  test("cascade writeFrom ≡ direct raw build, every column bitwise") {
+    // the crafted series puts a reset exactly ON a fine-window seam
+    // (00:40→01:05), one mid-window (01:20→01:50), an empty fine
+    // window (02:xx) and a lone-sample series — the shapes that
+    // break a naive cascade
+    val fine = layer(HOUR, "casc")
+    val p = "/tmp/graft_rollupspec_casc_day"
+    RollupStore.writeFrom(spark, fine, p, Seq("series"), "ts",
+      fineResolutionMs = HOUR, resolutionMs = DAY)
+    val cols = Seq("series", "window_ms", "n", "vsum", "vmin", "vmax",
+      "first_ts_ms", "first_v", "last_ts_ms", "last_v", "increase",
+      "resets", "changes")
+    def rows(path: String) = RollupStore.read(spark, path)
+      .select(cols.map(col): _*).orderBy("series", "window_ms")
+      .collect.toSeq
+    assert(rows(p) == rows(layer(DAY, "casc")))
+  }
+
+  test("cascade rejects a coarse resolution fine windows would straddle") {
+    intercept[IllegalArgumentException] {
+      RollupStore.writeFrom(spark, layer(HOUR, "cascbad"), "/tmp/never",
+        Seq("series"), "ts", fineResolutionMs = HOUR,
+        resolutionMs = 90 * 60000L)
+    }
+    intercept[IllegalArgumentException] {
+      RollupStore.writeFrom(spark, layer(HOUR, "cascbad"), "/tmp/never",
+        Seq("series"), "ts", fineResolutionMs = HOUR, resolutionMs = HOUR)
+    }
+  }
+
   test("downsampleAt: exact count/avg/min/max from the routed layer") {
     val layers = Seq(RollupLayer(layer(HOUR, "ds"), HOUR))
     val out = RollupStore.downsampleAt(spark, layers, Seq("series"),
