@@ -304,6 +304,188 @@ object EventsStream {
       .option("checkpointLocation", checkpoint)
       .partitionBy("bucket")
 
+  /** One native-histogram sample on a stream (the long-format NH
+    * row model of [[graft.tsdb.NativeHistogram]], one string series
+    * key). `hint` is the chunk counter-reset header where the source
+    * surfaces one (`readHistLabels(withResetHint)`), else "unknown".
+    */
+  final case class HistEvent(
+      ts: Timestamp, series: String, zero_count: Double,
+      pos_idx: Seq[Int], pos_counts: Seq[Double],
+      neg_idx: Seq[Int], neg_counts: Seq[Double], hint: String)
+
+  /** Buffered samples of one open (series, window) of histograms. */
+  final case class HistWindowBuf(
+      windowStartSec: Long, samples: Seq[HistEvent])
+
+  final case class OpenHistWindows(bufs: Seq[HistWindowBuf])
+
+  /** One finalized NH rollup window — the STREAMING form of
+    * [[graft.tsdb.HistRollupStore]]'s per-(series, window) row:
+    * boundary snapshots plus the within-window reset-aware increase
+    * maps, computed by the identical sample walk (component decrease
+    * OR an explicit hint ⇒ reset ⇒ the post-reset histogram adds
+    * whole; per-key sums accumulate in step order), so a sealed
+    * window matches the batch writer's row on integral counts
+    * exactly and on float counts FP-identically (same addition
+    * order, no reassociation).
+    */
+  final case class HistRollupWindow(
+      series: String, window_sec: Long, n: Long,
+      f_t: Long, f_z: Double, f_i: Seq[Int], f_c: Seq[Double],
+      f_ni: Seq[Int], f_nc: Seq[Double], f_h: String,
+      l_t: Long, l_z: Double, l_i: Seq[Int], l_c: Seq[Double],
+      l_ni: Seq[Int], l_nc: Seq[Double],
+      zero_inc: Double, pos_idx: Seq[Int], pos_inc: Seq[Double],
+      neg_idx: Seq[Int], neg_inc: Seq[Double])
+
+  /** Mirrors Catalyst's ordering for the batch writer's
+    * sort_array(struct(t, z, i, c, ni, nc, h)) snapshot sort:
+    * arrays compare element-wise, shorter-is-less on a tie.
+    */
+  private def seqOrd[A](implicit o: Ordering[A]): Ordering[Seq[A]] =
+    (a: Seq[A], b: Seq[A]) => {
+      val it = a.iterator.zip(b.iterator)
+      var c = 0
+      while (c == 0 && it.hasNext) {
+        val (x, y) = it.next(); c = o.compare(x, y)
+      }
+      if (c != 0) c else a.length.compareTo(b.length)
+    }
+
+  private val histSampleOrd: Ordering[HistEvent] = {
+    implicit val si = seqOrd[Int]
+    implicit val sd = seqOrd[Double]
+    Ordering.by((e: HistEvent) => (e.ts.getTime, e.zero_count,
+      (e.pos_idx, e.pos_counts, e.neg_idx), (e.neg_counts, e.hint)))
+  }
+
+  /** Watermarked per-series NH rollup maintenance — the streaming
+    * form of [[graft.tsdb.HistRollupStore.write]]: whole histogram
+    * samples buffer per (series, window) until the watermark passes
+    * the window end, then the window seals ONCE with its samples
+    * replayed in event-time order, so late-but-within-watermark
+    * arrivals land in the right place in the reset ladder (an
+    * incremental fold could not reorder them, and a phantom reset is
+    * exactly what an out-of-order histogram pair fabricates). State
+    * is bounded by live series × open windows × samples per window.
+    */
+  def windowedHistRollup(events: Dataset[HistEvent], windowLenSec: Long,
+      watermarkDelay: String): Dataset[HistRollupWindow] = {
+    import events.sparkSession.implicits._
+    require(windowLenSec > 0, "windowLenSec must be positive")
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: String, batch: Iterator[HistEvent],
+         state: GroupState[OpenHistWindows]) => {
+          val wlenMs = windowLenSec * 1000L
+          val wm = state.getCurrentWatermarkMs()
+          val byWin = scala.collection.mutable.Map.empty[Long,
+            scala.collection.mutable.ArrayBuffer[HistEvent]]
+          state.getOption.foreach(_.bufs.foreach { b =>
+            byWin(b.windowStartSec) =
+              b.samples.to(scala.collection.mutable.ArrayBuffer)
+          })
+          batch.foreach { e =>
+            val tSec = java.lang.Math.floorDiv(e.ts.getTime, 1000L)
+            val w = tSec - java.lang.Math.floorMod(tSec, windowLenSec)
+            byWin.getOrElseUpdate(w,
+              scala.collection.mutable.ArrayBuffer.empty[HistEvent]) += e
+          }
+          val (done, open) = byWin.partition {
+            case (w, _) => (w + windowLenSec) * 1000L <= wm
+          }
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(OpenHistWindows(open.toSeq.map { case (w, b) =>
+              HistWindowBuf(w, b.toSeq)
+            }))
+            state.setTimeoutTimestamp((open.keys.min + windowLenSec) * 1000L)
+          }
+          done.toSeq.sortBy(_._1).iterator.map { case (w, b) =>
+            sealHistWindow(key, w, b.toSeq)
+          }
+        })
+  }
+
+  /** The within-window walk — sample-for-sample the fold
+    * [[graft.tsdb.NativeHistogram.increaseBySignedResets]] runs
+    * batch-side: step deltas cover the CURRENT sample's bucket keys
+    * (reset ⇒ the whole current histogram), per-key sums accumulate
+    * in step order.
+    */
+  private def sealHistWindow(series: String, windowSec: Long,
+      samples: Seq[HistEvent]): HistRollupWindow = {
+    val ss = samples.sorted(histSampleOrd)
+    val f = ss.head
+    val l = ss.last
+    var z = 0.0
+    val p = scala.collection.mutable.LinkedHashMap.empty[Int, Double]
+    val n = scala.collection.mutable.LinkedHashMap.empty[Int, Double]
+    def asMap(i: Seq[Int], c: Seq[Double]): Map[Int, Double] =
+      i.zip(c).toMap
+    def decreased(prev: Map[Int, Double], cur: Map[Int, Double]): Boolean =
+      prev.exists { case (k, pv) => cur.getOrElse(k, 0.0) < pv }
+    var prev = f
+    var i = 1
+    while (i < ss.length) {
+      val cur = ss(i)
+      val prevP = asMap(prev.pos_idx, prev.pos_counts)
+      val prevN = asMap(prev.neg_idx, prev.neg_counts)
+      val curP = asMap(cur.pos_idx, cur.pos_counts)
+      val curN = asMap(cur.neg_idx, cur.neg_counts)
+      val detected = cur.zero_count < prev.zero_count ||
+        decreased(prevP, curP) || decreased(prevN, curN)
+      val reset = cur.hint match {
+        case "counter_reset" => true
+        case "not_counter_reset" | "gauge" => false
+        case _ => detected
+      }
+      z += (if (reset) cur.zero_count else cur.zero_count - prev.zero_count)
+      cur.pos_idx.zip(cur.pos_counts).foreach { case (k, c) =>
+        val d = if (reset) c else c - prevP.getOrElse(k, 0.0)
+        p(k) = p.getOrElse(k, 0.0) + d
+      }
+      cur.neg_idx.zip(cur.neg_counts).foreach { case (k, c) =>
+        val d = if (reset) c else c - prevN.getOrElse(k, 0.0)
+        n(k) = n.getOrElse(k, 0.0) + d
+      }
+      prev = cur
+      i += 1
+    }
+    def tSec(e: HistEvent): Long = java.lang.Math.floorDiv(e.ts.getTime, 1000L)
+    val pk = p.keys.toSeq.sorted
+    val nk = n.keys.toSeq.sorted
+    HistRollupWindow(series, windowSec, ss.length.toLong,
+      tSec(f), f.zero_count, f.pos_idx, f.pos_counts, f.neg_idx,
+      f.neg_counts, f.hint,
+      tSec(l), l.zero_count, l.pos_idx, l.pos_counts, l.neg_idx,
+      l.neg_counts,
+      z, pk, pk.map(p), nk, nk.map(n))
+  }
+
+  /** Streaming sink maintaining a [[graft.tsdb.HistRollupStore]]
+    * layer: sealed NH windows append into the same bucketed layout
+    * the batch writer produces, so
+    * [[graft.tsdb.HistRollupStore.select]]/
+    * [[graft.tsdb.HistRollupStore.stitchedIncrease]] — and the
+    * PromQL front-end's `HistTable.rollups` routing — read a live,
+    * continuously-growing NH layer with no rewrite step.
+    */
+  def toHistRollupLayer(events: Dataset[HistEvent], path: String,
+      checkpoint: String, windowLenSec: Long,
+      watermarkDelay: String): DataStreamWriter[Row] =
+    windowedHistRollup(events, windowLenSec, watermarkDelay).toDF()
+      .withColumn("ts", timestamp_seconds(col("window_sec")))
+      .withColumn("bucket", graft.tsdb.TsdbConverter.bucketCol("ts", "1 day"))
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("bucket")
+
   /** Append-mode sink into the converter's bucketed layout. */
   def toBucketedParquet(events: DataFrame, path: String, checkpoint: String) =
     events

@@ -311,6 +311,62 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("toHistRollupLayer: streamed NH layer ≡ the batch HistRollupStore layer") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = s.sqlContext
+    import EventsStream.HistEvent
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stream_nh_rollup").toString
+    def ev(tSec: Long, z: Double, i: Seq[Int], c: Seq[Double],
+        hint: String = "unknown"): HistEvent =
+      HistEvent(new Timestamp(tSec * 1000L), "a", z, i, c,
+        Seq(-1), Seq(c.head / 2), hint)
+    val fixture = Seq(
+      // window 0 (100s): 2→5 with a LATE t=40 sample (3.0) that must
+      // reorder INTO the chain; window 1 opens with a hint-forced
+      // reset (values grew — only the header knows)
+      ev(10L, 1.0, Seq(0), Seq(2.0)),
+      ev(80L, 1.0, Seq(0), Seq(5.0)),
+      ev(40L, 1.0, Seq(0), Seq(3.0)),
+      ev(110L, 1.0, Seq(0), Seq(9.0), hint = "counter_reset"),
+      ev(160L, 2.0, Seq(0, 2), Seq(10.0, 3.0)))
+    val mem = MemoryStream[HistEvent]
+    val query = EventsStream.toHistRollupLayer(mem.toDS(),
+      s"$root/layer", s"$root/ckpt",
+      windowLenSec = 100L, watermarkDelay = "30 seconds").start()
+    try {
+      mem.addData(fixture: _*)
+      query.processAllAvailable()
+      // advance the watermark far past every window end → all sealed
+      mem.addData(ev(10000L, 0.0, Seq(0), Seq(0.0)))
+      query.processAllAvailable()
+    } finally query.stop()
+    // batch layer over the SAME samples
+    val batchDf = fixture.toDF()
+      .withColumn("t_sec", (col("ts").cast("long")))
+    graft.tsdb.HistRollupStore.write(batchDf, s"$root/batch",
+      Seq("series"), "t_sec", "zero_count", "pos_idx", "pos_counts",
+      "neg_idx", "neg_counts", 100L, hintCol = Some("hint"))
+    def canon(path: String) = s.read.parquet(path)
+      .filter(col("window_sec") < 1000L) // drop the advancer window
+      .drop("ts", "bucket")
+      .collect().map(_.toSeq).toSet
+    val streamed = canon(s"$root/layer")
+    assert(streamed == canon(s"$root/batch"))
+    assert(streamed.size == 2)
+    // the streamed layer serves the standard stitched read path, and
+    // the hinted reset survives: 2→3→5 (+3) | seam 5→9 RESET by
+    // header (adds 9) | 9→10 (+1) + bucket-2 appears (+3) — pos idx 0
+    // totals 13
+    val inc = graft.tsdb.HistRollupStore.stitchedIncrease(s,
+        s"$root/layer", Seq("series"), 0L, 1000L)
+      .select(col("pos_idx"), col("pos_inc")).as[(Seq[Int], Seq[Double])]
+      .head()
+    assert(inc == ((Seq(0, 2), Seq(13.0, 3.0))))
+  }
+
   test("toRollupLayer: streamed layer ≡ the batch RollupStore layer") {
     val s = spark
     import s.implicits._
