@@ -1447,6 +1447,44 @@ object SparkEntry {
       .orderBy("event_type", "user_id")
   }
 
+  /** THE production NH dashboard query — `histogram_quantile(q,
+    * rate(m[35d]))` — served FROM THE 7-DAY ROLLUP LAYER through the
+    * string front-end: the routed stitched fold produces the rate
+    * vector, and the SIGNED quantile walk consumes it unchanged.
+    * q=0.1 lands in the NEGATIVE bucket region and q=0.9 in the
+    * positive for the gate vector, so both walk branches pin the
+    * routed composition; the oracle replays rate closed-form + the
+    * AllBucketIterator walk.
+    */
+  private def tsPromqlNhRollupQuantile(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_nh_rollup_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+    fixtureOnce(s"nh_rollup:$dir") {
+      graft.tsdb.HistRollupStore.write(nativeHistResetTable(s, dir), path,
+        Seq("event_type", "user_id"), "t_sec", "zero_count",
+        "pos_idx", "pos_counts", "neg_idx", "neg_counts",
+        resolutionSec = 7L * 86400)
+    }
+    val nh = nativeHistResetTable(s, dir)
+      .withColumn("ts", timestamp_seconds(col("t_sec")))
+    val ctx = graft.tsdb.promql.PromQLContext(
+      metrics = Map.empty,
+      labelCols = Seq("event_type", "user_id"),
+      evalMs = 1706745600000L, // 2024-02-01T00:00Z — a 7d multiple
+      lookbackMs = 40L * 86400000L,
+      histMetrics = Map("nh_reset" -> graft.tsdb.promql.HistTable(nh,
+        negIdxCol = Some("neg_idx"), negCountsCol = Some("neg_counts"),
+        rollups = Seq(graft.tsdb.RollupStore.RollupLayer(
+          path, 7L * 86400000L)))))
+    def q(qv: String, as: String): DataFrame =
+      graft.tsdb.promql.PromQL.compile(
+          s"histogram_quantile($qv, rate(nh_reset[35d]))", ctx)
+        .select(col("event_type"),
+          col("user_id").cast("string").as("user_id"),
+          col("value").as(as))
+    q("0.9", "phi90").join(q("0.1", "phi10"), Seq("event_type", "user_id"))
+      .orderBy("event_type", "user_id")
+  }
+
   private def resetBlockPath(dir: String): String =
     "/tmp/graft_resetblock_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
 
@@ -3401,6 +3439,7 @@ object SparkEntry {
     "ts_nh_reset_increase" -> (tsNhResetIncrease _),
     "ts_nh_rollup_increase" -> (tsNhRollupIncrease _),
     "ts_nh_rollup_cascade" -> (tsNhRollupCascade _),
+    "ts_promql_nh_rollup_quantile" -> (tsPromqlNhRollupQuantile _),
     "ts_promql_nh_reset_rate" -> (tsPromqlNhResetRate _),
     "ts_promql_nh_rollup_rate" -> (tsPromqlNhRollupRate _),
     "ts_promql_nh_resets" -> (tsPromqlNhResets _),
@@ -5318,6 +5357,86 @@ object SparkEntry {
     // rollup-routed NH rate: data-determined dt makes the closed
     // form range-width-independent — shared oracle, layer invisible
     "ts_promql_nh_rollup_rate" -> nhResetRateSql,
+    // routed quantile-over-rate: closed-form bucket rates (b*k/dt,
+    // the same b/dt as the crate oracle) walked in AllBucketIterator
+    // order — negative buckets most-negative-first (ord = -i), the
+    // zero bucket, then positive ascending; linear interpolation
+    // within the landing bucket, both q=0.1 (negative region) and
+    // q=0.9 (positive region)
+    "ts_promql_nh_rollup_quantile" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |series AS (
+        |  SELECT event_type, user_id,
+        |    user_id * 31 + length(event_type) AS sseed,
+        |    min(d) AS d0, max(d) AS d1,
+        |    max(CASE WHEN d < 19740 THEN d END) AS dpre
+        |  FROM days GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+        |base AS (
+        |  SELECT *,
+        |    CASE WHEN d0 < 19740 AND d1 >= 19740
+        |         THEN dpre*dpre - d0*d0 + (d1-19739)*(d1-19739)
+        |         WHEN d1 < 19740 THEN d1*d1 - d0*d0
+        |         ELSE (d1-19739)*(d1-19739) - (d0-19739)*(d0-19739)
+        |    END AS b,
+        |    CAST((d1 - d0) * 86400 AS DOUBLE) AS dt
+        |  FROM series),
+        |allb AS (
+        |  SELECT event_type, user_id, 0 AS phase, -i AS ord,
+        |    CAST(b * ((sseed + i + 7) % 4) AS DOUBLE) / dt AS cnt,
+        |    -power(2.0, i) AS lower, -power(2.0, i - 1) AS upper
+        |  FROM base, unnest(range(-1, 3)) AS t(i)
+        |  UNION ALL
+        |  SELECT event_type, user_id, 1 AS phase, 0 AS ord,
+        |    CAST(b * (sseed % 3) AS DOUBLE) / dt AS cnt,
+        |    0.0 AS lower, 0.0 AS upper
+        |  FROM base
+        |  UNION ALL
+        |  SELECT event_type, user_id, 2 AS phase, i AS ord,
+        |    CAST(b * ((sseed + i + 3) % 5) AS DOUBLE) / dt AS cnt,
+        |    power(2.0, i - 1) AS lower, power(2.0, i) AS upper
+        |  FROM base, unnest(range(-2, 5)) AS t(i)),
+        |cum AS (
+        |  SELECT *,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type, user_id
+        |      ORDER BY phase, ord) AS DOUBLE) AS cumc,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type, user_id)
+        |      AS DOUBLE) AS total,
+        |    CAST(sum(CASE WHEN phase = 0 THEN cnt ELSE 0 END)
+        |      OVER (PARTITION BY event_type, user_id) AS DOUBLE) AS negtot,
+        |    CAST(sum(CASE WHEN phase = 1 THEN cnt ELSE 0 END)
+        |      OVER (PARTITION BY event_type, user_id) AS DOUBLE) AS zerotot
+        |  FROM allb),
+        |scored AS (
+        |  SELECT event_type, user_id, total, negtot, zerotot,
+        |    min_by(lower + (upper - lower) *
+        |        (((0.9 * total) - (cumc - cnt)) / cnt), ord)
+        |      FILTER (WHERE phase = 0 AND cnt > 0
+        |        AND cumc >= 0.9 * total) AS negres90,
+        |    min_by(lower + (upper - lower) *
+        |        (((0.9 * total) - (cumc - cnt)) / cnt), ord)
+        |      FILTER (WHERE phase = 2 AND cnt > 0
+        |        AND cumc >= 0.9 * total) AS posres90,
+        |    min_by(lower + (upper - lower) *
+        |        (((0.1 * total) - (cumc - cnt)) / cnt), ord)
+        |      FILTER (WHERE phase = 0 AND cnt > 0
+        |        AND cumc >= 0.1 * total) AS negres10,
+        |    min_by(lower + (upper - lower) *
+        |        (((0.1 * total) - (cumc - cnt)) / cnt), ord)
+        |      FILTER (WHERE phase = 2 AND cnt > 0
+        |        AND cumc >= 0.1 * total) AS posres10
+        |  FROM cum GROUP BY 1, 2, 3, 4, 5)
+        |SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+        |  CASE WHEN negtot > 0 AND 0.9 * total <= negtot THEN negres90
+        |       WHEN negtot + zerotot >= 0.9 * total THEN 0.0
+        |       ELSE posres90 END AS phi90,
+        |  CASE WHEN negtot > 0 AND 0.1 * total <= negtot THEN negres10
+        |       WHEN negtot + zerotot >= 0.1 * total THEN 0.0
+        |       ELSE posres10 END AS phi10
+        |FROM scored
+        |ORDER BY event_type, CAST(user_id AS VARCHAR)""".stripMargin,
     // the same counter contract driven by the chunk HEADERS instead
     // of value detection (block bytes → withResetHint → hint-
     // trusting fold): headers and detection agree on this fixture by

@@ -636,6 +636,24 @@ object PlanAudit {
       if (!ok) failures ::= "ts_promql_nh_rollup_rate: routing"
     }
 
+    {
+      // the routed quantile-over-rate composition: both compiled
+      // quantile vectors must read the 7d layer (raw sample table
+      // absent), and the signed walk stays a narrow fold — no
+      // window operator anywhere in the joined two-quantile plan
+      val df = SparkEntry.queries("ts_promql_nh_rollup_quantile")(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val onLayer = plan.contains("graft_nh_rollup_")
+      val noRaw = !plan.contains("events.parquet")
+      val noWin = !plan.contains("Window")
+      val ok = onLayer && noRaw && noWin
+      println(s"[audit] ts_promql_nh_rollup_quantile :: routed quantile " +
+        s"composition: layer=$onLayer raw_absent=$noRaw " +
+        s"window=${!noWin} -> ${if (ok) "OK" else "FAIL"}")
+      if (!ok) failures ::= "ts_promql_nh_rollup_quantile: routing"
+    }
+
     if (failures.nonEmpty) {
       println(s"\n[audit] FAILURES: ${failures.mkString("; ")}")
       sys.exit(1)
