@@ -558,6 +558,42 @@ object SparkEntry {
       .orderBy("event_type", "user_id")
   }
 
+  /** Routed `stddev/stdvar_over_time`: the layer's stored Σv²
+    * (decimal-exact, v quantized once at 8 dp) re-runs the identical
+    * (n·Σv² − (Σv)²)/n² closed form [[tsdb.PromOps.stdvarOverTime]]
+    * computes over raw samples — the oracle IS that raw closed form
+    * over the same 5-day window.
+    */
+  private def tsPromqlRollupStddev(s: SparkSession, dir: String): DataFrame = {
+    val ctx = promCtxRollup(s, dir)
+    def q(fn: String, as: String): DataFrame =
+      graft.tsdb.promql.PromQL.compile(s"$fn(events[5d])", ctx)
+        .select(col("event_type"), col("user_id"),
+          round(col("value"), 8).as(as))
+    q("stdvar_over_time", "stdvar")
+      .join(q("stddev_over_time", "stddev"), Seq("event_type", "user_id"))
+      .orderBy("event_type", "user_id")
+  }
+
+  /** Routed `deriv`/`predict_linear`: the layer's window-relative
+    * regression sums shift exactly to the query origin (Σ(x+δ) =
+    * Σx + nδ etc), rebuilding [[tsdb.PromOps]]'s per-series sums
+    * bitwise; the oracle replays the same decimal closed form over
+    * raw samples in the window.
+    */
+  private def tsPromqlRollupDeriv(s: SparkSession, dir: String): DataFrame = {
+    val ctx = promCtxRollup(s, dir)
+    val d = graft.tsdb.promql.PromQL.compile("deriv(events[5d])", ctx)
+      .select(col("event_type"), col("user_id"),
+        round(col("value"), 12).as("deriv"))
+    val p = graft.tsdb.promql.PromQL.compile(
+        "predict_linear(events[5d], 3600)", ctx)
+      .select(col("event_type"), col("user_id"),
+        round(col("value"), 6).as("predicted"))
+    d.join(p, Seq("event_type", "user_id"))
+      .orderBy("event_type", "user_id")
+  }
+
   private def tsTopkSeries(s: SparkSession, dir: String): DataFrame =
     PromOps.topKSeries(t(s, dir, "events"), Seq("event_type"),
         Seq("user_id"), "value", k = 3)
@@ -3397,6 +3433,8 @@ object SparkEntry {
     "ts_promql_rollup_range_rate" -> (tsPromqlRollupRangeRate _),
     "ts_promql_rollup_over_time" -> (tsPromqlRollupOverTime _),
     "ts_promql_rollup_resets" -> (tsPromqlRollupResets _),
+    "ts_promql_rollup_stddev" -> (tsPromqlRollupStddev _),
+    "ts_promql_rollup_deriv" -> (tsPromqlRollupDeriv _),
     "ts_topk_series" -> (tsTopkSeries _),
     "ts_count_values" -> (tsCountValues _),
     "ts_quantile" -> (tsQuantile _),
@@ -4387,6 +4425,65 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN pv IS NOT NULL AND value <> pv
         |    THEN 1 ELSE 0 END) AS DOUBLE) AS changes
         |FROM d GROUP BY 1, 2
+        |ORDER BY event_type, user_id""".stripMargin,
+    // routed stdvar/stddev: raw closed form over the same 5d window
+    "ts_promql_rollup_stddev" ->
+      """WITH s AS (
+        |  SELECT event_type, user_id,
+        |    CAST(count(*) AS DECIMAL(6,0)) AS n,
+        |    CAST(sum(y) AS DECIMAL(16,8)) AS sy,
+        |    CAST(sum(CAST(CAST(y AS DECIMAL(19,8)) * y AS DECIMAL(30,16)))
+        |      AS DECIMAL(31,16)) AS syy
+        |  FROM (SELECT event_type, user_id,
+        |          CAST(value AS DECIMAL(18,8)) AS y FROM events
+        |        WHERE ts >= TIMESTAMP '2024-01-27'
+        |          AND ts < TIMESTAMP '2024-02-01')
+        |  GROUP BY 1, 2)
+        |SELECT event_type, user_id,
+        |  round(CAST(CAST(n * syy - CAST(sy AS DECIMAL(19,8)) * sy
+        |          AS DECIMAL(36,16)) AS DOUBLE)
+        |        / CAST(n * n AS DOUBLE), 8) AS stdvar,
+        |  round(sqrt(CAST(CAST(n * syy - CAST(sy AS DECIMAL(19,8)) * sy
+        |          AS DECIMAL(36,16)) AS DOUBLE)
+        |        / CAST(n * n AS DOUBLE)), 8) AS stddev
+        |FROM s
+        |ORDER BY event_type, user_id""".stripMargin,
+    // routed deriv + predict_linear: the raw decimal regression
+    // closed form, origin = the window start (eval - 5d), horizon
+    // 3600 s; predicted replays the identical double op order
+    // (intercept, then slope * (eval + h - origin))
+    "ts_promql_rollup_deriv" ->
+      """WITH s AS (
+        |  SELECT event_type, user_id,
+        |    CAST(count(*) AS DECIMAL(6,0)) AS n,
+        |    CAST(sum(x) AS DECIMAL(16,0)) AS sx,
+        |    CAST(sum(y) AS DECIMAL(21,8)) AS sy,
+        |    CAST(sum(CAST(CAST(x AS DECIMAL(19,0)) * y AS DECIMAL(31,8)))
+        |      AS DECIMAL(31,8)) AS sxy,
+        |    CAST(sum(CAST(CAST(x AS DECIMAL(19,0)) * x AS DECIMAL(25,0)))
+        |      AS DECIMAL(27,0)) AS sxx
+        |  FROM (SELECT event_type, user_id,
+        |          CAST(epoch_ms(ts) - 1706313600000 AS DECIMAL(12,0)) AS x,
+        |          CAST(value AS DECIMAL(18,8)) AS y
+        |        FROM events
+        |        WHERE ts >= TIMESTAMP '2024-01-27'
+        |          AND ts < TIMESTAMP '2024-02-01')
+        |  GROUP BY 1, 2),
+        |d AS (
+        |  SELECT event_type, user_id, n, sx, sy,
+        |    CAST(n * sxy - sx * sy AS DECIMAL(36,8)) AS num,
+        |    CAST(n * sxx - CAST(sx AS DECIMAL(19,0)) * sx AS DECIMAL(35,0)) AS den
+        |  FROM s WHERE n >= 2),
+        |r AS (
+        |  SELECT event_type, user_id, n, sx, sy,
+        |    CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope_ms
+        |  FROM d WHERE den <> 0)
+        |SELECT event_type, user_id,
+        |  round(slope_ms * 1000.0, 12) AS deriv,
+        |  round((CAST(sy AS DOUBLE) - slope_ms * CAST(sx AS DOUBLE))
+        |          / CAST(n AS DOUBLE)
+        |        + slope_ms * 435600000.0, 6) AS predicted
+        |FROM r
         |ORDER BY event_type, user_id""".stripMargin,
     // routed downsample: straight from raw — the layer choice (1d
     // here) must be invisible in the values, only in bytes read

@@ -231,7 +231,8 @@ object EventsStream {
       event_type: String, user_id: Long, window_ms: Long, n: Long,
       vsum: BigDecimal, vmin: Double, vmax: Double,
       first_ts_ms: Long, first_v: Double, last_ts_ms: Long, last_v: Double,
-      increase: BigDecimal, resets: Long, changes: Long)
+      increase: BigDecimal, resets: Long, changes: Long,
+      vsq: BigDecimal, sx: BigDecimal, sxx: BigDecimal, sxy: BigDecimal)
 
   /** Watermarked per-series rollup maintenance — the streaming form
     * of [[graft.tsdb.RollupStore.write]]: windows seal once when the
@@ -249,6 +250,10 @@ object EventsStream {
         .setScale(8, java.math.RoundingMode.HALF_UP)
       var vsum = java.math.BigDecimal.ZERO
       var inc = java.math.BigDecimal.ZERO
+      var vsq = java.math.BigDecimal.ZERO
+      var sx = java.math.BigDecimal.ZERO
+      var sxx = java.math.BigDecimal.ZERO
+      var sxy = java.math.BigDecimal.ZERO
       var vmin = Double.PositiveInfinity
       var vmax = Double.NegativeInfinity
       var resets = 0L
@@ -256,7 +261,17 @@ object EventsStream {
       var i = 0
       while (i < samples.length) {
         val v = samples(i)._2
-        vsum = vsum.add(q(v))
+        val qv = q(v)
+        vsum = vsum.add(qv)
+        // the batch writer's exact moment sums: v² at scale 16 (the
+        // exact product of two scale-8 decimals), x = window-relative
+        // integer milliseconds
+        vsq = vsq.add(qv.multiply(qv))
+        val xw = java.math.BigDecimal.valueOf(
+          samples(i)._1 - buf.windowStartMs)
+        sx = sx.add(xw)
+        sxx = sxx.add(xw.multiply(xw))
+        sxy = sxy.add(xw.multiply(qv))
         if (v < vmin) vmin = v
         if (v > vmax) vmax = v
         if (i > 0) {
@@ -271,7 +286,8 @@ object EventsStream {
       RollupWindow(key._1, key._2, buf.windowStartMs, samples.length.toLong,
         BigDecimal(vsum), vmin, vmax,
         samples.head._1, samples.head._2, samples.last._1, samples.last._2,
-        BigDecimal(inc), resets, changes)
+        BigDecimal(inc), resets, changes,
+        BigDecimal(vsq), BigDecimal(sx), BigDecimal(sxx), BigDecimal(sxy))
     }
   }
 
@@ -296,6 +312,10 @@ object EventsStream {
         col("last_ts_ms"), col("last_v"),
         col("increase").cast("decimal(30,8)").as("increase"),
         col("resets"), col("changes"),
+        col("vsq").cast("decimal(31,16)").as("vsq"),
+        col("sx").cast("decimal(20,0)").as("sx"),
+        col("sxx").cast("decimal(30,0)").as("sxx"),
+        col("sxy").cast("decimal(33,8)").as("sxy"),
         timestamp_millis(col("window_ms")).as("ts"))
       .withColumn("bucket", graft.tsdb.TsdbConverter.bucketCol("ts", "1 day"))
       .writeStream

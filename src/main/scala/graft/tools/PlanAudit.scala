@@ -619,6 +619,22 @@ object PlanAudit {
       if (!ok) failures ::= "ts_promql_rollup_range_rate: routing"
     }
 
+    for (q <- Seq("ts_promql_rollup_stddev", "ts_promql_rollup_deriv")) {
+      // the moment-sum routed functions: both joined compiled
+      // vectors must read the 1d layer only (raw table absent) and
+      // stay windowless — one partial-aggregating shuffle per vector
+      val df = SparkEntry.queries(q)(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val on1d = plan.contains("graft_rollup_1d_")
+      val noRaw = !plan.contains("events.parquet")
+      val noWin = !plan.contains("Window")
+      val ok = on1d && noRaw && noWin
+      println(s"[audit] $q :: moment-sum routing: 1d=$on1d " +
+        s"raw_absent=$noRaw window=${!noWin} -> ${if (ok) "OK" else "FAIL"}")
+      if (!ok) failures ::= s"$q: routing"
+    }
+
     // NH rollup routing: the aligned 35d NH rate must read the 7d NH
     // rollup layer, never the raw events-derived sample table, and
     // the stitch must stay a windowless aggregation fold.

@@ -58,6 +58,21 @@ object RollupStore {
     * raw `valueCol` is always appended last) so the lag deltas and
     * boundary samples are deterministic under any partitioning — the
     * same discipline as [[PromOps.extrapolatedRateAt]].
+    *
+    * Beyond the headline columns the layer stores the exact moment
+    * sums the remaining range functions reconstruct from:
+    *   - `vsq` DECIMAL(31,16) — Σ v² with v quantized at 8 dp (the
+    *     identical accumulation [[PromOps.stdvarOverTime]] runs), so
+    *     routed `stddev/stdvar_over_time` recompute the same
+    *     (n·Σv² − (Σv)²)/n² closed form from equal decimals;
+    *   - `sx`/`sxx`/`sxy` — the regression sums Σx, Σx², Σx·v with
+    *     x = WINDOW-RELATIVE integer milliseconds (t − window_ms):
+    *     relative x keeps every stored magnitude bounded by the
+    *     resolution, and any query-time origin o shifts exactly by
+    *     δ = window_ms − o (Σ(x+δ) = Σx + nδ; Σ(x+δ)² = Σx² + 2δΣx
+    *     + nδ²; Σ(x+δ)v = Σxv + δΣv — all integer/decimal-exact),
+    *     so routed `deriv`/`predict_linear` rebuild
+    *     [[PromOps]]'s regression sums bitwise for any origin.
     */
   def write(df: DataFrame, path: String, seriesCols: Seq[String],
       tsCol: String, valueCol: String, resolutionMs: Long,
@@ -91,6 +106,10 @@ object RollupStore {
         when(col("_prev").isNotNull && v < col("_prev"), 1L).otherwise(0L))
       .withColumn("_chg",
         when(col("_prev").isNotNull && v =!= col("_prev"), 1L).otherwise(0L))
+      .withColumn("_y18", v.cast("decimal(18,8)"))
+      .withColumn("_xw",
+        (unix_millis(col(tsCol).cast("timestamp")) - col("_win"))
+          .cast("decimal(12,0)"))
       .groupBy((seriesCols.map(col) :+ col("_win").as("window_ms")): _*)
       .agg(
         count(lit(1)).as("n"),
@@ -101,12 +120,20 @@ object RollupStore {
         max(sampleKey(v)).as("_l"),
         sum(col("_delta").cast(D)).cast(D).as("increase"),
         sum(col("_reset")).as("resets"),
-        sum(col("_chg")).as("changes"))
+        sum(col("_chg")).as("changes"),
+        sum((col("_y18") * col("_y18")).cast("decimal(30,16)"))
+          .cast("decimal(31,16)").as("vsq"),
+        sum(col("_xw")).cast("decimal(20,0)").as("sx"),
+        sum((col("_xw") * col("_xw")).cast("decimal(25,0)"))
+          .cast("decimal(30,0)").as("sxx"),
+        sum((col("_xw") * col("_y18")).cast("decimal(31,8)"))
+          .cast("decimal(33,8)").as("sxy"))
       .select((seriesCols.map(col) :+ col("window_ms") :+ col("n") :+
         col("vsum") :+ col("vmin") :+ col("vmax") :+
         col("_f._ms").as("first_ts_ms") :+ col("_f._v").as("first_v") :+
         col("_l._ms").as("last_ts_ms") :+ col("_l._v").as("last_v") :+
         col("increase") :+ col("resets") :+ col("changes") :+
+        col("vsq") :+ col("sx") :+ col("sxx") :+ col("sxy") :+
         timestamp_millis(col("window_ms")).as(tsCol)): _*)
     TsdbConverter.convert(rolled, path, tsCol,
       if (opts.sortBy.nonEmpty) opts else opts.copy(sortBy = seriesCols))
@@ -149,6 +176,9 @@ object RollupStore {
       s"coarse resolution $resolutionMs must be a multiple of " +
         s"$fineResolutionMs or fine windows would straddle coarse seams")
     val fine = read(spark, finePath)
+    // fine-window offset inside its coarse window: the exact shift
+    // for the window-relative regression sums (see write's doc)
+    val dw = (col("window_ms") - col("_cw")).cast("decimal(12,0)")
     val rolled = fine
       .withColumn("_cw",
         (floor(col("window_ms") / resolutionMs) * resolutionMs).cast("long"))
@@ -162,7 +192,13 @@ object RollupStore {
           .as("_f"),
         max(struct(col("window_ms"), col("last_ts_ms"), col("last_v")))
           .as("_l"),
-        sort_array(collect_list(windowStruct)).as("_w"))
+        sort_array(collect_list(windowStruct)).as("_w"),
+        sum(col("vsq")).cast("decimal(31,16)").as("vsq"),
+        sum(col("sx") + col("n") * dw).cast("decimal(20,0)").as("sx"),
+        sum(col("sxx") + lit(2) * dw * col("sx") + col("n") * dw * dw)
+          .cast("decimal(30,0)").as("sxx"),
+        sum(col("sxy") + dw * col("vsum").cast("decimal(21,8)"))
+          .cast("decimal(33,8)").as("sxy"))
       .withColumn("_rc", countsFold(col("_w")))
       .select((seriesCols.map(col) :+ col("_cw").as("window_ms") :+
         col("n") :+ col("vsum") :+ col("vmin") :+ col("vmax") :+
@@ -172,6 +208,7 @@ object RollupStore {
         col("_l.last_v").as("last_v") :+
         increaseFoldDec(col("_w")).as("increase") :+
         col("_rc.r").as("resets") :+ col("_rc.c").as("changes") :+
+        col("vsq") :+ col("sx") :+ col("sxx") :+ col("sxy") :+
         timestamp_millis(col("_cw")).as(tsCol)): _*)
     TsdbConverter.convert(rolled, path, tsCol,
       if (opts.sortBy.nonEmpty) opts else opts.copy(sortBy = seriesCols))

@@ -794,18 +794,26 @@ object PromQL {
             .withColumn("value", col("changes").cast("double"))
             .drop("changes"))
       })
-      case "deriv" => Right(overRange(c, (df, ls, start) =>
-        PromOps.deriv(df, ls, ctx.tsCol, ctx.valueCol, originMs = start)
-          .withColumnRenamed("deriv", "value")))
+      case "deriv" => Right(rollupRangeVec(one(c, c.fn)) match {
+        case Some(rrv) => rollupDeriv(rrv)
+        case None => overRange(c, (df, ls, start) =>
+          PromOps.deriv(df, ls, ctx.tsCol, ctx.valueCol, originMs = start)
+            .withColumnRenamed("deriv", "value"))
+      })
       case "predict_linear" =>
         val Seq(re, te) = argN(c, 2)
         val horizonSec = scalarArg(te, "predict_linear horizon")
-        val rv = rangeVec(re, "predict_linear")
-        Right(overRangeVec(rv, (df, ls, start) =>
-          PromOps.predictLinearAt(df, ls, ctx.tsCol, ctx.valueCol,
-              evalCol = evalInstant(rv), horizonMs = (horizonSec * 1000.0).toLong,
-              originMs = start)
-            .withColumnRenamed("predicted", "value")))
+        val horizonMs = (horizonSec * 1000.0).toLong
+        Right(rollupRangeVec(re) match {
+          case Some(rrv) => rollupPredict(rrv, horizonMs)
+          case None =>
+            val rv = rangeVec(re, "predict_linear")
+            overRangeVec(rv, (df, ls, start) =>
+              PromOps.predictLinearAt(df, ls, ctx.tsCol, ctx.valueCol,
+                  evalCol = evalInstant(rv), horizonMs = horizonMs,
+                  originMs = start)
+                .withColumnRenamed("predicted", "value"))
+        })
       case "double_exponential_smoothing" | "holt_winters" =>
         val Seq(re, sfE, tfE) = argN(c, 3)
         val sf = scalarArg(sfE, "smoothing factor")
@@ -983,13 +991,13 @@ object PromQL {
     /** The `*_over_time` aggregates a rollup layer reconstructs
       * EXACTLY (sum/avg from the decimal-exact vsum; count from n;
       * min/max from vmin/vmax; first/last and their timestamps from
-      * the boundary samples). stddev/stdvar need Σv² — not stored —
-      * and stay on raw.
+      * the boundary samples; stddev/stdvar from the stored Σv² via
+      * the identical (n·Σv² − (Σv)²)/n² decimal closed form).
       */
     private val rollupServable = Set("sum_over_time", "avg_over_time",
       "count_over_time", "min_over_time", "max_over_time",
       "first_over_time", "last_over_time", "ts_of_first_over_time",
-      "ts_of_last_over_time")
+      "ts_of_last_over_time", "stddev_over_time", "stdvar_over_time")
 
     private def rollupOverTime(rv: RollupRangeVec, fn: String): Vec = {
       val k = keys(rv.labels)
@@ -1013,8 +1021,82 @@ object PromQL {
           g.agg((min(col("first_ts_ms")) / lit(1000.0)).as("value"))
         case "ts_of_last_over_time" =>
           g.agg((max(col("last_ts_ms")) / lit(1000.0)).as("value"))
+        case "stddev_over_time" | "stdvar_over_time" =>
+          // the identical decimal closed form as
+          // [[PromOps.stdvarOverTime]]: Σ window sums re-associate
+          // exactly, the declared widths match the raw path's so the
+          // final double casts are bitwise the raw answer
+          val agg = g.agg(
+            sum(col("n")).cast("decimal(6,0)").as("_n"),
+            sum(col("vsum")).cast("decimal(16,8)").as("_sy"),
+            sum(col("vsq")).cast("decimal(31,16)").as("_syy"))
+            .withColumn("_num", (col("_n") * col("_syy") -
+              col("_sy") * col("_sy")).cast("decimal(36,16)"))
+          val stdvar = col("_num").cast("double") /
+            (col("_n") * col("_n")).cast("double")
+          agg.withColumn("value",
+            if (fn == "stddev_over_time") sqrt(stdvar) else stdvar)
       }
       stamped(out.select(k.map(col) :+ col("value"): _*), rv.labels)
+    }
+
+    /** `deriv`/`predict_linear` served from a rollup layer: the
+      * stored window-relative regression sums shift exactly to any
+      * origin o (δ = window_ms − o: Σ(x+δ) = Σx + nδ, Σ(x+δ)² =
+      * Σx² + 2δΣx + nδ², Σ(x+δ)v = Σxv + δΣv — integer/decimal
+      * arithmetic throughout), rebuilding [[PromOps]]'s per-series
+      * sums bitwise, then the identical den/num casts and the same
+      * two double divisions — the raw-path answer from
+      * windows-in-range rows.
+      */
+    private def rollupRegression(rv: RollupRangeVec): DataFrame = {
+      val o = (grid, rv.anchorMs) match {
+        case (Some(g), None) => g.startMs - rv.offsetMs - rv.rangeMs
+        case (_, at) => at.getOrElse(ctx.evalMs) - rv.offsetMs - rv.rangeMs
+      }
+      val k = keys(rv.labels)
+      val dw = (col("window_ms") - lit(o)).cast("decimal(14,0)")
+      rv.rows.groupBy(k.map(col): _*)
+        .agg(
+          sum(col("n")).cast("decimal(6,0)").as("_n"),
+          sum(col("sx") + col("n") * dw).cast("decimal(16,0)").as("_sx"),
+          sum(col("vsum")).cast("decimal(21,8)").as("_sy"),
+          sum(col("sxy") + dw * col("vsum").cast("decimal(21,8)"))
+            .cast("decimal(31,8)").as("_sxy"),
+          sum(col("sxx") + lit(2) * dw * col("sx") + col("n") * dw * dw)
+            .cast("decimal(27,0)").as("_sxx"))
+        .withColumn("_den", (col("_n") * col("_sxx") -
+          col("_sx") * col("_sx")).cast("decimal(35,0)"))
+        .filter(col("_n") >= 2 && col("_den") =!= 0)
+        .withColumn("_num", (col("_n") * col("_sxy") -
+          col("_sx") * col("_sy")).cast("decimal(36,8)"))
+        .withColumn("_slope_ms",
+          col("_num").cast("double") / col("_den").cast("double"))
+        .withColumn("_intercept",
+          (col("_sy").cast("double") -
+            col("_slope_ms") * col("_sx").cast("double")) /
+            col("_n").cast("double"))
+        .withColumn("_origin", lit(o))
+    }
+
+    private def rollupDeriv(rv: RollupRangeVec): Vec = {
+      val k = keys(rv.labels)
+      stamped(rollupRegression(rv)
+        .select(k.map(col) :+
+          (col("_slope_ms") * lit(1000.0)).as("value"): _*), rv.labels)
+    }
+
+    private def rollupPredict(rv: RollupRangeVec, horizonMs: Long): Vec = {
+      val k = keys(rv.labels)
+      val evalCol = (grid, rv.anchorMs) match {
+        case (Some(_), None) => col(STEP)
+        case (_, at) => lit(at.getOrElse(ctx.evalMs))
+      }
+      stamped(rollupRegression(rv)
+        .select(k.map(col) :+
+          (col("_intercept") + col("_slope_ms") *
+            (evalCol + lit(horizonMs) - col("_origin")).cast("double"))
+            .as("value"): _*), rv.labels)
     }
 
     /** `rate`/`increase` served from a rollup layer: the ladder's

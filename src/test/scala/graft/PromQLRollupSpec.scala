@@ -73,11 +73,31 @@ class PromQLRollupSpec extends SparkSpec {
     layers
     for (fn <- Seq("sum_over_time", "avg_over_time", "count_over_time",
         "min_over_time", "max_over_time", "first_over_time",
-        "last_over_time", "ts_of_first_over_time", "ts_of_last_over_time")) {
+        "last_over_time", "ts_of_first_over_time", "ts_of_last_over_time",
+        "stddev_over_time", "stdvar_over_time")) {
       val (routed, raw) = collectBoth(s"$fn(m[6h])", alignedEval)
       assert(routed == raw, s"$fn diverged")
       assert(routed.nonEmpty)
     }
+  }
+
+  test("routed deriv/predict_linear are bitwise the raw answers") {
+    layers
+    for (q <- Seq("deriv(m[6h])", "predict_linear(m[6h], 1800)",
+        "predict_linear(m[6h], -3600)")) {
+      val (routed, raw) = collectBoth(q, alignedEval)
+      assert(routed == raw, s"$q diverged")
+      assert(routed.nonEmpty)
+    }
+    // and on a step grid, where each step shifts against the shared
+    // regression origin
+    def grid(routed: Boolean) =
+      PromQL.compileRange("predict_linear(m[6h], 3600)",
+          ctxAt(alignedEval, routed), base + 6 * HOUR, base + 12 * HOUR, HOUR)
+        .select("series", "step_ms", "value").as[(String, Long, Double)]
+        .collect.toSeq.sortBy(r => (r._1, r._2))
+    assert(grid(true) == grid(false))
+    assert(grid(true).nonEmpty)
   }
 
   test("routing requires alignment and eligibility; fallback is silent") {
@@ -98,8 +118,11 @@ class PromQLRollupSpec extends SparkSpec {
     // and the fallbacks still answer
     assert(PromQL.compile("rate(m[4h])", ctxAt(alignedEval, routed = true))
       .count() > 0)
-    // stddev needs Σv² — never routed even when aligned
-    assert(!plansRollup("stddev_over_time(m[6h])", alignedEval))
+    // the moment-sum columns route the whole remaining family when
+    // aligned — and still fall back on a misaligned instant
+    assert(plansRollup("stddev_over_time(m[6h])", alignedEval))
+    assert(plansRollup("deriv(m[6h])", alignedEval))
+    assert(!plansRollup("deriv(m[6h])", alignedEval + 1))
   }
 
   test("grid mode: routed query_range matches raw step for step") {

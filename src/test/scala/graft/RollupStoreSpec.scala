@@ -104,7 +104,7 @@ class RollupStoreSpec extends SparkSpec {
       fineResolutionMs = HOUR, resolutionMs = DAY)
     val cols = Seq("series", "window_ms", "n", "vsum", "vmin", "vmax",
       "first_ts_ms", "first_v", "last_ts_ms", "last_v", "increase",
-      "resets", "changes")
+      "resets", "changes", "vsq", "sx", "sxx", "sxy")
     def rows(path: String) = RollupStore.read(spark, path)
       .select(cols.map(col): _*).orderBy("series", "window_ms")
       .collect.toSeq

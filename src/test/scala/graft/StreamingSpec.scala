@@ -398,13 +398,17 @@ class StreamingSpec extends SparkSpec {
       s"$root/batch", Seq("event_type", "user_id"), "ts", "value", 3600000L)
     val cols = Seq("event_type", "user_id", "window_ms", "n", "vsum",
       "vmin", "vmax", "first_ts_ms", "first_v", "last_ts_ms", "last_v",
-      "increase", "resets", "changes")
+      "increase", "resets", "changes", "vsq", "sx", "sxx", "sxy")
     def canon(path: String) = s.read.parquet(path)
       // the 2024-01-02 watermark-advancer window only exists streamed
       .filter(col("window_ms") < 1704153600000L)
       .select(cols.head, cols.tail: _*)
       .withColumn("vsum", col("vsum").cast("decimal(30,8)"))
       .withColumn("increase", col("increase").cast("decimal(30,8)"))
+      .withColumn("vsq", col("vsq").cast("decimal(31,16)"))
+      .withColumn("sx", col("sx").cast("decimal(20,0)"))
+      .withColumn("sxx", col("sxx").cast("decimal(30,0)"))
+      .withColumn("sxy", col("sxy").cast("decimal(33,8)"))
       .collect().map(_.toSeq).toSet
     val streamed = canon(s"$root/layer")
     assert(streamed == canon(s"$root/batch"))
