@@ -338,7 +338,7 @@ object Bench {
     val sf1Extra = sys.env.getOrElse("SPARK_GRAFT_SF1_EXTRA",
         "ts_promql_range_rate,ts_tsdb_block_nh_select,ts_wide_select," +
           "ts_promql_nh_reset_rate,ts_promql_rollup_range_rate," +
-          "ts_rollup_increase")
+          "ts_rollup_increase,ts_promql_nh_rollup_quantile")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
       .filter(n => results.exists { case (q, t) => q == n && t.isDefined })
     val sf1Names = {

@@ -141,6 +141,43 @@ class HistRollupStoreSpec extends SparkSpec {
     }
   }
 
+  test("NHCB custom-bucket metrics route through rollup layers") {
+    import graft.tsdb.promql.{HistTable, PromQL, PromQLContext}
+    // schema -53 rows: indexes address the bound list, no zero
+    // bucket, no negative side; counters reset at t=310 (idx-0 drop)
+    val rows: Seq[Row8] = Seq(
+      ("a", 10L, 0.0, Seq(0, 1), Seq(2.0, 1.0), Seq(), Seq(), "unknown"),
+      ("a", 110L, 0.0, Seq(0, 1), Seq(5.0, 4.0), Seq(), Seq(), "unknown"),
+      ("a", 310L, 0.0, Seq(0, 2), Seq(1.0, 2.0), Seq(), Seq(), "unknown"),
+      ("a", 410L, 0.0, Seq(0, 2), Seq(4.0, 3.0), Seq(), Seq(), "unknown"))
+    val d = df(rows).withColumn("ts", timestamp_seconds(col("t_sec")))
+    val path = "/tmp/graft_nh_rollup_spec_nhcb"
+    HistRollupStore.write(df(rows), path, Seq("series"), "t_sec",
+      "zero_count", "pos_idx", "pos_counts", "neg_idx", "neg_counts", W,
+      hintCol = Some("hint"))
+    val bounds = Seq(0.5, 2.0, 8.0)
+    def ctx(layers: Boolean) = PromQLContext(
+      metrics = Map.empty, labelCols = Seq("series"),
+      evalMs = 1000L * 1000L, lookbackMs = 2000000L,
+      histMetrics = Map("m" -> HistTable(d, customValues = bounds,
+        rollups = if (layers)
+          Seq(graft.tsdb.RollupStore.RollupLayer(path, W * 1000L))
+        else Nil)))
+    def run(q: String, layers: Boolean) =
+      PromQL.compile(q, ctx(layers)).collect().map(_.toSeq).toSet
+    for (q <- Seq("histogram_count(increase(m[1000s]))",
+        "histogram_quantile(0.9, increase(m[1000s]))")) {
+      assert(run(q, true) == run(q, false), s"$q diverged")
+      assert(run(q, true).nonEmpty)
+    }
+    // and it genuinely routed: the layer path is in the plan
+    val plan = PromQL.compile(
+        "histogram_count(increase(m[1000s]))", ctx(true))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("graft_nh_rollup_spec_nhcb"))
+  }
+
   test("single-sample windows carry empty increases but real boundaries") {
     // every window holds ONE sample: all increase comes from seams
     val rows: Seq[Row8] = Seq(
