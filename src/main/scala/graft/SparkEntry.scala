@@ -1764,6 +1764,43 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** The full production serving pipeline in ONE plan: a Prometheus
+    * DATA DIRECTORY (byte-level blocks) → `readLabels` → an EXACT
+    * 1-day rollup layer ([[tsdb.RollupStore.write]], the compact
+    * maintenance step) → a day-aligned `query_range` routed ENTIRELY
+    * to that layer by the string front-end. The oracle computes
+    * straight from the raw events table — so the hash match pins the
+    * byte decode, the layer build and the routed reconstruction
+    * together. avg_over_time's (Σvsum, Σn) pair is order-independent
+    * and ms-exact, so the block layout's ms timestamp grain is
+    * invisible to it.
+    */
+  private def tsPromqlTsdbRollup(s: SparkSession, dir: String): DataFrame = {
+    tsdbBlockFixture(s, dir)
+    val events = graft.tsdb.block.TsdbBlockStore
+      .readLabels(s, tsdbBlockPath(dir), Seq("event_type", "user_id"))
+      .withColumn("ts", timestamp_millis(col("ts")))
+    val p = "/tmp/graft_rollup_blocks_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+    fixtureOnce(s"rollup_blocks:$dir") {
+      RollupStore.write(events, p, Seq("event_type", "user_id"),
+        "ts", "value", 86400000L)
+    }
+    val ctx = graft.tsdb.promql.PromQLContext(
+      metrics = Map("events" -> events),
+      labelCols = Seq("event_type", "user_id"),
+      evalMs = 1706745600000L, // 2024-02-01T00:00:00Z
+      lookbackMs = 86400000L,
+      rollups = Map("events" -> Seq(
+        RollupStore.RollupLayer(p, 86400000L))))
+    graft.tsdb.promql.PromQL.compileRange(
+        "sum by (event_type) (avg_over_time(events[5d]))", ctx,
+        startMs = 1704844800000L, // 2024-01-10T00:00Z
+        endMs = 1706572800000L,   // 2024-01-30T00:00Z
+        stepMs = 432000000L)      // 5d
+      .select(col("event_type"), col("step_ms"), col("value").as("avg_sum"))
+      .orderBy("event_type", "step_ms")
+  }
+
   /** The experimental `info()` function parsed from the string: a
     * derived `target_info` metric (one series per user with a
     * deterministic `tier` data label) enriches an aggregated vector
@@ -3532,6 +3569,7 @@ object SparkEntry {
     "ts_promql_neg_count_rate" -> (tsPromqlNegCountRate _),
     "ts_promql_neg_delta" -> (tsPromqlNegDelta _),
     "ts_promql_tsdb_blocks" -> (tsPromqlTsdbBlocks _),
+    "ts_promql_tsdb_rollup" -> (tsPromqlTsdbRollup _),
     "ts_promql_nh_blocks" -> (tsPromqlNhBlocks _),
     "ts_promql_info" -> (tsPromqlInfo _),
     "ts_promql_nh_chunked" -> (tsPromqlNhChunked _),
@@ -4394,6 +4432,24 @@ object SparkEntry {
         |ORDER BY event_type, step_ms""".stripMargin,
     // rollup-served avg_over_time under sum by: straight from raw
     "ts_promql_rollup_over_time" ->
+      """WITH steps AS (
+        |  SELECT range AS step_ms
+        |  FROM range(1704844800000, 1706572800001, 432000000)),
+        |p AS (
+        |  SELECT s.step_ms, e.event_type, e.user_id,
+        |    CAST(sum(CAST(e.value AS DECIMAL(30,8))) AS DOUBLE) / count(*) AS avg_v
+        |  FROM steps s JOIN events e
+        |    ON e.ts >= epoch_ms(s.step_ms - 432000000)
+        |   AND e.ts < epoch_ms(s.step_ms)
+        |  GROUP BY 1, 2, 3)
+        |SELECT event_type, step_ms,
+        |  CAST(sum(CAST(avg_v AS DECIMAL(30,8))) AS DOUBLE) AS avg_sum
+        |FROM p GROUP BY 1, 2
+        |ORDER BY event_type, step_ms""".stripMargin,
+    // blocks -> layer -> routed grid: byte decode + layer build +
+    // routed reconstruction must together replay the raw answer —
+    // the SAME oracle as the raw-layer routed gate by design
+    "ts_promql_tsdb_rollup" ->
       """WITH steps AS (
         |  SELECT range AS step_ms
         |  FROM range(1704844800000, 1706572800001, 432000000)),

@@ -619,6 +619,25 @@ object PlanAudit {
       if (!ok) failures ::= "ts_promql_rollup_range_rate: routing"
     }
 
+    {
+      // the blocks→layer→routed pipeline: the grid query must read
+      // ONLY the block-derived rollup layer — the block reader's
+      // ExistingRDD scan (the raw sample path) absent from the plan,
+      // no window operator
+      val df = SparkEntry.queries("ts_promql_tsdb_rollup")(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val onLayer = plan.contains("graft_rollup_blocks_")
+      val noBlocks = !plan.contains("ExistingRDD")
+      val noWin = !plan.contains("Window")
+      val ok = onLayer && noBlocks && noWin
+      println(s"[audit] ts_promql_tsdb_rollup :: blocks->layer->routed " +
+        s"grid reads the layer only: layer=$onLayer " +
+        s"block_scan_absent=$noBlocks window=${!noWin} " +
+        s"-> ${if (ok) "OK" else "FAIL"}")
+      if (!ok) failures ::= "ts_promql_tsdb_rollup: routing"
+    }
+
     for (q <- Seq("ts_promql_rollup_stddev", "ts_promql_rollup_deriv")) {
       // the moment-sum routed functions: both joined compiled
       // vectors must read the 1d layer only (raw table absent) and

@@ -111,6 +111,23 @@ class RollupStoreSpec extends SparkSpec {
     assert(rows(p) == rows(layer(DAY, "casc")))
   }
 
+  test("two-hop cascade (1h→2h→1d) ≡ direct — composition associates") {
+    val fine = layer(HOUR, "casc2")
+    val mid = "/tmp/graft_rollupspec_casc2_mid"
+    RollupStore.writeFrom(spark, fine, mid, Seq("series"), "ts",
+      fineResolutionMs = HOUR, resolutionMs = 2 * HOUR)
+    val p = "/tmp/graft_rollupspec_casc2_day"
+    RollupStore.writeFrom(spark, mid, p, Seq("series"), "ts",
+      fineResolutionMs = 2 * HOUR, resolutionMs = DAY)
+    val cols = Seq("series", "window_ms", "n", "vsum", "vmin", "vmax",
+      "first_ts_ms", "first_v", "last_ts_ms", "last_v", "increase",
+      "resets", "changes", "vsq", "sx", "sxx", "sxy")
+    def rows(path: String) = RollupStore.read(spark, path)
+      .select(cols.map(col): _*).orderBy("series", "window_ms")
+      .collect.toSeq
+    assert(rows(p) == rows(layer(DAY, "casc2")))
+  }
+
   test("cascade rejects a coarse resolution fine windows would straddle") {
     intercept[IllegalArgumentException] {
       RollupStore.writeFrom(spark, layer(HOUR, "cascbad"), "/tmp/never",
