@@ -274,6 +274,13 @@ object RollupStore {
   /** [[increaseFold]] keeping the exact decimal accumulator — what
     * the cascade ([[writeFrom]]) stores so coarser layers stay
     * bitwise-exact instead of re-quantizing a double.
+    *
+    * The boundary term is coalesced to 0: a NaN-valued sample makes
+    * the seam delta NaN, whose decimal cast is NULL — the raw lag
+    * fold's `sum()` SKIPS that null, so the fold must too, or one
+    * NaN sample null-poisons the whole accumulator through `+`
+    * (found by the NaN cascade spec; same rule as the within-window
+    * `sum(_delta)` in [[write]]).
     */
   def increaseFoldDec(wins: Column): Column =
     aggregate(wins,
@@ -282,11 +289,13 @@ object RollupStore {
       (s, x) => struct(
         x.getField("last_v").as("prev"),
         (s.getField("acc") + x.getField("increase") +
-          when(s.getField("prev").isNull, lit(0.0))
-            .when(x.getField("first_v") >= s.getField("prev"),
-              x.getField("first_v") - s.getField("prev"))
-            .otherwise(x.getField("first_v"))
-            .cast(D)).cast(D).as("acc")),
+          coalesce(
+            when(s.getField("prev").isNull, lit(0.0))
+              .when(x.getField("first_v") >= s.getField("prev"),
+                x.getField("first_v") - s.getField("prev"))
+              .otherwise(x.getField("first_v"))
+              .cast(D),
+            lit(0).cast(D))).cast(D).as("acc")),
       s => s.getField("acc").cast(D))
 
   /** The stitched resets/changes fold over a sorted [[windowStruct]]

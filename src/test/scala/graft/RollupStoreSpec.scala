@@ -128,6 +128,52 @@ class RollupStoreSpec extends SparkSpec {
     assert(rows(p) == rows(layer(DAY, "casc2")))
   }
 
+  test("cascade ≡ direct under NaN samples (Spark NaN ordering, NaN==NaN changes rule)") {
+    // NaN mid-window and NaN as a window's boundary sample: Spark
+    // orders NaN above every double (max picks it, min never does),
+    // `=!=` treats NaN==NaN as equal (no phantom change), and the
+    // NaN→decimal cast nulls out of the exact sums — the cascade
+    // must reproduce ALL of it bitwise, whatever the semantics
+    val nan = Double.NaN
+    val d = Seq(
+      ("n", ts("2024-01-01 00:10:00"), 1.0),
+      ("n", ts("2024-01-01 00:40:00"), nan),
+      ("n", ts("2024-01-01 01:05:00"), nan),
+      ("n", ts("2024-01-01 01:20:00"), 4.0),
+      ("n", ts("2024-01-01 03:30:00"), 2.0)
+    ).toDF("series", "ts", "value")
+    val fine = "/tmp/graft_rollupspec_nan_h"
+    RollupStore.write(d, fine, Seq("series"), "ts", "value", HOUR)
+    val casc = "/tmp/graft_rollupspec_nan_casc"
+    RollupStore.writeFrom(spark, fine, casc, Seq("series"), "ts",
+      fineResolutionMs = HOUR, resolutionMs = DAY)
+    val direct = "/tmp/graft_rollupspec_nan_d"
+    RollupStore.write(d, direct, Seq("series"), "ts", "value", DAY)
+    // Row equality can't compare NaN (NaN != NaN); canonicalize
+    def rows(p: String) = RollupStore.read(spark, p)
+      .drop("ts", "bucket").orderBy("series", "window_ms")
+      .collect.toSeq.map(_.toSeq.map {
+        case x: Double if x.isNaN => "NaN"
+        case x => x
+      })
+    assert(rows(casc) == rows(direct))
+    // pin the absolute counts so the rule can't drift: the NaN→NaN
+    // step is NOT a change (Spark NaN==NaN); NaN is GREATER than any
+    // value, so value-after-NaN (NaN→4.0) reads as a decrease and
+    // resets, as does 4.0→2.0 — resets=2; 1.0→NaN, NaN→4.0 and
+    // 4.0→2.0 are the three changes
+    val cnts = RollupStore.read(spark, direct)
+      .select("resets", "changes").as[(Long, Long)].head()
+    assert(cnts == ((2L, 3L)))
+    // the stitched fold must null-SKIP the NaN seam delta exactly
+    // like the raw fold's sum() does (pre-fix it null-poisoned):
+    // 0 (w0: 1.0→NaN) + seam NaN→NaN (skip) + 4 (w1: NaN→4.0)
+    // + seam reset 4.0→2.0 (+2) = 6
+    val inc = RollupStore.stitchedIncrease(spark, fine, Seq("series"),
+      base, base + DAY).select("increase").as[Double].head()
+    assert(inc == 6.0)
+  }
+
   test("cascade rejects a coarse resolution fine windows would straddle") {
     intercept[IllegalArgumentException] {
       RollupStore.writeFrom(spark, layer(HOUR, "cascbad"), "/tmp/never",
