@@ -594,6 +594,22 @@ object SparkEntry {
       .orderBy("event_type", "user_id")
   }
 
+  /** Routed `delta()` — graft's no-extrapolation gauge delta
+    * (last − first, [[tsdb.PromOps.delta]]) served from the 1-day
+    * layer's BOUNDARY SAMPLES: the min/max window-struct picks
+    * reconstruct the range's first/last raw samples exactly, so the
+    * subtraction is the identical IEEE op on the identical doubles —
+    * the oracle replays the raw (ts, value)-ordered first/last over
+    * the same 5-day window. A long-range dashboard `delta(gauge[30d])`
+    * reads windows-in-range rows instead of every raw sample.
+    */
+  private def tsPromqlRollupDelta(s: SparkSession, dir: String): DataFrame =
+    graft.tsdb.promql.PromQL.compile("delta(events[5d])",
+        promCtxRollup(s, dir))
+      .select(col("event_type"), col("user_id"),
+        round(col("value"), 8).as("delta"))
+      .orderBy("event_type", "user_id")
+
   private def tsTopkSeries(s: SparkSession, dir: String): DataFrame =
     PromOps.topKSeries(t(s, dir, "events"), Seq("event_type"),
         Seq("user_id"), "value", k = 3)
@@ -3472,6 +3488,7 @@ object SparkEntry {
     "ts_promql_rollup_resets" -> (tsPromqlRollupResets _),
     "ts_promql_rollup_stddev" -> (tsPromqlRollupStddev _),
     "ts_promql_rollup_deriv" -> (tsPromqlRollupDeriv _),
+    "ts_promql_rollup_delta" -> (tsPromqlRollupDelta _),
     "ts_topk_series" -> (tsTopkSeries _),
     "ts_count_values" -> (tsCountValues _),
     "ts_quantile" -> (tsQuantile _),
@@ -4540,6 +4557,19 @@ object SparkEntry {
         |          / CAST(n AS DOUBLE)
         |        + slope_ms * 435600000.0, 6) AS predicted
         |FROM r
+        |ORDER BY event_type, user_id""".stripMargin,
+    // routed delta: the raw (ts, value)-ordered first/last pick over
+    // the same 5d window — the layer's boundary samples must
+    // reproduce it exactly
+    "ts_promql_rollup_delta" ->
+      """WITH w AS (
+        |  SELECT event_type, user_id, ts, value
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-27' AND ts < TIMESTAMP '2024-02-01')
+        |SELECT event_type, user_id,
+        |  round(last(value ORDER BY ts, value)
+        |    - first(value ORDER BY ts, value), 8) AS delta
+        |FROM w GROUP BY 1, 2
         |ORDER BY event_type, user_id""".stripMargin,
     // routed downsample: straight from raw — the layer choice (1d
     // here) must be invisible in the values, only in bytes read

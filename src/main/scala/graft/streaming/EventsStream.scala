@@ -248,36 +248,52 @@ object EventsStream {
       val samples = buf.tsMs.zip(buf.vals).sorted
       def q(d: Double) = java.math.BigDecimal.valueOf(d)
         .setScale(8, java.math.RoundingMode.HALF_UP)
+      // Spark SQL's double comparison (SQLOrderingUtil.compareDoubles):
+      // -0.0 == 0.0, NaN above every value, NaN == NaN. The batch
+      // writer's lag/min/max run under THIS ordering, and NaN is an
+      // in-model value (Prometheus staleness markers) — plain Scala
+      // `<`/`>=` would diverge on it and BigDecimal.valueOf throws on
+      // non-finite, so every value-dependent accumulation below
+      // either uses cmp() or skips non-finite exactly where the batch
+      // path's double→decimal cast yields the NULL that sum() skips.
+      def cmp(a: Double, b: Double): Int =
+        if (a == b) 0 else java.lang.Double.compare(a, b)
       var vsum = java.math.BigDecimal.ZERO
       var inc = java.math.BigDecimal.ZERO
       var vsq = java.math.BigDecimal.ZERO
       var sx = java.math.BigDecimal.ZERO
       var sxx = java.math.BigDecimal.ZERO
       var sxy = java.math.BigDecimal.ZERO
-      var vmin = Double.PositiveInfinity
-      var vmax = Double.NegativeInfinity
+      var vmin = samples.head._2
+      var vmax = samples.head._2
       var resets = 0L
       var changes = 0L
       var i = 0
       while (i < samples.length) {
         val v = samples(i)._2
-        val qv = q(v)
-        vsum = vsum.add(qv)
+        val finite = java.lang.Double.isFinite(v)
         // the batch writer's exact moment sums: v² at scale 16 (the
         // exact product of two scale-8 decimals), x = window-relative
-        // integer milliseconds
-        vsq = vsq.add(qv.multiply(qv))
+        // integer milliseconds. sx/sxx are value-INdependent (the
+        // batch sums _xw over every row), so they never skip; the
+        // value-carrying sums skip non-finite like the batch cast.
         val xw = java.math.BigDecimal.valueOf(
           samples(i)._1 - buf.windowStartMs)
         sx = sx.add(xw)
         sxx = sxx.add(xw.multiply(xw))
-        sxy = sxy.add(xw.multiply(qv))
-        if (v < vmin) vmin = v
-        if (v > vmax) vmax = v
+        if (finite) {
+          val qv = q(v)
+          vsum = vsum.add(qv)
+          vsq = vsq.add(qv.multiply(qv))
+          sxy = sxy.add(xw.multiply(qv))
+        }
+        if (cmp(v, vmin) < 0) vmin = v
+        if (cmp(v, vmax) > 0) vmax = v
         if (i > 0) {
           val prev = samples(i - 1)._2
-          inc = inc.add(q(if (v >= prev) v - prev else v))
-          if (v < prev) resets += 1
+          val delta = if (cmp(v, prev) >= 0) v - prev else v
+          if (java.lang.Double.isFinite(delta)) inc = inc.add(q(delta))
+          if (cmp(v, prev) < 0) resets += 1
           // Spark-side `=!=` treats NaN==NaN as equal; mirror it
           if (v != prev && !(v.isNaN && prev.isNaN)) changes += 1
         }

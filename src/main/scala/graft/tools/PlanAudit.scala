@@ -638,10 +638,12 @@ object PlanAudit {
       if (!ok) failures ::= "ts_promql_tsdb_rollup: routing"
     }
 
-    for (q <- Seq("ts_promql_rollup_stddev", "ts_promql_rollup_deriv")) {
-      // the moment-sum routed functions: both joined compiled
-      // vectors must read the 1d layer only (raw table absent) and
-      // stay windowless — one partial-aggregating shuffle per vector
+    for (q <- Seq("ts_promql_rollup_stddev", "ts_promql_rollup_deriv",
+        "ts_promql_rollup_delta")) {
+      // the moment-sum/boundary-sample routed functions: every
+      // compiled vector must read the 1d layer only (raw table
+      // absent) and stay windowless — one partial-aggregating
+      // shuffle per vector
       val df = SparkEntry.queries(q)(spark, dir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)

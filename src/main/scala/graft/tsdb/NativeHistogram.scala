@@ -399,18 +399,28 @@ object NativeHistogram {
         count(lit(1)).as("_n"))
       .filter(col("_n") >= 2)
     val dt = (col("last.t") - col("first.t")).cast("double")
-    val firstMap = map_from_arrays(col("first.i"), col("first.c"))
-    val firstNegMap = map_from_arrays(col("first.ni"), col("first.nc"))
+    // bucket deltas over the UNION of first and last bucket keys: a
+    // gauge histogram may legitimately drop a populated bucket
+    // between snapshots (span relayout), and that bucket's shrinkage
+    // is −first_count — iterating last's keys alone would silently
+    // read it as 0 (upstream subtracts over the union:
+    // model/histogram Sub walks both span sets)
+    def unionDelta(lastM: Column, firstM: Column): Column =
+      map_zip_with(lastM, firstM, (_, l, f) =>
+        (coalesce(l.cast("double"), lit(0.0)) -
+          coalesce(f.cast("double"), lit(0.0))))
+    val posD = unionDelta(map_from_arrays(col("last.i"), col("last.c")),
+      map_from_arrays(col("first.i"), col("first.c")))
+    val negD = unionDelta(map_from_arrays(col("last.ni"), col("last.nc")),
+      map_from_arrays(col("first.ni"), col("first.nc")))
     ends.select(keys ++ Seq(
       dt.as("dt_sec"),
       (col("last.z") - col("first.z")).cast("double").as("zero_delta"),
-      col("last.i").as("pos_idx"),
-      zip_with(col("last.i"), col("last.c"), (i, c) =>
-        (c - coalesce(element_at(firstMap, i), lit(0L))).cast("double"))
+      array_sort(map_keys(posD)).as("pos_idx"),
+      transform(array_sort(map_keys(posD)), k => element_at(posD, k))
         .as("pos_delta"),
-      col("last.ni").as("neg_idx"),
-      zip_with(col("last.ni"), col("last.nc"), (i, c) =>
-        (c - coalesce(element_at(firstNegMap, i), lit(0L))).cast("double"))
+      array_sort(map_keys(negD)).as("neg_idx"),
+      transform(array_sort(map_keys(negD)), k => element_at(negD, k))
         .as("neg_delta")): _*)
   }
 
@@ -467,14 +477,22 @@ object NativeHistogram {
     map_zip_with(a, b, (_, x, y) =>
       coalesce(x, lit(0.0)) + coalesce(y, lit(0.0)))
   /** One side's per-step contribution: the whole cur histogram on
-    * reset, else cur − prev over cur's keys (no-reset ⇒ prev's keys
-    * all survive in cur, so cur's key set covers every delta).
+    * reset, else cur − prev over the UNION of both key sets. The
+    * union matters only when reset is hint-SUPPRESSED: a value-
+    * detected walk already flags any vanished nonzero bucket as a
+    * decrease (reset), but a `not_counter_reset`/`gauge` header
+    * overrides detection, and then a populated bucket absent from
+    * cur must still contribute −prev_count or the shrinkage is
+    * silently dropped. On reset, prev-only keys carry a null that
+    * map_filter removes, leaving exactly the cur histogram.
     */
   private[tsdb] def hfStepDelta(curI: Column, curC: Column, prevM: Column,
       reset: Column): Column =
-    map_from_arrays(curI,
-      when(reset, curC).otherwise(zip_with(curI, curC,
-        (ik, ck) => ck - coalesce(element_at(prevM, ik), lit(0.0)))))
+    map_filter(
+      map_zip_with(map_from_arrays(curI, curC), prevM, (_, c, p) =>
+        when(reset, c)
+          .otherwise(coalesce(c, lit(0.0)) - coalesce(p, lit(0.0)))),
+      (_, v) => v.isNotNull)
   /** The hint ladder: an explicit chunk header beats value
     * comparison; `unknown` falls back to the detector.
     */

@@ -756,9 +756,12 @@ object PromQL {
           .agg(max(lit(1.0)).as("value"))
           .select(k.map(col) :+ col("value"): _*), rv.labels))
       case "rate" | "increase" => Right(extrapolated(c))
-      case "delta" => Right(overRange(c, (df, ls, start) =>
-        PromOps.delta(df, ls, ctx.tsCol, ctx.valueCol, ctx.tieBreak)
-          .withColumnRenamed("delta", "value")))
+      case "delta" => Right(rollupRangeVec(one(c, c.fn)) match {
+        case Some(rv) => rollupDelta(rv)
+        case None => overRange(c, (df, ls, start) =>
+          PromOps.delta(df, ls, ctx.tsCol, ctx.valueCol, ctx.tieBreak)
+            .withColumnRenamed("delta", "value"))
+      })
       case "idelta" => Right(overRange(c, (df, ls, _) =>
         PromOps.idelta(df, ls, ctx.tsCol, ctx.valueCol, ctx.tieBreak)
           .withColumnRenamed("idelta", "value")))
@@ -1077,6 +1080,29 @@ object PromQL {
             col("_slope_ms") * col("_sx").cast("double")) /
             col("_n").cast("double"))
         .withColumn("_origin", lit(o))
+    }
+
+    /** Routed `delta()` — graft's documented no-extrapolation gauge
+      * delta (last − first, [[PromOps.delta]]) served from the
+      * layer's boundary samples: the min/max window-struct picks
+      * reconstruct the range's first and last raw samples exactly
+      * (fine windows partition time, and within a window the stored
+      * boundary pick used the identical (ts, tieBreak, value)
+      * order), so the subtraction is the same IEEE op on the same
+      * two doubles the raw scan performs — bitwise the raw answer
+      * from windows-in-range rows. A single-sample range yields 0
+      * (first == last), as raw does.
+      */
+    private def rollupDelta(rv: RollupRangeVec): Vec = {
+      val k = keys(rv.labels)
+      val out = rv.rows.groupBy(k.map(col): _*)
+        .agg(
+          min(struct(col("window_ms"), col("first_ts_ms"),
+            col("first_v").as("_v"))).getField("_v").as("_first"),
+          max(struct(col("window_ms"), col("last_ts_ms"),
+            col("last_v").as("_v"))).getField("_v").as("_last"))
+        .withColumn("value", col("_last") - col("_first"))
+      stamped(out.select(k.map(col) :+ col("value"): _*), rv.labels)
     }
 
     private def rollupDeriv(rv: RollupRangeVec): Vec = {
@@ -1501,8 +1527,14 @@ object PromQL {
         rangeMs: Long): Option[DataFrame] = {
       if (ht.rollups.isEmpty) return None
       val at = resolveAt(sel.at)
+      // the select below converts the ms span to the layer's
+      // whole-second window grain, so a layer whose resolution is
+      // not a whole-second multiple must never pass eligibility
+      // (truncating division would silently shift its bounds), and
+      // the conversion itself floors — pre-epoch spans must round
+      // toward -∞, not toward zero
       def aligned(res: Long): Boolean =
-        rangeMs % res == 0 && ((grid, at) match {
+        res % 1000L == 0 && rangeMs % res == 0 && ((grid, at) match {
           case (Some(g), None) =>
             (g.startMs - sel.offsetMs) % res == 0 && g.stepMs % res == 0
           case (_, a) =>
@@ -1514,8 +1546,8 @@ object PromQL {
         .map { layer =>
           rangeRowsBy(sel, rangeMs, (s, e) =>
             graft.tsdb.HistRollupStore
-              .select(sparkOf, layer.path, s / 1000L, e / 1000L,
-                sel.matchers)
+              .select(sparkOf, layer.path, Math.floorDiv(s, 1000L),
+                Math.floorDiv(e, 1000L), sel.matchers)
               .withColumn(TS, col("window_sec") * 1000L))
         }
     }

@@ -379,6 +379,42 @@ class NativeHistogramSpec extends SparkSpec {
     assert(r.getSeq[Double](6) == Seq(5.0))        // neg: 9 - 4
   }
 
+  test("deltaBySigned: a bucket populated at first but VANISHED at last " +
+      "emits -first_count (union keys, not last's keys)") {
+    val df = Seq(
+      // pos bucket 3 (6 obs) and neg bucket 1 (2 obs) exist only in
+      // the FIRST snapshot — a gauge relayout dropped them; their
+      // shrinkage must show up as negative deltas
+      ("g", 0L, 1L, Seq(1, 3), Seq(5L, 6L), Seq(0, 1), Seq(4L, 2L)),
+      ("g", 40L, 1L, Seq(1), Seq(8L), Seq(0), Seq(7L))
+    ).toDF("lbl", "t", "z", "i", "c", "ni", "nc")
+    val r = NativeHistogram.deltaBySigned(df, Seq("lbl"), "t",
+      "z", "i", "c", "ni", "nc").collect().head
+    assert(r.getSeq[Int](3) == Seq(1, 3))
+    assert(r.getSeq[Double](4) == Seq(3.0, -6.0))  // 8-5, 0-6
+    assert(r.getSeq[Int](5) == Seq(0, 1))
+    assert(r.getSeq[Double](6) == Seq(3.0, -2.0))  // 7-4, 0-2
+  }
+
+  test("increaseBySignedResets: hint-suppressed reset keeps a vanished " +
+      "bucket's negative delta (union step keys)") {
+    // bucket 2 drops 6→gone on the second step; value detection
+    // would call that a reset, but the not_counter_reset header
+    // overrides it — the step must then contribute −6 for bucket 2
+    // instead of silently reading it as absent
+    val df = Seq(
+      ("a", 0L, 1L, Seq(1, 2), Seq(4L, 6L), Seq.empty[Int],
+        Seq.empty[Long], "unknown"),
+      ("a", 10L, 2L, Seq(1), Seq(7L), Seq.empty[Int], Seq.empty[Long],
+        "not_counter_reset")
+    ).toDF("lbl", "t", "z", "i", "c", "ni", "nc", "h")
+    val r = NativeHistogram.increaseBySignedResets(df, Seq("lbl"), "t",
+      "z", "i", "c", "ni", "nc", hintCol = Some("h")).collect().head
+    assert(r.getDouble(2) == 1.0)                  // zero: 2-1
+    assert(r.getSeq[Int](3) == Seq(1, 2))
+    assert(r.getSeq[Double](4) == Seq(3.0, -6.0))  // b1: 7-4; b2: 0-6
+  }
+
   test("increaseBySignedResets: a mid-range reset adds the post-reset histogram") {
     // series with 3 samples: monotone step, then a RESET (bucket 1
     // drops 9→2 and bucket 2 VANISHES — disappearance reads 0, a

@@ -62,7 +62,7 @@ class PromQLRollupSpec extends SparkSpec {
 
   test("routed rate/increase/resets/changes are bitwise the raw answers") {
     layers
-    for (fn <- Seq("rate", "increase", "resets", "changes")) {
+    for (fn <- Seq("rate", "increase", "resets", "changes", "delta")) {
       val (routed, raw) = collectBoth(s"$fn(m[6h])", alignedEval)
       assert(routed == raw, s"$fn diverged")
       assert(routed.nonEmpty)
@@ -123,6 +123,8 @@ class PromQLRollupSpec extends SparkSpec {
     assert(plansRollup("stddev_over_time(m[6h])", alignedEval))
     assert(plansRollup("deriv(m[6h])", alignedEval))
     assert(!plansRollup("deriv(m[6h])", alignedEval + 1))
+    assert(plansRollup("delta(m[6h])", alignedEval))
+    assert(!plansRollup("delta(m[6h])", alignedEval + 1))
   }
 
   test("grid mode: routed query_range matches raw step for step") {

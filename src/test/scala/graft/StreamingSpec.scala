@@ -374,11 +374,19 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = s.sqlContext
     val root = java.nio.file.Files.createTempDirectory("graft_stream_rollup").toString
     val fixture = Seq(
-      // hour 10: 1 -> 4 (+3); hour 11: reset 2 -> 9 (+7);
-      // a LATE 10:40 sample (3.0: +2 in-window, reorders the chain)
+      // hour 10: 1 → NaN → 3 → 4; hour 11: reset 2 → 9 (+7);
+      // a LATE 10:40 sample (3.0) reorders INTO the chain, and the
+      // 10:20 NaN (a Prometheus staleness marker is NaN) pins the
+      // non-finite path: under Spark's ordering NaN sits ABOVE every
+      // double, so 1→NaN is a skipped-null delta (not a crash),
+      // NaN→3 reads as a counter reset contributing +3, min skips
+      // NaN, and max RETURNS NaN — the batch writer does all of this
+      // via decimal-cast nulls and its double ordering, and the
+      // streamed window must match it bitwise
       SeriesEvent(ts("2024-01-01 10:10:00"), "req", 1L, 1.0),
       SeriesEvent(ts("2024-01-01 10:50:00"), "req", 1L, 4.0),
       SeriesEvent(ts("2024-01-01 10:40:00"), "req", 1L, 3.0),
+      SeriesEvent(ts("2024-01-01 10:20:00"), "req", 1L, Double.NaN),
       SeriesEvent(ts("2024-01-01 11:05:00"), "req", 1L, 2.0),
       SeriesEvent(ts("2024-01-01 11:45:00"), "req", 1L, 9.0),
       SeriesEvent(ts("2024-01-01 11:30:00"), "view", 2L, 5.0))
@@ -409,7 +417,13 @@ class StreamingSpec extends SparkSpec {
       .withColumn("sx", col("sx").cast("decimal(20,0)"))
       .withColumn("sxx", col("sxx").cast("decimal(30,0)"))
       .withColumn("sxy", col("sxy").cast("decimal(33,8)"))
-      .collect().map(_.toSeq).toSet
+      // Scala `==` on boxed doubles unboxes to primitive equality,
+      // where NaN != NaN — canonicalize so the bitwise-equal NaN
+      // cells (vmax of the NaN-bearing window) compare equal
+      .collect().map(_.toSeq.map {
+        case d: Double if d.isNaN => "NaN"
+        case x => x
+      }).toSet
     val streamed = canon(s"$root/layer")
     assert(streamed == canon(s"$root/batch"))
     assert(streamed.size == 3)
@@ -418,7 +432,8 @@ class StreamingSpec extends SparkSpec {
         Seq("event_type", "user_id"), 1704096000000L, 1704153600000L)
       .filter(col("event_type") === "req")
       .select(col("increase")).as[Double].head()
-    // 1→3→4 (+3) | boundary 4→2 reset (+2) | 2→9 (+7) = 12
-    assert(inc == 12.0)
+    // 1→NaN (skipped null) →3 (reset, +3) →4 (+1) | boundary 4→2
+    // reset (+2) | 2→9 (+7) = 13
+    assert(inc == 13.0)
   }
 }
