@@ -610,6 +610,72 @@ object SparkEntry {
         round(col("value"), 8).as("delta"))
       .orderBy("event_type", "user_id")
 
+  // ---- classic le-bucket histogram served from SCALAR rollup layers ----
+
+  private val classicLes = Seq("10.0", "25.0", "50.0", "100.0", "200.0",
+    "Infinity")
+
+  /** A classic (le-labelled) histogram as a LONG series table derived
+    * deterministically from events: per (event_type, le) a daily
+    * CUMULATIVE counter of observations ≤ le — the storage shape a
+    * Prometheus classic histogram has after convert (one plain
+    * counter series per bucket, reference schema/schema.go le label).
+    */
+  private def classicBucketTable(s: SparkSession, dir: String): DataFrame = {
+    val incs = classicLes.zipWithIndex.map { case (le, i) =>
+      count(when(col("value") <= lit(le.toDouble), 1))
+        .cast("double").as(s"_inc$i")
+    }
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("ts"))
+      .agg(incs.head, incs.tail: _*)
+    daily
+      .select(col("event_type"), col("ts"),
+        explode(array(classicLes.zipWithIndex.map { case (le, i) =>
+          struct(lit(le).as("le"), col(s"_inc$i").as("inc"))
+        }: _*)).as("_b"))
+      .select(col("event_type"), col("_b.le").as("le"), col("ts"),
+        col("_b.inc").as("inc"))
+      .withColumn("value", sum("inc").over(org.apache.spark.sql.expressions
+        .Window.partitionBy("event_type", "le").orderBy("ts")))
+      .drop("inc")
+  }
+
+  private def classicRollupPath(dir: String): String =
+    "/tmp/graft_clrollup_1d_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+
+  /** The Grafana dashboard idiom `histogram_quantile(0.9,
+    * rate(bucket[5d]))` served FROM SCALAR ROLLUP LAYERS: classic
+    * le-buckets are plain counters, so each le-series' `rate` routes
+    * through the 1-day layer exactly like any float counter (the
+    * stitched-increase fold + production extrapolation ladder,
+    * bitwise the raw answer), and the quantile walk consumes the
+    * routed rate vector unchanged. At 100 TB this is THE most-run
+    * long-range query shape — the layer reads windows-in-range per
+    * bucket series instead of every raw sample. The oracle replays
+    * the raw ladder per le-series + the classic interpolation walk;
+    * PlanAudit asserts the compiled plan reads the layer only.
+    */
+  private def tsPromqlRollupClassicQuantile(s: SparkSession, dir: String): DataFrame = {
+    val p = classicRollupPath(dir)
+    fixtureOnce(s"classic_rollup:$dir") {
+      RollupStore.write(classicBucketTable(s, dir), p,
+        Seq("event_type", "le"), "ts", "value", 86400000L)
+    }
+    val ctx = graft.tsdb.promql.PromQLContext(
+      metrics = Map("req_bucket" -> classicBucketTable(s, dir)),
+      labelCols = Seq("event_type", "le"),
+      evalMs = 1706745600000L, // 2024-02-01T00:00:00Z
+      lookbackMs = 86400000L,
+      rollups = Map("req_bucket" -> Seq(
+        RollupStore.RollupLayer(p, 86400000L))))
+    graft.tsdb.promql.PromQL.compile(
+        "histogram_quantile(0.9, round(rate(req_bucket[5d]), 0.00000001))",
+        ctx)
+      .select(col("event_type"), round(col("value"), 6).as("q90"))
+      .orderBy("event_type")
+  }
+
   private def tsTopkSeries(s: SparkSession, dir: String): DataFrame =
     PromOps.topKSeries(t(s, dir, "events"), Seq("event_type"),
         Seq("user_id"), "value", k = 3)
@@ -3489,6 +3555,7 @@ object SparkEntry {
     "ts_promql_rollup_stddev" -> (tsPromqlRollupStddev _),
     "ts_promql_rollup_deriv" -> (tsPromqlRollupDeriv _),
     "ts_promql_rollup_delta" -> (tsPromqlRollupDelta _),
+    "ts_promql_rollup_classic_quantile" -> (tsPromqlRollupClassicQuantile _),
     "ts_topk_series" -> (tsTopkSeries _),
     "ts_count_values" -> (tsCountValues _),
     "ts_quantile" -> (tsQuantile _),
@@ -4571,6 +4638,84 @@ object SparkEntry {
         |    - first(value ORDER BY ts, value), 8) AS delta
         |FROM w GROUP BY 1, 2
         |ORDER BY event_type, user_id""".stripMargin,
+    // routed classic-bucket quantile-over-rate: rebuild the bucket
+    // counters from raw events, replay the production extrapolation
+    // ladder per le-series over the same 5d window (round 1e-8,
+    // mirroring the PromQL round), then the classic interpolation
+    // walk — the layer-served composition must reproduce it exactly
+    "ts_promql_rollup_classic_quantile" ->
+      """WITH les AS (
+        |  SELECT unnest(['10.0', '25.0', '50.0', '100.0', '200.0',
+        |                 'Infinity']) AS le),
+        |daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, le,
+        |    CAST(count(CASE WHEN value <= CAST(le AS DOUBLE) THEN 1 END)
+        |      AS DOUBLE) AS inc
+        |  FROM events CROSS JOIN les GROUP BY 1, 2, 3),
+        |cum AS (
+        |  SELECT event_type, le, day,
+        |    sum(inc) OVER (PARTITION BY event_type, le ORDER BY day) AS cnt
+        |  FROM daily),
+        |w AS (
+        |  SELECT event_type, le, cnt, epoch_ms(day) AS ts_ms,
+        |    lag(cnt) OVER sw AS prev,
+        |    row_number() OVER sw AS rn
+        |  FROM cum
+        |  WHERE day >= TIMESTAMP '2024-01-27' AND day < TIMESTAMP '2024-02-01'
+        |  WINDOW sw AS (PARTITION BY event_type, le ORDER BY day)),
+        |agg AS (
+        |  SELECT event_type, le,
+        |    CAST(sum(CAST(CASE WHEN prev IS NULL THEN 0.0
+        |                       WHEN cnt >= prev THEN cnt - prev
+        |                       ELSE cnt END AS DECIMAL(30,8))) AS DOUBLE) AS inc,
+        |    min(ts_ms) AS first_ms, max(ts_ms) AS last_ms,
+        |    max(CASE WHEN rn = 1 THEN cnt END) AS first_v,
+        |    count(*) AS n
+        |  FROM w GROUP BY 1, 2
+        |  HAVING count(*) >= 2 AND max(ts_ms) > min(ts_ms)),
+        |ext AS (
+        |  SELECT event_type, le, inc, n, first_v,
+        |    CAST(last_ms - first_ms AS DOUBLE) AS sampled,
+        |    CAST(last_ms - first_ms AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS avg_sp,
+        |    CAST(first_ms - 1706313600000 AS DOUBLE) AS to_start_raw,
+        |    CAST(1706745600000 - last_ms AS DOUBLE) AS to_end
+        |  FROM agg),
+        |fin AS (
+        |  SELECT event_type, le, inc, sampled, avg_sp, to_end,
+        |    avg_sp * 1.1 AS threshold,
+        |    least(CASE WHEN inc > 0 AND first_v >= 0
+        |               THEN sampled * (first_v / inc)
+        |               ELSE to_start_raw END, to_start_raw) AS to_start
+        |  FROM ext),
+        |rated AS (
+        |  SELECT event_type, le,
+        |    floor((inc * ((sampled
+        |        + (CASE WHEN to_start < threshold THEN to_start ELSE avg_sp / 2 END)
+        |        + (CASE WHEN to_end < threshold THEN to_end ELSE avg_sp / 2 END))
+        |      / sampled) / 432000.0) / 0.00000001 + 0.5) * 0.00000001 AS r
+        |  FROM fin),
+        |q AS (
+        |  SELECT event_type, CAST(le AS DOUBLE) AS led, r,
+        |    lag(CAST(le AS DOUBLE)) OVER pw AS prev_le,
+        |    lag(r) OVER pw AS prev_r,
+        |    max(r) OVER (PARTITION BY event_type) AS total,
+        |    max(CASE WHEN CAST(le AS DOUBLE) < CAST('inf' AS DOUBLE)
+        |        THEN CAST(le AS DOUBLE) END)
+        |      OVER (PARTITION BY event_type) AS max_finite
+        |  FROM rated
+        |  WINDOW pw AS (PARTITION BY event_type ORDER BY CAST(le AS DOUBLE)))
+        |SELECT event_type,
+        |  round(CASE
+        |    WHEN led = CAST('inf' AS DOUBLE) THEN max_finite
+        |    WHEN prev_le IS NULL AND led <= 0 THEN led
+        |    WHEN r = coalesce(prev_r, 0) THEN CAST('nan' AS DOUBLE)
+        |    ELSE coalesce(prev_le, 0) + (led - coalesce(prev_le, 0)) *
+        |      (0.9 * total - coalesce(prev_r, 0)) / (r - coalesce(prev_r, 0))
+        |  END, 6) AS q90
+        |FROM q
+        |WHERE r >= 0.9 * total
+        |  AND (prev_r IS NULL OR prev_r < 0.9 * total)
+        |ORDER BY event_type""".stripMargin,
     // routed downsample: straight from raw — the layer choice (1d
     // here) must be invisible in the values, only in bytes read
     "ts_rollup_route" ->

@@ -656,6 +656,29 @@ object PlanAudit {
       if (!ok) failures ::= s"$q: routing"
     }
 
+    locally {
+      // the classic le-bucket Grafana idiom histogram_quantile(0.9,
+      // rate(bucket[5d])): every le-series' rate must be served from
+      // the classic 1d SCALAR layer (the derived bucket table — and
+      // with it the raw events scan and its cum-sum Window — absent
+      // from the compiled plan)
+      val df = SparkEntry.queries("ts_promql_rollup_classic_quantile")(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val onLayer = plan.contains("graft_clrollup_1d_")
+      val noRaw = !plan.contains("events.parquet")
+      // Windows ARE expected here — the classic interpolation walk
+      // lags over le within each 6-row rate group — and with the raw
+      // events scan asserted absent, every remaining window
+      // necessarily runs over layer/bucket-cardinality rows (the
+      // walk), never over samples; no windowless assertion applies
+      val ok = onLayer && noRaw
+      println(s"[audit] ts_promql_rollup_classic_quantile :: quantile-over-" +
+        s"rate served from the classic layer only: layer=$onLayer " +
+        s"raw_absent=$noRaw -> ${if (ok) "OK" else "FAIL"}")
+      if (!ok) failures ::= "ts_promql_rollup_classic_quantile: routing"
+    }
+
     // NH rollup routing: the aligned 35d NH rate must read the 7d NH
     // rollup layer, never the raw events-derived sample table, and
     // the stitch must stay a windowless aggregation fold.
