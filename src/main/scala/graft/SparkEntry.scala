@@ -342,6 +342,40 @@ object SparkEntry {
     queryable(s, dir).labelCardinality(
       Seq(graft.tsdb.Matcher.Nre("event_type", "err.*")))
 
+  /** All three label-metadata paths served from the MATERIALIZED
+    * LABEL INDEX ([[tsdb.LabelIndexStore]] — the reference reads
+    * LabelValues/LabelNames from parquet DICTIONARY pages without
+    * touching data pages, materialize.go:320,358; Spark has no
+    * dictionary-only scan, so the index materializes the same
+    * information once, per time bucket). The unmatched enumeration —
+    * Grafana's autocomplete shape — routes through index rows;
+    * results must be IDENTICAL to the raw distinct-scans (the oracle
+    * runs those raw scans), and PlanAudit asserts the compiled plan
+    * reads the index only, raw events absent. At 100 TB:
+    * `label_values(user_id)` reads buckets × labels × distinct
+    * values index rows instead of a full column of every sample.
+    */
+  private def tsLabelValuesIndexed(s: SparkSession, dir: String): DataFrame = {
+    val p = "/tmp/graft_labelidx_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+    fixtureOnce(s"labelidx:$dir") {
+      graft.tsdb.LabelIndexStore.write(t(s, dir, "events"), p,
+        Seq("event_type", "user_id"), "ts")
+    }
+    val q = queryable(s, dir)
+      .withLabelIndex(graft.tsdb.LabelIndexStore.read(s, p))
+    val values = q.labelValues("event_type")
+      .select(lit("value").as("kind"), lit("event_type").as("label_name"),
+        col("label_value").as("detail"))
+    val names = q.labelNames()
+      .select(lit("name").as("kind"), col("label_name"),
+        lit("").as("detail"))
+    val card = q.labelCardinality()
+      .select(lit("cardinality").as("kind"), col("label_name"),
+        col("cardinality").cast("string").as("detail"))
+    values.unionByName(names).unionByName(card)
+      .orderBy("kind", "label_name", "detail")
+  }
+
   private def tsLastPoint(s: SparkSession, dir: String): DataFrame =
     PromOps.lastPoint(t(s, dir, "events"), Seq("event_type", "user_id"),
         "ts", tieBreak = Seq("event_id"))
@@ -3537,6 +3571,7 @@ object SparkEntry {
     "ts_label_names" -> (tsLabelNames _),
     "ts_label_values" -> (tsLabelValues _),
     "ts_label_cardinality" -> (tsLabelCardinality _),
+    "ts_label_values_indexed" -> (tsLabelValuesIndexed _),
     "ts_last_point" -> (tsLastPoint _),
     "ts_rate" -> (tsRate _),
     "ts_instant_align" -> (tsInstantAlign _),
@@ -4267,6 +4302,32 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'user_id', CAST(count(DISTINCT user_id) AS BIGINT) FROM m
         |ORDER BY label_name""".stripMargin,
+    // the index-served label metadata: the oracle runs the RAW
+    // distinct-scans the index must reproduce exactly
+    "ts_label_values_indexed" ->
+      """WITH vals AS (
+        |  SELECT 'value' AS kind, 'event_type' AS label_name,
+        |    CAST(event_type AS VARCHAR) AS detail
+        |  FROM (SELECT DISTINCT event_type FROM events
+        |        WHERE event_type IS NOT NULL)),
+        |names AS (
+        |  SELECT 'name' AS kind, label_name, '' AS detail FROM (
+        |    SELECT 'event_type' AS label_name, count(event_type) AS c
+        |    FROM events
+        |    UNION ALL
+        |    SELECT 'user_id', count(user_id) FROM events)
+        |  WHERE c > 0),
+        |card AS (
+        |  SELECT 'cardinality' AS kind, label_name,
+        |    CAST(c AS VARCHAR) AS detail FROM (
+        |    SELECT 'event_type' AS label_name,
+        |      count(DISTINCT event_type) AS c FROM events
+        |    UNION ALL
+        |    SELECT 'user_id', count(DISTINCT user_id) FROM events))
+        |SELECT * FROM vals
+        |UNION ALL SELECT * FROM names
+        |UNION ALL SELECT * FROM card
+        |ORDER BY kind, label_name, detail""".stripMargin,
     "ts_last_point" ->
       """SELECT event_type, user_id, epoch_ms(ts) AS ts_ms, value, event_id
         |FROM (SELECT *, row_number() OVER (PARTITION BY event_type, user_id

@@ -679,6 +679,23 @@ object PlanAudit {
       if (!ok) failures ::= "ts_promql_rollup_classic_quantile: routing"
     }
 
+    locally {
+      // label metadata served from the materialized label index: the
+      // unioned values/names/cardinality plan must read the index
+      // parquet only — the raw events scan (a full label column at
+      // 100 TB) absent, the reference's dictionary-page capability
+      val df = SparkEntry.queries("ts_label_values_indexed")(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val onIdx = plan.contains("graft_labelidx_")
+      val noRaw = !plan.contains("events.parquet")
+      val ok = onIdx && noRaw
+      println(s"[audit] ts_label_values_indexed :: label metadata from the " +
+        s"index only: index=$onIdx raw_absent=$noRaw " +
+        s"-> ${if (ok) "OK" else "FAIL"}")
+      if (!ok) failures ::= "ts_label_values_indexed: routing"
+    }
+
     // NH rollup routing: the aligned 35d NH rate must read the 7d NH
     // rollup layer, never the raw events-derived sample table, and
     // the stitch must stay a windowless aggregation fold.

@@ -32,7 +32,8 @@ final class TsdbQueryable(
     selectionCache: Option[SelectionCache] = None,
     labelsFilter: Option[Column] = None,
     bucketCol: Option[String] = None,
-    bucketDuration: String = "1 day") {
+    bucketDuration: String = "1 day",
+    labelIndex: Option[DataFrame] = None) {
 
   /** Declare the layout's time-partition column (the
     * [[TsdbConverter]] `bucket` column): every range select then
@@ -45,7 +46,7 @@ final class TsdbQueryable(
       duration: String = "1 day"): TsdbQueryable =
     new TsdbQueryable(df, labelCols, tsCol, valueCol,
       materializedSeriesCallback, selectionCache, labelsFilter,
-      Some(bucket), duration)
+      Some(bucket), duration, labelIndex)
 
   /** Integrator seam on the select path — the analog of the
     * reference's `WithMaterializedSeriesCallback` option
@@ -57,7 +58,7 @@ final class TsdbQueryable(
     */
   def withMaterializedSeriesCallback(cb: DataFrame => DataFrame): TsdbQueryable =
     new TsdbQueryable(df, labelCols, tsCol, valueCol, cb, selectionCache,
-      labelsFilter, bucketCol, bucketDuration)
+      labelsFilter, bucketCol, bucketDuration, labelIndex)
 
   /** The `WithMaterializedLabelsFilterCallback` analog
     * (queryable/parquet_queryable.go:104-110): a predicate over the
@@ -73,7 +74,7 @@ final class TsdbQueryable(
   def withMaterializedLabelsFilterCallback(pred: Column): TsdbQueryable =
     new TsdbQueryable(df, labelCols, tsCol, valueCol,
       materializedSeriesCallback, selectionCache, Some(pred), bucketCol,
-      bucketDuration)
+      bucketDuration, labelIndex)
 
   /** Attach a [[SelectionCache]] (the reference's
     * WithRowRangesForConstraintsCache option,
@@ -84,7 +85,35 @@ final class TsdbQueryable(
   def withSelectionCache(cache: SelectionCache): TsdbQueryable =
     new TsdbQueryable(df, labelCols, tsCol, valueCol,
       materializedSeriesCallback, Some(cache), labelsFilter, bucketCol,
-      bucketDuration)
+      bucketDuration, labelIndex)
+
+  /** Attach a materialized [[LabelIndexStore]] frame (built over the
+    * SAME labelCols as this queryable): the three label-metadata
+    * paths — labelNames / labelValues / labelCardinality — then
+    * serve from index rows instead of scanning a full label column,
+    * the reference's dictionary-page materialization capability
+    * (search/materialize.go:320,358 walks dictionaries, never data
+    * pages). Routing is SILENT and never changes answers: it applies
+    * only when no matchers and no ACL filter constrain the rows
+    * (cross-column information the per-label index does not hold)
+    * and, for cardinality, only to the exact variant — everything
+    * else falls back to the raw scan. Returns a NEW queryable.
+    */
+  def withLabelIndex(index: DataFrame): TsdbQueryable =
+    new TsdbQueryable(df, labelCols, tsCol, valueCol,
+      materializedSeriesCallback, selectionCache, labelsFilter, bucketCol,
+      bucketDuration, Some(index))
+
+  /** The routed index frame when eligibility holds: no matchers, no
+    * ACL filter, an index attached — restricted to this queryable's
+    * labelCols (an index built over a superset stays usable).
+    */
+  private def indexFor(matchers: Seq[Matcher]): Option[DataFrame] =
+    labelIndex match {
+      case Some(idx) if matchers.isEmpty && labelsFilter.isEmpty =>
+        Some(idx.filter(col("label_name").isin(labelCols: _*)))
+      case _ => None
+    }
 
   /** Cache key — the constraintsCacheKey analog
     * (search/constraint_cache.go:24-33): there
@@ -280,6 +309,9 @@ final class TsdbQueryable(
     * parquet_queryable.go:75-90).
     */
   def labelNames(matchers: Seq[Matcher], limit: Int): DataFrame = {
+    indexFor(matchers).foreach { idx =>
+      return LabelIndexStore.labelNames(idx, limit)
+    }
     val counts = withMatchers(matchers)
       .agg(count(col(labelCols.head)).as(labelCols.head),
         labelCols.tail.map(c => count(col(c)).as(c)): _*)
@@ -299,6 +331,9 @@ final class TsdbQueryable(
     */
   def labelValues(name: String, matchers: Seq[Matcher] = Nil,
       limit: Int = 0): DataFrame = {
+    indexFor(matchers).foreach { idx =>
+      return LabelIndexStore.labelValues(idx, name, limit)
+    }
     val base = withMatchers(matchers)
       .select(col(name).cast("string").as("label_value"))
       .filter(col("label_value").isNotNull)
@@ -322,6 +357,18 @@ final class TsdbQueryable(
     */
   def labelCardinality(matchers: Seq[Matcher] = Nil, exact: Boolean = true,
       rsd: Double = 0.02): DataFrame = {
+    if (exact) indexFor(matchers).foreach { idx =>
+      // the raw path emits a 0 row for an all-null label; index rows
+      // only exist where values do, so rebuild the full label list
+      val names = df.sparkSession
+        .createDataset(labelCols)(org.apache.spark.sql.Encoders.STRING)
+        .toDF("label_name")
+      return names.join(LabelIndexStore.labelCardinality(idx),
+          Seq("label_name"), "left")
+        .select(col("label_name"),
+          coalesce(col("cardinality"), lit(0L)).as("cardinality"))
+        .orderBy("label_name")
+    }
     val src = withMatchers(matchers)
     val aggs = labelCols.map { c =>
       (if (exact) countDistinct(col(c))
