@@ -436,4 +436,69 @@ class StreamingSpec extends SparkSpec {
     // reset (+2) | 2→9 (+7) = 13
     assert(inc == 13.0)
   }
+
+  test("streaming → cascade composition: stream-sealed fine layer " +
+      "cascaded to 1d ≡ batch-direct 1d, and serves routed reads") {
+    // the composed production lifecycle: the STREAM seals the FINE
+    // (1h) layer continuously; the batch cascade builds the coarse
+    // (1d) layer FROM the streamed fine layer (writeFrom — coarser
+    // layers never rescan raw); routed queries read the result. The
+    // pin: streamed-then-cascaded is BITWISE the layer a direct
+    // batch build from raw produces — so the two maintenance paths
+    // are interchangeable at any point in the lifecycle.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = s.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stream_cascade").toString
+    val fixture = Seq(
+      // day 1: NaN staleness marker mid-chain, then growth to 6
+      SeriesEvent(ts("2024-01-01 10:10:00"), "req", 1L, 1.0),
+      SeriesEvent(ts("2024-01-01 10:40:00"), "req", 1L, Double.NaN),
+      SeriesEvent(ts("2024-01-01 11:20:00"), "req", 1L, 4.0),
+      SeriesEvent(ts("2024-01-01 23:50:00"), "req", 1L, 6.0),
+      // day 2: cross-day reset, then growth
+      SeriesEvent(ts("2024-01-02 00:30:00"), "req", 1L, 2.0),
+      SeriesEvent(ts("2024-01-02 07:45:00"), "req", 1L, 9.0),
+      SeriesEvent(ts("2024-01-02 07:50:00"), "view", 2L, 5.0))
+    val mem = MemoryStream[SeriesEvent]
+    val query = EventsStream.toRollupLayer(mem.toDS(),
+      s"$root/fine", s"$root/ckpt",
+      windowLenMs = 3600000L, watermarkDelay = "10 minutes").start()
+    try {
+      mem.addData(fixture: _*)
+      query.processAllAvailable()
+      mem.addData(SeriesEvent(ts("2024-01-05 00:00:00"), "req", 1L, 0.0))
+      query.processAllAvailable()
+    } finally query.stop()
+    // batch cascade FROM THE STREAMED fine layer
+    graft.tsdb.RollupStore.writeFrom(s, s"$root/fine", s"$root/coarse",
+      Seq("event_type", "user_id"), "ts",
+      fineResolutionMs = 3600000L, resolutionMs = 86400000L)
+    // batch-direct 1d over the same raw samples
+    graft.tsdb.RollupStore.write(fixture.toDS().toDF(), s"$root/direct",
+      Seq("event_type", "user_id"), "ts", "value", 86400000L)
+    val cols = Seq("event_type", "user_id", "window_ms", "n", "vsum",
+      "vmin", "vmax", "first_ts_ms", "first_v", "last_ts_ms", "last_v",
+      "increase", "resets", "changes", "vsq", "sx", "sxx", "sxy")
+    def canon(path: String) = s.read.parquet(path)
+      .filter(col("window_ms") < 1704412800000L) // drop the advancer day
+      .select(cols.head, cols.tail: _*)
+      .collect().map(_.toSeq.map {
+        case d: Double if d.isNaN => "NaN"
+        case x => x
+      }).toSet
+    val cascaded = canon(s"$root/coarse")
+    assert(cascaded == canon(s"$root/direct"))
+    assert(cascaded.size == 3) // req day1, req day2, view day2
+    // the routed read path serves the streamed-then-cascaded layer:
+    // day1 1→NaN(skip)→4(reset,+4)→6(+2) = 6 | seam 6→2 reset (+2)
+    // | day2 2→9 (+7) = 15
+    val inc = graft.tsdb.RollupStore.stitchedIncrease(s, s"$root/coarse",
+        Seq("event_type", "user_id"), 1704067200000L, 1704240000000L)
+      .filter(col("event_type") === "req")
+      .select(col("increase")).as[Double].head()
+    assert(inc == 15.0)
+  }
 }

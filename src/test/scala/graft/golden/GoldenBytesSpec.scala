@@ -258,6 +258,90 @@ class GoldenBytesSpec extends AnyFunSuite {
     assert(got.size == GoldenData.xorTs.length - 2)
   }
 
+  test("NHCB block writer output is byte-identical to the committed dir") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("golden_nhcb_regen").toFile
+    try {
+      GoldenData.writeGoldenNhcbBlock(tmp)
+      for (name <- Seq("index", "meta.json", "tombstones", "chunks/000001")) {
+        val want = committed(s"nhcbblock/block/$name")
+        val got = java.nio.file.Files.readAllBytes(
+          new java.io.File(tmp, name).toPath)
+        assert(got.toSeq == want.toSeq, s"writer drift in $name")
+      }
+    } finally graft.tools.Fs.deleteRecursively(tmp)
+  }
+
+  test("committed NHCB block reads end-to-end: bounds bit-exact, union layout") {
+    val spark = SparkTestBase.spark
+    val rows = TsdbBlockStore
+      .readHistLabels(spark, new java.io.File(root, "nhcbblock").getPath,
+        Seq("__name__", "job"))
+      .collect().sortBy(_.getLong(2))
+    val e = GoldenData.nhcbChunk
+    assert(rows.length == e.ts.length)
+    val idx = graft.tsdb.block.ChunkencHistogram
+      .bucketIndexes(e.posSpans).toSeq
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getString(0) == "golden_nhcb" && r.getString(1) == "api")
+      assert(r.getLong(2) == e.ts(i))
+      assert(r.getInt(3) == graft.tsdb.block.ChunkencHistogram
+        .CustomBucketsSchema)
+      assert(r.getLong(4) == 0L)
+      assert(r.getSeq[Int](5) == idx)
+      assert(r.getSeq[Long](6) == e.posBuckets(i).toSeq)
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(7)) ==
+        java.lang.Double.doubleToRawLongBits(e.sum(i)))
+      assert(raw(r.getSeq[Double](8).toArray) == raw(e.customValues),
+        "custom bound list must survive bit-exactly")
+      assert(r.getSeq[Int](9).isEmpty && r.getSeq[Long](10).isEmpty)
+    }
+  }
+
+  test("signed block writer output is byte-identical to the committed dir") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("golden_signed_regen").toFile
+    try {
+      GoldenData.writeGoldenSignedBlock(tmp)
+      for (name <- Seq("index", "meta.json", "tombstones", "chunks/000001")) {
+        val want = committed(s"signedblock/block/$name")
+        val got = java.nio.file.Files.readAllBytes(
+          new java.io.File(tmp, name).toPath)
+        assert(got.toSeq == want.toSeq, s"writer drift in $name")
+      }
+    } finally graft.tools.Fs.deleteRecursively(tmp)
+  }
+
+  test("committed signed block surfaces both bucket sides AND the header hint") {
+    val spark = SparkTestBase.spark
+    val rows = TsdbBlockStore
+      .readHistLabels(spark, new java.io.File(root, "signedblock").getPath,
+        Seq("__name__"), withResetHint = true)
+      .collect().sortBy(_.getLong(1))
+    val e = GoldenData.advHistChunk
+    assert(rows.length == e.ts.length)
+    val pIdx = graft.tsdb.block.ChunkencHistogram
+      .bucketIndexes(e.posSpans).toSeq
+    val nIdx = graft.tsdb.block.ChunkencHistogram
+      .bucketIndexes(e.negSpans).toSeq
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getString(0) == "golden_signed")
+      assert(r.getLong(1) == e.ts(i))
+      assert(r.getInt(2) == e.schema)
+      assert(r.getLong(3) == e.zeroCount(i))
+      assert(r.getSeq[Int](4) == pIdx)
+      assert(r.getSeq[Long](5) == e.posBuckets(i).toSeq)
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(6)) ==
+        java.lang.Double.doubleToRawLongBits(e.sum(i)))
+      assert(r.getSeq[Int](8) == nIdx)
+      assert(r.getSeq[Long](9) == e.negBuckets(i).toSeq)
+      // the CounterReset chunk header: first sample reads it, the
+      // in-chunk successors are by construction not resets
+      assert(r.getString(10) ==
+        (if (i == 0) "counter_reset" else "not_counter_reset"))
+    }
+  }
+
   test("committed NH block reads end-to-end through readFloatHistLabels") {
     val spark = SparkTestBase.spark
     val nhRoot = new java.io.File(root, "nhblock").getPath

@@ -270,6 +270,50 @@ object GoldenData {
       numChunks = 2)
     F.writeEmptyTombstones(dir)
   }
+  // ---- an NHCB (custom-buckets) block dir ----
+
+  /** One block holding the [[nhcbChunk]] as an EncHistogram series —
+    * the committed anchor for the schema -53 BLOCK path (r10 froze
+    * the NHCB chunk bin but not a block dir, so a regression in the
+    * NHCB front-end's block read could have re-baked silently). */
+  def writeGoldenNhcbBlock(dir: java.io.File): Unit = {
+    dir.mkdirs()
+    val segs = new F.ChunkSegmentWriter(new java.io.File(dir, "chunks"))
+    val r = segs.append(nhcbChunkBytes, F.EncHistogram)
+    segs.close()
+    java.nio.file.Files.write(new java.io.File(dir, "index").toPath,
+      F.encodeIndex(Seq(F.SeriesEntry(
+        Seq("__name__" -> "golden_nhcb", "job" -> "api"),
+        Seq(F.ChunkMeta(nhcbChunk.ts.head, nhcbChunk.ts.last, r))))))
+    F.writeMeta(dir, ulid = "GOLDENNHCB000000000000000000".take(26),
+      mint = 1704067200000L, maxt = 1704153600000L,
+      numSeries = 1, numSamples = nhcbChunk.ts.length.toLong, numChunks = 1)
+    F.writeEmptyTombstones(dir)
+  }
+
+  // ---- a SIGNED, reset-hint-bearing block dir ----
+
+  /** One block holding the [[advHistChunk]] — negative spans AND the
+    * CounterReset chunk header — as an EncHistogram series: the
+    * committed anchor for the signed block read path plus the
+    * header-hint surface (sample 0 must read `counter_reset`, later
+    * samples `not_counter_reset`), the two r10 additions that had no
+    * frozen BLOCK bytes. */
+  def writeGoldenSignedBlock(dir: java.io.File): Unit = {
+    dir.mkdirs()
+    val segs = new F.ChunkSegmentWriter(new java.io.File(dir, "chunks"))
+    val r = segs.append(advHistChunkBytes, F.EncHistogram)
+    segs.close()
+    java.nio.file.Files.write(new java.io.File(dir, "index").toPath,
+      F.encodeIndex(Seq(F.SeriesEntry(
+        Seq("__name__" -> "golden_signed", "job" -> "api"),
+        Seq(F.ChunkMeta(advHistChunk.ts.head, advHistChunk.ts.last, r))))))
+    F.writeMeta(dir, ulid = "GOLDENSIGNED0000000000000000".take(26),
+      mint = 1704067200000L, maxt = 1704153600000L,
+      numSeries = 1, numSamples = advHistChunk.ts.length.toLong,
+      numChunks = 1)
+    F.writeEmptyTombstones(dir)
+  }
 }
 
 /** Regenerates `src/test/resources/golden/` from [[GoldenData]].
@@ -304,5 +348,13 @@ object GoldenGen {
     if (tombRoot.exists()) graft.tools.Fs.deleteRecursively(tombRoot)
     GoldenData.writeGoldenTombBlocks(tombRoot)
     println("golden tombstoned block dirs written")
+    val nhcbRoot = new java.io.File(root, "nhcbblock")
+    if (nhcbRoot.exists()) graft.tools.Fs.deleteRecursively(nhcbRoot)
+    GoldenData.writeGoldenNhcbBlock(new java.io.File(nhcbRoot, "block"))
+    println("golden nhcb block dir written")
+    val signedRoot = new java.io.File(root, "signedblock")
+    if (signedRoot.exists()) graft.tools.Fs.deleteRecursively(signedRoot)
+    GoldenData.writeGoldenSignedBlock(new java.io.File(signedRoot, "block"))
+    println("golden signed block dir written")
   }
 }
