@@ -1599,6 +1599,44 @@ object SparkEntry {
       .orderBy("event_type", "user_id")
   }
 
+  /** GAUGE `delta` over native histograms served FROM THE 7-DAY NH
+    * ROLLUP LAYER ([[tsdb.HistRollupStore.deltaOf]]): the layer
+    * stores each window's first/last whole-sample snapshots, and the
+    * earliest/latest of them ARE the range's snapshot pair, so the
+    * routed unclamped union-keyed subtraction is bitwise the raw
+    * [[tsdb.NativeHistogram.deltaBySigned]] answer. The fixture's
+    * day-19740 counter restart makes the delta NEGATIVE for
+    * straddling series — delta must NOT reset-correct, the exact
+    * opposite of the routed rate gate on the same layer. Oracle is
+    * the closed form dd(d1)²·K − dd(d0)²·K over both bucket sides.
+    */
+  private def tsPromqlNhRollupDelta(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_nh_rollup_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+    fixtureOnce(s"nh_rollup:$dir") {
+      graft.tsdb.HistRollupStore.write(nativeHistResetTable(s, dir), path,
+        Seq("event_type", "user_id"), "t_sec", "zero_count",
+        "pos_idx", "pos_counts", "neg_idx", "neg_counts",
+        resolutionSec = 7L * 86400)
+    }
+    val nh = nativeHistResetTable(s, dir)
+      .withColumn("ts", timestamp_seconds(col("t_sec")))
+    val ctx = graft.tsdb.promql.PromQLContext(
+      metrics = Map.empty,
+      labelCols = Seq("event_type", "user_id"),
+      evalMs = 1706745600000L, // 2024-02-01T00:00Z — a 7d multiple
+      lookbackMs = 40L * 86400000L,
+      histMetrics = Map("nh_reset" -> graft.tsdb.promql.HistTable(nh,
+        negIdxCol = Some("neg_idx"), negCountsCol = Some("neg_counts"),
+        rollups = Seq(graft.tsdb.RollupStore.RollupLayer(
+          path, 7L * 86400000L)))))
+    graft.tsdb.promql.PromQL.compile(
+        "histogram_count(delta(nh_reset[35d]))", ctx)
+      .select(col("event_type"),
+        col("user_id").cast("string").as("user_id"),
+        col("value").as("cdelta"))
+      .orderBy("event_type", "user_id")
+  }
+
   /** THE production NH dashboard query — `histogram_quantile(q,
     * rate(m[35d]))` — served FROM THE 7-DAY ROLLUP LAYER through the
     * string front-end: the routed stitched fold produces the rate
@@ -3636,6 +3674,7 @@ object SparkEntry {
     "ts_promql_nh_rollup_quantile" -> (tsPromqlNhRollupQuantile _),
     "ts_promql_nh_reset_rate" -> (tsPromqlNhResetRate _),
     "ts_promql_nh_rollup_rate" -> (tsPromqlNhRollupRate _),
+    "ts_promql_nh_rollup_delta" -> (tsPromqlNhRollupDelta _),
     "ts_promql_nh_resets" -> (tsPromqlNhResets _),
     "ts_tsdb_block_reset_cut" -> (tsTsdbBlockResetCut _),
     "ts_promql_nh_hinted_rate" -> (tsPromqlNhHintedRate _),
@@ -5746,6 +5785,39 @@ object SparkEntry {
     // rollup-routed NH rate: data-determined dt makes the closed
     // form range-width-independent — shared oracle, layer invisible
     "ts_promql_nh_rollup_rate" -> nhResetRateSql,
+    // routed NH gauge delta: plain last − first (NO reset
+    // correction — the day-19740 restart makes it NEGATIVE for
+    // straddling series), count-folded over zero + both bucket
+    // sides: (dd(d1)² − dd(d0)²) · K with K the per-series sum of
+    // the modular bucket weights
+    "ts_promql_nh_rollup_delta" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |rng AS (
+        |  SELECT event_type, user_id,
+        |    user_id * 31 + length(event_type) AS sseed,
+        |    min(d) AS d0, max(d) AS d1
+        |  FROM days WHERE d >= 19719 AND d < 19754
+        |  GROUP BY 1, 2, 3
+        |  HAVING count(*) >= 2),
+        |pos AS (
+        |  SELECT event_type, user_id, sum((sseed + i + 3) % 5) AS kp
+        |  FROM rng, unnest(range(-2, 5)) AS t(i) GROUP BY 1, 2),
+        |neg AS (
+        |  SELECT event_type, user_id, sum((sseed + i + 7) % 4) AS kn
+        |  FROM rng, unnest(range(-1, 3)) AS t(i) GROUP BY 1, 2)
+        |SELECT r.event_type, CAST(r.user_id AS VARCHAR) AS user_id,
+        |  CAST(((CASE WHEN d1 >= 19740 THEN (d1-19739)*(d1-19739)
+        |              ELSE d1*d1 END)
+        |      - (CASE WHEN d0 >= 19740 THEN (d0-19739)*(d0-19739)
+        |              ELSE d0*d0 END))
+        |    * ((sseed % 3) + pos.kp + neg.kn) AS DOUBLE) AS cdelta
+        |FROM rng r
+        |JOIN pos USING (event_type, user_id)
+        |JOIN neg USING (event_type, user_id)
+        |ORDER BY r.event_type, CAST(r.user_id AS VARCHAR)""".stripMargin,
     // routed quantile-over-rate: closed-form bucket rates (b*k/dt,
     // the same b/dt as the crate oracle) walked in AllBucketIterator
     // order — negative buckets most-negative-first (ord = -i), the

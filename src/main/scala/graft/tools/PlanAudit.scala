@@ -713,6 +713,23 @@ object PlanAudit {
       if (!ok) failures ::= "ts_promql_nh_rollup_rate: routing"
     }
 
+    locally {
+      // routed NH gauge delta: the snapshot-pair reconstruction must
+      // read the 7d NH layer only — raw sample table absent, no
+      // window operator (one groupBy min/max per element)
+      val df = SparkEntry.queries("ts_promql_nh_rollup_delta")(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val onLayer = plan.contains("graft_nh_rollup_")
+      val noRaw = !plan.contains("events.parquet")
+      val noWin = !plan.contains("Window")
+      val ok = onLayer && noRaw && noWin
+      println(s"[audit] ts_promql_nh_rollup_delta :: NH delta served from " +
+        s"the 7d layer only: layer=$onLayer raw_absent=$noRaw " +
+        s"window=${!noWin} -> ${if (ok) "OK" else "FAIL"}")
+      if (!ok) failures ::= "ts_promql_nh_rollup_delta: routing"
+    }
+
     {
       // the routed quantile-over-rate composition: both compiled
       // quantile vectors must read the 7d layer (raw sample table

@@ -272,4 +272,28 @@ object HistRollupStore {
       negIdx.as("neg_idx"),
       transform(negIdx, k => element_at(col("_f2.n"), k)).as("neg_inc")): _*)
   }
+
+  /** GAUGE `delta` served from layer rows: the range's first/last
+    * whole-sample snapshots ARE stored (the earliest window's `f_*`,
+    * the latest window's `l_*` — windows partition time, so the
+    * min/max by snapshot time reconstruct exactly the raw
+    * [[NativeHistogram.deltaBySigned]] snapshot pair), then the
+    * identical union-keyed unclamped subtraction
+    * ([[NativeHistogram.deltaFromEnds]]) runs on them — the routed
+    * answer is the same IEEE ops on the same doubles. Series with <2
+    * samples in range drop, as raw.
+    */
+  def deltaOf(rows: DataFrame, seriesCols: Seq[String]): DataFrame = {
+    val fSnap = struct(col("f_t").as("t"), col("f_z").as("z"),
+      col("f_i").as("i"), col("f_c").as("c"),
+      col("f_ni").as("ni"), col("f_nc").as("nc"))
+    val lSnap = struct(col("l_t").as("t"), col("l_z").as("z"),
+      col("l_i").as("i"), col("l_c").as("c"),
+      col("l_ni").as("ni"), col("l_nc").as("nc"))
+    val ends = rows.groupBy(seriesCols.map(col): _*)
+      .agg(min(fSnap).as("first"), max(lSnap).as("last"),
+        sum(col("n")).as("_n"))
+      .filter(col("_n") >= 2)
+    NativeHistogram.deltaFromEnds(ends, seriesCols.map(col))
+  }
 }

@@ -398,13 +398,24 @@ object NativeHistogram {
       .agg(min(snap).as("first"), max(snap).as("last"),
         count(lit(1)).as("_n"))
       .filter(col("_n") >= 2)
+    deltaFromEnds(ends, keys)
+  }
+
+  /** The gauge-delta select over an `ends` frame carrying
+    * `first`/`last` whole-sample snapshot structs (fields t, z, i,
+    * c, ni, nc): bucket deltas over the UNION of first and last
+    * bucket keys — a gauge histogram may legitimately drop a
+    * populated bucket between snapshots (span relayout), and that
+    * bucket's shrinkage is −first_count; iterating last's keys alone
+    * would silently read it as 0 (upstream subtracts over the union:
+    * model/histogram Sub walks both span sets). Shared by the raw
+    * [[deltaBySigned]] and the rollup-served
+    * [[HistRollupStore.deltaOf]] so routing reuses the identical
+    * arithmetic.
+    */
+  private[tsdb] def deltaFromEnds(ends: DataFrame,
+      keys: Seq[Column]): DataFrame = {
     val dt = (col("last.t") - col("first.t")).cast("double")
-    // bucket deltas over the UNION of first and last bucket keys: a
-    // gauge histogram may legitimately drop a populated bucket
-    // between snapshots (span relayout), and that bucket's shrinkage
-    // is −first_count — iterating last's keys alone would silently
-    // read it as 0 (upstream subtracts over the union:
-    // model/histogram Sub walks both span sets)
     def unionDelta(lastM: Column, firstM: Column): Column =
       map_zip_with(lastM, firstM, (_, l, f) =>
         (coalesce(l.cast("double"), lit(0.0)) -

@@ -1584,11 +1584,18 @@ object PromQL {
       * histogram-wise. The delta vector carries no sum. */
     private def histDelta(sel: Expr.Selector, ht: HistTable,
         rangeMs: Long): HVec = {
-      val rows = rangeRowsBy(sel, rangeMs, scanHistRows(sel, ht, _, _))
-        .withColumn("_h_tsec", col(TS) / lit(1000.0))
       val k = keys(ctx.labelCols)
-      val d = graft.tsdb.NativeHistogram.deltaBySigned(rows, k,
-        "_h_tsec", HZ, HI, HC, HNI, HNC)
+      val d = histRollupWins(sel, ht, rangeMs) match {
+        // the layer stores each window's first/last whole-sample
+        // snapshots — the earliest/latest of them ARE the range's
+        // snapshot pair, so the routed gauge delta is bitwise raw
+        case Some(wins) => graft.tsdb.HistRollupStore.deltaOf(wins, k)
+        case None =>
+          val rows = rangeRowsBy(sel, rangeMs, scanHistRows(sel, ht, _, _))
+            .withColumn("_h_tsec", col(TS) / lit(1000.0))
+          graft.tsdb.NativeHistogram.deltaBySigned(rows, k,
+            "_h_tsec", HZ, HI, HC, HNI, HNC)
+      }
       val df = d.select(k.map(col) :+
         col("zero_delta").as(HZ) :+
         col("pos_idx").as(HI) :+
