@@ -340,6 +340,42 @@ object EventsStream {
       .option("checkpointLocation", checkpoint)
       .partitionBy("bucket")
 
+  /** Streaming maintenance for the MATERIALIZED LABEL INDEX
+    * ([[graft.tsdb.LabelIndexStore]]): watermarked per-bucket
+    * distinct (label, value) counts sealed once per bucket window
+    * and appended into the same bucket-partitioned layout the batch
+    * writer produces — so [[graft.tsdb.TsdbQueryable.withLabelIndex]]
+    * reads a live, continuously-growing index with no rewrite step,
+    * exactly like the streamed rollup layers. One built-in windowed
+    * aggregation (map-side partial combine keeps the state at index
+    * cardinality, never sample cardinality); append mode = each
+    * (bucket, label, value) row is final when the watermark passes
+    * its day.
+    */
+  def toLabelIndexLayer(events: DataFrame, path: String,
+      checkpoint: String, labelCols: Seq[String], watermarkDelay: String,
+      bucketDuration: String = "1 day"): DataStreamWriter[Row] = {
+    require(labelCols.nonEmpty, "labelCols must be non-empty")
+    val widthSec = graft.tsdb.TsdbConverter.durationSeconds(bucketDuration)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"), explode(map(
+        labelCols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*))
+        .as(Seq("label_name", "label_value")))
+      .filter(col("label_value").isNotNull)
+      .groupBy(window(col("ts"), s"$widthSec seconds"),
+        col("label_name"), col("label_value"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(col("label_name"), col("label_value"), col("n_rows"),
+        floor(unix_timestamp(col("window.start")) / widthSec)
+          .cast("long").as("bucket"))
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("bucket")
+  }
+
   /** One native-histogram sample on a stream (the long-format NH
     * row model of [[graft.tsdb.NativeHistogram]], one string series
     * key). `hint` is the chunk counter-reset header where the source

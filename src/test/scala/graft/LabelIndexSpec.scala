@@ -93,6 +93,38 @@ class LabelIndexSpec extends SparkSpec {
       .contains("graft_labelidx_spec"))
   }
 
+  test("streamed label index ≡ the batch index, and serves the routed paths") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_labelidx_stream").toString
+    val mem = MemoryStream[(java.sql.Timestamp, String, String, String)]
+    val stream = mem.toDF().toDF("ts", "event_type", "env", "region")
+    val query = graft.streaming.EventsStream.toLabelIndexLayer(
+      stream, s"$root/idx", s"$root/ckpt", labels, "10 minutes").start()
+    try {
+      mem.addData(df.select("ts", "event_type", "env", "region")
+        .collect().toSeq.map(r => (r.getTimestamp(0), r.getString(1),
+          r.getString(2), r.getString(3))): _*)
+      query.processAllAvailable()
+      // advance the watermark far past every bucket → all sealed
+      mem.addData((ts("2024-02-01 00:00:00"), "advancer", null, null))
+      query.processAllAvailable()
+    } finally query.stop()
+    LabelIndexStore.write(df, s"$root/batch", labels, "ts")
+    def canon(path: String) = LabelIndexStore.read(spark, path)
+      .filter(col("label_value") =!= "advancer")
+      .select("bucket", "label_name", "label_value", "n_rows")
+      .collect().map(_.toSeq).toSet
+    assert(canon(s"$root/idx") == canon(s"$root/batch"))
+    // the streamed index serves the standard routed read path
+    val q = new TsdbQueryable(df, labels).withLabelIndex(
+      LabelIndexStore.read(spark, s"$root/idx")
+        .filter(col("label_value") =!= "advancer"))
+    assert(rows(q.labelValues("env")) == rows(raw.labelValues("env")))
+    assert(rows(q.labelCardinality()) == rows(raw.labelCardinality()))
+  }
+
   test("bucket-ranged select prunes to the overlapped buckets only") {
     LabelIndexStore.write(df, path, labels, "ts")
     val day = 86400000L
