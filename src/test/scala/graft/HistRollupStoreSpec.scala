@@ -91,6 +91,12 @@ class HistRollupStoreSpec extends SparkSpec {
     val q = "histogram_count(increase(m[1000s]))"
     assert(run(q, true) == run(q, false))
     assert(run(q, true).nonEmpty)
+    // GAUGE delta routes off the stored boundary snapshots — and
+    // stays unclamped (5→1 mid-range drop is NOT a reset here:
+    // count delta = 4 − 2 = 2, where increase said 2+... more)
+    val qd = "histogram_count(delta(m[1000s]))"
+    assert(run(qd, true) == run(qd, false))
+    assert(run(qd, true).nonEmpty)
     def plan(q2: String) = PromQL.compile(q2, ctx(true))
       .queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
@@ -166,7 +172,9 @@ class HistRollupStoreSpec extends SparkSpec {
     def run(q: String, layers: Boolean) =
       PromQL.compile(q, ctx(layers)).collect().map(_.toSeq).toSet
     for (q <- Seq("histogram_count(increase(m[1000s]))",
-        "histogram_quantile(0.9, increase(m[1000s]))")) {
+        "histogram_quantile(0.9, increase(m[1000s]))",
+        "histogram_count(delta(m[1000s]))",
+        "histogram_quantile(0.9, delta(m[1000s]))")) {
       assert(run(q, true) == run(q, false), s"$q diverged")
       assert(run(q, true).nonEmpty)
     }

@@ -129,12 +129,14 @@ class PromQLRollupSpec extends SparkSpec {
 
   test("grid mode: routed query_range matches raw step for step") {
     layers
-    def grid(routed: Boolean) =
-      PromQL.compileRange("sum by (series) (rate(m[6h]))",
+    def grid(q: String)(routed: Boolean) =
+      PromQL.compileRange(q,
           ctxAt(alignedEval, routed), base + 6 * HOUR, base + 12 * HOUR, HOUR)
         .select("series", "step_ms", "value").as[(String, Long, Double)]
         .collect.toSeq.sortBy(r => (r._1, r._2))
-    assert(grid(true) == grid(false))
-    assert(grid(true).nonEmpty)
+    for (q <- Seq("sum by (series) (rate(m[6h]))", "delta(m[6h])")) {
+      assert(grid(q)(true) == grid(q)(false), s"$q diverged on the grid")
+      assert(grid(q)(true).nonEmpty)
+    }
   }
 }
