@@ -127,6 +127,27 @@ class PromQLRollupSpec extends SparkSpec {
     assert(!plansRollup("delta(m[6h])", alignedEval + 1))
   }
 
+  test("subquery bodies route through layers: the inner grid is aligned") {
+    layers
+    // max_over_time((rate(m[6h]))[6h:1h]): the subquery compiles its
+    // body on an inner 1h-step grid — every inner step is a 1h
+    // multiple, the range is layer-aligned, so the INNER rate must
+    // route to the layer while the outer fold consumes synthetic
+    // samples; answers stay bitwise the raw compilation's
+    val q = "max_over_time((rate(m[6h]))[6h:1h])"
+    def run(routed: Boolean) =
+      PromQL.compile(q, ctxAt(alignedEval, routed))
+        .select("series", "value").as[(String, Double)]
+        .collect.toSeq.sortBy(_._1)
+    assert(run(true) == run(false))
+    assert(run(true).nonEmpty)
+    val plan = PromQL.compile(q, ctxAt(alignedEval, routed = true))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("graft_promql_rollup_spec"),
+      "inner subquery rate must read the layer")
+  }
+
   test("grid mode: routed query_range matches raw step for step") {
     layers
     def grid(q: String)(routed: Boolean) =

@@ -367,6 +367,65 @@ class StreamingSpec extends SparkSpec {
     assert(inc == ((Seq(0, 2), Seq(13.0, 3.0))))
   }
 
+  test("NH streaming → cascade composition: stream-sealed fine NH layer " +
+      "cascaded to 200s ≡ batch-direct 200s") {
+    // the NH twin of the scalar composed-lifecycle pin: the stream
+    // seals 100s fine NH windows (hint-forced seam reset included),
+    // the batch cascade builds the 200s layer FROM the streamed fine
+    // layer, and the result is bitwise the direct batch build
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = s.sqlContext
+    import EventsStream.HistEvent
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stream_nh_cascade").toString
+    def ev(tSec: Long, z: Double, i: Seq[Int], c: Seq[Double],
+        hint: String = "unknown"): HistEvent =
+      HistEvent(new Timestamp(tSec * 1000L), "a", z, i, c,
+        Seq(-1), Seq(c.head / 2), hint)
+    val fixture = Seq(
+      ev(10L, 1.0, Seq(0), Seq(2.0)),
+      ev(80L, 1.0, Seq(0), Seq(5.0)),
+      ev(110L, 1.0, Seq(0), Seq(9.0), hint = "counter_reset"),
+      ev(160L, 2.0, Seq(0, 2), Seq(10.0, 3.0)),
+      ev(210L, 0.0, Seq(0), Seq(1.0)), // value-visible reset on a seam
+      ev(310L, 0.0, Seq(0), Seq(4.0)))
+    val mem = MemoryStream[HistEvent]
+    val query = EventsStream.toHistRollupLayer(mem.toDS(),
+      s"$root/fine", s"$root/ckpt",
+      windowLenSec = 100L, watermarkDelay = "30 seconds").start()
+    try {
+      mem.addData(fixture: _*)
+      query.processAllAvailable()
+      mem.addData(ev(10000L, 0.0, Seq(0), Seq(0.0)))
+      query.processAllAvailable()
+    } finally query.stop()
+    graft.tsdb.HistRollupStore.writeFrom(s, s"$root/fine", s"$root/coarse",
+      Seq("series"), fineResolutionSec = 100L, resolutionSec = 200L)
+    val batchDf = fixture.toDF()
+      .withColumn("t_sec", (col("ts").cast("long")))
+    graft.tsdb.HistRollupStore.write(batchDf, s"$root/direct",
+      Seq("series"), "t_sec", "zero_count", "pos_idx", "pos_counts",
+      "neg_idx", "neg_counts", 200L, hintCol = Some("hint"))
+    def canon(path: String) = s.read.parquet(path)
+      .filter(col("window_sec") < 1000L)
+      .drop("ts", "bucket")
+      .collect().map(_.toSeq).toSet
+    val cascaded = canon(s"$root/coarse")
+    assert(cascaded == canon(s"$root/direct"))
+    assert(cascaded.size == 2)
+    // and the cascaded layer serves the stitched read path with the
+    // hinted reset intact: 2→5 (+3) | 5→9 HINTED reset (+9) | 9→10
+    // (+1) + bucket-2 (+3) | seam 10→1 value reset (+1) | 1→4 (+3)
+    // — idx-0 total 17
+    val inc = graft.tsdb.HistRollupStore.stitchedIncrease(s,
+        s"$root/coarse", Seq("series"), 0L, 1000L)
+      .select(col("pos_idx"), col("pos_inc")).as[(Seq[Int], Seq[Double])]
+      .head()
+    assert(inc == ((Seq(0, 2), Seq(17.0, 3.0))))
+  }
+
   test("toRollupLayer: streamed layer ≡ the batch RollupStore layer") {
     val s = spark
     import s.implicits._
