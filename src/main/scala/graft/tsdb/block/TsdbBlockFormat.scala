@@ -515,7 +515,8 @@ object TsdbBlockFormat {
     */
   final class ChunkSegmentWriter(dir: java.io.File,
       segmentBytes: Long = DefaultSegmentBytes) {
-    require(dir.isDirectory || dir.mkdirs(), s"cannot create $dir")
+    // race-safe against sibling tasks creating shared parents
+    java.nio.file.Files.createDirectories(dir.toPath)
     private var segIdx = 0
     private var segLen = 0L
     private var out: DataOutputStream = null

@@ -760,9 +760,11 @@ object TsdbBlockStore {
       if (blk != curBlk) {
         done = flushBlock()
         curBlk = blk
-        val rootDir = new java.io.File(root)
-        require(rootDir.isDirectory || rootDir.mkdirs(),
-          s"cannot create $root")
+        // createDirectories is race-safe: 32 concurrent tasks all
+        // materializing the store root must not trip each other up
+        // (File.mkdirs returns false when another task wins the race).
+        java.nio.file.Files.createDirectories(
+          new java.io.File(root).toPath)
         val pid = org.apache.spark.TaskContext.getPartitionId()
         tmpDir = new java.io.File(root, s".building-p$pid-$blk")
         if (tmpDir.exists()) deleteRecursively(tmpDir)
