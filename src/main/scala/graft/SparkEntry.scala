@@ -376,6 +376,39 @@ object SparkEntry {
       .orderBy("kind", "label_name", "detail")
   }
 
+  /** Approximate cardinality from the HLL SKETCH LAYER
+    * ([[tsdb.LabelIndexStore.writeSketches]]): per (bucket, label)
+    * DataSketches registers stored once at write time, UNIONED at
+    * query time — buckets × labels fixed-size rows, never a value
+    * scan, the shape that survives a billion-value `user_id` at
+    * 100 TB where even the pair index is value-cardinality-sized.
+    * This is a CONTRACT gate (the sketch-op convention, mechanically
+    * hash-gated): the output is the per-label boolean
+    * |approx − exact| ≤ 5 % · exact at lgK = 14 (RSE ≈ 0.81 %, so
+    * 5 % is ≈ 6σ) and the oracle states the contract holds for every
+    * label; [[LabelIndexSpec]] additionally pins the union-of-bucket
+    * registers ≡ one whole-table sketch (HLL state is a function of
+    * the value SET) and sparse-mode exactness on a crafted fixture.
+    */
+  private def tsLabelCardinalitySketch(s: SparkSession, dir: String): DataFrame = {
+    val p = "/tmp/graft_labelsk_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+    fixtureOnce(s"labelsk:$dir") {
+      graft.tsdb.LabelIndexStore.writeSketches(t(s, dir, "events"), p,
+        Seq("event_type", "user_id"), "ts")
+    }
+    val q = queryable(s, dir)
+      .withLabelSketches(graft.tsdb.LabelIndexStore.readSketches(s, p))
+    val approx = q.labelCardinality(exact = false)
+      .withColumnRenamed("cardinality", "approx")
+    val exactCard = q.labelCardinality()
+      .withColumnRenamed("cardinality", "exact")
+    approx.join(exactCard, Seq("label_name"))
+      .select(col("label_name"),
+        (abs(col("approx") - col("exact")) <=
+          lit(0.05) * col("exact")).as("within_5pct"))
+      .orderBy("label_name")
+  }
+
   private def tsLastPoint(s: SparkSession, dir: String): DataFrame =
     PromOps.lastPoint(t(s, dir, "events"), Seq("event_type", "user_id"),
         "ts", tieBreak = Seq("event_id"))
@@ -463,6 +496,7 @@ object SparkEntry {
         col("vmin").as("min_v"), col("vmax").as("max_v"),
         col("first_ts_ms"), col("first_v"),
         col("last_ts_ms"), col("last_v"),
+        col("prev_ts_ms"), col("prev_v"),
         col("increase").cast("double").as("inc"),
         col("resets"), col("changes"))
       .orderBy("event_type", "user_id", "window_ms")
@@ -526,6 +560,7 @@ object SparkEntry {
         col("vmin").as("min_v"), col("vmax").as("max_v"),
         col("first_ts_ms"), col("first_v"),
         col("last_ts_ms"), col("last_v"),
+        col("prev_ts_ms"), col("prev_v"),
         col("increase").cast("double").as("inc"),
         col("resets"), col("changes"))
       .orderBy("event_type", "user_id", "window_ms")
@@ -642,6 +677,35 @@ object SparkEntry {
         promCtxRollup(s, dir))
       .select(col("event_type"), col("user_id"),
         round(col("value"), 8).as("delta"))
+      .orderBy("event_type", "user_id")
+
+  /** Routed `irate()` — the instantaneous rate from the range's LAST
+    * TWO samples ([[tsdb.PromOps.irate]]) served from the 1-day
+    * layer's boundary + PENULTIMATE samples (`prev_ts_ms`/`prev_v`):
+    * the last two samples of a window-aligned range are the last
+    * window's (last, prev) pair when it holds ≥2 samples, else its
+    * last plus the previous window's last — both stored, so the
+    * reconstruction is exact and the division runs on the identical
+    * IEEE doubles. The oracle replays the raw last-two-samples pick
+    * over the same 5-day window; at 100 TB `irate(counter[30d])`
+    * reads windows-in-range rows instead of every raw sample.
+    */
+  private def tsPromqlRollupIrate(s: SparkSession, dir: String): DataFrame =
+    graft.tsdb.promql.PromQL.compile("irate(events[5d])",
+        promCtxRollup(s, dir))
+      .select(col("event_type"), col("user_id"),
+        round(col("value"), 10).as("irate"))
+      .orderBy("event_type", "user_id")
+
+  /** Routed `idelta()` — gauge difference of the range's last two
+    * samples, same layer-served reconstruction as the irate gate
+    * minus the counter-reset test and the time division.
+    */
+  private def tsPromqlRollupIdelta(s: SparkSession, dir: String): DataFrame =
+    graft.tsdb.promql.PromQL.compile("idelta(events[5d])",
+        promCtxRollup(s, dir))
+      .select(col("event_type"), col("user_id"),
+        round(col("value"), 8).as("idelta"))
       .orderBy("event_type", "user_id")
 
   // ---- classic le-bucket histogram served from SCALAR rollup layers ----
@@ -3610,6 +3674,7 @@ object SparkEntry {
     "ts_label_values" -> (tsLabelValues _),
     "ts_label_cardinality" -> (tsLabelCardinality _),
     "ts_label_values_indexed" -> (tsLabelValuesIndexed _),
+    "ts_label_cardinality_sketch" -> (tsLabelCardinalitySketch _),
     "ts_last_point" -> (tsLastPoint _),
     "ts_rate" -> (tsRate _),
     "ts_instant_align" -> (tsInstantAlign _),
@@ -3628,6 +3693,8 @@ object SparkEntry {
     "ts_promql_rollup_stddev" -> (tsPromqlRollupStddev _),
     "ts_promql_rollup_deriv" -> (tsPromqlRollupDeriv _),
     "ts_promql_rollup_delta" -> (tsPromqlRollupDelta _),
+    "ts_promql_rollup_irate" -> (tsPromqlRollupIrate _),
+    "ts_promql_rollup_idelta" -> (tsPromqlRollupIdelta _),
     "ts_promql_rollup_classic_quantile" -> (tsPromqlRollupClassicQuantile _),
     "ts_topk_series" -> (tsTopkSeries _),
     "ts_count_values" -> (tsCountValues _),
@@ -4367,6 +4434,15 @@ object SparkEntry {
         |UNION ALL SELECT * FROM names
         |UNION ALL SELECT * FROM card
         |ORDER BY kind, label_name, detail""".stripMargin,
+    // CONTRACT gate (sketch-op convention): the engine output is the
+    // per-label boolean |approx − exact| ≤ 5%·exact from the HLL
+    // sketch layer at lgK=14 (≈6σ); the oracle states the contract —
+    // a hash mismatch means a sketch regression past the bound
+    "ts_label_cardinality_sketch" ->
+      """SELECT label_name, TRUE AS within_5pct FROM (
+        |  SELECT 'event_type' AS label_name
+        |  UNION ALL SELECT 'user_id')
+        |ORDER BY label_name""".stripMargin,
     "ts_last_point" ->
       """SELECT event_type, user_id, epoch_ms(ts) AS ts_ms, value, event_id
         |FROM (SELECT *, row_number() OVER (PARTITION BY event_type, user_id
@@ -4483,7 +4559,10 @@ object SparkEntry {
         |d AS (
         |  SELECT *, lag(value) OVER (
         |    PARTITION BY event_type, user_id, window_ms
-        |    ORDER BY ts, value) AS pv
+        |    ORDER BY ts, value) AS pv,
+        |    row_number() OVER (
+        |    PARTITION BY event_type, user_id, window_ms
+        |    ORDER BY ts DESC, value DESC) AS rnd
         |  FROM w),
         |m AS (
         |  SELECT event_type, user_id, window_ms,
@@ -4497,6 +4576,8 @@ object SparkEntry {
         |  min(CASE WHEN d.ts = m.mnts THEN d.value END) AS first_v,
         |  epoch_ms(m.mxts) AS last_ts_ms,
         |  max(CASE WHEN d.ts = m.mxts THEN d.value END) AS last_v,
+        |  max(CASE WHEN d.rnd = 2 THEN epoch_ms(d.ts) END) AS prev_ts_ms,
+        |  max(CASE WHEN d.rnd = 2 THEN d.value END) AS prev_v,
         |  CAST(sum(CAST(CASE WHEN d.pv IS NULL THEN 0
         |    WHEN d.value >= d.pv THEN d.value - d.pv
         |    ELSE d.value END AS DECIMAL(30,8))) AS DOUBLE) AS inc,
@@ -4518,7 +4599,10 @@ object SparkEntry {
         |d AS (
         |  SELECT *, lag(value) OVER (
         |    PARTITION BY event_type, user_id, window_ms
-        |    ORDER BY ts, value) AS pv
+        |    ORDER BY ts, value) AS pv,
+        |    row_number() OVER (
+        |    PARTITION BY event_type, user_id, window_ms
+        |    ORDER BY ts DESC, value DESC) AS rnd
         |  FROM w),
         |m AS (
         |  SELECT event_type, user_id, window_ms,
@@ -4532,6 +4616,8 @@ object SparkEntry {
         |  min(CASE WHEN d.ts = m.mnts THEN d.value END) AS first_v,
         |  epoch_ms(m.mxts) AS last_ts_ms,
         |  max(CASE WHEN d.ts = m.mxts THEN d.value END) AS last_v,
+        |  max(CASE WHEN d.rnd = 2 THEN epoch_ms(d.ts) END) AS prev_ts_ms,
+        |  max(CASE WHEN d.rnd = 2 THEN d.value END) AS prev_v,
         |  CAST(sum(CAST(CASE WHEN d.pv IS NULL THEN 0
         |    WHEN d.value >= d.pv THEN d.value - d.pv
         |    ELSE d.value END AS DECIMAL(30,8))) AS DOUBLE) AS inc,
@@ -4737,6 +4823,38 @@ object SparkEntry {
         |  round(last(value ORDER BY ts, value)
         |    - first(value ORDER BY ts, value), 8) AS delta
         |FROM w GROUP BY 1, 2
+        |ORDER BY event_type, user_id""".stripMargin,
+    // routed irate/idelta: the raw last-two-samples pick over the
+    // same 5d window under the layer's (ts, value) order — the
+    // layer's boundary + penultimate samples must reproduce it
+    "ts_promql_rollup_irate" ->
+      """WITH w AS (
+        |  SELECT event_type, user_id, value, epoch_ms(ts) AS ts_ms,
+        |    row_number() OVER sw AS rn,
+        |    lead(value) OVER sw AS pv,
+        |    lead(epoch_ms(ts)) OVER sw AS pt
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-27' AND ts < TIMESTAMP '2024-02-01'
+        |  WINDOW sw AS (PARTITION BY event_type, user_id
+        |                ORDER BY ts DESC, value DESC))
+        |SELECT event_type, user_id,
+        |  round((CASE WHEN value >= pv THEN value - pv ELSE value END)
+        |        / ((ts_ms - pt) / 1000.0), 10) AS irate
+        |FROM w
+        |WHERE rn = 1 AND pv IS NOT NULL AND ts_ms - pt > 0
+        |ORDER BY event_type, user_id""".stripMargin,
+    "ts_promql_rollup_idelta" ->
+      """WITH w AS (
+        |  SELECT event_type, user_id, value,
+        |    row_number() OVER sw AS rn,
+        |    lead(value) OVER sw AS pv
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-27' AND ts < TIMESTAMP '2024-02-01'
+        |  WINDOW sw AS (PARTITION BY event_type, user_id
+        |                ORDER BY ts DESC, value DESC))
+        |SELECT event_type, user_id, round(value - pv, 8) AS idelta
+        |FROM w
+        |WHERE rn = 1 AND pv IS NOT NULL
         |ORDER BY event_type, user_id""".stripMargin,
     // routed classic-bucket quantile-over-rate: rebuild the bucket
     // counters from raw events, replay the production extrapolation

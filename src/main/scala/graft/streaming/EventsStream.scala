@@ -231,6 +231,7 @@ object EventsStream {
       event_type: String, user_id: Long, window_ms: Long, n: Long,
       vsum: BigDecimal, vmin: Double, vmax: Double,
       first_ts_ms: Long, first_v: Double, last_ts_ms: Long, last_v: Double,
+      prev_ts_ms: Option[Long], prev_v: Option[Double],
       increase: BigDecimal, resets: Long, changes: Long,
       vsq: BigDecimal, sx: BigDecimal, sxx: BigDecimal, sxy: BigDecimal)
 
@@ -299,9 +300,14 @@ object EventsStream {
         }
         i += 1
       }
+      // the batch writer's penultimate sample: the lag pair carried
+      // by the max-key row (NULL on single-sample windows)
+      val prev = if (samples.length >= 2)
+        Some(samples(samples.length - 2)) else None
       RollupWindow(key._1, key._2, buf.windowStartMs, samples.length.toLong,
         BigDecimal(vsum), vmin, vmax,
         samples.head._1, samples.head._2, samples.last._1, samples.last._2,
+        prev.map(_._1), prev.map(_._2),
         BigDecimal(inc), resets, changes,
         BigDecimal(vsq), BigDecimal(sx), BigDecimal(sxx), BigDecimal(sxy))
     }
@@ -326,6 +332,7 @@ object EventsStream {
         col("vmin"), col("vmax"),
         col("first_ts_ms"), col("first_v"),
         col("last_ts_ms"), col("last_v"),
+        col("prev_ts_ms"), col("prev_v"),
         col("increase").cast("decimal(30,8)").as("increase"),
         col("resets"), col("changes"),
         col("vsq").cast("decimal(31,16)").as("vsq"),
@@ -367,6 +374,42 @@ object EventsStream {
         col("label_name"), col("label_value"))
       .agg(count(lit(1)).as("n_rows"))
       .select(col("label_name"), col("label_value"), col("n_rows"),
+        floor(unix_timestamp(col("window.start")) / widthSec)
+          .cast("long").as("bucket"))
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("bucket")
+  }
+
+  /** Streaming maintenance for the HLL SKETCH layer
+    * ([[graft.tsdb.LabelIndexStore.writeSketches]]): per-bucket
+    * per-label DataSketches registers sealed once per bucket window
+    * and appended into the same bucket-partitioned layout the batch
+    * writer produces. `hll_sketch_agg` is a typed imperative
+    * aggregate — its buffer is the register array itself, so the
+    * streaming state per open (bucket, label) is one fixed-size
+    * sketch, merged map-side exactly like batch; HLL state being a
+    * deterministic function of the value SET makes streamed ≡ batch
+    * bitwise-comparable at the estimate level regardless of arrival
+    * order. Append mode: a (bucket, label) sketch row is final when
+    * the watermark passes its bucket.
+    */
+  def toLabelSketchLayer(events: DataFrame, path: String,
+      checkpoint: String, labelCols: Seq[String], watermarkDelay: String,
+      bucketDuration: String = "1 day", lgK: Int = 14): DataStreamWriter[Row] = {
+    require(labelCols.nonEmpty, "labelCols must be non-empty")
+    val widthSec = graft.tsdb.TsdbConverter.durationSeconds(bucketDuration)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"), explode(map(
+        labelCols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*))
+        .as(Seq("label_name", "label_value")))
+      .filter(col("label_value").isNotNull)
+      .groupBy(window(col("ts"), s"$widthSec seconds"), col("label_name"))
+      .agg(hll_sketch_agg(col("label_value"), lit(lgK)).as("sketch"))
+      .select(col("label_name"), col("sketch"),
         floor(unix_timestamp(col("window.start")) / widthSec)
           .cast("long").as("bucket"))
       .writeStream

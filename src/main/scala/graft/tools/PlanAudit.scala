@@ -639,11 +639,12 @@ object PlanAudit {
     }
 
     for (q <- Seq("ts_promql_rollup_stddev", "ts_promql_rollup_deriv",
-        "ts_promql_rollup_delta")) {
-      // the moment-sum/boundary-sample routed functions: every
-      // compiled vector must read the 1d layer only (raw table
-      // absent) and stay windowless — one partial-aggregating
-      // shuffle per vector
+        "ts_promql_rollup_delta", "ts_promql_rollup_irate",
+        "ts_promql_rollup_idelta")) {
+      // the moment-sum/boundary-sample routed functions (irate/idelta
+      // ride the stored penultimate samples): every compiled vector
+      // must read the 1d layer only (raw table absent) and stay
+      // windowless — one partial-aggregating shuffle per vector
       val df = SparkEntry.queries(q)(spark, dir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
@@ -694,6 +695,24 @@ object PlanAudit {
         s"index only: index=$onIdx raw_absent=$noRaw " +
         s"-> ${if (ok) "OK" else "FAIL"}")
       if (!ok) failures ::= "ts_label_values_indexed: routing"
+    }
+
+    locally {
+      // the HLL sketch layer: the contract gate's APPROX side must be
+      // served from the stored per-bucket registers (the sketch
+      // parquet in the plan). The gate's EXACT side deliberately runs
+      // the raw count-distinct scan — it is the ground truth the
+      // contract compares against — so events.parquet legitimately
+      // appears; the spec (LabelIndexSpec) pins the raw table absent
+      // from a pure sketch-served cardinality plan.
+      val df = SparkEntry.queries("ts_label_cardinality_sketch")(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val onSk = plan.contains("graft_labelsk_")
+      println(s"[audit] ts_label_cardinality_sketch :: approx side from " +
+        s"the sketch layer: sketches=$onSk " +
+        s"-> ${if (onSk) "OK" else "FAIL"}")
+      if (!onSk) failures ::= "ts_label_cardinality_sketch: routing"
     }
 
     // NH rollup routing: the aligned 35d NH rate must read the 7d NH

@@ -106,4 +106,70 @@ object LabelIndexStore {
     index.groupBy(col("label_name"))
       .agg(countDistinct(col("label_value")).cast("long").as("cardinality"))
       .orderBy("label_name")
+
+  // ---------------------------------------------------------------
+  // HLL sketch layer — approximate cardinality at METADATA grain
+  // ---------------------------------------------------------------
+
+  /** Materialize per (bucket, label) HYPERLOGLOG SKETCHES of the
+    * label's values (Spark's DataSketches `hll_sketch_agg`). This is
+    * the cardinality layer one level ABOVE the pair index: the pair
+    * index holds every distinct (label, value) — for a billion-user
+    * `user_id` label that is still a billion rows — while this layer
+    * holds ONE fixed-size (≤ 2^lgK bytes) register array per (bucket,
+    * label). Because an HLL register state is a deterministic
+    * function of the inserted value SET, per-bucket sketches UNION
+    * into exactly the register state a single whole-range sketch
+    * would have ([[LabelIndexSpec]] pins the estimates equal
+    * bitwise) — so a time-ranged approximate `label_cardinality`
+    * reads buckets × labels tiny rows and never touches values, the
+    * metadata-scan shape dictionary statistics give the reference.
+    * Default lgK = 14: relative standard error ≈ 0.81 %
+    * (1.04/√2^14), spec-pinned within 5 % of exact on the gate data.
+    *
+    * Same maintenance shape as [[write]]: one narrow explode, one
+    * partial-aggregating shuffle at (bucket, label) grain — sketches
+    * merge map-side, so the exchange carries one register array per
+    * partition × label, never values.
+    */
+  def writeSketches(df: DataFrame, path: String, labelCols: Seq[String],
+      tsCol: String, bucketDuration: String = "1 day",
+      lgK: Int = 14): Unit = {
+    require(labelCols.nonEmpty, "labelCols must be non-empty")
+    df.withColumn("bucket", TsdbConverter.bucketCol(tsCol, bucketDuration))
+      .select(col("bucket"), explode(map(
+        labelCols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*))
+        .as(Seq("label_name", "label_value")))
+      .filter(col("label_value").isNotNull)
+      .groupBy("bucket", "label_name")
+      .agg(hll_sketch_agg(col("label_value"), lit(lgK)).as("sketch"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  def readSketches(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Sketch rows restricted to the buckets overlapping
+    * `[mintMs, maxtMs)` — the same literal partition pruning as
+    * [[select]].
+    */
+  def selectSketches(spark: SparkSession, path: String, mintMs: Long,
+      maxtMs: Long, bucketDuration: String = "1 day"): DataFrame = {
+    require(maxtMs > mintMs, s"empty range [$mintMs, $maxtMs)")
+    val width = TsdbConverter.durationSeconds(bucketDuration) * 1000L
+    readSketches(spark, path)
+      .filter(col("bucket").between(
+        Math.floorDiv(mintMs, width), Math.floorDiv(maxtMs - 1, width)))
+  }
+
+  /** Approximate per-label cardinality from a sketch frame: union
+    * the per-bucket registers, one estimate per label. Cost is
+    * independent of value cardinality — the 100 TB shape for the
+    * cardinality probes planners and UIs fire constantly.
+    */
+  def approxLabelCardinality(sketches: DataFrame): DataFrame =
+    sketches.groupBy(col("label_name"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
+        .cast("long").as("cardinality"))
+      .orderBy("label_name")
 }

@@ -28,6 +28,15 @@ import org.apache.spark.sql.functions._
   *     choose resolution by cost alone
   *   - `first_ts_ms`/`first_v`, `last_ts_ms`/`last_v` — the window's
   *     boundary samples (deterministic (ts, value) tiebreak)
+  *   - `prev_ts_ms`/`prev_v` — the PENULTIMATE sample (NULL when the
+  *     window holds a single sample): together with the boundary
+  *     samples this reconstructs "the last two samples of any
+  *     window-aligned range" exactly — the whole input of PromQL's
+  *     `irate`/`idelta` (promql/functions.go instantValue) — so the
+  *     front-end can serve instant-rate dashboards over long ranges
+  *     from layer rows. (The last two samples of a range are the last
+  *     window's last+penultimate when it holds ≥2 samples, else its
+  *     last plus the previous window's last.)
   *   - `increase` DECIMAL(30,8)       — the within-window counter
   *     increase under Prometheus reset semantics (a decrease between
   *     adjacent samples restarts accumulation at the new value).
@@ -88,11 +97,19 @@ object RollupStore {
     // same tiebreak as the lag order), ms only carried as payload
     val sampleKey = (c: Column) => struct(order :+
       unix_millis(col(tsCol).cast("timestamp")).as("_ms") :+ c.as("_v"): _*)
+    // the last-sample pick additionally carries its LAG pair as
+    // payload — the winning (max-key) row's previous sample IS the
+    // window's penultimate sample under the same deterministic order
+    val lastKey = struct(order :+
+      unix_millis(col(tsCol).cast("timestamp")).as("_ms") :+ v.as("_v") :+
+      col("_prev_ms").as("_pms") :+ col("_prev").as("_pv"): _*)
     val rolled = df
       .withColumn("_win",
         (floor(unix_millis(col(tsCol).cast("timestamp")) / resolutionMs) *
           resolutionMs).cast("long"))
       .withColumn("_prev", lag(v, 1).over(w))
+      .withColumn("_prev_ms",
+        lag(unix_millis(col(tsCol).cast("timestamp")), 1).over(w))
       .withColumn("_delta",
         when(col("_prev").isNull, lit(0.0))
           .when(v >= col("_prev"), v - col("_prev"))
@@ -117,7 +134,7 @@ object RollupStore {
         min(v).as("vmin"),
         max(v).as("vmax"),
         min(sampleKey(v)).as("_f"),
-        max(sampleKey(v)).as("_l"),
+        max(lastKey).as("_l"),
         sum(col("_delta").cast(D)).cast(D).as("increase"),
         sum(col("_reset")).as("resets"),
         sum(col("_chg")).as("changes"),
@@ -132,6 +149,7 @@ object RollupStore {
         col("vsum") :+ col("vmin") :+ col("vmax") :+
         col("_f._ms").as("first_ts_ms") :+ col("_f._v").as("first_v") :+
         col("_l._ms").as("last_ts_ms") :+ col("_l._v").as("last_v") :+
+        col("_l._pms").as("prev_ts_ms") :+ col("_l._pv").as("prev_v") :+
         col("increase") :+ col("resets") :+ col("changes") :+
         col("vsq") :+ col("sx") :+ col("sxx") :+ col("sxy") :+
         timestamp_millis(col("window_ms")).as(tsCol)): _*)
@@ -206,6 +224,8 @@ object RollupStore {
         col("_f.first_v").as("first_v") :+
         col("_l.last_ts_ms").as("last_ts_ms") :+
         col("_l.last_v").as("last_v") :+
+        prevOf(col("_w")).getField("_pms").as("prev_ts_ms") :+
+        prevOf(col("_w")).getField("_pv").as("prev_v") :+
         increaseFoldDec(col("_w")).as("increase") :+
         col("_rc.r").as("resets") :+ col("_rc.c").as("changes") :+
         col("vsq") :+ col("sx") :+ col("sxx") :+ col("sxy") :+
@@ -259,10 +279,33 @@ object RollupStore {
 
   /** The window payload every stitch fold consumes — collect with
     * `sort_array(collect_list(windowStruct))` so the fold walks
-    * windows in time order.
+    * windows in time order. (window_ms leads, so the sort key is the
+    * window start; the trailing fields are payload — every stored
+    * window is non-empty, so windows never tie within a series.)
     */
   def windowStruct: Column = struct(col("window_ms"), col("first_v"),
-    col("last_v"), col("increase"), col("resets"), col("changes"))
+    col("last_v"), col("increase"), col("resets"), col("changes"),
+    col("n"), col("last_ts_ms"), col("prev_ts_ms"), col("prev_v"))
+
+  /** The coarse window's penultimate sample from its sorted fine
+    * windows: the last fine window's own penultimate when it holds
+    * ≥2 samples, else the second-to-last fine window's last sample
+    * (every stored window is non-empty), else NULL — exactly the
+    * second-from-the-end of the concatenated sample sequence. Struct
+    * of `_pms`/`_pv`.
+    */
+  def prevOf(wins: Column): Column = {
+    val lw = element_at(wins, size(wins))
+    val pw = element_at(wins, size(wins) - 1) // guarded below
+    when(lw.getField("n") >= 2,
+      struct(lw.getField("prev_ts_ms").as("_pms"),
+        lw.getField("prev_v").as("_pv")))
+      .when(size(wins) >= 2,
+        struct(pw.getField("last_ts_ms").as("_pms"),
+          pw.getField("last_v").as("_pv")))
+      .otherwise(struct(lit(null).cast("long").as("_pms"),
+        lit(null).cast("double").as("_pv")))
+  }
 
   /** The stitched-increase fold over a sorted [[windowStruct]]
     * array: Σ within-window `increase` + the reset-aware boundary

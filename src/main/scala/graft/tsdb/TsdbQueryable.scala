@@ -33,7 +33,8 @@ final class TsdbQueryable(
     labelsFilter: Option[Column] = None,
     bucketCol: Option[String] = None,
     bucketDuration: String = "1 day",
-    labelIndex: Option[DataFrame] = None) {
+    labelIndex: Option[DataFrame] = None,
+    labelSketches: Option[DataFrame] = None) {
 
   /** Declare the layout's time-partition column (the
     * [[TsdbConverter]] `bucket` column): every range select then
@@ -46,7 +47,7 @@ final class TsdbQueryable(
       duration: String = "1 day"): TsdbQueryable =
     new TsdbQueryable(df, labelCols, tsCol, valueCol,
       materializedSeriesCallback, selectionCache, labelsFilter,
-      Some(bucket), duration, labelIndex)
+      Some(bucket), duration, labelIndex, labelSketches)
 
   /** Integrator seam on the select path — the analog of the
     * reference's `WithMaterializedSeriesCallback` option
@@ -58,7 +59,7 @@ final class TsdbQueryable(
     */
   def withMaterializedSeriesCallback(cb: DataFrame => DataFrame): TsdbQueryable =
     new TsdbQueryable(df, labelCols, tsCol, valueCol, cb, selectionCache,
-      labelsFilter, bucketCol, bucketDuration, labelIndex)
+      labelsFilter, bucketCol, bucketDuration, labelIndex, labelSketches)
 
   /** The `WithMaterializedLabelsFilterCallback` analog
     * (queryable/parquet_queryable.go:104-110): a predicate over the
@@ -74,7 +75,7 @@ final class TsdbQueryable(
   def withMaterializedLabelsFilterCallback(pred: Column): TsdbQueryable =
     new TsdbQueryable(df, labelCols, tsCol, valueCol,
       materializedSeriesCallback, selectionCache, Some(pred), bucketCol,
-      bucketDuration, labelIndex)
+      bucketDuration, labelIndex, labelSketches)
 
   /** Attach a [[SelectionCache]] (the reference's
     * WithRowRangesForConstraintsCache option,
@@ -85,7 +86,7 @@ final class TsdbQueryable(
   def withSelectionCache(cache: SelectionCache): TsdbQueryable =
     new TsdbQueryable(df, labelCols, tsCol, valueCol,
       materializedSeriesCallback, Some(cache), labelsFilter, bucketCol,
-      bucketDuration, labelIndex)
+      bucketDuration, labelIndex, labelSketches)
 
   /** Attach a materialized [[LabelIndexStore]] frame (built over the
     * SAME labelCols as this queryable): the three label-metadata
@@ -102,7 +103,21 @@ final class TsdbQueryable(
   def withLabelIndex(index: DataFrame): TsdbQueryable =
     new TsdbQueryable(df, labelCols, tsCol, valueCol,
       materializedSeriesCallback, selectionCache, labelsFilter, bucketCol,
-      bucketDuration, Some(index))
+      bucketDuration, Some(index), labelSketches)
+
+  /** Attach a [[LabelIndexStore.writeSketches]] HLL frame: the
+    * APPROXIMATE cardinality path ([[labelCardinality]] with
+    * `exact = false`) then unions stored per-bucket registers —
+    * buckets × labels fixed-size rows — instead of running a sketch
+    * pass over the raw table. Same silent-eligibility rule as the
+    * pair index (no matchers, no ACL filter); the raw
+    * `approx_count_distinct` scan remains the fallback. Returns a
+    * NEW queryable.
+    */
+  def withLabelSketches(sketches: DataFrame): TsdbQueryable =
+    new TsdbQueryable(df, labelCols, tsCol, valueCol,
+      materializedSeriesCallback, selectionCache, labelsFilter, bucketCol,
+      bucketDuration, labelIndex, Some(sketches))
 
   /** The routed index frame when eligibility holds: no matchers, no
     * ACL filter, an index attached — restricted to this queryable's
@@ -357,18 +372,26 @@ final class TsdbQueryable(
     */
   def labelCardinality(matchers: Seq[Matcher] = Nil, exact: Boolean = true,
       rsd: Double = 0.02): DataFrame = {
-    if (exact) indexFor(matchers).foreach { idx =>
-      // the raw path emits a 0 row for an all-null label; index rows
-      // only exist where values do, so rebuild the full label list
-      val names = df.sparkSession
-        .createDataset(labelCols)(org.apache.spark.sql.Encoders.STRING)
-        .toDF("label_name")
-      return names.join(LabelIndexStore.labelCardinality(idx),
-          Seq("label_name"), "left")
+    // the raw path emits a 0 row for an all-null label; index/sketch
+    // rows only exist where values do, so rebuild the full label list
+    def allNames = df.sparkSession
+      .createDataset(labelCols)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("label_name")
+    def zeroFilled(served: DataFrame) =
+      allNames.join(served, Seq("label_name"), "left")
         .select(col("label_name"),
           coalesce(col("cardinality"), lit(0L)).as("cardinality"))
         .orderBy("label_name")
+    if (exact) indexFor(matchers).foreach { idx =>
+      return zeroFilled(LabelIndexStore.labelCardinality(idx))
     }
+    if (!exact && matchers.isEmpty && labelsFilter.isEmpty)
+      labelSketches.foreach { sk =>
+        // the sketch LAYER: union stored per-bucket registers — one
+        // fixed-size row per (bucket, label), never a value scan
+        return zeroFilled(LabelIndexStore.approxLabelCardinality(
+          sk.filter(col("label_name").isin(labelCols: _*))))
+      }
     val src = withMatchers(matchers)
     val aggs = labelCols.map { c =>
       (if (exact) countDistinct(col(c))

@@ -762,12 +762,18 @@ object PromQL {
           PromOps.delta(df, ls, ctx.tsCol, ctx.valueCol, ctx.tieBreak)
             .withColumnRenamed("delta", "value"))
       })
-      case "idelta" => Right(overRange(c, (df, ls, _) =>
-        PromOps.idelta(df, ls, ctx.tsCol, ctx.valueCol, ctx.tieBreak)
-          .withColumnRenamed("idelta", "value")))
-      case "irate" => Right(overRange(c, (df, ls, _) =>
-        PromOps.irate(df, ls, ctx.tsCol, ctx.valueCol, ctx.tieBreak)
-          .withColumnRenamed("irate", "value")))
+      case "idelta" => Right(rollupRangeVec(one(c, c.fn)) match {
+        case Some(rv) => rollupInstant(rv, "idelta")
+        case None => overRange(c, (df, ls, _) =>
+          PromOps.idelta(df, ls, ctx.tsCol, ctx.valueCol, ctx.tieBreak)
+            .withColumnRenamed("idelta", "value"))
+      })
+      case "irate" => Right(rollupRangeVec(one(c, c.fn)) match {
+        case Some(rv) => rollupInstant(rv, "irate")
+        case None => overRange(c, (df, ls, _) =>
+          PromOps.irate(df, ls, ctx.tsCol, ctx.valueCol, ctx.tieBreak)
+            .withColumnRenamed("irate", "value"))
+      })
       case "resets" => c.args match {
         // resets over a NATIVE-HISTOGRAM range: the histogram reset
         // detector (any component decreased — the same walk the
@@ -1102,6 +1108,46 @@ object PromQL {
           max(struct(col("window_ms"), col("last_ts_ms"),
             col("last_v").as("_v"))).getField("_v").as("_last"))
         .withColumn("value", col("_last") - col("_first"))
+      stamped(out.select(k.map(col) :+ col("value"): _*), rv.labels)
+    }
+
+    /** `irate`/`idelta` served from a rollup layer: both functions
+      * read exactly the LAST TWO samples of the element window
+      * (reference semantics promql/functions.go instantValue), and
+      * those reconstruct exactly from the stored boundary +
+      * penultimate samples — the last window's (last, prev) when it
+      * holds ≥2 samples, else its last plus the previous window's
+      * last. The final arithmetic is the identical IEEE ops
+      * [[graft.tsdb.PromOps.irate]]/[[graft.tsdb.PromOps.idelta]]
+      * run (reset test `v >= pv`, one subtraction, one division), so
+      * the routed answer is bitwise the raw one at windows-in-range
+      * rows per element instead of samples — the long-range
+      * `irate(counter[30d])` dashboard idiom stops rescanning raw.
+      */
+    private def rollupInstant(rv: RollupRangeVec, fn: String): Vec = {
+      val k = keys(rv.labels)
+      val s = struct(col("window_ms"), col("n"), col("last_ts_ms"),
+        col("last_v"), col("prev_ts_ms"), col("prev_v"))
+      val lastTwo = rv.rows.groupBy(k.map(col): _*)
+        .agg(sort_array(collect_list(s)).as("_w"))
+        .withColumn("_lw", element_at(col("_w"), size(col("_w"))))
+        .withColumn("_p", graft.tsdb.RollupStore.prevOf(col("_w")))
+        .withColumn("_lv", col("_lw.last_v"))
+        .withColumn("_lt", col("_lw.last_ts_ms"))
+        .withColumn("_pv", col("_p._pv"))
+        .withColumn("_pt", col("_p._pms"))
+        .filter(col("_pt").isNotNull) // <2 samples in range → no row
+      val out = fn match {
+        case "idelta" =>
+          lastTwo.withColumn("value", col("_lv") - col("_pv"))
+        case "irate" =>
+          lastTwo
+            .withColumn("_dt_ms", col("_lt") - col("_pt"))
+            .filter(col("_dt_ms") > 0)
+            .withColumn("value",
+              when(col("_lv") >= col("_pv"), col("_lv") - col("_pv"))
+                .otherwise(col("_lv")) / (col("_dt_ms") / lit(1000.0)))
+      }
       stamped(out.select(k.map(col) :+ col("value"): _*), rv.labels)
     }
 

@@ -125,6 +125,98 @@ class LabelIndexSpec extends SparkSpec {
     assert(rows(q.labelCardinality()) == rows(raw.labelCardinality()))
   }
 
+  test("HLL sketch layer: per-bucket union ≡ one whole-table sketch, " +
+      "exact in sparse mode, routed with silent fallback") {
+    val skPath = "/tmp/graft_labelsk_spec"
+    LabelIndexStore.writeSketches(df, skPath, labels, "ts")
+    val sk = LabelIndexStore.readSketches(spark, skPath)
+    // HLL register state is a deterministic function of the inserted
+    // value SET: unioning the per-bucket sketches must estimate
+    // exactly what a single whole-table sketch estimates
+    val unioned = LabelIndexStore.approxLabelCardinality(sk)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val global = df
+      .select(explode(map(labels.flatMap(c =>
+        Seq(lit(c), col(c).cast("string"))): _*))
+        .as(Seq("label_name", "label_value")))
+      .filter(col("label_value").isNotNull)
+      .groupBy("label_name")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("label_value"), lit(14)))
+        .cast("long").as("cardinality"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(unioned == global)
+    // at this cardinality the sketch is in sparse mode — the
+    // estimate is EXACT, so it equals the raw count(DISTINCT)
+    assert(unioned == Map("event_type" -> 2L, "env" -> 2L))
+    // routed approx cardinality serves from the sketch layer (plan
+    // shows the sketch parquet, sample table absent) with the same
+    // zero-row rebuild for the all-null label
+    val q = new TsdbQueryable(df, labels).withLabelSketches(sk)
+    val served = q.labelCardinality(Nil, exact = false)
+    def plan(d: DataFrame) = d.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan(served).contains("graft_labelsk_spec"))
+    // served = stored registers unioned; the raw fallback would have
+    // to SKETCH the sample table on the fly (hll_sketch_agg) or run
+    // approx_count_distinct over it — neither may appear. (The tiny
+    // label-name zero-fill list is a LocalTableScan by design, so
+    // scan-node counting can't discriminate here.)
+    assert(!plan(served).contains("hll_sketch_agg"),
+      "sketch-served cardinality must not sketch the sample table")
+    assert(!plan(served).contains("approx_count_distinct"))
+    assert(rows(served) == Seq(Seq("env", 2L), Seq("event_type", 2L),
+      Seq("region", 0L)))
+    // matchers / ACL filter fall back to the raw HLL scan silently
+    val m = Seq(Matcher.Eq("event_type", "req"))
+    assert(!plan(q.labelCardinality(m, exact = false))
+      .contains("graft_labelsk_spec"))
+    assert(rows(q.labelCardinality(m, exact = false)) ==
+      rows(raw.labelCardinality(m, exact = false)))
+    // 5% contract on the bigger end: the sketch layer built over the
+    // event fixture agrees with exact within the gate bound
+    val exactCard = rows(raw.labelCardinality()).map {
+      case Seq(n: String, c: Long) => n -> c
+    }.toMap
+    for ((n, approx) <- unioned ++ Map("region" -> 0L))
+      assert(math.abs(approx - exactCard(n)) <= 0.05 * exactCard(n) ||
+        exactCard(n) == approx)
+  }
+
+  test("streamed sketch layer ≡ the batch sketch layer at the " +
+      "estimate level, and serves the routed approx path") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_labelsk_stream").toString
+    val mem = MemoryStream[(java.sql.Timestamp, String, String, String)]
+    val stream = mem.toDF().toDF("ts", "event_type", "env", "region")
+    val query = graft.streaming.EventsStream.toLabelSketchLayer(
+      stream, s"$root/sk", s"$root/ckpt", labels, "10 minutes").start()
+    try {
+      mem.addData(df.select("ts", "event_type", "env", "region")
+        .collect().toSeq.map(r => (r.getTimestamp(0), r.getString(1),
+          r.getString(2), r.getString(3))): _*)
+      query.processAllAvailable()
+      mem.addData((ts("2024-02-01 00:00:00"), "advancer", null, null))
+      query.processAllAvailable()
+    } finally query.stop()
+    LabelIndexStore.writeSketches(df, s"$root/batch", labels, "ts")
+    // sketch BYTES may differ (sparse coupon order follows arrival);
+    // the register SET does not — estimates must agree exactly
+    def card(path: String) = LabelIndexStore.approxLabelCardinality(
+        LabelIndexStore.readSketches(spark, path)
+          .filter(col("bucket") < 19754L)) // drop the advancer bucket
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(card(s"$root/sk") == card(s"$root/batch"))
+    assert(card(s"$root/sk") == Map("event_type" -> 2L, "env" -> 2L))
+    // and the streamed layer serves the routed queryable path
+    val q = new TsdbQueryable(df, labels).withLabelSketches(
+      LabelIndexStore.readSketches(spark, s"$root/sk")
+        .filter(col("bucket") < 19754L))
+    assert(rows(q.labelCardinality(Nil, exact = false)) ==
+      Seq(Seq("env", 2L), Seq("event_type", 2L), Seq("region", 0L)))
+  }
+
   test("bucket-ranged select prunes to the overlapped buckets only") {
     LabelIndexStore.write(df, path, labels, "ts")
     val day = 86400000L

@@ -62,11 +62,49 @@ class PromQLRollupSpec extends SparkSpec {
 
   test("routed rate/increase/resets/changes are bitwise the raw answers") {
     layers
-    for (fn <- Seq("rate", "increase", "resets", "changes", "delta")) {
+    for (fn <- Seq("rate", "increase", "resets", "changes", "delta",
+        "irate", "idelta")) {
       val (routed, raw) = collectBoth(s"$fn(m[6h])", alignedEval)
       assert(routed == raw, s"$fn diverged")
       assert(routed.nonEmpty)
     }
+  }
+
+  test("routed irate/idelta reconstruct the last two samples across " +
+      "window seams (single-sample last window)") {
+    // a series whose LAST aligned window holds exactly ONE sample, so
+    // the routed pair must stitch (previous window's last, last
+    // window's last) — the prevOf fallback branch — and one whose
+    // last window holds ≥2 (the stored-penultimate branch, with a
+    // counter reset between exactly those two samples for irate)
+    val rows = Seq(
+      ("one", ts("2024-01-01 02:10:00"), 5.0),
+      ("one", ts("2024-01-01 02:40:00"), 9.0),
+      ("one", ts("2024-01-01 03:20:00"), 11.0), // lone sample in [03:00)
+      ("two", ts("2024-01-01 02:30:00"), 4.0),
+      ("two", ts("2024-01-01 03:10:00"), 8.0),
+      ("two", ts("2024-01-01 03:40:00"), 2.0) // reset in the last pair
+    ).toDF("series", "ts", "value")
+    val p = "/tmp/graft_promql_rollup_spec_seam_1h"
+    RollupStore.write(rows, p, Seq("series"), "ts", "value", HOUR)
+    def ctx(routed: Boolean) = PromQLContext(
+      metrics = Map("m" -> rows), labelCols = Seq("series"),
+      evalMs = base + 9 * HOUR, lookbackMs = 300000L,
+      rollups = if (routed) Map("m" -> Seq(RollupLayer(p, HOUR)))
+        else Map.empty)
+    for (fn <- Seq("irate", "idelta")) {
+      def get(routed: Boolean) =
+        PromQL.compile(s"$fn(m[9h])", ctx(routed))
+          .select("series", "value").as[(String, Double)]
+          .collect.toSeq.sortBy(_._1)
+      assert(get(true) == get(false), s"$fn diverged")
+      assert(get(true).size == 2)
+    }
+    // the routed plan reads the layer only
+    val plan = PromQL.compile("irate(m[9h])", ctx(routed = true))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("graft_promql_rollup_spec_seam"))
   }
 
   test("routed *_over_time family is bitwise the raw answers") {
@@ -155,7 +193,8 @@ class PromQLRollupSpec extends SparkSpec {
           ctxAt(alignedEval, routed), base + 6 * HOUR, base + 12 * HOUR, HOUR)
         .select("series", "step_ms", "value").as[(String, Long, Double)]
         .collect.toSeq.sortBy(r => (r._1, r._2))
-    for (q <- Seq("sum by (series) (rate(m[6h]))", "delta(m[6h])")) {
+    for (q <- Seq("sum by (series) (rate(m[6h]))", "delta(m[6h])",
+        "irate(m[6h])", "idelta(m[6h])")) {
       assert(grid(q)(true) == grid(q)(false), s"$q diverged on the grid")
       assert(grid(q)(true).nonEmpty)
     }

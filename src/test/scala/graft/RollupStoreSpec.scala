@@ -60,6 +60,42 @@ class RollupStoreSpec extends SparkSpec {
     assert(inc == Seq(20.0, 5.0, 0.0))
   }
 
+  test("penultimate samples: per-window pick, NULL on singletons, " +
+      "cascade stitches across fine-window seams") {
+    // hourly layer: w0 holds 2 samples (prev = the 00:10 one), w1
+    // holds 3 (prev = 01:20), the lone 03:30 window and series b are
+    // NULL — the batch writer's lag-payload pick
+    val hourly = RollupStore.read(spark, layer(HOUR, "prev"))
+      .orderBy("series", "window_ms")
+      .select("series", "window_ms", "prev_ts_ms", "prev_v")
+      .as[(String, Long, Option[Long], Option[Double])].collect.toSeq
+    assert(hourly == Seq(
+      ("a", base, Some(base + 10 * 60000L), Some(10.0)),
+      ("a", base + HOUR, Some(base + 80 * 60000L), Some(8.0)),
+      ("a", base + 3 * HOUR, None, None),
+      ("b", base, None, None)))
+    // daily direct: series a's penultimate is the 01:50 sample
+    val daily = RollupStore.read(spark, layer(DAY, "prev"))
+      .orderBy("series")
+      .select("series", "prev_ts_ms", "prev_v")
+      .as[(String, Option[Long], Option[Double])].collect.toSeq
+    assert(daily == Seq(
+      ("a", Some(base + 110 * 60000L), Some(2.0)),
+      ("b", None, None)))
+    // cascade day-from-hour: the last fine window (03:xx) holds ONE
+    // sample, so the coarse penultimate must come from the PREVIOUS
+    // fine window's last sample — the prevOf seam branch; the
+    // lone-sample series exercises the NULL branch
+    val p = "/tmp/graft_rollupspec_prev_day"
+    RollupStore.writeFrom(spark, layer(HOUR, "prev"), p, Seq("series"),
+      "ts", fineResolutionMs = HOUR, resolutionMs = DAY)
+    val cascaded = RollupStore.read(spark, p)
+      .orderBy("series")
+      .select("series", "prev_ts_ms", "prev_v")
+      .as[(String, Option[Long], Option[Double])].collect.toSeq
+    assert(cascaded == daily)
+  }
+
   test("stitchedIncrease ≡ the direct raw fold, and is layer-independent") {
     // direct fold over all consecutive pairs of series a:
     // +20, reset→5, +3, reset→2, +28 = 58
@@ -103,7 +139,8 @@ class RollupStoreSpec extends SparkSpec {
     RollupStore.writeFrom(spark, fine, p, Seq("series"), "ts",
       fineResolutionMs = HOUR, resolutionMs = DAY)
     val cols = Seq("series", "window_ms", "n", "vsum", "vmin", "vmax",
-      "first_ts_ms", "first_v", "last_ts_ms", "last_v", "increase",
+      "first_ts_ms", "first_v", "last_ts_ms", "last_v",
+      "prev_ts_ms", "prev_v", "increase",
       "resets", "changes", "vsq", "sx", "sxx", "sxy")
     def rows(path: String) = RollupStore.read(spark, path)
       .select(cols.map(col): _*).orderBy("series", "window_ms")
@@ -120,7 +157,8 @@ class RollupStoreSpec extends SparkSpec {
     RollupStore.writeFrom(spark, mid, p, Seq("series"), "ts",
       fineResolutionMs = 2 * HOUR, resolutionMs = DAY)
     val cols = Seq("series", "window_ms", "n", "vsum", "vmin", "vmax",
-      "first_ts_ms", "first_v", "last_ts_ms", "last_v", "increase",
+      "first_ts_ms", "first_v", "last_ts_ms", "last_v",
+      "prev_ts_ms", "prev_v", "increase",
       "resets", "changes", "vsq", "sx", "sxx", "sxy")
     def rows(path: String) = RollupStore.read(spark, path)
       .select(cols.map(col): _*).orderBy("series", "window_ms")
