@@ -497,6 +497,7 @@ object SparkEntry {
         col("first_ts_ms"), col("first_v"),
         col("last_ts_ms"), col("last_v"),
         col("prev_ts_ms"), col("prev_v"),
+        col("vmin_ts_ms"), col("vmax_nn"), col("vmax_ts_ms"),
         col("increase").cast("double").as("inc"),
         col("resets"), col("changes"))
       .orderBy("event_type", "user_id", "window_ms")
@@ -561,6 +562,7 @@ object SparkEntry {
         col("first_ts_ms"), col("first_v"),
         col("last_ts_ms"), col("last_v"),
         col("prev_ts_ms"), col("prev_v"),
+        col("vmin_ts_ms"), col("vmax_nn"), col("vmax_ts_ms"),
         col("increase").cast("double").as("inc"),
         col("resets"), col("changes"))
       .orderBy("event_type", "user_id", "window_ms")
@@ -696,6 +698,29 @@ object SparkEntry {
       .select(col("event_type"), col("user_id"),
         round(col("value"), 10).as("irate"))
       .orderBy("event_type", "user_id")
+
+  /** Routed `ts_of_min/max_over_time` — the ARGMIN/ARGMAX timestamps
+    * served from the layer's stored per-window extremum pairs
+    * (`vmin_ts_ms`, `vmax_nn`/`vmax_ts_ms`): extremum-of-struct is
+    * associative, so folding the pairs across windows under the raw
+    * tie keys (value, then LATEST ts; max demotes NaN below every
+    * real value) is the identical struct fold the raw path runs over
+    * samples. The oracle replays the raw argmin/argmax pick over the
+    * same 5-day window.
+    */
+  private def tsPromqlRollupTsOf(s: SparkSession, dir: String): DataFrame = {
+    val ctx = promCtxRollup(s, dir)
+    val mn = graft.tsdb.promql.PromQL
+      .compile("ts_of_min_over_time(events[5d])", ctx)
+      .select(col("event_type"), col("user_id"),
+        col("value").as("ts_of_min"))
+    val mx = graft.tsdb.promql.PromQL
+      .compile("ts_of_max_over_time(events[5d])", ctx)
+      .select(col("event_type"), col("user_id"),
+        col("value").as("ts_of_max"))
+    mn.join(mx, Seq("event_type", "user_id"))
+      .orderBy("event_type", "user_id")
+  }
 
   /** Routed `idelta()` — gauge difference of the range's last two
     * samples, same layer-served reconstruction as the irate gate
@@ -3695,6 +3720,7 @@ object SparkEntry {
     "ts_promql_rollup_delta" -> (tsPromqlRollupDelta _),
     "ts_promql_rollup_irate" -> (tsPromqlRollupIrate _),
     "ts_promql_rollup_idelta" -> (tsPromqlRollupIdelta _),
+    "ts_promql_rollup_ts_of" -> (tsPromqlRollupTsOf _),
     "ts_promql_rollup_classic_quantile" -> (tsPromqlRollupClassicQuantile _),
     "ts_topk_series" -> (tsTopkSeries _),
     "ts_count_values" -> (tsCountValues _),
@@ -4566,7 +4592,10 @@ object SparkEntry {
         |  FROM w),
         |m AS (
         |  SELECT event_type, user_id, window_ms,
-        |    min(ts) AS mnts, max(ts) AS mxts
+        |    min(ts) AS mnts, max(ts) AS mxts,
+        |    min(value) AS mnv,
+        |    coalesce(max(value) FILTER (WHERE NOT isnan(value)),
+        |             'NaN'::DOUBLE) AS mxnn
         |  FROM w GROUP BY 1, 2, 3)
         |SELECT d.event_type, d.user_id, d.window_ms,
         |  count(*) AS n,
@@ -4578,6 +4607,11 @@ object SparkEntry {
         |  max(CASE WHEN d.ts = m.mxts THEN d.value END) AS last_v,
         |  max(CASE WHEN d.rnd = 2 THEN epoch_ms(d.ts) END) AS prev_ts_ms,
         |  max(CASE WHEN d.rnd = 2 THEN d.value END) AS prev_v,
+        |  max(CASE WHEN d.value = m.mnv THEN epoch_ms(d.ts) END)
+        |    AS vmin_ts_ms,
+        |  m.mxnn AS vmax_nn,
+        |  max(CASE WHEN d.value = m.mxnn THEN epoch_ms(d.ts) END)
+        |    AS vmax_ts_ms,
         |  CAST(sum(CAST(CASE WHEN d.pv IS NULL THEN 0
         |    WHEN d.value >= d.pv THEN d.value - d.pv
         |    ELSE d.value END AS DECIMAL(30,8))) AS DOUBLE) AS inc,
@@ -4586,7 +4620,7 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN d.pv IS NOT NULL AND d.value <> d.pv
         |    THEN 1 ELSE 0 END) AS BIGINT) AS changes
         |FROM d JOIN m USING (event_type, user_id, window_ms)
-        |GROUP BY d.event_type, d.user_id, d.window_ms, m.mnts, m.mxts
+        |GROUP BY d.event_type, d.user_id, d.window_ms, m.mnts, m.mxts, m.mnv, m.mxnn
         |ORDER BY d.event_type, d.user_id, d.window_ms""".stripMargin,
     // the CASCADED 1d layer (built from the 1h layer, raw never
     // rescanned) must replay the identical raw lag fold — same SQL
@@ -4606,7 +4640,10 @@ object SparkEntry {
         |  FROM w),
         |m AS (
         |  SELECT event_type, user_id, window_ms,
-        |    min(ts) AS mnts, max(ts) AS mxts
+        |    min(ts) AS mnts, max(ts) AS mxts,
+        |    min(value) AS mnv,
+        |    coalesce(max(value) FILTER (WHERE NOT isnan(value)),
+        |             'NaN'::DOUBLE) AS mxnn
         |  FROM w GROUP BY 1, 2, 3)
         |SELECT d.event_type, d.user_id, d.window_ms,
         |  count(*) AS n,
@@ -4618,6 +4655,11 @@ object SparkEntry {
         |  max(CASE WHEN d.ts = m.mxts THEN d.value END) AS last_v,
         |  max(CASE WHEN d.rnd = 2 THEN epoch_ms(d.ts) END) AS prev_ts_ms,
         |  max(CASE WHEN d.rnd = 2 THEN d.value END) AS prev_v,
+        |  max(CASE WHEN d.value = m.mnv THEN epoch_ms(d.ts) END)
+        |    AS vmin_ts_ms,
+        |  m.mxnn AS vmax_nn,
+        |  max(CASE WHEN d.value = m.mxnn THEN epoch_ms(d.ts) END)
+        |    AS vmax_ts_ms,
         |  CAST(sum(CAST(CASE WHEN d.pv IS NULL THEN 0
         |    WHEN d.value >= d.pv THEN d.value - d.pv
         |    ELSE d.value END AS DECIMAL(30,8))) AS DOUBLE) AS inc,
@@ -4626,7 +4668,7 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN d.pv IS NOT NULL AND d.value <> d.pv
         |    THEN 1 ELSE 0 END) AS BIGINT) AS changes
         |FROM d JOIN m USING (event_type, user_id, window_ms)
-        |GROUP BY d.event_type, d.user_id, d.window_ms, m.mnts, m.mxts
+        |GROUP BY d.event_type, d.user_id, d.window_ms, m.mnts, m.mxts, m.mnv, m.mxnn
         |ORDER BY d.event_type, d.user_id, d.window_ms""".stripMargin,
     // stitched increase ≡ the same reset-aware lag fold over the raw
     // range (consecutive pairs = within-window + boundary pairs);
@@ -4842,6 +4884,26 @@ object SparkEntry {
         |        / ((ts_ms - pt) / 1000.0), 10) AS irate
         |FROM w
         |WHERE rn = 1 AND pv IS NOT NULL AND ts_ms - pt > 0
+        |ORDER BY event_type, user_id""".stripMargin,
+    // routed ts_of_min/max: the raw argmin/argmax pick (latest ts
+    // among tied extrema; max demotes NaN) over the same 5d window
+    "ts_promql_rollup_ts_of" ->
+      """WITH w AS (
+        |  SELECT event_type, user_id, ts, value
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-27' AND ts < TIMESTAMP '2024-02-01'),
+        |m AS (
+        |  SELECT event_type, user_id, min(value) AS mnv,
+        |    coalesce(max(value) FILTER (WHERE NOT isnan(value)),
+        |             'NaN'::DOUBLE) AS mxnn
+        |  FROM w GROUP BY 1, 2)
+        |SELECT w.event_type, w.user_id,
+        |  max(CASE WHEN w.value = m.mnv THEN epoch_ms(w.ts) END) / 1000.0
+        |    AS ts_of_min,
+        |  max(CASE WHEN w.value = m.mxnn THEN epoch_ms(w.ts) END) / 1000.0
+        |    AS ts_of_max
+        |FROM w JOIN m USING (event_type, user_id)
+        |GROUP BY 1, 2
         |ORDER BY event_type, user_id""".stripMargin,
     "ts_promql_rollup_idelta" ->
       """WITH w AS (

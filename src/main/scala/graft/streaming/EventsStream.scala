@@ -232,6 +232,7 @@ object EventsStream {
       vsum: BigDecimal, vmin: Double, vmax: Double,
       first_ts_ms: Long, first_v: Double, last_ts_ms: Long, last_v: Double,
       prev_ts_ms: Option[Long], prev_v: Option[Double],
+      vmin_ts_ms: Long, vmax_nn: Double, vmax_ts_ms: Long,
       increase: BigDecimal, resets: Long, changes: Long,
       vsq: BigDecimal, sx: BigDecimal, sxx: BigDecimal, sxy: BigDecimal)
 
@@ -267,6 +268,13 @@ object EventsStream {
       var sxy = java.math.BigDecimal.ZERO
       var vmin = samples.head._2
       var vmax = samples.head._2
+      // argmin/argmax under the ts_of_* tie rules (latest sample
+      // among tied extrema; max demotes NaN below every real value —
+      // the batch writer's not-NaN struct flag). Walking in ts order
+      // means a `<= / >=` update IS the latest-tie rule.
+      var vminTs = samples.head._1
+      var vmaxNn = samples.head._2
+      var vmaxTs = samples.head._1
       var resets = 0L
       var changes = 0L
       var i = 0
@@ -291,6 +299,16 @@ object EventsStream {
         if (cmp(v, vmin) < 0) vmin = v
         if (cmp(v, vmax) > 0) vmax = v
         if (i > 0) {
+          // vmin was already folded above, so cmp(v, vmin) <= 0 now
+          // means "v is (tied-)minimal" → latest tied sample wins
+          if (cmp(v, vmin) <= 0) vminTs = samples(i)._1
+          def ok(d: Double) = if (d.isNaN) 0 else 1
+          if (ok(v) > ok(vmaxNn) ||
+              (ok(v) == ok(vmaxNn) && cmp(v, vmaxNn) >= 0)) {
+            vmaxNn = v; vmaxTs = samples(i)._1
+          }
+        }
+        if (i > 0) {
           val prev = samples(i - 1)._2
           val delta = if (cmp(v, prev) >= 0) v - prev else v
           if (java.lang.Double.isFinite(delta)) inc = inc.add(q(delta))
@@ -308,6 +326,7 @@ object EventsStream {
         BigDecimal(vsum), vmin, vmax,
         samples.head._1, samples.head._2, samples.last._1, samples.last._2,
         prev.map(_._1), prev.map(_._2),
+        vminTs, vmaxNn, vmaxTs,
         BigDecimal(inc), resets, changes,
         BigDecimal(vsq), BigDecimal(sx), BigDecimal(sxx), BigDecimal(sxy))
     }
@@ -333,6 +352,7 @@ object EventsStream {
         col("first_ts_ms"), col("first_v"),
         col("last_ts_ms"), col("last_v"),
         col("prev_ts_ms"), col("prev_v"),
+        col("vmin_ts_ms"), col("vmax_nn"), col("vmax_ts_ms"),
         col("increase").cast("decimal(30,8)").as("increase"),
         col("resets"), col("changes"),
         col("vsq").cast("decimal(31,16)").as("vsq"),

@@ -640,7 +640,7 @@ object PlanAudit {
 
     for (q <- Seq("ts_promql_rollup_stddev", "ts_promql_rollup_deriv",
         "ts_promql_rollup_delta", "ts_promql_rollup_irate",
-        "ts_promql_rollup_idelta")) {
+        "ts_promql_rollup_idelta", "ts_promql_rollup_ts_of")) {
       // the moment-sum/boundary-sample routed functions (irate/idelta
       // ride the stored penultimate samples): every compiled vector
       // must read the 1d layer only (raw table absent) and stay

@@ -37,6 +37,14 @@ import org.apache.spark.sql.functions._
   *     from layer rows. (The last two samples of a range are the last
   *     window's last+penultimate when it holds ≥2 samples, else its
   *     last plus the previous window's last.)
+  *   - `vmin_ts_ms`, `vmax_nn`/`vmax_ts_ms` — the ARGMIN/ARGMAX
+  *     timestamps under PromQL's `ts_of_min/max_over_time` tie rules
+  *     (latest sample among tied extrema; for max, NaN demoted below
+  *     every real value — `vmax_nn` is that NaN-demoted max, which
+  *     differs from `vmax` exactly when a window mixes NaN with real
+  *     values). Extremum-of-struct is associative, so the per-window
+  *     pairs compose across any window-aligned range into the raw
+  *     argmin/argmax exactly.
   *   - `increase` DECIMAL(30,8)       — the within-window counter
   *     increase under Prometheus reset semantics (a decrease between
   *     adjacent samples restarts accumulation at the new value).
@@ -135,6 +143,15 @@ object RollupStore {
         max(v).as("vmax"),
         min(sampleKey(v)).as("_f"),
         max(lastKey).as("_l"),
+        // argmin/argmax under the ts_of_* tie rules: latest ts among
+        // tied minima (the negated-ts trick); for max the not-NaN
+        // flag demotes NaN below every real value, then latest ts
+        min(struct(v.as("_v"),
+          (-unix_millis(col(tsCol).cast("timestamp"))).as("_nts")))
+          .as("_mn"),
+        max(struct(when(isnan(v), lit(0)).otherwise(lit(1)).as("_ok"),
+          v.as("_v"),
+          unix_millis(col(tsCol).cast("timestamp")).as("_ts"))).as("_mx"),
         sum(col("_delta").cast(D)).cast(D).as("increase"),
         sum(col("_reset")).as("resets"),
         sum(col("_chg")).as("changes"),
@@ -150,6 +167,8 @@ object RollupStore {
         col("_f._ms").as("first_ts_ms") :+ col("_f._v").as("first_v") :+
         col("_l._ms").as("last_ts_ms") :+ col("_l._v").as("last_v") :+
         col("_l._pms").as("prev_ts_ms") :+ col("_l._pv").as("prev_v") :+
+        (-col("_mn._nts")).as("vmin_ts_ms") :+
+        col("_mx._v").as("vmax_nn") :+ col("_mx._ts").as("vmax_ts_ms") :+
         col("increase") :+ col("resets") :+ col("changes") :+
         col("vsq") :+ col("sx") :+ col("sxx") :+ col("sxy") :+
         timestamp_millis(col("window_ms")).as(tsCol)): _*)
@@ -210,6 +229,13 @@ object RollupStore {
           .as("_f"),
         max(struct(col("window_ms"), col("last_ts_ms"), col("last_v")))
           .as("_l"),
+        // extremum-of-struct is associative: folding the per-window
+        // argmin/argmax pairs under the same tie keys IS the raw fold
+        min(struct(col("vmin").as("_v"), (-col("vmin_ts_ms")).as("_nts")))
+          .as("_mn"),
+        max(struct(when(isnan(col("vmax_nn")), lit(0)).otherwise(lit(1))
+          .as("_ok"), col("vmax_nn").as("_v"),
+          col("vmax_ts_ms").as("_ts"))).as("_mx"),
         sort_array(collect_list(windowStruct)).as("_w"),
         sum(col("vsq")).cast("decimal(31,16)").as("vsq"),
         sum(col("sx") + col("n") * dw).cast("decimal(20,0)").as("sx"),
@@ -226,6 +252,8 @@ object RollupStore {
         col("_l.last_v").as("last_v") :+
         prevOf(col("_w")).getField("_pms").as("prev_ts_ms") :+
         prevOf(col("_w")).getField("_pv").as("prev_v") :+
+        (-col("_mn._nts")).as("vmin_ts_ms") :+
+        col("_mx._v").as("vmax_nn") :+ col("_mx._ts").as("vmax_ts_ms") :+
         increaseFoldDec(col("_w")).as("increase") :+
         col("_rc.r").as("resets") :+ col("_rc.c").as("changes") :+
         col("vsq") :+ col("sx") :+ col("sxx") :+ col("sxy") :+

@@ -738,23 +738,35 @@ object PromQL {
           col("value").asc)
         Right(Vec(v.df.orderBy(ord ++ tie: _*), v.labels))
       case "absent_over_time" =>
-        val rv = rangeVec(one(c, c.fn), c.fn)
+        // presence is EXACT in a rollup layer — a window row exists
+        // iff ≥1 sample does, and alignment makes range membership
+        // exact — so the emptiness test reads windows-in-range
+        // instead of samples when a layer serves the range
+        val rows = rollupRangeVec(one(c, c.fn)).map(_.rows)
+          .getOrElse(rangeVec(one(c, c.fn), c.fn).rows)
         grid match {
           case Some(_) =>
             // 1.0 at exactly the steps whose window is empty: the
             // (tiny) grid anti-joins the covered step set
-            val present = rv.rows.select(col(STEP)).distinct()
+            val present = rows.select(col(STEP)).distinct()
             Right(stamped(gridDf.join(present, Seq(STEP), "left_anti")
               .withColumn("value", lit(1.0)), Nil))
           case None =>
-            Right(stamped(PromOps.absent(rv.rows.select(ctx.valueCol)), Nil))
+            Right(stamped(PromOps.absent(
+              rows.select(lit(1.0).as(ctx.valueCol))), Nil))
         }
       case "present_over_time" =>
-        val rv = rangeVec(one(c, c.fn), c.fn)
-        val k = keys(rv.labels)
-        Right(stamped(rv.rows.groupBy(k.map(col): _*)
+        // same presence-exactness as absent_over_time: any window row
+        // in range ⇒ 1.0 for its series
+        val (rows, labels) = rollupRangeVec(one(c, c.fn)) match {
+          case Some(rv) => (rv.rows, rv.labels)
+          case None =>
+            val rv = rangeVec(one(c, c.fn), c.fn); (rv.rows, rv.labels)
+        }
+        val k = keys(labels)
+        Right(stamped(rows.groupBy(k.map(col): _*)
           .agg(max(lit(1.0)).as("value"))
-          .select(k.map(col) :+ col("value"): _*), rv.labels))
+          .select(k.map(col) :+ col("value"): _*), labels))
       case "rate" | "increase" => Right(extrapolated(c))
       case "delta" => Right(rollupRangeVec(one(c, c.fn)) match {
         case Some(rv) => rollupDelta(rv)
@@ -1006,7 +1018,8 @@ object PromQL {
     private val rollupServable = Set("sum_over_time", "avg_over_time",
       "count_over_time", "min_over_time", "max_over_time",
       "first_over_time", "last_over_time", "ts_of_first_over_time",
-      "ts_of_last_over_time", "stddev_over_time", "stdvar_over_time")
+      "ts_of_last_over_time", "stddev_over_time", "stdvar_over_time",
+      "ts_of_min_over_time", "ts_of_max_over_time")
 
     private def rollupOverTime(rv: RollupRangeVec, fn: String): Vec = {
       val k = keys(rv.labels)
@@ -1030,6 +1043,20 @@ object PromQL {
           g.agg((min(col("first_ts_ms")) / lit(1000.0)).as("value"))
         case "ts_of_last_over_time" =>
           g.agg((max(col("last_ts_ms")) / lit(1000.0)).as("value"))
+        // the stored argmin/argmax pairs compose associatively under
+        // the raw tie keys (value then latest-ts; max demotes NaN via
+        // the not-NaN flag) — the identical struct folds
+        // [[overTimeRaw]] runs over samples, at window grain
+        case "ts_of_min_over_time" =>
+          g.agg((-min(struct(col("vmin").as("_v"),
+            (-col("vmin_ts_ms")).as("_nts"))).getField("_nts") /
+            lit(1000.0)).as("value"))
+        case "ts_of_max_over_time" =>
+          g.agg((max(struct(
+            when(isnan(col("vmax_nn")), lit(0)).otherwise(lit(1))
+              .as("_ok"),
+            col("vmax_nn").as("_v"), col("vmax_ts_ms").as("_ts")))
+            .getField("_ts") / lit(1000.0)).as("value"))
         case "stddev_over_time" | "stdvar_over_time" =>
           // the identical decimal closed form as
           // [[PromOps.stdvarOverTime]]: Σ window sums re-associate

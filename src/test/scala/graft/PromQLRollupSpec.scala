@@ -112,7 +112,9 @@ class PromQLRollupSpec extends SparkSpec {
     for (fn <- Seq("sum_over_time", "avg_over_time", "count_over_time",
         "min_over_time", "max_over_time", "first_over_time",
         "last_over_time", "ts_of_first_over_time", "ts_of_last_over_time",
-        "stddev_over_time", "stdvar_over_time")) {
+        "stddev_over_time", "stdvar_over_time",
+        "ts_of_min_over_time", "ts_of_max_over_time",
+        "present_over_time")) {
       val (routed, raw) = collectBoth(s"$fn(m[6h])", alignedEval)
       assert(routed == raw, s"$fn diverged")
       assert(routed.nonEmpty)
@@ -136,6 +138,27 @@ class PromQLRollupSpec extends SparkSpec {
         .collect.toSeq.sortBy(r => (r._1, r._2))
     assert(grid(true) == grid(false))
     assert(grid(true).nonEmpty)
+  }
+
+  test("routed absent_over_time: emptiness from window rows, both ways") {
+    layers
+    def absentCount(routed: Boolean, evalMs: Long) =
+      PromQL.compile("absent_over_time(m[6h])", ctxAt(evalMs, routed))
+        .count()
+    // data covers the window → no row, routed and raw alike
+    assert(absentCount(routed = true, alignedEval) == 0)
+    assert(absentCount(routed = false, alignedEval) == 0)
+    // an ALIGNED empty window far past the data → exactly one 1.0
+    // row on both paths (presence is exact in the layer)
+    val future = base + 48 * HOUR
+    assert(absentCount(routed = true, future) == 1)
+    assert(absentCount(routed = false, future) == 1)
+    // the routed presence test reads the layer
+    val plan = PromQL.compile("present_over_time(m[6h])",
+        ctxAt(alignedEval, routed = true))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("graft_promql_rollup_spec_1h"))
   }
 
   test("routing requires alignment and eligibility; fallback is silent") {

@@ -140,7 +140,8 @@ class RollupStoreSpec extends SparkSpec {
       fineResolutionMs = HOUR, resolutionMs = DAY)
     val cols = Seq("series", "window_ms", "n", "vsum", "vmin", "vmax",
       "first_ts_ms", "first_v", "last_ts_ms", "last_v",
-      "prev_ts_ms", "prev_v", "increase",
+      "prev_ts_ms", "prev_v", "vmin_ts_ms", "vmax_nn", "vmax_ts_ms",
+      "increase",
       "resets", "changes", "vsq", "sx", "sxx", "sxy")
     def rows(path: String) = RollupStore.read(spark, path)
       .select(cols.map(col): _*).orderBy("series", "window_ms")
@@ -158,7 +159,8 @@ class RollupStoreSpec extends SparkSpec {
       fineResolutionMs = 2 * HOUR, resolutionMs = DAY)
     val cols = Seq("series", "window_ms", "n", "vsum", "vmin", "vmax",
       "first_ts_ms", "first_v", "last_ts_ms", "last_v",
-      "prev_ts_ms", "prev_v", "increase",
+      "prev_ts_ms", "prev_v", "vmin_ts_ms", "vmax_nn", "vmax_ts_ms",
+      "increase",
       "resets", "changes", "vsq", "sx", "sxx", "sxy")
     def rows(path: String) = RollupStore.read(spark, path)
       .select(cols.map(col): _*).orderBy("series", "window_ms")

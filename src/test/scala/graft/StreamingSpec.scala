@@ -465,7 +465,7 @@ class StreamingSpec extends SparkSpec {
       s"$root/batch", Seq("event_type", "user_id"), "ts", "value", 3600000L)
     val cols = Seq("event_type", "user_id", "window_ms", "n", "vsum",
       "vmin", "vmax", "first_ts_ms", "first_v", "last_ts_ms", "last_v",
-      "prev_ts_ms", "prev_v",
+      "prev_ts_ms", "prev_v", "vmin_ts_ms", "vmax_nn", "vmax_ts_ms",
       "increase", "resets", "changes", "vsq", "sx", "sxx", "sxy")
     def canon(path: String) = s.read.parquet(path)
       // the 2024-01-02 watermark-advancer window only exists streamed
@@ -541,7 +541,7 @@ class StreamingSpec extends SparkSpec {
       Seq("event_type", "user_id"), "ts", "value", 86400000L)
     val cols = Seq("event_type", "user_id", "window_ms", "n", "vsum",
       "vmin", "vmax", "first_ts_ms", "first_v", "last_ts_ms", "last_v",
-      "prev_ts_ms", "prev_v",
+      "prev_ts_ms", "prev_v", "vmin_ts_ms", "vmax_nn", "vmax_ts_ms",
       "increase", "resets", "changes", "vsq", "sx", "sxx", "sxy")
     def canon(path: String) = s.read.parquet(path)
       .filter(col("window_ms") < 1704412800000L) // drop the advancer day
