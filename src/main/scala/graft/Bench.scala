@@ -231,16 +231,27 @@ object Bench {
     // plan are pass-to-pass noise, not regressions — slope RATIOS
     // remain the stable cross-round signal.
     val runBand = {
-      val spreads = resultsFull.collect {
-        case (_, times) if times.size >= 2 && times.min > 0 =>
+      def bands(min: Double) = resultsFull.collect {
+        case (_, times) if times.size >= 2 && times.min > 0 &&
+            times.sorted.apply((times.size - 1) / 2) >= min =>
           val med = times.sorted.apply((times.size - 1) / 2)
           100.0 * (times.max - times.min) / med
       }.sorted
+      val spreads = bands(0.0)
+      // sub-second queries read large RELATIVE spreads off tiny
+      // absolute jitter; the heavy band (median ≥ 1 s) is the one a
+      // regression hunt should compare against
+      val heavy = bands(1.0)
+      def medP90(xs: Seq[Double]): (Double, Double) =
+        (xs((xs.size - 1) / 2), xs(((xs.size - 1) * 9) / 10))
       if (spreads.isEmpty) ""
       else {
-        val med = spreads((spreads.size - 1) / 2)
-        val p90 = spreads(((spreads.size - 1) * 9) / 10)
-        f""","run_band":{"passes":$passes,"median_spread_pct":$med%.1f,"p90_spread_pct":$p90%.1f}"""
+        val (med, p90) = medP90(spreads)
+        val heavyPart = if (heavy.isEmpty) "" else {
+          val (hm, hp) = medP90(heavy)
+          f""","heavy_median_spread_pct":$hm%.1f,"heavy_p90_spread_pct":$hp%.1f,"heavy_n":${heavy.size}"""
+        }
+        f""","run_band":{"passes":$passes,"median_spread_pct":$med%.1f,"p90_spread_pct":$p90%.1f$heavyPart}"""
       }
     }
 
