@@ -376,6 +376,39 @@ object SparkEntry {
       .orderBy("kind", "label_name", "detail")
   }
 
+  /** RANGE-SCOPED label metadata — the reference QUERIER model
+    * (queryable/parquet_queryable.go:153 constructs per-(mint, maxt)
+    * queriers; LabelValues/LabelNames answer within that range):
+    * [[graft.tsdb.TsdbQueryable.scopedTo]] scopes every path to
+    * [Jan 5, Jan 20), and because the range aligns to whole index
+    * buckets the enumeration still routes through the materialized
+    * label index (bucket-pruned — at 100 TB a one-week label probe
+    * reads seven buckets' index rows). The oracle runs the raw
+    * distinct-scans restricted to the same range; PlanAudit asserts
+    * the scoped plan reads the index only.
+    */
+  private def tsLabelValuesRanged(s: SparkSession, dir: String): DataFrame = {
+    val p = "/tmp/graft_labelidx_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+    fixtureOnce(s"labelidx:$dir") {
+      graft.tsdb.LabelIndexStore.write(t(s, dir, "events"), p,
+        Seq("event_type", "user_id"), "ts")
+    }
+    val q = queryable(s, dir)
+      .withLabelIndex(graft.tsdb.LabelIndexStore.read(s, p))
+      .scopedTo(1704412800000L, 1705708800000L) // [Jan 5, Jan 20)
+    val values = q.labelValues("event_type")
+      .select(lit("value").as("kind"), lit("event_type").as("label_name"),
+        col("label_value").as("detail"))
+    val names = q.labelNames()
+      .select(lit("name").as("kind"), col("label_name"),
+        lit("").as("detail"))
+    val card = q.labelCardinality()
+      .select(lit("cardinality").as("kind"), col("label_name"),
+        col("cardinality").cast("string").as("detail"))
+    values.unionByName(names).unionByName(card)
+      .orderBy("kind", "label_name", "detail")
+  }
+
   /** Approximate cardinality from the HLL SKETCH LAYER
     * ([[tsdb.LabelIndexStore.writeSketches]]): per (bucket, label)
     * DataSketches registers stored once at write time, UNIONED at
@@ -3700,6 +3733,7 @@ object SparkEntry {
     "ts_label_cardinality" -> (tsLabelCardinality _),
     "ts_label_values_indexed" -> (tsLabelValuesIndexed _),
     "ts_label_cardinality_sketch" -> (tsLabelCardinalitySketch _),
+    "ts_label_values_ranged" -> (tsLabelValuesRanged _),
     "ts_last_point" -> (tsLastPoint _),
     "ts_rate" -> (tsRate _),
     "ts_instant_align" -> (tsInstantAlign _),
@@ -4469,6 +4503,35 @@ object SparkEntry {
         |  SELECT 'event_type' AS label_name
         |  UNION ALL SELECT 'user_id')
         |ORDER BY label_name""".stripMargin,
+    // the querier-scoped enumeration: raw distinct-scans restricted
+    // to the same [Jan 5, Jan 20) range the scoped queryable holds
+    "ts_label_values_ranged" ->
+      """WITH e AS (
+        |  SELECT * FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'),
+        |vals AS (
+        |  SELECT 'value' AS kind, 'event_type' AS label_name,
+        |    CAST(event_type AS VARCHAR) AS detail
+        |  FROM (SELECT DISTINCT event_type FROM e
+        |        WHERE event_type IS NOT NULL)),
+        |names AS (
+        |  SELECT 'name' AS kind, label_name, '' AS detail FROM (
+        |    SELECT 'event_type' AS label_name, count(event_type) AS c
+        |    FROM e
+        |    UNION ALL
+        |    SELECT 'user_id', count(user_id) FROM e)
+        |  WHERE c > 0),
+        |card AS (
+        |  SELECT 'cardinality' AS kind, label_name,
+        |    CAST(c AS VARCHAR) AS detail FROM (
+        |    SELECT 'event_type' AS label_name,
+        |      count(DISTINCT event_type) AS c FROM e
+        |    UNION ALL
+        |    SELECT 'user_id', count(DISTINCT user_id) FROM e))
+        |SELECT * FROM vals
+        |UNION ALL SELECT * FROM names
+        |UNION ALL SELECT * FROM card
+        |ORDER BY kind, label_name, detail""".stripMargin,
     "ts_last_point" ->
       """SELECT event_type, user_id, epoch_ms(ts) AS ts_ms, value, event_id
         |FROM (SELECT *, row_number() OVER (PARTITION BY event_type, user_id

@@ -698,6 +698,22 @@ object PlanAudit {
     }
 
     locally {
+      // the querier-scoped (range-limited) enumeration must STILL
+      // route through the index when the range aligns to whole
+      // buckets — bucket-pruned index rows, raw events absent
+      val df = SparkEntry.queries("ts_label_values_ranged")(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val onIdx = plan.contains("graft_labelidx_")
+      val noRaw = !plan.contains("events.parquet")
+      val ok = onIdx && noRaw
+      println(s"[audit] ts_label_values_ranged :: scoped metadata from the " +
+        s"bucket-pruned index only: index=$onIdx raw_absent=$noRaw " +
+        s"-> ${if (ok) "OK" else "FAIL"}")
+      if (!ok) failures ::= "ts_label_values_ranged: routing"
+    }
+
+    locally {
       // the HLL sketch layer: the contract gate's APPROX side must be
       // served from the stored per-bucket registers (the sketch
       // parquet in the plan). The gate's EXACT side deliberately runs

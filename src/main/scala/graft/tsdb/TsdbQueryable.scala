@@ -119,6 +119,44 @@ final class TsdbQueryable(
       materializedSeriesCallback, selectionCache, labelsFilter, bucketCol,
       bucketDuration, labelIndex, Some(sketches))
 
+  /** The reference QUERIER model: `NewQuerier(mint, maxt)` scopes
+    * every path — selects AND label metadata — to one time range
+    * (queryable/parquet_queryable.go:153 constructs per-range
+    * queriers; LabelValues/LabelNames answer within the querier's
+    * range). Returns a NEW queryable over the range-filtered table;
+    * when a bucket column is declared the filter carries the literal
+    * partition-range predicate, so every downstream path prunes
+    * directories.
+    *
+    * The label index/sketch layers stay attached only when
+    * `[mintMs, maxtMs)` is ALIGNED to whole index buckets: index rows
+    * are bucket-grain, so a partial bucket would enumerate values
+    * from the excluded remainder. (Upstream answers label APIs at
+    * BLOCK grain — a superset for partial ranges; graft keeps its
+    * stricter invariant instead: routing never changes answers vs the
+    * raw scoped scan, so unaligned ranges silently drop to raw.)
+    */
+  def scopedTo(mintMs: Long, maxtMs: Long): TsdbQueryable = {
+    require(maxtMs > mintMs, s"empty range [$mintMs, $maxtMs)")
+    val widthMs = TsdbConverter.durationSeconds(bucketDuration) * 1000L
+    val ts = col(tsCol) >= timestamp_millis(lit(mintMs)) &&
+      col(tsCol) < timestamp_millis(lit(maxtMs))
+    val pred = bucketCol match {
+      case Some(b) => ts && col(b).between(
+        Math.floorDiv(mintMs, widthMs), Math.floorDiv(maxtMs - 1, widthMs))
+      case None => ts
+    }
+    val aligned = mintMs % widthMs == 0 && maxtMs % widthMs == 0
+    def pruneBuckets(layer: DataFrame): DataFrame = layer.filter(
+      col("bucket").between(
+        Math.floorDiv(mintMs, widthMs), Math.floorDiv(maxtMs - 1, widthMs)))
+    new TsdbQueryable(df.filter(pred), labelCols, tsCol, valueCol,
+      materializedSeriesCallback, selectionCache, labelsFilter, bucketCol,
+      bucketDuration,
+      if (aligned) labelIndex.map(pruneBuckets) else None,
+      if (aligned) labelSketches.map(pruneBuckets) else None)
+  }
+
   /** The routed index frame when eligibility holds: no matchers, no
     * ACL filter, an index attached — restricted to this queryable's
     * labelCols (an index built over a superset stays usable).

@@ -125,6 +125,34 @@ class LabelIndexSpec extends SparkSpec {
     assert(rows(q.labelCardinality()) == rows(raw.labelCardinality()))
   }
 
+  test("querier range scoping: aligned ranges keep the index " +
+      "(bucket-pruned), unaligned drop to raw — answers never change") {
+    def plan(d: DataFrame) = d.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val day = 86400000L
+    val jan2 = 1704153600000L
+    // ALIGNED [Jan 2, Jan 3): the scoped enumeration stays routed —
+    // and equals the raw scan over the same range (only 'dev' there)
+    val aligned = indexed.scopedTo(jan2, jan2 + day)
+    val rawScoped = raw.scopedTo(jan2, jan2 + day)
+    assert(rows(aligned.labelValues("env")) ==
+      rows(rawScoped.labelValues("env")))
+    assert(rows(aligned.labelValues("env")) == Seq(Seq("dev")))
+    assert(rows(aligned.labelCardinality()) ==
+      rows(rawScoped.labelCardinality()))
+    assert(plan(aligned.labelValues("env")).contains("graft_labelidx_spec"))
+    // UNALIGNED [Jan 2 00:00, Jan 2 13:00): a partial bucket cannot
+    // come from bucket-grain index rows — silent raw fallback, same
+    // answers (the 12:00 'dev' row is inside, nothing else has env)
+    val part = indexed.scopedTo(jan2, jan2 + 13 * 3600000L)
+    assert(!plan(part.labelValues("env")).contains("graft_labelidx_spec"))
+    assert(rows(part.labelValues("env")) ==
+      rows(raw.scopedTo(jan2, jan2 + 13 * 3600000L).labelValues("env")))
+    assert(rows(part.labelValues("env")) == Seq(Seq("dev")))
+    // scoping also limits the select path
+    assert(aligned.select("2024-01-01", "2024-02-01", Nil).count() == 2)
+  }
+
   test("HLL sketch layer: per-bucket union ≡ one whole-table sketch, " +
       "exact in sparse mode, routed with silent fallback") {
     val skPath = "/tmp/graft_labelsk_spec"
