@@ -385,7 +385,14 @@ object Bench {
         "ts_promql_range_rate,ts_tsdb_block_nh_select,ts_wide_select," +
           "ts_promql_nh_reset_rate,ts_promql_rollup_range_rate," +
           "ts_rollup_increase,ts_promql_nh_rollup_quantile," +
-          "ts_promql_rollup_classic_quantile")
+          "ts_promql_rollup_classic_quantile," +
+          // routed-vs-raw slope PAIRS for the r11 families: the
+          // instant-rate pair (raw pays a per-series window sort over
+          // samples; the layer reads stored last-two pairs) and the
+          // label-metadata pair (raw distinct-scans a full label
+          // column; the index reads bucket-grain rows)
+          "ts_irate,ts_promql_rollup_irate," +
+          "ts_label_values,ts_label_values_indexed")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
       .filter(n => results.exists { case (q, t) => q == n && t.isDefined })
     val sf1Names = {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
 import graft.operators.{Ann, Dedup}
-import graft.tsdb.{ChunkStore, ConvertOptions, HistChunkStore, Matcher, PromOps, RollupStore, TsdbConverter, TsdbQueryable}
+import graft.tsdb.{ChunkStore, ConvertOptions, HistChunkStore, Matcher, PromOps, QuantileSketchStore, RollupStore, TsdbConverter, TsdbQueryable}
 
 /** Driver contract: every operator from SURVEY.md §2 registered as a
   * runnable query plus (where SQL-expressible) a DuckDB oracle.
@@ -440,6 +440,50 @@ object SparkEntry {
         (abs(col("approx") - col("exact")) <=
           lit(0.05) * col("exact")).as("within_5pct"))
       .orderBy("label_name")
+  }
+
+  /** Approximate `quantile_over_time` from the QUANTILE SKETCH LAYER
+    * ([[tsdb.QuantileSketchStore]]): per (series, day) one
+    * Greenwald–Khanna summary, merged across the 20-day range, one
+    * query — the 100 TB p90-dashboard shape (windows-in-range sketch
+    * blobs instead of raw samples; exact quantiles are order
+    * statistics no moment column can serve, which is why the rollup
+    * router leaves `quantile_over_time` raw by design and this layer
+    * is an EXPLICIT API). CONTRACT gate (the sketch-op convention):
+    * GK guarantees the returned value's rank is within ±ε·n of q·n —
+    * the output is the per-series boolean of that rank test at a 2ε
+    * margin (merge order varies across partitions, so the VALUE is
+    * not run-stable; the CONTRACT is), and the oracle states it
+    * holds. [[QuantileSketchSpec]] pins the codec, the merge bound,
+    * and NaN skipping.
+    */
+  private def tsQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val p = "/tmp/graft_qsketch_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+    fixtureOnce(s"qsketch:$dir") {
+      QuantileSketchStore.write(t(s, dir, "events"), p,
+        Seq("event_type"), "ts", "value", 86400000L, relativeError = 0.01)
+    }
+    val q = 0.9
+    val eps = 0.02 // 2× the build ε — the documented merge margin
+    val mint = 1704412800000L // [Jan 5, Jan 25)
+    val maxt = 1706140800000L
+    val approx = QuantileSketchStore.quantileOverTime(s, p,
+        Seq("event_type"), q, mint, maxt)
+      .withColumnRenamed("value", "qv")
+    val raw = t(s, dir, "events")
+      .filter(col("ts") >= timestamp_millis(lit(mint)) &&
+        col("ts") < timestamp_millis(lit(maxt)))
+      .select(col("event_type"), col("value"))
+    raw.join(broadcast(approx), Seq("event_type"))
+      .groupBy(col("event_type"), col("qv"))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col("value") <= col("qv"), 1L).otherwise(0L)).as("_le"),
+        sum(when(col("value") < col("qv"), 1L).otherwise(0L)).as("_lt"))
+      .select(col("event_type"),
+        (col("_le") >= floor((lit(q) - eps) * col("_n")) &&
+          col("_lt") <= ceil((lit(q) + eps) * col("_n")))
+          .as("rank_within_2pct"))
+      .orderBy("event_type")
   }
 
   private def tsLastPoint(s: SparkSession, dir: String): DataFrame =
@@ -3734,6 +3778,7 @@ object SparkEntry {
     "ts_label_values_indexed" -> (tsLabelValuesIndexed _),
     "ts_label_cardinality_sketch" -> (tsLabelCardinalitySketch _),
     "ts_label_values_ranged" -> (tsLabelValuesRanged _),
+    "ts_quantile_sketch" -> (tsQuantileSketch _),
     "ts_last_point" -> (tsLastPoint _),
     "ts_rate" -> (tsRate _),
     "ts_instant_align" -> (tsInstantAlign _),
@@ -4532,6 +4577,15 @@ object SparkEntry {
         |UNION ALL SELECT * FROM names
         |UNION ALL SELECT * FROM card
         |ORDER BY kind, label_name, detail""".stripMargin,
+    // CONTRACT gate (sketch-op convention): the engine output is the
+    // per-series boolean that the GK-sketch p90's RANK lies within
+    // ±2ε·n of 0.9·n over the same 20-day range; the oracle states
+    // the contract — a mismatch means the sketch bound broke
+    "ts_quantile_sketch" ->
+      """SELECT DISTINCT event_type, TRUE AS rank_within_2pct
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'
+        |ORDER BY event_type""".stripMargin,
     "ts_last_point" ->
       """SELECT event_type, user_id, epoch_ms(ts) AS ts_ms, value, event_id
         |FROM (SELECT *, row_number() OVER (PARTITION BY event_type, user_id

@@ -714,6 +714,24 @@ object PlanAudit {
     }
 
     locally {
+      // the GK quantile-sketch layer: the contract gate's APPROX side
+      // must read the stored per-window sketches (the layer parquet
+      // in the plan) and attach the one-row-per-series answer to the
+      // raw ground-truth side by BROADCAST, never a shuffle join
+      val df = SparkEntry.queries("ts_quantile_sketch")(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val onSk = plan.contains("graft_qsketch_")
+      val bcast = plan.contains("BroadcastHashJoin")
+      val noSmj = !plan.contains("SortMergeJoin")
+      val ok = onSk && bcast && noSmj
+      println(s"[audit] ts_quantile_sketch :: approx side from the sketch " +
+        s"layer, broadcast-attached: sketches=$onSk broadcast=$bcast " +
+        s"no_smj=$noSmj -> ${if (ok) "OK" else "FAIL"}")
+      if (!ok) failures ::= "ts_quantile_sketch: plan shape"
+    }
+
+    locally {
       // the HLL sketch layer: the contract gate's APPROX side must be
       // served from the stored per-bucket registers (the sketch
       // parquet in the plan). The gate's EXACT side deliberately runs
