@@ -34,7 +34,11 @@ final class TsdbQueryable(
     bucketCol: Option[String] = None,
     bucketDuration: String = "1 day",
     labelIndex: Option[DataFrame] = None,
-    labelSketches: Option[DataFrame] = None) {
+    labelSketches: Option[DataFrame] = None,
+    // the querier scope ([[scopedTo]]): layers prune LAZILY against
+    // it at eligibility time, so attachment order cannot leak
+    // out-of-range index rows
+    scopedRange: Option[(Long, Long)] = None) {
 
   /** Declare the layout's time-partition column (the
     * [[TsdbConverter]] `bucket` column): every range select then
@@ -47,7 +51,7 @@ final class TsdbQueryable(
       duration: String = "1 day"): TsdbQueryable =
     new TsdbQueryable(df, labelCols, tsCol, valueCol,
       materializedSeriesCallback, selectionCache, labelsFilter,
-      Some(bucket), duration, labelIndex, labelSketches)
+      Some(bucket), duration, labelIndex, labelSketches, scopedRange)
 
   /** Integrator seam on the select path — the analog of the
     * reference's `WithMaterializedSeriesCallback` option
@@ -59,7 +63,8 @@ final class TsdbQueryable(
     */
   def withMaterializedSeriesCallback(cb: DataFrame => DataFrame): TsdbQueryable =
     new TsdbQueryable(df, labelCols, tsCol, valueCol, cb, selectionCache,
-      labelsFilter, bucketCol, bucketDuration, labelIndex, labelSketches)
+      labelsFilter, bucketCol, bucketDuration, labelIndex, labelSketches,
+      scopedRange)
 
   /** The `WithMaterializedLabelsFilterCallback` analog
     * (queryable/parquet_queryable.go:104-110): a predicate over the
@@ -75,7 +80,7 @@ final class TsdbQueryable(
   def withMaterializedLabelsFilterCallback(pred: Column): TsdbQueryable =
     new TsdbQueryable(df, labelCols, tsCol, valueCol,
       materializedSeriesCallback, selectionCache, Some(pred), bucketCol,
-      bucketDuration, labelIndex, labelSketches)
+      bucketDuration, labelIndex, labelSketches, scopedRange)
 
   /** Attach a [[SelectionCache]] (the reference's
     * WithRowRangesForConstraintsCache option,
@@ -86,7 +91,7 @@ final class TsdbQueryable(
   def withSelectionCache(cache: SelectionCache): TsdbQueryable =
     new TsdbQueryable(df, labelCols, tsCol, valueCol,
       materializedSeriesCallback, Some(cache), labelsFilter, bucketCol,
-      bucketDuration, labelIndex, labelSketches)
+      bucketDuration, labelIndex, labelSketches, scopedRange)
 
   /** Attach a materialized [[LabelIndexStore]] frame (built over the
     * SAME labelCols as this queryable): the three label-metadata
@@ -103,7 +108,7 @@ final class TsdbQueryable(
   def withLabelIndex(index: DataFrame): TsdbQueryable =
     new TsdbQueryable(df, labelCols, tsCol, valueCol,
       materializedSeriesCallback, selectionCache, labelsFilter, bucketCol,
-      bucketDuration, Some(index), labelSketches)
+      bucketDuration, Some(index), labelSketches, scopedRange)
 
   /** Attach a [[LabelIndexStore.writeSketches]] HLL frame: the
     * APPROXIMATE cardinality path ([[labelCardinality]] with
@@ -117,7 +122,7 @@ final class TsdbQueryable(
   def withLabelSketches(sketches: DataFrame): TsdbQueryable =
     new TsdbQueryable(df, labelCols, tsCol, valueCol,
       materializedSeriesCallback, selectionCache, labelsFilter, bucketCol,
-      bucketDuration, labelIndex, Some(sketches))
+      bucketDuration, labelIndex, Some(sketches), scopedRange)
 
   /** The reference QUERIER model: `NewQuerier(mint, maxt)` scopes
     * every path — selects AND label metadata — to one time range
@@ -138,6 +143,13 @@ final class TsdbQueryable(
     */
   def scopedTo(mintMs: Long, maxtMs: Long): TsdbQueryable = {
     require(maxtMs > mintMs, s"empty range [$mintMs, $maxtMs)")
+    // nested scoping intersects (the narrower querier wins)
+    val (lo, hi) = scopedRange match {
+      case Some((s, e)) => (math.max(s, mintMs), math.min(e, maxtMs))
+      case None => (mintMs, maxtMs)
+    }
+    require(hi > lo, s"scopes [$mintMs, $maxtMs) and $scopedRange " +
+      "do not overlap")
     val widthMs = TsdbConverter.durationSeconds(bucketDuration) * 1000L
     val ts = col(tsCol) >= timestamp_millis(lit(mintMs)) &&
       col(tsCol) < timestamp_millis(lit(maxtMs))
@@ -146,16 +158,30 @@ final class TsdbQueryable(
         Math.floorDiv(mintMs, widthMs), Math.floorDiv(maxtMs - 1, widthMs))
       case None => ts
     }
-    val aligned = mintMs % widthMs == 0 && maxtMs % widthMs == 0
-    def pruneBuckets(layer: DataFrame): DataFrame = layer.filter(
-      col("bucket").between(
-        Math.floorDiv(mintMs, widthMs), Math.floorDiv(maxtMs - 1, widthMs)))
+    // the index/sketch layers are NOT pruned here: they prune lazily
+    // in the eligibility checks below, so a layer attached AFTER
+    // scoping is scoped identically to one attached before
     new TsdbQueryable(df.filter(pred), labelCols, tsCol, valueCol,
       materializedSeriesCallback, selectionCache, labelsFilter, bucketCol,
-      bucketDuration,
-      if (aligned) labelIndex.map(pruneBuckets) else None,
-      if (aligned) labelSketches.map(pruneBuckets) else None)
+      bucketDuration, labelIndex, labelSketches, Some((lo, hi)))
   }
+
+  /** The scope's bucket pruning for a metadata layer, when the scope
+    * aligns to whole buckets: index/sketch rows are bucket-grain, so
+    * a partial bucket would enumerate values from the excluded
+    * remainder — unaligned scopes disqualify routing (None), and the
+    * caller falls back to the raw scoped scan.
+    */
+  private def scopedLayer(layer: DataFrame): Option[DataFrame] =
+    scopedRange match {
+      case None => Some(layer)
+      case Some((s, e)) =>
+        val widthMs = TsdbConverter.durationSeconds(bucketDuration) * 1000L
+        if (s % widthMs == 0 && e % widthMs == 0)
+          Some(layer.filter(col("bucket").between(
+            Math.floorDiv(s, widthMs), Math.floorDiv(e - 1, widthMs))))
+        else None
+    }
 
   /** The routed index frame when eligibility holds: no matchers, no
     * ACL filter, an index attached — restricted to this queryable's
@@ -164,7 +190,7 @@ final class TsdbQueryable(
   private def indexFor(matchers: Seq[Matcher]): Option[DataFrame] =
     labelIndex match {
       case Some(idx) if matchers.isEmpty && labelsFilter.isEmpty =>
-        Some(idx.filter(col("label_name").isin(labelCols: _*)))
+        scopedLayer(idx.filter(col("label_name").isin(labelCols: _*)))
       case _ => None
     }
 
@@ -424,12 +450,13 @@ final class TsdbQueryable(
       return zeroFilled(LabelIndexStore.labelCardinality(idx))
     }
     if (!exact && matchers.isEmpty && labelsFilter.isEmpty)
-      labelSketches.foreach { sk =>
-        // the sketch LAYER: union stored per-bucket registers — one
-        // fixed-size row per (bucket, label), never a value scan
-        return zeroFilled(LabelIndexStore.approxLabelCardinality(
+      labelSketches.flatMap(sk => scopedLayer(
           sk.filter(col("label_name").isin(labelCols: _*))))
-      }
+        .foreach { sk =>
+          // the sketch LAYER: union stored per-bucket registers — one
+          // fixed-size row per (bucket, label), never a value scan
+          return zeroFilled(LabelIndexStore.approxLabelCardinality(sk))
+        }
     val src = withMatchers(matchers)
     val aggs = labelCols.map { c =>
       (if (exact) countDistinct(col(c))

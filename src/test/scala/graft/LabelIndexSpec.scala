@@ -151,6 +151,23 @@ class LabelIndexSpec extends SparkSpec {
     assert(rows(part.labelValues("env")) == Seq(Seq("dev")))
     // scoping also limits the select path
     assert(aligned.select("2024-01-01", "2024-02-01", Nil).count() == 2)
+    // ATTACHMENT ORDER cannot leak out-of-range rows: a layer
+    // attached AFTER scoping is pruned identically to one attached
+    // before (the scope prunes lazily at eligibility time)
+    val after = raw.scopedTo(jan2, jan2 + day)
+      .withLabelIndex(LabelIndexStore.read(spark, path))
+    assert(rows(after.labelValues("env")) == Seq(Seq("dev")))
+    assert(plan(after.labelValues("env")).contains("graft_labelidx_spec"))
+    // and an unaligned scope disqualifies a later-attached layer too
+    val afterPart = raw.scopedTo(jan2, jan2 + 13 * 3600000L)
+      .withLabelIndex(LabelIndexStore.read(spark, path))
+    assert(!plan(afterPart.labelValues("env"))
+      .contains("graft_labelidx_spec"))
+    // nested scopes intersect: [Jan 1, Jan 3) ∩ [Jan 2, Feb 1) =
+    // [Jan 2, Jan 3) — same routed answer as the direct scope
+    val nested = indexed.scopedTo(jan2 - day, jan2 + day)
+      .scopedTo(jan2, jan2 + 30 * day)
+    assert(rows(nested.labelValues("env")) == Seq(Seq("dev")))
   }
 
   test("HLL sketch layer: per-bucket union ≡ one whole-table sketch, " +

@@ -83,7 +83,12 @@ class PromQLRollupSpec extends SparkSpec {
       ("one", ts("2024-01-01 03:20:00"), 11.0), // lone sample in [03:00)
       ("two", ts("2024-01-01 02:30:00"), 4.0),
       ("two", ts("2024-01-01 03:10:00"), 8.0),
-      ("two", ts("2024-01-01 03:40:00"), 2.0) // reset in the last pair
+      ("two", ts("2024-01-01 03:40:00"), 2.0), // reset in the last pair
+      // a NaN staleness marker as the LAST sample: both paths run the
+      // identical `v >= pv` test (false on NaN) and division — the
+      // answers are NaN on both, never a crash or a dropped row
+      ("nan", ts("2024-01-01 02:20:00"), 5.0),
+      ("nan", ts("2024-01-01 03:30:00"), Double.NaN)
     ).toDF("series", "ts", "value")
     val p = "/tmp/graft_promql_rollup_spec_seam_1h"
     RollupStore.write(rows, p, Seq("series"), "ts", "value", HOUR)
@@ -97,8 +102,10 @@ class PromQLRollupSpec extends SparkSpec {
         PromQL.compile(s"$fn(m[9h])", ctx(routed))
           .select("series", "value").as[(String, Double)]
           .collect.toSeq.sortBy(_._1)
+          .map { case (s, v) => (s, if (v.isNaN) "NaN" else v) }
       assert(get(true) == get(false), s"$fn diverged")
-      assert(get(true).size == 2)
+      assert(get(true).size == 3)
+      assert(get(true).find(_._1 == "nan").get._2 == "NaN")
     }
     // the routed plan reads the layer only
     val plan = PromQL.compile("irate(m[9h])", ctx(routed = true))
