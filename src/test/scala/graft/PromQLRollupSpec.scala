@@ -112,6 +112,16 @@ class PromQLRollupSpec extends SparkSpec {
       .queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
     assert(plan.contains("graft_promql_rollup_spec_seam"))
+    // @-pinned instant: an aligned anchor routes too, same answers
+    val atSec = (base + 9 * HOUR) / 1000
+    def getAt(routed: Boolean) =
+      PromQL.compile(s"irate(m[9h] @ $atSec)",
+          ctx(routed).copy(evalMs = base + 11 * HOUR + 1))
+        .select("series", "value").as[(String, Double)]
+        .collect.toSeq.sortBy(_._1)
+        .map { case (s, v) => (s, if (v.isNaN) "NaN" else v) }
+    assert(getAt(true) == getAt(false))
+    assert(getAt(true).size == 3)
   }
 
   test("routed *_over_time family is bitwise the raw answers") {

@@ -180,7 +180,13 @@ class RollupStoreSpec extends SparkSpec {
       ("n", ts("2024-01-01 00:40:00"), nan),
       ("n", ts("2024-01-01 01:05:00"), nan),
       ("n", ts("2024-01-01 01:20:00"), 4.0),
-      ("n", ts("2024-01-01 03:30:00"), 2.0)
+      ("n", ts("2024-01-01 03:30:00"), 2.0),
+      // an ENTIRELY-NaN fine window (00:xx) ahead of a mixed one:
+      // its NaN-demoted max is NaN (ok=0), and the cascade's
+      // cross-window argmax must let the later real value win
+      ("z", ts("2024-01-01 00:30:00"), nan),
+      ("z", ts("2024-01-01 02:10:00"), nan),
+      ("z", ts("2024-01-01 02:40:00"), 7.0)
     ).toDF("series", "ts", "value")
     val fine = "/tmp/graft_rollupspec_nan_h"
     RollupStore.write(d, fine, Seq("series"), "ts", "value", HOUR)
@@ -203,14 +209,31 @@ class RollupStoreSpec extends SparkSpec {
     // resets, as does 4.0→2.0 — resets=2; 1.0→NaN, NaN→4.0 and
     // 4.0→2.0 are the three changes
     val cnts = RollupStore.read(spark, direct)
+      .filter(col("series") === "n")
       .select("resets", "changes").as[(Long, Long)].head()
     assert(cnts == ((2L, 3L)))
+    // the NaN-demoted argmax: the all-NaN window keeps NaN (ok=0,
+    // latest ts), while the day grain lets the 02:40 real 7.0 win —
+    // even though plain vmax at day grain is NaN (Spark orders NaN
+    // above every double)
+    val z = RollupStore.read(spark, direct)
+      .filter(col("series") === "z")
+      .select("vmax", "vmax_nn", "vmax_ts_ms")
+      .as[(Double, Double, Long)].head()
+    assert(z._1.isNaN && z._2 == 7.0 &&
+      z._3 == base + 160 * 60000L)
+    val z0 = RollupStore.read(spark, fine)
+      .filter(col("series") === "z" && col("window_ms") === base)
+      .select("vmax_nn", "vmax_ts_ms").as[(Double, Long)].head()
+    assert(z0._1.isNaN && z0._2 == base + 30 * 60000L)
     // the stitched fold must null-SKIP the NaN seam delta exactly
     // like the raw fold's sum() does (pre-fix it null-poisoned):
     // 0 (w0: 1.0→NaN) + seam NaN→NaN (skip) + 4 (w1: NaN→4.0)
     // + seam reset 4.0→2.0 (+2) = 6
     val inc = RollupStore.stitchedIncrease(spark, fine, Seq("series"),
-      base, base + DAY).select("increase").as[Double].head()
+        base, base + DAY)
+      .filter(col("series") === "n")
+      .select("increase").as[Double].head()
     assert(inc == 6.0)
   }
 
