@@ -439,6 +439,40 @@ object EventsStream {
       .partitionBy("bucket")
   }
 
+  /** Streaming maintenance for the GK QUANTILE SKETCH layer
+    * ([[graft.tsdb.QuantileSketchStore]]): per (series, window) one
+    * Greenwald–Khanna summary sealed when the watermark passes the
+    * window, appended into the batch layout. The aggregate's buffer
+    * IS the summary (fixed-size state per open window, exactly like
+    * the HLL layer); counts compose order-independently so a sealed
+    * window's `n` equals the batch writer's, while quantile ANSWERS
+    * agree within the GK rank bound (insertion order differs — the
+    * same declared-approximate convention as the batch layer,
+    * spec-pinned in [[QuantileSketchSpec]]).
+    */
+  def toQuantileSketchLayer(events: DataFrame, path: String,
+      checkpoint: String, windowLenMs: Long, watermarkDelay: String,
+      relativeError: Double = 0.01): DataStreamWriter[Row] = {
+    require(windowLenMs > 0 && windowLenMs % 1000 == 0,
+      "windowLenMs must be a positive whole-second width")
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), s"${windowLenMs / 1000} seconds"),
+        col("event_type"), col("user_id"))
+      .agg(graft.functions.QuantileSketch
+        .sketchAgg(col("value").cast("double"), relativeError)
+        .as("qsketch"))
+      .select(col("event_type"), col("user_id"),
+        (unix_timestamp(col("window.start")) * 1000L).as("window_ms"),
+        col("qsketch"), col("window.start").as("ts"))
+      .withColumn("bucket", graft.tsdb.TsdbConverter.bucketCol("ts", "1 day"))
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("bucket")
+  }
+
   /** One native-histogram sample on a stream (the long-format NH
     * row model of [[graft.tsdb.NativeHistogram]], one string series
     * key). `hint` is the chunk counter-reset header where the source

@@ -52,6 +52,35 @@ object QuantileSketchStore {
       if (opts.sortBy.nonEmpty) opts else opts.copy(sortBy = seriesCols))
   }
 
+  /** Build a COARSER sketch layer from a finer one — the same
+    * cascade maintenance shape as [[RollupStore.writeFrom]] (coarser
+    * layers never rescan raw): per coarse window the fine windows'
+    * summaries MERGE, which is exactly how Spark distributes its own
+    * percentile aggregation across partitions, so the rank guarantee
+    * survives (the gate/spec contract margin of 2ε covers merge
+    * growth). Counts compose exactly (n is order-independent);
+    * quantile ANSWERS may differ from a direct build by merge order,
+    * within the bound — the same declared-approximate convention as
+    * the whole layer.
+    */
+  def writeFrom(spark: SparkSession, finePath: String, path: String,
+      seriesCols: Seq[String], tsCol: String, fineResolutionMs: Long,
+      resolutionMs: Long, opts: ConvertOptions = ConvertOptions(Nil)): Unit = {
+    require(fineResolutionMs > 0 && resolutionMs > fineResolutionMs,
+      s"coarse resolution $resolutionMs must exceed fine $fineResolutionMs")
+    require(resolutionMs % fineResolutionMs == 0,
+      s"coarse resolution $resolutionMs must be a multiple of " +
+        s"$fineResolutionMs or fine windows would straddle coarse seams")
+    val rolled = read(spark, finePath)
+      .withColumn("_cw",
+        (floor(col("window_ms") / resolutionMs) * resolutionMs).cast("long"))
+      .groupBy((seriesCols.map(col) :+ col("_cw").as("window_ms")): _*)
+      .agg(QuantileSketch.mergeAgg(col("qsketch")).as("qsketch"))
+      .withColumn(tsCol, timestamp_millis(col("window_ms")))
+    TsdbConverter.convert(rolled, path, tsCol,
+      if (opts.sortBy.nonEmpty) opts else opts.copy(sortBy = seriesCols))
+  }
+
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 

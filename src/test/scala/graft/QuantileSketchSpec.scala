@@ -77,4 +77,84 @@ class QuantileSketchSpec extends SparkSpec {
     assert(QuantileSketchStore.quantileOverTime(spark, p, Seq("s"), 0.5,
       base + 10 * day, base + 11 * day).count() == 0)
   }
+
+  test("cascade writeFrom: counts compose exactly, answers hold the " +
+      "rank contract") {
+    def ts(ms: Long) = new Timestamp(ms)
+    val base = 1704067200000L
+    val hour = 3600000L
+    val rows = (0 until 600).map(i =>
+      ("a", ts(base + i * 120000L), ((i * 41) % 600 + 1).toDouble))
+      .toDF("s", "ts", "v")
+    val fine = "/tmp/graft_qsketch_casc_fine"
+    val coarse = "/tmp/graft_qsketch_casc_day"
+    QuantileSketchStore.write(rows, fine, Seq("s"), "ts", "v", hour)
+    QuantileSketchStore.writeFrom(spark, fine, coarse, Seq("s"), "ts",
+      fineResolutionMs = hour, resolutionMs = 86400000L)
+    // n is order-independent: the cascaded day window holds all 600
+    val n = QuantileSketchStore.read(spark, coarse)
+      .select(col("qsketch")).collect()
+      .map(r => QuantileSketch.fromBytes(r.getAs[Array[Byte]](0)).count)
+    assert(n.toSeq == Seq(600L))
+    // and the cascaded answer obeys the same contract (values are a
+    // permutation of 1..600 → rank == value)
+    val v = QuantileSketchStore.quantileOverTime(spark, coarse, Seq("s"),
+      0.9, base, base + 86400000L).select("value").as[Double].head()
+    assert(math.abs(v - 0.9 * 600) <= 0.02 * 600 + 1, s"answered $v")
+    // misaligned cascade rejects loudly, like the rollup cascade
+    intercept[IllegalArgumentException] {
+      QuantileSketchStore.writeFrom(spark, fine, "/tmp/never", Seq("s"),
+        "ts", fineResolutionMs = hour, resolutionMs = 90 * 60000L)
+    }
+  }
+
+  test("streamed sketch layer: sealed counts ≡ batch; small-n answers " +
+      "exact and equal through the standard read path") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_qsketch_stream").toString
+    def t(s: String) = Timestamp.valueOf(s)
+    val fixture = Seq(
+      graft.streaming.SeriesEvent(t("2024-01-01 10:05:00"), "req", 1L, 3.0),
+      graft.streaming.SeriesEvent(t("2024-01-01 10:25:00"), "req", 1L, 9.0),
+      graft.streaming.SeriesEvent(t("2024-01-01 10:45:00"), "req", 1L, 1.0),
+      graft.streaming.SeriesEvent(t("2024-01-01 11:15:00"), "req", 1L, 7.0),
+      graft.streaming.SeriesEvent(t("2024-01-01 11:35:00"), "view", 2L, 5.0))
+    val mem = MemoryStream[graft.streaming.SeriesEvent]
+    val query = graft.streaming.EventsStream.toQuantileSketchLayer(
+      mem.toDF(), s"$root/sk", s"$root/ckpt",
+      windowLenMs = 3600000L, watermarkDelay = "10 minutes").start()
+    try {
+      mem.addData(fixture: _*)
+      query.processAllAvailable()
+      mem.addData(graft.streaming.SeriesEvent(
+        t("2024-01-02 00:00:00"), "req", 1L, 0.0)) // watermark advancer
+      query.processAllAvailable()
+    } finally query.stop()
+    graft.tsdb.QuantileSketchStore.write(
+      fixture.toDF(), s"$root/batch",
+      Seq("event_type", "user_id"), "ts", "value", 3600000L)
+    def summary(path: String) = spark.read.parquet(path)
+      .filter(col("window_ms") < 1704153600000L) // drop the advancer
+      .select(col("event_type"), col("user_id"), col("window_ms"),
+        col("qsketch"))
+      .collect().map { r =>
+        val qs = QuantileSketch.fromBytes(r.getAs[Array[Byte]](3))
+        // below the compress threshold GK retains every sample, so
+        // the query is the EXACT order statistic — deterministic
+        // under any insertion order
+        ((r.getString(0), r.getLong(1), r.getLong(2)),
+          (qs.count, qs.query(0.5), qs.query(1.0)))
+      }.toMap
+    assert(summary(s"$root/sk") == summary(s"$root/batch"))
+    assert(summary(s"$root/sk").size == 3)
+    // and the streamed layer serves the standard read path
+    val v = graft.tsdb.QuantileSketchStore.quantileOverTime(spark,
+        s"$root/sk", Seq("event_type", "user_id"), 1.0,
+        1704103200000L, 1704110400000L) // [10:00, 12:00) UTC
+      .filter(col("event_type") === "req")
+      .select("value").as[Double].head()
+    assert(v == 9.0)
+  }
 }
