@@ -486,6 +486,52 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** `quantile_over_time` THROUGH THE STRING FRONT-END over the GK
+    * sketch layer — the declared-approximate OPT-IN
+    * ([[graft.tsdb.promql.PromQLContext.quantileSketches]]: an empty
+    * map keeps every quantile on the raw order-statistic path; the
+    * raw gates are unchanged). Same CONTRACT shape as the store
+    * gate, per (event_type, user_id) series over the aligned 5-day
+    * window: GK returns an actual retained sample whose RANK is
+    * within ±2ε·n of q·n (the raw path's interpolated quantile is a
+    * different, exact number — which is why this path is opt-in and
+    * gated on the rank bound, not value equality).
+    */
+  private def tsPromqlQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val p = "/tmp/graft_qsketchfe_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+    fixtureOnce(s"qsketch_fe:$dir") {
+      QuantileSketchStore.write(t(s, dir, "events"), p,
+        Seq("event_type", "user_id"), "ts", "value", 86400000L,
+        relativeError = 0.01)
+    }
+    val q = 0.9
+    val eps = 0.02
+    val mint = 1704412800000L // [Jan 5, Jan 25), day-aligned
+    val maxt = 1706140800000L
+    val ctx = promCtx(s, dir).copy(
+      evalMs = maxt,
+      quantileSketches = Map("events" -> Seq(
+        RollupStore.RollupLayer(p, 86400000L))))
+    val approx = graft.tsdb.promql.PromQL
+      .compile("quantile_over_time(0.9, events[20d])", ctx)
+      .select(col("event_type"), col("user_id"),
+        col("value").as("qv"))
+    val raw = t(s, dir, "events")
+      .filter(col("ts") >= timestamp_millis(lit(mint)) &&
+        col("ts") < timestamp_millis(lit(maxt)))
+      .select(col("event_type"), col("user_id"), col("value"))
+    raw.join(broadcast(approx), Seq("event_type", "user_id"))
+      .groupBy(col("event_type"), col("user_id"), col("qv"))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col("value") <= col("qv"), 1L).otherwise(0L)).as("_le"),
+        sum(when(col("value") < col("qv"), 1L).otherwise(0L)).as("_lt"))
+      .select(col("event_type"), col("user_id"),
+        (col("_le") >= floor((lit(q) - eps) * col("_n")) &&
+          col("_lt") <= ceil((lit(q) + eps) * col("_n")))
+          .as("rank_within_2pct"))
+      .orderBy("event_type", "user_id")
+  }
+
   private def tsLastPoint(s: SparkSession, dir: String): DataFrame =
     PromOps.lastPoint(t(s, dir, "events"), Seq("event_type", "user_id"),
         "ts", tieBreak = Seq("event_id"))
@@ -3779,6 +3825,7 @@ object SparkEntry {
     "ts_label_cardinality_sketch" -> (tsLabelCardinalitySketch _),
     "ts_label_values_ranged" -> (tsLabelValuesRanged _),
     "ts_quantile_sketch" -> (tsQuantileSketch _),
+    "ts_promql_quantile_sketch" -> (tsPromqlQuantileSketch _),
     "ts_last_point" -> (tsLastPoint _),
     "ts_rate" -> (tsRate _),
     "ts_instant_align" -> (tsInstantAlign _),
@@ -4586,6 +4633,13 @@ object SparkEntry {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'
         |ORDER BY event_type""".stripMargin,
+    // the front-end twin at full series grain — same contract, the
+    // oracle states it holds for every series with samples in range
+    "ts_promql_quantile_sketch" ->
+      """SELECT DISTINCT event_type, user_id, TRUE AS rank_within_2pct
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'
+        |ORDER BY event_type, user_id""".stripMargin,
     "ts_last_point" ->
       """SELECT event_type, user_id, epoch_ms(ts) AS ts_ms, value, event_id
         |FROM (SELECT *, row_number() OVER (PARTITION BY event_type, user_id

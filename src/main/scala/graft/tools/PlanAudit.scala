@@ -732,6 +732,22 @@ object PlanAudit {
     }
 
     locally {
+      // the PromQL opt-in twin: the compiled quantile_over_time must
+      // read the series-grain sketch layer (raw appears only on the
+      // contract's ground-truth side, broadcast-joined)
+      val df = SparkEntry.queries("ts_promql_quantile_sketch")(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val onSk = plan.contains("graft_qsketchfe_")
+      val bcast = plan.contains("BroadcastHashJoin")
+      val ok = onSk && bcast
+      println(s"[audit] ts_promql_quantile_sketch :: opt-in front-end " +
+        s"quantile from the sketch layer: sketches=$onSk " +
+        s"broadcast=$bcast -> ${if (ok) "OK" else "FAIL"}")
+      if (!ok) failures ::= "ts_promql_quantile_sketch: plan shape"
+    }
+
+    locally {
       // the HLL sketch layer: the contract gate's APPROX side must be
       // served from the stored per-bucket registers (the sketch
       // parquet in the plan). The gate's EXACT side deliberately runs

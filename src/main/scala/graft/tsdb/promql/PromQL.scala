@@ -58,7 +58,15 @@ final case class PromQLContext(
     // served *_over_time / rate / increase reads the layer instead of
     // raw samples — exactly (see [[RollupStore]]'s invariants), at a
     // fraction of the bytes. Empty map = always raw.
-    rollups: Map[String, Seq[graft.tsdb.RollupStore.RollupLayer]] = Map.empty)
+    rollups: Map[String, Seq[graft.tsdb.RollupStore.RollupLayer]] = Map.empty,
+    // GK quantile-sketch layers ([[graft.tsdb.QuantileSketchStore]]),
+    // the DECLARED-APPROXIMATE opt-in: registering layers here is
+    // consent to GK rank-bounded `quantile_over_time` answers over
+    // aligned ranges (±ε·n worst case; 2ε through merges). Exactness
+    // routing never uses these — an empty map (the default) keeps
+    // every quantile on the raw order-statistic path.
+    quantileSketches: Map[String, Seq[graft.tsdb.RollupStore.RollupLayer]] =
+      Map.empty)
 
 /** A NATIVE-histogram metric for the PromQL front-end: one
   * exponential-bucket histogram SAMPLE per row in the
@@ -846,9 +854,29 @@ object PromQL {
       case "quantile_over_time" =>
         val Seq(qe, re) = argN(c, 2)
         val q = scalarArg(qe, "quantile_over_time q")
-        Right(overRangeExpr(re, "quantile_over_time", (df, ls, _) =>
-          PromOps.quantileOverTime(df, ls, ctx.valueCol, q)
-            .withColumnRenamed("quantile", "value").drop("samples")))
+        sketchRangeVec(re) match {
+          case Some(rv) =>
+            // the declared-approximate OPT-IN path (layers registered
+            // in [[PromQLContext.quantileSketches]]): merge the
+            // windows-in-range GK summaries per element, one query —
+            // rank within the registered layers' ε bound of q·n,
+            // never a sample scan. A series whose range holds no
+            // samples has no window rows, so it drops out exactly
+            // like the raw path.
+            val k = keys(rv.labels)
+            val out = rv.rows.groupBy(k.map(col): _*)
+              .agg(graft.functions.QuantileSketch
+                .mergeAgg(col("qsketch")).as("_m"))
+              .withColumn("value", graft.functions.QuantileSketch
+                .query(col("_m"), lit(q)))
+              .filter(col("value").isNotNull)
+            Right(stamped(out.select(k.map(col) :+ col("value"): _*),
+              rv.labels))
+          case None =>
+            Right(overRangeExpr(re, "quantile_over_time", (df, ls, _) =>
+              PromOps.quantileOverTime(df, ls, ctx.valueCol, q)
+                .withColumnRenamed("quantile", "value").drop("samples")))
+        }
       case "mad_over_time" =>
         // Prometheus (experimental): median absolute deviation about
         // the window median. Two hash aggregations + one join, all on
@@ -1000,6 +1028,39 @@ object PromQL {
             .map { layer =>
               val wins = rangeRowsBy(r.sel, r.rangeMs, (s, e2) =>
                 graft.tsdb.RollupStore
+                  .select(sparkOf, layer.path, s, e2, r.sel.matchers)
+                  .withColumn(TS, col("window_ms")))
+              RollupRangeVec(wins, ctx.labelCols, r.rangeMs,
+                r.sel.offsetMs, at)
+            }
+        }
+      case _ => None
+    }
+
+    /** The quantile-sketch analog of [[rollupRangeVec]]: same
+      * coarsest-eligible + exact-alignment rules, over
+      * [[PromQLContext.quantileSketches]] — the DECLARED-APPROXIMATE
+      * opt-in (see the context field). None → the raw
+      * order-statistic path.
+      */
+    private def sketchRangeVec(e: Expr): Option[RollupRangeVec] = e match {
+      case r: Expr.Range =>
+        ctx.quantileSketches.get(r.sel.metric).flatMap { layers =>
+          val at = resolveAt(r.sel.at)
+          def aligned(res: Long): Boolean =
+            r.rangeMs % res == 0 && ((grid, at) match {
+              case (Some(g), None) =>
+                (g.startMs - r.sel.offsetMs) % res == 0 && g.stepMs % res == 0
+              case (_, a) =>
+                (a.getOrElse(ctx.evalMs) - r.sel.offsetMs) % res == 0
+            })
+          layers
+            .filter(l => l.resolutionMs * 5 <= r.rangeMs &&
+              aligned(l.resolutionMs))
+            .sortBy(-_.resolutionMs).headOption
+            .map { layer =>
+              val wins = rangeRowsBy(r.sel, r.rangeMs, (s, e2) =>
+                graft.tsdb.QuantileSketchStore
                   .select(sparkOf, layer.path, s, e2, r.sel.matchers)
                   .withColumn(TS, col("window_ms")))
               RollupRangeVec(wins, ctx.labelCols, r.rangeMs,

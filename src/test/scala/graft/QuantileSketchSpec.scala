@@ -78,6 +78,44 @@ class QuantileSketchSpec extends SparkSpec {
       base + 10 * day, base + 11 * day).count() == 0)
   }
 
+  test("PromQL opt-in: quantile_over_time routes to registered sketch " +
+      "layers on aligned ranges, falls back to the exact raw path " +
+      "otherwise") {
+    import graft.tsdb.promql.{PromQL, PromQLContext}
+    val base = 1704067200000L
+    val hour = 3600000L
+    val rows = (0 until 300).map(i =>
+      ("a", new Timestamp(base + i * 60000L),
+        ((i * 77) % 300 + 1).toDouble)).toDF("s", "ts", "value")
+    val p = "/tmp/graft_qsketch_promql_spec"
+    QuantileSketchStore.write(rows, p, Seq("s"), "ts", "value", hour)
+    def ctx(optIn: Boolean, evalMs: Long) = PromQLContext(
+      metrics = Map("m" -> rows), labelCols = Seq("s"), evalMs = evalMs,
+      quantileSketches = if (optIn) Map("m" -> Seq(
+        graft.tsdb.RollupStore.RollupLayer(p, hour))) else Map.empty)
+    def plan(optIn: Boolean, evalMs: Long) =
+      PromQL.compile("quantile_over_time(0.9, m[5h])", ctx(optIn, evalMs))
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+    def value(optIn: Boolean, evalMs: Long) =
+      PromQL.compile("quantile_over_time(0.9, m[5h])", ctx(optIn, evalMs))
+        .select("value").as[Double].head()
+    val aligned = base + 5 * hour
+    // opted in + aligned: the plan reads the sketch layer, and the
+    // answer (an actual retained sample) holds the rank contract
+    // over the 300 in-range values (a permutation of 1..300, so
+    // rank == value)
+    assert(plan(true, aligned).contains("graft_qsketch_promql_spec"))
+    val v = value(true, aligned)
+    assert(math.abs(v - 0.9 * 300) <= 0.02 * 300 + 1, s"answered $v")
+    // misaligned instant: silent fallback to the raw interpolated
+    // path — bitwise the no-opt-in answer
+    assert(!plan(true, aligned + 1).contains("graft_qsketch_promql_spec"))
+    assert(value(true, aligned + 1) == value(false, aligned + 1))
+    // no opt-in: raw even when aligned
+    assert(!plan(false, aligned).contains("graft_qsketch_promql_spec"))
+  }
+
   test("cascade writeFrom: counts compose exactly, answers hold the " +
       "rank contract") {
     def ts(ms: Long) = new Timestamp(ms)
