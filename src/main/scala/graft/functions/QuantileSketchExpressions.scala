@@ -31,18 +31,29 @@ import org.apache.spark.sql.types._
   * operator: it is exposed as an explicit API and a rank-contract
   * gate, never silently routed (routing must not change answers).
   *
-  * Serialized form (versionless, layer-internal): compressThreshold,
+  * Serialized form: ONE leading version byte (currently
+  * [[QuantileSketch.FormatVersion]]), then compressThreshold,
   * relativeError, count, then (value, g, delta) per retained tuple.
+  * These bytes PERSIST in parquet layers, so the version byte is the
+  * compatibility contract: a reader seeing an unknown version FAILS
+  * LOUDLY instead of misparsing a layer written by a different graft
+  * or Spark `QuantileSummaries` vintage. Bump the version on ANY
+  * field-order or `QuantileSummaries` internals change.
   * NON-FINITE inputs are SKIPPED, mirroring the exact layers'
   * NaN→decimal-null convention (a staleness marker must not poison a
   * window's sketch).
   */
 object QuantileSketch {
 
+  /** Persisted-blob format version — see the serialization contract
+    * in the object doc. */
+  val FormatVersion: Byte = 1
+
   def toBytes(qs0: QuantileSummaries): Array[Byte] = {
     val qs = qs0.compress() // flush the head buffer
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
+    out.writeByte(FormatVersion)
     out.writeInt(qs.compressThreshold)
     out.writeDouble(qs.relativeError)
     out.writeLong(qs.count)
@@ -61,6 +72,13 @@ object QuantileSketch {
 
   def fromBytes(bytes: Array[Byte]): QuantileSummaries = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val version = in.readByte()
+    if (version != FormatVersion)
+      throw new IllegalArgumentException(
+        s"unknown quantile-sketch blob version $version (this build reads " +
+          s"version $FormatVersion); the layer was written by an " +
+          "incompatible graft/Spark vintage — rebuild it from raw or fine " +
+          "layers rather than risk a silent misparse")
     val threshold = in.readInt()
     val relErr = in.readDouble()
     val count = in.readLong()

@@ -58,7 +58,11 @@ object LabelIndexStore {
       .groupBy("bucket", "label_name", "label_value")
       .agg(count(lit(1)).as("n_rows"))
       .sortWithinPartitions("label_name", "label_value")
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      // dynamic overwrite: an incremental ingest must replace only the
+      // buckets it carries — Spark's default STATIC mode would wipe every
+      // previously written bucket directory.
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(path)
   }
 
   def read(spark: SparkSession, path: String): DataFrame =
@@ -143,7 +147,9 @@ object LabelIndexStore {
       .filter(col("label_value").isNotNull)
       .groupBy("bucket", "label_name")
       .agg(hll_sketch_agg(col("label_value"), lit(lgK)).as("sketch"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      // dynamic overwrite — same incremental-ingest contract as [[write]].
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(path)
   }
 
   def readSketches(spark: SparkSession, path: String): DataFrame =

@@ -95,7 +95,11 @@ object QuantileSketchStore {
     val pred = matchers.flatMap(_.toPredicate)
       .reduceOption(_ && _).getOrElse(lit(true))
     read(spark, path)
-      .filter(col("bucket").between(mintMs / width, (maxtMs - 1) / width))
+      // floorDiv, not /: pre-epoch (negative-ms) bounds must round toward
+      // -inf or the lower bucket bound excludes valid buckets — same
+      // convention as LabelIndexStore.select and TsdbQueryable.scopedLayer.
+      .filter(col("bucket").between(
+        Math.floorDiv(mintMs, width), Math.floorDiv(maxtMs - 1, width)))
       .filter(col("window_ms") >= mintMs && col("window_ms") < maxtMs)
       .filter(pred)
   }
@@ -114,7 +118,12 @@ object QuantileSketchStore {
     select(spark, path, mintMs, maxtMs, matchers)
       .groupBy(seriesCols.map(col): _*)
       .agg(QuantileSketch.mergeAgg(col("qsketch")).as("_merged"))
+      // a series whose in-range windows hold only empty (all-NaN)
+      // sketches answers NaN, matching the raw order-statistic path
+      // and the PromQL front-end — the two public APIs agree on
+      // series presence and on the all-NaN edge.
       .select((seriesCols.map(col) :+
-        QuantileSketch.query(col("_merged"), lit(q)).as("value")): _*)
+        coalesce(QuantileSketch.query(col("_merged"), lit(q)),
+          lit(Double.NaN)).as("value")): _*)
   }
 }

@@ -862,14 +862,17 @@ object PromQL {
             // rank within the registered layers' ε bound of q·n,
             // never a sample scan. A series whose range holds no
             // samples has no window rows, so it drops out exactly
-            // like the raw path.
+            // like the raw path; a series whose in-range samples are
+            // ALL non-finite has window rows but an empty merged
+            // sketch (the layer write skips NaN) — its quantile is
+            // NaN, matching the raw order-statistic answer, so the
+            // routed and raw paths agree on series PRESENCE.
             val k = keys(rv.labels)
             val out = rv.rows.groupBy(k.map(col): _*)
               .agg(graft.functions.QuantileSketch
                 .mergeAgg(col("qsketch")).as("_m"))
-              .withColumn("value", graft.functions.QuantileSketch
-                .query(col("_m"), lit(q)))
-              .filter(col("value").isNotNull)
+              .withColumn("value", coalesce(graft.functions.QuantileSketch
+                .query(col("_m"), lit(q)), lit(Double.NaN)))
             Right(stamped(out.select(k.map(col) :+ col("value"): _*),
               rv.labels))
           case None =>

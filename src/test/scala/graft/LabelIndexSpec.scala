@@ -61,6 +61,34 @@ class LabelIndexSpec extends SparkSpec {
     assert(rows(indexed.labelNames(Nil, 2)) == rows(raw.labelNames(Nil, 2)))
   }
 
+  test("incremental ingest: a second write replaces only the buckets " +
+      "it carries (dynamic partition overwrite)") {
+    val p = "/tmp/graft_labelidx_incr_spec"
+    val day1 = Seq((ts("2024-01-01 10:00:00"), "req", 1.0))
+      .toDF("ts", "event_type", "value")
+    val day2v1 = Seq((ts("2024-01-02 10:00:00"), "view", 1.0))
+      .toDF("ts", "event_type", "value")
+    val day2v2 = Seq((ts("2024-01-02 11:00:00"), "click", 1.0))
+      .toDF("ts", "event_type", "value")
+    LabelIndexStore.write(day1, p, Seq("event_type"), "ts")
+    LabelIndexStore.write(day2v1, p, Seq("event_type"), "ts")
+    def pairs() = LabelIndexStore.read(spark, p)
+      .select(col("bucket").cast("long"), col("label_value")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // a second-day ingest must not wipe day 1 (STATIC overwrite would)
+    assert(pairs() == Set((19723L, "req"), (19724L, "view")))
+    // re-ingesting day 2 replaces day 2 only
+    LabelIndexStore.write(day2v2, p, Seq("event_type"), "ts")
+    assert(pairs() == Set((19723L, "req"), (19724L, "click")))
+    // and the sketch layer honors the same contract
+    val ps = "/tmp/graft_labelidx_incr_sketch_spec"
+    LabelIndexStore.writeSketches(day1, ps, Seq("event_type"), "ts")
+    LabelIndexStore.writeSketches(day2v1, ps, Seq("event_type"), "ts")
+    assert(LabelIndexStore.readSketches(spark, ps)
+      .select(col("bucket").cast("long")).as[Long].collect().toSet ==
+      Set(19723L, 19724L))
+  }
+
   test("routing is visible in the plan; raw scan absent") {
     def plan(d: DataFrame) = d.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)

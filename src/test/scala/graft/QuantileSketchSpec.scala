@@ -78,6 +78,73 @@ class QuantileSketchSpec extends SparkSpec {
       base + 10 * day, base + 11 * day).count() == 0)
   }
 
+  test("persisted blob version: toBytes leads with FormatVersion; an " +
+      "unknown version rejects loudly instead of misparsing") {
+    var qs = new QuantileSummaries(
+      QuantileSummaries.defaultCompressThreshold, 0.01, Array.empty, 0L, false)
+    qs = qs.insert(1.0)
+    val bytes = QuantileSketch.toBytes(qs)
+    assert(bytes(0) == QuantileSketch.FormatVersion)
+    val future = bytes.clone()
+    future(0) = (QuantileSketch.FormatVersion + 1).toByte
+    val e = intercept[IllegalArgumentException] {
+      QuantileSketch.fromBytes(future)
+    }
+    assert(e.getMessage.contains("version"))
+  }
+
+  test("pre-epoch range: bucket bounds round toward -inf (floorDiv), so " +
+      "a bucket straddling a negative range bound still serves") {
+    val day = 86400000L
+    val hour = 3600000L
+    // one sample two hours into the day starting at -2d; hour windows,
+    // day buckets → bucket index -2
+    val rows = Seq(("a", new Timestamp(-2 * day + 2 * hour), 42.0))
+      .toDF("s", "ts", "v")
+    val p = "/tmp/graft_qsketch_preepoch"
+    QuantileSketchStore.write(rows, p, Seq("s"), "ts", "v", hour)
+    // the range opens mid-bucket at -2d+1h: truncating division would
+    // compute lower bound -1 and silently exclude bucket -2
+    val v = QuantileSketchStore.quantileOverTime(spark, p, Seq("s"), 1.0,
+      -2 * day + hour, -day).select("value").as[Double].head()
+    assert(v == 42.0)
+  }
+
+  test("all-NaN series: window rows with empty sketches answer NaN — " +
+      "store and PromQL paths agree with each other and with raw on " +
+      "series presence") {
+    import graft.tsdb.promql.{PromQL, PromQLContext}
+    val base = 1704067200000L
+    val hour = 3600000L
+    val rows = ((0 until 60).map(i =>
+      ("nan_only", new Timestamp(base + i * 60000L), Double.NaN)) ++
+      (0 until 60).map(i =>
+        ("real", new Timestamp(base + i * 60000L), (i + 1).toDouble)))
+      .toDF("s", "ts", "value")
+    val p = "/tmp/graft_qsketch_allnan"
+    QuantileSketchStore.write(rows, p, Seq("s"), "ts", "value", hour)
+    // store path: both series present, NaN for the all-NaN one
+    val store = QuantileSketchStore.quantileOverTime(spark, p, Seq("s"),
+      0.5, base, base + hour).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(store.keySet == Set("nan_only", "real"))
+    assert(store("nan_only").isNaN)
+    // PromQL routed path: same presence and NaN as the raw exact path
+    def ctx(optIn: Boolean) = PromQLContext(
+      metrics = Map("m" -> rows), labelCols = Seq("s"),
+      evalMs = base + hour,
+      quantileSketches = if (optIn) Map("m" -> Seq(
+        graft.tsdb.RollupStore.RollupLayer(p, hour))) else Map.empty)
+    def res(optIn: Boolean) =
+      PromQL.compile("quantile_over_time(0.5, m[1h])", ctx(optIn))
+        .collect().map(r =>
+          r.getAs[String]("s") -> r.getAs[Double]("value")).toMap
+    val routed = res(true)
+    val raw = res(false)
+    assert(routed.keySet == raw.keySet && routed.keySet.contains("nan_only"))
+    assert(routed("nan_only").isNaN && raw("nan_only").isNaN)
+  }
+
   test("PromQL opt-in: quantile_over_time routes to registered sketch " +
       "layers on aligned ranges, falls back to the exact raw path " +
       "otherwise") {
