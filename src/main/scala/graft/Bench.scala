@@ -59,7 +59,7 @@ import org.apache.spark.sql.SparkSession
   * noise-vs-regression call is mechanical from the artifact alone.
   * Each child is capped at 8 min and each column at
   * `SPARK_GRAFT_SF1_BUDGET_MIN` / `SPARK_GRAFT_SF3X_BUDGET_MIN`
-  * (default 20 each) — a pathological query costs its own cell,
+  * (default 12 / 10) — a pathological query costs its own cell,
   * never the results line, and lands VISIBLY in `*_timeout` (child
   * cap) or `*_skipped` (column budget): an absent cell is always
   * explained by one of the two lists. s/sf slopes worse than ~1.5×
@@ -158,12 +158,23 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val wall0 = System.nanoTime()
+    val phases = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var phaseT0 = wall0
+    def phase(name: String): Unit = {
+      val now = System.nanoTime()
+      phases(name) = (now - phaseT0) / 1e9
+      phaseT0 = now
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // 5 passes, not 3: with 80+ queries a single transient hiccup (GC
-    // cycle, kernel writeback) spans a pass window and a median of 3
-    // lets it through; a median of 5 absorbs two bad passes per query
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt.max(1)
+    // 3 passes by default: the driver's round budget also pays a cold
+    // sbt compile and ×10/×30 replica generation, and the r11 run
+    // overran it — the run_band spread columns already quantify what
+    // the thinner median costs. The full 5-pass protocol stays one
+    // env var away (SPARK_GRAFT_BENCH_PASSES=5) for builder-side
+    // evidence runs.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
     if (sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").exists(_ == "1")) {
       val only = sys.env.get("SPARK_GRAFT_ONLY")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -200,6 +211,7 @@ object Bench {
       try fn(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
+    phase("warmup")
 
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Option[Double] = {
@@ -211,6 +223,7 @@ object Bench {
     val resultsFull = ordered.map { case (name, fn) =>
       (name, (0 until passes).flatMap(_ => timeOnce(fn)))
     }
+    phase("timed_passes")
     val results = resultsFull.map { case (name, times) =>
       val median = if (times.isEmpty) None
         else Some(times.sorted.apply((times.size - 1) / 2))
@@ -281,6 +294,7 @@ object Bench {
     val sf3xReady = sf3xTop > 0 &&
       ensureReplica(sf3xDir, sf3xFactor, "bench-sf3x")
     spark.stop()
+    phase("replicas")
 
     // Shared-JVM pressure diagnosis (bench hygiene): the TOP-N
     // heaviest queries get an ISOLATED re-run — a fresh child JVM
@@ -318,6 +332,7 @@ object Bench {
         System.err.println(s"[bench] isolated re-run skipped: $t")
         ""
     }
+    phase("isolated")
 
     // Optional SF1-ONLY shuffle-partition override: perturbs the
     // ×N children without touching the 1× baseline medians the
@@ -404,13 +419,26 @@ object Bench {
       val heavy = heavyAll.take(sf1Top).map(_._1)
       sf1Extra ++ heavy.filterNot(sf1Extra.contains)
     }
+    // Column budgets: 12 + 10 min by default (was 20 + 20) — the
+    // family-representatives-first ordering means a tight budget can
+    // only ever drop heavy-set repeats, and the driver's round budget
+    // must also fit compile + replica generation + the suite itself
+    // (the r11 driver run timed out at the old defaults).
     val sf1Json = if (!sf1Ready) ""
       else slopeColumn("sf1", sf1Factor, sf1Dir, sf1Names,
-        sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET_MIN", "20").toLong)
+        sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET_MIN", "12").toLong)
+    phase("sf1")
     val sf3xJson = if (!sf3xReady) ""
       else slopeColumn("sf3x", sf3xFactor, sf3xDir,
         heavyAll.take(sf3xTop).map(_._1),
-        sys.env.getOrElse("SPARK_GRAFT_SF3X_BUDGET_MIN", "20").toLong)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"passes":$passes$runBand$isoJson$sf1Json$sf3xJson,"sf":"$sfDir"}""")
+        sys.env.getOrElse("SPARK_GRAFT_SF3X_BUDGET_MIN", "10").toLong)
+    phase("sf3x")
+    // Wall + per-phase elapsed ride IN the artifact so budget fit is
+    // auditable from the JSON alone — no log archaeology when a
+    // driver run gets close to its cap.
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    val phaseJson = phases.map { case (k, v) => "\"" + k + f"""\":$v%.1f""" }
+      .mkString(""","phase_sec":{""", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"passes":$passes,"wall_sec":$wallSec%.1f$phaseJson$runBand$isoJson$sf1Json$sf3xJson,"sf":"$sfDir"}""")
   }
 }
