@@ -1446,6 +1446,27 @@ object SparkEntry {
       .orderBy("ts_us", "user_id", "value")
   }
 
+  /** Reference physical-layout interop
+    * ([[tsdb.shard.ParquetShardStore]]): events written into
+    * parquet-common's EXACT wide shard schema — dual row-aligned
+    * labels/chunks files, `l_*` label columns, `s_col_indexes`,
+    * `s_series_hash`, per-8h `s_data_<i>` XOR chunk frames, footer
+    * minT/maxT/duration metadata (schema/schema_builder.go:41-171,
+    * storage/parquet_shard.go) — then matcher+range selected back
+    * out. The hash match pins the whole byte path: per-window chunk
+    * re-encode, frame decode, row-index broadcast join, at the
+    * reference's native ms grain.
+    */
+  private def tsShardInterop(s: SparkSession, dir: String): DataFrame = {
+    shardInteropFixture(s, dir)
+    graft.tsdb.shard.ParquetShardStore.select(s, shardInteropPath(dir),
+        java.time.Instant.parse("2024-01-05T00:00:00Z").toEpochMilli,
+        java.time.Instant.parse("2024-01-20T00:00:00Z").toEpochMilli,
+        Seq(Matcher.Eq("event_type", "view")))
+      .withColumn("ts_ms", unix_millis(col("ts"))).drop("ts")
+      .orderBy("ts_ms", "user_id", "value")
+  }
+
   /** Chunked-block compaction ([[tsdb.ChunkStore.mergeBlocks]]):
     * two overlapping CHUNKED blocks (B is the newer revision —
     * values × 1.5 on [Jan 10, ∞)) decode → k-way LWW merge →
@@ -2754,6 +2775,18 @@ object SparkEntry {
         colDuration = "1 day", samplesPerChunk = 120)
     }
 
+  private def shardInteropPath(dir: String): String =
+    "/tmp/graft_pshard_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+
+  private def shardInteropFixture(s: SparkSession, dir: String): Unit =
+    fixtureOnce(s"pshard:$dir") {
+      graft.tsdb.shard.ParquetShardStore.write(
+        t(s, dir, "events"), shardInteropPath(dir),
+        Seq("event_type", "user_id"), "ts", "value",
+        colDurationMs = graft.tsdb.shard.ParquetShardStore.DefaultColDurationMs,
+        samplesPerChunk = 120, shards = 2)
+    }
+
   private def tsdbBlockPath(dir: String): String =
     "/tmp/graft_tsdbblock_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
 
@@ -3880,6 +3913,7 @@ object SparkEntry {
     "ts_converted_select" -> (tsConvertedSelect _),
     "ts_chunk_roundtrip" -> (tsChunkRoundtrip _),
     "ts_chunk_select" -> (tsChunkSelect _),
+    "ts_shard_interop" -> (tsShardInterop _),
     "ts_chunk_merge" -> (tsChunkMerge _),
     "ts_native_hist_quantile" -> (tsNativeHistQuantile _),
     "ts_native_hist_sum" -> (tsNativeHistSum _),
@@ -5619,6 +5653,16 @@ object SparkEntry {
         |WHERE event_type = 'view'
         |  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
         |ORDER BY ts_us, user_id, value""".stripMargin,
+    // the reference-layout shard is a LABEL store: every label is a
+    // string (user_id casts at write), and its native time unit is
+    // milliseconds — the oracle mirrors both
+    "ts_shard_interop" ->
+      """SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+        |  epoch_ms(ts) AS ts_ms, value
+        |FROM events
+        |WHERE event_type = 'view'
+        |  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
+        |ORDER BY ts_ms, user_id, value""".stripMargin,
     // native-histogram fixture CTEs: re-derive every bucket count
     // with the same integer arithmetic, then replay the quantile
     // walk (cumulative window ≡ the Spark fold) with the identical

@@ -274,6 +274,23 @@ object PlanAudit {
         "no shuffle of the chunks side" -> "Exchange hashpartitioning",
         "no nested-loop join" -> "BroadcastNestedLoopJoin"))
 
+    // Reference-layout shard select (ParquetShardStore): the matcher
+    // must push into the labels-file scan (l_* column predicate), the
+    // matched labels side must broadcast onto the chunks scan (the
+    // 100 TB side — joined on _metadata.row_index, never shuffled),
+    // and the chunks ReadSchema must hold ONLY the s_data_<i> columns
+    // whose 8h window overlaps [Jan 5, Jan 20) — column 0 (the
+    // block's first window) must NOT be read.
+    audit("ts_shard_interop",
+      SparkEntry.queries("ts_shard_interop")(spark, dir),
+      Map(
+        "labels side broadcasts" -> "BroadcastHashJoin",
+        "matcher pushed to labels scan" -> "EqualTo(l_event_type,view)"),
+      forbid = Map(
+        "no shuffle of the chunks side" -> "Exchange hashpartitioning",
+        "out-of-range s_data columns not read" -> "s_data_0:",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin"))
+
     // Chunked NATIVE-HISTOGRAM select (HistChunkStore): same plan
     // contract as ts_chunk_select — labels side broadcasts, matcher
     // pushes into the labels scan, bucket partitions prune, mint/maxt

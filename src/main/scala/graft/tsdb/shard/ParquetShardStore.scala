@@ -1,0 +1,323 @@
+package graft.tsdb.shard
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+import org.apache.parquet.io.api.{Binary, RecordConsumer}
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType, Type, Types}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.functions.ChunkDecode
+import graft.tsdb.{ChunkCodec, Matcher}
+import ParquetShardSchema._
+
+/** Write and query shards in the reference's EXACT physical layout
+  * (see [[ParquetShardSchema]]) — the interop half of the chunked
+  * storage story: [[graft.tsdb.ChunkStore]] is the same semantics in
+  * graft's own distributed layout; this store produces/consumes the
+  * bytes a parquet-common reader (search/materialize.go) opens
+  * directly, so data converted by either side is queryable by both.
+  *
+  * WRITE is one wide shuffle at series grain (the converter's sort,
+  * convert/convert.go:366 — paid once at ingest): groupBy(labels) →
+  * per-series sorted samples → range-repartition into `shards` by
+  * the sort labels → each task re-encodes its series' samples into
+  * per-window XOR chunk frames ([[graft.tsdb.ChunkCodec]], the same
+  * codec the chunk gates pin bit-exactly) and streams TWO row-aligned
+  * parquet files through parquet-java. Imperative per-partition IO is
+  * justified the same way as the TSDB block writer: the dual-file
+  * row-alignment contract and footer key-value metadata are file-
+  * format mechanics no Catalyst operator expresses.
+  *
+  * READ is Spark-declarative end to end and keeps the reference's IO
+  * shape at 100 TB:
+  *   1. matchers filter the SMALL labels file — predicates push into
+  *      its parquet scan (`PushedFilters` on `l_*` columns);
+  *   2. survivors broadcast-join the chunks scan on (shard,
+  *      row_index) — Spark's `_metadata.row_index` IS the row
+  *      alignment the reference gets from its RowRange machinery, so
+  *      the big side never shuffles;
+  *   3. the chunks scan reads ONLY the `s_data_<i>` columns whose
+  *      window overlaps the query range (`ReadSchema` pruning — the
+  *      columnar analog of the reference reading only in-range data
+  *      columns, schema.go DataColumIdx), and [[ChunkDecode]] skips
+  *      non-overlapping frames inside each cell by header.
+  */
+object ParquetShardStore {
+
+  /** Footer metadata of a shard dir (read from shard 0's labels
+    * footer — the reference's FromLabelsFile, schema_builder.go:58).
+    */
+  final case class ShardMeta(mintMs: Long, maxtMs: Long, colDurationMs: Long) {
+    def numCols: Int = numDataCols(mintMs, maxtMs, colDurationMs)
+  }
+
+  /** 8h — the reference's default colDuration (convert/convert.go:44). */
+  val DefaultColDurationMs: Long = 8L * 3600 * 1000
+
+  // ---------------------------------------------------------------
+  // write
+  // ---------------------------------------------------------------
+
+  /** Convert `df` (label columns + timestamp + double value) into
+    * reference-layout shards under `dir`:
+    * `<shard>.labels.parquet` + `<shard>.chunks.parquet`,
+    * `0 until shards` files each, rows sorted by `labelCols` within
+    * a shard and range-partitioned across shards.
+    */
+  def write(df: DataFrame, dir: String, labelCols: Seq[String],
+      tsCol: String, valueCol: String,
+      colDurationMs: Long = DefaultColDurationMs,
+      samplesPerChunk: Int = 120, shards: Int = 1,
+      rowGroupSize: Long = 1L << 20): Unit = {
+    require(labelCols.nonEmpty, "need at least one label column")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val spark = df.sparkSession
+    val tsMs = unix_millis(col(tsCol).cast("timestamp"))
+    val Array(bounds) = df.agg(
+      min(tsMs).as("mint"), max(tsMs).as("maxt")).collect()
+    require(!bounds.isNullAt(0), "cannot write an empty shard set")
+    val mintMs = bounds.getLong(0)
+    val maxtMs = bounds.getLong(1)
+    require(mintMs >= 0,
+      "pre-epoch samples are unrepresentable in the reference's " +
+        "uvarint frame headers (schema/encoder.go Encode)")
+    val nCols = numDataCols(mintMs, maxtMs, colDurationMs)
+    val labelNamesSorted = labelCols.sorted
+    val colIdxByLabel = labelColumnIndexes(labelNamesSorted)
+    val meta: Map[String, String] = Map(
+      DataColSizeMd -> colDurationMs.toString,
+      MinTMd -> mintMs.toString,
+      MaxTMd -> maxtMs.toString)
+
+    // one shuffle: series assembly + the converter's label sort
+    val grouped = df
+      .withColumn("_ts_ms", tsMs)
+      .groupBy(labelCols.map(c => col(c).cast("string").as(c)): _*)
+      .agg(sort_array(collect_list(struct(
+        col("_ts_ms").as("ts"),
+        col(valueCol).cast("double").as("value")))).as("_samples"))
+      .repartitionByRange(shards, labelCols.map(col): _*)
+      .sortWithinPartitions(labelCols.map(col): _*)
+      .select((labelCols.map(col) :+ col("_samples")): _*)
+
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val nLabels = labelCols.length
+    val labelOrder = labelCols.toIndexedSeq // field positions in `grouped`
+    val serializableConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    grouped.queryExecution.toRdd.mapPartitionsWithIndex { (shard, rows) =>
+      val conf = serializableConf.value
+      val labelsWriter = new ShardFileWriter(
+        s"$dir/$shard.labels.parquet", labelsSchema(labelNamesSorted),
+        meta, conf, rowGroupSize)
+      val chunksWriter = new ShardFileWriter(
+        s"$dir/$shard.chunks.parquet", chunksSchema(nCols),
+        meta, conf, rowGroupSize)
+      val labelsFileCols = labelsFileColumns(labelNamesSorted)
+      val chunksFileCols = chunksFileColumns(nCols)
+      try {
+        rows.foreach { row =>
+          // labels present on this series (nulls are absent labels)
+          val pairs = (0 until nLabels).flatMap { i =>
+            if (row.isNullAt(i)) None
+            else Some(labelOrder(i) -> row.getUTF8String(i).toString)
+          }
+          val byName = pairs.toMap
+          // split the sorted samples into per-window framed blobs
+          val samples = row.getArray(nLabels)
+          val n = samples.numElements()
+          val ts = new Array[Long](n)
+          val vs = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            val s = samples.getStruct(i, 2)
+            ts(i) = s.getLong(0)
+            vs(i) = s.getDouble(1)
+            i += 1
+          }
+          val blobs = new Array[Array[Byte]](nCols)
+          var start = 0
+          while (start < n) {
+            val ci = dataColumnIdx(ts(start), mintMs, colDurationMs)
+            var end = start + 1
+            while (end < n &&
+                dataColumnIdx(ts(end), mintMs, colDurationMs) == ci) end += 1
+            blobs(ci) = ChunkCodec.encodeBlob(
+              java.util.Arrays.copyOfRange(ts, start, end),
+              java.util.Arrays.copyOfRange(vs, start, end), samplesPerChunk)
+            start = end
+          }
+          // labels row, in physical (alphabetical) column order
+          val colIdxBytes = encodeIntSlice(
+            pairs.map(p => colIdxByLabel(p._1)))
+          val hashBytes = seriesHashBytes(pairs)
+          labelsWriter.write(labelsFileCols.map { c =>
+            if (c == ColIndexesColumn) colIdxBytes
+            else if (c == SeriesHashColumn) hashBytes
+            else byName.get(extractLabelFromColumn(c).get)
+              .map(_.getBytes("UTF-8")).orNull
+          }.toArray)
+          // chunks row: required columns, empty bytes where no data
+          chunksWriter.write(chunksFileCols.map { c =>
+            val ci = c.substring(DataColumnPrefix.length).toInt
+            if (blobs(ci) == null) Array.emptyByteArray else blobs(ci)
+          }.toArray)
+        }
+      } finally {
+        labelsWriter.close()
+        chunksWriter.close()
+      }
+      Iterator.single(shard)
+    }.count() // force the write
+  }
+
+  private def labelsSchema(labelNamesSorted: Seq[String]): MessageType = {
+    val fields = labelsFileColumns(labelNamesSorted).map { c =>
+      if (c == ColIndexesColumn || c == SeriesHashColumn)
+        Types.required(PrimitiveType.PrimitiveTypeName.BINARY).named(c)
+      else
+        Types.optional(PrimitiveType.PrimitiveTypeName.BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(c)
+    }
+    new MessageType("labels-projection", fields: _*)
+  }
+
+  private def chunksSchema(nCols: Int): MessageType = {
+    val fields = chunksFileColumns(nCols).map(c =>
+      Types.required(PrimitiveType.PrimitiveTypeName.BINARY).named(c))
+    new MessageType("chunk-projection", fields: _*)
+  }
+
+  /** parquet-java writer for rows of pre-serialized binary cells
+    * (aligned to the schema's field order; null skips an optional
+    * field). All shard columns are physically BINARY, so one write
+    * support covers both files.
+    */
+  private class ShardFileWriter(path: String, schema: MessageType,
+      meta: Map[String, String], conf: Configuration, rowGroupSize: Long) {
+    private val support = new WriteSupport[Array[Array[Byte]]] {
+      private var rc: RecordConsumer = _
+      private val fields = schema.getFields
+      override def init(c: Configuration): WriteSupport.WriteContext = {
+        val m = new java.util.HashMap[String, String]()
+        meta.foreach { case (k, v) => m.put(k, v) }
+        new WriteSupport.WriteContext(schema, m)
+      }
+      override def prepareForWrite(c: RecordConsumer): Unit = rc = c
+      override def write(row: Array[Array[Byte]]): Unit = {
+        rc.startMessage()
+        var i = 0
+        while (i < row.length) {
+          if (row(i) != null) {
+            val name = fields.get(i).getName
+            rc.startField(name, i)
+            rc.addBinary(Binary.fromConstantByteArray(row(i)))
+            rc.endField(name, i)
+          }
+          i += 1
+        }
+        rc.endMessage()
+      }
+    }
+    private class B(out: org.apache.parquet.io.OutputFile)
+        extends ParquetWriter.Builder[Array[Array[Byte]], B](out) {
+      override def self(): B = this
+      override def getWriteSupport(c: Configuration) = support
+    }
+    private val writer = new B(HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path), conf))
+      .withConf(conf)
+      .withCompressionCodec(CompressionCodecName.ZSTD)
+      .withRowGroupSize(rowGroupSize)
+      // a shard REWRITE (fixture rebuild, re-ingest) replaces the
+      // files — parquet-java's default CREATE mode would fail on the
+      // leftovers of a previous generation
+      .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
+      .build()
+    def write(row: Array[Array[Byte]]): Unit = writer.write(row)
+    def close(): Unit = writer.close()
+  }
+
+  // ---------------------------------------------------------------
+  // read
+  // ---------------------------------------------------------------
+
+  /** Footer metadata — one footer read, metadata-sized
+    * (FromLabelsFile, schema_builder.go:58-76). */
+  def meta(spark: SparkSession, dir: String): ShardMeta = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$dir/0.labels.parquet"), conf))
+    try {
+      val kv = reader.getFooter.getFileMetaData.getKeyValueMetaData
+      ShardMeta(kv.get(MinTMd).toLong, kv.get(MaxTMd).toLong,
+        kv.get(DataColSizeMd).toLong)
+    } finally reader.close()
+  }
+
+  /** Label names recovered from the labels file's self-describing
+    * schema — how FromLabelsFile rebuilds the label universe. */
+  def labelNames(spark: SparkSession, dir: String): Seq[String] =
+    spark.read.parquet(s"$dir/*.labels.parquet").schema.fieldNames.toSeq
+      .flatMap(extractLabelFromColumn).sorted
+
+  private def withShardRow(df: DataFrame, suffix: String): DataFrame =
+    df.withColumn("_shard", regexp_extract(
+        col("_metadata.file_name"), s"^(\\d+)\\.$suffix\\.parquet$$", 1)
+        .cast("int"))
+      .withColumn("_row", col("_metadata.row_index"))
+
+  /** Samples of series matching `matchers` in `[mintMs, maxtMs)` —
+    * output: one column per label (nulls where the series lacks it) +
+    * `tsCol` (timestamp) + `valueCol` (double), a raw-table select's
+    * schema. Milliseconds, the reference's native unit.
+    */
+  def select(spark: SparkSession, dir: String, mintMs: Long, maxtMs: Long,
+      matchers: Seq[Matcher] = Nil, tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    require(maxtMs > mintMs, s"empty range [$mintMs, $maxtMs)")
+    val m = meta(spark, dir)
+    val names = labelNames(spark, dir)
+
+    val labelsRaw = withShardRow(
+      spark.read.parquet(s"$dir/*.labels.parquet"), "labels")
+    val labels = labelsRaw.select(
+      (names.map(n => col(labelToColumn(n)).as(n)) ++
+        Seq(col("_shard"), col("_row"))): _*)
+    val matched = Matcher.compile(matchers)
+      .map(labels.filter).getOrElse(labels)
+
+    // data columns overlapping the query range (ReadSchema pruning)
+    val lo = math.max(dataColumnIdx(mintMs, m.mintMs, m.colDurationMs), 0)
+    val hi = math.min(dataColumnIdx(maxtMs - 1, m.mintMs, m.colDurationMs),
+      m.numCols - 1)
+    val overlaps = mintMs <= m.maxtMs && maxtMs > m.mintMs && lo <= hi
+    val dataCols = if (overlaps) (lo to hi).map(dataColumn) else Seq(dataColumn(0))
+
+    val chunks = withShardRow(
+        spark.read.parquet(s"$dir/*.chunks.parquet"), "chunks")
+      .select((dataCols.map(col) ++ Seq(col("_shard"), col("_row"))): _*)
+
+    val decoded = dataCols.map(c => ColumnBridge.column(ChunkDecode(
+      ColumnBridge.expression(col(c)),
+      ColumnBridge.expression(lit(mintMs)),
+      // frame-header filter is inclusive (reference semantics);
+      // the exact [mint, maxt) bound re-applies per sample below
+      ColumnBridge.expression(lit(maxtMs - 1)))))
+    val allSamples = if (decoded.size == 1) decoded.head else concat(decoded: _*)
+
+    chunks.join(broadcast(matched), Seq("_shard", "_row"))
+      .filter(lit(overlaps))
+      .select((names.map(col) :+ explode(allSamples).as("_s")): _*)
+      .filter(col("_s.ts") >= mintMs && col("_s.ts") < maxtMs)
+      .select((names.map(col) :+
+        timestamp_millis(col("_s.ts")).as(tsCol) :+
+        col("_s.value").as(valueCol)): _*)
+  }
+}

@@ -1,0 +1,210 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.functions._
+import graft.tsdb.Matcher
+import graft.tsdb.shard.{ParquetShardSchema, ParquetShardStore}
+
+/** The reference-layout shard store ([[graft.tsdb.shard]]): the
+  * physical schema must match parquet-common's documented layout
+  * byte-for-byte where the contract is structural (column names,
+  * order, types, repetition, footer key-value metadata, the
+  * s_col_indexes varint codec, the StableHash series hash), and the
+  * query path must reproduce raw-table selects exactly at ms grain.
+  */
+class ParquetShardSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = 1704067200000L // 2024-01-01T00:00Z
+  private val hour = 3600000L
+
+  // env is ABSENT (null) on the view series — the optional-label edge
+  private lazy val fixture = {
+    val rows = (0 until 600).map { i =>
+      val et = if (i % 3 == 0) "view" else "req"
+      val env = if (i % 3 == 0) null else (if (i % 2 == 0) "prod" else "dev")
+      (et, env, new Timestamp(base + i * 60000L), ((i * 37) % 600 + 1).toDouble)
+    }
+    rows.toDF("event_type", "env", "ts", "value")
+  }
+  private val dir = "/tmp/graft_pshard_spec"
+  private lazy val written: Unit = ParquetShardStore.write(
+    fixture, dir, Seq("event_type", "env"), "ts", "value",
+    colDurationMs = 2 * hour, samplesPerChunk = 50, shards = 2)
+
+  private def footer(path: String) = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path),
+      spark.sparkContext.hadoopConfiguration))
+    try {
+      val md = r.getFooter.getFileMetaData
+      (md.getSchema, md.getKeyValueMetaData, r.getRecordCount)
+    } finally r.close()
+  }
+
+  test("physical layout matches schema_builder.go: dual files, column " +
+      "names/order/types, footer metadata") {
+    written
+    // both files per shard exist (storage/parquet_shard.go layout)
+    for (s <- 0 to 1; f <- Seq("labels", "chunks"))
+      assert(new java.io.File(s"$dir/$s.$f.parquet").isFile, s"$s.$f missing")
+
+    val (lSchema, lMeta, _) = footer(s"$dir/0.labels.parquet")
+    // alphabetical order, l_* before s_* (parquet-go Group ordering)
+    assert(lSchema.getFields.size == 4)
+    assert((0 until 4).map(lSchema.getFields.get(_).getName) ==
+      Seq("l_env", "l_event_type", "s_col_indexes", "s_series_hash"))
+    // labels optional string; s_* required binary
+    import org.apache.parquet.schema.Type.Repetition
+    assert(lSchema.getType(Seq("l_env"): _*).getRepetition == Repetition.OPTIONAL)
+    assert(lSchema.getType(Seq("l_env"): _*).asPrimitiveType()
+      .getLogicalTypeAnnotation != null)
+    assert(lSchema.getType(Seq("s_col_indexes"): _*).getRepetition == Repetition.REQUIRED)
+    assert(lSchema.getType(Seq("s_series_hash"): _*).getRepetition == Repetition.REQUIRED)
+    // footer metadata on BOTH files (writer.go:85 attaches to every
+    // projection)
+    val span = 599 * 60000L
+    val expectCols = ParquetShardSchema.numDataCols(base, base + span, 2 * hour)
+    for (f <- Seq("labels", "chunks")) {
+      val (_, kv, _) = footer(s"$dir/0.$f.parquet")
+      assert(kv.get("minT") == base.toString)
+      assert(kv.get("maxT") == (base + span).toString)
+      assert(kv.get("data_col_duration_ms") == (2 * hour).toString)
+    }
+    // chunks file: s_data_<i> required binary for every window,
+    // STRING-sorted (s_data_1 then s_data_2 then s_data_3, and with
+    // ≥10 cols s_data_10 would precede s_data_2 — pinned in the
+    // ordering helper test below)
+    val (cSchema, _, _) = footer(s"$dir/0.chunks.parquet")
+    assert(cSchema.getFields.size == expectCols)
+    assert((0 until expectCols).map(cSchema.getFields.get(_).getName) ==
+      (0 until expectCols).map(i => s"s_data_$i").sorted)
+    assert(cSchema.getType(Seq("s_data_0"): _*).getRepetition == Repetition.REQUIRED)
+    // row alignment: same record count in both files of a shard
+    for (s <- 0 to 1) {
+      val (_, _, ln) = footer(s"$dir/$s.labels.parquet")
+      val (_, _, cn) = footer(s"$dir/$s.chunks.parquet")
+      assert(ln == cn, s"shard $s misaligned: $ln labels vs $cn chunks rows")
+    }
+  }
+
+  test("parquet-go column ordering helper: s_data_10 < s_data_2 under " +
+      "the reference's string sort") {
+    val cols = ParquetShardSchema.chunksFileColumns(12)
+    assert(cols.indexOf("s_data_10") < cols.indexOf("s_data_2"))
+    assert(ParquetShardSchema.labelsFileColumns(Seq("env", "event_type")) ==
+      Seq("l_env", "l_event_type", "s_col_indexes", "s_series_hash"))
+  }
+
+  test("s_col_indexes: Go signed-varint codec roundtrips and stores the " +
+      "combined-schema positions of exactly the PRESENT labels") {
+    // codec roundtrip incl. multi-byte values
+    for (s <- Seq(Seq.empty[Int], Seq(0), Seq(3, 1, 2), Seq(0, 63, 64, 1000)))
+      assert(ParquetShardSchema.decodeIntSlice(
+        ParquetShardSchema.encodeIntSlice(s)) == s.sorted)
+    written
+    // l_env is combined-schema leaf 0, l_event_type leaf 1 (alpha
+    // order, labels before all s_*)
+    assert(ParquetShardSchema.labelColumnIndexes(Seq("event_type", "env")) ==
+      Map("env" -> 0, "event_type" -> 1))
+    val rows = spark.read.parquet(s"$dir/*.labels.parquet")
+      .select("l_env", "l_event_type", "s_col_indexes").collect()
+    rows.foreach { r =>
+      val idxs = ParquetShardSchema.decodeIntSlice(r.getAs[Array[Byte]](2))
+      val expected = (if (r.isNullAt(0)) Nil else Seq(0)) ++
+        (if (r.isNullAt(1)) Nil else Seq(1))
+      assert(idxs == expected, s"row $r")
+    }
+    // the view series has NO env label → only event_type's index
+    val view = rows.find(r => r.getString(1) == "view").get
+    assert(view.isNullAt(0) &&
+      ParquetShardSchema.decodeIntSlice(view.getAs[Array[Byte]](2)) == Seq(1))
+  }
+
+  test("s_series_hash is Prometheus StableHash: standard xxHash64 " +
+      "(known vector) over name/value bytes with 0xff seps, big-endian") {
+    // the xxHash64 spec's empty-input, seed-0 vector — proves the
+    // primitive is the published algorithm, not a Spark variant
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    assert(XXH64.hashUnsafeBytes(Array.emptyByteArray,
+      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, 0, 0L) ==
+      0xEF46DB3751D8E999L)
+    // layout: hash == xxh64 of the independently composed byte string
+    val pairs = Seq("env" -> "prod", "event_type" -> "req")
+    val manual = {
+      val bos = new java.io.ByteArrayOutputStream()
+      for ((n, v) <- pairs) { // already name-sorted
+        bos.write(n.getBytes("UTF-8")); bos.write(0xff)
+        bos.write(v.getBytes("UTF-8")); bos.write(0xff)
+      }
+      val b = bos.toByteArray
+      XXH64.hashUnsafeBytes(b,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 0L)
+    }
+    assert(ParquetShardSchema.stableHash(Seq(
+      "event_type" -> "req", "env" -> "prod")) == manual) // input order free
+    // stored bytes are the hash big-endian
+    written
+    val r = spark.read.parquet(s"$dir/*.labels.parquet")
+      .filter(col("l_event_type") === "req" && col("l_env") === "prod")
+      .select("s_series_hash").head()
+    val stored = r.getAs[Array[Byte]](0)
+    assert(stored.length == 8)
+    assert(java.nio.ByteBuffer.wrap(stored).getLong == manual)
+  }
+
+  test("select ≡ raw table at ms grain: full range, matchers, range " +
+      "subsets, absent-label series") {
+    written
+    def raw(pred: org.apache.spark.sql.Column, lo: Long, hi: Long) = fixture
+      .filter(pred && unix_millis(col("ts")) >= lo && unix_millis(col("ts")) < hi)
+      .select(col("event_type"), col("env"), unix_millis(col("ts")).as("ts_ms"),
+        col("value"))
+      .collect().map(_.toSeq).toSet
+    def shard(ms: Seq[Matcher], lo: Long, hi: Long) =
+      ParquetShardStore.select(spark, dir, lo, hi, ms)
+        .select(col("event_type"), col("env"), unix_millis(col("ts")).as("ts_ms"),
+          col("value"))
+        .collect().map(_.toSeq).toSet
+    val end = base + 600 * 60000L
+    assert(shard(Nil, base, end) == raw(lit(true), base, end))
+    assert(shard(Seq(Matcher.Eq("event_type", "view")), base, end) ==
+      raw(col("event_type") === "view", base, end))
+    // mid-range window cutting across data-column seams
+    val lo = base + 3 * hour + 1
+    val hi = base + 7 * hour - 1
+    assert(shard(Nil, lo, hi) == raw(lit(true), lo, hi))
+    assert(shard(Seq(Matcher.Eq("env", "prod")), lo, hi) ==
+      raw(col("env") === "prod", lo, hi))
+    // range past the data: empty, not an error
+    assert(ParquetShardStore.select(spark, dir, end + hour, end + 2 * hour)
+      .count() == 0)
+    // metadata recovery (FromLabelsFile analog)
+    val m = ParquetShardStore.meta(spark, dir)
+    assert(m.colDurationMs == 2 * hour && m.mintMs == base)
+    assert(ParquetShardStore.labelNames(spark, dir) == Seq("env", "event_type"))
+  }
+
+  test("plan shape: matchers push into the labels scan, only " +
+      "overlapping s_data columns are read, chunks side broadcast-joins") {
+    written
+    val df = ParquetShardStore.select(spark, dir,
+      base + 4 * hour, base + 6 * hour, Seq(Matcher.Eq("event_type", "req")))
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("BroadcastHashJoin"), "labels side must broadcast")
+    // matcher reaches the labels file's parquet scan
+    assert(plan.contains("l_event_type"), plan)
+    assert("PushedFilters: \\[[^\\]]*l_event_type".r
+      .findFirstIn(plan).isDefined, "matcher not pushed to labels scan")
+    // the chunks ReadSchema holds the 4h-6h window's columns only
+    // ([4h,6h) at 2h colDuration = column 2 alone)
+    val readSchemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toList
+    val chunkSchema = readSchemas.find(_.contains("s_data_")).get
+    assert(chunkSchema.contains("s_data_2"))
+    assert(!chunkSchema.contains("s_data_0") && !chunkSchema.contains("s_data_1")
+      && !chunkSchema.contains("s_data_3"), chunkSchema)
+  }
+}
