@@ -715,6 +715,29 @@ object PlanAudit {
     }
 
     locally {
+      // SAME-LABEL matcher routing (the autocomplete-with-prefix
+      // idiom): label_values(event_type, event_type=~"v.*") is a
+      // predicate on the value being enumerated, so it must STILL
+      // serve at index grain — index parquet in the plan, raw events
+      // absent. (The ts_label_values_indexed block above already
+      // built the index fixture.)
+      val p = "/tmp/graft_labelidx_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+      val q = new TsdbQueryable(ev, Seq("event_type", "user_id"))
+        .withLabelIndex(graft.tsdb.LabelIndexStore.read(spark, p))
+      val df = q.labelValues("event_type",
+        Seq(Matcher.Re("event_type", "v.*")))
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val onIdx = plan.contains("graft_labelidx_")
+      val noRaw = !plan.contains("events.parquet")
+      val ok = onIdx && noRaw
+      println(s"[audit] label_values_same_label_matcher :: prefix-" +
+        s"constrained enumeration from the index only: index=$onIdx " +
+        s"raw_absent=$noRaw -> ${if (ok) "OK" else "FAIL"}")
+      if (!ok) failures ::= "label_values_same_label_matcher: routing"
+    }
+
+    locally {
       // the querier-scoped (range-limited) enumeration must STILL
       // route through the index when the range aligns to whole
       // buckets — bucket-pruned index rows, raw events absent

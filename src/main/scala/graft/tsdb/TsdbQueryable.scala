@@ -194,6 +194,42 @@ final class TsdbQueryable(
       case _ => None
     }
 
+  /** A matcher rebound to a different physical column — how a
+    * SAME-LABEL constraint applies at index grain: the predicate
+    * runs against the stored `label_value` strings instead of the
+    * raw table's label column.
+    */
+  private def rebind(m: Matcher, c: String): Matcher = m match {
+    case Matcher.Eq(_, v) => Matcher.Eq(c, v)
+    case Matcher.Neq(_, v) => Matcher.Neq(c, v)
+    case Matcher.Re(_, p) => Matcher.Re(c, p)
+    case Matcher.Nre(_, p) => Matcher.Nre(c, p)
+  }
+
+  /** The routed index frame for `labelValues(name, matchers)` when
+    * every matcher constrains ONLY the enumerated label itself — the
+    * autocomplete-with-prefix idiom (`label_values(user_id,
+    * user_id=~"u1.*")`). A same-label constraint is a predicate on
+    * the value being enumerated, so it evaluates at index grain with
+    * no cross-column information needed; matchers naming ANY other
+    * label still disqualify routing (the index has no row linkage).
+    * Exactness guard: only STRING label columns route — on a numeric
+    * column the raw path compares in the native type (where "05" ==
+    * 5) while the index stores canonical strings, so non-string
+    * labels fall back to the raw scan silently.
+    */
+  private def sameLabelIndexFor(name: String,
+      matchers: Seq[Matcher]): Option[(DataFrame, Option[Column])] =
+    labelIndex match {
+      case Some(idx) if matchers.nonEmpty &&
+          matchers.forall(_.label == name) && labelsFilter.isEmpty &&
+          df.schema.fields.exists(f => f.name == name &&
+            f.dataType == org.apache.spark.sql.types.StringType) =>
+        scopedLayer(idx.filter(col("label_name").isin(labelCols: _*)))
+          .map(i => (i, Matcher.compile(matchers.map(rebind(_, "label_value")))))
+      case _ => None
+    }
+
   /** Cache key — the constraintsCacheKey analog
     * (search/constraint_cache.go:24-33): there
     * `<shard>:rgidx-<i>:<constraints...>`, here the canonicalized
@@ -412,6 +448,10 @@ final class TsdbQueryable(
       limit: Int = 0): DataFrame = {
     indexFor(matchers).foreach { idx =>
       return LabelIndexStore.labelValues(idx, name, limit)
+    }
+    sameLabelIndexFor(name, matchers).foreach { case (idx, pred) =>
+      return LabelIndexStore.labelValues(
+        pred.map(idx.filter).getOrElse(idx), name, limit)
     }
     val base = withMatchers(matchers)
       .select(col(name).cast("string").as("label_value"))

@@ -89,6 +89,53 @@ class LabelIndexSpec extends SparkSpec {
       Set(19723L, 19724L))
   }
 
+  test("same-label matchers route labelValues at index grain: ≡ raw " +
+      "across eq/neq/regex/negation/empty edges; cross-label and " +
+      "non-string labels fall back silently") {
+    def agree(name: String, ms: Seq[Matcher]): Unit =
+      assert(rows(indexed.labelValues(name, ms)) ==
+        rows(raw.labelValues(name, ms)), s"$name under $ms")
+    val cases = Seq(
+      Seq(Matcher.Eq("event_type", "req")),
+      Seq(Matcher.Neq("event_type", "req")),
+      Seq(Matcher.Re("event_type", "v.*")),
+      Seq(Matcher.Nre("event_type", "v.*")),
+      Seq(Matcher.Re("event_type", ".*")), // match-all compiles to None
+      Seq(Matcher.Eq("event_type", "")), // absent-match: no "" stored
+      Seq(Matcher.Re("event_type", "r.q"), Matcher.Neq("event_type", "x")))
+    cases.foreach(agree("event_type", _))
+    // env has a null cell: negation matchers see it as "" on the raw
+    // side but it contributes no VALUE either way
+    agree("env", Seq(Matcher.Nre("env", "pr.*")))
+    agree("env", Seq(Matcher.Eq("env", "")))
+    def plan(d: DataFrame) = d.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // routed: the index path serves, the raw local relation is gone
+    val p = plan(indexed.labelValues("event_type",
+      Seq(Matcher.Re("event_type", "v.*"))))
+    assert(p.contains("graft_labelidx_spec") && !p.contains("LocalTableScan"))
+    // a matcher on ANOTHER label disqualifies routing (the index has
+    // no cross-column row linkage) — raw results, unchanged
+    val q = plan(indexed.labelValues("env", Seq(Matcher.Eq("event_type", "req"))))
+    assert(!q.contains("graft_labelidx_spec"))
+    agree("env", Seq(Matcher.Eq("event_type", "req")))
+    // a NON-STRING label column never routes: raw compares in the
+    // native type where "05" == 5; the index's canonical strings
+    // would diverge
+    val numDf = Seq((ts("2024-01-01 10:00:00"), 5L, 1.0),
+      (ts("2024-01-02 10:00:00"), 7L, 2.0)).toDF("ts", "user_id", "value")
+    val numPath = "/tmp/graft_labelidx_num_spec"
+    LabelIndexStore.write(numDf, numPath, Seq("user_id"), "ts")
+    val numIndexed = new TsdbQueryable(numDf, Seq("user_id"))
+      .withLabelIndex(LabelIndexStore.read(spark, numPath))
+    val numRaw = new TsdbQueryable(numDf, Seq("user_id"))
+    val numMs = Seq(Matcher.Eq("user_id", "05"))
+    assert(!plan(numIndexed.labelValues("user_id", numMs))
+      .contains("graft_labelidx_num_spec"))
+    assert(rows(numIndexed.labelValues("user_id", numMs)) ==
+      rows(numRaw.labelValues("user_id", numMs)))
+  }
+
   test("routing is visible in the plan; raw scan absent") {
     def plan(d: DataFrame) = d.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
