@@ -1467,6 +1467,31 @@ object SparkEntry {
       .orderBy("ts_ms", "user_id", "value")
   }
 
+  /** [[tsShardInterop]] for the NATIVE-HISTOGRAM family: the same
+    * reference-layout shard carrying EncHistogram (enc=2) frames in
+    * its `s_data_<i>` cells — the synthesized per-day histogram
+    * counters of ts_hist_chunk_select written through
+    * [[tsdb.shard.ParquetShardStore.writeHist]] and matcher+range
+    * selected back; the hash match pins the hist codec through the
+    * reference's physical schema at ms grain.
+    */
+  private def tsShardHistInterop(s: SparkSession, dir: String): DataFrame = {
+    shardHistFixture(s, dir)
+    graft.tsdb.shard.ParquetShardStore.selectHist(s, shardHistPath(dir),
+        java.time.Instant.parse("2024-01-05T00:00:00Z").toEpochMilli,
+        java.time.Instant.parse("2024-01-20T00:00:00Z").toEpochMilli,
+        Seq(Matcher.Eq("event_type", "view")))
+      .select(col("event_type"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("zero_count"),
+        col("hist_sum").as("hsum"),
+        explode(zip_with(col("pos_idx"), col("pos_counts"),
+          (i, c) => struct(i.as("i"), c.as("c")))).as("b"))
+      .select(col("event_type"), col("user_id"), col("ts_ms"),
+        col("zero_count"), col("hsum"),
+        col("b.i").as("idx"), col("b.c").as("cnt"))
+      .orderBy("event_type", "user_id", "ts_ms", "idx")
+  }
+
   /** Chunked-block compaction ([[tsdb.ChunkStore.mergeBlocks]]):
     * two overlapping CHUNKED blocks (B is the newer revision —
     * values × 1.5 on [Jan 10, ∞)) decode → k-way LWW merge →
@@ -2787,6 +2812,21 @@ object SparkEntry {
         samplesPerChunk = 120, shards = 2)
     }
 
+  private def shardHistPath(dir: String): String =
+    "/tmp/graft_pshard_hist_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+
+  private def shardHistFixture(s: SparkSession, dir: String): Unit =
+    fixtureOnce(s"pshardhist:$dir") {
+      graft.tsdb.shard.ParquetShardStore.writeHist(
+        nativeHistCounterTable(s, dir)
+          .withColumn("hsum",
+            (col("d") * ((col("sseed") % 7) + 1)).cast("double") * 0.25)
+          .withColumn("ts", timestamp_seconds(col("d") * 86400)),
+        shardHistPath(dir), Seq("event_type", "user_id"), "ts",
+        "zero_count", "pos_idx", "pos_counts", Some("hsum"),
+        samplesPerChunk = 10, shards = 2)
+    }
+
   private def tsdbBlockPath(dir: String): String =
     "/tmp/graft_tsdbblock_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
 
@@ -3914,6 +3954,7 @@ object SparkEntry {
     "ts_chunk_roundtrip" -> (tsChunkRoundtrip _),
     "ts_chunk_select" -> (tsChunkSelect _),
     "ts_shard_interop" -> (tsShardInterop _),
+    "ts_shard_hist_interop" -> (tsShardHistInterop _),
     "ts_chunk_merge" -> (tsChunkMerge _),
     "ts_native_hist_quantile" -> (tsNativeHistQuantile _),
     "ts_native_hist_sum" -> (tsNativeHistSum _),
@@ -5663,6 +5704,29 @@ object SparkEntry {
         |WHERE event_type = 'view'
         |  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
         |ORDER BY ts_ms, user_id, value""".stripMargin,
+    // the ts_hist_chunk_select synthesis at the shard format's ms
+    // grain, labels as strings (the Prometheus label model)
+    "ts_shard_hist_interop" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |base AS (
+        |  SELECT event_type, user_id, d,
+        |    user_id * 31 + length(event_type) AS sseed,
+        |    CAST(d * 86400000 AS BIGINT) AS ts_ms
+        |  FROM days
+        |  WHERE event_type = 'view'
+        |    AND d >= CAST(floor(epoch(TIMESTAMP '2024-01-05 00:00:00') / 86400) AS BIGINT)
+        |    AND d < CAST(floor(epoch(TIMESTAMP '2024-01-20 00:00:00') / 86400) AS BIGINT))
+        |SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, ts_ms,
+        |  d*d*(sseed % 3) AS zero_count,
+        |  CAST(d * ((sseed % 7) + 1) AS DOUBLE) * 0.25 AS hsum,
+        |  CAST(i AS INT) AS idx,
+        |  d*d*((sseed + i + 3) % 5) AS cnt
+        |FROM base, unnest(range(-2, 6)) AS t(i)
+        |WHERE i <= (CASE WHEN d >= 19740 THEN 5 ELSE 4 END)
+        |ORDER BY event_type, user_id, ts_ms, idx""".stripMargin,
     // native-histogram fixture CTEs: re-derive every bucket count
     // with the same integer arithmetic, then replay the quantile
     // walk (cumulative window ≡ the Spark fold) with the identical

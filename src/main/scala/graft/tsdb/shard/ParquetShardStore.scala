@@ -73,7 +73,66 @@ object ParquetShardStore {
       tsCol: String, valueCol: String,
       colDurationMs: Long = DefaultColDurationMs,
       samplesPerChunk: Int = 120, shards: Int = 1,
-      rowGroupSize: Long = 1L << 20): Unit = {
+      rowGroupSize: Long = 1L << 20): Unit =
+    writeImpl(df, dir, labelCols, tsCol,
+      Seq(col(valueCol).cast("double").as("value")),
+      sampleFields = 2, colDurationMs, shards, rowGroupSize,
+      (slice: org.apache.spark.sql.catalyst.util.ArrayData) =>
+        ChunkCodec.encodeArrayData(slice, samplesPerChunk))
+
+  /** [[write]] for NATIVE-HISTOGRAM series (`zeroCol` long; `idxCol`
+    * array<int> ascending; `cntCol` array<long>; optional `sumCol`
+    * double) — the reference encoder's EncHistogram family
+    * (schema/encoder.go:118): the same shard files, each `s_data_<i>`
+    * cell holding enc=2 frames from [[graft.tsdb.HistChunkCodec]].
+    */
+  def writeHist(df: DataFrame, dir: String, labelCols: Seq[String],
+      tsCol: String, zeroCol: String, idxCol: String, cntCol: String,
+      sumCol: Option[String] = None, histSchema: Int = 0,
+      colDurationMs: Long = DefaultColDurationMs,
+      samplesPerChunk: Int = 120, shards: Int = 1,
+      rowGroupSize: Long = 1L << 20): Unit =
+    writeImpl(df, dir, labelCols, tsCol,
+      Seq(col(zeroCol).cast("long").as("zero"),
+        col(idxCol).cast("array<int>").as("idx"),
+        col(cntCol).cast("array<bigint>").as("cnt"),
+        sumCol.map(c => col(c).cast("double"))
+          .getOrElse(lit(null).cast("double")).as("sum")),
+      sampleFields = 5, colDurationMs, shards, rowGroupSize,
+      (slice: org.apache.spark.sql.catalyst.util.ArrayData) =>
+        graft.tsdb.HistChunkCodec.encodeArrayData(
+          slice, histSchema, samplesPerChunk))
+
+  /** [[writeHist]] for FLOAT histograms (`zeroCol` double; `cntCol`
+    * array<double>) — the EncFloatHistogram (enc=3) family. */
+  def writeFloatHist(df: DataFrame, dir: String, labelCols: Seq[String],
+      tsCol: String, zeroCol: String, idxCol: String, cntCol: String,
+      sumCol: Option[String] = None, histSchema: Int = 0,
+      colDurationMs: Long = DefaultColDurationMs,
+      samplesPerChunk: Int = 120, shards: Int = 1,
+      rowGroupSize: Long = 1L << 20): Unit =
+    writeImpl(df, dir, labelCols, tsCol,
+      Seq(col(zeroCol).cast("double").as("zero"),
+        col(idxCol).cast("array<int>").as("idx"),
+        col(cntCol).cast("array<double>").as("cnt"),
+        sumCol.map(c => col(c).cast("double"))
+          .getOrElse(lit(null).cast("double")).as("sum")),
+      sampleFields = 5, colDurationMs, shards, rowGroupSize,
+      (slice: org.apache.spark.sql.catalyst.util.ArrayData) =>
+        graft.tsdb.HistChunkCodec.encodeFloatArrayData(
+          slice, histSchema, samplesPerChunk))
+
+  /** Shared write scaffolding: one series-grain shuffle, then each
+    * shard task splits the sorted sample structs (field 0 is always
+    * the ms timestamp) into per-window slices, encodes each with the
+    * family's codec, and streams the two row-aligned files.
+    */
+  private def writeImpl(df: DataFrame, dir: String, labelCols: Seq[String],
+      tsCol: String, sampleCols: Seq[org.apache.spark.sql.Column],
+      sampleFields: Int, colDurationMs: Long, shards: Int,
+      rowGroupSize: Long,
+      encodeSlice: org.apache.spark.sql.catalyst.util.ArrayData => Array[Byte])
+      : Unit = {
     require(labelCols.nonEmpty, "need at least one label column")
     require(shards > 0, s"shards must be positive, got $shards")
     val spark = df.sparkSession
@@ -99,8 +158,7 @@ object ParquetShardStore {
       .withColumn("_ts_ms", tsMs)
       .groupBy(labelCols.map(c => col(c).cast("string").as(c)): _*)
       .agg(sort_array(collect_list(struct(
-        col("_ts_ms").as("ts"),
-        col(valueCol).cast("double").as("value")))).as("_samples"))
+        (col("_ts_ms").as("ts") +: sampleCols): _*))).as("_samples"))
       .repartitionByRange(shards, labelCols.map(col): _*)
       .sortWithinPartitions(labelCols.map(col): _*)
       .select((labelCols.map(col) :+ col("_samples")): _*)
@@ -131,25 +189,18 @@ object ParquetShardStore {
           // split the sorted samples into per-window framed blobs
           val samples = row.getArray(nLabels)
           val n = samples.numElements()
-          val ts = new Array[Long](n)
-          val vs = new Array[Double](n)
-          var i = 0
-          while (i < n) {
-            val s = samples.getStruct(i, 2)
-            ts(i) = s.getLong(0)
-            vs(i) = s.getDouble(1)
-            i += 1
-          }
           val blobs = new Array[Array[Byte]](nCols)
+          def tsAt(i: Int): Long = samples.getStruct(i, sampleFields).getLong(0)
           var start = 0
           while (start < n) {
-            val ci = dataColumnIdx(ts(start), mintMs, colDurationMs)
+            val ci = dataColumnIdx(tsAt(start), mintMs, colDurationMs)
             var end = start + 1
             while (end < n &&
-                dataColumnIdx(ts(end), mintMs, colDurationMs) == ci) end += 1
-            blobs(ci) = ChunkCodec.encodeBlob(
-              java.util.Arrays.copyOfRange(ts, start, end),
-              java.util.Arrays.copyOfRange(vs, start, end), samplesPerChunk)
+                dataColumnIdx(tsAt(end), mintMs, colDurationMs) == ci) end += 1
+            val slice = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+              (start until end).map(i =>
+                samples.getStruct(i, sampleFields).copy()).toArray[Any])
+            blobs(ci) = encodeSlice(slice)
             start = end
           }
           // labels row, in physical (alphabetical) column order
@@ -280,7 +331,54 @@ object ParquetShardStore {
     */
   def select(spark: SparkSession, dir: String, mintMs: Long, maxtMs: Long,
       matchers: Seq[Matcher] = Nil, tsCol: String = "ts",
-      valueCol: String = "value"): DataFrame = {
+      valueCol: String = "value"): DataFrame =
+    selectImpl(spark, dir, mintMs, maxtMs, matchers,
+      c => ColumnBridge.column(ChunkDecode(
+        ColumnBridge.expression(c),
+        ColumnBridge.expression(lit(mintMs)),
+        // frame-header filter is inclusive (reference semantics);
+        // the exact [mint, maxt) bound re-applies per sample after
+        ColumnBridge.expression(lit(maxtMs - 1)))),
+      Seq(col("_s.value").as(valueCol)), tsCol)
+
+  /** [[select]] over a [[writeHist]] shard: output is the
+    * NativeHistogram row model (`zero_count`/`pos_idx`/`pos_counts`
+    * + `hist_sum`), so the histogram analytics and PromQL consumers
+    * run directly on it — same names as
+    * [[graft.tsdb.HistChunkStore.select]]. */
+  def selectHist(spark: SparkSession, dir: String, mintMs: Long,
+      maxtMs: Long, matchers: Seq[Matcher] = Nil,
+      tsCol: String = "ts"): DataFrame =
+    selectImpl(spark, dir, mintMs, maxtMs, matchers,
+      c => ColumnBridge.column(graft.functions.HistChunkDecode(
+        ColumnBridge.expression(c),
+        ColumnBridge.expression(lit(mintMs)),
+        ColumnBridge.expression(lit(maxtMs - 1)))),
+      histOutput, tsCol)
+
+  /** [[selectHist]] over a [[writeFloatHist]] shard (enc=3 cells);
+    * zero/counts come back as doubles. */
+  def selectFloatHist(spark: SparkSession, dir: String, mintMs: Long,
+      maxtMs: Long, matchers: Seq[Matcher] = Nil,
+      tsCol: String = "ts"): DataFrame =
+    selectImpl(spark, dir, mintMs, maxtMs, matchers,
+      c => ColumnBridge.column(graft.functions.FloatHistChunkDecode(
+        ColumnBridge.expression(c),
+        ColumnBridge.expression(lit(mintMs)),
+        ColumnBridge.expression(lit(maxtMs - 1)))),
+      histOutput, tsCol)
+
+  private def histOutput: Seq[org.apache.spark.sql.Column] = Seq(
+    col("_s.zero").as("zero_count"),
+    col("_s.idx").as("pos_idx"),
+    col("_s.cnt").as("pos_counts"),
+    col("_s.sum").as("hist_sum"))
+
+  private def selectImpl(spark: SparkSession, dir: String, mintMs: Long,
+      maxtMs: Long, matchers: Seq[Matcher],
+      decode: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      sampleOutput: Seq[org.apache.spark.sql.Column],
+      tsCol: String): DataFrame = {
     require(maxtMs > mintMs, s"empty range [$mintMs, $maxtMs)")
     val m = meta(spark, dir)
     val names = labelNames(spark, dir)
@@ -304,12 +402,7 @@ object ParquetShardStore {
         spark.read.parquet(s"$dir/*.chunks.parquet"), "chunks")
       .select((dataCols.map(col) ++ Seq(col("_shard"), col("_row"))): _*)
 
-    val decoded = dataCols.map(c => ColumnBridge.column(ChunkDecode(
-      ColumnBridge.expression(col(c)),
-      ColumnBridge.expression(lit(mintMs)),
-      // frame-header filter is inclusive (reference semantics);
-      // the exact [mint, maxt) bound re-applies per sample below
-      ColumnBridge.expression(lit(maxtMs - 1)))))
+    val decoded = dataCols.map(c => decode(col(c)))
     val allSamples = if (decoded.size == 1) decoded.head else concat(decoded: _*)
 
     chunks.join(broadcast(matched), Seq("_shard", "_row"))
@@ -317,7 +410,6 @@ object ParquetShardStore {
       .select((names.map(col) :+ explode(allSamples).as("_s")): _*)
       .filter(col("_s.ts") >= mintMs && col("_s.ts") < maxtMs)
       .select((names.map(col) :+
-        timestamp_millis(col("_s.ts")).as(tsCol) :+
-        col("_s.value").as(valueCol)): _*)
+        timestamp_millis(col("_s.ts")).as(tsCol)) ++ sampleOutput: _*)
   }
 }

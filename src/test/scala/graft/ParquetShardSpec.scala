@@ -187,6 +187,55 @@ class ParquetShardSpec extends SparkSpec {
     assert(ParquetShardStore.labelNames(spark, dir) == Seq("env", "event_type"))
   }
 
+  test("histogram families: EncHistogram/EncFloatHistogram cells " +
+      "roundtrip through the shard format with reference frame ordinals") {
+    // native-histogram fixture: ascending counter-ish buckets, a sum
+    def histRows(float: Boolean) = (0 until 120).map { i =>
+      val zero = (i / 10).toLong
+      val idx = Seq(1, 3, 4 + (i % 2))
+      val cnt = idx.map(j => (i * j + 1).toLong)
+      (if (i % 2 == 0) "api" else "db", new Timestamp(base + i * 60000L),
+        zero, idx, cnt, i * 1.5)
+    }.toDF("svc", "ts", "zero", "idx", "cnt", "hsum")
+    val hDir = "/tmp/graft_pshard_hist_spec"
+    ParquetShardStore.writeHist(histRows(false), hDir, Seq("svc"), "ts",
+      "zero", "idx", "cnt", Some("hsum"), histSchema = 0,
+      colDurationMs = hour, samplesPerChunk = 25)
+    // the cell frames carry Prometheus's enc ordinal 2
+    val cell = spark.read.parquet(s"$hDir/0.chunks.parquet")
+      .select("s_data_0").head().getAs[Array[Byte]](0)
+    assert(graft.tsdb.HistChunkCodec.frames(cell).forall(_._1 == 2L))
+    // roundtrip at ms grain, NativeHistogram output model
+    val back = ParquetShardStore.selectHist(spark, hDir, base,
+        base + 120 * 60000L, Seq(Matcher.Eq("svc", "api")))
+      .select(col("svc"), unix_millis(col("ts")).as("ts_ms"),
+        col("zero_count"), col("pos_idx"), col("pos_counts"),
+        col("hist_sum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Int](3), r.getSeq[Long](4), r.getDouble(5))).toSet
+    val want = histRows(false).filter(col("svc") === "api")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getLong(2), r.getSeq[Int](3), r.getSeq[Long](4),
+        r.getDouble(5))).toSet
+    assert(back == want)
+    // float-histogram family: enc ordinal 3, double zero/counts
+    val fDir = "/tmp/graft_pshard_fhist_spec"
+    val fRows = (0 until 60).map { i =>
+      ("api", new Timestamp(base + i * 60000L), i * 0.5,
+        Seq(2, 5), Seq(i * 0.25, i * 1.25), i * 2.0)
+    }.toDF("svc", "ts", "zero", "idx", "cnt", "hsum")
+    ParquetShardStore.writeFloatHist(fRows, fDir, Seq("svc"), "ts",
+      "zero", "idx", "cnt", Some("hsum"), colDurationMs = hour)
+    val fCell = spark.read.parquet(s"$fDir/0.chunks.parquet")
+      .select("s_data_0").head().getAs[Array[Byte]](0)
+    assert(graft.tsdb.HistChunkCodec.frames(fCell).forall(_._1 == 3L))
+    val fBack = ParquetShardStore.selectFloatHist(spark, fDir, base,
+        base + hour).select("zero_count", "pos_counts").collect()
+    assert(fBack.length == 60)
+    assert(fBack.map(_.getDouble(0)).sorted.toSeq ==
+      (0 until 60).map(_ * 0.5))
+  }
+
   test("plan shape: matchers push into the labels scan, only " +
       "overlapping s_data columns are read, chunks side broadcast-joins") {
     written
