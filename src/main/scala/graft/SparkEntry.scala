@@ -1492,6 +1492,33 @@ object SparkEntry {
       .orderBy("event_type", "user_id", "ts_ms", "idx")
   }
 
+  /** PromQL over the reference-layout shard — the capstone the block
+    * and chunked layouts already have, closing the symmetry: shard
+    * bytes ([[tsdb.shard.ParquetShardStore]]) → matcher select →
+    * string-compiled PromQL in ONE plan. sum_over_time is
+    * order-independent and ignores sub-range timestamps, so the
+    * shard's ms grain is invisible to it and the oracle computes
+    * straight from raw events.
+    */
+  private def tsPromqlShard(s: SparkSession, dir: String): DataFrame = {
+    shardInteropFixture(s, dir)
+    val st = graft.tsdb.shard.ParquetShardStore
+    val m = st.meta(s, shardInteropPath(dir))
+    val events = st.select(s, shardInteropPath(dir), m.mintMs, m.maxtMs + 1)
+    val ctx = graft.tsdb.promql.PromQLContext(
+      metrics = Map("events" -> events),
+      labelCols = Seq("event_type", "user_id"),
+      evalMs = 1706745600000L, // 2024-02-01T00:00:00Z
+      lookbackMs = 86400000L)
+    graft.tsdb.promql.PromQL.compile(
+        """sum by (user_id) (sum_over_time(events{event_type="click"}[31d]))
+          | / on(user_id)
+          |sum by (user_id) (sum_over_time(events{event_type="view"}[31d]))"""
+          .stripMargin, ctx)
+      .select(col("user_id"), col("value").as("ratio"))
+      .orderBy("user_id")
+  }
+
   /** Chunked-block compaction ([[tsdb.ChunkStore.mergeBlocks]]):
     * two overlapping CHUNKED blocks (B is the newer revision —
     * values × 1.5 on [Jan 10, ∞)) decode → k-way LWW merge →
@@ -3955,6 +3982,7 @@ object SparkEntry {
     "ts_chunk_select" -> (tsChunkSelect _),
     "ts_shard_interop" -> (tsShardInterop _),
     "ts_shard_hist_interop" -> (tsShardHistInterop _),
+    "ts_promql_shard" -> (tsPromqlShard _),
     "ts_chunk_merge" -> (tsChunkMerge _),
     "ts_native_hist_quantile" -> (tsNativeHistQuantile _),
     "ts_native_hist_sum" -> (tsNativeHistSum _),
@@ -5727,6 +5755,25 @@ object SparkEntry {
         |FROM base, unnest(range(-2, 6)) AS t(i)
         |WHERE i <= (CASE WHEN d >= 19740 THEN 5 ELSE 4 END)
         |ORDER BY event_type, user_id, ts_ms, idx""".stripMargin,
+    // identical to ts_promql_tsdb_blocks' oracle: sum_over_time is
+    // order-independent and the shard's ms grain cannot move a
+    // sample across these whole-day range bounds
+    "ts_promql_shard" ->
+      """WITH l AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS v
+        |  FROM events WHERE event_type = 'click'
+        |    AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS v
+        |  FROM events WHERE event_type = 'view'
+        |    AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+        |  GROUP BY 1)
+        |SELECT l.user_id, l.v / r.v AS ratio
+        |FROM l JOIN r USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     // native-histogram fixture CTEs: re-derive every bucket count
     // with the same integer arithmetic, then replay the quantile
     // walk (cumulative window ≡ the Spark fold) with the identical
