@@ -73,10 +73,12 @@ object ParquetShardStore {
       tsCol: String, valueCol: String,
       colDurationMs: Long = DefaultColDurationMs,
       samplesPerChunk: Int = 120, shards: Int = 1,
-      rowGroupSize: Long = 1L << 20): Unit =
+      rowGroupSize: Long = 1L << 20,
+      bloomFilterLabels: Seq[String] = Nil): Unit =
     writeImpl(df, dir, labelCols, tsCol,
       Seq(col(valueCol).cast("double").as("value")),
       sampleFields = 2, colDurationMs, shards, rowGroupSize,
+      bloomFilterLabels,
       (slice: org.apache.spark.sql.catalyst.util.ArrayData) =>
         ChunkCodec.encodeArrayData(slice, samplesPerChunk))
 
@@ -91,7 +93,8 @@ object ParquetShardStore {
       sumCol: Option[String] = None, histSchema: Int = 0,
       colDurationMs: Long = DefaultColDurationMs,
       samplesPerChunk: Int = 120, shards: Int = 1,
-      rowGroupSize: Long = 1L << 20): Unit =
+      rowGroupSize: Long = 1L << 20,
+      bloomFilterLabels: Seq[String] = Nil): Unit =
     writeImpl(df, dir, labelCols, tsCol,
       Seq(col(zeroCol).cast("long").as("zero"),
         col(idxCol).cast("array<int>").as("idx"),
@@ -99,6 +102,7 @@ object ParquetShardStore {
         sumCol.map(c => col(c).cast("double"))
           .getOrElse(lit(null).cast("double")).as("sum")),
       sampleFields = 5, colDurationMs, shards, rowGroupSize,
+      bloomFilterLabels,
       (slice: org.apache.spark.sql.catalyst.util.ArrayData) =>
         graft.tsdb.HistChunkCodec.encodeArrayData(
           slice, histSchema, samplesPerChunk))
@@ -110,7 +114,8 @@ object ParquetShardStore {
       sumCol: Option[String] = None, histSchema: Int = 0,
       colDurationMs: Long = DefaultColDurationMs,
       samplesPerChunk: Int = 120, shards: Int = 1,
-      rowGroupSize: Long = 1L << 20): Unit =
+      rowGroupSize: Long = 1L << 20,
+      bloomFilterLabels: Seq[String] = Nil): Unit =
     writeImpl(df, dir, labelCols, tsCol,
       Seq(col(zeroCol).cast("double").as("zero"),
         col(idxCol).cast("array<int>").as("idx"),
@@ -118,6 +123,7 @@ object ParquetShardStore {
         sumCol.map(c => col(c).cast("double"))
           .getOrElse(lit(null).cast("double")).as("sum")),
       sampleFields = 5, colDurationMs, shards, rowGroupSize,
+      bloomFilterLabels,
       (slice: org.apache.spark.sql.catalyst.util.ArrayData) =>
         graft.tsdb.HistChunkCodec.encodeFloatArrayData(
           slice, histSchema, samplesPerChunk))
@@ -130,9 +136,11 @@ object ParquetShardStore {
   private def writeImpl(df: DataFrame, dir: String, labelCols: Seq[String],
       tsCol: String, sampleCols: Seq[org.apache.spark.sql.Column],
       sampleFields: Int, colDurationMs: Long, shards: Int,
-      rowGroupSize: Long,
+      rowGroupSize: Long, bloomFilterLabels: Seq[String],
       encodeSlice: org.apache.spark.sql.catalyst.util.ArrayData => Array[Byte])
       : Unit = {
+    require(bloomFilterLabels.forall(labelCols.contains),
+      s"bloomFilterLabels must be a subset of labelCols")
     require(labelCols.nonEmpty, "need at least one label column")
     require(shards > 0, s"shards must be positive, got $shards")
     val spark = df.sparkSession
@@ -172,7 +180,8 @@ object ParquetShardStore {
       val conf = serializableConf.value
       val labelsWriter = new ShardFileWriter(
         s"$dir/$shard.labels.parquet", labelsSchema(labelNamesSorted),
-        meta, conf, rowGroupSize)
+        meta, conf, rowGroupSize,
+        bloomFilterLabels.map(labelToColumn))
       val chunksWriter = new ShardFileWriter(
         s"$dir/$shard.chunks.parquet", chunksSchema(nCols),
         meta, conf, rowGroupSize)
@@ -250,7 +259,8 @@ object ParquetShardStore {
     * support covers both files.
     */
   private class ShardFileWriter(path: String, schema: MessageType,
-      meta: Map[String, String], conf: Configuration, rowGroupSize: Long) {
+      meta: Map[String, String], conf: Configuration, rowGroupSize: Long,
+      bloomCols: Seq[String] = Nil) {
     private val support = new WriteSupport[Array[Array[Byte]]] {
       private var rc: RecordConsumer = _
       private val fields = schema.getFields
@@ -280,11 +290,16 @@ object ParquetShardStore {
       override def self(): B = this
       override def getWriteSupport(c: Configuration) = support
     }
-    private val writer = new B(HadoopOutputFile.fromPath(
-        new org.apache.hadoop.fs.Path(path), conf))
-      .withConf(conf)
-      .withCompressionCodec(CompressionCodecName.ZSTD)
-      .withRowGroupSize(rowGroupSize)
+    private val writer = bloomCols.foldLeft(
+      new B(HadoopOutputFile.fromPath(
+          new org.apache.hadoop.fs.Path(path), conf))
+        .withConf(conf)
+        .withCompressionCodec(CompressionCodecName.ZSTD)
+        .withRowGroupSize(rowGroupSize))(
+        // the reference's WithBloomFilterLabels (convert.go:118):
+        // row groups of a non-matching shard prune on the filter
+        // before any page IO
+        (b, c) => b.withBloomFilterEnabled(c, true))
       // a shard REWRITE (fixture rebuild, re-ingest) replaces the
       // files — parquet-java's default CREATE mode would fail on the
       // leftovers of a previous generation
@@ -374,11 +389,40 @@ object ParquetShardStore {
     col("_s.cnt").as("pos_counts"),
     col("_s.sum").as("hist_sum"))
 
-  private def selectImpl(spark: SparkSession, dir: String, mintMs: Long,
-      maxtMs: Long, matchers: Seq[Matcher],
-      decode: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
-      sampleOutput: Seq[org.apache.spark.sql.Column],
-      tsCol: String): DataFrame = {
+  /** [[select]] with the reference's strict chunk-byte quota
+    * (search/limits.go NewQuota): the quota check is one
+    * metadata-only aggregation over EXACTLY the in-range `s_data`
+    * cells of the matched series — real encoded bytes, no decode —
+    * and throws before any sample materializes. Same contract as
+    * [[graft.tsdb.ChunkStore.selectStrict]], on the reference's own
+    * layout.
+    */
+  @throws[graft.tsdb.QuotaExceededException]
+  def selectStrict(spark: SparkSession, dir: String, mintMs: Long,
+      maxtMs: Long, matchers: Seq[Matcher], chunkBytesQuota: Long,
+      tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    if (chunkBytesQuota > 0L) {
+      val (joined, dataCols, _, overlaps) =
+        pruned(spark, dir, mintMs, maxtMs, matchers)
+      val bytes = if (!overlaps) 0L
+        else joined.agg(coalesce(sum(dataCols
+            .map(c => length(col(c)).cast("long")).reduce(_ + _)), lit(0L)))
+          .head().getLong(0)
+      if (bytes > chunkBytesQuota)
+        throw new graft.tsdb.QuotaExceededException(
+          s"select would fetch $bytes encoded chunk bytes " +
+            s"(quota $chunkBytesQuota)")
+    }
+    select(spark, dir, mintMs, maxtMs, matchers, tsCol, valueCol)
+  }
+
+  /** The shared front half: matcher pushdown on the labels file,
+    * window → data-column pruning, and the row-index broadcast join.
+    * Nothing is decoded yet.
+    */
+  private def pruned(spark: SparkSession, dir: String, mintMs: Long,
+      maxtMs: Long, matchers: Seq[Matcher])
+      : (DataFrame, Seq[String], Seq[String], Boolean) = {
     require(maxtMs > mintMs, s"empty range [$mintMs, $maxtMs)")
     val m = meta(spark, dir)
     val names = labelNames(spark, dir)
@@ -402,11 +446,20 @@ object ParquetShardStore {
         spark.read.parquet(s"$dir/*.chunks.parquet"), "chunks")
       .select((dataCols.map(col) ++ Seq(col("_shard"), col("_row"))): _*)
 
+    (chunks.join(broadcast(matched), Seq("_shard", "_row"))
+      .filter(lit(overlaps)), dataCols, names, overlaps)
+  }
+
+  private def selectImpl(spark: SparkSession, dir: String, mintMs: Long,
+      maxtMs: Long, matchers: Seq[Matcher],
+      decode: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      sampleOutput: Seq[org.apache.spark.sql.Column],
+      tsCol: String): DataFrame = {
+    val (joined, dataCols, names, _) =
+      pruned(spark, dir, mintMs, maxtMs, matchers)
     val decoded = dataCols.map(c => decode(col(c)))
     val allSamples = if (decoded.size == 1) decoded.head else concat(decoded: _*)
-
-    chunks.join(broadcast(matched), Seq("_shard", "_row"))
-      .filter(lit(overlaps))
+    joined
       .select((names.map(col) :+ explode(allSamples).as("_s")): _*)
       .filter(col("_s.ts") >= mintMs && col("_s.ts") < maxtMs)
       .select((names.map(col) :+

@@ -236,6 +236,81 @@ class ParquetShardSpec extends SparkSpec {
       (0 until 60).map(_ * 0.5))
   }
 
+  test("bloom filters on label columns (WithBloomFilterLabels): opted-in " +
+      "columns carry a bloom filter in the footer, others do not") {
+    val rows = (0 until 200).map(i =>
+      (s"svc_${i % 5}", new Timestamp(base + i * 60000L), i.toDouble))
+      .toDF("svc", "ts", "value")
+    val p = "/tmp/graft_pshard_bloom_spec"
+    ParquetShardStore.write(rows, p, Seq("svc"), "ts", "value",
+      colDurationMs = hour, bloomFilterLabels = Seq("svc"))
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(s"$p/0.labels.parquet"),
+      spark.sparkContext.hadoopConfiguration))
+    try {
+      import scala.jdk.CollectionConverters._
+      val cols = r.getFooter.getBlocks.get(0).getColumns.asScala
+      val svc = cols.find(_.getPath.toDotString == "l_svc").get
+      val hash = cols.find(_.getPath.toDotString == "s_series_hash").get
+      assert(svc.getBloomFilterOffset >= 0, "l_svc must carry a bloom filter")
+      assert(hash.getBloomFilterOffset < 0, "non-opted column must not")
+    } finally r.close()
+  }
+
+  test("selectStrict: the chunk-byte quota counts exactly the in-range " +
+      "cells of matched series, throws before decode, passes otherwise") {
+    written
+    val lo = base + 4 * hour
+    val hi = base + 6 * hour
+    val ms = Seq(Matcher.Eq("event_type", "req"))
+    // the real byte cost of this select: in-range s_data cells of
+    // matched rows (window [4h,6h) at 2h columns = s_data_2 alone)
+    val expectBytes = {
+      import org.apache.spark.sql.DataFrame
+      val labels = spark.read.parquet(s"$dir/*.labels.parquet")
+        .select(col("l_event_type"),
+          col("_metadata.file_name").as("f"), col("_metadata.row_index").as("r"))
+        .filter(col("l_event_type") === "req")
+      spark.read.parquet(s"$dir/*.chunks.parquet")
+        .select(col("s_data_2"),
+          col("_metadata.file_name").as("fc"), col("_metadata.row_index").as("r"))
+        .withColumn("f", regexp_replace(col("fc"), "chunks", "labels"))
+        .join(labels, Seq("f", "r"))
+        .agg(coalesce(sum(length(col("s_data_2")).cast("long")), lit(0L)))
+        .head().getLong(0)
+    }
+    assert(expectBytes > 0)
+    // quota above the cost: identical rows to the unguarded select
+    val strict = ParquetShardStore.selectStrict(spark, dir, lo, hi, ms,
+      chunkBytesQuota = expectBytes).collect().map(_.toSeq).toSet
+    val plain = ParquetShardStore.select(spark, dir, lo, hi, ms)
+      .collect().map(_.toSeq).toSet
+    assert(strict == plain && strict.nonEmpty)
+    // one byte under: loud rejection, nothing decoded
+    val e = intercept[graft.tsdb.QuotaExceededException] {
+      ParquetShardStore.selectStrict(spark, dir, lo, hi, ms,
+        chunkBytesQuota = expectBytes - 1)
+    }
+    assert(e.getMessage.contains(expectBytes.toString))
+    // a range past the data costs zero bytes: tiny quota passes, empty
+    assert(ParquetShardStore.selectStrict(spark, dir,
+      base + 1000 * hour, base + 1001 * hour, ms, chunkBytesQuota = 1)
+      .count() == 0)
+  }
+
+  test("the dictionary cold path serves the shard layout directly: " +
+      "label_values from the labels file's dictionary pages") {
+    written
+    // MaterializeAllLabelValues on the reference's OWN layout — the
+    // chunks files lack l_* columns and contribute nothing
+    assert(graft.tsdb.DictionaryLabelScan
+      .labelValues(spark, dir, "l_event_type")
+      .collect().map(_.getString(0)).toSeq == Seq("req", "view"))
+    assert(graft.tsdb.DictionaryLabelScan
+      .labelValues(spark, dir, "l_env")
+      .collect().map(_.getString(0)).toSeq == Seq("dev", "prod"))
+  }
+
   test("plan shape: matchers push into the labels scan, only " +
       "overlapping s_data columns are read, chunks side broadcast-joins") {
     written
