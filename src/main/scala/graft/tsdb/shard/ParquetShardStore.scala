@@ -132,6 +132,19 @@ object ParquetShardStore {
     * shard task splits the sorted sample structs (field 0 is always
     * the ms timestamp) into per-window slices, encodes each with the
     * family's codec, and streams the two row-aligned files.
+    *
+    * SCOPE: a shard conversion is per-BLOCK, like the reference's
+    * `ConvertTSDBBlock` — the input df covers one bounded time range
+    * (a day, a week), so a task holds one series' samples FOR THAT
+    * BLOCK, exactly the reference RowReader's working set
+    * (convert/reader.go encodes one series' chunks at a time). Feed
+    * years of a hot series through ONE call and that invariant
+    * breaks — convert per block and [[mergeShards]] as needed, the
+    * reference's own lifecycle. NHCB custom-bucket and signed
+    * histograms are NOT representable in this format's cells (the
+    * reference stores them inside Prometheus chunk bytes;
+    * [[graft.tsdb.HistChunkStore]] carries them as labels-file
+    * metadata — use that layout for those families).
     */
   private def writeImpl(df: DataFrame, dir: String, labelCols: Seq[String],
       tsCol: String, sampleCols: Seq[org.apache.spark.sql.Column],
@@ -388,6 +401,34 @@ object ParquetShardStore {
     col("_s.idx").as("pos_idx"),
     col("_s.cnt").as("pos_counts"),
     col("_s.sum").as("hist_sum"))
+
+  /** Compact N shard dirs that may overlap in series/time into ONE
+    * shard dir — the reference's vertical compaction applied to its
+    * own layout (convert/merge.go's NewMergeChunkSeriesSet feeding a
+    * fresh conversion): decode every input in full (one narrow pass
+    * each), k-way merge with last-writer-wins per (series, ts) —
+    * later dir in `dirs` wins, the newer-block convention every
+    * graft merge uses — then re-encode through [[write]]. One
+    * distributed plan end to end.
+    */
+  def mergeShards(spark: SparkSession, dirs: Seq[String], outDir: String,
+      colDurationMs: Long = DefaultColDurationMs,
+      samplesPerChunk: Int = 120, shards: Int = 1,
+      bloomFilterLabels: Seq[String] = Nil): Unit = {
+    require(dirs.nonEmpty, "need at least one shard directory")
+    val names = labelNames(spark, dirs.head)
+    require(dirs.forall(d => labelNames(spark, d) == names),
+      "all inputs must share one label universe (the reference merges " +
+        "blocks of one tenant/schema)")
+    val scans = dirs.map { d =>
+      val m = meta(spark, d)
+      select(spark, d, m.mintMs, m.maxtMs + 1)
+    }
+    val merged = graft.tsdb.TsdbConverter.mergeShards(
+      scans, names, "ts", "value")
+    write(merged, outDir, names, "ts", "value", colDurationMs,
+      samplesPerChunk, shards, bloomFilterLabels = bloomFilterLabels)
+  }
 
   /** [[select]] with the reference's strict chunk-byte quota
     * (search/limits.go NewQuota): the quota check is one

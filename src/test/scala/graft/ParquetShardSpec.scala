@@ -298,6 +298,35 @@ class ParquetShardSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("mergeShards: overlapping shard dirs compact to one, " +
+      "last-writer-wins on the overlap, readable like any shard") {
+    def mk(tag: String, lo: Int, hi: Int, scale: Double) =
+      (lo until hi).map(i => ("api", new Timestamp(base + i * 60000L),
+        i * scale)).toDF("svc", "ts", "value")
+    val dA = "/tmp/graft_pshard_merge_a"
+    val dB = "/tmp/graft_pshard_merge_b"
+    val out = "/tmp/graft_pshard_merge_out"
+    // A covers [0, 120), B overlaps [60, 180) with revised values
+    ParquetShardStore.write(mk("a", 0, 120, 1.0), dA, Seq("svc"),
+      "ts", "value", colDurationMs = hour)
+    ParquetShardStore.write(mk("b", 60, 180, 10.0), dB, Seq("svc"),
+      "ts", "value", colDurationMs = hour)
+    ParquetShardStore.mergeShards(spark, Seq(dA, dB), out,
+      colDurationMs = hour)
+    val got = ParquetShardStore.select(spark, out, base,
+        base + 180 * 60000L)
+      .select(unix_millis(col("ts")).as("t"), col("value"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == 180)
+    // B (later in dirs) wins on the overlap
+    assert(got(base + 59 * 60000L) == 59.0)
+    assert(got(base + 60 * 60000L) == 600.0)
+    assert(got(base + 179 * 60000L) == 1790.0)
+    // the merged dir carries the widened footer range
+    val m = ParquetShardStore.meta(spark, out)
+    assert(m.mintMs == base && m.maxtMs == base + 179 * 60000L)
+  }
+
   test("the dictionary cold path serves the shard layout directly: " +
       "label_values from the labels file's dictionary pages") {
     written
