@@ -1519,6 +1519,32 @@ object SparkEntry {
       .orderBy("user_id")
   }
 
+  /** [[tsPromqlShard]] for the NATIVE-HISTOGRAM family: the
+    * reference-layout shard's EncHistogram cells → [[tsdb.shard
+    * .ParquetShardStore.selectHist]] → a string-compiled
+    * `histogram_quantile(0.9, sum by (event_type) (nh))` — the
+    * ts_promql_nh_chunked pipeline with the chunked layout swapped
+    * for the physical shard format (the fixture's per-day samples
+    * are second-aligned, so the shard's ms grain is exact).
+    */
+  private def tsPromqlShardNh(s: SparkSession, dir: String): DataFrame = {
+    shardHistFixture(s, dir)
+    val m = graft.tsdb.shard.ParquetShardStore.meta(s, shardHistPath(dir))
+    val nh = graft.tsdb.shard.ParquetShardStore.selectHist(
+      s, shardHistPath(dir), m.mintMs, m.maxtMs + 1)
+    val ctx = graft.tsdb.promql.PromQLContext(
+      metrics = Map.empty,
+      labelCols = Seq("event_type", "user_id"),
+      evalMs = 1706745600000L, // 2024-02-01T00:00:00Z
+      lookbackMs = 40L * 86400000L,
+      histMetrics = Map("nh" -> graft.tsdb.promql.HistTable(nh,
+        zeroCountCol = "zero_count", sumCol = Some("hist_sum"))))
+    graft.tsdb.promql.PromQL.compile(
+        "histogram_quantile(0.9, sum by (event_type) (nh))", ctx)
+      .select(col("event_type"), col("value").as("phi90"))
+      .orderBy("event_type")
+  }
+
   /** Chunked-block compaction ([[tsdb.ChunkStore.mergeBlocks]]):
     * two overlapping CHUNKED blocks (B is the newer revision —
     * values × 1.5 on [Jan 10, ∞)) decode → k-way LWW merge →
@@ -3983,6 +4009,7 @@ object SparkEntry {
     "ts_shard_interop" -> (tsShardInterop _),
     "ts_shard_hist_interop" -> (tsShardHistInterop _),
     "ts_promql_shard" -> (tsPromqlShard _),
+    "ts_promql_shard_nh" -> (tsPromqlShardNh _),
     "ts_chunk_merge" -> (tsChunkMerge _),
     "ts_native_hist_quantile" -> (tsNativeHistQuantile _),
     "ts_native_hist_sum" -> (tsNativeHistSum _),
@@ -5983,6 +6010,48 @@ object SparkEntry {
     // bucket-wise sum by event_type, then the quantile walk —
     // integer-exact counts until the final interpolation
     "ts_promql_nh_chunked" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |latest AS (
+        |  SELECT event_type, user_id, max(d) AS d FROM days GROUP BY 1, 2),
+        |base AS (
+        |  SELECT event_type, user_id, d,
+        |    user_id * 31 + length(event_type) AS sseed
+        |  FROM latest),
+        |gz AS (
+        |  SELECT event_type, sum(d*d*(sseed % 3)) AS zc
+        |  FROM base GROUP BY 1),
+        |gb AS (
+        |  SELECT event_type, CAST(i AS INT) AS i,
+        |    sum(d*d*((sseed + i + 3) % 5)) AS cnt
+        |  FROM base, unnest(range(-2, 6)) AS t(i)
+        |  WHERE i <= (CASE WHEN d >= 19740 THEN 5 ELSE 4 END)
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT gb.event_type, gz.zc, gb.i, gb.cnt,
+        |    sum(gb.cnt) OVER (PARTITION BY gb.event_type ORDER BY gb.i)
+        |      + gz.zc AS cum,
+        |    0.9 * (sum(gb.cnt) OVER (PARTITION BY gb.event_type) + gz.zc)
+        |      AS rank,
+        |    sum(gb.cnt) OVER (PARTITION BY gb.event_type) + gz.zc AS total
+        |  FROM gb JOIN gz USING (event_type)),
+        |pick AS (
+        |  SELECT event_type, i, cnt, cum, rank FROM r
+        |  WHERE cnt > 0 AND cum >= rank
+        |  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY i) = 1),
+        |base2 AS (SELECT DISTINCT event_type, zc, total, rank FROM r)
+        |SELECT b.event_type,
+        |  CASE WHEN b.total = 0 THEN CAST('nan' AS DOUBLE)
+        |       WHEN b.zc >= b.rank THEN 0.0
+        |       ELSE pow(2.0, p.i - 1) +
+        |         (pow(2.0, p.i) - pow(2.0, p.i - 1)) *
+        |         ((b.rank - (p.cum - p.cnt)) / p.cnt) END AS phi90
+        |FROM base2 b LEFT JOIN pick p USING (event_type)
+        |ORDER BY b.event_type""".stripMargin,
+    // identical synthesis through the physical shard format's cells
+    "ts_promql_shard_nh" ->
       """WITH days AS (
         |  SELECT DISTINCT event_type, user_id,
         |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d

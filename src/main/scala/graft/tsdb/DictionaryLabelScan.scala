@@ -79,6 +79,41 @@ object DictionaryLabelScan {
     if (limit > 0) base.limit(limit) else base
   }
 
+  /** Label NAMES with at least one value, from footers alone — the
+    * reference's `MaterializeAllLabelNames` shape applied cold: a
+    * column exists in a file's self-describing schema, and its
+    * chunks' statistics say whether any value is non-null, so no
+    * page is ever read. Columns are taken through `nameOf` (identity
+    * for a raw layout; strip the `l_` prefix for wide/shard layouts
+    * via [[graft.tsdb.shard.ParquetShardSchema.extractLabelFromColumn]]).
+    */
+  def labelNames(spark: SparkSession, dir: String,
+      nameOf: String => Option[String] = Some(_)): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val out = scala.collection.mutable.SortedSet.empty[String]
+    listParquetFiles(spark, dir).foreach { p =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p), conf))
+      try {
+        val footer = r.getFooter
+        footer.getFileMetaData.getSchema.getFields.asScala.foreach { f =>
+          nameOf(f.getName).foreach { name =>
+            val hasValue = footer.getBlocks.asScala.exists { b =>
+              b.getColumns.asScala.exists { c =>
+                c.getPath.toDotString == f.getName && (
+                  c.getStatistics == null ||
+                  !c.getStatistics.isNumNullsSet ||
+                  c.getStatistics.getNumNulls < c.getValueCount)
+              }
+            }
+            if (hasValue) out += name
+          }
+        }
+      } finally r.close()
+    }
+    out.toSeq
+  }
+
   /** The IO attestation for the spec: run the same dictionary
     * extraction over every file with a byte-counting stream, and
     * return (bytesRead, totalColumnChunkBytes, fileBytes) — the

@@ -60,6 +60,28 @@ class DictionaryLabelScanSpec extends SparkSpec {
       .as[String].collect().toSeq == expected)
   }
 
+  test("labelNames from footers alone: presence needs a non-null value " +
+      "somewhere; all-null columns stay absent; prefix mapping works") {
+    val rows = Seq(
+      ("a", null.asInstanceOf[String], ts(0), 1.0),
+      ("b", null.asInstanceOf[String], ts(1), 2.0))
+      .toDF("service", "region", "ts", "value")
+    val p = "/tmp/graft_dictscan_names_spec"
+    rows.write.mode("overwrite").parquet(p)
+    val names = DictionaryLabelScan.labelNames(spark, p,
+      n => if (n == "ts" || n == "value") None else Some(n))
+    // region is entirely null → absent, like every raw labelNames path
+    assert(names == Seq("service"))
+    // the shard layout's l_ prefix maps through the schema helper
+    import graft.tsdb.shard.{ParquetShardSchema, ParquetShardStore}
+    val sp = "/tmp/graft_dictscan_names_shard_spec"
+    ParquetShardStore.write(
+      rows.toDF("service", "region", "ts", "value"), sp,
+      Seq("service", "region"), "ts", "value", colDurationMs = 3600000L)
+    assert(DictionaryLabelScan.labelNames(spark, sp,
+      ParquetShardSchema.extractLabelFromColumn) == Seq("service"))
+  }
+
   test("IO attestation: the dictionary path reads footer + dictionary " +
       "pages only — a small fraction of the column and of the file") {
     // wide fixture: long values and many rows so data pages dwarf the
