@@ -2,10 +2,10 @@ package graft.tsdb
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.{DelegatingSeekableInputStream, InputFile, SeekableInputStream}
+import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -20,21 +20,27 @@ import org.apache.spark.sql.functions._
   * bucket pruning); this is the zero-upkeep complement for data
   * nobody indexed.
   *
-  * Distribution: the driver lists files (metadata-sized, the same
-  * bounded listing the block stores do), then ONE task per file batch
-  * opens footers and dictionary pages via parquet-java and emits
-  * dictionary entries — bytes read per file ≈ footer + one
-  * dictionary page per row group, asserted ≪ column size by
-  * [[dictionaryScanBytes]] and its spec.
+  * Two distributed passes, both metadata-sized: a FOOTER-ONLY
+  * planning pass classifies every file (dictionary-complete vs
+  * needs-data-scan) from its EncodingStats — the bounded file lists
+  * come back to the driver, the same bounded-listing convention as
+  * the block stores — then the answer frame lazily reads dictionary
+  * pages of the good files and data-scans the rest. Per good file
+  * the IO is footer + one dictionary page per row group, asserted
+  * ≪ column size by [[dictionaryScanBytes]] and its spec.
   *
   * EXACTNESS: a dictionary is only the complete value set while
   * every data page of the chunk is dictionary-encoded; parquet
   * writers FALL BACK to plain encoding when a dictionary overflows.
-  * Files where any chunk of the column carries non-dictionary data
-  * pages (or pages predating encoding stats) are detected from the
-  * footer's EncodingStats and routed to a normal Spark distinct-scan
-  * — results never change, only bytes do (the same silent-fallback
-  * convention as every other routing layer here).
+  * Fallback files (or pages predating encoding stats) are detected
+  * from the footer and routed to a normal Spark distinct-scan —
+  * results never change, only bytes do (the same silent-fallback
+  * convention as every other routing layer here). Columns whose
+  * LOGICAL type is not string/plain-numeric (DATE, TIMESTAMP,
+  * DECIMAL, unsigned ints…) also fall back: the raw path's
+  * cast-to-string formats them, while a dictionary decode would
+  * surface physical representations (days-since-epoch, unscaled
+  * ints) — silently different strings.
   */
 object DictionaryLabelScan {
 
@@ -45,31 +51,21 @@ object DictionaryLabelScan {
   def labelValues(spark: SparkSession, dir: String, column: String,
       limit: Int = 0): DataFrame = {
     import spark.implicits._
-    val files = listParquetFiles(spark, dir)
+    val (goodFiles, fallbackFiles) = planScan(spark, dir, column)
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    val tasks = math.max(1, math.min(files.size,
-      spark.sparkContext.defaultParallelism))
-    // (isFallbackFile, payload): dictionary entries ride as values;
-    // files needing a data scan ride as their path
-    val scanned = spark.sparkContext
-      .parallelize(files, tasks)
-      .mapPartitions { paths =>
-        paths.flatMap { p =>
-          fileDictionaryValues(
-            HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p),
-              conf.value), column) match {
-            case Some(values) => values.iterator.map((false, _))
-            case None => Iterator.single((true, p))
-          }
-        }
-      }.toDF("_fallback", "_s")
-    val dictValues = scanned.filter(!col("_fallback"))
-      .select(col("_s").as("label_value"))
-    // plain-encoded files (dictionary overflow): a bounded file list,
-    // scanned the normal way — correctness never depends on routing
-    val fallbackFiles = scanned.filter(col("_fallback"))
-      .select("_s").as[String].collect()
+    val dictValues =
+      if (goodFiles.isEmpty) spark.emptyDataset[String].toDF("label_value")
+      else spark.sparkContext
+        .parallelize(goodFiles, tasksFor(spark, goodFiles.size))
+        .mapPartitions(_.flatMap(p => fileDictionaryValues(
+          HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p),
+            conf.value), column).getOrElse(
+          // the planning pass vouched for this file; a concurrent
+          // rewrite between passes must fail loudly, not lose values
+          throw new IllegalStateException(
+            s"$p lost dictionary completeness between planning and read"))))
+        .toDF("label_value")
     val all = if (fallbackFiles.isEmpty) dictValues
       else dictValues.unionByName(
         spark.read.parquet(fallbackFiles.toIndexedSeq: _*)
@@ -83,35 +79,35 @@ object DictionaryLabelScan {
     * reference's `MaterializeAllLabelNames` shape applied cold: a
     * column exists in a file's self-describing schema, and its
     * chunks' statistics say whether any value is non-null, so no
-    * page is ever read. Columns are taken through `nameOf` (identity
-    * for a raw layout; strip the `l_` prefix for wide/shard layouts
-    * via [[graft.tsdb.shard.ParquetShardSchema.extractLabelFromColumn]]).
+    * page is ever read. Columns map through `nameOf` (identity for a
+    * raw layout; strip the `l_` prefix for wide/shard layouts via
+    * [[graft.tsdb.shard.ParquetShardSchema.extractLabelFromColumn]]).
+    * One distributed footer pass; the name set is metadata-sized.
     */
   def labelNames(spark: SparkSession, dir: String,
       nameOf: String => Option[String] = Some(_)): Seq[String] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val out = scala.collection.mutable.SortedSet.empty[String]
-    listParquetFiles(spark, dir).foreach { p =>
-      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(p), conf))
-      try {
-        val footer = r.getFooter
-        footer.getFileMetaData.getSchema.getFields.asScala.foreach { f =>
-          nameOf(f.getName).foreach { name =>
-            val hasValue = footer.getBlocks.asScala.exists { b =>
-              b.getColumns.asScala.exists { c =>
-                c.getPath.toDotString == f.getName && (
-                  c.getStatistics == null ||
-                  !c.getStatistics.isNumNullsSet ||
-                  c.getStatistics.getNumNulls < c.getValueCount)
+    val files = listParquetFiles(spark, dir)
+    if (files.isEmpty) return Nil
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    spark.sparkContext.parallelize(files, tasksFor(spark, files.size))
+      .mapPartitions { paths =>
+        paths.flatMap { p =>
+          val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p), conf.value))
+          try {
+            val footer = r.getFooter
+            footer.getFileMetaData.getSchema.getFields.asScala.toList
+              .map(_.getName).filter { c =>
+                footer.getBlocks.asScala.exists(_.getColumns.asScala.exists(
+                  cc => cc.getPath.toDotString == c && (
+                    cc.getStatistics == null ||
+                    !cc.getStatistics.isNumNullsSet ||
+                    cc.getStatistics.getNumNulls < cc.getValueCount)))
               }
-            }
-            if (hasValue) out += name
-          }
+          } finally r.close()
         }
-      } finally r.close()
-    }
-    out.toSeq
+      }.distinct().collect().toSeq.flatMap(nameOf(_)).distinct.sorted
   }
 
   /** The IO attestation for the spec: run the same dictionary
@@ -144,6 +140,83 @@ object DictionaryLabelScan {
     (read, columnBytes, fileBytes)
   }
 
+  /** The footer-only planning pass: (dictionary-complete files,
+    * data-scan files). Distributed; only the bounded path lists come
+    * back to the driver.
+    */
+  private def planScan(spark: SparkSession, dir: String,
+      column: String): (Seq[String], Seq[String]) = {
+    val files = listParquetFiles(spark, dir)
+    if (files.isEmpty) return (Nil, Nil)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val classified = spark.sparkContext
+      .parallelize(files, tasksFor(spark, files.size))
+      .map { p =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p), conf.value))
+        try (p, dictionaryComplete(r, column)) finally r.close()
+      }.collect()
+    // files without the column contribute nothing: drop them entirely
+    (classified.collect { case (p, Some(true)) => p }.toSeq,
+      classified.collect { case (p, Some(false)) => p }.toSeq)
+  }
+
+  private def tasksFor(spark: SparkSession, n: Int): Int =
+    math.max(1, math.min(n, spark.sparkContext.defaultParallelism))
+
+  /** Some(true) = the dictionary IS the complete value set;
+    * Some(false) = needs a data scan; None = no such column / no
+    * values here.
+    */
+  private def dictionaryComplete(reader: ParquetFileReader,
+      column: String): Option[Boolean] = {
+    val footer = reader.getFooter
+    val schema = footer.getFileMetaData.getSchema
+    if (!schema.getFields.asScala.exists(_.getName == column)) return None
+    val desc = schema.getColumnDescription(Array(column))
+    if (!decodableLogicalType(desc.getPrimitiveType)) return Some(false)
+    var any = false
+    footer.getBlocks.asScala.foreach { block =>
+      val ccmd = block.getColumns.asScala
+        .find(_.getPath.toDotString == column)
+        .getOrElse(return Some(false))
+      val allNull = ccmd.getStatistics != null &&
+        ccmd.getStatistics.isNumNullsSet &&
+        ccmd.getStatistics.getNumNulls == ccmd.getValueCount
+      if (!allNull) {
+        any = true
+        val st = ccmd.getEncodingStats
+        if (st == null || st.hasNonDictionaryEncodedPages)
+          return Some(false) // plain fallback: dictionary incomplete
+      }
+    }
+    if (any) Some(true) else None
+  }
+
+  /** Only types whose dictionary decode prints the SAME string the
+    * raw path's cast-to-string would: plain strings and plain signed
+    * numerics. DATE/TIMESTAMP/DECIMAL/enum/unsigned carry logical
+    * types the cast FORMATS — those files data-scan instead.
+    */
+  private def decodableLogicalType(
+      t: org.apache.parquet.schema.PrimitiveType): Boolean = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val ann = t.getLogicalTypeAnnotation
+    t.getPrimitiveTypeName match {
+      case BINARY =>
+        ann == null ||
+          ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+      case INT32 | INT64 =>
+        ann == null || (ann match {
+          case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+          case _ => false
+        })
+      case DOUBLE | FLOAT => ann == null
+      case _ => false // BOOLEAN/INT96/FLBA: no faithful dictionary path
+    }
+  }
+
   private def listParquetFiles(spark: SparkSession,
       dir: String): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -162,10 +235,9 @@ object DictionaryLabelScan {
   }
 
   /** Dictionary entries of `column` in one file, decoded to strings —
-    * None when any chunk's data pages are not guaranteed
-    * dictionary-encoded (plain fallback / missing encoding stats), in
-    * which case the caller must data-scan this file. A file without
-    * the column (or with only-null chunks) contributes no values.
+    * None when the planning predicate ([[dictionaryComplete]]) does
+    * not hold for this file. A file without the column (or with
+    * only-null chunks) contributes no values.
     */
   private[tsdb] def fileDictionaryValues(input: InputFile,
       column: String): Option[Seq[String]] = {
@@ -176,6 +248,7 @@ object DictionaryLabelScan {
       if (!schema.getFields.asScala.exists(_.getName == column))
         return Some(Nil)
       val desc = schema.getColumnDescription(Array(column))
+      if (!decodableLogicalType(desc.getPrimitiveType)) return None
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       footer.getBlocks.asScala.foreach { block =>
         val ccmd = block.getColumns.asScala
@@ -199,13 +272,12 @@ object DictionaryLabelScan {
           var i = 0
           while (i <= dict.getMaxId) {
             out += (desc.getPrimitiveType.getPrimitiveTypeName match {
-              case BINARY | FIXED_LEN_BYTE_ARRAY =>
-                dict.decodeToBinary(i).toStringUsingUTF8
+              case BINARY => dict.decodeToBinary(i).toStringUsingUTF8
               case INT64 => dict.decodeToLong(i).toString
               case INT32 => dict.decodeToInt(i).toString
               case DOUBLE => dict.decodeToDouble(i).toString
               case FLOAT => dict.decodeToFloat(i).toString
-              case t => return None // BOOLEAN/INT96: no dictionary path
+              case _ => return None
             })
             i += 1
           }

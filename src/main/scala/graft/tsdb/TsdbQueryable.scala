@@ -446,12 +446,16 @@ final class TsdbQueryable(
     */
   def labelValues(name: String, matchers: Seq[Matcher] = Nil,
       limit: Int = 0): DataFrame = {
-    indexFor(matchers).foreach { idx =>
-      return LabelIndexStore.labelValues(idx, name, limit)
-    }
-    sameLabelIndexFor(name, matchers).foreach { case (idx, pred) =>
-      return LabelIndexStore.labelValues(
-        pred.map(idx.filter).getOrElse(idx), name, limit)
+    // the index only holds labelCols — enumerating any OTHER df
+    // column must take the raw path or it would answer empty
+    if (labelCols.contains(name)) {
+      indexFor(matchers).foreach { idx =>
+        return LabelIndexStore.labelValues(idx, name, limit)
+      }
+      sameLabelIndexFor(name, matchers).foreach { case (idx, pred) =>
+        return LabelIndexStore.labelValues(
+          pred.map(idx.filter).getOrElse(idx), name, limit)
+      }
     }
     val base = withMatchers(matchers)
       .select(col(name).cast("string").as("label_value"))

@@ -64,7 +64,11 @@ object ParquetShardSchema {
   def numDataCols(mintMs: Long, maxtMs: Long, durationMs: Long): Int = {
     require(durationMs > 0, s"colDuration must be positive, got $durationMs")
     require(maxtMs >= mintMs, s"empty time range [$mintMs, $maxtMs]")
-    ((maxtMs - mintMs) / durationMs + 1).toInt
+    val n = (maxtMs - mintMs) / durationMs + 1
+    require(n <= Int.MaxValue,
+      s"$n data columns of $durationMs ms do not fit an Int — widen " +
+        "colDuration or convert per block")
+    n.toInt
   }
 
   /** Data-column index of timestamp `t` (schema_builder.go:154-160:

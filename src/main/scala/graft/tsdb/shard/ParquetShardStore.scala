@@ -184,7 +184,21 @@ object ParquetShardStore {
       .sortWithinPartitions(labelCols.map(col): _*)
       .select((labelCols.map(col) :+ col("_samples")): _*)
 
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    // Hadoop FS, not java.nio: the dir may be hdfs://-style at scale.
+    // Clean the PREVIOUS generation's shard files first — a rewrite
+    // with fewer shards would otherwise leave stale k.labels/chunks
+    // files that the glob reads silently union with the new data.
+    locally {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(root))
+        fs.listStatus(root).foreach { st =>
+          val n = st.getPath.getName
+          if (n.matches("\\.?\\d+\\.(labels|chunks)\\.parquet(\\.crc)?"))
+            fs.delete(st.getPath, false)
+        }
+      else fs.mkdirs(root)
+    }
     val nLabels = labelCols.length
     val labelOrder = labelCols.toIndexedSeq // field positions in `grouped`
     val serializableConf = new org.apache.spark.util.SerializableConfiguration(
@@ -200,6 +214,13 @@ object ParquetShardStore {
         meta, conf, rowGroupSize)
       val labelsFileCols = labelsFileColumns(labelNamesSorted)
       val chunksFileCols = chunksFileColumns(nCols)
+      // per-partition constants, hoisted out of the per-series loop
+      val chunkColBlobIdx = chunksFileCols
+        .map(_.substring(DataColumnPrefix.length).toInt).toArray
+      val labelOfFileCol: Array[String] = labelsFileCols.map { c =>
+        if (c == ColIndexesColumn || c == SeriesHashColumn) null
+        else extractLabelFromColumn(c).get
+      }.toArray
       try {
         rows.foreach { row =>
           // labels present on this series (nulls are absent labels)
@@ -229,17 +250,17 @@ object ParquetShardStore {
           val colIdxBytes = encodeIntSlice(
             pairs.map(p => colIdxByLabel(p._1)))
           val hashBytes = seriesHashBytes(pairs)
-          labelsWriter.write(labelsFileCols.map { c =>
-            if (c == ColIndexesColumn) colIdxBytes
-            else if (c == SeriesHashColumn) hashBytes
-            else byName.get(extractLabelFromColumn(c).get)
-              .map(_.getBytes("UTF-8")).orNull
+          labelsWriter.write(labelsFileCols.indices.map { i =>
+            labelOfFileCol(i) match {
+              case null => if (labelsFileCols(i) == ColIndexesColumn)
+                colIdxBytes else hashBytes
+              case l => byName.get(l).map(_.getBytes("UTF-8")).orNull
+            }
           }.toArray)
           // chunks row: required columns, empty bytes where no data
-          chunksWriter.write(chunksFileCols.map { c =>
-            val ci = c.substring(DataColumnPrefix.length).toInt
+          chunksWriter.write(chunkColBlobIdx.map { ci =>
             if (blobs(ci) == null) Array.emptyByteArray else blobs(ci)
-          }.toArray)
+          })
         }
       } finally {
         labelsWriter.close()
@@ -476,10 +497,16 @@ object ParquetShardStore {
     val matched = Matcher.compile(matchers)
       .map(labels.filter).getOrElse(labels)
 
-    // data columns overlapping the query range (ReadSchema pruning)
-    val lo = math.max(dataColumnIdx(mintMs, m.mintMs, m.colDurationMs), 0)
-    val hi = math.min(dataColumnIdx(maxtMs - 1, m.mintMs, m.colDurationMs),
-      m.numCols - 1)
+    // data columns overlapping the query range (ReadSchema pruning).
+    // Clamp in LONG before narrowing: an open-ended bound like
+    // Long.MaxValue would wrap dataColumnIdx's Int and silently
+    // empty the select.
+    def colIdxClamped(t: Long): Int =
+      if (t < m.mintMs) 0
+      else math.min((t - m.mintMs) / m.colDurationMs,
+        (m.numCols - 1).toLong).toInt
+    val lo = colIdxClamped(mintMs)
+    val hi = colIdxClamped(maxtMs - 1)
     val overlaps = mintMs <= m.maxtMs && maxtMs > m.mintMs && lo <= hi
     val dataCols = if (overlaps) (lo to hi).map(dataColumn) else Seq(dataColumn(0))
 

@@ -82,6 +82,28 @@ class DictionaryLabelScanSpec extends SparkSpec {
       ParquetShardSchema.extractLabelFromColumn) == Seq("service"))
   }
 
+  test("logical-typed columns (DATE/TIMESTAMP) fall back to the data " +
+      "scan: answers match the raw cast-to-string FORMAT, never the " +
+      "physical representation") {
+    val p = "/tmp/graft_dictscan_logical_spec"
+    val rows = Seq(
+      (java.sql.Date.valueOf("2024-01-05"), ts(0), "a", 1.0),
+      (java.sql.Date.valueOf("2024-02-11"), ts(1), "b", 2.0))
+      .toDF("day", "ts", "service", "value")
+    rows.write.mode("overwrite").parquet(p)
+    // DATE: dictionary would print days-since-epoch (19727); the raw
+    // contract is the formatted string
+    assert(DictionaryLabelScan.labelValues(spark, p, "day")
+      .as[String].collect().toSeq == Seq("2024-01-05", "2024-02-11"))
+    // TIMESTAMP: same — formatted, not epoch micros
+    val tsVals = DictionaryLabelScan.labelValues(spark, p, "ts")
+      .as[String].collect().toSeq
+    val rawTs = spark.read.parquet(p)
+      .select(col("ts").cast("string")).distinct().orderBy("ts")
+      .as[String].collect().toSeq
+    assert(tsVals == rawTs && tsVals.head.startsWith("2024-01-01"))
+  }
+
   test("IO attestation: the dictionary path reads footer + dictionary " +
       "pages only — a small fraction of the column and of the file") {
     // wide fixture: long values and many rows so data pages dwarf the

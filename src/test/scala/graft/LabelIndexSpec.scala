@@ -136,6 +136,17 @@ class LabelIndexSpec extends SparkSpec {
       rows(numRaw.labelValues("user_id", numMs)))
   }
 
+  test("a column OUTSIDE labelCols never routes: the index only holds " +
+      "labelCols, so enumeration of any other df column takes raw") {
+    // `value` is a real df column but not a label — with or without
+    // matchers the indexed queryable must answer like raw, not empty
+    def vals(q: TsdbQueryable, ms: Seq[Matcher]) =
+      rows(q.labelValues("value", ms))
+    assert(vals(indexed, Nil) == vals(raw, Nil) && vals(raw, Nil).nonEmpty)
+    assert(vals(indexed, Seq(Matcher.Eq("value", "1.0"))) ==
+      vals(raw, Seq(Matcher.Eq("value", "1.0"))))
+  }
+
   test("routing is visible in the plan; raw scan absent") {
     def plan(d: DataFrame) = d.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)

@@ -298,6 +298,30 @@ class ParquetShardSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("open-ended ranges do not overflow window pruning; a re-write " +
+      "with fewer shards leaves no stale files behind") {
+    val p = "/tmp/graft_pshard_rewrite_spec"
+    val rows = (0 until 100).map(i =>
+      (s"s${i % 4}", new Timestamp(base + i * 60000L), i.toDouble))
+      .toDF("svc", "ts", "value")
+    ParquetShardStore.write(rows, p, Seq("svc"), "ts", "value",
+      colDurationMs = hour, shards = 3)
+    assert(new java.io.File(s"$p/2.labels.parquet").isFile)
+    // the "everything" query: Long bounds must clamp, not wrap
+    assert(ParquetShardStore.select(spark, p, 0L, Long.MaxValue)
+      .count() == 100)
+    assert(ParquetShardStore.select(spark, p, Long.MinValue + 1, Long.MaxValue)
+      .count() == 100)
+    // re-write the SAME dir with fewer shards and fewer rows: the
+    // previous generation's shard-2 files must be gone, counts exact
+    ParquetShardStore.write(rows.limit(40), p, Seq("svc"), "ts", "value",
+      colDurationMs = hour, shards = 1)
+    assert(!new java.io.File(s"$p/2.labels.parquet").exists)
+    assert(!new java.io.File(s"$p/1.chunks.parquet").exists)
+    assert(ParquetShardStore.select(spark, p, 0L, Long.MaxValue)
+      .count() == 40)
+  }
+
   test("mergeShards: overlapping shard dirs compact to one, " +
       "last-writer-wins on the overlap, readable like any shard") {
     def mk(tag: String, lo: Int, hi: Int, scale: Double) =
