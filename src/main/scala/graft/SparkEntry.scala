@@ -1468,12 +1468,19 @@ object SparkEntry {
   }
 
   /** [[tsShardInterop]] for the NATIVE-HISTOGRAM family: the same
-    * reference-layout shard carrying EncHistogram (enc=2) frames in
-    * its `s_data_<i>` cells — the synthesized per-day histogram
+    * reference-layout shard carrying EncHistogram (enc=2) frames
+    * whose BODIES are real Prometheus chunkenc histogram chunks
+    * ([[tsdb.ChunkencHistCodec]] — the bytes the reference's
+    * `chunkenc.FromData` decodes) — the synthesized per-day histogram
     * counters of ts_hist_chunk_select written through
     * [[tsdb.shard.ParquetShardStore.writeHist]] and matcher+range
-    * selected back; the hash match pins the hist codec through the
-    * reference's physical schema at ms grain.
+    * selected back; the hash match pins the chunkenc byte path
+    * through the reference's physical schema at ms grain.
+    * Zero-count buckets (structural AND the union-layout zeros
+    * chunkenc's recode inserts when bucket 5 appears mid-chunk at
+    * day 19740) drop on both sides — the sparse nonzero content is
+    * the semantic payload, the ts_tsdb_block_nh_roundtrip
+    * convention.
     */
   private def tsShardHistInterop(s: SparkSession, dir: String): DataFrame = {
     shardHistFixture(s, dir)
@@ -1489,6 +1496,7 @@ object SparkEntry {
       .select(col("event_type"), col("user_id"), col("ts_ms"),
         col("zero_count"), col("hsum"),
         col("b.i").as("idx"), col("b.c").as("cnt"))
+      .filter(col("cnt") =!= 0)
       .orderBy("event_type", "user_id", "ts_ms", "idx")
   }
 
@@ -1530,19 +1538,84 @@ object SparkEntry {
   private def tsPromqlShardNh(s: SparkSession, dir: String): DataFrame = {
     shardHistFixture(s, dir)
     val m = graft.tsdb.shard.ParquetShardStore.meta(s, shardHistPath(dir))
-    val nh = graft.tsdb.shard.ParquetShardStore.selectHist(
+    val nhShard = graft.tsdb.shard.ParquetShardStore.selectHist(
       s, shardHistPath(dir), m.mintMs, m.maxtMs + 1)
     val ctx = graft.tsdb.promql.PromQLContext(
       metrics = Map.empty,
       labelCols = Seq("event_type", "user_id"),
       evalMs = 1706745600000L, // 2024-02-01T00:00:00Z
       lookbackMs = 40L * 86400000L,
-      histMetrics = Map("nh" -> graft.tsdb.promql.HistTable(nh,
+      histMetrics = Map("nh" -> graft.tsdb.promql.HistTable(nhShard,
         zeroCountCol = "zero_count", sumCol = Some("hist_sum"))))
     graft.tsdb.promql.PromQL.compile(
         "histogram_quantile(0.9, sum by (event_type) (nh))", ctx)
       .select(col("event_type"), col("value").as("phi90"))
       .orderBy("event_type")
+  }
+
+  /** NHCB (custom-bucket, schema -53) through the reference-layout
+    * shard: the quarter-step-bound fixture written via
+    * [[tsdb.shard.ParquetShardStore.writeHist]] with `customValues`
+    * — the bound list rides INSIDE each chunkenc frame body, where
+    * the reference's `chunkenc.FromData` finds it — then
+    * matcher+range selected back with every bucket's inclusive upper
+    * bound re-resolved from the DECODED custom_values, so the hash
+    * pins schema, bounds and counts through the shard byte path
+    * (the custom-bucket mirror of ts_shard_hist_interop; mid-chunk
+    * appearance of index 5 exercises the union-layout fill, dropped
+    * on both sides).
+    */
+  private def tsShardNhcbInterop(s: SparkSession, dir: String): DataFrame = {
+    shardNhcbFixture(s, dir)
+    graft.tsdb.shard.ParquetShardStore.selectHist(s, shardNhcbPath(dir),
+        java.time.Instant.parse("2024-01-05T00:00:00Z").toEpochMilli,
+        java.time.Instant.parse("2024-01-20T00:00:00Z").toEpochMilli,
+        Seq(Matcher.Eq("event_type", "view")))
+      .select(col("event_type"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        col("schema").as("hschema"), col("hist_sum").as("hsum"),
+        explode(zip_with(col("pos_idx"), col("pos_counts"),
+          (i, c) => struct(i.as("i"), c.as("c")))).as("b"),
+        col("custom_values"))
+      .select(col("event_type"), col("user_id"), col("ts_ms"),
+        col("hschema"), col("hsum"), col("b.i").as("idx"),
+        col("b.c").as("cnt"),
+        element_at(col("custom_values"), col("b.i") + 1).as("bound"))
+      .filter(col("cnt") =!= 0)
+      .orderBy("event_type", "user_id", "ts_ms", "idx")
+  }
+
+  /** SIGNED (negative-bucket) native histograms through the
+    * reference-layout shard: the signed counter fixture of
+    * ts_tsdb_block_neg_roundtrip written via [[tsdb.shard
+    * .ParquetShardStore.writeHist]] with `negIdxCol`/`negCountsCol`
+    * — both bucket sides travel the chunkenc frame bodies the
+    * reference's `chunkenc.FromData` decodes (negative spans/delta
+    * streams interleaved per chunks.md) — then matcher+range
+    * selected back with both sides exploded under a side marker;
+    * union-fill zeros drop on both sides (bucket 3 appears on the
+    * NEGATIVE layout mid-chunk at day 19735).
+    */
+  private def tsShardNegInterop(s: SparkSession, dir: String): DataFrame = {
+    shardNegFixture(s, dir)
+    graft.tsdb.shard.ParquetShardStore.selectHist(s, shardNegPath(dir),
+        java.time.Instant.parse("2024-01-05T00:00:00Z").toEpochMilli,
+        java.time.Instant.parse("2024-01-20T00:00:00Z").toEpochMilli,
+        Seq(Matcher.Eq("event_type", "view")))
+      .select(col("event_type"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("zero_count"),
+        col("hist_sum").as("hsum"),
+        explode(concat(
+          zip_with(col("pos_idx"), col("pos_counts"),
+            (i, c) => struct(lit("p").as("side"), i.as("i"), c.as("c"))),
+          zip_with(col("neg_idx"), col("neg_counts"),
+            (i, c) => struct(lit("n").as("side"), i.as("i"), c.as("c")))))
+          .as("b"))
+      .select(col("event_type"), col("user_id"), col("ts_ms"),
+        col("zero_count"), col("hsum"), col("b.side").as("side"),
+        col("b.i").as("idx"), col("b.c").as("cnt"))
+      .filter(col("cnt") =!= 0)
+      .orderBy("event_type", "user_id", "ts_ms", "side", "idx")
   }
 
   /** Chunked-block compaction ([[tsdb.ChunkStore.mergeBlocks]]):
@@ -2880,6 +2953,46 @@ object SparkEntry {
         samplesPerChunk = 10, shards = 2)
     }
 
+  private def shardNegPath(dir: String): String =
+    "/tmp/graft_pshard_neg_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+
+  private def shardNegFixture(s: SparkSession, dir: String): Unit =
+    fixtureOnce(s"pshardneg:$dir") {
+      graft.tsdb.shard.ParquetShardStore.writeHist(
+        negBlockInput(s, dir)
+          .withColumn("ts", timestamp_millis(col("ts_ms"))),
+        shardNegPath(dir), Seq("event_type", "user_id"), "ts",
+        "zero_count", "pos_idx", "pos_counts", Some("hsum"),
+        samplesPerChunk = 10, shards = 2,
+        negIdxCol = Some("neg_idx"), negCountsCol = Some("neg_counts"))
+    }
+
+  private def shardNhcbPath(dir: String): String =
+    "/tmp/graft_pshard_nhcb_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+
+  private def shardNhcbFixture(s: SparkSession, dir: String): Unit =
+    fixtureOnce(s"pshardnhcb:$dir") {
+      graft.tsdb.shard.ParquetShardStore.writeHist(
+        t(s, dir, "events")
+          .select(col("event_type"), col("user_id"),
+            floor(unix_timestamp(col("ts")) / 86400).cast("long").as("d"))
+          .distinct()
+          .withColumn("sseed", col("user_id") * 31 + length(col("event_type")))
+          .withColumn("zero_count", lit(0L))
+          .withColumn("pos_idx",
+            sequence(lit(0), when(col("d") >= 19740, lit(5)).otherwise(lit(4))))
+          .withColumn("pos_counts",
+            transform(col("pos_idx"),
+              i => col("d") * col("d") * ((col("sseed") + i + 3) % 5)))
+          .withColumn("hsum",
+            (col("d") * ((col("sseed") % 7) + 1)).cast("double") * 0.25)
+          .withColumn("ts", timestamp_seconds(col("d") * 86400)),
+        shardNhcbPath(dir), Seq("event_type", "user_id"), "ts",
+        "zero_count", "pos_idx", "pos_counts", Some("hsum"),
+        histSchema = graft.tsdb.block.ChunkencHistogram.CustomBucketsSchema,
+        customValues = NhcbBounds, samplesPerChunk = 10, shards = 2)
+    }
+
   private def tsdbBlockPath(dir: String): String =
     "/tmp/graft_tsdbblock_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
 
@@ -4008,6 +4121,8 @@ object SparkEntry {
     "ts_chunk_select" -> (tsChunkSelect _),
     "ts_shard_interop" -> (tsShardInterop _),
     "ts_shard_hist_interop" -> (tsShardHistInterop _),
+    "ts_shard_nhcb_interop" -> (tsShardNhcbInterop _),
+    "ts_shard_neg_interop" -> (tsShardNegInterop _),
     "ts_promql_shard" -> (tsPromqlShard _),
     "ts_promql_shard_nh" -> (tsPromqlShardNh _),
     "ts_chunk_merge" -> (tsChunkMerge _),
@@ -5760,7 +5875,10 @@ object SparkEntry {
         |  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
         |ORDER BY ts_ms, user_id, value""".stripMargin,
     // the ts_hist_chunk_select synthesis at the shard format's ms
-    // grain, labels as strings (the Prometheus label model)
+    // grain, labels as strings (the Prometheus label model);
+    // zero-count buckets drop on both sides — the chunkenc union
+    // layout inserts absolute-0 fills when bucket 5 appears
+    // mid-chunk, the ts_tsdb_block_nh_roundtrip convention
     "ts_shard_hist_interop" ->
       """WITH days AS (
         |  SELECT DISTINCT event_type, user_id,
@@ -5781,7 +5899,67 @@ object SparkEntry {
         |  d*d*((sseed + i + 3) % 5) AS cnt
         |FROM base, unnest(range(-2, 6)) AS t(i)
         |WHERE i <= (CASE WHEN d >= 19740 THEN 5 ELSE 4 END)
+        |  AND d*d*((sseed + i + 3) % 5) <> 0
         |ORDER BY event_type, user_id, ts_ms, idx""".stripMargin,
+    // the NHCB fixture through the shard byte path: bounds re-derive
+    // as (i+1)·0.25, schema pinned to -53, zero-count buckets dropped
+    // on both sides (chunkenc union-layout convention)
+    "ts_shard_nhcb_interop" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |base AS (
+        |  SELECT event_type, user_id, d,
+        |    user_id * 31 + length(event_type) AS sseed,
+        |    CAST(d * 86400000 AS BIGINT) AS ts_ms
+        |  FROM days
+        |  WHERE event_type = 'view'
+        |    AND d >= CAST(floor(epoch(TIMESTAMP '2024-01-05 00:00:00') / 86400) AS BIGINT)
+        |    AND d < CAST(floor(epoch(TIMESTAMP '2024-01-20 00:00:00') / 86400) AS BIGINT))
+        |SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, ts_ms,
+        |  -53 AS hschema,
+        |  CAST(d * ((sseed % 7) + 1) AS DOUBLE) * 0.25 AS hsum,
+        |  CAST(i AS INT) AS idx,
+        |  d*d*((sseed + i + 3) % 5) AS cnt,
+        |  CAST(i + 1 AS DOUBLE) * 0.25 AS bound
+        |FROM base, unnest(range(0, 6)) AS t(i)
+        |WHERE i <= (CASE WHEN d >= 19740 THEN 5 ELSE 4 END)
+        |  AND d*d*((sseed + i + 3) % 5) <> 0
+        |ORDER BY event_type, user_id, ts_ms, idx""".stripMargin,
+    // the signed fixture through the shard byte path, both sides
+    // under a side marker — the ts_tsdb_block_neg_roundtrip replay
+    // restricted to the gate's matcher + range
+    "ts_shard_neg_interop" ->
+      """WITH days AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d
+        |  FROM events),
+        |base AS (
+        |  SELECT event_type, user_id, d,
+        |    user_id * 31 + length(event_type) AS sseed,
+        |    CAST(d * 86400000 AS BIGINT) AS ts_ms
+        |  FROM days
+        |  WHERE event_type = 'view'
+        |    AND d >= CAST(floor(epoch(TIMESTAMP '2024-01-05 00:00:00') / 86400) AS BIGINT)
+        |    AND d < CAST(floor(epoch(TIMESTAMP '2024-01-20 00:00:00') / 86400) AS BIGINT)),
+        |pos AS (
+        |  SELECT event_type, user_id, ts_ms, d, sseed, 'p' AS side, i,
+        |    d*d*((sseed + i + 3) % 5) AS cnt
+        |  FROM base, unnest(range(-2, 6)) AS t(i)
+        |  WHERE i <= (CASE WHEN d >= 19740 THEN 5 ELSE 4 END)),
+        |neg AS (
+        |  SELECT event_type, user_id, ts_ms, d, sseed, 'n' AS side, i,
+        |    d*d*((sseed + i + 7) % 4) AS cnt
+        |  FROM base, unnest(range(-1, 4)) AS t(i)
+        |  WHERE i <= (CASE WHEN d >= 19735 THEN 3 ELSE 2 END))
+        |SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, ts_ms,
+        |  d*d*(sseed % 3) AS zero_count,
+        |  CAST(d * ((sseed % 7) + 1) AS DOUBLE) * 0.25 AS hsum,
+        |  side, CAST(i AS INT) AS idx, cnt
+        |FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+        |WHERE cnt != 0
+        |ORDER BY event_type, user_id, ts_ms, side, idx""".stripMargin,
     // identical to ts_promql_tsdb_blocks' oracle: sum_over_time is
     // order-independent and the shard's ms grain cannot move a
     // sample across these whole-day range bounds

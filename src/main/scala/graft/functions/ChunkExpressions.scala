@@ -163,6 +163,32 @@ object HistChunkExpressions {
     StructField("cnt", ArrayType(DoubleType, containsNull = false),
       nullable = false),
     StructField("sum", DoubleType, nullable = true)))
+
+  /** Chunkenc-bodied decode structs ([[graft.tsdb.ChunkencHistCodec]])
+    * extend the sample model with the chunk's exponential/NHCB schema
+    * ordinal, the NHCB bound list (empty for exponential schemas) —
+    * the block reader's `schema`/`custom_values` columns at the shard
+    * seam — and the SIGNED side's negative buckets (empty for
+    * positive-only series). */
+  val chunkencSampleType: StructType = StructType(
+    sampleType.fields.toSeq ++ Seq(
+      StructField("schema", IntegerType, nullable = false),
+      StructField("cv", ArrayType(DoubleType, containsNull = false),
+        nullable = false),
+      StructField("nidx", ArrayType(IntegerType, containsNull = false),
+        nullable = false),
+      StructField("ncnt", ArrayType(LongType, containsNull = false),
+        nullable = false)))
+
+  val chunkencFloatSampleType: StructType = StructType(
+    floatSampleType.fields.toSeq ++ Seq(
+      StructField("schema", IntegerType, nullable = false),
+      StructField("cv", ArrayType(DoubleType, containsNull = false),
+        nullable = false),
+      StructField("nidx", ArrayType(IntegerType, containsNull = false),
+        nullable = false),
+      StructField("ncnt", ArrayType(DoubleType, containsNull = false),
+        nullable = false)))
 }
 
 /** `hist_chunk_encode(samples, schema, samplesPerChunk)`: sorted
@@ -190,6 +216,70 @@ case class HistChunkEncode(child: Expression, histSchema: Int,
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** `chunkenc_hist_decode(blob, qmint, qmaxt)`: shard-cell blob whose
+  * frame bodies are REAL chunkenc EncHistogram chunks
+  * ([[graft.tsdb.ChunkencHistCodec]]) → native-histogram samples of
+  * the overlapping chunks, on each chunk's union bucket layout.
+  * Foreign-family frames (XOR / float-hist in a mixed cell) skip by
+  * header; skipped bodies never parsed.
+  */
+case class ChunkencHistDecode(blob: Expression, qmint: Expression,
+    qmaxt: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def first: Expression = blob
+  override def second: Expression = qmint
+  override def third: Expression = qmaxt
+
+  override def inputTypes = Seq(BinaryType, LongType, LongType)
+
+  override def dataType: DataType =
+    ArrayType(HistChunkExpressions.chunkencSampleType, containsNull = false)
+
+  override def nullSafeEval(b: Any, mi: Any, ma: Any): Any =
+    graft.tsdb.ChunkencHistCodec.decodeToArrayData(
+      b.asInstanceOf[Array[Byte]], mi.asInstanceOf[Long],
+      ma.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, mi, ma) =>
+      s"${ev.value} = graft.tsdb.ChunkencHistCodec.decodeToArrayData($b, $mi, $ma);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(blob = newFirst, qmint = newSecond, qmaxt = newThird)
+}
+
+/** [[ChunkencHistDecode]] for enc=3 FLOAT-histogram frame bodies. */
+case class ChunkencFloatHistDecode(blob: Expression, qmint: Expression,
+    qmaxt: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def first: Expression = blob
+  override def second: Expression = qmint
+  override def third: Expression = qmaxt
+
+  override def inputTypes = Seq(BinaryType, LongType, LongType)
+
+  override def dataType: DataType =
+    ArrayType(HistChunkExpressions.chunkencFloatSampleType, containsNull = false)
+
+  override def nullSafeEval(b: Any, mi: Any, ma: Any): Any =
+    graft.tsdb.ChunkencHistCodec.decodeFloatToArrayData(
+      b.asInstanceOf[Array[Byte]], mi.asInstanceOf[Long],
+      ma.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, mi, ma) =>
+      s"${ev.value} = graft.tsdb.ChunkencHistCodec.decodeFloatToArrayData($b, $mi, $ma);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(blob = newFirst, qmint = newSecond, qmaxt = newThird)
 }
 
 /** `hist_chunk_decode(blob, qmint, qmaxt)`: framed EncHistogram blob

@@ -291,6 +291,20 @@ object PlanAudit {
         "out-of-range s_data columns not read" -> "s_data_0:",
         "no nested-loop join" -> "BroadcastNestedLoopJoin"))
 
+    // The HISTOGRAM-family shard select (chunkenc enc=2 bodies,
+    // signed fixture) rides the same pruned front half — the decode
+    // expression must not break the broadcast/pushdown/column-pruning
+    // contract.
+    audit("ts_shard_neg_interop",
+      SparkEntry.queries("ts_shard_neg_interop")(spark, dir),
+      Map(
+        "labels side broadcasts" -> "BroadcastHashJoin",
+        "matcher pushed to labels scan" -> "EqualTo(l_event_type,view)"),
+      forbid = Map(
+        "no shuffle of the chunks side" -> "Exchange hashpartitioning",
+        "out-of-range s_data columns not read" -> "s_data_0:",
+        "no nested-loop join" -> "BroadcastNestedLoopJoin"))
+
     // Chunked NATIVE-HISTOGRAM select (HistChunkStore): same plan
     // contract as ts_chunk_select — labels side broadcasts, matcher
     // pushes into the labels scan, bucket partitions prune, mint/maxt

@@ -351,13 +351,19 @@ object ChunkCodec {
     val pos = Array(0)
     while (pos(0) < blob.length) {
       val enc = readUvarint(blob, pos)
-      require(enc == EncXor, s"unknown chunk encoding $enc")
+      // a reference-written cell may MIX encodings (one appender per
+      // chunkenc family per column, schema/encoder.go:75): the float
+      // reader skips histogram frames by header — theirs, not ours —
+      // and only an ordinal outside the chunkenc triple is corruption
+      require(enc == EncXor || enc == HistChunkCodec.EncHistogram ||
+        enc == HistChunkCodec.EncFloatHistogram,
+        s"unknown chunk encoding $enc")
       val mint = readUvarint(blob, pos)
       val maxt = readUvarint(blob, pos)
       val size = readUvarint(blob, pos).toInt
       val bodyStart = pos(0)
       pos(0) = bodyStart + size
-      if (mint <= qmaxt && maxt >= qmint) {
+      if (enc == EncXor && mint <= qmaxt && maxt >= qmint) {
         val (ct, cv) = decodeChunk(blob, bodyStart, size)
         if (n + ct.length > outT.length) {
           val cap = math.max(outT.length * 2, n + ct.length)

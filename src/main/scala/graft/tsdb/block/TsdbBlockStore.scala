@@ -246,7 +246,7 @@ object TsdbBlockStore {
   /** Re-lay one sample's sparse (idx, count) pair onto the chunk's
     * union layout — absent positions fill with absolute 0, chunkenc's
     * recode behavior. */
-  private def fillUnion(idx: Array[Int], cnt: Array[Long],
+  private[tsdb] def fillUnion(idx: Array[Int], cnt: Array[Long],
       union: Array[Int]): Array[Long] = {
     val abs = new Array[Long](union.length)
     var j = 0
@@ -258,7 +258,7 @@ object TsdbBlockStore {
     abs
   }
 
-  private def fillUnionD(idx: Array[Int], cnt: Array[Double],
+  private[tsdb] def fillUnionD(idx: Array[Int], cnt: Array[Double],
       union: Array[Int]): Array[Double] = {
     val abs = new Array[Double](union.length)
     var j = 0
@@ -393,7 +393,7 @@ object TsdbBlockStore {
     * index (a missing cur bucket reads 0) — the histogram counter-
     * reset test over two ascending sparse layouts, two-pointer, no
     * allocation. A bucket APPEARING in cur is growth, not a reset. */
-  private def sparseDecreased(prevIdx: Array[Int], prevCnt: Array[Long],
+  private[tsdb] def sparseDecreased(prevIdx: Array[Int], prevCnt: Array[Long],
       curIdx: Array[Int], curCnt: Array[Long]): Boolean = {
     var j = 0
     var k = 0
@@ -407,7 +407,7 @@ object TsdbBlockStore {
     false
   }
 
-  private def sparseDecreasedD(prevIdx: Array[Int], prevCnt: Array[Double],
+  private[tsdb] def sparseDecreasedD(prevIdx: Array[Int], prevCnt: Array[Double],
       curIdx: Array[Int], curCnt: Array[Double]): Boolean = {
     var j = 0
     var k = 0
@@ -426,7 +426,7 @@ object TsdbBlockStore {
     * silently drop bucket counts (the cursor never matches), so the
     * bufs fail loudly at add() instead, mirroring
     * `spansFromIndexes`' require. */
-  private def requireAscending(idx: Array[Int]): Unit = {
+  private[tsdb] def requireAscending(idx: Array[Int]): Unit = {
     var j = 1
     while (j < idx.length) {
       require(idx(j) > idx(j - 1),
@@ -437,7 +437,7 @@ object TsdbBlockStore {
 
   /** Sorted union of the first `n` (each already ascending) index
     * arrays — the chunk's shared bucket layout. */
-  private def unionIndexes(idxB: Array[Array[Int]], n: Int): Array[Int] = {
+  private[tsdb] def unionIndexes(idxB: Array[Array[Int]], n: Int): Array[Int] = {
     val set = new java.util.TreeSet[Integer]()
     var i = 0
     while (i < n) {

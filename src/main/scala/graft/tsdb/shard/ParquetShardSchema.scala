@@ -28,11 +28,17 @@ import org.apache.spark.unsafe.Platform
   *     why they are reproducible here without parquet-go.
   *
   * Parquet is self-describing, so everything above is checkable and
-  * writable from the JVM; the one declared divergence is column
-  * ENCODINGS (the reference requests RLE_DICTIONARY /
-  * DELTA_BYTE_ARRAY / DELTA_LENGTH_BYTE_ARRAY; parquet-java picks
-  * dictionary-with-fallback) — a reader-transparent choice, any
-  * conformant reader decodes either.
+  * writable from the JVM; two declared divergences, both
+  * reader-transparent: column ENCODINGS (the reference requests
+  * RLE_DICTIONARY / DELTA_BYTE_ARRAY / DELTA_LENGTH_BYTE_ARRAY;
+  * parquet-java picks dictionary-with-fallback — any conformant
+  * reader decodes either) and the optional per-row-group
+  * SORTING-COLUMNS metadata hint (convert.go buildSortingColumns;
+  * parquet-java 1.16's ParquetWriter API does not expose it — the
+  * rows ARE sorted identically, only the footer hint is absent; the
+  * reference reads it purely as a constraint-ORDERING performance
+  * hint, search/constraint.go:123 sortConstraintsBySortingColumns,
+  * so absence can reorder its matcher evaluation, never results).
   */
 object ParquetShardSchema {
 

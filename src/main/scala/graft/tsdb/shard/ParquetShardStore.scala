@@ -86,7 +86,20 @@ object ParquetShardStore {
     * array<int> ascending; `cntCol` array<long>; optional `sumCol`
     * double) — the reference encoder's EncHistogram family
     * (schema/encoder.go:118): the same shard files, each `s_data_<i>`
-    * cell holding enc=2 frames from [[graft.tsdb.HistChunkCodec]].
+    * cell holding enc=2 frames whose BODIES are real Prometheus
+    * chunkenc histogram chunks ([[graft.tsdb.ChunkencHistCodec]] →
+    * [[graft.tsdb.block.ChunkencHistogram]]) — the byte contract the
+    * reference's `chunkenc.FromData` decode depends on. Counter
+    * resets cut chunks with the appender's header ladder; `gauge`
+    * marks every chunk GaugeType and disables reset cuts. NHCB
+    * custom-bucket histograms (schema -53 — classic histograms in
+    * native representation) pass `customValues` (ascending inclusive
+    * upper bounds) and an all-zero `zeroCol`, exactly like
+    * [[graft.tsdb.block.TsdbBlockStore.writeHist]]. SIGNED series
+    * (observing negative values) pass `negIdxCol`/`negCountsCol`
+    * (ascending mirror-bucket indexes + counts); omitted →
+    * positive-only chunks. A NULL sum persists as NaN (chunkenc
+    * always carries a sum).
     */
   def writeHist(df: DataFrame, dir: String, labelCols: Seq[String],
       tsCol: String, zeroCol: String, idxCol: String, cntCol: String,
@@ -94,39 +107,66 @@ object ParquetShardStore {
       colDurationMs: Long = DefaultColDurationMs,
       samplesPerChunk: Int = 120, shards: Int = 1,
       rowGroupSize: Long = 1L << 20,
-      bloomFilterLabels: Seq[String] = Nil): Unit =
+      bloomFilterLabels: Seq[String] = Nil,
+      customValues: Seq[Double] = Nil, gauge: Boolean = false,
+      negIdxCol: Option[String] = None,
+      negCountsCol: Option[String] = None): Unit = {
+    require(negIdxCol.isDefined == negCountsCol.isDefined,
+      "negIdxCol and negCountsCol must be passed together")
+    require(negIdxCol.isEmpty || customValues.isEmpty,
+      "custom-bucket (NHCB) histograms cannot carry negative buckets")
+    val cv = customValues.toArray
     writeImpl(df, dir, labelCols, tsCol,
       Seq(col(zeroCol).cast("long").as("zero"),
         col(idxCol).cast("array<int>").as("idx"),
         col(cntCol).cast("array<bigint>").as("cnt"),
         sumCol.map(c => col(c).cast("double"))
-          .getOrElse(lit(null).cast("double")).as("sum")),
-      sampleFields = 5, colDurationMs, shards, rowGroupSize,
+          .getOrElse(lit(null).cast("double")).as("sum"),
+        negIdxCol.map(c => col(c).cast("array<int>"))
+          .getOrElse(typedLit(Seq.empty[Int])).as("nidx"),
+        negCountsCol.map(c => col(c).cast("array<bigint>"))
+          .getOrElse(typedLit(Seq.empty[Long])).as("ncnt")),
+      sampleFields = 7, colDurationMs, shards, rowGroupSize,
       bloomFilterLabels,
       (slice: org.apache.spark.sql.catalyst.util.ArrayData) =>
-        graft.tsdb.HistChunkCodec.encodeArrayData(
-          slice, histSchema, samplesPerChunk))
+        graft.tsdb.ChunkencHistCodec.encodeArrayData(
+          slice, histSchema, samplesPerChunk, cv, gauge))
+  }
 
   /** [[writeHist]] for FLOAT histograms (`zeroCol` double; `cntCol`
-    * array<double>) — the EncFloatHistogram (enc=3) family. */
+    * array<double>) — the EncFloatHistogram (enc=3) family, bodies
+    * real chunkenc float-histogram chunks. */
   def writeFloatHist(df: DataFrame, dir: String, labelCols: Seq[String],
       tsCol: String, zeroCol: String, idxCol: String, cntCol: String,
       sumCol: Option[String] = None, histSchema: Int = 0,
       colDurationMs: Long = DefaultColDurationMs,
       samplesPerChunk: Int = 120, shards: Int = 1,
       rowGroupSize: Long = 1L << 20,
-      bloomFilterLabels: Seq[String] = Nil): Unit =
+      bloomFilterLabels: Seq[String] = Nil,
+      customValues: Seq[Double] = Nil, gauge: Boolean = false,
+      negIdxCol: Option[String] = None,
+      negCountsCol: Option[String] = None): Unit = {
+    require(negIdxCol.isDefined == negCountsCol.isDefined,
+      "negIdxCol and negCountsCol must be passed together")
+    require(negIdxCol.isEmpty || customValues.isEmpty,
+      "custom-bucket (NHCB) histograms cannot carry negative buckets")
+    val cv = customValues.toArray
     writeImpl(df, dir, labelCols, tsCol,
       Seq(col(zeroCol).cast("double").as("zero"),
         col(idxCol).cast("array<int>").as("idx"),
         col(cntCol).cast("array<double>").as("cnt"),
         sumCol.map(c => col(c).cast("double"))
-          .getOrElse(lit(null).cast("double")).as("sum")),
-      sampleFields = 5, colDurationMs, shards, rowGroupSize,
+          .getOrElse(lit(null).cast("double")).as("sum"),
+        negIdxCol.map(c => col(c).cast("array<int>"))
+          .getOrElse(typedLit(Seq.empty[Int])).as("nidx"),
+        negCountsCol.map(c => col(c).cast("array<double>"))
+          .getOrElse(typedLit(Seq.empty[Double])).as("ncnt")),
+      sampleFields = 7, colDurationMs, shards, rowGroupSize,
       bloomFilterLabels,
       (slice: org.apache.spark.sql.catalyst.util.ArrayData) =>
-        graft.tsdb.HistChunkCodec.encodeFloatArrayData(
-          slice, histSchema, samplesPerChunk))
+        graft.tsdb.ChunkencHistCodec.encodeFloatArrayData(
+          slice, histSchema, samplesPerChunk, cv, gauge))
+  }
 
   /** Shared write scaffolding: one series-grain shuffle, then each
     * shard task splits the sorted sample structs (field 0 is always
@@ -140,11 +180,10 @@ object ParquetShardStore {
     * (convert/reader.go encodes one series' chunks at a time). Feed
     * years of a hot series through ONE call and that invariant
     * breaks — convert per block and [[mergeShards]] as needed, the
-    * reference's own lifecycle. NHCB custom-bucket and signed
-    * histograms are NOT representable in this format's cells (the
-    * reference stores them inside Prometheus chunk bytes;
-    * [[graft.tsdb.HistChunkStore]] carries them as labels-file
-    * metadata — use that layout for those families).
+    * reference's own lifecycle. Every histogram content a reference
+    * shard's cells can hold is writable: exponential, SIGNED
+    * (`negIdxCol`/`negCountsCol`), NHCB custom-bucket
+    * (`customValues`), gauge — all as real chunkenc frame bodies.
     */
   private def writeImpl(df: DataFrame, dir: String, labelCols: Seq[String],
       tsCol: String, sampleCols: Seq[org.apache.spark.sql.Column],
@@ -394,12 +433,17 @@ object ParquetShardStore {
     * NativeHistogram row model (`zero_count`/`pos_idx`/`pos_counts`
     * + `hist_sum`), so the histogram analytics and PromQL consumers
     * run directly on it — same names as
-    * [[graft.tsdb.HistChunkStore.select]]. */
+    * [[graft.tsdb.HistChunkStore.select]]. Buckets come back on each
+    * chunk's UNION layout (chunkenc's recode fills absent buckets
+    * with absolute 0 when a bucket appears mid-chunk) — filter
+    * `cnt != 0` for the sparse view. Foreign-family frames in a
+    * mixed cell (a series that changed sample type) are skipped by
+    * header, the reference's per-encoding reader behavior. */
   def selectHist(spark: SparkSession, dir: String, mintMs: Long,
       maxtMs: Long, matchers: Seq[Matcher] = Nil,
       tsCol: String = "ts"): DataFrame =
     selectImpl(spark, dir, mintMs, maxtMs, matchers,
-      c => ColumnBridge.column(graft.functions.HistChunkDecode(
+      c => ColumnBridge.column(graft.functions.ChunkencHistDecode(
         ColumnBridge.expression(c),
         ColumnBridge.expression(lit(mintMs)),
         ColumnBridge.expression(lit(maxtMs - 1)))),
@@ -411,7 +455,7 @@ object ParquetShardStore {
       maxtMs: Long, matchers: Seq[Matcher] = Nil,
       tsCol: String = "ts"): DataFrame =
     selectImpl(spark, dir, mintMs, maxtMs, matchers,
-      c => ColumnBridge.column(graft.functions.FloatHistChunkDecode(
+      c => ColumnBridge.column(graft.functions.ChunkencFloatHistDecode(
         ColumnBridge.expression(c),
         ColumnBridge.expression(lit(mintMs)),
         ColumnBridge.expression(lit(maxtMs - 1)))),
@@ -421,7 +465,11 @@ object ParquetShardStore {
     col("_s.zero").as("zero_count"),
     col("_s.idx").as("pos_idx"),
     col("_s.cnt").as("pos_counts"),
-    col("_s.sum").as("hist_sum"))
+    col("_s.sum").as("hist_sum"),
+    col("_s.schema").as("schema"),
+    col("_s.cv").as("custom_values"),
+    col("_s.nidx").as("neg_idx"),
+    col("_s.ncnt").as("neg_counts"))
 
   /** Compact N shard dirs that may overlap in series/time into ONE
     * shard dir — the reference's vertical compaction applied to its
@@ -463,6 +511,36 @@ object ParquetShardStore {
   def selectStrict(spark: SparkSession, dir: String, mintMs: Long,
       maxtMs: Long, matchers: Seq[Matcher], chunkBytesQuota: Long,
       tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    enforceChunkBytesQuota(spark, dir, mintMs, maxtMs, matchers,
+      chunkBytesQuota)
+    select(spark, dir, mintMs, maxtMs, matchers, tsCol, valueCol)
+  }
+
+  /** [[selectHist]] under the same strict chunk-byte quota — the
+    * quota aggregation counts encoded `s_data` bytes and never
+    * decodes, so it is family-agnostic. */
+  @throws[graft.tsdb.QuotaExceededException]
+  def selectHistStrict(spark: SparkSession, dir: String, mintMs: Long,
+      maxtMs: Long, matchers: Seq[Matcher], chunkBytesQuota: Long,
+      tsCol: String = "ts"): DataFrame = {
+    enforceChunkBytesQuota(spark, dir, mintMs, maxtMs, matchers,
+      chunkBytesQuota)
+    selectHist(spark, dir, mintMs, maxtMs, matchers, tsCol)
+  }
+
+  /** [[selectFloatHist]] under the strict chunk-byte quota. */
+  @throws[graft.tsdb.QuotaExceededException]
+  def selectFloatHistStrict(spark: SparkSession, dir: String, mintMs: Long,
+      maxtMs: Long, matchers: Seq[Matcher], chunkBytesQuota: Long,
+      tsCol: String = "ts"): DataFrame = {
+    enforceChunkBytesQuota(spark, dir, mintMs, maxtMs, matchers,
+      chunkBytesQuota)
+    selectFloatHist(spark, dir, mintMs, maxtMs, matchers, tsCol)
+  }
+
+  private def enforceChunkBytesQuota(spark: SparkSession, dir: String,
+      mintMs: Long, maxtMs: Long, matchers: Seq[Matcher],
+      chunkBytesQuota: Long): Unit =
     if (chunkBytesQuota > 0L) {
       val (joined, dataCols, _, overlaps) =
         pruned(spark, dir, mintMs, maxtMs, matchers)
@@ -475,8 +553,6 @@ object ParquetShardStore {
           s"select would fetch $bytes encoded chunk bytes " +
             s"(quota $chunkBytesQuota)")
     }
-    select(spark, dir, mintMs, maxtMs, matchers, tsCol, valueCol)
-  }
 
   /** The shared front half: matcher pushdown on the labels file,
     * window → data-column pruning, and the row-index broadcast join.

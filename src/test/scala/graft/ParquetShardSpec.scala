@@ -201,10 +201,22 @@ class ParquetShardSpec extends SparkSpec {
     ParquetShardStore.writeHist(histRows(false), hDir, Seq("svc"), "ts",
       "zero", "idx", "cnt", Some("hsum"), histSchema = 0,
       colDurationMs = hour, samplesPerChunk = 25)
-    // the cell frames carry Prometheus's enc ordinal 2
+    // the cell frames carry Prometheus's enc ordinal 2, and every
+    // frame BODY parses as a real chunkenc histogram chunk — the
+    // bytes the reference's chunkenc.FromData(enc=2, body) decodes
     val cell = spark.read.parquet(s"$hDir/0.chunks.parquet")
       .select("s_data_0").head().getAs[Array[Byte]](0)
-    assert(graft.tsdb.HistChunkCodec.frames(cell).forall(_._1 == 2L))
+    val hFrames = graft.tsdb.HistChunkCodec.frames(cell)
+    assert(hFrames.forall(_._1 == 2L))
+    for ((_, fmint, fmaxt, off, len) <- hFrames) {
+      val c = graft.tsdb.block.ChunkencHistogram.decodeHistChunk(cell, off, len)
+      assert(c.ts.nonEmpty && c.schema == 0 && c.customValues.isEmpty)
+      assert(c.ts.head == fmint && c.ts.last == fmaxt)
+      // the per-series layout is constant, so no reset cuts: first
+      // chunk UnknownCounterReset, cap cuts NotCounterReset
+      assert(c.flags == graft.tsdb.block.ChunkencHistogram.UnknownCounterReset ||
+        c.flags == graft.tsdb.block.ChunkencHistogram.NotCounterReset)
+    }
     // roundtrip at ms grain, NativeHistogram output model
     val back = ParquetShardStore.selectHist(spark, hDir, base,
         base + 120 * 60000L, Seq(Matcher.Eq("svc", "api")))
@@ -228,12 +240,218 @@ class ParquetShardSpec extends SparkSpec {
       "zero", "idx", "cnt", Some("hsum"), colDurationMs = hour)
     val fCell = spark.read.parquet(s"$fDir/0.chunks.parquet")
       .select("s_data_0").head().getAs[Array[Byte]](0)
-    assert(graft.tsdb.HistChunkCodec.frames(fCell).forall(_._1 == 3L))
+    val fFrames = graft.tsdb.HistChunkCodec.frames(fCell)
+    assert(fFrames.forall(_._1 == 3L))
+    for ((_, _, _, off, len) <- fFrames)
+      assert(graft.tsdb.block.ChunkencHistogram
+        .decodeFloatHistChunk(fCell, off, len).ts.nonEmpty)
     val fBack = ParquetShardStore.selectFloatHist(spark, fDir, base,
         base + hour).select("zero_count", "pos_counts").collect()
     assert(fBack.length == 60)
     assert(fBack.map(_.getDouble(0)).sorted.toSeq ==
       (0 until 60).map(_ * 0.5))
+  }
+
+  test("counter resets cut chunks with the appender's header ladder; " +
+      "gauge shards never reset-cut and mark every chunk GaugeType") {
+    import graft.tsdb.block.ChunkencHistogram
+    // one series, counts rise for 6 samples, RESET (drop to 1), rise
+    val rows = (0 until 12).map { i =>
+      val c = if (i < 6) (i + 1).toLong * 10 else (i - 5).toLong
+      ("api", new Timestamp(base + i * 60000L), 0L, Seq(2), Seq(c), i * 1.0)
+    }.toDF("svc", "ts", "zero", "idx", "cnt", "hsum")
+    val p = "/tmp/graft_pshard_reset_spec"
+    ParquetShardStore.writeHist(rows, p, Seq("svc"), "ts",
+      "zero", "idx", "cnt", Some("hsum"), colDurationMs = hour,
+      samplesPerChunk = 120)
+    val cell = spark.read.parquet(s"$p/0.chunks.parquet")
+      .select("s_data_0").head().getAs[Array[Byte]](0)
+    val frames = graft.tsdb.HistChunkCodec.frames(cell)
+    assert(frames.length == 2, "the reset must cut a second chunk")
+    val flags = frames.map { case (_, _, _, off, len) =>
+      ChunkencHistogram.decodeHistChunk(cell, off, len).flags }
+    assert(flags == Seq(ChunkencHistogram.UnknownCounterReset,
+      ChunkencHistogram.CounterReset))
+    // roundtrip across the cut stays exact
+    val back = ParquetShardStore.selectHist(spark, p, base, base + hour)
+      .select(unix_millis(col("ts")).as("t"), col("pos_counts")(0))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(back.size == 12 && back(base) == 10L &&
+      back(base + 6 * 60000L) == 1L)
+    // the same data as a GAUGE: one chunk, GaugeType, no cut
+    val g = "/tmp/graft_pshard_gauge_spec"
+    ParquetShardStore.writeHist(rows, g, Seq("svc"), "ts",
+      "zero", "idx", "cnt", Some("hsum"), colDurationMs = hour,
+      samplesPerChunk = 120, gauge = true)
+    val gCell = spark.read.parquet(s"$g/0.chunks.parquet")
+      .select("s_data_0").head().getAs[Array[Byte]](0)
+    val gFrames = graft.tsdb.HistChunkCodec.frames(gCell)
+    assert(gFrames.length == 1)
+    assert(ChunkencHistogram.decodeHistChunk(gCell,
+      gFrames.head._4, gFrames.head._5).flags == ChunkencHistogram.GaugeType)
+  }
+
+  test("NHCB (schema -53) rides the shard format: bounds live inside " +
+      "each chunkenc frame body and surface through selectHist") {
+    import graft.tsdb.block.ChunkencHistogram
+    val bounds = Seq(0.25, 0.5, 1.0)
+    val rows = (0 until 8).map { i =>
+      ("api", new Timestamp(base + i * 60000L), 0L,
+        Seq(0, 2), Seq((i + 1).toLong, (i + 2).toLong), i * 0.5)
+    }.toDF("svc", "ts", "zero", "idx", "cnt", "hsum")
+    val p = "/tmp/graft_pshard_nhcb_spec"
+    ParquetShardStore.writeHist(rows, p, Seq("svc"), "ts",
+      "zero", "idx", "cnt", Some("hsum"),
+      histSchema = ChunkencHistogram.CustomBucketsSchema,
+      customValues = bounds, colDurationMs = hour)
+    val cell = spark.read.parquet(s"$p/0.chunks.parquet")
+      .select("s_data_0").head().getAs[Array[Byte]](0)
+    for ((_, _, _, off, len) <- graft.tsdb.HistChunkCodec.frames(cell)) {
+      val c = ChunkencHistogram.decodeHistChunk(cell, off, len)
+      assert(c.schema == ChunkencHistogram.CustomBucketsSchema)
+      assert(c.customValues.toSeq == bounds)
+    }
+    val back = ParquetShardStore.selectHist(spark, p, base, base + hour)
+      .select("schema", "custom_values", "pos_idx", "pos_counts").collect()
+    assert(back.length == 8)
+    back.foreach { r =>
+      assert(r.getInt(0) == ChunkencHistogram.CustomBucketsSchema)
+      assert(r.getSeq[Double](1) == bounds)
+      assert(r.getSeq[Int](2) == Seq(0, 2)) // constant layout, no fill
+    }
+    // structural guard: a non-zero zero bucket under NHCB fails loudly
+    val bad = Seq(("api", new Timestamp(base), 1L, Seq(0), Seq(1L), 0.0))
+      .toDF("svc", "ts", "zero", "idx", "cnt", "hsum")
+    val e = intercept[org.apache.spark.SparkException] {
+      ParquetShardStore.writeHist(bad, "/tmp/graft_pshard_nhcb_bad", Seq("svc"),
+        "ts", "zero", "idx", "cnt", Some("hsum"),
+        histSchema = ChunkencHistogram.CustomBucketsSchema,
+        customValues = bounds, colDurationMs = hour)
+    }
+    assert(e.getMessage.contains("zero bucket") ||
+      Option(e.getCause).exists(_.getMessage.contains("zero bucket")))
+  }
+
+  test("mixed-encoding cells (a reference series that changed sample " +
+      "type): each family's reader takes its own frames, skips the rest") {
+    // hand-frame one XOR chunk + one hist chunk into a single cell,
+    // the shape schema/encoder.go emits when a series carries both
+    def uvarint(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      var x = v
+      while (java.lang.Long.compareUnsigned(x, 0x80L) >= 0) {
+        out.write(((x & 0x7f) | 0x80).toInt); x >>>= 7
+      }
+      out.write((x & 0x7f).toInt)
+    }
+    import graft.tsdb.block.ChunkencHistogram
+    val xorBlob = graft.tsdb.ChunkCodec.encodeBlob(
+      Array(base, base + 1000L), Array(1.5, 2.5), 120)
+    val histBody = ChunkencHistogram.encodeHistChunk(
+      ChunkencHistogram.HistChunk(ChunkencHistogram.UnknownCounterReset,
+        0, 0.0, Vector(ChunkencHistogram.Span(1, 1)), Vector.empty,
+        Array(base + 2000L), Array(7L), Array(2L), Array(0.5),
+        Array(Array(5L)), Array(Array.empty[Long])))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(xorBlob, 0, xorBlob.length)
+    uvarint(out, 2L); uvarint(out, base + 2000L); uvarint(out, base + 2000L)
+    uvarint(out, histBody.length.toLong); out.write(histBody, 0, histBody.length)
+    val mixed = out.toByteArray
+    // float reader: XOR samples only, hist frame skipped by header
+    val (ts, vs) = graft.tsdb.ChunkCodec.decodeBlob(mixed, 0L, Long.MaxValue)
+    assert(ts.toSeq == Seq(base, base + 1000L) && vs.toSeq == Seq(1.5, 2.5))
+    // hist reader: hist samples only, XOR frames skipped
+    val hist = graft.tsdb.ChunkencHistCodec.decodeToArrayData(
+      mixed, 0L, Long.MaxValue)
+    assert(hist.numElements() == 1)
+    val s0 = hist.getStruct(0, 9)
+    assert(s0.getLong(0) == base + 2000L && s0.getLong(1) == 2L &&
+      s0.getArray(3).toLongArray().toSeq == Seq(5L))
+    // an ordinal outside the chunkenc triple is corruption, loudly
+    val junk = new java.io.ByteArrayOutputStream()
+    uvarint(junk, 9L); uvarint(junk, 0L); uvarint(junk, 1L); uvarint(junk, 0L)
+    intercept[IllegalArgumentException] {
+      graft.tsdb.ChunkCodec.decodeBlob(junk.toByteArray, 0L, Long.MaxValue)
+    }
+    intercept[IllegalArgumentException] {
+      graft.tsdb.ChunkencHistCodec.decodeToArrayData(
+        junk.toByteArray, 0L, Long.MaxValue)
+    }
+  }
+
+  test("SIGNED histograms (negative buckets) roundtrip through the " +
+      "shard: both sides travel the chunkenc frame body") {
+    import graft.tsdb.block.ChunkencHistogram
+    val rows = (0 until 10).map { i =>
+      ("api", new Timestamp(base + i * 60000L), i.toLong,
+        Seq(1, 3), Seq((i * 2 + 1).toLong, (i + 1).toLong),
+        Seq(-2, 0), Seq((i * 3 + 1).toLong, (i * 5 + 2).toLong), i * 1.5)
+    }.toDF("svc", "ts", "zero", "idx", "cnt", "nidx", "ncnt", "hsum")
+    val p = "/tmp/graft_pshard_neg_spec"
+    ParquetShardStore.writeHist(rows, p, Seq("svc"), "ts",
+      "zero", "idx", "cnt", Some("hsum"), colDurationMs = hour,
+      negIdxCol = Some("nidx"), negCountsCol = Some("ncnt"))
+    // the frame body carries REAL negative spans
+    val cell = spark.read.parquet(s"$p/0.chunks.parquet")
+      .select("s_data_0").head().getAs[Array[Byte]](0)
+    val (_, _, _, off, len) = graft.tsdb.HistChunkCodec.frames(cell).head
+    val c = ChunkencHistogram.decodeHistChunk(cell, off, len)
+    assert(ChunkencHistogram.bucketIndexes(c.negSpans).toSeq == Seq(-2, 0))
+    // count folds BOTH sides + zero
+    assert(c.count(0) == 0L + 1L + 1L + 1L + 2L)
+    // roundtrip both sides
+    val back = ParquetShardStore.selectHist(spark, p, base, base + hour)
+      .select(unix_millis(col("ts")).as("t"), col("zero_count"),
+        col("pos_idx"), col("pos_counts"), col("neg_idx"), col("neg_counts"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Int](2),
+        r.getSeq[Long](3), r.getSeq[Int](4), r.getSeq[Long](5)))).toMap
+    assert(back.size == 10)
+    val (z7, pi7, pc7, ni7, nc7) = back(base + 7 * 60000L)
+    assert(z7 == 7L && pi7 == Seq(1, 3) && pc7 == Seq(15L, 8L) &&
+      ni7 == Seq(-2, 0) && nc7 == Seq(22L, 37L))
+    // a positive-only shard reads back EMPTY neg arrays, not nulls
+    val p2 = "/tmp/graft_pshard_posonly_spec"
+    ParquetShardStore.writeHist(rows, p2, Seq("svc"), "ts",
+      "zero", "idx", "cnt", Some("hsum"), colDurationMs = hour)
+    val r2 = ParquetShardStore.selectHist(spark, p2, base, base + hour)
+      .select("neg_idx", "neg_counts").head()
+    assert(r2.getSeq[Int](0).isEmpty && r2.getSeq[Long](1).isEmpty)
+    // the strict quota guards hist selects too (family-agnostic bytes)
+    val cellBytes = spark.read.parquet(s"$p2/0.chunks.parquet")
+      .agg(sum(length(col("s_data_0")))).head().getLong(0)
+    assert(ParquetShardStore.selectHistStrict(spark, p2, base, base + hour,
+      Nil, chunkBytesQuota = cellBytes).count() == 10)
+    intercept[graft.tsdb.QuotaExceededException] {
+      ParquetShardStore.selectHistStrict(spark, p2, base, base + hour,
+        Nil, chunkBytesQuota = cellBytes - 1)
+    }
+    // a NEGATIVE-side decrease is a counter reset: chunk cut + header
+    val resetRows = (0 until 4).map { i =>
+      val nc = if (i < 2) (i + 1).toLong * 10 else (i - 1).toLong
+      ("api", new Timestamp(base + i * 60000L), 0L,
+        Seq(1), Seq(100L + i), Seq(-1), Seq(nc), 0.0)
+    }.toDF("svc", "ts", "zero", "idx", "cnt", "nidx", "ncnt", "hsum")
+    val p3 = "/tmp/graft_pshard_negreset_spec"
+    ParquetShardStore.writeHist(resetRows, p3, Seq("svc"), "ts",
+      "zero", "idx", "cnt", Some("hsum"), colDurationMs = hour,
+      negIdxCol = Some("nidx"), negCountsCol = Some("ncnt"))
+    val cell3 = spark.read.parquet(s"$p3/0.chunks.parquet")
+      .select("s_data_0").head().getAs[Array[Byte]](0)
+    val frames3 = graft.tsdb.HistChunkCodec.frames(cell3)
+    assert(frames3.length == 2)
+    assert(ChunkencHistogram.decodeHistChunk(cell3,
+      frames3(1)._4, frames3(1)._5).flags == ChunkencHistogram.CounterReset)
+  }
+
+  test("a NULL input sum persists as NaN (chunkenc always carries a " +
+      "sum), never null on readback") {
+    val rows = Seq(("api", new Timestamp(base), 0L, Seq(1), Seq(3L)))
+      .toDF("svc", "ts", "zero", "idx", "cnt")
+    val p = "/tmp/graft_pshard_nosum_spec"
+    ParquetShardStore.writeHist(rows, p, Seq("svc"), "ts",
+      "zero", "idx", "cnt", sumCol = None, colDurationMs = hour)
+    val r = ParquetShardStore.selectHist(spark, p, base, base + hour)
+      .select("hist_sum").head()
+    assert(!r.isNullAt(0) && r.getDouble(0).isNaN)
   }
 
   test("bloom filters on label columns (WithBloomFilterLabels): opted-in " +
