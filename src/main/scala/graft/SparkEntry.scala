@@ -1618,6 +1618,22 @@ object SparkEntry {
       .orderBy("event_type", "user_id", "ts_ms", "side", "idx")
   }
 
+  /** The reference's skipChunks select over the shard layout
+    * ([[tsdb.shard.ParquetShardStore.series]] —
+    * queryable/parquet_queryable.go:414 `Query` with
+    * `skipChunks=true`, the Prometheus `series()` API): matcher-
+    * filtered label sets straight from the labels file; the chunks
+    * file never enters the plan (PlanAudit forbids it), so the query
+    * is metadata-sized regardless of sample volume.
+    */
+  private def tsShardSeries(s: SparkSession, dir: String): DataFrame = {
+    shardInteropFixture(s, dir)
+    graft.tsdb.shard.ParquetShardStore.series(s, shardInteropPath(dir),
+        Seq(Matcher.Re("event_type", "v.*|c.*"),
+          Matcher.Neq("user_id", "7")))
+      .orderBy("event_type", "user_id")
+  }
+
   /** Chunked-block compaction ([[tsdb.ChunkStore.mergeBlocks]]):
     * two overlapping CHUNKED blocks (B is the newer revision —
     * values × 1.5 on [Jan 10, ∞)) decode → k-way LWW merge →
@@ -4123,6 +4139,7 @@ object SparkEntry {
     "ts_shard_hist_interop" -> (tsShardHistInterop _),
     "ts_shard_nhcb_interop" -> (tsShardNhcbInterop _),
     "ts_shard_neg_interop" -> (tsShardNegInterop _),
+    "ts_shard_series" -> (tsShardSeries _),
     "ts_promql_shard" -> (tsPromqlShard _),
     "ts_promql_shard_nh" -> (tsPromqlShardNh _),
     "ts_chunk_merge" -> (tsChunkMerge _),
@@ -5927,6 +5944,14 @@ object SparkEntry {
         |WHERE i <= (CASE WHEN d >= 19740 THEN 5 ELSE 4 END)
         |  AND d*d*((sseed + i + 3) % 5) <> 0
         |ORDER BY event_type, user_id, ts_ms, idx""".stripMargin,
+    // skipChunks series(): distinct label sets under the matchers,
+    // labels as strings (the shard label model)
+    "ts_shard_series" ->
+      """SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS user_id
+        |FROM events
+        |WHERE regexp_full_match(event_type, 'v.*|c.*')
+        |  AND CAST(user_id AS VARCHAR) <> '7'
+        |ORDER BY event_type, user_id""".stripMargin,
     // the signed fixture through the shard byte path, both sides
     // under a side marker — the ts_tsdb_block_neg_roundtrip replay
     // restricted to the gate's matcher + range

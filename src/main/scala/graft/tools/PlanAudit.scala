@@ -291,6 +291,19 @@ object PlanAudit {
         "out-of-range s_data columns not read" -> "s_data_0:",
         "no nested-loop join" -> "BroadcastNestedLoopJoin"))
 
+    // skipChunks series() over the shard layout: the plan must read
+    // ONLY the labels file — the chunks file (and any join) is
+    // forbidden outright, the reference's Query(skipChunks=true) IO
+    // shape (queryable/parquet_queryable.go:414).
+    audit("ts_shard_series",
+      SparkEntry.queries("ts_shard_series")(spark, dir),
+      Map(
+        "labels file scanned" -> "labels.parquet"),
+      forbid = Map(
+        "chunks file never read" -> "chunks.parquet",
+        "no join at all" -> "Join",
+        "no shuffle beyond the output sort" -> "Exchange hashpartitioning"))
+
     // The HISTOGRAM-family shard select (chunkenc enc=2 bodies,
     // signed fixture) rides the same pruned front half — the decode
     // expression must not break the broadcast/pushdown/column-pruning

@@ -471,6 +471,22 @@ object ParquetShardStore {
     col("_s.nidx").as("neg_idx"),
     col("_s.ncnt").as("neg_counts"))
 
+  /** Label sets of the series matching `matchers` — the reference's
+    * skipChunks select (queryable/parquet_queryable.go:414 `Query`
+    * with `skipChunks=true`, serving Prometheus's `series()` API):
+    * the plan reads ONLY the tiny labels file, the chunks file never
+    * appears, no join, no decode — metadata-sized IO at any scale.
+    * One row per matching series, one column per label (nulls where
+    * the series lacks it).
+    */
+  def series(spark: SparkSession, dir: String,
+      matchers: Seq[Matcher] = Nil): DataFrame = {
+    val names = labelNames(spark, dir)
+    val labels = spark.read.parquet(s"$dir/*.labels.parquet")
+      .select(names.map(n => col(labelToColumn(n)).as(n)): _*)
+    Matcher.compile(matchers).map(labels.filter).getOrElse(labels)
+  }
+
   /** Compact N shard dirs that may overlap in series/time into ONE
     * shard dir — the reference's vertical compaction applied to its
     * own layout (convert/merge.go's NewMergeChunkSeriesSet feeding a
@@ -497,6 +513,64 @@ object ParquetShardStore {
       scans, names, "ts", "value")
     write(merged, outDir, names, "ts", "value", colDurationMs,
       samplesPerChunk, shards, bloomFilterLabels = bloomFilterLabels)
+  }
+
+  /** [[mergeShards]] for HISTOGRAM shard dirs: decode every input in
+    * full, k-way LWW merge per (series, ts) — later dir in `dirs`
+    * wins, the newer-block convention — then re-encode through
+    * [[writeHist]]. The chunk schema and NHCB bound list come from
+    * the decoded rows and must agree across every input (one metric
+    * family per merge, the same constraint the chunked layout's
+    * compaction enforces); `gauge` re-marks the headers, since the
+    * sample row model carries no gauge flag. One distributed plan
+    * plus one metadata-sized uniformity check.
+    */
+  def mergeShardsHist(spark: SparkSession, dirs: Seq[String],
+      outDir: String, colDurationMs: Long = DefaultColDurationMs,
+      samplesPerChunk: Int = 120, shards: Int = 1,
+      bloomFilterLabels: Seq[String] = Nil,
+      gauge: Boolean = false): Unit = {
+    require(dirs.nonEmpty, "need at least one shard directory")
+    val names = labelNames(spark, dirs.head)
+    require(dirs.forall(d => labelNames(spark, d) == names),
+      "all inputs must share one label universe (the reference merges " +
+        "blocks of one tenant/schema)")
+    val scans = dirs.zipWithIndex.map { case (d, pri) =>
+      val m = meta(spark, d)
+      selectHist(spark, d, m.mintMs, m.maxtMs + 1)
+        .withColumn("_pri", lit(pri))
+    }
+    val valueCols = Seq("zero_count", "pos_idx", "pos_counts",
+      "hist_sum", "schema", "custom_values", "neg_idx", "neg_counts")
+    val merged = scans.reduce(_ unionByName _)
+      .groupBy((names.map(col) :+ col("ts")): _*)
+      .agg(max_by(struct(valueCols.map(col): _*), col("_pri")).as("_v"))
+      .select((names.map(col) :+ col("ts")) ++
+        valueCols.map(c => col(s"_v.$c").as(c)): _*)
+      .cache()
+    try {
+      val fams = merged.select("schema", "custom_values").distinct()
+        .collect()
+      require(fams.nonEmpty, "cannot merge empty shard inputs")
+      require(fams.length == 1,
+        s"inputs mix ${fams.length} (schema, bounds) families — merge " +
+          "one metric family at a time")
+      val schema = fams.head.getInt(0)
+      val cv = fams.head.getSeq[Double](1)
+      // NHCB chunks structurally carry no negative side (their neg
+      // columns decode as empty arrays), so don't re-offer the
+      // columns — writeHist's NHCB-xor-neg guard is per-CALL
+      val nhcb = schema ==
+        graft.tsdb.block.ChunkencHistogram.CustomBucketsSchema
+      writeHist(merged, outDir, names, "ts",
+        "zero_count", "pos_idx", "pos_counts", Some("hist_sum"),
+        histSchema = schema, colDurationMs = colDurationMs,
+        samplesPerChunk = samplesPerChunk, shards = shards,
+        bloomFilterLabels = bloomFilterLabels,
+        customValues = cv, gauge = gauge,
+        negIdxCol = if (nhcb) None else Some("neg_idx"),
+        negCountsCol = if (nhcb) None else Some("neg_counts"))
+    } finally merged.unpersist()
   }
 
   /** [[select]] with the reference's strict chunk-byte quota

@@ -187,6 +187,30 @@ class ParquetShardSpec extends SparkSpec {
     assert(ParquetShardStore.labelNames(spark, dir) == Seq("env", "event_type"))
   }
 
+  test("series() is the skipChunks select: matcher-filtered label sets " +
+      "from the labels file alone, chunks never in the plan") {
+    written
+    val df = ParquetShardStore.series(spark, dir,
+      Seq(Matcher.Eq("event_type", "req")))
+    val got = df.select("event_type", "env").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val want = fixture.filter(col("event_type") === "req")
+      .select("event_type", "env").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want && got.nonEmpty)
+    // absent-label series surface with nulls, matchers see "" (the
+    // Prometheus absent-label convention)
+    val absent = ParquetShardStore.series(spark, dir,
+      Seq(Matcher.Eq("env", ""))).select("event_type", "env").collect()
+    assert(absent.nonEmpty && absent.forall(r =>
+      r.getString(0) == "view" && r.isNullAt(1)))
+    // the chunks file is not in the plan — labels-file IO only
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("labels.parquet") && !plan.contains("chunks.parquet"))
+    assert(!plan.contains("Join"))
+  }
+
   test("histogram families: EncHistogram/EncFloatHistogram cells " +
       "roundtrip through the shard format with reference frame ordinals") {
     // native-histogram fixture: ascending counter-ish buckets, a sum
@@ -567,6 +591,49 @@ class ParquetShardSpec extends SparkSpec {
     // the merged dir carries the widened footer range
     val m = ParquetShardStore.meta(spark, out)
     assert(m.mintMs == base && m.maxtMs == base + 179 * 60000L)
+  }
+
+  test("mergeShardsHist: overlapping HISTOGRAM shard dirs compact to " +
+      "one, LWW on the overlap, family uniformity enforced") {
+    import graft.tsdb.block.ChunkencHistogram
+    def mk(lo: Int, hi: Int, scale: Long) =
+      (lo until hi).map(i => ("api", new Timestamp(base + i * 60000L),
+        i.toLong, Seq(1, 2), Seq(i * scale + 1, i * scale + 2), i * 0.5))
+        .toDF("svc", "ts", "zero", "idx", "cnt", "hsum")
+    val dA = "/tmp/graft_pshard_hmerge_a"
+    val dB = "/tmp/graft_pshard_hmerge_b"
+    val out = "/tmp/graft_pshard_hmerge_out"
+    ParquetShardStore.writeHist(mk(0, 80, 1L), dA, Seq("svc"), "ts",
+      "zero", "idx", "cnt", Some("hsum"), colDurationMs = hour)
+    ParquetShardStore.writeHist(mk(40, 120, 10L), dB, Seq("svc"), "ts",
+      "zero", "idx", "cnt", Some("hsum"), colDurationMs = hour)
+    ParquetShardStore.mergeShardsHist(spark, Seq(dA, dB), out,
+      colDurationMs = hour)
+    val got = ParquetShardStore.selectHist(spark, out, base,
+        base + 120 * 60000L)
+      .select(unix_millis(col("ts")).as("t"), col("pos_counts")(0))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 120)
+    assert(got(base + 39 * 60000L) == 40L) // A only
+    assert(got(base + 40 * 60000L) == 401L) // overlap: B wins
+    assert(got(base + 119 * 60000L) == 1191L) // B only
+    // widened footer range
+    val m = ParquetShardStore.meta(spark, out)
+    assert(m.mintMs == base && m.maxtMs == base + 119 * 60000L)
+    // family mixing rejects loudly: an NHCB dir cannot merge with an
+    // exponential one
+    val dC = "/tmp/graft_pshard_hmerge_c"
+    ParquetShardStore.writeHist(
+      mk(0, 5, 1L).withColumn("zero", lit(0L))
+        .withColumn("idx", typedLit(Seq(0, 1))),
+      dC, Seq("svc"), "ts", "zero", "idx", "cnt", Some("hsum"),
+      histSchema = ChunkencHistogram.CustomBucketsSchema,
+      customValues = Seq(0.5, 1.0), colDurationMs = hour)
+    val e = intercept[IllegalArgumentException] {
+      ParquetShardStore.mergeShardsHist(spark, Seq(dA, dC),
+        "/tmp/graft_pshard_hmerge_bad", colDurationMs = hour)
+    }
+    assert(e.getMessage.contains("famil"))
   }
 
   test("the dictionary cold path serves the shard layout directly: " +
