@@ -3960,8 +3960,16 @@ object SparkEntry {
   private def imageTable(s: SparkSession, dir: String): DataFrame = {
     val path = "/tmp/graft_images_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
     fixtureOnce(s"images:$dir") {
+      // hash-spread the id column BEFORE the per-row PNG encode and
+      // the write: the documents scan is one split at bench scale, so
+      // an unpartitioned fixture would serialize every imageio
+      // encode AND pin every later decode pass to one task. Core-count
+      // file layout is the §6 "sensible output partitioning" floor —
+      // deterministic (hash of media_id), content-identical.
       graft.multimodal.Multimodal.syntheticImageTable(
-          t(s, dir, "documents"), "doc_id")
+          t(s, dir, "documents")
+            .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+          "doc_id")
         .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
@@ -3997,8 +4005,12 @@ object SparkEntry {
   private def gradientTable(s: SparkSession, dir: String): DataFrame = {
     val path = "/tmp/graft_gradimg_" + dir.replaceAll("[^0-9a-zA-Z]", "_")
     fixtureOnce(s"gradimages:$dir") {
+      // same core-count hash layout as [[imageTable]] — parallel
+      // encode at build, parallel decode on every read
       graft.multimodal.Multimodal.gradientImageTable(
-          t(s, dir, "documents"), "doc_id")
+          t(s, dir, "documents")
+            .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+          "doc_id")
         .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)

@@ -258,3 +258,62 @@ object SimHashFingerprint {
   def simhash(tokens: Column): Column =
     ColumnBridge.column(SimHashFingerprint(ColumnBridge.expression(tokens)))
 }
+
+/** Position-wise agreement count of two MinHash signatures — the
+  * candidate-pair Jaccard ESTIMATE numerator in one tight loop.
+  *
+  * The HOF formulation (`aggregate(zip_with(a, b, (x,y) ->
+  * if(x=y,1,0)), 0, +)`) evaluates two lambdas per signature slot in
+  * interpreted mode; at LSH-candidate scale (hundreds of thousands
+  * of pairs × k slots) that interpreter dispatch dominated the whole
+  * estimate stage. Semantics are identical, including the padding
+  * edge: `zip_with` pads the shorter array with nulls and
+  * `when(x === y, 1).otherwise(0)` reads a null comparison as 0, so
+  * unequal-length (or null-element) slots count 0 here too.
+  */
+case class SigAgreement(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes = Seq(
+    ArrayType(org.apache.spark.sql.types.LongType),
+    ArrayType(org.apache.spark.sql.types.LongType))
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SigAgreement.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SigAgreement.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigAgreement =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_sig_agreement"
+}
+
+object SigAgreement {
+
+  /** Static entry for generated code: slots where both sides are
+    * present and equal; padded/null slots contribute 0 exactly like
+    * the zip_with form.
+    */
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Column API: number of agreeing signature slots. */
+  def sigAgreement(a: Column, b: Column): Column =
+    ColumnBridge.column(SigAgreement(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

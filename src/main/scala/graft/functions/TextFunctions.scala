@@ -15,7 +15,12 @@ object TextFunctions {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Count-only twin of `size(tokens(text))` — `regexp_count` scans
+    * once without materializing the match array (identical count:
+    * same pattern, same non-overlapping match walk).
+    */
+  def tokenCount(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z0-9]+"))
 
   // PII patterns restricted to syntax Java regex and RE2 read
   // identically (char classes, bounded repeats, ASCII \b) so a SQL
@@ -38,13 +43,13 @@ object TextFunctions {
       phonePattern, "<PHONE>")
 
   def piiEmailCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(emailPattern), lit(0)))
+    regexp_count(text, lit(emailPattern))
 
   def piiPhoneCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(phonePattern), lit(0)))
+    regexp_count(text, lit(phonePattern))
 
   def punctCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0)))
+    regexp_count(text, lit("[.,;:!?]"))
 
   private val stopwords = Map(
     "en" -> Seq("the", "a", "of", "to", "and", "in", "is"),
@@ -55,7 +60,7 @@ object TextFunctions {
 
   def stopwordCount(text: Column, lang: String = "en"): Column = {
     val pat = stopwords(lang).mkString("\\b(", "|", ")\\b")
-    size(regexp_extract_all(lower(text), lit(pat), lit(0)))
+    regexp_count(lower(text), lit(pat))
   }
 
   /** Composite quality score in [0,1]: favors mid-length docs with

@@ -39,15 +39,6 @@ object Ann {
     * probe their `nProbe` best cells and only score corpus rows in
     * those cells (join key = cell id).
     */
-  /** Per-row array of (cosine-to-centroid, cell id) for a centroid
-    * set baked in as literals — the zero-shuffle assignment
-    * projection shared by refinement, splitting, and probing.
-    */
-  private def cellScoresFor(cents: Array[Seq[Double]])(v: Column): Column =
-    array(cents.zipWithIndex.map { case (cv, i) =>
-      struct(cosine(v, typedLit(cv)).as("score"), lit(i).as("cell"))
-    }: _*)
-
   /** Best cell for one vector against the current centroid set —
     * the local mirror of the `array_max(cellScoresFor(...))`
     * assignment projection: max cosine, ties resolved to the LARGER
@@ -171,17 +162,20 @@ object Ann {
       if (refineIters > 0 && sample.nonEmpty)
         trainQuantizer(sample, seeds, refineIters)
       else seeds
-    // per-row array of (cosine-to-centroid, cell); array_max gives the
-    // best cell, sorted+sliced gives the probe list — all codegen'd
-    def cellScores(v: Column): Column = cellScoresFor(centroidRows)(v)
-    def bestCell(v: Column): Column = array_max(cellScores(v)).getField("cell")
-    val assigned = c.withColumn("cell", bestCell(col("nv")))
+    // best-cell assignment and probe list as NATIVE expressions
+    // ([[graft.functions.IvfBestCell]]/[[graft.functions.IvfProbeCells]]
+    // — the centroid table rides as a plain parameter, ONE plan node
+    // instead of a per-centroid struct/cosine literal tree; argmax and
+    // probe-order tie-breaks replicate the array_max /
+    // reverse(array_sort) forms exactly, AnnSpec pins it)
+    val centSeq: Seq[Seq[Double]] = centroidRows.toSeq
+    val assigned = c.withColumn("cell",
+      graft.functions.IvfBestCell.bestCell(col("nv"), centSeq))
     val probed = queries
       .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
       .withColumn("cell",
-        explode(transform(
-          slice(reverse(array_sort(cellScores(col("qv")))), 1, nProbe),
-          s => s.getField("cell"))))
+        explode(graft.functions.IvfProbeCells.probeCells(
+          col("qv"), centSeq, nProbe)))
     // no pair dedup needed: each corpus row sits in exactly ONE cell
     // and the probe list is distinct per query, so (qid, nid) can
     // match at most once — a dropDuplicates here would add a second
@@ -305,59 +299,37 @@ object Ann {
     val books =
       if (resid.nonEmpty) trainPqCodebooks(resid, nSub, codebookSize)
       else Array.fill(nSub)(Array(new Array[Double](1)))
-    val subDim = centsA.headOption.map(_.length / nSub).getOrElse(1)
-    // --- literal index-side expressions (zero shuffle). The
-    // codebooks ship as ONE nested literal and every per-subspace /
-    // per-code step is a HOF loop over it — generated code stays
-    // O(nSub), not O(nSub × codebookSize) (a flat per-code literal
-    // expansion trips janino's 64 KB method limit and knocks the
-    // whole projection back to interpreted mode).
-    val centsLit = typedLit(cents.map(_.toSeq): Seq[Seq[Double]])
-    val booksLit = typedLit(
-      books.map(_.map(_.toSeq).toSeq).toSeq: Seq[Seq[Seq[Double]]])
-    val halfNormsLit = typedLit(
-      books.map(_.map(cb => 0.5 * cb.map(x => x * x).sum).toSeq).toSeq:
-        Seq[Seq[Double]])
-    def unit(v: Column, n: Column): Column = transform(v, x => x / n)
-    def subAt(v: Column, mi: Column): Column =
-      slice(v, mi * subDim + 1, lit(subDim))
-    def cellScores(v: Column): Column = cellScoresFor(cents)(v)
-    def bestCell(v: Column): Column = array_max(cellScores(v)).getField("cell")
-    // codes(mi) = argmax_k (r_mi·cb_k − |cb_k|²/2) ≡ argmin L2
-    def pqCodes(r: Column): Column =
-      transform(sequence(lit(0), lit(nSub - 1)), mi =>
-        array_max(transform(sequence(lit(0), lit(codebookSize - 1)), ki =>
-          struct(
-            (dot(subAt(r, mi), element_at(element_at(booksLit, mi + 1), ki + 1)) -
-              element_at(element_at(halfNormsLit, mi + 1), ki + 1)).as("score"),
-            ki.as("code")))).getField("code"))
+    // --- index-side NATIVE expressions (zero shuffle). The centroid
+    // and codebook tables ride as plain parameters of single-node
+    // expressions ([[graft.functions.IvfPqEncode]] /
+    // [[graft.functions.IvfPqAdc]]) instead of nested literals walked
+    // by HOF lambdas: the per-row loops are identical arithmetic in
+    // identical order (AnnSpec pins the equivalence), but the plan
+    // carries a handful of nodes instead of thousands — Catalyst and
+    // AQE re-optimization stop dominating the stage, and the loops
+    // run compiled instead of per-element interpreted dispatch.
+    val centSeq: Seq[Seq[Double]] = cents.toSeq
+    val bookSeq: Seq[Seq[Seq[Double]]] = books.map(_.map(_.toSeq).toSeq).toSeq
     // index build: ONE corpus pass ending in (id, cell, codes) — the
     // persisted form at scale; raw vectors stay behind in the table
-    val cN = c
-      .withColumn("_n", greatest(sqrt(dot(col("nv"), col("nv"))), lit(1e-300)))
-      .withColumn("nvh", unit(col("nv"), col("_n")))
-    val assigned = cN
-      .withColumn("cell", bestCell(col("nvh")))
-      .withColumn("_resid", zip_with(col("nvh"),
-        element_at(centsLit, col("cell") + 1), (a, b) => a - b))
-      .select(col("nid"), col("cell"), pqCodes(col("_resid")).as("codes"))
-    // --- search
+    val assigned = c
+      .withColumn("_enc",
+        graft.functions.IvfPqEncode.encode(col("nv"), centSeq, bookSeq))
+      .select(col("nid"), col("_enc.cell").as("cell"),
+        col("_enc.codes").as("codes"))
+    // --- search (queries are broadcast-scale: the HOF normalization
+    // stays, it runs once per query row)
     val qN = q
       .withColumn("_n", greatest(sqrt(dot(col("qv"), col("qv"))), lit(1e-300)))
-      .withColumn("qvh", unit(col("qv"), col("_n")))
+      .withColumn("qvh", transform(col("qv"), x => x / col("_n")))
     val probed = qN.withColumn("cell",
-        explode(transform(
-          slice(reverse(array_sort(cellScores(col("qvh")))), 1, nProbe),
-          s => s.getField("cell"))))
+        explode(graft.functions.IvfProbeCells.probeCells(
+          col("qvh"), centSeq, nProbe)))
       .select(col("qid"), col("qvh"), col("cell"))
     val adc = assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("approx",
-        dot(col("qvh"), element_at(centsLit, col("cell") + 1)) +
-          aggregate(sequence(lit(0), lit(nSub - 1)), lit(0.0), (acc, mi) =>
-            acc + dot(subAt(col("qvh"), mi),
-              element_at(element_at(booksLit, mi + 1),
-                element_at(col("codes"), mi + 1) + 1))))
+      .withColumn("approx", graft.functions.IvfPqAdc.adc(
+        col("qvh"), col("cell"), col("codes"), centSeq, bookSeq))
     val rr = if (rerank > 0) rerank else 8 * k
     val wc = Window.partitionBy("qid").orderBy(col("approx").desc, col("nid"))
     val cand = adc.withColumn("_cr", row_number().over(wc))

@@ -387,9 +387,9 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("rid_a"), col(s"y.$idCol").as("rid_b"),
-        round(aggregate(zip_with(col("x.sig"), col("y.sig"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / k, 4).as("est_jaccard"))
+        round(graft.functions.SigAgreement.sigAgreement(
+            col("x.sig"), col("y.sig")).cast("double") / k, 4)
+          .as("est_jaccard"))
     val filtered =
       if (minEst.isNegInfinity) scored
       else scored.filter(col("est_jaccard") >= minEst)
@@ -571,9 +571,14 @@ object Dedup {
     */
   private def largeStar(edges: DataFrame): DataFrame = {
     val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
-    val m = sym.groupBy("src").agg(min(col("dst")).as("_mn"))
-      .select(col("src"), least(col("src"), col("_mn")).as("_m"))
-    sym.join(m, "src")
+    // m(u) via a window over the SAME key the old groupBy+join pair
+    // used: one exchange on src instead of two plus a join — at any
+    // scale the full edge set crosses the network once either way,
+    // but the window form drops the join hash table and two AQE
+    // stages per round (guide §2.4: operations keyed the same way
+    // share one exchange)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    sym.withColumn("_m", least(col("src"), min(col("dst")).over(w)))
       .filter(col("dst") > col("src"))
       .select(col("dst").as("src"), col("_m").as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -585,10 +590,16 @@ object Dedup {
     * them. Preserves orientation; converged when idempotent.
     */
   private def smallStar(edges: DataFrame): DataFrame = {
-    val m = edges.groupBy("src").agg(min(col("dst")).as("_m"))
-    edges.join(m, "src")
-      .select(col("dst").as("src"), col("_m").as("dst"))
-      .union(m.select(col("src"), col("_m").as("dst")))
+    // same one-exchange window form as [[largeStar]]; the (src, _m)
+    // self-rows duplicate per incident edge here where the groupBy
+    // form emitted one per src, but the trailing edge-set distinct
+    // already collapses them — same output set, one fewer exchange
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    edges.withColumn("_m", min(col("dst")).over(w))
+      .select(explode(array(
+        struct(col("dst").as("src"), col("_m").as("dst")),
+        struct(col("src").as("src"), col("_m").as("dst")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
   }

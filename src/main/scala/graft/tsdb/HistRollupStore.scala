@@ -150,7 +150,16 @@ object HistRollupStore {
     * Exact for integral bucket counts; float histograms re-associate
     * double additions across windows (module-doc caveat).
     */
-  private def foldWindows(warr: Column): Column = {
+  /** The production stitch fold: the identical ladder as ONE native
+    * loop ([[graft.functions.NhStitchFold]] — returns the increase
+    * with bucket keys already ascending). [[foldWindowsHof]] below is
+    * the original HOF formulation, kept as the executable spec the
+    * native fold is pinned against (HistRollupStoreSpec).
+    */
+  private def foldWindows(warr: Column): Column =
+    graft.functions.NhStitchFold.fold(warr)
+
+  private[graft] def foldWindowsHof(warr: Column): Column = {
     import NativeHistogram.{hfAsMap, hfDecreased, hfMergeSum, hfResetFlag, hfStepDelta}
     val first = element_at(warr, 1)
     val init = struct(
@@ -227,8 +236,6 @@ object HistRollupStore {
         min(fSnap).as("_f"), max(lSnap).as("_l"),
         sort_array(collect_list(winStruct)).as("_w"))
       .withColumn("_f2", foldWindows(col("_w")))
-    val posIdx = array_sort(map_keys(col("_f2.p")))
-    val negIdx = array_sort(map_keys(col("_f2.n")))
     val rolled = grouped.select((seriesCols.map(col) :+
       col("_cw").as("window_sec") :+ col("n") :+
       col("_f.t").as("f_t") :+ col("_f.z").as("f_z") :+
@@ -239,10 +246,10 @@ object HistRollupStore {
       col("_l.i").as("l_i") :+ col("_l.c").as("l_c") :+
       col("_l.ni").as("l_ni") :+ col("_l.nc").as("l_nc") :+
       col("_f2.z").as("zero_inc") :+
-      posIdx.as("pos_idx") :+
-      transform(posIdx, k => element_at(col("_f2.p"), k)).as("pos_inc") :+
-      negIdx.as("neg_idx") :+
-      transform(negIdx, k => element_at(col("_f2.n"), k)).as("neg_inc") :+
+      col("_f2.pos_idx").as("pos_idx") :+
+      col("_f2.pos_inc").as("pos_inc") :+
+      col("_f2.neg_idx").as("neg_idx") :+
+      col("_f2.neg_inc").as("neg_inc") :+
       timestamp_seconds(col("_cw")).as("ts")): _*)
     TsdbConverter.convert(rolled, path, "ts",
       if (opts.sortBy.nonEmpty) opts else opts.copy(sortBy = seriesCols))
@@ -253,24 +260,45 @@ object HistRollupStore {
     * grid queries through this with the step key appended.
     */
   def stitchedIncreaseOf(rows: DataFrame,
-      seriesCols: Seq[String]): DataFrame = {
+      seriesCols: Seq[String]): DataFrame =
+    stitchedIncreaseOfImpl(rows, seriesCols, native = true)
+
+  /** `native = false` folds with the original HOF formulation
+    * ([[foldWindowsHof]]) — the executable spec the native stitch is
+    * pinned against (HistRollupStoreSpec). Value-identical output,
+    * interpreter-speed evaluation.
+    */
+  private[graft] def stitchedIncreaseOfImpl(rows: DataFrame,
+      seriesCols: Seq[String], native: Boolean): DataFrame = {
     val series = rows.groupBy(seriesCols.map(col): _*)
       .agg(sort_array(collect_list(winStruct)).as("_w"),
         sum(col("n")).as("_n"))
       .filter(col("_n") >= 2)
     val first = element_at(col("_w"), 1)
-    val withF = series.withColumn("_f2", foldWindows(col("_w")))
+    val withF =
+      if (native) series.withColumn("_f2", foldWindows(col("_w")))
+      else {
+        val f = foldWindowsHof(col("_w"))
+        val posIdx = array_sort(map_keys(f.getField("p")))
+        val negIdx = array_sort(map_keys(f.getField("n")))
+        series.withColumn("_f2", struct(
+          f.getField("z").as("z"),
+          posIdx.as("pos_idx"),
+          transform(posIdx, k => element_at(f.getField("p"), k))
+            .as("pos_inc"),
+          negIdx.as("neg_idx"),
+          transform(negIdx, k => element_at(f.getField("n"), k))
+            .as("neg_inc")))
+      }
     val dt = (element_at(col("_w"), -1).getField("l").getField("t") -
       first.getField("f").getField("t")).cast("double")
-    val posIdx = array_sort(map_keys(col("_f2.p")))
-    val negIdx = array_sort(map_keys(col("_f2.n")))
     withF.select(seriesCols.map(col) ++ Seq(
       dt.as("dt_sec"),
       col("_f2.z").as("zero_inc"),
-      posIdx.as("pos_idx"),
-      transform(posIdx, k => element_at(col("_f2.p"), k)).as("pos_inc"),
-      negIdx.as("neg_idx"),
-      transform(negIdx, k => element_at(col("_f2.n"), k)).as("neg_inc")): _*)
+      col("_f2.pos_idx").as("pos_idx"),
+      col("_f2.pos_inc").as("pos_inc"),
+      col("_f2.neg_idx").as("neg_idx"),
+      col("_f2.neg_inc").as("neg_inc")): _*)
   }
 
   /** GAUGE `delta` served from layer rows: the range's first/last

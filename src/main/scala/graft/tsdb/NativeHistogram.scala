@@ -515,7 +515,24 @@ object NativeHistogram {
   def increaseBySignedResets(df: DataFrame, seriesCols: Seq[String],
       tsSecCol: String, zeroCountCol: String, posIdxCol: String,
       posCountsCol: String, negIdxCol: String,
-      negCountsCol: String, hintCol: Option[String] = None): DataFrame = {
+      negCountsCol: String, hintCol: Option[String] = None): DataFrame =
+    increaseBySignedResetsImpl(df, seriesCols, tsSecCol, zeroCountCol,
+      posIdxCol, posCountsCol, negIdxCol, negCountsCol, hintCol,
+      native = true)
+
+  /** `native = true` (the production path) runs the per-step ladder
+    * as ONE native loop over the collected snapshot array
+    * ([[graft.functions.NhIncreaseFold]]); `false` keeps the original
+    * HOF `aggregate` formulation as the executable spec the native
+    * fold is pinned against (NativeHistogramSpec) — value-identical
+    * by contract, interpreter-speed by nature.
+    */
+  private[graft] def increaseBySignedResetsImpl(df: DataFrame,
+      seriesCols: Seq[String],
+      tsSecCol: String, zeroCountCol: String, posIdxCol: String,
+      posCountsCol: String, negIdxCol: String,
+      negCountsCol: String, hintCol: Option[String],
+      native: Boolean): DataFrame = {
     val keys = seriesCols.map(col)
     val snap = struct(col(tsSecCol).cast("long").as("t"),
       col(zeroCountCol).cast("double").as("z"),
@@ -527,6 +544,19 @@ object NativeHistogram {
     val series = df.groupBy(keys: _*)
       .agg(sort_array(collect_list(snap)).as("_ss"))
       .filter(size(col("_ss")) >= 2)
+    if (native) {
+      val withF = series.withColumn("_f",
+        graft.functions.NhIncreaseFold.fold(col("_ss")))
+      val dt = (element_at(col("_ss"), -1).getField("t") -
+        element_at(col("_ss"), 1).getField("t")).cast("double")
+      return withF.select(keys ++ Seq(
+        dt.as("dt_sec"),
+        col("_f.z").as("zero_inc"),
+        col("_f.pos_idx").as("pos_idx"),
+        col("_f.pos_inc").as("pos_inc"),
+        col("_f.neg_idx").as("neg_idx"),
+        col("_f.neg_inc").as("neg_inc")): _*)
+    }
 
     def asMap(i: Column, c: Column): Column = hfAsMap(i, c)
     val emptyMap = hfEmptyMap

@@ -129,4 +129,74 @@ class AnnSpec extends SparkSpec {
     info(f"IVF recall, converged + split = $recall%.2f")
     assert(recall >= 0.85)
   }
+
+  test("native IVF expressions ≡ the literal/HOF Column formulations") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.{asDouble, cosine, dot}
+    // randomized vectors incl. a zero vector (the cosine 0-denominator
+    // guard) and duplicate-score ties within reach of the tie rules
+    val rnd = new scala.util.Random(99)
+    val dim = 16
+    val vecs = (0 until 200).map { i =>
+      if (i == 0) (i.toLong, Seq.fill(dim)(0.0))
+      else (i.toLong, Seq.fill(dim)(rnd.nextInt(5).toDouble))
+    }.toDF("id", "v").select(col("id"), asDouble(col("v")).as("v"))
+    val cents: Seq[Seq[Double]] =
+      (0 until 6).map(_ => Seq.fill(dim)(rnd.nextInt(5).toDouble))
+    val nSub = 4
+    val books: Seq[Seq[Seq[Double]]] = (0 until nSub).map(_ =>
+      (0 until 5).map(_ => Seq.fill(dim / nSub)(rnd.nextDouble() - 0.5)))
+    val halfNorms = books.map(_.map(cb => 0.5 * cb.map(x => x * x).sum))
+    val subDim = dim / nSub
+
+    // the original Column formulations, reconstructed verbatim
+    def cellScores(v: org.apache.spark.sql.Column) =
+      array(cents.zipWithIndex.map { case (cv, i) =>
+        struct(cosine(v, typedLit(cv)).as("score"), lit(i).as("cell"))
+      }: _*)
+    val centsLit = typedLit(cents)
+    val booksLit = typedLit(books)
+    val halfLit = typedLit(halfNorms)
+    def subAt(v: org.apache.spark.sql.Column, mi: org.apache.spark.sql.Column) =
+      slice(v, mi * subDim + 1, lit(subDim))
+    def pqCodesHof(r: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(nSub - 1)), mi =>
+        array_max(transform(sequence(lit(0), lit(4)), ki =>
+          struct(
+            (dot(subAt(r, mi), element_at(element_at(booksLit, mi + 1), ki + 1)) -
+              element_at(element_at(halfLit, mi + 1), ki + 1)).as("score"),
+            ki.as("code")))).getField("code"))
+
+    val both = vecs
+      .withColumn("_n", greatest(sqrt(dot(col("v"), col("v"))), lit(1e-300)))
+      .withColumn("nvh", transform(col("v"), x => x / col("_n")))
+      .withColumn("cell_hof", array_max(cellScores(col("nvh"))).getField("cell"))
+      .withColumn("probe_hof", transform(
+        slice(reverse(array_sort(cellScores(col("nvh")))), 1, 3),
+        s => s.getField("cell")))
+      .withColumn("_resid", zip_with(col("nvh"),
+        element_at(centsLit, col("cell_hof") + 1), (a, b) => a - b))
+      .withColumn("codes_hof", pqCodesHof(col("_resid")))
+      .withColumn("adc_hof",
+        dot(col("nvh"), element_at(centsLit, col("cell_hof") + 1)) +
+          aggregate(sequence(lit(0), lit(nSub - 1)), lit(0.0), (acc, mi) =>
+            acc + dot(subAt(col("nvh"), mi),
+              element_at(element_at(booksLit, mi + 1),
+                element_at(col("codes_hof"), mi + 1) + 1))))
+      .withColumn("cell_nat",
+        graft.functions.IvfBestCell.bestCell(col("nvh"), cents))
+      .withColumn("probe_nat",
+        graft.functions.IvfProbeCells.probeCells(col("nvh"), cents, 3))
+      .withColumn("_enc",
+        graft.functions.IvfPqEncode.encode(col("v"), cents, books))
+      .withColumn("adc_nat", graft.functions.IvfPqAdc.adc(
+        col("nvh"), col("cell_hof"), col("codes_hof"), cents, books))
+    val mism = both.filter(
+      col("cell_hof") =!= col("cell_nat") ||
+        col("probe_hof") =!= col("probe_nat") ||
+        col("cell_hof") =!= col("_enc.cell") ||
+        col("codes_hof") =!= col("_enc.codes") ||
+        col("adc_hof") =!= col("adc_nat")).count()
+    assert(mism == 0L)
+  }
 }

@@ -200,4 +200,34 @@ class HistRollupStoreSpec extends SparkSpec {
     assert(st == raw(df(lone)))
     assert(!st.exists(_.head == "b"))
   }
+
+  test("native stitch fold ≡ the HOF foldWindows formulation " +
+      "(randomized windows incl. hints and single-sample windows)") {
+    val rnd = new scala.util.Random(777)
+    val hints = Seq("unknown", "counter_reset", "not_counter_reset",
+      "gauge")
+    val rows: Seq[Row8] = for {
+      s <- 0 until 8
+      t <- 0 until 9
+      if rnd.nextInt(10) > 1 // holes → some single-sample windows
+    } yield {
+      val nb = rnd.nextInt(4)
+      val idx = rnd.shuffle((-1 to 3).toList).take(nb).sorted
+      val cnts = idx.map(_ => rnd.nextInt(9).toDouble)
+      val nnb = rnd.nextInt(2)
+      val nidx = rnd.shuffle((0 to 2).toList).take(nnb).sorted
+      val ncnts = nidx.map(_ => rnd.nextInt(9).toDouble)
+      (s"s$s", t * 37L, rnd.nextInt(4).toDouble, idx, cnts, nidx, ncnts,
+        hints(rnd.nextInt(hints.length)))
+    }
+    val path = "/tmp/graft_nh_rollup_spec_nativefold"
+    HistRollupStore.write(df(rows), path, Seq("series"), "t_sec",
+      "zero_count", "pos_idx", "pos_counts", "neg_idx", "neg_counts", W,
+      hintCol = Some("hint"))
+    val sel = HistRollupStore.select(spark, path, 0L, 1000L)
+    def run(native: Boolean) =
+      HistRollupStore.stitchedIncreaseOfImpl(sel, Seq("series"), native)
+        .collect().map(_.toSeq).toSet
+    assert(run(true) == run(false))
+  }
 }

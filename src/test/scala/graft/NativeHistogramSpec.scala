@@ -553,4 +553,42 @@ class NativeHistogramSpec extends SparkSpec {
         s"q=$q z=$zero i=$idx c=$cnt ni=$nIdx nc=$nCnt: got $got want $want")
     }
   }
+
+  test("native increase fold ≡ the HOF aggregate formulation " +
+      "(randomized: resets, hints, vanishing and negative buckets)") {
+    // the production path runs graft.functions.NhIncreaseFold; the
+    // HOF `aggregate` form stays as the executable spec — this pin
+    // compares the two over a seeded random walk that exercises
+    // every ladder branch (value-detected resets, hint-forced and
+    // hint-suppressed resets, buckets appearing/vanishing mid-range,
+    // negative-bucket sides, empty sides)
+    val rnd = new scala.util.Random(4242)
+    val hints = Seq("unknown", "counter_reset", "not_counter_reset",
+      "gauge", "whatever")
+    val rows = for {
+      s <- 0 until 12
+      t <- 0 until 8
+    } yield {
+      val nb = rnd.nextInt(4)
+      val idx = rnd.shuffle((-2 to 4).toList).take(nb).sorted
+      val cnts = idx.map(_ => rnd.nextInt(10).toDouble)
+      val nnb = rnd.nextInt(3)
+      val nidx = rnd.shuffle((0 to 3).toList).take(nnb).sorted
+      val ncnts = nidx.map(_ => rnd.nextInt(10).toDouble)
+      (s"s$s", t * 10L, rnd.nextInt(5).toDouble, idx, cnts, nidx, ncnts,
+        hints(rnd.nextInt(hints.length)))
+    }
+    val df = rows.toDF("lbl", "t", "z", "i", "c", "ni", "nc", "h")
+    def run(native: Boolean) =
+      NativeHistogram.increaseBySignedResetsImpl(df, Seq("lbl"), "t",
+          "z", "i", "c", "ni", "nc", hintCol = Some("h"), native = native)
+        .collect().map(_.toSeq).toSet
+    assert(run(true) == run(false))
+    // and without a hint column (the detector-only ladder)
+    def runNoHint(native: Boolean) =
+      NativeHistogram.increaseBySignedResetsImpl(df, Seq("lbl"), "t",
+          "z", "i", "c", "ni", "nc", hintCol = None, native = native)
+        .collect().map(_.toSeq).toSet
+    assert(runNoHint(true) == runNoHint(false))
+  }
 }

@@ -62,4 +62,27 @@ class VectorFunctionsSpec extends SparkSpec {
     val out = f.select(dot(asDouble(col("a")), asDouble(col("b")))).head.getDouble(0)
     assert(out == 11.0)
   }
+
+  test("native sigAgreement is identical to the zip_with/aggregate form") {
+    import graft.functions.SigAgreement.sigAgreement
+    // real signature shapes plus the padding/null edges zip_with defines
+    val rows = Seq(
+      (Array(1L, 2L, 3L, 4L), Array(1L, 9L, 3L, 4L)),
+      (Array(7L, 7L), Array(7L, 7L)),
+      (Array(1L, 2L, 3L), Array(1L, 2L)), // unequal length: pad counts 0
+      (Array.empty[Long], Array(5L))
+    ).toDF("a", "b")
+    val hof = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x)
+    val mism = rows.select(
+        sigAgreement(col("a"), col("b")).as("native"),
+        hof(col("a"), col("b")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mism == 0L)
+    // null input arrays yield null, like the HOF form
+    val withNull = Seq((Some(Array(1L)), Option.empty[Array[Long]]))
+      .toDF("a", "b")
+    assert(withNull.select(sigAgreement(col("a"), col("b"))).head.isNullAt(0))
+  }
 }
