@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression,
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the shingling hot path.
@@ -316,4 +316,137 @@ object SigAgreement {
   def sigAgreement(a: Column, b: Column): Column =
     ColumnBridge.column(SigAgreement(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** One-pass token / punctuation / per-language stopword profile — the
+  * counts behind `tokenCount`, `punctCount`, `stopwordCount` and
+  * `langId` in a single scan of the string.
+  *
+  * The regexp formulation ran up to 10 NFA passes per document (5
+  * stopword alternations for langId, each also referenced by the
+  * max-comparison chain). This expression lowercases once
+  * (`UTF8String.toLowerCase` — the identical function Spark's
+  * `lower` uses) and walks the bytes once. Count semantics replicate
+  * `regexp_count` with Java's default (ASCII `\\w`) classes exactly:
+  *   - `n_tokens` = maximal `[a-z0-9]+` runs of the lowered text
+  *     (underscore and any non-ASCII byte are separators);
+  *   - `punct` = occurrences of `[.,;:!?]` in the RAW text (ASCII
+  *     bytes never occur inside UTF-8 multi-byte sequences, so a
+  *     byte count IS the char count);
+  *   - `stops[i]` = matches of `\\b(w1|...|wk)\\b` for language i over
+  *     the lowered text: a match is exactly a maximal word-char run
+  *     equal to one of the stopwords, where the boundary's word
+  *     class is Java's — `'_'` or ANY Unicode letter/digit (the
+  *     known `\\b`-vs-ASCII-`\\w` asymmetry of java.util.regex).
+  * TextFunctionsSpec pins equivalence against the regexp forms over
+  * the real corpus plus adversarial underscore/unicode/case edges.
+  */
+case class TextProfile(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = TextProfile.outType
+
+  override def nullSafeEval(a: Any): Any =
+    TextProfile.compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextProfile.compute($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): TextProfile =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_text_profile"
+}
+
+object TextProfile {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.IntegerType
+
+  /** Language order is the langId chain's order — fixed API. */
+  val orderedLangs: Seq[String] = Seq("en", "de", "fr", "es", "zh")
+
+  val stopwordTable: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "une"),
+    "es" -> Seq("el", "los", "las", "y", "que", "una"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo", "zai"))
+
+  val outType: StructType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("punct", IntegerType, nullable = false),
+    StructField("stops", ArrayType(IntegerType, containsNull = false))))
+
+  // word → bitmask of languages containing it (bit i = orderedLangs(i))
+  private val wordMask: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    orderedLangs.zipWithIndex.foreach { case (lang, i) =>
+      stopwordTable(lang).foreach { w =>
+        val prev = m.get(w)
+        m.put(w, Integer.valueOf((if (prev == null) 0 else prev.intValue()) | (1 << i)))
+      }
+    }
+    m
+  }
+  private val maxStopLen = wordMask.keySet().toArray.map(_.toString.length).max
+
+  private def isPunct(c: Char): Boolean = c match {
+    case '.' | ',' | ';' | ':' | '!' | '?' => true
+    case _ => false
+  }
+
+  /** Static entry for generated code. One pass over code points.
+    * Java's `\\b` quirk is mirrored deliberately: the boundary node
+    * treats `'_' || Character.isLetterOrDigit(cp)` as word chars
+    * (UNICODE letters and digits!) even while `\\w` and the token
+    * class stay ASCII — so `éthe` has NO boundary before the `t`
+    * and never matches the stopword `the`, exactly like
+    * `regexp_count`.
+    */
+  def compute(s: UTF8String): InternalRow = {
+    val raw = s.toString
+    var punct = 0
+    var i = 0
+    while (i < raw.length) {
+      if (isPunct(raw.charAt(i))) punct += 1
+      i += 1
+    }
+    val low = s.toLowerCase.toString
+    val stops = new Array[Int](orderedLangs.length)
+    var tokens = 0
+    var inTok = false
+    var runStart = -1
+    i = 0
+    while (i <= low.length) {
+      val cp = if (i < low.length) low.codePointAt(i) else -1
+      val step = if (cp < 0) 1 else Character.charCount(cp)
+      val isTok = (cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9')
+      if (isTok && !inTok) { tokens += 1; inTok = true }
+      else if (!isTok) inTok = false
+      val isW = cp >= 0 && (cp == '_' || Character.isLetterOrDigit(cp))
+      if (isW) { if (runStart < 0) runStart = i }
+      else if (runStart >= 0) {
+        if (i - runStart <= maxStopLen) {
+          val mask = wordMask.get(low.substring(runStart, i))
+          if (mask != null) {
+            var l = 0
+            val mv = mask.intValue()
+            while (l < stops.length) {
+              if ((mv & (1 << l)) != 0) stops(l) += 1
+              l += 1
+            }
+          }
+        }
+        runStart = -1
+      }
+      i += step
+    }
+    InternalRow(tokens, punct,
+      new GenericArrayData(stops.map(x => x: Any)))
+  }
+
+  /** Column API: struct(n_tokens, punct, stops[lang-ordinal]). */
+  def profile(text: Column): Column =
+    ColumnBridge.column(TextProfile(ColumnBridge.expression(text)))
 }

@@ -15,11 +15,19 @@ object TextFunctions {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
-  /** Count-only twin of `size(tokens(text))` — `regexp_count` scans
-    * once without materializing the match array (identical count:
-    * same pattern, same non-overlapping match walk).
+  /** Count-only twin of `size(tokens(text))` — one native scan
+    * ([[TextProfile]]; identical count: maximal `[a-z0-9]+` runs of
+    * the lowered text). Kept as the regexp-equivalent contract,
+    * spec-pinned.
     */
   def tokenCount(text: Column): Column =
+    TextProfile.profile(text).getField("n_tokens")
+
+  /** The regexp formulations of the [[TextProfile]] counters — the
+    * executable spec the native scan is pinned against
+    * (TextFunctionsSpec); not on any hot path.
+    */
+  private[graft] def tokenCountRegex(text: Column): Column =
     regexp_count(lower(text), lit("[a-z0-9]+"))
 
   // PII patterns restricted to syntax Java regex and RE2 read
@@ -49,16 +57,20 @@ object TextFunctions {
     regexp_count(text, lit(phonePattern))
 
   def punctCount(text: Column): Column =
+    TextProfile.profile(text).getField("punct")
+
+  private[graft] def punctCountRegex(text: Column): Column =
     regexp_count(text, lit("[.,;:!?]"))
 
-  private val stopwords = Map(
-    "en" -> Seq("the", "a", "of", "to", "and", "in", "is"),
-    "de" -> Seq("der", "die", "das", "und", "nicht", "ein"),
-    "fr" -> Seq("le", "la", "les", "et", "des", "une"),
-    "es" -> Seq("el", "los", "las", "y", "que", "una"),
-    "zh" -> Seq("de", "shi", "bu", "le", "wo", "zai"))
+  private val stopwords = TextProfile.stopwordTable
 
   def stopwordCount(text: Column, lang: String = "en"): Column = {
+    val ord = TextProfile.orderedLangs.indexOf(lang)
+    require(ord >= 0, s"no stopword list for language $lang")
+    element_at(TextProfile.profile(text).getField("stops"), ord + 1)
+  }
+
+  private[graft] def stopwordCountRegex(text: Column, lang: String): Column = {
     val pat = stopwords(lang).mkString("\\b(", "|", ")\\b")
     regexp_count(lower(text), lit(pat))
   }
@@ -84,8 +96,9 @@ object TextFunctions {
     * order). The classic cheap n-gram/stopword heuristic.
     */
   def langId(text: Column): Column = {
-    val ordered = Seq("en", "de", "fr", "es", "zh")
-    val scores = ordered.map(l => stopwordCount(text, l))
+    val ordered = TextProfile.orderedLangs
+    val stops = TextProfile.profile(text).getField("stops")
+    val scores = ordered.indices.map(i => element_at(stops, i + 1))
     val best = greatest(scores: _*)
     // when-chain ordered so the FIRST language reaching the max wins
     ordered.zip(scores).reverse.foldLeft(lit(ordered.last): Column) {

@@ -127,4 +127,31 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(1L) == ((2L, 0L)))
     assert(out(2L) == ((2L, 0L)))
   }
+
+  test("TextProfile native counts ≡ the regexp_count formulations " +
+      "(real corpus + underscore/unicode/case edges)") {
+    import graft.functions.{TextFunctions => TF}
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+    val edges = Seq(
+      "a1 the_ the _the the. THE tHe",          // \b vs token split
+      "_a_ a _ the",                            // underscore is \w but not a token char
+      "caf\u00e9 the \u00e9the the\u00e9 und",  // non-ASCII bounds
+      "le  la;les:et?des!une,le",               // punct adjacency
+      "", " ", "...", "\u4f60\u597d de shi", "Y qu\u00e9 el los las y una",
+      "der die das und nicht ein der der"
+    ).toDF("text")
+    val all = corpus.unionByName(edges)
+    val langs = graft.functions.TextProfile.orderedLangs
+    val checked = all.select(
+      (TF.tokenCount(col("text")) === TF.tokenCountRegex(col("text")))
+        .as("tok_ok") +:
+      (TF.punctCount(col("text")) === TF.punctCountRegex(col("text")))
+        .as("punct_ok") +:
+      langs.map(l => (TF.stopwordCount(col("text"), l) ===
+        TF.stopwordCountRegex(col("text"), l)).as(s"stop_${l}_ok")): _*)
+    val bad = checked.filter(
+      checked.columns.map(c => !col(c)).reduce(_ || _)).count()
+    assert(bad == 0L)
+  }
 }
