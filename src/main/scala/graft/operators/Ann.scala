@@ -21,10 +21,15 @@ object Ann {
 
   def bruteForce(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, k: Int): DataFrame = {
+    // norms once per ROW before the pair join (cosineWithNorms doc)
     val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nv"))
+      .withColumn("_nn", norm(col("nv")))
     val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("_qn", norm(col("qv")))
     val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("sim"))
+      .select(col("qid"), col("nid"),
+        cosineWithNorms(dot(col("qv"), col("nv")),
+          col("_qn"), col("_nn")).as("sim"))
     topK(scored, k)
   }
 
@@ -180,9 +185,12 @@ object Ann {
     // and the probe list is distinct per query, so (qid, nid) can
     // match at most once — a dropDuplicates here would add a second
     // corpus-scale exchange for zero semantic effect
-    val scored = assigned.join(broadcast(probed), Seq("cell"))
+    val scored = assigned.withColumn("_nn", norm(col("nv")))
+      .join(broadcast(probed.withColumn("_qn", norm(col("qv")))), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("sim"))
+      .select(col("qid"), col("nid"),
+        cosineWithNorms(dot(col("qv"), col("nv")),
+          col("_qn"), col("_nn")).as("sim"))
     topK(scored, k)
   }
 
@@ -335,9 +343,12 @@ object Ann {
     val cand = adc.withColumn("_cr", row_number().over(wc))
       .filter(col("_cr") <= rr)
       .select("qid", "nid")
-    val exact = c.join(broadcast(cand), Seq("nid"))
-      .join(broadcast(q), Seq("qid"))
-      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("sim"))
+    val exact = c.withColumn("_nn", norm(col("nv")))
+      .join(broadcast(cand), Seq("nid"))
+      .join(broadcast(q.withColumn("_qn", norm(col("qv")))), Seq("qid"))
+      .select(col("qid"), col("nid"),
+        cosineWithNorms(dot(col("qv"), col("nv")),
+          col("_qn"), col("_nn")).as("sim"))
     topK(exact, k)
   }
 
@@ -377,9 +388,12 @@ object Ann {
     // and the probed (qid, bucket) side is distinct, so (qid, nid)
     // matches at most once — dropping duplicates would re-shuffle
     // the corpus-scale join output for nothing
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    val scored = c.withColumn("_nn", norm(col("nv")))
+      .join(broadcast(q.withColumn("_qn", norm(col("qv")))), Seq("bucket"))
       .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"), cosine(col("qv"), col("nv")).as("sim"))
+      .select(col("qid"), col("nid"),
+        cosineWithNorms(dot(col("qv"), col("nv")),
+          col("_qn"), col("_nn")).as("sim"))
     topK(scored, k)
   }
 }

@@ -514,10 +514,13 @@ object Dedup {
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double): DataFrame = {
     import graft.functions.VectorFunctions._
+    // norms once per ROW before the pair join (cosineWithNorms doc)
     val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("_nm", norm(col("v")))
     v.as("a").join(v.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        round(cosine(col("a.v"), col("b.v")), 4).as("cos_sim"))
+        round(cosineWithNorms(dot(col("a.v"), col("b.v")),
+          col("a._nm"), col("b._nm")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
@@ -540,13 +543,15 @@ object Dedup {
       .join(keyed.select(col("v"), col(idCol).as("_mid")), "v")
       .select(col("_rid"), col("_mid"))
     val banded = reps.select(col(idCol), col("v"),
+      norm(col("v")).as("_nm"),
       lshBucket(col("v"), nPlanes).as("bucket"))
     val capped = capBuckets(banded, Seq("bucket"), bucketCap,
       "graft_embed_bucket_drops")
     val repPairs = capped.as("a").join(capped.as("b"),
         col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("rid_a"), col(s"b.$idCol").as("rid_b"),
-        round(cosine(col("a.v"), col("b.v")), 4).as("cos_sim"))
+        round(cosineWithNorms(dot(col("a.v"), col("b.v")),
+          col("a._nm"), col("b._nm")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
     // identical vectors have cosine exactly 1.0 after rounding
     expandPairs(repPairs, memberOf, Seq("cos_sim"), Seq(lit(1.0)))
