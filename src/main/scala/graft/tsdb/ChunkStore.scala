@@ -206,10 +206,18 @@ object ChunkStore {
       colDuration: String = "1 day", samplesPerChunk: Int = 120): Unit = {
     require(dirs.nonEmpty, "need at least one block directory")
     val full = ("1970-01-01 00:00:00", "2200-01-01 00:00:00")
+    // materialize the merge ONCE before the dual-file write: [[write]]
+    // consumes its input three times (labels distinct, the labels
+    // range-partitioner's SAMPLING pass, chunks aggregation), and
+    // without the cut each pass re-runs the N-block decode + LWW
+    // merge. At 100 TB this is the temp-table write between a
+    // compactor's merge and write stages; same eager-localCheckpoint
+    // convention as minHashNearDup's candidate set.
     val merged = TsdbConverter.mergeShards(
       dirs.map(d => select(spark, d, full._1, full._2, Nil,
         seriesCols, tsCol, valueCol, colDuration)),
       seriesCols, tsCol, valueCol)
+      .localCheckpoint()
     write(merged, outPath, seriesCols, tsCol, valueCol,
       colDuration, samplesPerChunk)
   }

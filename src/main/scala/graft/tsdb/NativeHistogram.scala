@@ -738,17 +738,22 @@ object NativeHistogram {
   def sumBy(df: DataFrame, labelCols: Seq[String], zeroCountCol: String,
       posIdxCol: String, posCountsCol: String): DataFrame = {
     val keys = labelCols.map(col)
-    val buckets = df
-      .select(keys :+
-        explode(zip_with(col(posIdxCol), col(posCountsCol),
-          (i, c) => struct(i.as("idx"), c.as("cnt")))).as("b"): _*)
+    // the zero bucket rides the SAME explode as the indexed buckets
+    // (idx NULL), so the whole sum is ONE scan + ONE aggregation —
+    // the previous two-aggregation union re-derived the input subplan
+    // twice and shuffled twice for identical output rows (long sums
+    // are order-exact). A row with NULL bucket arrays still
+    // contributes its zero count (the coalesce), as the separate
+    // zeros aggregation did.
+    val zipped = zip_with(col(posIdxCol), col(posCountsCol),
+      (i, c) => struct(i.as("idx"), c.as("cnt")))
+    val withZero = concat(
+      array(struct(lit(null).cast("int").as("idx"),
+        col(zeroCountCol).as("cnt"))),
+      coalesce(zipped, array()))
+    df.select(keys :+ explode(withZero).as("b"): _*)
       .groupBy(keys :+ col("b.idx").as("idx"): _*)
       .agg(sum(col("b.cnt")).as("count"))
-    val zeros = df.groupBy(keys: _*)
-      .agg(sum(col(zeroCountCol)).as("count"))
-      .withColumn("idx", lit(null).cast("int"))
       .select(keys :+ col("idx") :+ col("count"): _*)
-    buckets.select(keys :+ col("idx") :+ col("count"): _*)
-      .unionByName(zeros)
   }
 }
