@@ -312,3 +312,32 @@ case class HistChunkDecode(blob: Expression, qmint: Expression,
       newThird: Expression): Expression =
     copy(blob = newFirst, qmint = newSecond, qmaxt = newThird)
 }
+
+/** [[graft.tsdb.ChunkCodec.frameFamilyMask]] as a Column: bitmask of
+  * chunkenc families present in one encoded cell, headers only.
+  */
+case class ChunkFamilies(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(org.apache.spark.sql.types.BinaryType)
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(a: Any): Any =
+    graft.tsdb.ChunkCodec.frameFamilyMask(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.tsdb.ChunkCodec.frameFamilyMask($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): ChunkFamilies =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_chunk_families"
+}
+
+object ChunkFamilies {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graft.ColumnBridge
+  def families(blob: Column): Column =
+    ColumnBridge.column(ChunkFamilies(ColumnBridge.expression(blob)))
+}

@@ -190,12 +190,21 @@ case class NhIncreaseFold(child: Expression)
   // always the snapStruct projection, so no ExpectsInputTypes contract
   override def dataType: DataType = NhFoldCore.outType
 
+  // compute() returns null for an EMPTY snapshot array (no fold), so
+  // the expression is nullable regardless of the child's bit — and
+  // codegen must re-check the result (defineCodeGen would pin isNull
+  // to the child's, handing generated code a null struct flagged
+  // non-null)
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any): Any =
     NhIncreaseFold.compute(a.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a =>
-      s"graft.functions.NhIncreaseFold.compute($a)")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.functions.NhIncreaseFold.compute($a);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): NhIncreaseFold =
     copy(child = newChild)
@@ -258,12 +267,18 @@ case class NhStitchFold(child: Expression)
   // consumed by field ordinal; production is always winStruct
   override def dataType: DataType = NhFoldCore.outType
 
+  // null on an EMPTY window array — same contract note as
+  // [[NhIncreaseFold]]
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any): Any =
     NhStitchFold.compute(a.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a =>
-      s"graft.functions.NhStitchFold.compute($a)")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.functions.NhStitchFold.compute($a);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): NhStitchFold =
     copy(child = newChild)

@@ -71,10 +71,15 @@ object QueryProfile {
       }
       def med(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
       val cT = med(rows.map(_._1._1)); val eT = med(rows.map(_._2._1))
+      // counts are from the LAST pass (steady state - fixture builds
+      // and AQE replanning inflate pass 1); times are medians over
+      // all passes, so the two columns describe different executions
+      // by design. Listener counters drain asynchronously, so counts
+      // are approximate phase attribution, not an exact ledger.
       val last = rows.last
       System.err.println(
-        f"[profile] $name%-34s construct ${cT}%6.2f s (jobs ${last._1._2}%2d stages ${last._1._3}%3d tasks ${last._1._4}%5d)  " +
-        f"exec ${eT}%6.2f s (jobs ${last._2._2}%2d stages ${last._2._3}%3d tasks ${last._2._4}%5d)  total ${cT + eT}%6.2f s")
+        f"[profile] $name%-34s construct ${cT}%6.2f s (last-pass jobs ${last._1._2}%2d stages ${last._1._3}%3d tasks ${last._1._4}%5d)  " +
+        f"exec ${eT}%6.2f s (last-pass jobs ${last._2._2}%2d stages ${last._2._3}%3d tasks ${last._2._4}%5d)  total ${cT + eT}%6.2f s")
       try {
         val df = fn(spark, sfDir)
         val plan = df.queryExecution.explainString(

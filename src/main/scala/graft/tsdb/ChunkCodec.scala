@@ -398,6 +398,30 @@ object ChunkCodec {
     encodeBlob(ts, vs, samplesPerChunk)
   }
 
+  /** Bitmask of chunkenc frame families present in a blob (bit =
+    * enc ordinal: 2 = XOR, 4 = histogram, 8 = float histogram),
+    * from the frame HEADERS only — no body is parsed. The shard
+    * compactors use this as a loud-refusal guard: a family-specific
+    * merge must never silently drop a foreign family's frames from
+    * a mixed cell (a series that changed sample type).
+    */
+  def frameFamilyMask(blob: Array[Byte]): Int = {
+    var mask = 0
+    val pos = Array(0)
+    while (pos(0) < blob.length) {
+      val enc = readUvarint(blob, pos)
+      require(enc == EncXor || enc == HistChunkCodec.EncHistogram ||
+        enc == HistChunkCodec.EncFloatHistogram,
+        s"unknown chunk encoding $enc")
+      readUvarint(blob, pos) // mint
+      readUvarint(blob, pos) // maxt
+      val size = readUvarint(blob, pos).toInt
+      pos(0) += size
+      mask |= 1 << enc.toInt
+    }
+    mask
+  }
+
   /** blob → array<struct<ts:long, value:double>> of chunks
     * overlapping [qmint, qmaxt]. */
   def decodeToArrayData(blob: Array[Byte], qmint: Long, qmaxt: Long): ArrayData = {

@@ -90,7 +90,15 @@ object DictionaryLabelScan {
     if (files.isEmpty) return Nil
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    spark.sparkContext.parallelize(files, tasksFor(spark, files.size))
+    // per (file, column): PROVEN present (some chunk's stats show a
+    // non-null value), proven absent (every chunk all-null), or
+    // UNKNOWN (stats missing/unset in some chunk and not proven
+    // elsewhere). Unknown columns fall back to a bounded data probe —
+    // the same silent-fallback convention as [[labelValues]]; stats-
+    // less foreign files must not report all-null labels the raw
+    // scan would exclude.
+    val statuses = spark.sparkContext
+      .parallelize(files, tasksFor(spark, files.size))
       .mapPartitions { paths =>
         paths.flatMap { p =>
           val r = ParquetFileReader.open(HadoopInputFile.fromPath(
@@ -98,16 +106,36 @@ object DictionaryLabelScan {
           try {
             val footer = r.getFooter
             footer.getFileMetaData.getSchema.getFields.asScala.toList
-              .map(_.getName).filter { c =>
-                footer.getBlocks.asScala.exists(_.getColumns.asScala.exists(
-                  cc => cc.getPath.toDotString == c && (
-                    cc.getStatistics == null ||
-                    !cc.getStatistics.isNumNullsSet ||
-                    cc.getStatistics.getNumNulls < cc.getValueCount)))
+              .map(_.getName).map { c =>
+                val chunks = footer.getBlocks.asScala
+                  .flatMap(_.getColumns.asScala)
+                  .filter(_.getPath.toDotString == c)
+                val proven = chunks.exists(cc =>
+                  cc.getStatistics != null &&
+                    cc.getStatistics.isNumNullsSet &&
+                    cc.getStatistics.getNumNulls < cc.getValueCount)
+                val unknown = !proven && chunks.exists(cc =>
+                  cc.getStatistics == null ||
+                    !cc.getStatistics.isNumNullsSet)
+                (c, if (proven) 2 else if (unknown) 1 else 0, p)
               }
           } finally r.close()
         }
-      }.distinct().collect().toSeq.flatMap(nameOf(_)).distinct.sorted
+      }.collect().toSeq
+    val proven = statuses.collect { case (c, 2, _) => c }.toSet
+    val unknownByFile = statuses
+      .collect { case (c, 1, p) if !proven(c) => (p, c) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val probed = unknownByFile.flatMap { case (p, cols) =>
+      // bounded: only stats-less foreign files reach here (graft's
+      // writer always records null counts); one aggregation per file
+      val row = spark.read.parquet(p)
+        .agg(count(lit(1)),
+          cols.map(c => count(col(s"`$c`")).as(c)): _*)
+        .head()
+      cols.zipWithIndex.collect { case (c, i) if row.getLong(i + 1) > 0 => c }
+    }.toSet
+    (proven ++ probed).toSeq.flatMap(nameOf(_)).distinct.sorted
   }
 
   /** The IO attestation for the spec: run the same dictionary

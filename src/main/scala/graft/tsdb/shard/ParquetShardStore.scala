@@ -421,13 +421,16 @@ object ParquetShardStore {
       matchers: Seq[Matcher] = Nil, tsCol: String = "ts",
       valueCol: String = "value"): DataFrame =
     selectImpl(spark, dir, mintMs, maxtMs, matchers,
-      c => ColumnBridge.column(ChunkDecode(
-        ColumnBridge.expression(c),
-        ColumnBridge.expression(lit(mintMs)),
-        // frame-header filter is inclusive (reference semantics);
-        // the exact [mint, maxt) bound re-applies per sample after
-        ColumnBridge.expression(lit(maxtMs - 1)))),
-      Seq(col("_s.value").as(valueCol)), tsCol)
+      xorDecode(mintMs, maxtMs), Seq(col("_s.value").as(valueCol)), tsCol)
+
+  private def xorDecode(mintMs: Long, maxtMs: Long)
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    c => ColumnBridge.column(ChunkDecode(
+      ColumnBridge.expression(c),
+      ColumnBridge.expression(lit(mintMs)),
+      // frame-header filter is inclusive (reference semantics);
+      // the exact [mint, maxt) bound re-applies per sample after
+      ColumnBridge.expression(lit(maxtMs - 1))))
 
   /** [[select]] over a [[writeHist]] shard: output is the
     * NativeHistogram row model (`zero_count`/`pos_idx`/`pos_counts`
@@ -443,11 +446,14 @@ object ParquetShardStore {
       maxtMs: Long, matchers: Seq[Matcher] = Nil,
       tsCol: String = "ts"): DataFrame =
     selectImpl(spark, dir, mintMs, maxtMs, matchers,
-      c => ColumnBridge.column(graft.functions.ChunkencHistDecode(
-        ColumnBridge.expression(c),
-        ColumnBridge.expression(lit(mintMs)),
-        ColumnBridge.expression(lit(maxtMs - 1)))),
-      histOutput, tsCol)
+      histDecode(mintMs, maxtMs), histOutput, tsCol)
+
+  private def histDecode(mintMs: Long, maxtMs: Long)
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    c => ColumnBridge.column(graft.functions.ChunkencHistDecode(
+      ColumnBridge.expression(c),
+      ColumnBridge.expression(lit(mintMs)),
+      ColumnBridge.expression(lit(maxtMs - 1))))
 
   /** [[selectHist]] over a [[writeFloatHist]] shard (enc=3 cells);
     * zero/counts come back as doubles. */
@@ -455,11 +461,14 @@ object ParquetShardStore {
       maxtMs: Long, matchers: Seq[Matcher] = Nil,
       tsCol: String = "ts"): DataFrame =
     selectImpl(spark, dir, mintMs, maxtMs, matchers,
-      c => ColumnBridge.column(graft.functions.ChunkencFloatHistDecode(
-        ColumnBridge.expression(c),
-        ColumnBridge.expression(lit(mintMs)),
-        ColumnBridge.expression(lit(maxtMs - 1)))),
-      histOutput, tsCol)
+      floatHistDecode(mintMs, maxtMs), histOutput, tsCol)
+
+  private def floatHistDecode(mintMs: Long, maxtMs: Long)
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    c => ColumnBridge.column(graft.functions.ChunkencFloatHistDecode(
+      ColumnBridge.expression(c),
+      ColumnBridge.expression(lit(mintMs)),
+      ColumnBridge.expression(lit(maxtMs - 1))))
 
   private def histOutput: Seq[org.apache.spark.sql.Column] = Seq(
     col("_s.zero").as("zero_count"),
@@ -505,14 +514,53 @@ object ParquetShardStore {
     require(dirs.forall(d => labelNames(spark, d) == names),
       "all inputs must share one label universe (the reference merges " +
         "blocks of one tenant/schema)")
+    dirs.foreach(assertSingleFamily(spark, _,
+      1 << graft.tsdb.ChunkCodec.EncXor.toInt, "XOR (float-sample)"))
     val scans = dirs.map { d =>
       val m = meta(spark, d)
       select(spark, d, m.mintMs, m.maxtMs + 1)
     }
+    // materialize the merge ONCE: write() consumes its input for the
+    // bounds aggregation, the labels pass and the chunk encode — each
+    // would otherwise re-run the N-dir decode + merge shuffle (the
+    // same cut mergeShardsHist takes with cache() below, and
+    // ChunkStore.mergeBlocks with its checkpoint)
     val merged = graft.tsdb.TsdbConverter.mergeShards(
       scans, names, "ts", "value")
+      .localCheckpoint()
     write(merged, outDir, names, "ts", "value", colDurationMs,
       samplesPerChunk, shards, bloomFilterLabels = bloomFilterLabels)
+  }
+
+  /** Loud-refusal guard for the family-specific compactors: a
+    * reference-written cell may MIX chunkenc families (a series that
+    * changed sample type — one appender per family per column,
+    * schema/encoder.go:75). The family-specific decode SKIPS foreign
+    * frames by header, which is right for a select but silent DATA
+    * LOSS for a compaction that rewrites the shard: refuse instead,
+    * telling the operator to merge one family at a time. One
+    * header-walk aggregation over the in-range cells (bodies never
+    * parsed).
+    */
+  private def assertSingleFamily(spark: SparkSession, dir: String,
+      allowedMask: Int, what: String): Unit = {
+    val m = meta(spark, dir)
+    val (joined, dataCols, _, _) =
+      pruned(spark, dir, m.mintMs, m.maxtMs + 1, Nil)
+    if (dataCols.isEmpty) return
+    import graft.functions.ChunkFamilies.families
+    val maskCol = dataCols
+      .map(c => coalesce(families(col(c)), lit(0)))
+      .reduce(_.bitwiseOR(_))
+    val got = joined.select(maskCol.as("_m"))
+      .agg(coalesce(expr("bit_or(_m)"), lit(0)))
+      .head().getInt(0)
+    if ((got & ~allowedMask) != 0)
+      throw new IllegalArgumentException(
+        s"shard dir $dir holds chunkenc families beyond the $what " +
+          s"merge's (family bitmask $got, allowed $allowedMask): a " +
+          "family-specific merge would silently drop the foreign " +
+          "frames - merge one chunkenc family at a time")
   }
 
   /** [[mergeShards]] for HISTOGRAM shard dirs: decode every input in
@@ -535,6 +583,9 @@ object ParquetShardStore {
     require(dirs.forall(d => labelNames(spark, d) == names),
       "all inputs must share one label universe (the reference merges " +
         "blocks of one tenant/schema)")
+    dirs.foreach(assertSingleFamily(spark, _,
+      1 << graft.tsdb.HistChunkCodec.EncHistogram.toInt,
+      "integer-histogram"))
     val scans = dirs.zipWithIndex.map { case (d, pri) =>
       val m = meta(spark, d)
       selectHist(spark, d, m.mintMs, m.maxtMs + 1)
@@ -585,9 +636,15 @@ object ParquetShardStore {
   def selectStrict(spark: SparkSession, dir: String, mintMs: Long,
       maxtMs: Long, matchers: Seq[Matcher], chunkBytesQuota: Long,
       tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
-    enforceChunkBytesQuota(spark, dir, mintMs, maxtMs, matchers,
-      chunkBytesQuota)
-    select(spark, dir, mintMs, maxtMs, matchers, tsCol, valueCol)
+    // ONE pruned frame serves the quota aggregation AND the select:
+    // pruned() costs a footer read, a labels-glob schema inference
+    // and the matcher compile - paying it twice doubled the
+    // metadata IO of every strict select (ChunkStore.selectStrict,
+    // the declared same-contract sibling, already shared it)
+    val pr = pruned(spark, dir, mintMs, maxtMs, matchers)
+    enforceChunkBytesQuotaOn(pr, chunkBytesQuota)
+    selectImplFrom(pr, mintMs, maxtMs,
+      xorDecode(mintMs, maxtMs), Seq(col("_s.value").as(valueCol)), tsCol)
   }
 
   /** [[selectHist]] under the same strict chunk-byte quota — the
@@ -597,9 +654,10 @@ object ParquetShardStore {
   def selectHistStrict(spark: SparkSession, dir: String, mintMs: Long,
       maxtMs: Long, matchers: Seq[Matcher], chunkBytesQuota: Long,
       tsCol: String = "ts"): DataFrame = {
-    enforceChunkBytesQuota(spark, dir, mintMs, maxtMs, matchers,
-      chunkBytesQuota)
-    selectHist(spark, dir, mintMs, maxtMs, matchers, tsCol)
+    val pr = pruned(spark, dir, mintMs, maxtMs, matchers)
+    enforceChunkBytesQuotaOn(pr, chunkBytesQuota)
+    selectImplFrom(pr, mintMs, maxtMs,
+      histDecode(mintMs, maxtMs), histOutput, tsCol)
   }
 
   /** [[selectFloatHist]] under the strict chunk-byte quota. */
@@ -607,17 +665,17 @@ object ParquetShardStore {
   def selectFloatHistStrict(spark: SparkSession, dir: String, mintMs: Long,
       maxtMs: Long, matchers: Seq[Matcher], chunkBytesQuota: Long,
       tsCol: String = "ts"): DataFrame = {
-    enforceChunkBytesQuota(spark, dir, mintMs, maxtMs, matchers,
-      chunkBytesQuota)
-    selectFloatHist(spark, dir, mintMs, maxtMs, matchers, tsCol)
+    val pr = pruned(spark, dir, mintMs, maxtMs, matchers)
+    enforceChunkBytesQuotaOn(pr, chunkBytesQuota)
+    selectImplFrom(pr, mintMs, maxtMs,
+      floatHistDecode(mintMs, maxtMs), histOutput, tsCol)
   }
 
-  private def enforceChunkBytesQuota(spark: SparkSession, dir: String,
-      mintMs: Long, maxtMs: Long, matchers: Seq[Matcher],
+  private def enforceChunkBytesQuotaOn(
+      pr: (DataFrame, Seq[String], Seq[String], Boolean),
       chunkBytesQuota: Long): Unit =
     if (chunkBytesQuota > 0L) {
-      val (joined, dataCols, _, overlaps) =
-        pruned(spark, dir, mintMs, maxtMs, matchers)
+      val (joined, dataCols, _, overlaps) = pr
       val bytes = if (!overlaps) 0L
         else joined.agg(coalesce(sum(dataCols
             .map(c => length(col(c)).cast("long")).reduce(_ + _)), lit(0L)))
@@ -672,9 +730,17 @@ object ParquetShardStore {
       maxtMs: Long, matchers: Seq[Matcher],
       decode: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       sampleOutput: Seq[org.apache.spark.sql.Column],
+      tsCol: String): DataFrame =
+    selectImplFrom(pruned(spark, dir, mintMs, maxtMs, matchers),
+      mintMs, maxtMs, decode, sampleOutput, tsCol)
+
+  private def selectImplFrom(
+      pr: (DataFrame, Seq[String], Seq[String], Boolean),
+      mintMs: Long, maxtMs: Long,
+      decode: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      sampleOutput: Seq[org.apache.spark.sql.Column],
       tsCol: String): DataFrame = {
-    val (joined, dataCols, names, _) =
-      pruned(spark, dir, mintMs, maxtMs, matchers)
+    val (joined, dataCols, names, _) = pr
     val decoded = dataCols.map(c => decode(col(c)))
     val allSamples = if (decoded.size == 1) decoded.head else concat(decoded: _*)
     joined

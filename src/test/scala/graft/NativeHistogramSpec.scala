@@ -591,4 +591,15 @@ class NativeHistogramSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet
     assert(runNoHint(true) == runNoHint(false))
   }
+
+  test("native folds return NULL (not a crash) on an empty array") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(1).toDF("x").select(
+      array().cast("array<struct<t:bigint,z:double,i:array<int>," +
+        "c:array<double>,ni:array<int>,nc:array<double>,h:string>>")
+        .as("ss"))
+    val r = df.select(
+      graft.functions.NhIncreaseFold.fold(col("ss")).as("f")).head()
+    assert(r.isNullAt(0))
+  }
 }

@@ -669,4 +669,33 @@ class ParquetShardSpec extends SparkSpec {
     assert(!chunkSchema.contains("s_data_0") && !chunkSchema.contains("s_data_1")
       && !chunkSchema.contains("s_data_3"), chunkSchema)
   }
+
+  test("cross-family compaction refuses loudly instead of silently " +
+      "dropping foreign frames") {
+    // a histogram shard fed to the XOR merge must throw, not emit an
+    // output missing every histogram sample (and vice versa)
+    def mkH(lo: Int, hi: Int) =
+      (lo until hi).map(i => ("api", new Timestamp(base + i * 60000L),
+        i.toLong, Seq(1, 2), Seq(i + 1L, i + 2L), i * 0.5))
+        .toDF("svc", "ts", "zero", "idx", "cnt", "hsum")
+    def mkX(lo: Int, hi: Int) =
+      (lo until hi).map(i => ("api", new Timestamp(base + i * 60000L),
+        i * 1.0)).toDF("svc", "ts", "value")
+    val dH = "/tmp/graft_pshard_xfam_h"
+    val dX = "/tmp/graft_pshard_xfam_x"
+    ParquetShardStore.writeHist(mkH(0, 10), dH, Seq("svc"), "ts",
+      "zero", "idx", "cnt", Some("hsum"), colDurationMs = hour)
+    ParquetShardStore.write(mkX(0, 10), dX, Seq("svc"), "ts", "value",
+      colDurationMs = hour)
+    val e1 = intercept[IllegalArgumentException] {
+      ParquetShardStore.mergeShards(spark, Seq(dX, dH),
+        "/tmp/graft_pshard_xfam_bad1", colDurationMs = hour)
+    }
+    assert(e1.getMessage.contains("chunkenc families"))
+    val e2 = intercept[IllegalArgumentException] {
+      ParquetShardStore.mergeShardsHist(spark, Seq(dH, dX),
+        "/tmp/graft_pshard_xfam_bad2", colDurationMs = hour)
+    }
+    assert(e2.getMessage.contains("chunkenc families"))
+  }
 }
