@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver collects the bench's one-line JSON from stdout; sbt's
+// default LoggedOutput strategy prefixes every forked-run line with
+// "[info] ", which broke the driver's line parse in rounds 1-12
+// (BENCH_r*.json parsed:null). StdoutOutput passes the child's stdout
+// through verbatim. (Run output only; does not change the forked JVM.)
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

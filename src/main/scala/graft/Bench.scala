@@ -4,7 +4,11 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every registered query at the given scale
   * factor and prints ONE JSON line the driver collects into
-  * BENCH_r{N}.json.
+  * BENCH_r{N}.json. The same line is also written verbatim to
+  * `bench_out.json` in the working directory, and a compact (<1 KB)
+  * summary line prints LAST, so both a whole-stdout line scan and a
+  * bounded tail capture can recover the results (rounds 1–12 lost
+  * the line to sbt's "[info] " prefix + tail truncation).
   *
   * Measurement discipline: a FULL untimed warm-up pass runs every
   * query once (JIT-compiling each plan's generated code, loading
@@ -102,6 +106,7 @@ object Bench {
     val pb = new ProcessBuilder(
       (Seq(javaBin) ++ childJvmFlags ++ Seq("-cp", cp, "graft.Bench")): _*)
     pb.environment().put("SPARK_GRAFT_ONLY", name)
+    pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
     pb.environment().put("SPARK_GRAFT_BENCH_PASSES", passes.toString)
     pb.environment().put("SPARK_GRAFT_BENCH_ISOLATE_TOP", "0")
     pb.environment().put("SPARK_GRAFT_SF1_TOP", "0")
@@ -144,6 +149,32 @@ object Bench {
       None
   }
 
+  /** Emit the results: the full one-line JSON (the 12-round stdout
+    * contract, unchanged) plus two robustness channels the r12
+    * verdict asked for — the same line written verbatim to
+    * `bench_out.json` in the working directory, and a compact
+    * (<1 KB) summary line printed LAST so a bounded stdout-tail
+    * capture always contains one complete parseable JSON line (the
+    * full line is ~6 KB and every driver tail in rounds 1–12
+    * truncated it before the opening brace → `parsed: null`).
+    * The compact line carries the same metric/value/unit/sf keys and
+    * points at the full artifact via `queries_file`.
+    */
+  private def emitResult(fullLine: String, compactMid: String): Unit = {
+    println(fullLine)
+    // child JVMs (runChild) share the parent's cwd: they print their
+    // one-liner (the parent regex-scrapes it) but must not clobber
+    // the parent run's bench_out.json
+    if (!sys.env.get("SPARK_GRAFT_BENCH_CHILD").contains("1")) {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_out.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
+      catch { case t: Throwable =>
+        System.err.println(s"[bench] bench_out.json write failed: $t") }
+      println(compactMid)
+    }
+  }
+
   /** Isolated mode: one child JVM per query, merged results. */
   private def runIsolated(names: Seq[String], passes: Int): Unit = {
     val results = names.map(name => (name, runChild(name, passes)))
@@ -154,7 +185,9 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"passes":$passes,"isolated":true,"sf":"$sfDir"}""")
+    emitResult(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"passes":$passes,"isolated":true,"sf":"$sfDir"}""",
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"errors":$errors,"passes":$passes,"isolated":true,"queries_file":"bench_out.json","sf":"$sfDir"}""")
   }
 
   def main(args: Array[String]): Unit = {
@@ -220,8 +253,28 @@ object Bench {
       catch { case _: Throwable => None }
     }
 
+    // Sub-second drift bound (r12 verdict item 5): ~37 sub-second
+    // cells drifted 15–35% across same-protocol runs with untouched
+    // plans — tiny absolute jitter read as large relative drift. A
+    // sub-second cell (median < 1 s after the standard passes) now
+    // takes extra passes up to SPARK_GRAFT_BENCH_LIGHT_PASSES
+    // (default 5) and reports the median of all of them; the cost is
+    // bounded by the cells being sub-second (~30 s suite-wide).
+    // Heavies (≥ 1 s) keep exactly the 3-pass protocol of rounds
+    // 11–12, so cross-round heavy comparisons are untouched. Slope
+    // children (passes = 1) are exempt: a slope cell is a single
+    // datapoint by design and its ×N timing is often NOT sub-second.
+    val lightPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_LIGHT_PASSES", "5")
+      .toInt.max(passes)
     val resultsFull = ordered.map { case (name, fn) =>
-      (name, (0 until passes).flatMap(_ => timeOnce(fn)))
+      val base = (0 until passes).flatMap(_ => timeOnce(fn))
+      val med = if (base.isEmpty) None
+        else Some(base.sorted.apply((base.size - 1) / 2))
+      val times =
+        if (passes >= 2 && med.exists(_ < 1.0) && lightPasses > passes)
+          base ++ (passes until lightPasses).flatMap(_ => timeOnce(fn))
+        else base
+      (name, times)
     }
     phase("timed_passes")
     val results = resultsFull.map { case (name, times) =>
@@ -334,6 +387,36 @@ object Bench {
     }
     phase("isolated")
 
+    // Pinned isolated sample (r12 verdict item 5): a FIXED, named
+    // 10-cell sample of sub-second representatives (one per family:
+    // PromQL grid, routed rollup, raw instant, wide select, TSDB
+    // block read, label index, NH quantile, text, relational window,
+    // dedup) re-measured in fresh child JVMs every canonical run.
+    // Because each child starts with fresh JIT/GC/code-cache state,
+    // these cells are comparable ACROSS rounds regardless of how
+    // suite co-residency shifts — the mechanical arbiter for
+    // "sub-second drift vs plan regression" the r12 verdict asked
+    // for. SPARK_GRAFT_PINNED_ISO overrides the list; empty disables.
+    val pinnedNames = sys.env.getOrElse("SPARK_GRAFT_PINNED_ISO",
+        "ts_promql_rate_sum,ts_promql_rollup_irate,ts_irate," +
+          "ts_wide_select,ts_tsdb_block_select,ts_label_values_indexed," +
+          "txt_lang_id,q05_window_topk,ts_native_hist_quantile,dd_exact")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      .filter(n => results.exists { case (q, t) => q == n && t.isDefined })
+    val pinnedJson = if (isoTop <= 0 || pinnedNames.isEmpty) "" else try {
+      val iso = pinnedNames.map { n =>
+        (n, runChild(n, passes = math.min(passes, 3), tag = "bench-pinned"))
+      }
+      iso.map { case (k, m) =>
+        "\"" + k + s"""\":${m.map(v => f"$v%.3f").getOrElse("-1")}"""
+      }.mkString(""","pinned_isolated_medians":{""", ",", "}")
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"[bench] pinned isolated sample skipped: $t")
+        ""
+    }
+    phase("pinned")
+
     // Optional SF1-ONLY shuffle-partition override: perturbs the
     // ×N children without touching the 1× baseline medians the
     // slope ratios divide by. (Measured at ×10 on local[32], a
@@ -439,6 +522,8 @@ object Bench {
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val phaseJson = phases.map { case (k, v) => "\"" + k + f"""\":$v%.1f""" }
       .mkString(""","phase_sec":{""", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"passes":$passes,"wall_sec":$wallSec%.1f$phaseJson$runBand$isoJson$sf1Json$sf3xJson,"sf":"$sfDir"}""")
+    emitResult(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"passes":$passes,"light_passes":$lightPasses,"wall_sec":$wallSec%.1f$phaseJson$runBand$isoJson$pinnedJson$sf1Json$sf3xJson,"sf":"$sfDir"}""",
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"errors":$errors,"passes":$passes,"wall_sec":$wallSec%.1f$runBand,"queries_file":"bench_out.json","sf":"$sfDir"}""")
   }
 }
