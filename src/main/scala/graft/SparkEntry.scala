@@ -3965,7 +3965,7 @@ object SparkEntry {
       // an unpartitioned fixture would serialize every imageio
       // encode AND pin every later decode pass to one task. Core-count
       // file layout is the §6 "sensible output partitioning" floor —
-      // deterministic (hash of media_id), content-identical.
+      // deterministic (hash of doc_id), content-identical.
       graft.multimodal.Multimodal.syntheticImageTable(
           t(s, dir, "documents")
             .repartition(s.sparkContext.defaultParallelism, col("doc_id")),

@@ -74,26 +74,43 @@ object ChunkStore {
       .withColumn("bucket", TsdbConverter.bucketCol(tsCol, colDuration))
       .withColumn("_ts_us", tsUs(tsCol))
 
+    // ONE sample-scale pass: the chunk aggregation carries the label
+    // columns through (first() per group — constant within a 128-bit
+    // ref group), and BOTH files derive from its materialized output.
+    // The old structure derived the raw input four times — labels
+    // distinct twice (the range partitioner's sampling pass re-runs
+    // its whole subplan) plus the chunks aggregation — so an ingest
+    // (or a compaction feeding this writer) re-ran its upstream per
+    // derivation. The labels distinct and its range sampling now run
+    // over series×bucket rows, not samples.
+    val enc = ColumnBridge.column(ChunkEncode(
+      ColumnBridge.expression(
+        sort_array(collect_list(struct(col("_ts_us").as("ts"),
+          col(valueCol).cast("double").as("value"))))),
+      samplesPerChunk))
+    val aggCols = seriesCols.map(c => first(col(c)).as(c)) ++ Seq(
+      min(col("_ts_us")).as("mint"),
+      max(col("_ts_us")).as("maxt"),
+      count(lit(1)).as("n_samples"),
+      enc.as("data"))
+    val aggregated = withKey.groupBy(refCols.map(col) :+ col("bucket"): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      // eager temp-table cut between the aggregation and the two file
+      // writes (same convention as the candidate-set checkpoints)
+      .localCheckpoint()
+
     // labels side is series-cardinality (can be millions at 100 TB):
     // range-partition + sort, never a single-file coalesce
-    withKey.select((seriesCols ++ refCols).map(col): _*)
+    aggregated.select((seriesCols ++ refCols).map(col): _*)
       .distinct()
       .repartitionByRange(seriesCols.map(col): _*)
       .sortWithinPartitions(seriesCols.map(col): _*)
       .write.mode(SaveMode.Overwrite).option("compression", labelsComp)
       .parquet(s"$path/labels")
 
-    val enc = ColumnBridge.column(ChunkEncode(
-      ColumnBridge.expression(
-        sort_array(collect_list(struct(col("_ts_us").as("ts"),
-          col(valueCol).cast("double").as("value"))))),
-      samplesPerChunk))
-    withKey.groupBy(refCols.map(col) :+ col("bucket"): _*)
-      .agg(
-        min(col("_ts_us")).as("mint"),
-        max(col("_ts_us")).as("maxt"),
-        count(lit(1)).as("n_samples"),
-        enc.as("data"))
+    aggregated
+      .select(col("series_ref"), col("series_ref2"), col("bucket"),
+        col("mint"), col("maxt"), col("n_samples"), col("data"))
       .sortWithinPartitions(col("bucket"), col("series_ref"))
       .write.mode(SaveMode.Overwrite).option("compression", chunksComp)
       .partitionBy("bucket")
@@ -206,18 +223,13 @@ object ChunkStore {
       colDuration: String = "1 day", samplesPerChunk: Int = 120): Unit = {
     require(dirs.nonEmpty, "need at least one block directory")
     val full = ("1970-01-01 00:00:00", "2200-01-01 00:00:00")
-    // materialize the merge ONCE before the dual-file write: [[write]]
-    // consumes its input three times (labels distinct, the labels
-    // range-partitioner's SAMPLING pass, chunks aggregation), and
-    // without the cut each pass re-runs the N-block decode + LWW
-    // merge. At 100 TB this is the temp-table write between a
-    // compactor's merge and write stages; same eager-localCheckpoint
-    // convention as minHashNearDup's candidate set.
+    // [[write]] consumes its input exactly once (its chunk aggregation
+    // is the materialization point), so the N-block decode + LWW merge
+    // streams straight into the encode shuffle — no extra temp table.
     val merged = TsdbConverter.mergeShards(
       dirs.map(d => select(spark, d, full._1, full._2, Nil,
         seriesCols, tsCol, valueCol, colDuration)),
       seriesCols, tsCol, valueCol)
-      .localCheckpoint()
     write(merged, outPath, seriesCols, tsCol, valueCol,
       colDuration, samplesPerChunk)
   }

@@ -117,16 +117,13 @@ object HistChunkStore {
       .withColumn("bucket", TsdbConverter.bucketCol(tsCol, colDuration))
       .withColumn("_ts_us", unix_micros(col(tsCol)))
 
-    withKey.select((seriesCols ++ refCols).map(col): _*)
-      .distinct()
-      .withColumn("custom_values",
-        array(customValues.map(lit): _*).cast("array<double>"))
-      .withColumn("signed", lit(signed))
-      .repartitionByRange(seriesCols.map(col): _*)
-      .sortWithinPartitions(seriesCols.map(col): _*)
-      .write.mode(SaveMode.Overwrite).option("compression", compression)
-      .parquet(s"$path/labels")
-
+    // ONE sample-scale pass ([[ChunkStore.write]]'s structure): the
+    // chunk aggregation carries the label columns through (first()
+    // per group — constant within a 128-bit ref group) and both files
+    // derive from its materialized output, so the labels distinct and
+    // its range-partitioner sampling run over series×bucket rows
+    // instead of re-deriving the raw input (a compaction's N-block
+    // decode + LWW merge) once per pass.
     val sample = struct(
       col("_ts_us").as("ts"),
       col(zeroCol).cast(if (float) "double" else "long").as("zero"),
@@ -138,12 +135,28 @@ object HistChunkStore {
     val enc = ColumnBridge.column(
       if (float) FloatHistChunkEncode(sorted, histSchema, samplesPerChunk)
       else HistChunkEncode(sorted, histSchema, samplesPerChunk))
-    withKey.groupBy(refCols.map(col) :+ col("bucket"): _*)
-      .agg(
-        min(col("_ts_us")).as("mint"),
-        max(col("_ts_us")).as("maxt"),
-        count(lit(1)).as("n_samples"),
-        enc.as("data"))
+    val aggCols = seriesCols.map(c => first(col(c)).as(c)) ++ Seq(
+      min(col("_ts_us")).as("mint"),
+      max(col("_ts_us")).as("maxt"),
+      count(lit(1)).as("n_samples"),
+      enc.as("data"))
+    val aggregated = withKey.groupBy(refCols.map(col) :+ col("bucket"): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .localCheckpoint()
+
+    aggregated.select((seriesCols ++ refCols).map(col): _*)
+      .distinct()
+      .withColumn("custom_values",
+        array(customValues.map(lit): _*).cast("array<double>"))
+      .withColumn("signed", lit(signed))
+      .repartitionByRange(seriesCols.map(col): _*)
+      .sortWithinPartitions(seriesCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).option("compression", compression)
+      .parquet(s"$path/labels")
+
+    aggregated
+      .select(col("series_ref"), col("series_ref2"), col("bucket"),
+        col("mint"), col("maxt"), col("n_samples"), col("data"))
       .sortWithinPartitions(col("bucket"), col("series_ref"))
       .write.mode(SaveMode.Overwrite).option("compression", compression)
       .partitionBy("bucket")

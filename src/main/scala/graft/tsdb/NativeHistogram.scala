@@ -49,8 +49,22 @@ object NativeHistogram {
   /** The q-quantile of each row's histogram (see object doc).
     * Returns a double Column; NaN for an empty histogram. */
   def histogramQuantile(q: Double, zeroCount: Column, posIdx: Column,
-      posCounts: Column, schema: Int = 0): Column = {
+      posCounts: Column, schema: Int = 0): Column =
+    histogramQuantileImpl(q, zeroCount, posIdx, posCounts, schema,
+      native = true)
+
+  /** `native = true` (production) runs the walk as ONE native loop
+    * ([[graft.functions.NhQuantile]]); `false` keeps the HOF
+    * formulation as the executable spec the native fold is pinned
+    * against (NhScalarFoldsSpec) — value-identical by contract.
+    */
+  private[graft] def histogramQuantileImpl(q: Double, zeroCount: Column,
+      posIdx: Column, posCounts: Column, schema: Int,
+      native: Boolean): Column = {
     require(q >= 0.0 && q <= 1.0, s"q must be in [0,1], got $q")
+    if (native)
+      return graft.functions.NhScalarFolds.quantile(
+        q, zeroCount, posIdx, posCounts, schema)
     // double accumulator so the same walk serves integer count
     // vectors AND rate vectors (histogram_quantile over rateBy);
     // integer counts stay exact — they're < 2^53
@@ -98,8 +112,18 @@ object NativeHistogram {
     * [[histogramQuantile]]. Still one narrow per-row fold. */
   def histogramQuantileSigned(q: Double, zeroCount: Column,
       posIdx: Column, posCounts: Column, negIdx: Column,
-      negCounts: Column, schema: Int = 0): Column = {
+      negCounts: Column, schema: Int = 0): Column =
+    histogramQuantileSignedImpl(q, zeroCount, posIdx, posCounts,
+      negIdx, negCounts, schema, native = true)
+
+  private[graft] def histogramQuantileSignedImpl(q: Double,
+      zeroCount: Column, posIdx: Column, posCounts: Column,
+      negIdx: Column, negCounts: Column, schema: Int,
+      native: Boolean): Column = {
     require(q >= 0.0 && q <= 1.0, s"q must be in [0,1], got $q")
+    if (native)
+      return graft.functions.NhScalarFolds.quantileSigned(
+        q, zeroCount, posIdx, posCounts, negIdx, negCounts, schema)
     val sumOf = (c: Column) => coalesce(aggregate(c, lit(0.0),
       (a, x) => a + x.cast("double")), lit(0.0))
     val negTotal = sumOf(negCounts)
@@ -171,8 +195,16 @@ object NativeHistogram {
     * otherwise. NHCB has no zero bucket, so there is no zeroCount
     * argument. Same narrow per-row fold — map-side at any scale. */
   def histogramQuantileCustom(q: Double, posIdx: Column,
-      posCounts: Column, bounds: Column): Column = {
+      posCounts: Column, bounds: Column): Column =
+    histogramQuantileCustomImpl(q, posIdx, posCounts, bounds,
+      native = true)
+
+  private[graft] def histogramQuantileCustomImpl(q: Double, posIdx: Column,
+      posCounts: Column, bounds: Column, native: Boolean): Column = {
     require(q >= 0.0 && q <= 1.0, s"q must be in [0,1], got $q")
+    if (native)
+      return graft.functions.NhScalarFolds.quantileCustom(
+        q, posIdx, posCounts, bounds)
     val total = coalesce(aggregate(posCounts, lit(0.0),
       (a, c) => a + c.cast("double")), lit(0.0))
     val rank = lit(q) * total
@@ -208,7 +240,8 @@ object NativeHistogram {
   /** PromQL `histogram_count`/`histogram_sum` are plain column
     * reads in this model; `histogram_avg` is their ratio. */
   def histogramCount(zeroCount: Column, posCounts: Column): Column =
-    zeroCount + coalesce(aggregate(posCounts, lit(0L), (a, c) => a + c), lit(0L))
+    zeroCount + coalesce(
+      graft.functions.NhScalarFolds.sumLong(posCounts), lit(0L))
 
   /** [[histogramCount]] with a DOUBLE accumulator: the variant that
     * also serves RATE vectors (bucket counts already divided by Δt),
@@ -216,7 +249,7 @@ object NativeHistogram {
     * exact — they are far below 2^53. */
   def histogramCountD(zeroCount: Column, posCounts: Column): Column =
     zeroCount.cast("double") + coalesce(
-      aggregate(posCounts, lit(0.0), (a, c) => a + c.cast("double")), lit(0.0))
+      graft.functions.NhScalarFolds.sumDouble(posCounts), lit(0.0))
 
   /** PromQL `histogram_avg(h)`: the tracked observation sum divided
     * by the count — one division, NaN for an empty histogram (like
@@ -235,7 +268,7 @@ object NativeHistogram {
   def histogramCountSigned(zeroCount: Column, posCounts: Column,
       negCounts: Column): Column =
     histogramCountD(zeroCount, posCounts) + coalesce(
-      aggregate(negCounts, lit(0.0), (a, c) => a + c.cast("double")), lit(0.0))
+      graft.functions.NhScalarFolds.sumDouble(negCounts), lit(0.0))
 
   /** [[histogramAvg]] for SIGNED histograms. */
   def histogramAvgSigned(sumCol: Column, zeroCount: Column,
@@ -254,7 +287,16 @@ object NativeHistogram {
     * shuffle; NaN for an empty histogram.
     */
   def histogramStdvar(sumCol: Column, zeroCount: Column, posIdx: Column,
-      posCounts: Column, schema: Int = 0): Column = {
+      posCounts: Column, schema: Int = 0): Column =
+    histogramStdvarImpl(sumCol, zeroCount, posIdx, posCounts, schema,
+      native = true)
+
+  private[graft] def histogramStdvarImpl(sumCol: Column, zeroCount: Column,
+      posIdx: Column, posCounts: Column, schema: Int,
+      native: Boolean): Column = {
+    if (native)
+      return graft.functions.NhScalarFolds.stdvar(
+        sumCol, zeroCount, posIdx, posCounts, schema)
     // double fold so the same walk serves rate vectors; integer
     // counts stay exact below 2^53
     val n = histogramCountD(zeroCount, posCounts)
@@ -279,7 +321,17 @@ object NativeHistogram {
     * the FP association with ordered cumulative windows. */
   def histogramStdvarSigned(sumCol: Column, zeroCount: Column,
       posIdx: Column, posCounts: Column, negIdx: Column,
-      negCounts: Column, schema: Int = 0): Column = {
+      negCounts: Column, schema: Int = 0): Column =
+    histogramStdvarSignedImpl(sumCol, zeroCount, posIdx, posCounts,
+      negIdx, negCounts, schema, native = true)
+
+  private[graft] def histogramStdvarSignedImpl(sumCol: Column,
+      zeroCount: Column, posIdx: Column, posCounts: Column,
+      negIdx: Column, negCounts: Column, schema: Int,
+      native: Boolean): Column = {
+    if (native)
+      return graft.functions.NhScalarFolds.stdvarSigned(
+        sumCol, zeroCount, posIdx, posCounts, negIdx, negCounts, schema)
     val n = histogramCountSigned(zeroCount, posCounts, negCounts)
     val mean = sumCol.cast("double") / n
     val zeroDev = zeroCount.cast("double") * mean * mean
@@ -673,8 +725,17 @@ object NativeHistogram {
     * uses; interpolated shares are spec-pinned.
     */
   def histogramFraction(lower: Double, upper: Double, zeroCount: Column,
-      posIdx: Column, posCounts: Column, schema: Int = 0): Column = {
+      posIdx: Column, posCounts: Column, schema: Int = 0): Column =
+    histogramFractionImpl(lower, upper, zeroCount, posIdx, posCounts,
+      schema, native = true)
+
+  private[graft] def histogramFractionImpl(lower: Double, upper: Double,
+      zeroCount: Column, posIdx: Column, posCounts: Column, schema: Int,
+      native: Boolean): Column = {
     require(lower <= upper, s"lower ($lower) must be ≤ upper ($upper)")
+    if (native)
+      return graft.functions.NhScalarFolds.fraction(
+        lower, upper, zeroCount, posIdx, posCounts, schema)
     // double fold (histogramCountD) so rate vectors work too;
     // integer totals stay exact below 2^53
     val total = histogramCountD(zeroCount, posCounts)
@@ -702,8 +763,19 @@ object NativeHistogram {
     * order ((zero + posFold) + negFold), folds ascending index. */
   def histogramFractionSigned(lower: Double, upper: Double,
       zeroCount: Column, posIdx: Column, posCounts: Column,
-      negIdx: Column, negCounts: Column, schema: Int = 0): Column = {
+      negIdx: Column, negCounts: Column, schema: Int = 0): Column =
+    histogramFractionSignedImpl(lower, upper, zeroCount, posIdx,
+      posCounts, negIdx, negCounts, schema, native = true)
+
+  private[graft] def histogramFractionSignedImpl(lower: Double,
+      upper: Double, zeroCount: Column, posIdx: Column, posCounts: Column,
+      negIdx: Column, negCounts: Column, schema: Int,
+      native: Boolean): Column = {
     require(lower <= upper, s"lower ($lower) must be ≤ upper ($upper)")
+    if (native)
+      return graft.functions.NhScalarFolds.fractionSigned(
+        lower, upper, zeroCount, posIdx, posCounts, negIdx, negCounts,
+        schema)
     val total = histogramCountSigned(zeroCount, posCounts, negCounts)
     val zeroContrib =
       if (lower <= 0.0 && 0.0 <= upper) zeroCount.cast("double") else lit(0.0)

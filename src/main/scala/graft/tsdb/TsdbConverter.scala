@@ -72,12 +72,24 @@ object TsdbConverter {
     */
   def convert(df: DataFrame, path: String, tsCol: String, opts: ConvertOptions): Unit = {
     val bucketed = df.withColumn("bucket", bucketCol(tsCol, opts.colDuration))
-    val sortCols = (opts.sortBy :+ tsCol).map(col)
     val arranged =
       (if (opts.shards > 0)
         bucketed.repartition(opts.shards, opts.sortBy.map(col): _*)
       else bucketed)
-        .sortWithinPartitions(col("bucket") +: sortCols: _*)
+    writeArranged(arranged, path, tsCol, opts)
+  }
+
+  /** The write half of [[convert]] over data that already carries the
+    * layout partitioning (and a `bucket` column): sort within
+    * partitions + bucketed parquet write, no extra exchange. Callers
+    * that can establish the `opts.sortBy` hash partitioning upstream
+    * (e.g. [[mergeBlockDirs]], which rides it through the merge
+    * aggregation) skip [[convert]]'s repartition entirely.
+    */
+  private def writeArranged(bucketed: DataFrame, path: String,
+      tsCol: String, opts: ConvertOptions): Unit = {
+    val sortCols = (opts.sortBy :+ tsCol).map(col)
+    val arranged = bucketed.sortWithinPartitions(col("bucket") +: sortCols: _*)
     var w = arranged.write
       .mode(SaveMode.Overwrite)
       .option("compression", opts.compression)
@@ -144,8 +156,35 @@ object TsdbConverter {
       seriesCols: Seq[String], tsCol: String, valueCol: String,
       opts: ConvertOptions): Unit = {
     require(dirs.nonEmpty, "need at least one block directory")
-    val merged = mergeShards(dirs.map(spark.read.parquet(_)),
-      seriesCols, tsCol, valueCol)
-    convert(merged, outPath, tsCol, opts)
+    // When the write layout key (opts.sortBy) is a subset of the merge
+    // key (seriesCols), the merge aggregation and the write layout can
+    // share ONE exchange (guide §2.4): pre-partition the union on
+    // sortBy — hash partitioning on a subset of the grouping key
+    // satisfies the aggregation's clustered distribution, so no
+    // agg-induced exchange — and the agg output lands already arranged
+    // for the bucketed write. The old shape moved every merged byte
+    // across the network twice (merge-agg exchange + convert's
+    // repartition). The trade: partial aggregation no longer reduces
+    // rows before the exchange — bounded here, because the LWW merge
+    // collapses at most |dirs| rows per key (the overlap factor),
+    // never an unbounded group.
+    val fused = opts.shards > 0 && opts.sortBy.nonEmpty &&
+      opts.sortBy.toSet.subsetOf(seriesCols.toSet)
+    if (fused) {
+      val tagged = dirs.zipWithIndex.map { case (d, i) =>
+        spark.read.parquet(d).withColumn("_shard_idx", lit(i))
+      }
+      val keys = (seriesCols :+ tsCol).map(col)
+      val merged = tagged.reduce(_ unionByName _)
+        .repartition(opts.shards, opts.sortBy.map(col): _*)
+        .groupBy(keys: _*)
+        .agg(expr(s"max_by(`$valueCol`, _shard_idx)").as(valueCol))
+        .withColumn("bucket", bucketCol(tsCol, opts.colDuration))
+      writeArranged(merged, outPath, tsCol, opts)
+    } else {
+      val merged = mergeShards(dirs.map(spark.read.parquet(_)),
+        seriesCols, tsCol, valueCol)
+      convert(merged, outPath, tsCol, opts)
+    }
   }
 }
