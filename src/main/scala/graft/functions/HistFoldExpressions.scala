@@ -58,6 +58,15 @@ private[graft] object NhFoldCore {
   }
 
   def toMap(i: ArrayData, c: ArrayData): java.util.LinkedHashMap[Integer, java.lang.Double] = {
+    // producer contract, asserted loudly instead of an opaque NPE: the
+    // snapshot projections always cast/coalesce bucket arrays, so a
+    // NULL array here is a caller bug (the HOF spec form would
+    // three-valued-logic a null through and yield a null output; the
+    // native fold refuses rather than silently diverging from it)
+    if (i == null || c == null)
+      throw new IllegalArgumentException(
+        "null bucket idx/count array reached a native NH fold - " +
+          "producers must cast/coalesce bucket arrays to non-null")
     val n = i.numElements()
     if (c.numElements() != n)
       throw new IllegalArgumentException(

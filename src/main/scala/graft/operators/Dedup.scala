@@ -290,12 +290,20 @@ object Dedup {
     */
   private[graft] def expandPairs(repPairs: DataFrame, memberOf: DataFrame,
       scoreCols: Seq[String], identicalScore: Seq[Column]): DataFrame = {
+    // the member map is referenced FOUR times below (both pair
+    // orientations + both sides of the intra-group self-join); its
+    // derivation is a corpus shuffle (rep-collapse agg + join), so
+    // materialize it once — output-scale rows (_rid, _mid), the same
+    // bounded-intermediate convention as the candidate-set
+    // checkpoints. Eager, to avoid the AQE stage-race the ngramJaccard
+    // note documents.
+    val m0 = memberOf.select(col("_rid"), col("_mid")).localCheckpoint()
     val cross = repPairs
-      .join(memberOf.select(col("_rid").as("rid_a"), col("_mid").as("_ma")), "rid_a")
-      .join(memberOf.select(col("_rid").as("rid_b"), col("_mid").as("_mb")), "rid_b")
+      .join(m0.select(col("_rid").as("rid_a"), col("_mid").as("_ma")), "rid_a")
+      .join(m0.select(col("_rid").as("rid_b"), col("_mid").as("_mb")), "rid_b")
       .select(least(col("_ma"), col("_mb")).as("id_a") +:
         greatest(col("_ma"), col("_mb")).as("id_b") +: scoreCols.map(col): _*)
-    val m = memberOf.select(col("_rid"), col("_mid"))
+    val m = m0
     val intra = m.as("p").join(m.as("q"),
         col("p._rid") === col("q._rid") && col("p._mid") < col("q._mid"))
       .select(col("p._mid").as("id_a") +: col("q._mid").as("id_b") +:

@@ -126,15 +126,24 @@ object DictionaryLabelScan {
     val unknownByFile = statuses
       .collect { case (c, 1, p) if !proven(c) => (p, c) }
       .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
-    val probed = unknownByFile.flatMap { case (p, cols) =>
-      // bounded: only stats-less foreign files reach here (graft's
-      // writer always records null counts); one aggregation per file
-      val row = spark.read.parquet(p)
+    // only stats-less foreign files reach here (graft's writer always
+    // records null counts). ONE batched job over all of them
+    // (mergeSchema unions their schemas): a column is present iff any
+    // such file holds a non-null value — per-file scoping added
+    // nothing (a file where the column is absent, or proven all-null
+    // by stats, contributes zero to the count) and cost O(files)
+    // sequential driver-blocking Spark jobs.
+    val probed: Set[String] = if (unknownByFile.isEmpty) Set.empty else {
+      val paths = unknownByFile.keys.toSeq
+      val cols = unknownByFile.values.flatten.toSeq.distinct
+      val row = spark.read.option("mergeSchema", "true").parquet(paths: _*)
         .agg(count(lit(1)),
           cols.map(c => count(col(s"`$c`")).as(c)): _*)
         .head()
-      cols.zipWithIndex.collect { case (c, i) if row.getLong(i + 1) > 0 => c }
-    }.toSet
+      cols.zipWithIndex.collect {
+        case (c, i) if row.getLong(i + 1) > 0 => c
+      }.toSet
+    }
     (proven ++ probed).toSeq.flatMap(nameOf(_)).distinct.sorted
   }
 

@@ -50,6 +50,11 @@ object ParquetShardSchema {
   val DataColSizeMd = "data_col_duration_ms"
   val MinTMd = "minT"
   val MaxTMd = "maxT"
+  // graft extension (absent from reference-written shards): bitmask of
+  // the chunkenc families the writer encoded (1 << enc ordinal), so a
+  // compaction's single-family guard is a footer read instead of a
+  // full data scan of every input cell
+  val FamilyMaskMd = "graft_chunkenc_family_mask"
 
   def labelToColumn(label: String): String = LabelColumnPrefix + label
 

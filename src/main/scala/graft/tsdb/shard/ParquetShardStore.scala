@@ -52,7 +52,8 @@ object ParquetShardStore {
   /** Footer metadata of a shard dir (read from shard 0's labels
     * footer — the reference's FromLabelsFile, schema_builder.go:58).
     */
-  final case class ShardMeta(mintMs: Long, maxtMs: Long, colDurationMs: Long) {
+  final case class ShardMeta(mintMs: Long, maxtMs: Long, colDurationMs: Long,
+      familyMask: Option[Int] = None) {
     def numCols: Int = numDataCols(mintMs, maxtMs, colDurationMs)
   }
 
@@ -80,7 +81,8 @@ object ParquetShardStore {
       sampleFields = 2, colDurationMs, shards, rowGroupSize,
       bloomFilterLabels,
       (slice: org.apache.spark.sql.catalyst.util.ArrayData) =>
-        ChunkCodec.encodeArrayData(slice, samplesPerChunk))
+        ChunkCodec.encodeArrayData(slice, samplesPerChunk),
+      familyMask = 1 << ChunkCodec.EncXor.toInt)
 
   /** [[write]] for NATIVE-HISTOGRAM series (`zeroCol` long; `idxCol`
     * array<int> ascending; `cntCol` array<long>; optional `sumCol`
@@ -130,7 +132,8 @@ object ParquetShardStore {
       bloomFilterLabels,
       (slice: org.apache.spark.sql.catalyst.util.ArrayData) =>
         graft.tsdb.ChunkencHistCodec.encodeArrayData(
-          slice, histSchema, samplesPerChunk, cv, gauge))
+          slice, histSchema, samplesPerChunk, cv, gauge),
+      familyMask = 1 << graft.tsdb.HistChunkCodec.EncHistogram.toInt)
   }
 
   /** [[writeHist]] for FLOAT histograms (`zeroCol` double; `cntCol`
@@ -165,7 +168,8 @@ object ParquetShardStore {
       bloomFilterLabels,
       (slice: org.apache.spark.sql.catalyst.util.ArrayData) =>
         graft.tsdb.ChunkencHistCodec.encodeFloatArrayData(
-          slice, histSchema, samplesPerChunk, cv, gauge))
+          slice, histSchema, samplesPerChunk, cv, gauge),
+      familyMask = 1 << graft.tsdb.HistChunkCodec.EncFloatHistogram.toInt)
   }
 
   /** Shared write scaffolding: one series-grain shuffle, then each
@@ -189,8 +193,8 @@ object ParquetShardStore {
       tsCol: String, sampleCols: Seq[org.apache.spark.sql.Column],
       sampleFields: Int, colDurationMs: Long, shards: Int,
       rowGroupSize: Long, bloomFilterLabels: Seq[String],
-      encodeSlice: org.apache.spark.sql.catalyst.util.ArrayData => Array[Byte])
-      : Unit = {
+      encodeSlice: org.apache.spark.sql.catalyst.util.ArrayData => Array[Byte],
+      familyMask: Int): Unit = {
     require(bloomFilterLabels.forall(labelCols.contains),
       s"bloomFilterLabels must be a subset of labelCols")
     require(labelCols.nonEmpty, "need at least one label column")
@@ -211,7 +215,8 @@ object ParquetShardStore {
     val meta: Map[String, String] = Map(
       DataColSizeMd -> colDurationMs.toString,
       MinTMd -> mintMs.toString,
-      MaxTMd -> maxtMs.toString)
+      MaxTMd -> maxtMs.toString,
+      FamilyMaskMd -> familyMask.toString)
 
     // one shuffle: series assembly + the converter's label sort
     val grouped = df
@@ -396,7 +401,8 @@ object ParquetShardStore {
     try {
       val kv = reader.getFooter.getFileMetaData.getKeyValueMetaData
       ShardMeta(kv.get(MinTMd).toLong, kv.get(MaxTMd).toLong,
-        kv.get(DataColSizeMd).toLong)
+        kv.get(DataColSizeMd).toLong,
+        Option(kv.get(FamilyMaskMd)).map(_.toInt))
     } finally reader.close()
   }
 
@@ -545,16 +551,23 @@ object ParquetShardStore {
   private def assertSingleFamily(spark: SparkSession, dir: String,
       allowedMask: Int, what: String): Unit = {
     val m = meta(spark, dir)
-    val (joined, dataCols, _, _) =
-      pruned(spark, dir, m.mintMs, m.maxtMs + 1, Nil)
-    if (dataCols.isEmpty) return
-    import graft.functions.ChunkFamilies.families
-    val maskCol = dataCols
-      .map(c => coalesce(families(col(c)), lit(0)))
-      .reduce(_.bitwiseOR(_))
-    val got = joined.select(maskCol.as("_m"))
-      .agg(coalesce(expr("bit_or(_m)"), lit(0)))
-      .head().getInt(0)
+    // graft-written shards record the writer's family bitmask in the
+    // footer — the guard is then one metadata read. The data walk
+    // below only runs for shards WITHOUT the key (reference-written,
+    // or pre-mask graft shards), whose cells may genuinely mix
+    // families.
+    val got = m.familyMask.getOrElse {
+      val (joined, dataCols, _, _) =
+        pruned(spark, dir, m.mintMs, m.maxtMs + 1, Nil)
+      if (dataCols.isEmpty) return
+      import graft.functions.ChunkFamilies.families
+      val maskCol = dataCols
+        .map(c => coalesce(families(col(c)), lit(0)))
+        .reduce(_.bitwiseOR(_))
+      joined.select(maskCol.as("_m"))
+        .agg(coalesce(expr("bit_or(_m)"), lit(0)))
+        .head().getInt(0)
+    }
     if ((got & ~allowedMask) != 0)
       throw new IllegalArgumentException(
         s"shard dir $dir holds chunkenc families beyond the $what " +
