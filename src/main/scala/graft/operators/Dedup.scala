@@ -582,7 +582,7 @@ object Dedup {
     * (hi → lo). Strictly decreases component "height"; cannot
     * disconnect anything.
     */
-  private def largeStar(edges: DataFrame): DataFrame = {
+  private[graft] def largeStar(edges: DataFrame): DataFrame = {
     val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
     // m(u) via groupBy(min) + join, NOT min().over(Window.partitionBy):
     // near-dup graphs are power-law and a hub node's edges all carry
@@ -597,18 +597,21 @@ object Dedup {
     // fixture sizes but is a single-task straggler at 100 TB.
     val m = sym.groupBy("src").agg(min(col("dst")).as("_mn"))
       .select(col("src"), least(col("src"), col("_mn")).as("_m"))
+    // NO trailing distinct: every consumer is smallStar, whose min()
+    // aggregation is duplicate-insensitive and whose own trailing
+    // distinct collapses any duplicated join output — the composed
+    // round's edge SET is identical, one exchange fewer per round.
     sym.join(m, "src")
       .filter(col("dst") > col("src"))
       .select(col("dst").as("src"), col("_m").as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
   }
 
   /** One small-star round over (hi → lo)-oriented edges: every node u
     * rewires its smaller neighbors (and itself) to m(u) = min of
     * them. Preserves orientation; converged when idempotent.
     */
-  private def smallStar(edges: DataFrame): DataFrame = {
+  private[graft] def smallStar(edges: DataFrame): DataFrame = {
     // same hub-proof aggregation form as [[largeStar]] (map-side
     // partial min + AQE-splittable join). A second benefit over the
     // window/explode form this replaces: the (src, _m) self-rows are

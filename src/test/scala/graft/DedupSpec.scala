@@ -134,4 +134,46 @@ class DedupSpec extends SparkSpec {
       explode(graft.functions.NgramShingles.ngramShingleSet(col("text"), 24)))
       .distinct().count())
   }
+
+  test("CC star rounds are hub-proof: two-stage aggregation, no window") {
+    // a power-law hub ships every edge of one node through m(u); the
+    // aggregation form partial-aggregates it map-side and leaves the
+    // edge-side join AQE-skew-splittable, where a window form would
+    // buffer the hub's whole edge list in ONE task (r12 verdict #6)
+    val hub = (1 to 5000).map(i => (0L, i.toLong))
+    val chain = (5001 to 5050).map(i => (i.toLong, i.toLong + 1))
+    val edges = (hub ++ chain).toDF("src", "dst")
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.sparkPlan.toString
+    val ls = Dedup.largeStar(edges)
+    val ss = Dedup.smallStar(ls)
+    Seq(planOf(ls), planOf(ss)).foreach { p =>
+      assert(!p.contains("Window"), s"star round plans a window:\n$p")
+      assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+        s"star round lost its two-stage aggregation:\n$p")
+    }
+    // and the full algorithm labels the hub star + the chain correctly
+    val out = Dedup.clusters(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 to 5000).foreach(i => assert(out(i.toLong) == 0L))
+    (5001 to 5051).foreach(i => assert(out(i.toLong) == 5001L))
+  }
+
+  test("largeStar without its distinct feeds smallStar identically") {
+    // largeStar emits duplicated (dst, m) rows by design now; the
+    // composed round's edge SET must equal the deduplicated form's
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 300)
+      .map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("src", "dst")
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct()
+    val composed = Dedup.smallStar(Dedup.largeStar(edges))
+      .collect().map(_.toSeq).toSet
+    val viaDistinct = Dedup.smallStar(Dedup.largeStar(edges).distinct())
+      .collect().map(_.toSeq).toSet
+    assert(composed == viaDistinct)
+  }
 }
